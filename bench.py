@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness: times the headline contract queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + collect-to-count) the way
+the driver's consumer would see it. A warmup query first pays the one-time
+session/codegen costs so per-query numbers measure the plans, not JVM
+startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from simple_pos_kafka_pyspark_airflow_spark.plans import load_registry
+from simple_pos_kafka_pyspark_airflow_spark.session import get_session
+
+#: The headline suite: one representative per operator family, weighted
+#: toward the queries whose plans matter at scale (joins, aggs, window,
+#: dedup, simsearch). Full-registry timing is available via --all.
+HEADLINE = [
+    "q_scan_parquet",
+    "q_filter_date",
+    "q_agg_sum",
+    "q_case_tiers",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_left_anti",
+    "q_join_theta",
+    "q_window_rank",
+    "q_upsert_semantics",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_simsearch_topk",
+    "q_text_tokens",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    registry = load_registry()
+    names = sorted(registry) if "--all" in sys.argv else [n for n in HEADLINE if n in registry]
+
+    spark = get_session("spark_graft_bench")
+    # Warmup: JVM/codegen/Arrow init on a trivial plan.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = registry[name].build(spark, sf_dir)
+        # noop sink: executes the FULL plan (count() would let Catalyst
+        # prune projections and skip expression evaluation).
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "contract_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""Testdata / warehouse catalog.
+
+Replaces the reference's three table-access paths — JDBC scans of Postgres
+(``POS_spark_dag.py:43-52``), per-file CSV discovery by mtime
+(``POS_spark_dag.py:66-79``), and "today's file" picks
+(``POS_spark_dag.py:55-63``) — with one declarative entry point over
+columnar parquet. Partition pruning and predicate pushdown make the
+reference's manual file games into plain ``WHERE`` clauses.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import schemas
+
+TABLE_NAMES = tuple(schemas.TESTDATA)
+
+#: table → columns stored as parquet TIMESTAMP(NANOS). Spark's vectorized
+#: reader rejects nanos outright (PARQUET_TYPE_ILLEGAL); we read them as
+#: raw longs (legacy nanosAsLong conf) and floor-divide to microseconds —
+#: exactly DuckDB's ns→us truncation, so both engines see identical
+#: timestamps. Integer `div`, not `/`: ns epochs (~1.7e18) exceed double's
+#: 53-bit mantissa, so float division would corrupt low microseconds.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame.
+
+    Parquet carries its own (correct) schema; we assert names match the
+    registry rather than re-imposing types, so mismatches fail loudly.
+    """
+    if name not in schemas.TESTDATA:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    nanos_cols = _NANOS_TS_COLS.get(name, ())
+    if nanos_cols:
+        # Runtime-settable SQL conf; safe to set on the caller's session
+        # (the driver hands us its own) — it only affects nanos columns,
+        # which are unreadable without it anyway.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in nanos_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    expected = [f.name for f in schemas.TESTDATA[name].fields]
+    if list(df.columns) != expected:
+        raise ValueError(f"{name}: columns {df.columns} != expected {expected}")
+    return df
+
+
+def tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several tables at once: ``t = tables(spark, sf, 'orders', ...)``."""
+    return {n: table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}

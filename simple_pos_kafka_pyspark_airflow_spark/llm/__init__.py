@@ -1,0 +1,13 @@
+"""LLM-training-data pipeline operators (north-star extensions).
+
+Not present in the reference — these are the ops a 100 TB text/embedding
+corpus pipeline needs, built on the same Spark-first discipline as the
+relational core: built-in columnar expressions wherever possible, Arrow
+Pandas UDFs only where vector math genuinely needs numpy, never
+row-at-a-time Python.
+
+- ``dedup``       exact + MinHash-LSH + SimHash + n-gram-Jaccard near-dup
+- ``simsearch``   embedding cosine top-k: brute force + LSH-bucketed
+- ``textops``     tokenization, language-ID, quality scores, fingerprints
+- ``multimodal``  opaque binary columns with typed metadata + stubbed decode
+"""

@@ -1,0 +1,150 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two paths, per the 100 TB design ladder:
+
+- **brute force** (`cosine_topk`): broadcast the query vector, compute the
+  dot product with built-in ``F.zip_with`` + ``F.aggregate`` (JVM,
+  codegen — no Python), TakeOrderedAndProject for top-k. One full scan,
+  zero shuffle beyond the k-row heap merge. This is the exact baseline and
+  is actually the right plan up to ~10^9 vectors when the scan is fast.
+- **LSH-bucketed** (`cosine_topk_lsh`): random-hyperplane signatures
+  (seeded, deterministic) prune the scan to buckets matching the query's
+  signature within a Hamming radius. The index is just a column — it
+  partitions/sorts like any other, so at 100 TB the bucket id becomes the
+  storage partition key and the probe is partition pruning, not a scan.
+
+All math in DOUBLE regardless of storage type: float32 storage halves I/O,
+but accumulating in float32 makes results order-dependent across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double, sequential fold — deterministic summation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(1e-12))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector. Returns
+    (id, score) with score rounded to 6 dp and id as tiebreak, so results
+    are deterministic and oracle-comparable."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplanes, seeded)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes via a tiny LCG — no numpy
+    RNG state, reproducible everywhere."""
+    state = seed & 0x7FFFFFFF
+    planes: list[list[float]] = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append((state / float(1 << 31)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature: bit i = (vec · plane_i) >= 0. Packed into a
+    long (n_planes ≤ 63)."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        sig = sig + F.when(dot(vec, plane) >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 16,
+    max_hamming: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: score only vectors whose hyperplane
+    signature is within ``max_hamming`` bits of the query's.
+
+    At scale the signature is precomputed+stored and the Hamming filter is
+    a partition-pruning predicate; here it is computed on the fly. Recall
+    is tunable via (n_planes, max_hamming)."""
+    planes = _hyperplanes(len(query_vec), n_planes, seed)
+    q_sig = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, p)) >= 0:
+            q_sig |= 1 << i
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sig = hyperplane_signature(F.col(vec_col), planes)
+    pruned = df.withColumn("_ham", F.bit_count(sig.bitwiseXOR(F.lit(q_sig))).cast("int")).where(
+        F.col("_ham") <= max_hamming
+    )
+    scored = pruned.select(
+        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score")
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def near_dup_pairs_embedding(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: block on the exact hyperplane
+    signature (near-identical vectors almost surely share all sign bits),
+    verify cosine within blocks. Shuffle O(docs) on a 16-bit key."""
+    dim_probe = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    dim = dim_probe[0]["d"] if dim_probe else 0
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        hyperplane_signature(F.col(vec_col), planes).alias("_sig"),
+    )
+    a = sig.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"), F.col("_sig").alias("sig_a"))
+    b = sig.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"), F.col("_sig").alias("sig_b"))
+    cand = a.join(b, (a.sig_a == b.sig_b) & (a.id_a < b.id_b))
+    return (
+        cand.withColumn("cos_sim", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -1,0 +1,127 @@
+"""Text analysis operators over a document corpus.
+
+All pure Column expressions (JVM, codegen) — tokenization, counting and
+ratio features never leave the executors and never call Python. Designed
+for a ``documents(doc_id, text, lang, source, n_chars)`` table but
+parameterized on column names.
+
+Scale: each op is embarrassingly parallel (per-row); the only shuffles are
+the aggregations a caller adds on top. At 100 TB, run as a single
+mapInPandas-free projection pass fused with the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language function-word lists for the n-gram/stopword language
+#: heuristic. Deliberately ASCII and deterministic (no model download).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "fr": ("le", "la", "et", "les", "des", "est"),
+    "es": ("el", "la", "los", "que", "de", "es"),
+    "zh": ("de5",),  # placeholder marker; honest fallback is 'und'
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization: split on runs of whitespace, drop empties.
+
+    ``split`` + ``filter`` stay in codegen; equivalent to DuckDB's
+    ``string_split`` modulo empty-string handling, which we normalize away.
+    """
+    return F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    """Number of whitespace tokens (int)."""
+    return F.size(tokens(text)).cast("int")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Cheap LLM-token estimate: count word-pieces matched by a BPE-ish
+    regex (letter runs, digit runs, single non-space symbols) — the
+    standard pre-tokenizer split, without a merges table. RE2-compatible
+    (no lookarounds) so the same pattern runs in DuckDB oracles."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)).cast(
+        "int"
+    )
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("int")
+
+
+def space_count(text: Column) -> Column:
+    """Spaces via length delta — no regex engine needed."""
+    return (F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit("")))).cast("int")
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    stripped = F.regexp_replace(text, r"[A-Za-z0-9 ]", "")
+    return F.length(stripped) / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    """Fraction of tokens that are function words — a classic quality
+    signal (real prose ≈ 0.3-0.5; keyword spam ≈ 0)."""
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence −
+    punctuation excess. Deterministic, explainable, columnar."""
+    n_tok = token_count(text)
+    length_ok = F.when((n_tok >= 5) & (n_tok <= 100_000), F.lit(0.5)).otherwise(F.lit(0.0))
+    stop_part = F.least(stopword_ratio(text) * 2, F.lit(0.3))
+    punct_penalty = F.least(punct_ratio(text), F.lit(0.2))
+    return length_ok + stop_part - punct_penalty + F.lit(0.2)
+
+
+def lang_scores(text: Column) -> Column:
+    """Map of language → marker-hit count; argmax (ties → lexicographic
+    language code) is the predicted language."""
+    toks = tokens(F.lower(text))
+    return F.map_from_arrays(
+        F.array(*[F.lit(lang) for lang in sorted(LANG_MARKERS)]),
+        F.array(
+            *[
+                F.size(F.filter(toks, lambda t, m=markers: t.isin(*m)))
+                for lang, markers in sorted(LANG_MARKERS.items())
+            ]
+        ),
+    )
+
+
+def predicted_lang(text: Column) -> Column:
+    """Argmax over per-language marker hits; ties break to the
+    lexicographically-smallest code, zero hits → 'und'. A when-chain over a
+    handful of languages constant-folds into one codegen expression."""
+    toks = tokens(F.lower(text))
+    codes = sorted(LANG_MARKERS)
+    scores = {
+        c: F.size(F.filter(toks, lambda t, m=LANG_MARKERS[c]: t.isin(*m))) for c in codes
+    }
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for c in reversed(codes):  # reversed: smallest code ends up outermost
+        expr = F.when(scores[c] == best, F.lit(c)).otherwise(expr)
+    return F.when(best <= 0, F.lit("und")).otherwise(expr)
+
+
+def fingerprint(text: Column, prime: int = 1_000_003, mod: int = (1 << 61) - 1) -> Column:
+    """Deterministic polynomial rolling-hash fingerprint of the token
+    stream: ``sum(hash_i * prime^i) mod m`` folded left with
+    ``F.aggregate`` — order-sensitive (unlike a token-set hash), pure
+    columnar, reproducible across engines that implement xxhash64."""
+    toks = tokens(text)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(prime) + F.abs(F.xxhash64(t))) % F.lit(mod),
+    )

@@ -1,0 +1,107 @@
+"""Join operators.
+
+Reference parity (SURVEY.md §2.4): the reference uses single-key equi
+joins — ``left_anti`` for CDC deletes (``POS_spark_dag.py:155,235,319``),
+``left`` to attach computed attributes (``:387,409``) — plus python-side
+existence checks and dict lookups that are semi/inner joins in spirit
+(``kafka_producer.py:41-58``, ``kafka_consumer.py:41-49,114-116``).
+
+Scale notes baked into each helper:
+
+- equi joins let Catalyst/AQE choose broadcast vs sort-merge; we hint
+  ``F.broadcast`` only for dimensions known tiny (category dict, region).
+- the time-range join (not in the reference; needed by the north star) is
+  implemented as *bucketed equi-join + residual predicate* instead of a
+  broadcast-nested-loop: at 100 TB a BNL join is quadratic death, while
+  day-bucketing shuffles both sides once on a dense integer key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def anti_by_key(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+    """Rows of ``old`` whose key is absent from ``new`` — the reference's
+    delete-detection (``POS_spark_dag.py:155``): DB snapshot rows missing
+    from the fresh extract become DELETEs."""
+    return old.join(new.select(key).dropDuplicates([key]), on=key, how="left_anti")
+
+
+def semi_by_key(df: DataFrame, keys: DataFrame, key: str) -> DataFrame:
+    """Existence filter (reference producer dedup guard,
+    ``kafka_producer.py:41-58``) as a left-semi join: no row multiplication,
+    map-side semi under AQE when ``keys`` is small."""
+    return df.join(keys.select(key).dropDuplicates([key]), on=key, how="left_semi")
+
+
+def broadcast_dim(fact: DataFrame, dim: DataFrame, on: str | list[str]) -> DataFrame:
+    """Fact ⋈ broadcast(dimension) — the reference's 7-entry category dict
+    applied to every product event (``kafka_consumer.py:41-49``). The hint
+    guarantees a broadcast-hash join regardless of statistics, which is the
+    only sane plan when the dim is KBs and the fact is TBs."""
+    return fact.join(F.broadcast(dim), on=on, how="inner")
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    window: str = "1 day",
+    bucket: str = "1 day",
+    how: str = "inner",
+    equi: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Time-range join: pair ``left`` rows with ``right`` rows whose
+    timestamp falls in ``[left_ts, left_ts + window)``.
+
+    Extension (not reference-derived; SURVEY.md §2.4 note). A naive
+    ``l.join(r, (r.ts >= l.ts) & (r.ts < l.ts + w))`` plans as a
+    broadcast-nested-loop join — O(|L|·|R|) comparisons. Instead we
+    discretize time into buckets of the window size, explode each left row
+    into the (at most 2) buckets its window overlaps, and equi-join on the
+    bucket id with the range predicate as a residual filter. The shuffle is
+    on a dense long key, so AQE can split skewed hot buckets.
+
+    ``equi`` adds extra equality pairs ``(left_col, right_col)`` to the join
+    key (e.g. per-user sessionization) — column names must be disjoint
+    between the two inputs for unambiguous output.
+    """
+    win = F.expr(f"INTERVAL {window}")
+    # bucket id = floor(epoch / bucket_seconds), a dense long key.
+    bucket_secs = F.lit(_interval_seconds(bucket))
+    l_start = F.unix_timestamp(F.col(left_ts))
+    l_end = F.unix_timestamp(F.col(left_ts) + win)
+    left_b = left.withColumn(
+        "__bucket",
+        F.explode(F.sequence(F.floor(l_start / bucket_secs), F.floor((l_end - 1) / bucket_secs))),
+    )
+    right_b = right.withColumn("__bucket", F.floor(F.unix_timestamp(F.col(right_ts)) / bucket_secs))
+    cond = (
+        (left_b["__bucket"] == right_b["__bucket"])
+        & (right_b[right_ts] >= left_b[left_ts])
+        & (right_b[right_ts] < left_b[left_ts] + win)
+    )
+    for lc, rc in equi or []:
+        cond = cond & (left_b[lc] == right_b[rc])
+    return left_b.join(right_b, cond, how).drop(left_b["__bucket"]).drop(right_b["__bucket"])
+
+
+def _interval_seconds(interval: str) -> int:
+    """Seconds in a simple ``'N unit'`` interval literal (day/hour/minute)."""
+    n, unit = interval.split()
+    mult = {"day": 86400, "days": 86400, "hour": 3600, "hours": 3600, "minute": 60, "minutes": 60}[
+        unit.lower()
+    ]
+    return int(n) * mult
+
+
+def theta_filter_join(left: DataFrame, right: DataFrame, on: str, predicate: Column) -> DataFrame:
+    """Equi-join + theta predicate on joined columns — the reference's
+    stock-sufficiency check ``quantity > stock_level`` after a product
+    lookup (``kafka_producer.py:69-85``). The equi part keeps the join
+    hash-based; the theta part is a post-join filter Catalyst pushes into
+    the join condition."""
+    return left.join(right, on=on, how="inner").where(predicate)

@@ -1,0 +1,305 @@
+"""Contract queries: joins, upsert/CDC semantics, and file sources/sinks
+(SURVEY.md §2.1, §2.2 P5/P13, §2.4, and M3's upsert kernel).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..catalog import table
+from ..operators import joins as join_ops
+from ..operators import upsert as upsert_ops
+from .contract import register
+
+# ---------------------------------------------------------------------------
+# §2.4 joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_left_anti",
+    "join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    notes="J1: left-anti = CDC delete detection (POS_spark_dag.py:155,235,319)",
+)
+def q_join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return join_ops.anti_by_key(c, o, "c_custkey").select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_left",
+    "join",
+    oracle="""
+    SELECT c.c_custkey, ROUND(s.spend, 2) AS spend
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, SUM(o_totalprice) AS spend
+               FROM orders GROUP BY o_custkey) s
+      ON c.c_custkey = s.o_custkey
+    """,
+    notes="J2: left join attaching computed attribute (POS_spark_dag.py:387,409); "
+    "unmatched rows keep NULL (q_coalesce covers the defaulted variant)",
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    spend = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.sum("o_totalprice").alias("spend"))
+    )
+    return c.join(spend, "c_custkey", "left").select(
+        "c_custkey", F.round("spend", 2).alias("spend")
+    )
+
+
+@register(
+    "q_join_semi",
+    "join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    notes="J3: semi join = producer existence check (kafka_producer.py:41-58)",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return join_ops.semi_by_key(c, o, "c_custkey").select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_inner",
+    "join",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, c.c_custkey, c.c_name, l_extendedprice
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer c ON o_custkey = c_custkey
+    """,
+    notes="J4: 3-way inner join fact⋈fact⋈dim (key lookups kafka_consumer.py:114-116); "
+    "shuffle on l_orderkey then o_custkey — at 100 TB co-partition lineitem/orders "
+    "by orderkey buckets to remove the first exchange",
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("l_orderkey", "l_linenumber", "c_custkey", "c_name", "l_extendedprice")
+    )
+
+
+@register(
+    "q_join_broadcast",
+    "join",
+    oracle="""
+    SELECT r_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    notes="J5: fact ⋈ broadcast(dims) — the 7-entry category dict pattern "
+    "(kafka_consumer.py:41-49); explicit F.broadcast on supplier/nation/region "
+    "keeps the 100 TB fact shuffle-free until the final 5-group agg",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    dim = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "r_name")
+    )
+    joined = join_ops.broadcast_dim(li, dim, on=[li.l_suppkey == dim.s_suppkey])
+    return joined.groupBy("r_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+@register(
+    "q_filter_theta",
+    "join",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, p_size
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_quantity > p_size
+    """,
+    notes="P13: equi-join + theta predicate on joined columns — the stock-sufficiency "
+    "check quantity > stock_level (kafka_producer.py:69-85)",
+)
+def q_filter_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    out = join_ops.theta_filter_join(
+        li, p, on=[li.l_partkey == p.p_partkey], predicate=F.col("l_quantity") > F.col("p_size")
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_quantity", "p_size")
+
+
+@register(
+    "q_stock_decrement",
+    "join",
+    oracle="""
+    SELECT p.p_partkey,
+           ROUND(CAST(p.p_size AS DOUBLE) - COALESCE(s.qty, 0), 2) AS stock_after
+    FROM part p
+    LEFT JOIN (SELECT l_partkey, SUM(l_quantity) AS qty
+               FROM lineitem GROUP BY l_partkey) s
+      ON p.p_partkey = s.l_partkey
+    """,
+    notes="P5: running stock decrement (kafka_consumer.py:111-117) as "
+    "pre-aggregated join + subtraction (p_size stands in for stock_level)",
+)
+def q_stock_decrement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    sold = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    return p.join(sold, "p_partkey", "left").select(
+        "p_partkey",
+        F.round(
+            F.col("p_size").cast("double") - F.coalesce("qty", F.lit(0.0)), 2
+        ).alias("stock_after"),
+    )
+
+
+@register(
+    "q_join_theta",
+    "join",
+    oracle="""
+    SELECT e.event_id AS err_id, CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks
+    FROM events e
+    LEFT JOIN events c
+      ON c.user_id = e.user_id AND c.event_type = 'click'
+     AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 6 HOUR
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    """,
+    notes="extension, not reference-derived (SURVEY §2.4 note): time-range join — "
+    "clicks within 6h after each error, same user. Implemented as bucketed "
+    "equi-join (operators/joins.range_join_bucketed), not BroadcastNestedLoop: "
+    "O(n) shuffle on (bucket,user) instead of O(n·m) comparisons",
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("user_id").alias("err_user"), F.col("ts").alias("err_ts")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("click_user"), F.col("ts").alias("click_ts")
+    )
+    paired = join_ops.range_join_bucketed(
+        errors,
+        clicks,
+        left_ts="err_ts",
+        right_ts="click_ts",
+        window="6 hours",
+        bucket="6 hours",
+        how="left",
+        equi=[("err_user", "click_user")],
+    )
+    return paired.groupBy("err_id").agg(F.count("click_id").alias("n_clicks"))
+
+
+# ---------------------------------------------------------------------------
+# M3: upsert / delete-by-absence semantics (S7/S8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_upsert_semantics",
+    "upsert",
+    oracle="""
+    SELECT c_custkey,
+           ROUND(CASE WHEN c_custkey % 10 < 3 THEN c_acctbal + 100 ELSE c_acctbal END, 2)
+               AS c_acctbal,
+           CASE WHEN c_custkey % 10 < 3 THEN 'updated' ELSE 'unchanged' END AS row_state
+    FROM customer
+    """,
+    notes="S8: keyed upsert (POS_spark_dag.py:170-193 ON CONFLICT DO UPDATE) in pure "
+    "Spark: new ∪ (old ⟕anti_pk new) — no driver collect, one pk shuffle",
+)
+def q_upsert_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old = table(spark, sf_dir, "customer").withColumn("row_state", F.lit("unchanged"))
+    new = (
+        old.where(F.col("c_custkey") % 10 < 3)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100)
+        .withColumn("row_state", F.lit("updated"))
+    )
+    merged = upsert_ops.merge_delta(old, new, pk="c_custkey")
+    return merged.select(
+        "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"), "row_state"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1 file sources / sinks (S1/S2/S6/S9)
+# ---------------------------------------------------------------------------
+
+
+def _workdir(*parts: str) -> str:
+    """Scratch dir for sink round-trips (driver may run with any cwd)."""
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_scratch", *parts)
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
+@register(
+    "q_scan_csv",
+    "scan",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(l_linenumber) AS BIGINT) AS sum_line
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    notes="S1/S2/S9: CSV sink + scan with explicit schema (no inferSchema — "
+    "SURVEY §4 anti-pattern 3). Derives a CSV from lineitem (testdata is parquet), "
+    "reads it back typed, aggregates; int/string columns only so the roundtrip "
+    "is lossless (reference: POS_spark_dag.py:90,143-146)",
+)
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _workdir("scan_csv", os.path.basename(sf_dir.rstrip("/")))
+    src = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag")
+    src.write.mode("overwrite").option("header", True).csv(path)
+    schema = "l_orderkey LONG, l_linenumber INT, l_returnflag STRING"
+    df = spark.read.schema(schema).option("header", True).csv(path)
+    return df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), F.sum("l_linenumber").alias("sum_line")
+    )
+
+
+@register(
+    "q_sink_append",
+    "scan",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderstatus IN ('F', 'O')
+    GROUP BY o_orderstatus
+    """,
+    notes="S6: append sink then re-scan (POS_spark_dag.py:109-117 JDBC append → "
+    "parquet append): overwrite with 'F' rows, append 'O' rows, read back",
+)
+def q_sink_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _workdir("sink_append", os.path.basename(sf_dir.rstrip("/")))
+    o = table(spark, sf_dir, "orders")
+    o.where(F.col("o_orderstatus") == "F").write.mode("overwrite").parquet(path)
+    o.where(F.col("o_orderstatus") == "O").write.mode("append").parquet(path)
+    df = spark.read.schema(schemas.ORDERS).parquet(path)
+    return df.groupBy("o_orderstatus").agg(F.count("*").alias("n"))

@@ -1,0 +1,358 @@
+"""Contract queries: LLM-training-data pipeline operators (north star).
+
+Not reference-derived — these extend the engine per BASELINE.json: dedup,
+similarity search, text analysis, multimodal columns, each designed for
+100 TB (see the operator modules' docstrings for the scale story).
+
+Oracle notes: hash-based ops (minhash/simhash/LSH) are deterministic given
+fixed seeds, so where the *output* is exact-verified pairs we still ship an
+exact-SQL oracle (the LSH candidate stage provably catches every pair at
+these thresholds — verified in tests); ops whose output embeds
+engine-specific hashes are rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..llm import dedup, multimodal, simsearch, textops
+from .contract import register
+
+# DuckDB shingle CTE shared by the jaccard oracles (3-gram word shingles,
+# identical semantics to llm.dedup.shingles).
+_SHINGLE_CTE = """
+WITH t AS (
+  SELECT doc_id, n_chars,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                     i -> array_to_string(toks[i:i+2], ' ')))
+         END AS sh
+  FROM t
+)
+"""
+
+
+@register(
+    "q_dedup_exact",
+    "llm",
+    oracle="""
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY text
+    """,
+    notes="exact dedup: group by sha2(text) so only a 32-byte key shuffles, "
+    "never the document (llm/dedup.exact_dup_groups)",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return dedup.exact_dup_groups(d, "text", "doc_id").select("keep_id", "n_copies")
+
+
+@register(
+    "q_dedup_tokens",
+    "llm",
+    oracle="""
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY array_to_string(list_sort(list_filter(string_split(text, ' '), x -> x <> '')), ' ')
+    """,
+    notes="token-bag dedup: sorted-token key catches word-order shuffles "
+    "(the testdata's jaccard-1.0 pairs) in one shuffle",
+)
+def q_dedup_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return dedup.token_bag_dup_groups(d, "text", "doc_id").select("keep_id", "n_copies")
+
+
+@register(
+    "q_dedup_minhash",
+    "llm",
+    oracle=_SHINGLE_CTE
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / greatest(len(list_distinct(a.sh || b.sh)), 1), 4) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+          / greatest(len(list_distinct(a.sh || b.sh)), 1) >= 0.8
+    """,
+    notes="MinHash(64)+LSH(16 bands) candidates, exact-Jaccard verified ≥0.8. "
+    "Oracle is brute-force all-pairs — identical output because every true "
+    "pair in the corpus has j≥0.9 and the deterministic LSH miss bound at "
+    "j=0.9 is (1-0.9^4)^16 ≈ 4e-8 (verified in tests). Engine cost is "
+    "O(docs·bands), oracle is O(docs²) — that asymmetry is the point.",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return dedup.near_dup_pairs_minhash(
+        d, "text", "doc_id", n_shingle=3, num_hashes=64, bands=16, jaccard_threshold=0.8
+    )
+
+
+@register(
+    "q_dedup_ngram",
+    "llm",
+    oracle=_SHINGLE_CTE
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / greatest(len(list_distinct(a.sh || b.sh)), 1), 4) AS jaccard
+    FROM s a JOIN s b ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+          / greatest(len(list_distinct(a.sh || b.sh)), 1) >= 0.5
+    """,
+    notes="exact n-gram Jaccard within n_chars blocks — the caller-chosen "
+    "blocking makes the quadratic term local (llm/dedup.ngram_jaccard_pairs_blocked)",
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs_blocked(
+        d, "text", "doc_id", block_cols=["n_chars"], n=3, threshold=0.5
+    )
+
+
+@register(
+    "q_dedup_simhash",
+    "llm",
+    oracle=None,  # simhash embeds xxhash64 values — not expressible in DuckDB
+    notes="SimHash(64) near-dup: quarter-blocking (pigeonhole-complete for "
+    "hamming≤3) + exact verify; rows-only check",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return dedup.near_dup_pairs_simhash(d, "text", "doc_id", max_hamming=3)
+
+
+@register(
+    "q_dedup_embed",
+    "llm",
+    oracle=None,  # LSH-blocked candidate set is approximate by design
+    notes="embedding-cosine near-dup via hyperplane-signature blocking "
+    "(llm/simsearch.near_dup_pairs_embedding); rows-only check",
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return simsearch.near_dup_pairs_embedding(e, threshold=0.95)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = (
+        table(spark, sf_dir, "embeddings").where(F.col("vec_id") == vec_id).select("embedding").first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+@register(
+    "q_simsearch_topk",
+    "llm",
+    oracle="""
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(
+               CAST(embedding AS DOUBLE[]),
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS score
+    FROM embeddings
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+    notes="brute-force cosine top-k (query = vec 0): zip_with/aggregate dot "
+    "product in double, TakeOrderedAndProject — exact ANN baseline, zero shuffle",
+)
+def q_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return simsearch.cosine_topk(e, _query_vector(spark, sf_dir), k=10)
+
+
+@register(
+    "q_simsearch_lsh",
+    "llm",
+    oracle=None,  # approximate: LSH-pruned candidate set
+    notes="LSH-bucketed cosine top-k: hyperplane signature prune (hamming≤6 "
+    "of 16 planes) then exact scoring — the 100 TB path where the signature "
+    "is the storage partition key",
+)
+def q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return simsearch.cosine_topk_lsh(
+        e, _query_vector(spark, sf_dir), k=10, n_planes=16, max_hamming=6
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_tokens",
+    "llm",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER)
+               AS n_bpe_ish
+    FROM documents
+    """,
+    notes="token counting: whitespace tokens + BPE-ish word-piece estimate, "
+    "both pure codegen expressions",
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textops.token_count(F.col("text")).alias("n_tokens"),
+        textops.bpe_ish_token_count(F.col("text")).alias("n_bpe_ish"),
+    )
+
+
+@register(
+    "q_text_quality",
+    "llm",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_chars_calc,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(list_filter(toks,
+                x -> list_contains(['the','and','of','to','a','in','is'], x))) AS INTEGER)
+               AS stop_hits,
+           ROUND(len(list_filter(toks,
+                x -> list_contains(['the','and','of','to','a','in','is'], x))) * 1.0
+                / greatest(len(toks), 1), 4) AS stop_ratio
+    FROM t
+    """,
+    notes="quality scoring: length/stopword metrics (integers + one rounded "
+    "ratio so hashes are engine-stable)",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.lower(F.col("text")))
+    stop = textops.LANG_MARKERS["en"]
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stop)))
+    return d.select(
+        "doc_id",
+        textops.char_count(F.col("text")).alias("n_chars_calc"),
+        F.size(toks).cast("int").alias("n_tokens"),
+        hits.cast("int").alias("stop_hits"),
+        F.round(hits / F.greatest(F.size(toks), F.lit(1)), 4).alias("stop_ratio"),
+    )
+
+
+@register(
+    "q_text_langid",
+    "llm",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+        len(list_filter(toks, x -> list_contains(['der','die','das','und','nicht','ist'], x))) AS s_de,
+        len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is'], x))) AS s_en,
+        len(list_filter(toks, x -> list_contains(['el','la','los','que','de','es'], x))) AS s_es,
+        len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est'], x))) AS s_fr,
+        len(list_filter(toks, x -> list_contains(['de5'], x))) AS s_zh
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+    FROM s
+    """,
+    notes="language-ID: function-word marker argmax (deterministic tie-break "
+    "to lexicographically-smallest code) — the n-gram-heuristic family, no model",
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", textops.predicted_lang(F.col("text")).alias("pred_lang"))
+
+
+@register(
+    "q_text_fingerprint",
+    "llm",
+    oracle=None,  # polynomial rolling hash over xxhash64 tokens — engine-specific
+    notes="document fingerprint: order-sensitive rolling hash of the token "
+    "stream (llm/textops.fingerprint); rows-only check",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", textops.fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_multimodal",
+    "llm",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(octet_length(text) AS INTEGER) AS n_bytes,
+           sha256(text) AS payload_sha
+    FROM documents
+    """,
+    notes="multimodal plumbing: documents→binary assets→mapInPandas feature "
+    "extraction (Arrow batches; decode stubbed per brief). The sha/byte-count "
+    "columns oracle-verify that the Python batch path saw exactly the right "
+    "bytes; the feature vector itself is covered by unit tests",
+)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    assets = multimodal.synthesize_assets(d)
+    feats = multimodal.extract_features(assets)
+    return feats.select("asset_id", "n_bytes", "payload_sha")
+
+
+@register(
+    "q_pandas_udf",
+    "llm",
+    oracle="""
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(
+               CAST(embedding AS DOUBLE[]),
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS score
+    FROM embeddings
+    """,
+    notes="§2.10: the engine's vectorized-UDF discipline — Arrow pandas_udf "
+    "cosine against a broadcast query vector, numerically checked vs DuckDB",
+)
+def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    qv = np.array(_query_vector(spark, sf_dir), dtype="float64")
+    qn = float(np.sqrt((qv * qv).sum()))
+
+    @pandas_udf("double")
+    def cos_sim(col: pd.Series) -> pd.Series:
+        # np.stack → one (batch, dim) float64 matrix per Arrow batch; the
+        # matmul is the whole batch's work in one BLAS call.
+        m = np.stack(col.to_numpy())
+        m = m.astype("float64")
+        num = m @ qv
+        den = np.sqrt((m * m).sum(axis=1)) * qn
+        return pd.Series(num / np.maximum(den, 1e-12))
+
+    e = table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", F.round(cos_sim(F.col("embedding")), 6).alias("score"))

@@ -1,0 +1,122 @@
+"""Keyed streaming state: id sequences and running stock levels.
+
+Reference behaviors re-expressed (SURVEY.md §2.9 T2/T3):
+
+- **T2** — monotonic ``sale_id`` kept in a tracker file and incremented per
+  message by a single consumer thread (``kafka_consumer.py:56-68,74-79``).
+- **T3** — per-product ``stock_level`` decremented in the products CSV on
+  every sale (``kafka_consumer.py:111-117``).
+
+Both become ``applyInPandasWithState`` (GroupState, Arrow-batched): state
+lives in Spark's checkpointed state store, sharded by key across
+executors — restart-safe without any tracker file, parallel without the
+reference's single-thread constraint.
+
+The transform functions are written to work under
+``df.groupBy(...).applyInPandasWithState`` on a stream AND to be directly
+unit-testable by feeding pandas groups through a fake state object — the
+tests exercise the exact code the stream runs.
+
+Scale: state store size is O(#distinct keys), partitioned with the
+shuffle; stock state for 10^8 products is a few GB spread over the
+cluster. Id-sequencing is the one operator that fundamentally serializes —
+we keep the reference's semantics available (dense global ids, single
+``__global__`` state key) but document per-partition ids
+(``monotonically_increasing_id``) as the 100 TB alternative.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+
+# GroupStateTimeout lives in pyspark.sql.streaming.state (public API).
+try:  # pragma: no cover - import shape varies across pyspark minor versions
+    from pyspark.sql.streaming.state import GroupStateTimeout
+except ImportError:  # pragma: no cover
+    GroupStateTimeout = None  # type: ignore[assignment]
+
+STOCK_STATE_SCHEMA = "stock_level double"
+STOCK_OUTPUT_SCHEMA = "product_id long, stock_level double"
+SEQ_STATE_SCHEMA = "last_id long"
+SEQ_OUTPUT_SCHEMA = "event_key long, assigned_id long"
+
+
+def update_stock(
+    key: tuple[Any, ...], batches: Iterable[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    """Running stock per product: state = remaining stock, events carry
+    ``quantity`` (sales decrement; negative quantity = restock). Emits the
+    post-batch level per product — the reference's CSV ``stock_level``
+    column as streaming state (``kafka_consumer.py:111-117``).
+
+    Initial stock arrives as a ``initial_stock`` column on the first
+    event(s) for the key (NULL afterwards).
+    """
+    (product_id,) = key
+    level = state.get[0] if state.exists else None
+    sold = 0.0
+    for pdf in batches:
+        if level is None and "initial_stock" in pdf.columns:
+            init = pdf["initial_stock"].dropna()
+            if len(init):
+                level = float(init.iloc[0])
+        sold += float(pdf["quantity"].sum())
+    level = (level if level is not None else 0.0) - sold
+    state.update((level,))
+    yield pd.DataFrame({"product_id": [product_id], "stock_level": [level]})
+
+
+def assign_ids(
+    key: tuple[Any, ...], batches: Iterable[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    """Dense monotonic id assignment (reference tracker file,
+    ``kafka_consumer.py:56-79``). Grouped under a single constant key so
+    ids are globally dense, exactly like the reference — the documented
+    serialization point. Events carry a unique ``event_key``; output maps
+    each to its assigned id, ordered by ``event_key`` for determinism."""
+    last = state.get[0] if state.exists else 0
+    frames = [pdf for pdf in batches if len(pdf)]
+    if not frames:
+        state.update((last,))
+        yield pd.DataFrame({"event_key": [], "assigned_id": []}).astype("int64")
+        return
+    events = pd.concat(frames).sort_values("event_key").reset_index(drop=True)
+    ids = range(last + 1, last + 1 + len(events))
+    state.update((last + len(events),))
+    yield pd.DataFrame({"event_key": events["event_key"], "assigned_id": list(ids)})
+
+
+def stock_stream(grouped_events: Any) -> Any:
+    """Wire ``update_stock`` onto ``df.groupBy('product_id')`` of a stream."""
+    return grouped_events.applyInPandasWithState(
+        update_stock,
+        outputStructType=STOCK_OUTPUT_SCHEMA,
+        stateStructType=STOCK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+class FakeGroupState:
+    """Minimal GroupState stand-in so the transform functions above are
+    unit-testable without running a stream (mirrors the subset of the
+    pyspark GroupState API they use)."""
+
+    def __init__(self, value: tuple | None = None) -> None:
+        self._value = value
+
+    @property
+    def exists(self) -> bool:
+        return self._value is not None
+
+    @property
+    def get(self) -> tuple:
+        if self._value is None:
+            raise ValueError("state does not exist")
+        return self._value
+
+    def update(self, value: tuple) -> None:
+        self._value = value

@@ -1,0 +1,36 @@
+"""The executable golden suite: every contract query vs its DuckDB oracle.
+
+Exactly the check the driver runs at sf0.01 (row count + schema + value
+compare, order-insensitive), run here at sf0.001 for speed. Queries with
+``oracle=None`` get a rows-only smoke (must build + count without error).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from simple_pos_kafka_pyspark_airflow_spark.plans import load_registry
+from simple_pos_kafka_pyspark_airflow_spark.testing import check_query
+
+REGISTRY = load_registry()
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_contract_query(spark, sf_dir, name):
+    res = check_query(spark, name, sf_dir)
+    assert res.ok, str(res)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.limit(5).collect()
+    assert df.columns == ["c_custkey", "c_name", "lifetime_spend", "membership_level"]
+    assert len(rows) > 0
+
+
+def test_every_query_has_registry_metadata():
+    for name, cq in REGISTRY.items():
+        assert cq.category
+        assert cq.notes, f"{name} missing notes"

@@ -1,0 +1,277 @@
+"""Streaming layer tests (SURVEY.md §2.9, M5).
+
+Strategy per SURVEY §5: real Structured Streaming runs over file sources
+with ``Trigger.AvailableNow`` (the in-container substitute for Kafka — the
+parse/merge/window plans are source-agnostic), plus direct unit tests of
+the batch-equivalent transforms and the GroupState functions via
+``FakeGroupState``. A property test replays random add/edit/remove
+sequences against a dict oracle — mirroring the reference's 9-topic CDC
+semantics (kafka_consumer.py) without its single-thread constraint.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from simple_pos_kafka_pyspark_airflow_spark.streaming import cdc, ingest, state, windows
+
+SALES_SCHEMA = "sale_id long, customer_id long, quantity int, price double, sale_date string"
+
+
+# ---------------------------------------------------------------------------
+# ingest: JSON parse (T1/S4) — batch and stream share the plan
+# ---------------------------------------------------------------------------
+
+
+def test_parse_json_events_typed_and_corrupt(spark):
+    rows = [
+        ('{"sale_id": 1, "customer_id": 7, "quantity": 2, "price": 9.5, "sale_date": "2026-01-01 10:00:00"}',),
+        ("not json at all",),
+    ]
+    raw = spark.createDataFrame(rows, "value string")
+    out = ingest.parse_json_events(raw, SALES_SCHEMA).collect()
+    good = [r for r in out if r["_corrupt"] is None][0]
+    bad = [r for r in out if r["_corrupt"] is not None][0]
+    assert good["sale_id"] == 1 and good["price"] == 9.5
+    assert bad["_corrupt"] == "not json at all" and bad["sale_id"] is None
+
+
+def test_file_json_stream_available_now(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    for i in range(3):
+        with open(src / f"f{i}.json", "w") as f:
+            for j in range(10):
+                f.write(
+                    json.dumps(
+                        {
+                            "sale_id": i * 10 + j,
+                            "customer_id": j % 3,
+                            "quantity": 1,
+                            "price": 2.0,
+                            "sale_date": "2026-01-01 10:00:00",
+                        }
+                    )
+                    + "\n"
+                )
+    stream = ingest.file_json_stream(spark, str(src), SALES_SCHEMA)
+    assert stream.isStreaming
+    sink = tmp_path / "sink"
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.schema(SALES_SCHEMA).parquet(str(sink))
+    assert got.count() == 30
+    assert set(r.sale_id for r in got.collect()) == set(range(30))
+
+
+# ---------------------------------------------------------------------------
+# cdc: last-write-wins batch apply + end-to-end foreachBatch (T6)
+# ---------------------------------------------------------------------------
+
+
+def test_apply_cdc_batch_upsert_delete_ordering(spark):
+    table = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, name string, bal double"
+    )
+    events = spark.createDataFrame(
+        [
+            (1, "a2", 11.0, "upsert", 100),
+            (1, "a3", 12.0, "upsert", 200),  # later event wins
+            (2, None, None, "delete", 150),
+            (4, "d", 40.0, "upsert", 120),
+            (4, None, None, "delete", 90),  # earlier than the upsert -> upsert wins
+        ],
+        f"id long, name string, bal double, {cdc.OP_COL} string, seq long",
+    )
+    out = cdc.apply_cdc_batch(table, events, pk="id", order_col="seq")
+    got = {r["id"]: (r["name"], r["bal"]) for r in out.collect()}
+    assert got == {1: ("a3", 12.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_parquet_cdc_sink_stream(spark, tmp_path):
+    src = tmp_path / "cdc_events"
+    src.mkdir()
+    schema = "id long, name string, bal double"
+    ev_schema = f"id long, name string, bal double, {cdc.OP_COL} string, seq long"
+    with open(src / "batch1.json", "w") as f:
+        f.write(json.dumps({"id": 1, "name": "a", "bal": 1.0, cdc.OP_COL: "upsert", "seq": 1}) + "\n")
+        f.write(json.dumps({"id": 2, "name": "b", "bal": 2.0, cdc.OP_COL: "upsert", "seq": 2}) + "\n")
+        f.write(json.dumps({"id": 1, "name": "a2", "bal": 1.5, cdc.OP_COL: "upsert", "seq": 3}) + "\n")
+        f.write(json.dumps({"id": 2, "name": None, "bal": None, cdc.OP_COL: "delete", "seq": 4}) + "\n")
+    sink = cdc.ParquetCdcSink(
+        spark, str(tmp_path / "warehouse"), pk="id", order_col="seq", schema=schema
+    )
+    q = (
+        ingest.file_json_stream(spark, str(src), ev_schema)
+        .writeStream.foreachBatch(sink.foreach_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["id"]: (r["name"], r["bal"]) for r in sink.read().collect()}
+    assert got == {1: ("a2", 1.5)}
+
+
+def test_cdc_property_random_replay_vs_dict_oracle(spark):
+    """Random add/edit/remove sequences: engine state == dict-replay oracle
+    (SURVEY §5 item 4)."""
+    rng = random.Random(42)
+    oracle: dict[int, float] = {}
+    events = []
+    for seq in range(300):
+        k = rng.randrange(20)
+        if rng.random() < 0.25 and k in oracle:
+            events.append((k, None, "delete", seq))
+            del oracle[k]
+        else:
+            v = round(rng.uniform(0, 100), 2)
+            events.append((k, v, "upsert", seq))
+            oracle[k] = v
+    table = spark.createDataFrame([], "id long, bal double")
+    ev = spark.createDataFrame(events, f"id long, bal double, {cdc.OP_COL} string, seq long")
+    # apply in 3 chunks to exercise multi-batch convergence
+    for lo, hi in [(0, 100), (100, 200), (200, 300)]:
+        table = cdc.apply_cdc_batch(
+            table, ev.where((F.col("seq") >= lo) & (F.col("seq") < hi)), "id", "seq"
+        )
+    got = {r["id"]: r["bal"] for r in table.collect()}
+    assert got == oracle
+
+
+# ---------------------------------------------------------------------------
+# state: GroupState transforms (T2/T3) via FakeGroupState
+# ---------------------------------------------------------------------------
+
+
+def test_update_stock_decrements_and_persists():
+    st = state.FakeGroupState()
+    out1 = list(
+        state.update_stock(
+            (7,), [pd.DataFrame({"quantity": [3.0, 2.0], "initial_stock": [50.0, None]})], st
+        )
+    )[0]
+    assert out1["stock_level"].iloc[0] == 45.0
+    out2 = list(state.update_stock((7,), [pd.DataFrame({"quantity": [5.0]})], st))[0]
+    assert out2["stock_level"].iloc[0] == 40.0
+    assert st.get == (40.0,)
+
+
+def test_assign_ids_dense_and_monotonic_across_batches():
+    st = state.FakeGroupState()
+    out1 = list(state.assign_ids(("__global__",), [pd.DataFrame({"event_key": [11, 10, 12]})], st))[0]
+    assert list(out1["assigned_id"]) == [1, 2, 3]
+    assert list(out1["event_key"]) == [10, 11, 12]  # deterministic order
+    out2 = list(state.assign_ids(("__global__",), [pd.DataFrame({"event_key": [20]})], st))[0]
+    assert list(out2["assigned_id"]) == [4]
+    assert st.get == (4,)
+
+
+def test_stock_stream_end_to_end(spark, tmp_path):
+    """applyInPandasWithState on a real stream: per-product running stock."""
+    src = tmp_path / "stock_events"
+    src.mkdir()
+    with open(src / "sales.json", "w") as f:
+        for pid, qty, init in [(1, 3, 100.0), (1, 2, None), (2, 5, 50.0)]:
+            f.write(json.dumps({"product_id": pid, "quantity": float(qty), "initial_stock": init}) + "\n")
+    stream = ingest.file_json_stream(
+        spark, str(src), "product_id long, quantity double, initial_stock double"
+    )
+    q = (
+        state.stock_stream(stream.groupBy("product_id"))
+        .writeStream.format("memory")
+        .queryName("stock_levels")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["product_id"]: r["stock_level"] for r in spark.sql("SELECT * FROM stock_levels").collect()}
+    assert got == {1: 95.0, 2: 45.0}
+
+
+# ---------------------------------------------------------------------------
+# windows: tumbling/sliding/session on batch (oracle-checked in contract
+# suite) and dedup-with-watermark on a stream (T7)
+# ---------------------------------------------------------------------------
+
+
+def _ts_df(spark):
+    rows = [
+        (1, "2026-01-01 00:05:00", 1.0),
+        (1, "2026-01-01 00:55:00", 2.0),
+        (1, "2026-01-01 01:05:00", 4.0),
+        (2, "2026-01-01 00:10:00", 8.0),
+        (2, "2026-01-01 03:00:00", 16.0),
+    ]
+    return spark.createDataFrame(rows, "user_id long, ts string, v double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+
+
+def test_tumbling_agg_batch(spark):
+    out = windows.tumbling_agg(
+        _ts_df(spark), "ts", "1 hour", ["user_id"], [F.sum("v").alias("total")]
+    )
+    got = {(r["user_id"], str(r["window_start"])): r["total"] for r in out.collect()}
+    assert got[(1, "2026-01-01 00:00:00")] == 3.0
+    assert got[(1, "2026-01-01 01:00:00")] == 4.0
+    assert got[(2, "2026-01-01 03:00:00")] == 16.0
+
+
+def test_sliding_agg_batch(spark):
+    out = windows.sliding_agg(
+        _ts_df(spark), "ts", "2 hours", "1 hour", ["user_id"], [F.count("*").alias("n")]
+    )
+    # event at 01:05 belongs to windows starting 00:00 and 01:00
+    got = {(r["user_id"], str(r["window_start"])): r["n"] for r in out.collect()}
+    assert got[(1, "2026-01-01 00:00:00")] == 3
+    assert got[(1, "2026-01-01 01:00:00")] == 1
+
+
+def test_session_agg_batch(spark):
+    out = windows.session_agg(
+        _ts_df(spark), "ts", "30 minutes", ["user_id"], [F.count("*").alias("n")]
+    )
+    per_user = {}
+    for r in out.collect():
+        per_user.setdefault(r["user_id"], []).append(r["n"])
+    # user 1: events at 00:05 / 00:55 / 01:05 chain into one session (gaps < 30m... 00:05->00:55 is 50m => two sessions: [00:05], [00:55,01:05])
+    assert sorted(per_user[1]) == [1, 2]
+    assert sorted(per_user[2]) == [1, 1]
+
+
+def test_dedup_with_watermark_stream(spark, tmp_path):
+    src = tmp_path / "dup_events"
+    src.mkdir()
+    with open(src / "ev.json", "w") as f:
+        for sid, ts in [(1, "2026-01-01 00:00:00"), (1, "2026-01-01 00:00:00"), (2, "2026-01-01 00:01:00")]:
+            f.write(json.dumps({"sale_id": sid, "ts": ts}) + "\n")
+    stream = ingest.file_json_stream(spark, str(src), "sale_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    deduped = windows.dedup_with_watermark(stream, ["sale_id"], "ts", "1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT sale_id FROM dedup_out").collect()
+    assert sorted(r["sale_id"] for r in got) == [1, 2]
