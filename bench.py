@@ -17,12 +17,17 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from simple_pos_kafka_pyspark_airflow_spark.plans import load_registry
 from simple_pos_kafka_pyspark_airflow_spark.session import get_session
+
+#: Hard per-query ceiling so one pathological plan can't zero out the whole
+#: suite (round 1: a degenerate LSH self-join timed out the entire run).
+QUERY_TIMEOUT_SEC = int(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT", "120"))
 
 #: The headline suite: one representative per operator family, weighted
 #: toward the queries whose plans matter at scale (joins, aggs, window,
@@ -55,15 +60,30 @@ def main() -> None:
     # Warmup: JVM/codegen/Arrow init on a trivial plan.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    sc = spark.sparkContext
     timings: dict[str, float] = {}
     for name in names:
+        sc.setJobGroup(name, f"bench:{name}", interruptOnCancel=True)
+        watchdog = threading.Timer(QUERY_TIMEOUT_SEC, sc.cancelJobGroup, args=[name])
+        watchdog.daemon = True
+        watchdog.start()
         t0 = time.perf_counter()
-        df = registry[name].build(spark, sf_dir)
-        # noop sink: executes the FULL plan (count() would let Catalyst
-        # prune projections and skip expression evaluation).
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        try:
+            df = registry[name].build(spark, sf_dir)
+            # noop sink: executes the FULL plan (count() would let Catalyst
+            # prune projections and skip expression evaluation).
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+            print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        except Exception as exc:  # cancelled by watchdog or genuine failure
+            timings[name] = round(time.perf_counter() - t0, 4)
+            print(f"# {name}: FAILED after {timings[name]:.3f}s ({type(exc).__name__})",
+                  file=sys.stderr)
+        finally:
+            watchdog.cancel()
+            # PySpark has no clearJobGroup; resetting the local property is
+            # the documented way to detach subsequent jobs from the group.
+            sc.setLocalProperty("spark.jobGroup.id", None)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -71,22 +71,47 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 
 def minhash_signature(shingle_arr: Column, num_hashes: int = 64) -> Column:
-    """k independent min-hashes via seeded xxhash64 — deterministic, no
-    random state, JVM-side. Returns array<long> of length ``num_hashes``."""
-    return F.array(
-        *[F.array_min(F.transform(shingle_arr, lambda s, i=i: F.xxhash64(s, F.lit(i)))) for i in range(num_hashes)]
+    """k independent min-hashes as ONE nested higher-order expression:
+    outer transform over seed ids, inner transform hashing each shingle
+    with that seed. Deterministic, no random state, JVM-side.
+
+    Column-expression form for unit tests / ad-hoc use. Higher-order
+    functions are CodegenFallback (interpreted, ~µs per lambda call) — for
+    pipelines use ``minhash_signatures_df``, which computes the identical
+    signature through exploded rows + codegen'd min aggregates, ~100×
+    faster. Pass a *materialized attribute* for ``shingle_arr``: an inline
+    expression would be re-evaluated once per seed by the outer lambda."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(shingle_arr, lambda s: F.xxhash64(s, i))),
     )
 
 
-def lsh_bands(signature: Column, bands: int, rows: int) -> Column:
-    """Band the signature: array of (band_id, band_hash) structs. Two docs
-    collide on a band iff their ``rows`` consecutive minhashes all match."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            F.xxhash64(F.array_join(F.slice(signature, b * rows + 1, rows), ",")).alias("bucket"),
-        ),
+def minhash_signatures_df(
+    df: DataFrame, text_col: str, id_col: str, n_shingle: int = 3, num_hashes: int = 64
+) -> DataFrame:
+    """(id, signature) per document, the whole-stage-codegen way:
+
+    explode shingles to rows → ``num_hashes`` seeded ``min(xxhash64(s, i))``
+    aggregates in ONE groupBy → pack into an array column.
+
+    Why this shape: ``xxhash64``/``min`` are codegen intrinsics, so the
+    hot loop (docs × shingles × seeds hash evaluations) runs in generated
+    JVM code; the equivalent nested-``transform`` expression is interpreted
+    and ~100× slower. The groupBy shuffles docs×shingles rows, but partial
+    (map-side) aggregation collapses each doc to one 64-long row before the
+    exchange — at 100 TB the shuffle carries 8·64 bytes per doc, not the
+    shingle text. Returns columns (``_id``, ``_sig``).
+    """
+    sh_df = df.select(
+        F.col(id_col).alias("_id"), shingles(F.col(text_col), n_shingle).alias("_sh")
+    )
+    exploded = sh_df.select("_id", F.explode("_sh").alias("_s"))
+    aggs = [F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)]
+    return (
+        exploded.groupBy("_id")
+        .agg(*aggs)
+        .select("_id", F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("_sig"))
     )
 
 
@@ -98,42 +123,71 @@ def near_dup_pairs_minhash(
     num_hashes: int = 64,
     bands: int = 16,
     jaccard_threshold: float = 0.8,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Candidate generation + exact verification:
 
-    doc → shingles → 64 minhashes → 16 bands of 4 → explode bands →
-    self-join on (band, bucket) → exact shingle-Jaccard filter.
+    doc → shingles → 64 minhashes → 16 bands of 4 → explode band ids →
+    self-join on (band, bucket) carrying ONLY doc ids → dedup pairs →
+    re-join shingles → exact Jaccard filter.
 
-    Scale analysis: the only shuffle is the band-bucket join, keyed on a
-    64-bit hash with fan-out ``bands`` per doc. Hot buckets (boilerplate
-    docs) are the skew risk — AQE skew-join splits them; a production run
-    adds a bucket-size cap. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    Plan-shape rules that keep this fast (each stage is its own projection,
+    with every expensive column referenced ≥2 times so CollapseProject
+    cannot inline it into downstream lambdas and re-evaluate it per band):
+
+    - ``_sh`` materialized once, ``_sig`` computed from the ``_sh``
+      attribute once, band buckets computed from the ``_sig`` attribute
+      after the explode — nothing expensive sits inside a join or lambda.
+    - the candidate join shuffles only (id, band, bucket) — never the
+      shingle arrays; shingles are re-attached by two id-equi-joins on the
+      deduped (usually tiny) pair set.
+    - buckets larger than ``max_bucket`` docs (boilerplate collisions) are
+      dropped before the self-join — the quadratic guard ADVICE asked for;
+      at 100 TB this plus AQE skew-join bounds the worst bucket.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     rows = num_hashes // bands
-    base = df.select(
+    sh_df = df.select(
         F.col(id_col).alias("_id"),
         shingles(F.col(text_col), n_shingle).alias("_sh"),
-    ).withColumn("_bands", lsh_bands(minhash_signature(F.col("_sh"), num_hashes), bands, rows))
-    banded = base.select("_id", "_sh", F.explode("_bands").alias("b"))
+    )
+    sig_df = minhash_signatures_df(df, text_col, id_col, n_shingle, num_hashes)
+    banded = sig_df.select(
+        "_id", "_sig", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_band")
+    ).select(
+        "_id",
+        "_band",
+        F.xxhash64(F.array_join(F.slice("_sig", F.col("_band") * rows + 1, rows), ",")).alias(
+            "_bucket"
+        ),
+    )
+    ok_buckets = (
+        banded.groupBy("_band", "_bucket").count().where(F.col("count") <= max_bucket).drop("count")
+    )
+    banded = banded.join(ok_buckets, ["_band", "_bucket"])
     left = banded.select(
-        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), F.col("b").alias("band_a")
+        F.col("_id").alias("id_a"), F.col("_band").alias("band_a"), F.col("_bucket").alias("bkt_a")
     )
     right = banded.select(
-        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), F.col("b").alias("band_b")
+        F.col("_id").alias("id_b"), F.col("_band").alias("band_b"), F.col("_bucket").alias("bkt_b")
     )
     cand = (
         left.join(
             right,
-            (left.band_a == right.band_b) & (left.id_a < right.id_b),
+            (left.band_a == right.band_b) & (left.bkt_a == right.bkt_b) & (left.id_a < right.id_b),
         )
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    pairs = cand.join(
+        sh_df.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
+    ).join(sh_df.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = inter / F.greatest(union, F.lit(1))
     return (
-        cand.withColumn("jaccard", F.round(jac, 4))
+        pairs.withColumn("jaccard", F.round(jac, 4))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -144,30 +198,76 @@ def near_dup_pairs_minhash(
 # ---------------------------------------------------------------------------
 
 
-def simhash64(text: Column) -> Column:
-    """64-bit SimHash of the token stream: per-token xxhash64, sum ±1 per
-    bit position, sign → bit. Near-dups differ in few bits (Hamming).
+def token_hashes(text: Column) -> Column:
+    """Per-token xxhash64 array — materialize this ONCE (its own projection
+    column) before feeding ``simhash_from_hashes``, which references it 64
+    times."""
+    return F.transform(tokens(F.lower(text)), lambda t: F.xxhash64(t))
 
-    Columnar construction: for each bit b, count tokens with bit b set,
-    compare against half the token count, OR the winning bits together.
+
+def simhash_from_hashes(hashes: Column) -> Column:
+    """64-bit SimHash from a *materialized* token-hash array: for each bit
+    b, count hashes with bit b set, majority vote → bit, OR together.
+
+    ``hashes`` must be an attribute reference: the 64 filter terms each
+    reference it, and CollapseProject only leaves a multiply-referenced
+    column un-inlined when it is already its own projection — pass the raw
+    hashing expression and the tokenize+hash work runs 64× per row,
+    interpreted (higher-order functions never codegen).
     """
-    toks = tokens(F.lower(text))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
     n = F.size(hashes)
+
+    def bit_test(mask: int):
+        # factory-bound single-param lambda: a 2-arg lambda (even via
+        # default args) would be read as (element, index) by PySpark
+        return lambda h: h.bitwiseAND(F.lit(mask)) != 0
+
     bit_terms = []
     for b in range(64):
-        ones = F.size(
-            F.filter(hashes, lambda h, b=b: h.bitwiseAND(F.lit(1 << b if b < 63 else -(1 << 63))) != 0)
-        )
+        mask = 1 << b if b < 63 else -(1 << 63)  # bit 63 = long sign bit
+        ones = F.size(F.filter(hashes, bit_test(mask)))
         bit_terms.append(
-            F.when(ones * 2 >= n, F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(ones * 2 >= n, F.lit(mask).cast("long")).otherwise(F.lit(0).cast("long"))
         )
     out = bit_terms[0]
     for t in bit_terms[1:]:
         out = out.bitwiseOR(t)
     return out
+
+
+def simhash64(text: Column) -> Column:
+    """Single-column convenience wrapper (tests, ad-hoc use). For DataFrame
+    pipelines use ``simhash_df`` — the interpreted higher-order filter here
+    re-walks the hash array once per bit."""
+    return simhash_from_hashes(token_hashes(text))
+
+
+def simhash_df(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, simhash) per document through codegen: explode tokens → hash →
+    ONE groupBy with 64 conditional-count aggregates (ones per bit) + a
+    total count → majority vote per bit → OR the masks together.
+
+    Same rationale as ``minhash_signatures_df``: conditional counts are
+    codegen'd and partially aggregated map-side, so the shuffle carries 65
+    longs per doc. Returns columns (``_id``, ``_sim``).
+    """
+    hashed = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(F.lower(F.col(text_col)))).alias("_t")
+    ).select("_id", F.xxhash64("_t").alias("_h"))
+    masks = [1 << b if b < 63 else -(1 << 63) for b in range(64)]
+    aggs = [
+        F.count(F.when(F.col("_h").bitwiseAND(F.lit(m)) != 0, 1)).alias(f"_b{b}")
+        for b, m in enumerate(masks)
+    ] + [F.count("*").alias("_n")]
+    g = hashed.groupBy("_id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for b, m in enumerate(masks):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"_b{b}") * 2 >= F.col("_n"), F.lit(m).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return g.select("_id", sim.alias("_sim"))
 
 
 def near_dup_pairs_simhash(
@@ -177,7 +277,7 @@ def near_dup_pairs_simhash(
     (pigeonhole: ≤3 differing bits ⇒ at least one identical quarter), then
     verify the Hamming distance exactly. Shuffle is O(docs × 4) on 16-bit
     buckets — never quadratic."""
-    sh = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sim"))
+    sh = simhash_df(df, text_col, id_col)
     quarters = sh.select(
         "_id",
         "_sim",

@@ -83,6 +83,14 @@ def quality_score(text: Column) -> Column:
     return length_ok + stop_part - punct_penalty + F.lit(0.2)
 
 
+def _marker_test(markers: tuple[str, ...]):
+    """Factory binding the marker tuple so the lambda stays single-param —
+    a 2-arg lambda (even via default args) is treated by PySpark's
+    higher-order functions as (element, index), silently replacing the
+    default with the array-index column."""
+    return lambda t: t.isin(*markers)
+
+
 def lang_scores(text: Column) -> Column:
     """Map of language → marker-hit count; argmax (ties → lexicographic
     language code) is the predicted language."""
@@ -91,7 +99,7 @@ def lang_scores(text: Column) -> Column:
         F.array(*[F.lit(lang) for lang in sorted(LANG_MARKERS)]),
         F.array(
             *[
-                F.size(F.filter(toks, lambda t, m=markers: t.isin(*m)))
+                F.size(F.filter(toks, _marker_test(markers)))
                 for lang, markers in sorted(LANG_MARKERS.items())
             ]
         ),
@@ -104,9 +112,7 @@ def predicted_lang(text: Column) -> Column:
     handful of languages constant-folds into one codegen expression."""
     toks = tokens(F.lower(text))
     codes = sorted(LANG_MARKERS)
-    scores = {
-        c: F.size(F.filter(toks, lambda t, m=LANG_MARKERS[c]: t.isin(*m))) for c in codes
-    }
+    scores = {c: F.size(F.filter(toks, _marker_test(LANG_MARKERS[c]))) for c in codes}
     best = F.greatest(*scores.values())
     expr = F.lit("und")
     for c in reversed(codes):  # reversed: smallest code ends up outermost

@@ -74,9 +74,15 @@ def range_join_bucketed(
     bucket_secs = F.lit(_interval_seconds(bucket))
     l_start = F.unix_timestamp(F.col(left_ts))
     l_end = F.unix_timestamp(F.col(left_ts) + win)
+    # Upper bound is floor(l_end / bucket), NOT floor((l_end - 1) / bucket):
+    # unix_timestamp truncates sub-second precision, so a window whose true
+    # end falls inside the first second of a bucket would otherwise leave
+    # that bucket uncovered and silently drop matches in the final
+    # sub-second slice. The occasional extra bucket is harmless — the
+    # residual range predicate filters it.
     left_b = left.withColumn(
         "__bucket",
-        F.explode(F.sequence(F.floor(l_start / bucket_secs), F.floor((l_end - 1) / bucket_secs))),
+        F.explode(F.sequence(F.floor(l_start / bucket_secs), F.floor(l_end / bucket_secs))),
     )
     right_b = right.withColumn("__bucket", F.floor(F.unix_timestamp(F.col(right_ts)) / bucket_secs))
     cond = (
@@ -96,6 +102,52 @@ def _interval_seconds(interval: str) -> int:
         unit.lower()
     ]
     return int(n) * mult
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    pick: list[str],
+) -> DataFrame:
+    """As-of (backward) join: attach to each left row the ``pick`` columns
+    of the *latest* right row with the same key and ``right_ts <= left_ts``.
+
+    Extension (not reference-derived). The classic scalable implementation:
+    tag both sides, union them, and run ``last(_, ignorenulls=True)`` over a
+    per-key window ordered by (ts, side) — right rows sort before left rows
+    at equal timestamps, making the match inclusive. ONE shuffle on the key,
+    no range join, no per-row probe: at 100 TB this is a single
+    sort-within-partitions pass, the same shape Flink/kdb use for as-of.
+
+    ``pick`` column names must not collide with left's columns. Rows with no
+    preceding right row get nulls.
+    """
+    lt = (
+        left.withColumn("__k", F.col(left_key))
+        .withColumn("__t", F.col(left_ts))
+        .withColumn("__side", F.lit(1))
+    )
+    rt = (
+        right.select(
+            F.col(right_key).alias("__k"), F.col(right_ts).alias("__t"), *[F.col(c) for c in pick]
+        )
+        .withColumn("__side", F.lit(0))
+    )
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in pick:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return u.where(F.col("__side") == 1).drop("__k", "__t", "__side")
 
 
 def theta_filter_join(left: DataFrame, right: DataFrame, on: str, predicate: Column) -> DataFrame:

@@ -8,9 +8,16 @@ schema, and an order-insensitive value hash.
 
 Determinism rules every query obeys (so hashes match across engines):
 
-- every floating-point column produced by *aggregation or arithmetic* is
-  ``ROUND``ed identically on both sides (raw pass-through doubles are left
-  untouched — they are bit-identical by construction);
+- floating-point canonicalization depends on where the value can land:
+  *sums* of 2-decimal money land within ulps of exact cent multiples, far
+  from the .xx5 rounding tie, so ``ROUND(x, 2)`` is stable across Spark
+  (HALF_UP) and DuckDB (half-even); *per-row products* CAN land exactly on
+  .xx5 midpoints where the engines' tie modes diverge, so those use
+  ``FLOOR(x * 100)`` over the bit-identical IEEE product instead (exact
+  same double → exact same floor on both engines). Never ROUND a per-row
+  product; never FLOOR-cents a sum (sums sit AT cent boundaries, where a
+  one-ulp order-of-summation difference flips the floor). Raw pass-through
+  doubles are left untouched — bit-identical by construction;
 - DuckDB's ``SUM(int) -> HUGEINT`` and ``COUNT -> BIGINT`` are cast to
   match Spark's LongType; window ``row_number`` cast to INT on both sides;
 - any ``LIMIT``/window ordering includes a unique key as tiebreak;
@@ -31,6 +38,7 @@ BuildFn = Callable[[SparkSession, str], DataFrame]
 _QUERY_MODULES = (
     "simple_pos_kafka_pyspark_airflow_spark.plans.queries_relational",
     "simple_pos_kafka_pyspark_airflow_spark.plans.queries_joins",
+    "simple_pos_kafka_pyspark_airflow_spark.plans.queries_analytics",
     "simple_pos_kafka_pyspark_airflow_spark.plans.queries_llm",
 )
 

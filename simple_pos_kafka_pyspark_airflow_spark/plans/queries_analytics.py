@@ -1,0 +1,754 @@
+"""Contract queries: analytics breadth beyond the reference's surface.
+
+Extensions (SURVEY.md §2.5/§2.7/§2.8 notes): the reference computes its
+analytics with groupBy+join only; a user switching engines expects the full
+warehouse analytics surface — window-function breadth, multidimensional
+aggregation (pivot/cube/grouping sets), exact percentiles, statistical
+aggregates, argmax aggregation, subqueries, full/cross/as-of joins, and the
+scalar function families (string/regex/math/datetime/array). Plus three
+classic TPC-H queries as end-to-end headliners, and a salted two-phase
+aggregation that demonstrates the engine's hot-key strategy at 100 TB.
+
+Every query here ships a DuckDB oracle; rounding/cast rules per
+``contract.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators import joins as join_ops
+from .contract import register
+
+# ---------------------------------------------------------------------------
+# window breadth
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_ntile",
+    "window",
+    oracle="""
+    SELECT c_custkey,
+           CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile
+    FROM customer
+    """,
+    notes="§2.8 extension: ntile quartiles per segment (unique-key tiebreak)",
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select("c_custkey", F.ntile(4).over(w).cast("int").alias("quartile"))
+
+
+@register(
+    "q_window_dense",
+    "window",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(dense_rank() OVER w AS INTEGER) AS dr,
+           ROUND(percent_rank() OVER w, 6) AS pr,
+           ROUND(cume_dist() OVER w, 6) AS cd
+    FROM orders WINDOW w AS (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    notes="§2.8 extension: dense_rank/percent_rank/cume_dist — exact rationals, "
+    "identical in both engines; rounded only to normalize double formatting",
+)
+def q_window_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(w).cast("int").alias("dr"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@register(
+    "q_window_firstlast",
+    "window",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_ok,
+           last_value(o_orderkey) OVER w AS last_ok,
+           nth_value(o_orderkey, 2) OVER w AS second_ok
+    FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    notes="§2.8 extension: first/last/nth value over the full partition frame",
+)
+def q_window_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(w).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+    )
+
+
+@register(
+    "q_window_range",
+    "window",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 2) AS rev_30d
+    FROM orders
+    """,
+    notes="§2.8 extension: RANGE frame (trailing 30-day revenue). Spark side "
+    "orders by epoch seconds with a numeric range — peer rows (equal ts) are "
+    "included by both engines, so the frames agree exactly",
+)
+def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("rev_30d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multidimensional aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_pivot",
+    "agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+    notes="extension: pivot (explicit value list so no extra distinct pass at "
+    "scale); missing cells coalesced to 0 to match COUNT FILTER",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    p = o.groupBy("o_orderpriority").pivot("o_orderstatus", ["F", "O", "P"]).count()
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+@register(
+    "q_cube",
+    "agg",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    notes="extension: CUBE over two dims (all 4 grouping sets in one pass — "
+    "Spark expands then single-shuffles)",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@register(
+    "q_grouping_sets",
+    "agg",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    notes="extension: explicit GROUPING SETS via Spark SQL (same Catalyst Expand "
+    "operator as cube/rollup)",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM __gs_orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "q_percentiles",
+    "agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.75), 4) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    notes="extension: exact interpolated percentiles (Spark `percentile` ≡ "
+    "DuckDB quantile_cont). The exact form sorts per group; at 100 TB swap to "
+    "approx_percentile (t-digest) — declared separately as rows-only q_approx_distinct kin",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+@register(
+    "q_agg_stats",
+    "agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+           ROUND(var_samp(l_quantity), 4) AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qe,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qe
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    notes="extension: statistical aggregates (stddev/variance/corr/covar) — "
+    "single-pass moment form, partial-aggregable, one shuffle",
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qe"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qe"),
+    )
+
+
+@register(
+    "q_agg_conditional",
+    "agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+           ROUND(SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS disc_rev,
+           ROUND(SUM(CASE WHEN l_tax > 0.04 THEN l_extendedprice ELSE 0 END), 2) AS taxed_rev
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    notes="extension: conditional aggregation (FILTER / CASE-sum) — fused into "
+    "one scan+agg, no per-condition passes",
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_big"),
+        F.round(F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))), 2).alias(
+            "disc_rev"
+        ),
+        F.round(
+            F.sum(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice")).otherwise(F.lit(0.0))), 2
+        ).alias("taxed_rev"),
+    )
+
+
+@register(
+    "q_agg_minmax_by",
+    "agg",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) * 16777216 + o_orderkey)
+               AS best_order,
+           arg_min(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) * 16777216 + o_orderkey)
+               AS worst_order
+    FROM orders GROUP BY o_custkey
+    """,
+    notes="extension: argmax aggregation (max_by/arg_max). Ordering value is "
+    "integer cents << 24 | orderkey — an exact int64 composite so ties resolve "
+    "deterministically in both engines (plain max_by on a double with duplicate "
+    "values is engine-arbitrary)",
+)
+def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    ordv = (F.round(F.col("o_totalprice") * 100, 0).cast("long") * 16777216 + F.col("o_orderkey"))
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", ordv).alias("best_order"),
+        F.min_by("o_orderkey", ordv).alias("worst_order"),
+    )
+
+
+@register(
+    "q_agg_collect",
+    "agg",
+    oracle="""
+    SELECT o_custkey,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys
+    FROM orders GROUP BY o_custkey
+    """,
+    notes="extension: collect_list → sorted → joined (canonical string so the "
+    "unordered collect is hash-comparable across engines)",
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_join(F.array_sort(F.collect_list("o_orderkey")), ",").alias("order_keys")
+    )
+
+
+@register(
+    "q_agg_salted",
+    "agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    notes="extension (scale pattern): two-phase salted aggregation — "
+    "groupBy(key, salt16) partial, then groupBy(key) final. Same result as the "
+    "plain agg (the oracle); the point is the shape: a hot key (3 distinct "
+    "returnflags over 100 TB!) fans out over 16 reducers instead of one. "
+    "Deterministic salt = xxhash64(orderkey) % 16, no RNG",
+)
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    partial = (
+        li.withColumn("__salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(16)))
+        .groupBy("l_returnflag", "__salt")
+        .agg(F.sum("l_extendedprice").alias("__rev"), F.count("*").alias("__n"))
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.round(F.sum("__rev"), 2).alias("revenue"), F.sum("__n").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins: full / cross / as-of; subqueries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_full",
+    "join",
+    oracle="""
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS k,
+           CAST(c.c_custkey IS NOT NULL AS INTEGER) AS has_cust,
+           CAST(o.o_custkey IS NOT NULL AS INTEGER) AS has_order
+    FROM (SELECT DISTINCT c_custkey FROM customer) c
+    FULL JOIN (SELECT DISTINCT o_custkey FROM orders) o ON c_custkey = o_custkey
+    """,
+    notes="extension: full outer join (both-sides-preserved key reconciliation)",
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey").distinct()
+    o = table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("k"),
+        F.col("c_custkey").isNotNull().cast("int").alias("has_cust"),
+        F.col("o_custkey").isNotNull().cast("int").alias("has_order"),
+    )
+
+
+@register(
+    "q_join_cross",
+    "join",
+    oracle="SELECT n_name, r_name FROM nation CROSS JOIN region",
+    notes="extension: cross join (tiny×tiny only — at scale a cross join is "
+    "legal solely when one side broadcasts)",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation").select("n_name")
+    r = table(spark, sf_dir, "region").select("r_name")
+    return n.crossJoin(F.broadcast(r))
+
+
+@register(
+    "q_join_asof",
+    "join",
+    oracle="""
+    SELECT e.event_id AS err_id,
+           (SELECT MAX(c.ts) FROM events c
+            WHERE c.user_id = e.user_id AND c.event_type = 'click' AND c.ts <= e.ts)
+               AS last_click_ts
+    FROM events e WHERE e.event_type = 'error'
+    """,
+    notes="extension: backward as-of join (operators/joins.asof_join_backward) — "
+    "latest click at-or-before each error, per user. Implemented as tagged "
+    "union + last(ignorenulls) over one per-key window: ONE shuffle, no range "
+    "join, the kdb/Flink as-of shape. Output is the matched ts (max over ties, "
+    "deterministic); the oracle's correlated MAX is the semantic definition",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("err_user"),
+        F.col("ts").alias("err_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("click_user"), F.col("ts").alias("click_ts")
+    )
+    joined = join_ops.asof_join_backward(
+        errors, clicks, "err_user", "click_user", "err_ts", "click_ts", pick=["click_ts"]
+    )
+    return joined.select("err_id", F.col("click_ts").alias("last_click_ts"))
+
+
+@register(
+    "q_scalar_subquery",
+    "join",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > (SELECT ROUND(AVG(o_totalprice), 0) FROM orders)
+    """,
+    notes="extension: scalar subquery threshold — Spark computes the aggregate "
+    "and broadcast-joins it (no driver round-trip); threshold rounded to whole "
+    "dollars so the cut point is cross-engine stable",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    avg = o.agg(F.round(F.avg("o_totalprice"), 0).alias("__thr"))
+    return (
+        o.crossJoin(F.broadcast(avg))
+        .where(F.col("o_totalprice") > F.col("__thr"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "q_having",
+    "agg",
+    oracle="""
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 10
+    """,
+    notes="extension: HAVING (post-aggregation filter — Catalyst keeps it "
+    "above the agg, after partial aggregation)",
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(F.count("*").alias("n")).where(F.col("n") >= 10)
+
+
+@register(
+    "q_union_distinct",
+    "setop",
+    oracle="""
+    SELECT c_custkey AS k FROM customer
+    UNION
+    SELECT o_custkey AS k FROM orders
+    """,
+    notes="extension: UNION (distinct) — union + dedup in one shuffle",
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return c.union(o).distinct()
+
+
+@register(
+    "q_explode",
+    "function",
+    oracle="""
+    SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part
+    """,
+    notes="extension: explode/unnest (lateral flatten) — row multiplication "
+    "stays executor-side, no shuffle",
+)
+def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select("p_partkey", F.explode(F.split("p_name", " ")).alias("word"))
+
+
+# ---------------------------------------------------------------------------
+# scalar function families
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_string_funcs",
+    "function",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS uname,
+           lower(c_mktsegment) AS lseg,
+           substr(c_name, 10, 8) AS mid,
+           CAST(length(c_name) AS INTEGER) AS name_len,
+           replace(c_name, '#', '-') AS repl,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+           reverse(c_mktsegment) AS rseg,
+           trim('  ' || c_name || '  ') AS trimmed
+    FROM customer
+    """,
+    notes="extension: string function family (upper/lower/substr/length/replace/"
+    "lpad/reverse/trim) — all codegen, all DuckDB-identical semantics",
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.lower("c_mktsegment").alias("lseg"),
+        F.substring("c_name", 10, 8).alias("mid"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("repl"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.reverse("c_mktsegment").alias("rseg"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("trimmed"),
+    )
+
+
+@register(
+    "q_regexp",
+    "function",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           CAST(regexp_matches(p_name, 'red') AS INTEGER) AS has_red
+    FROM part
+    """,
+    notes="extension: regex family (extract/replace/match). NOTE DuckDB "
+    "regexp_replace is first-match unless 'g' — Spark is always global, so the "
+    "oracle passes the flag explicitly",
+)
+def q_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike("red").cast("int").alias("has_red"),
+    )
+
+
+@register(
+    "q_math_funcs",
+    "function",
+    oracle="""
+    SELECT p_partkey,
+           abs(p_size - 25) AS dist25,
+           CAST(ceil(p_retailprice / 100) AS BIGINT) AS ceil_h,
+           CAST(floor(p_retailprice / 100) AS BIGINT) AS floor_h,
+           ROUND(sqrt(CAST(p_size AS DOUBLE)), 6) AS sqrt_size,
+           p_size % 7 AS mod7,
+           CAST(sign(p_size - 25) AS INTEGER) AS sgn,
+           ROUND(p_retailprice * p_retailprice, 4) AS sq_price
+    FROM part
+    """,
+    notes="extension: math family — only IEEE-exact ops (abs/ceil/floor/sqrt/"
+    "mod/sign/multiply); ln/exp are deliberately excluded from oracle checks "
+    "(libm vs StrictMath last-ulp divergence)",
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.abs(F.col("p_size") - 25).alias("dist25"),
+        F.ceil(F.col("p_retailprice") / 100).cast("long").alias("ceil_h"),
+        F.floor(F.col("p_retailprice") / 100).cast("long").alias("floor_h"),
+        F.round(F.sqrt(F.col("p_size").cast("double")), 6).alias("sqrt_size"),
+        (F.col("p_size") % 7).alias("mod7"),
+        F.signum(F.col("p_size") - 25).cast("int").alias("sgn"),
+        F.round(F.col("p_retailprice") * F.col("p_retailprice"), 4).alias("sq_price"),
+    )
+
+
+@register(
+    "q_datetime_funcs",
+    "function",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(day(o_orderdate) AS INTEGER) AS d,
+           CAST(quarter(o_orderdate) AS INTEGER) AS q,
+           date_trunc('month', o_orderdate) AS month_start,
+           o_orderdate + INTERVAL 30 DAY AS plus30,
+           CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end
+    FROM orders
+    """,
+    notes="extension: datetime family (year/month/day/quarter/trunc/interval "
+    "add/last_day). Day-of-week is deliberately excluded: Spark (Sun=1) and "
+    "DuckDB (Sun=0) number weekdays differently",
+)
+def q_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("plus30"),
+        # cast to timestamp: Spark's DateType round-trips to datetime.date in
+        # pandas while DuckDB DATE becomes datetime64 — same instant, different
+        # dtype — so both sides emit an explicit midnight timestamp instead
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+    )
+
+
+@register(
+    "q_array_funcs",
+    "function",
+    oracle="""
+    WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part)
+    SELECT p_partkey,
+           CAST(len(w) AS INTEGER) AS n_words,
+           array_to_string(list_sort(w), '|') AS sorted_words,
+           CAST(list_contains(w, 'red') AS INTEGER) AS has_red,
+           w[1] AS first_word,
+           array_to_string(w[2:3], '|') AS mid_words
+    FROM t
+    """,
+    notes="extension: array family (size/sort/contains/index/slice) over split "
+    "part names — pure codegen, the array never materializes off-executor",
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").withColumn("w", F.split("p_name", " "))
+    return p.select(
+        "p_partkey",
+        F.size("w").cast("int").alias("n_words"),
+        F.array_join(F.array_sort("w"), "|").alias("sorted_words"),
+        F.array_contains("w", "red").cast("int").alias("has_red"),
+        F.element_at("w", 1).alias("first_word"),
+        F.array_join(F.slice("w", 2, 2), "|").alias("mid_words"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H headliners
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_tpch_q1",
+    "agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    notes="TPC-H Q1 (pricing summary): the canonical scan+agg headliner — "
+    "map-side partial agg over 6 groups, filter pushed to parquet",
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "q_tpch_q3",
+    "join",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    notes="TPC-H Q3 (shipping priority): filter-heavy 3-way join + agg + top-k; "
+    "rounded revenue in the sort key + unique tiebreaks keep the LIMIT cut "
+    "deterministic across engines",
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    joined = c.join(o, c.c_custkey == o.o_custkey).join(li, o.o_orderkey == li.l_orderkey)
+    agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return (
+        agg.select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q_tpch_q5",
+    "join",
+    oracle="""
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1994-01-01'
+      AND o_orderdate <  TIMESTAMP '1995-01-01'
+    GROUP BY n_name
+    """,
+    notes="TPC-H Q5 (local supplier volume): 6-table join with broadcast dims "
+    "(nation/region) and a same-nation theta condition",
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    joined = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )

@@ -13,6 +13,8 @@ engine-specific hashes are rows-only.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -307,7 +309,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm",
     oracle="""
     SELECT doc_id AS asset_id,
-           CAST(octet_length(text) AS INTEGER) AS n_bytes,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
            sha256(text) AS payload_sha
     FROM documents
     """,
@@ -337,13 +339,14 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cosine against a broadcast query vector, numerically checked vs DuckDB",
 )
 def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     qv = np.array(_query_vector(spark, sf_dir), dtype="float64")
     qn = float(np.sqrt((qv * qv).sum()))
 
+    # pd/np are module-level imports: pandas_udf resolves the (stringified,
+    # via __future__ annotations) type hints against the function's module
+    # globals — function-local imports make the hints unresolvable.
     @pandas_udf("double")
     def cos_sim(col: pd.Series) -> pd.Series:
         # np.stack → one (batch, dim) float64 matrix per Arrow batch; the

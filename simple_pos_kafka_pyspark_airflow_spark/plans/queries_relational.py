@@ -92,17 +92,22 @@ def q_ts_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     "project",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           ROUND(l_extendedprice * (1 - l_discount), 2) AS revenue
+           CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS revenue_cents
     FROM lineitem
     """,
-    notes="P4: derived arithmetic column (kafka_producer.py:126 total_price = q*p)",
+    notes="P4: derived arithmetic column (kafka_producer.py:126 total_price = q*p). "
+    "Canonicalized to floor-cents: ROUND(x, 2) is a cross-engine hazard (Spark "
+    "rounds doubles HALF_UP, DuckDB half-even, diverging exactly at .xx5 ties) "
+    "while FLOOR over the bit-identical IEEE product is deterministic on both.",
 )
 def q_derive_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"),
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("revenue_cents"),
     )
 
 

@@ -44,22 +44,39 @@ OP_UPSERT = "upsert"
 OP_DELETE = "delete"
 
 
-def latest_per_key(events: DataFrame, pk: list[str], order_col: str) -> DataFrame:
+def latest_per_key(
+    events: DataFrame, pk: list[str], order_col: str, tiebreak: list[str] | None = None
+) -> DataFrame:
     """Collapse a CDC batch to its final event per key: row_number over
     (pk) ordered by ``order_col`` desc — the distributed version of the
-    reference's sequential last-write-wins apply loop."""
-    w = Window.partitionBy(*pk).orderBy(F.col(order_col).desc())
+    reference's sequential last-write-wins apply loop.
+
+    ``tiebreak`` names extra columns (e.g. Kafka offset, monotonic event
+    id) appended desc to the ordering so equal-``order_col`` events within
+    a batch resolve deterministically. When absent, ``_tiebreak_all``
+    orders by every remaining column as a last resort — deterministic for
+    any input, if semantically arbitrary."""
+    order = [F.col(order_col).desc()]
+    if tiebreak:
+        order += [F.col(c).desc() for c in tiebreak]
+    else:
+        order += [F.col(c).desc() for c in events.columns if c != order_col and c not in pk]
+    w = Window.partitionBy(*pk).orderBy(*order)
     return events.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
 
 
 def apply_cdc_batch(
-    table: DataFrame, events: DataFrame, pk: str | list[str], order_col: str
+    table: DataFrame,
+    events: DataFrame,
+    pk: str | list[str],
+    order_col: str,
+    tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """Apply one micro-batch of ``upsert``/``delete`` events to a table
     snapshot, returning the new snapshot. Pure DataFrame logic — unit-
     testable without any stream running."""
     keys = [pk] if isinstance(pk, str) else list(pk)
-    final = latest_per_key(events, keys, order_col)
+    final = latest_per_key(events, keys, order_col, tiebreak)
     upserts = final.where(F.col(OP_COL) == OP_UPSERT).drop(OP_COL, order_col)
     deletes = final.where(F.col(OP_COL) == OP_DELETE).select(*keys)
     merged = upsert_ops.merge_delta(table, upserts, pk=keys)
@@ -87,7 +104,22 @@ class ParquetCdcSink:
         self.order_col = order_col
         self.schema = schema  # DDL string: snapshot columns (no _op / order col)
 
+    @property
+    def _tombstone(self) -> str:
+        return self.path.rstrip("/") + ".__tombstone__"
+
+    def _recover(self) -> None:
+        """If a crash left a tombstone (see foreach_batch), restore it —
+        unless the new live dir already landed, in which case the tombstone
+        is garbage from a completed swap."""
+        if os.path.isdir(self._tombstone):
+            if os.path.isdir(self.path):
+                shutil.rmtree(self._tombstone)
+            else:
+                os.rename(self._tombstone, self.path)
+
     def read(self) -> DataFrame:
+        self._recover()
         if os.path.isdir(self.path) and any(
             f.endswith(".parquet") for f in os.listdir(self.path)
         ):
@@ -104,7 +136,13 @@ class ParquetCdcSink:
         )
         # Write BEFORE touching the live dir (the plan reads the live dir).
         new_snapshot.write.mode("overwrite").parquet(staging)
-        if os.path.isdir(self.path):
-            shutil.rmtree(self.path)
         os.makedirs(os.path.dirname(self.path) or "/", exist_ok=True)
+        # Swap via rename, never rmtree-then-move: live → tombstone,
+        # staging → live, drop tombstone. A crash at any point leaves
+        # either the old table or the new one, and _recover() handles the
+        # window where only the tombstone exists.
+        if os.path.isdir(self.path):
+            os.rename(self.path, self._tombstone)
         shutil.move(staging, self.path)
+        if os.path.isdir(self._tombstone):
+            shutil.rmtree(self._tombstone)

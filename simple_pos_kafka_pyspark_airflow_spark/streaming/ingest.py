@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructType
 
 
 def parse_json_events(
@@ -40,16 +40,22 @@ def parse_json_events(
     and streaming DataFrames — same plan either way).
 
     Replaces the reference's per-message ``json.loads`` deserializer
-    (``kafka_consumer.py:17``). ``from_json`` yields NULL structs for
-    malformed input; those rows are preserved with the raw payload in
-    ``_corrupt`` for a dead-letter sink rather than dropped silently.
+    (``kafka_consumer.py:17``). Malformed rows are preserved with the raw
+    payload in ``_corrupt`` for a dead-letter sink rather than dropped
+    silently. Detection uses PERMISSIVE mode's corrupt-record column —
+    ``from_json`` returns an all-null struct (not a NULL struct) for bad
+    input, so an ``isNull`` probe on the struct would never fire.
     """
+    st = schema if isinstance(schema, StructType) else StructType.fromDDL(schema)
     value = F.col(value_col).cast("string")
-    parsed = raw.withColumn("_parsed", F.from_json(value, schema))
-    cols = [F.col("_parsed").getField(f).alias(f) for f in parsed.select("_parsed.*").columns]
     if keep_corrupt:
-        corrupt = F.when(F.col("_parsed").isNull(), value).alias("_corrupt")
-        return parsed.select(*cols, corrupt)
+        st = StructType(st.fields).add("_corrupt", StringType())
+        parsed = raw.withColumn(
+            "_parsed", F.from_json(value, st, {"columnNameOfCorruptRecord": "_corrupt"})
+        )
+    else:
+        parsed = raw.withColumn("_parsed", F.from_json(value, st))
+    cols = [F.col("_parsed").getField(f.name).alias(f.name) for f in st.fields]
     return parsed.select(*cols)
 
 

@@ -56,9 +56,20 @@ class CompareResult:
         return f"[{status}] {self.name}{detail}"
 
 
-def _values_equal(a: object, b: object, tol: float = 1e-9) -> bool:
-    if a is None and b is None:
+def _is_na(v: object) -> bool:
+    """Null-ish scalar test covering None, float NaN, and pandas NaT."""
+    if v is None:
         return True
+    try:
+        r = pd.isna(v)
+    except (TypeError, ValueError):
+        return False
+    return bool(r) if not hasattr(r, "__len__") else False
+
+
+def _values_equal(a: object, b: object, tol: float = 1e-9) -> bool:
+    if _is_na(a) or _is_na(b):
+        return _is_na(a) and _is_na(b)
     if isinstance(a, float) or isinstance(b, float):
         if a is None or b is None:
             return (a is None or (isinstance(a, float) and math.isnan(a))) and (

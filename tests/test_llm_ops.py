@@ -1,0 +1,89 @@
+"""Unit tests for the LLM-pipeline operators (llm/dedup.py, llm/textops.py).
+
+Regression focus: PySpark treats any 2-arg lambda inside a higher-order
+function as (element, index) — including defaults bound via ``lambda x, i=i:``
+— which once collapsed all 64 minhash seeds to one function. These tests
+pin the non-degeneracy properties that bug violated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simple_pos_kafka_pyspark_airflow_spark.llm import dedup, textops
+
+
+def test_minhash_signature_not_degenerate(spark):
+    """The 64 seeded min-hashes of a multi-shingle doc must not all be
+    equal (they were, when seed i was silently replaced by the array
+    index)."""
+    df = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog and runs away fast",)], ["text"]
+    )
+    sig = df.select(
+        dedup.minhash_signature(dedup.shingles(F.col("text"), 3), 64).alias("sig")
+    ).first()["sig"]
+    assert len(sig) == 64
+    assert len(set(sig)) > 32, "minhash seeds are not independent"
+
+
+def test_minhash_similar_docs_share_more_minhashes(spark):
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"  # 1 token diff
+    c = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], ["id", "text"])
+    sigs = {
+        r["id"]: r["sig"]
+        for r in df.select(
+            "id", dedup.minhash_signature(dedup.shingles(F.col("text"), 3), 64).alias("sig")
+        ).collect()
+    }
+    agree_ab = sum(x == y for x, y in zip(sigs[1], sigs[2]))
+    agree_ac = sum(x == y for x, y in zip(sigs[1], sigs[3]))
+    assert agree_ab > agree_ac, "minhash agreement must track Jaccard similarity"
+    assert agree_ac < 8  # unrelated docs share ~0 minhashes
+
+
+def test_simhash_runs_and_discriminates(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely unrelated content here"),
+        ],
+        ["id", "text"],
+    )
+    out = {
+        r["id"]: r["sh"] for r in df.select("id", dedup.simhash64(F.col("text")).alias("sh")).collect()
+    }
+    def hamming(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(out[1], out[2]) < hamming(out[1], out[3])
+
+
+def test_predicted_lang_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of a house in a street is big"),
+            (2, "der hund und die katze ist nicht da und das haus"),
+            (3, "le chat et les chiens est dans des rues et le parc"),
+            (4, "xyzzy plugh qwerty"),
+        ],
+        ["id", "text"],
+    )
+    out = {
+        r["id"]: r["lang"]
+        for r in df.select("id", textops.predicted_lang(F.col("text")).alias("lang")).collect()
+    }
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "fr"
+    assert out[4] == "und"
+
+
+def test_lang_scores_map_counts(spark):
+    df = spark.createDataFrame([("the cat and the dog",)], ["text"])
+    m = df.select(textops.lang_scores(F.col("text")).alias("m")).first()["m"]
+    assert m["en"] == 3  # the, and, the
+    assert m["de"] == 0
