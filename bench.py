@@ -64,8 +64,20 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         sc.setJobGroup(name, f"bench:{name}", interruptOnCancel=True)
-        watchdog = threading.Timer(QUERY_TIMEOUT_SEC, sc.cancelJobGroup, args=[name])
-        watchdog.daemon = True
+        # cancelJobGroup only kills jobs running at call time — AQE queries
+        # run many short jobs with driver-side gaps between them, so a
+        # one-shot cancel can fire into a gap and the query sails on. Keep
+        # cancelling every 2s until the query actually returns.
+        done = threading.Event()
+
+        def hound(group: str = name, done: threading.Event = done) -> None:
+            if done.wait(QUERY_TIMEOUT_SEC):
+                return
+            while not done.is_set():
+                sc.cancelJobGroup(group)
+                done.wait(2)
+
+        watchdog = threading.Thread(target=hound, daemon=True)
         watchdog.start()
         t0 = time.perf_counter()
         try:
@@ -80,7 +92,7 @@ def main() -> None:
             print(f"# {name}: FAILED after {timings[name]:.3f}s ({type(exc).__name__})",
                   file=sys.stderr)
         finally:
-            watchdog.cancel()
+            done.set()
             # PySpark has no clearJobGroup; resetting the local property is
             # the documented way to detach subsequent jobs from the group.
             sc.setLocalProperty("spark.jobGroup.id", None)

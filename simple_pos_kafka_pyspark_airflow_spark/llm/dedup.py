@@ -87,12 +87,55 @@ def minhash_signature(shingle_arr: Column, num_hashes: int = 64) -> Column:
     )
 
 
+def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """One row per (doc, shingle), built WITHOUT higher-order functions:
+
+    posexplode(split) → drop empties → ``lead(token, 1..n-1)`` over a
+    per-doc window → ``concat_ws``. Every expression is codegen; the only
+    cost is one shuffle on doc id for the window sort — which downstream
+    per-doc aggregations (signatures, shingle sets) need anyway, so AQE
+    reuses the exchange.
+
+    Matches ``shingles`` (and the DuckDB oracle CTE) exactly: lowercased
+    whitespace tokens, <n-token docs yield their whole token string as the
+    single shingle (``concat_ws`` skips the NULL leads, so the first row of
+    a short doc is precisely the full join). Shingles are NOT deduplicated
+    — min-aggregates don't care, and set consumers ``collect_set``.
+    Returns (``_id``, ``_shingle``).
+    """
+    from pyspark.sql import Window
+
+    if n < 2:
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("_shingle"),
+        )
+    toks = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_pos", "_t"),
+        ).where(F.col("_t") != "")
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    leads = [F.lead("_t", j).over(w) for j in range(1, n)]
+    rows = toks.select(
+        "_id",
+        F.concat_ws(" ", F.col("_t"), *leads).alias("_shingle"),
+        leads[-1].isNotNull().alias("_complete"),
+        (F.row_number().over(w) == 1).alias("_first"),
+        (F.count("*").over(Window.partitionBy("_id")) >= n).alias("_big"),
+    )
+    return rows.where(
+        (F.col("_big") & F.col("_complete")) | (~F.col("_big") & F.col("_first"))
+    ).select("_id", "_shingle")
+
+
 def minhash_signatures_df(
     df: DataFrame, text_col: str, id_col: str, n_shingle: int = 3, num_hashes: int = 64
 ) -> DataFrame:
     """(id, signature) per document, the whole-stage-codegen way:
 
-    explode shingles to rows → ``num_hashes`` seeded ``min(xxhash64(s, i))``
+    ``shingle_rows`` → ``num_hashes`` seeded ``min(xxhash64(s, i))``
     aggregates in ONE groupBy → pack into an array column.
 
     Why this shape: ``xxhash64``/``min`` are codegen intrinsics, so the
@@ -101,17 +144,30 @@ def minhash_signatures_df(
     and ~100× slower. The groupBy shuffles docs×shingles rows, but partial
     (map-side) aggregation collapses each doc to one 64-long row before the
     exchange — at 100 TB the shuffle carries 8·64 bytes per doc, not the
-    shingle text. Returns columns (``_id``, ``_sig``).
+    shingle text. Min over duplicate shingles equals min over the distinct
+    set, so no dedup pass is needed. Returns columns (``_id``, ``_sig``).
     """
-    sh_df = df.select(
-        F.col(id_col).alias("_id"), shingles(F.col(text_col), n_shingle).alias("_sh")
-    )
-    exploded = sh_df.select("_id", F.explode("_sh").alias("_s"))
-    aggs = [F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)]
+    exploded = shingle_rows(df, text_col, id_col, n_shingle)
+    aggs = [
+        F.min(F.xxhash64(F.col("_shingle"), F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)
+    ]
     return (
         exploded.groupBy("_id")
         .agg(*aggs)
         .select("_id", F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("_sig"))
+    )
+
+
+def shingle_hash_sets_df(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, set of xxhash64(shingle)) per document — the verification-side
+    companion to ``minhash_signatures_df``. Jaccard over the hashed sets
+    equals Jaccard over the string sets (64-bit collisions among a doc's
+    ~10²-10³ shingles are negligible), and long arrays intersect far
+    cheaper than string arrays. Returns (``_id``, ``_sh``)."""
+    return (
+        shingle_rows(df, text_col, id_col, n)
+        .groupBy("_id")
+        .agg(F.collect_set(F.xxhash64("_shingle")).alias("_sh"))
     )
 
 
@@ -148,10 +204,7 @@ def near_dup_pairs_minhash(
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     rows = num_hashes // bands
-    sh_df = df.select(
-        F.col(id_col).alias("_id"),
-        shingles(F.col(text_col), n_shingle).alias("_sh"),
-    )
+    sh_df = shingle_hash_sets_df(df, text_col, id_col, n_shingle)
     sig_df = minhash_signatures_df(df, text_col, id_col, n_shingle, num_hashes)
     banded = sig_df.select(
         "_id", "_sig", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_band")
@@ -251,9 +304,14 @@ def simhash_df(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     codegen'd and partially aggregated map-side, so the shuffle carries 65
     longs per doc. Returns columns (``_id``, ``_sim``).
     """
-    hashed = df.select(
-        F.col(id_col).alias("_id"), F.explode(tokens(F.lower(F.col(text_col)))).alias("_t")
-    ).select("_id", F.xxhash64("_t").alias("_h"))
+    hashed = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_t"),
+        )
+        .where(F.col("_t") != "")  # explode+where is codegen; F.filter is not
+        .select("_id", F.xxhash64("_t").alias("_h"))
+    )
     masks = [1 << b if b < 63 else -(1 << 63) for b in range(64)]
     aggs = [
         F.count(F.when(F.col("_h").bitwiseAND(F.lit(m)) != 0, 1)).alias(f"_b{b}")

@@ -42,3 +42,40 @@ def lagged(
     """lag(value, 1) per partition — inter-event deltas."""
     w = Window.partitionBy(partition).orderBy(*order)
     return df.withColumn(out, F.lag(value, 1).over(w))
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap: str,
+    tiebreak: str,
+    out: str = "sess_id",
+) -> DataFrame:
+    """Gap-based sessionization (batch): a new session starts when the gap
+    to the previous event of the same key exceeds ``gap`` (SQL interval
+    string). Adds an ``out`` column numbering sessions 1..k per key.
+
+    The classic one-shuffle shape: lag over (key, ts) marks session starts,
+    a running sum over the same window numbers them — both windows share
+    one sort, so the whole op is a single exchange on ``key``. This is the
+    batch equivalent of Structured Streaming's ``session_window`` (see
+    streaming/windows.session_agg) and scales to any key cardinality;
+    a single key's events serialize within its partition, which is
+    inherent to the semantics.
+
+    ``tiebreak`` makes the per-key order total when timestamps collide, so
+    session numbering is deterministic and oracle-comparable.
+    """
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    prev_ts = F.lag(ts).over(w)
+    # two steps: a window function can't nest inside another window's
+    # aggregate; both windows share (partition, order) → one sort pass
+    marked = df.withColumn(
+        "__new", (prev_ts.isNull() | (F.col(ts) > prev_ts + gap_expr)).cast("int")
+    )
+    return marked.withColumn(
+        out,
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("int"),
+    ).drop("__new")

@@ -752,3 +752,261 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("n_name").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# subquery forms (Catalyst rewrites these into semi/anti joins)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_exists_subquery",
+    "join",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    """,
+    notes="extension (TPC-H Q4 shape): correlated EXISTS — Catalyst rewrites "
+    "to a left-semi join, so the subquery costs one shuffle, not a probe per "
+    "row (adapted predicate: testdata lineitem has no commit/receipt dates)",
+)
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__eq_orders")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("__eq_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM __eq_orders o
+        WHERE EXISTS (SELECT 1 FROM __eq_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q_in_subquery",
+    "join",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+    """,
+    notes="extension: uncorrelated IN subquery — rewritten to left-semi join "
+    "(never a collected id list on the driver)",
+)
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "part").createOrReplaceTempView("__in_part")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("__in_lineitem")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name FROM __in_part
+        WHERE p_partkey IN (SELECT l_partkey FROM __in_lineitem WHERE l_quantity >= 49)
+        """
+    )
+
+
+@register(
+    "q_not_exists",
+    "join",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier s
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 45)
+    """,
+    notes="extension: NOT EXISTS — rewritten to left-anti join (the "
+    "delete-by-absence shape of the reference's CDC diff, POS_spark_dag.py:155)",
+)
+def q_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("__ne_supplier")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("__ne_lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM __ne_supplier s
+        WHERE NOT EXISTS (SELECT 1 FROM __ne_lineitem l
+                          WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 45)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# event-time operators (batch forms of the streaming windows)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_tumbling",
+    "window",
+    oracle="""
+    SELECT user_id, date_trunc('hour', ts) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total
+    FROM events GROUP BY user_id, date_trunc('hour', ts)
+    """,
+    notes="extension (T4 batch form): 1-hour tumbling window per user — "
+    "F.window assigns buckets executor-side, then one hash agg; identical to "
+    "the streaming plan minus the watermark",
+)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select("user_id", F.col("window.start").alias("window_start"), "n", "total")
+    )
+
+
+@register(
+    "q_sessionize",
+    "window",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS INTEGER) AS sess_id
+      FROM d
+    )
+    SELECT user_id, sess_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS sess_start, MAX(ts) AS sess_end
+    FROM s GROUP BY user_id, sess_id
+    """,
+    notes="extension: gap-based sessionization (30 min) — lag marks session "
+    "starts, running sum numbers them; ONE shuffle on user_id for both "
+    "windows plus the final agg (operators/windows.sessionize)",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import windows as win_ops
+
+    ev = table(spark, sf_dir, "events")
+    s = win_ops.sessionize(ev, key="user_id", ts="ts", gap="30 MINUTE", tiebreak="event_id")
+    return s.groupBy("user_id", "sess_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("sess_start"),
+        F.max("ts").alias("sess_end"),
+    )
+
+
+@register(
+    "q_json_funcs",
+    "function",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+           CAST(len(json_keys(props)) AS INTEGER) AS n_keys
+    FROM events
+    """,
+    notes="extension: JSON scalar family — get_json_object pushes a JSON "
+    "path probe into codegen; map cardinality via from_json to "
+    "map<string,string> (schema-free)",
+)
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        F.size(F.map_keys(F.from_json("props", "map<string,string>"))).cast("int").alias("n_keys"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# more TPC-H headliners
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_tpch_q6",
+    "agg",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate <  TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    notes="TPC-H Q6 (forecast revenue change): pure scan+filter+agg — every "
+    "predicate reaches the parquet reader (PushedFilters), the agg is one "
+    "partial+final pair over a scalar",
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+@register(
+    "q_tpch_q14",
+    "join",
+    oracle="""
+    SELECT ROUND(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+      AND l_shipdate <  TIMESTAMP '1995-10-01'
+    """,
+    notes="TPC-H Q14 (promotion effect): fact⋈dim with conditional agg — the "
+    "part side broadcasts at these sizes (AQE decides), the CASE fuses into "
+    "the single agg pass",
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0.0))
+    return j.agg(
+        F.round(F.lit(100.0) * F.sum(promo) / F.sum(disc), 4).alias("promo_revenue")
+    )
+
+
+@register(
+    "q_tpch_q18",
+    "join",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+    notes="TPC-H Q18 (large-volume customers): agg-derived IN filter (semi "
+    "join against a HAVING aggregate) then 3-way join + re-agg — the "
+    "pre-aggregation keyed on l_orderkey shrinks the fact before the join",
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .where(F.col("__q") > 300)
+        .select("l_orderkey")
+    )
+    j = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(big.withColumnRenamed("l_orderkey", "__bk"), F.col("o_orderkey") == F.col("__bk"), "left_semi")
+    )
+    return j.groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice").agg(
+        F.round(F.sum("l_quantity"), 2).alias("total_qty")
+    )

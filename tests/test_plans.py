@@ -1,0 +1,82 @@
+"""Physical-plan audits (SURVEY.md §7 M7): the plan each query produces is
+part of the contract — a correct result from a wrong-shaped plan (missed
+broadcast, unpushed filter, accidental cartesian) is a 100 TB outage that a
+row-count check can't see. These tests pin the shapes.
+
+Plans are inspected via ``df.explain`` output only — nothing executes.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from simple_pos_kafka_pyspark_airflow_spark.plans import load_registry
+
+REGISTRY = load_registry()
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def build(spark, sf_dir, name):
+    return REGISTRY[name].build(spark, sf_dir)
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    plan = explain_str(build(spark, sf_dir, "q_join_broadcast"))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_tpch_q5_broadcasts_dims(spark, sf_dir):
+    plan = explain_str(build(spark, sf_dir, "q_tpch_q5"))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = explain_str(build(spark, sf_dir, "q_filter_date"))
+    assert "PushedFilters: [" in plan
+    # the shipdate range predicate must appear inside PushedFilters, not
+    # only in a post-scan Filter node
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln for ln in pushed), plan
+
+
+def test_column_pruning_in_read_schema(spark, sf_dir):
+    plan = explain_str(build(spark, sf_dir, "q_project"))
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read, plan
+    # q_project selects 3 customer columns; the scan must not read others
+    assert "c_acctbal" not in read[0], read[0]
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = explain_str(build(spark, sf_dir, "q_topk"))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_agg_has_partial_final_pair(spark, sf_dir):
+    plan = explain_str(build(spark, sf_dir, "q_agg_sum"))
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_whole_stage_codegen_present(spark, sf_dir):
+    # formatted mode hides codegen stages under AQE (isFinalPlan=false);
+    # codegen mode compiles the stages regardless
+    plan = explain_str(build(spark, sf_dir, "q_tpch_q1"), mode="codegen")
+    assert "WholeStageCodegen subtrees" in plan, plan[:500]
+    assert "Found 0" not in plan.splitlines()[1], plan[:500]
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_cartesian_product_anywhere(spark, sf_dir, name):
+    """CartesianProduct is never acceptable — tiny×tiny cross joins must go
+    through BroadcastNestedLoopJoin (q_join_cross broadcasts explicitly)."""
+    plan = explain_str(build(spark, sf_dir, name), mode="simple")
+    assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
