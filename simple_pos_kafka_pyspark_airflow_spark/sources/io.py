@@ -1,0 +1,143 @@
+"""Batch sources and sinks (SURVEY.md §2.1).
+
+Reference behaviors re-expressed:
+
+- S1/S2 — CSV scans (header-only and inferSchema variants,
+  ``POS_spark_dag.py:90,143-146``) → one typed CSV reader with a declared
+  schema; inferSchema is deliberately not offered (double scan, unstable
+  types — SURVEY §4 anti-pattern 3).
+- S3/S6 — JDBC warehouse scans/appends (``POS_spark_dag.py:43-52,109-117``)
+  → parquet warehouse tables; append stays a plain executor-parallel write.
+- S9 — the consumer's sort-and-rewrite-whole-CSV-per-event
+  (``kafka_consumer.py:100-106``) → partitioned parquet with
+  ``sortWithinPartitions``: sorted *files* without any global shuffle.
+- S5 (Kafka sink) / S4 batch form — builders for ``format("kafka")``
+  round-trips; not exercised in tests (no broker in container), but the
+  payload encoding (``to_json(struct(...))``) is — it is plain columnar
+  Spark either way.
+
+Scale notes: every writer here is executor-parallel (no driver funnel); the
+daily-partition layout turns the reference's filename games into partition
+pruning; ``maxRecordsPerFile`` bounds file sizes so a hot date still
+produces splittable output.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_parquet(spark: SparkSession, path: str, schema: StructType | str | None = None) -> DataFrame:
+    """Warehouse scan (S3). An explicit schema skips footer merging on
+    wide directory trees and pins types across files."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str | list[str], schema: StructType | str, header: bool = True
+) -> DataFrame:
+    """Typed CSV scan (S1/S2): declared schema, single pass, stable types.
+    Accepts a list of paths — the multi-file form replaces the reference's
+    loop-fold union (``POS_spark_dag.py:149-152``, SURVEY §4 anti-pattern 4)
+    with ONE scan node."""
+    paths = path if isinstance(path, list) else [path]
+    return spark.read.schema(schema).csv(paths, header=header)
+
+
+def read_jsonl(spark: SparkSession, path: str | list[str], schema: StructType | str) -> DataFrame:
+    """JSON-lines scan with declared schema (the batch twin of
+    ``streaming.ingest.file_json_stream``)."""
+    paths = path if isinstance(path, list) else [path]
+    return spark.read.schema(schema).json(paths)
+
+
+def append_parquet(df: DataFrame, path: str) -> None:
+    """Append sink (S6): the daily-append pipeline's terminal write —
+    executors write directly, nothing returns to the driver."""
+    df.write.mode("append").parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+    max_records_per_file: int | None = 5_000_000,
+) -> None:
+    """Partitioned warehouse write (S9/T4): the reference's
+    ``sales_YYYYMMDD.csv`` daily files and per-category product files become
+    ``partition_cols`` directories; its sort-before-save becomes
+    ``sortWithinPartitions`` — sorted files with zero global shuffle.
+    ``maxRecordsPerFile`` keeps any hot partition splittable."""
+    out = df
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    writer = out.write.mode("overwrite").partitionBy(*partition_cols)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)
+
+
+def overwrite_atomic(df: DataFrame, path: str) -> None:
+    """Full-snapshot overwrite with the same crash discipline as
+    ``streaming.cdc.ParquetCdcSink``: write to staging, tombstone-rename the
+    live dir, move staging in, drop the tombstone. Readers never observe a
+    half-written table; a crash leaves either the old or the new snapshot
+    (plus at worst a tombstone the next writer reclaims)."""
+    staging = f"{path.rstrip('/')}.__staging__{uuid.uuid4().hex[:8]}"
+    tombstone = path.rstrip("/") + ".__tombstone__"
+    df.write.mode("overwrite").parquet(staging)
+    os.makedirs(os.path.dirname(path) or "/", exist_ok=True)
+    if os.path.isdir(tombstone) and not os.path.isdir(path):
+        os.rename(tombstone, path)  # recover a predecessor's half-swap
+    if os.path.isdir(path):
+        if os.path.isdir(tombstone):
+            shutil.rmtree(tombstone)
+        os.rename(path, tombstone)
+    shutil.move(staging, path)
+    if os.path.isdir(tombstone):
+        shutil.rmtree(tombstone)
+
+
+def to_kafka_payload(df: DataFrame, key_col: str | None = None) -> DataFrame:
+    """Encode rows as Kafka records: value = JSON of all columns (the
+    reference's producer serializer, ``kafka_producer.py:25``), key = the
+    partitioning column so one entity's events stay ordered within a
+    partition."""
+    return df.select(
+        *([F.col(key_col).cast("string").alias("key")] if key_col else []),
+        # the key column stays IN the payload too: the value must decode to
+        # the full event on its own (consumers don't reassemble from keys)
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value"),
+    )
+
+
+def write_kafka(df: DataFrame, brokers: str, topic: str, key_col: str | None = None) -> None:
+    """Batch Kafka sink (S5). Requires a reachable broker — not exercised
+    in the test container; the payload encoding above is."""
+    to_kafka_payload(df, key_col).write.format("kafka").option(
+        "kafka.bootstrap.servers", brokers
+    ).option("topic", topic).save()
+
+
+def read_kafka_batch(
+    spark: SparkSession, brokers: str, topic: str, starting_offsets: str = "earliest"
+) -> DataFrame:
+    """Batch Kafka scan (S4 batch form) — bounded read of a topic's current
+    contents; pair with ``streaming.ingest.parse_json_events``."""
+    return (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )

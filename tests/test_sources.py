@@ -1,0 +1,76 @@
+"""Batch source/sink tests (SURVEY.md §2.1) — real files in tmp dirs,
+including the crash-window recovery of the atomic overwrite."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from simple_pos_kafka_pyspark_airflow_spark import sources
+from simple_pos_kafka_pyspark_airflow_spark.streaming import ingest
+
+SCHEMA = "id long, name string, bal double"
+ROWS = [(1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5)]
+
+
+def test_csv_roundtrip_multi_path(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    p1, p2 = str(tmp_path / "a.csv"), str(tmp_path / "b.csv")
+    df.where("id <= 2").write.csv(p1, header=True)
+    df.where("id = 3").write.csv(p2, header=True)
+    got = sources.read_csv(spark, [p1, p2], SCHEMA)
+    assert sorted(r["id"] for r in got.collect()) == [1, 2, 3]
+    assert dict(got.dtypes)["bal"] == "double"  # declared, not inferred
+
+
+def test_jsonl_reader(spark, tmp_path):
+    p = tmp_path / "rows.json"
+    p.write_text('{"id": 1, "name": "a", "bal": 1.5}\n{"id": 2, "name": "b", "bal": 2.5}\n')
+    got = sources.read_jsonl(spark, str(p), SCHEMA)
+    assert got.count() == 2
+
+
+def test_append_parquet_accumulates(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    path = str(tmp_path / "t")
+    sources.append_parquet(df, path)
+    sources.append_parquet(df, path)
+    assert sources.read_parquet(spark, path, SCHEMA).count() == 6
+
+
+def test_write_partitioned_layout_and_sort(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"d{i % 2}", float(10 - i)) for i in range(10)], "id long, day string, v double"
+    )
+    path = str(tmp_path / "part")
+    sources.write_partitioned(df, path, ["day"], sort_cols=["v"])
+    assert sorted(d for d in os.listdir(path) if d.startswith("day=")) == ["day=d0", "day=d1"]
+    # partition pruning works on the layout
+    got = sources.read_parquet(spark, path).where(F.col("day") == "d1")
+    assert got.count() == 5
+
+
+def test_overwrite_atomic_replaces_and_recovers(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    tombstone = path + ".__tombstone__"
+    v1 = spark.createDataFrame([(1, "a", 1.0)], SCHEMA)
+    v2 = spark.createDataFrame([(2, "b", 2.0)], SCHEMA)
+    sources.overwrite_atomic(v1, path)
+    assert [r["id"] for r in sources.read_parquet(spark, path).collect()] == [1]
+    # simulate a crash that stopped between the two renames: live dir is
+    # gone, only the tombstone exists
+    os.rename(path, tombstone)
+    sources.overwrite_atomic(v2, path)
+    assert [r["id"] for r in sources.read_parquet(spark, path).collect()] == [2]
+    assert not os.path.isdir(tombstone)
+
+
+def test_kafka_payload_roundtrips_through_parse(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    payload = sources.to_kafka_payload(df, key_col="id")
+    assert payload.columns == ["key", "value"]
+    back = ingest.parse_json_events(payload, SCHEMA)
+    got = sorted((r["id"], r["name"], r["bal"]) for r in back.collect())
+    assert got == sorted(ROWS)
+    assert all(r["_corrupt"] is None for r in back.collect())
