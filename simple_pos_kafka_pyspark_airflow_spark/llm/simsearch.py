@@ -19,8 +19,14 @@ but accumulating in float32 makes results order-dependent across engines.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# np/pd are module-level on purpose: pandas_udf resolves the (stringified,
+# via __future__ annotations) type hints against this module's globals —
+# function-local imports would make `pd.Series` hints unresolvable.
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -118,6 +124,84 @@ def cosine_topk_lsh(
     scored = pruned.select(
         F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score")
     )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def ivf_centroids(
+    df: DataFrame, n_cells: int = 16, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> list[list[float]]:
+    """Deterministic coarse quantizer: take every (N/n_cells)-th vector in
+    id order as a centroid. No k-means iterations — for IVF the cells only
+    need to partition the space reasonably, and determinism (same corpus →
+    same index) matters more here than cell balance. The collect is
+    ``n_cells`` rows — O(kB) to the driver, never the corpus."""
+    n = df.count()
+    stride = max(1, n // n_cells)
+    rows = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .where((F.col("_id") % stride) == 0)
+        .orderBy("_id")
+        .limit(n_cells)
+        .collect()
+    )
+    return [[float(x) for x in r["_v"]] for r in rows]
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Nearest-centroid assignment as ONE Arrow-batched Pandas UDF: each
+    batch is a (batch, dim) float64 matrix, assignment is a single
+    ``X̂ @ Ĉᵀ`` BLAS call + argmax (rows and centroids L2-normalized, so
+    max dot = max cosine). This is the documented slow-path escape hatch —
+    per-row×per-centroid×per-dim work is exactly what interpreted Column
+    expressions (higher-order ``aggregate``) cannot do fast.
+
+    At 100 TB the assignment runs once at ingest and ``out_col`` becomes
+    the storage partition key, making every probe a partition-pruned scan.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.array(centroids, dtype="float64")
+    c_hat = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("int")
+    def nearest(col: pd.Series) -> pd.Series:
+        m = np.stack(col.to_numpy()).astype("float64")
+        m_hat = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series((m_hat @ c_hat.T).argmax(axis=1).astype("int32"))
+
+    return df.withColumn(out_col, nearest(F.col(vec_col)))
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF top-k: build the deterministic cell index, probe the ``nprobe``
+    cells whose centroids are nearest the query, exact-score only those
+    cells' vectors. Recall is tunable via nprobe (nprobe = n_cells ≡ brute
+    force). Here the index is built on the fly; at scale it is precomputed
+    and ``cell`` is the partition key, so the probe reads nprobe/n_cells of
+    the data — the IVF complement to the hyperplane-LSH path above."""
+    centroids = ivf_centroids(df, n_cells, vec_col, id_col)
+    c = np.array(centroids, dtype="float64")
+    c_hat = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    q = np.array(query_vec, dtype="float64")
+    q_hat = q / max(float(np.linalg.norm(q)), 1e-12)
+    probe = np.argsort(-(c_hat @ q_hat))[:nprobe].tolist()
+    assigned = ivf_assign(df, centroids, vec_col)
+    pruned = assigned.where(F.col("cell").isin([int(p) for p in probe]))
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = pruned.select(F.col(id_col), F.round(cosine(F.col(vec_col), qcol), 6).alias("score"))
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 

@@ -359,3 +359,62 @@ def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     return e.select("vec_id", F.round(cos_sim(F.col("embedding")), 6).alias("score"))
+
+
+@register(
+    "q_simsearch_ivf",
+    "llm",
+    oracle=None,  # approximate: IVF-pruned candidate set
+    notes="IVF cosine top-k: deterministic strided-sample coarse quantizer, "
+    "Pandas-UDF batched matmul assignment, nprobe-cell probe then exact "
+    "scoring (llm/simsearch.cosine_topk_ivf) — at scale the cell id is the "
+    "storage partition key and a probe reads nprobe/n_cells of the data",
+)
+def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return simsearch.cosine_topk_ivf(
+        e, _query_vector(spark, sf_dir), k=10, n_cells=16, nprobe=4
+    )
+
+
+@register(
+    "q_embed_centroid",
+    "llm",
+    oracle="""
+    WITH x AS (
+      SELECT label,
+             unnest(list_transform(embedding, (v, i) -> {'pos': i, 'val': v})) AS u
+      FROM embeddings
+    )
+    SELECT label, CAST(u.pos AS INTEGER) AS pos,
+           ROUND(AVG(CAST(u.val AS DOUBLE)), 6) AS c
+    FROM x GROUP BY label, u.pos
+    """,
+    notes="per-label embedding centroid as a pure columnar plan: posexplode "
+    "to (label, pos, val) rows, one hash agg — the vector mean at 100 TB is "
+    "a partial-aggregated shuffle of 8-byte cells, no UDF, no collect. "
+    "Output is (label, pos, c) rows rather than arrays so the compare is "
+    "elementwise-exact",
+)
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    exploded = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    return exploded.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("val").cast("double")), 6).alias("c")
+    ).select("label", (F.col("pos") + 1).cast("int").alias("pos"), "c")
+
+
+@register(
+    "q_approx_percentile",
+    "llm",
+    oracle=None,  # sketch-based; bounded error, not bit-exact
+    notes="approx_percentile (t-digest-style sketch): the 100 TB replacement "
+    "for q_percentiles' exact per-group sort — mergeable sketches, one "
+    "shuffle of O(sketch) bytes per group; accuracy pinned by a unit test "
+    "against the exact quantiles",
+)
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)).alias("p50_approx")
+    )

@@ -87,3 +87,38 @@ def test_lang_scores_map_counts(spark):
     m = df.select(textops.lang_scores(F.col("text")).alias("m")).first()["m"]
     assert m["en"] == 3  # the, and, the
     assert m["de"] == 0
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """nprobe=4/16 IVF must recover most of the exact top-10; nprobe=16 is
+    definitionally identical to brute force."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm import simsearch
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    exact = [r["vec_id"] for r in simsearch.cosine_topk(e, q, k=10).collect()]
+    ivf = [r["vec_id"] for r in simsearch.cosine_topk_ivf(e, q, k=10, n_cells=16, nprobe=4).collect()]
+    assert len(set(exact) & set(ivf)) >= 5, (exact, ivf)
+    full = [r["vec_id"] for r in simsearch.cosine_topk_ivf(e, q, k=10, n_cells=16, nprobe=16).collect()]
+    assert full == exact
+
+
+def test_ivf_assignment_deterministic(spark):
+    from simple_pos_kafka_pyspark_airflow_spark.llm import simsearch
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c = simsearch.ivf_centroids(e, n_cells=8)
+    a1 = {r["vec_id"]: r["cell"] for r in simsearch.ivf_assign(e, c).select("vec_id", "cell").collect()}
+    a2 = {r["vec_id"]: r["cell"] for r in simsearch.ivf_assign(e, c).select("vec_id", "cell").collect()}
+    assert a1 == a2
+    assert len(set(a1.values())) > 1  # vectors actually spread over cells
+
+
+def test_approx_percentile_close_to_exact(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    rows = li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)).alias("approx"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("exact"),
+    ).collect()
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) <= 1.0, (r["l_returnflag"], r["approx"], r["exact"])
