@@ -43,6 +43,11 @@ HEADLINE = [
     "q_join_theta",
     "q_window_rank",
     "q_upsert_semantics",
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_sessionize",
+    "q_window_tumbling",
     "q_dedup_exact",
     "q_dedup_minhash",
     "q_simsearch_topk",

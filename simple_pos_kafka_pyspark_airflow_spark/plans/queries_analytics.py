@@ -1010,3 +1010,66 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice").agg(
         F.round(F.sum("l_quantity"), 2).alias("total_qty")
     )
+
+
+@register(
+    "q_window_sliding",
+    "window",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, value,
+             date_trunc('hour', ts) - to_hours(k) AS window_start
+      FROM events, unnest([0, 1]) AS t(k)
+    )
+    SELECT user_id, window_start, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM w GROUP BY user_id, window_start
+    """,
+    notes="extension (T4 sliding form): 2h window / 1h slide — each event "
+    "lands in width/slide windows; Spark's F.window expands executor-side "
+    "(epoch-aligned starts ≡ the oracle's hour-trunc minus k hours), then "
+    "one hash agg. State at 100 TB is bounded by watermark × keys, not data",
+)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select("user_id", F.col("window.start").alias("window_start"), "n", "total")
+    )
+
+
+@register(
+    "q_profile",
+    "agg",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(l_quantity) AS BIGINT) AS qty_nonnull,
+           ROUND(MIN(l_quantity), 2) AS qty_min,
+           ROUND(MAX(l_quantity), 2) AS qty_max,
+           ROUND(AVG(l_quantity), 4) AS qty_avg,
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS flag_card,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS part_card,
+           ROUND(MIN(l_extendedprice), 2) AS price_min,
+           ROUND(MAX(l_extendedprice), 2) AS price_max
+    FROM lineitem
+    """,
+    notes="extension (training-data pipeline utility): one-pass table "
+    "profile — null counts, ranges, exact cardinalities — the ingest QC "
+    "gate before a corpus enters the pipeline; COUNT DISTINCTs expand to "
+    "Expand+two-phase agg, everything else partial-aggregates in the scan "
+    "pass. At 100 TB swap exact cardinalities for approx_count_distinct",
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.count("l_quantity").alias("qty_nonnull"),
+        F.round(F.min("l_quantity"), 2).alias("qty_min"),
+        F.round(F.max("l_quantity"), 2).alias("qty_max"),
+        F.round(F.avg("l_quantity"), 4).alias("qty_avg"),
+        F.countDistinct("l_returnflag").alias("flag_card"),
+        F.countDistinct("l_partkey").alias("part_card"),
+        F.round(F.min("l_extendedprice"), 2).alias("price_min"),
+        F.round(F.max("l_extendedprice"), 2).alias("price_max"),
+    )
