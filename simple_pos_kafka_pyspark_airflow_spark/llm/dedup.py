@@ -147,10 +147,14 @@ def minhash_signatures_df(
     shingle text. Min over duplicate shingles equals min over the distinct
     set, so no dedup pass is needed. Returns columns (``_id``, ``_sig``).
     """
-    exploded = shingle_rows(df, text_col, id_col, n_shingle)
-    aggs = [
-        F.min(F.xxhash64(F.col("_shingle"), F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)
-    ]
+    # hash each (multi-byte) shingle string to a long ONCE, then derive the
+    # k seeded hashes by mixing the long — xxhash64 over 8 fixed bytes is
+    # several times cheaper than over a ~50-byte string, and hash-of-hash
+    # is the same uniform family
+    exploded = shingle_rows(df, text_col, id_col, n_shingle).select(
+        "_id", F.xxhash64("_shingle").alias("_h0")
+    )
+    aggs = [F.min(F.xxhash64(F.col("_h0"), F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)]
     return (
         exploded.groupBy("_id")
         .agg(*aggs)
