@@ -35,6 +35,7 @@ def parse_json_events(
     schema: StructType | str,
     value_col: str = "value",
     keep_corrupt: bool = True,
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """Decode a JSON-bytes column into typed columns (works on both batch
     and streaming DataFrames — same plan either way).
@@ -56,7 +57,8 @@ def parse_json_events(
     else:
         parsed = raw.withColumn("_parsed", F.from_json(value, st))
     cols = [F.col("_parsed").getField(f.name).alias(f.name) for f in st.fields]
-    return parsed.select(*cols)
+    keep_cols = [F.col(c) for c in (keep or [])]
+    return parsed.select(*keep_cols, *cols)
 
 
 def kafka_stream(

@@ -275,3 +275,78 @@ def test_dedup_with_watermark_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT sale_id FROM dedup_out").collect()
     assert sorted(r["sale_id"] for r in got) == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# the whole reference topology: 9 topics → routed CDC → 3-table warehouse
+# ---------------------------------------------------------------------------
+
+
+def test_pos_pipeline_end_to_end(spark, tmp_path):
+    """All nine topics in one stream, drained with AvailableNow: final
+    warehouse state must equal a per-entity dict replay."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming import pipeline
+
+    src = tmp_path / "topics"
+    src.mkdir()
+    ev = [
+        ("sales_add", {"sale_id": 1, "customer_id": 7, "quantity": 2, "price": 5.0}),
+        ("sales_add", {"sale_id": 2, "customer_id": 8, "quantity": 1, "price": 3.0}),
+        ("sales_edit", {"sale_id": 1, "customer_id": 7, "quantity": 9, "price": 5.0}),
+        ("sales_remove", {"sale_id": 2}),
+        ("products_add", {"product_id": 10, "category": "Drinks", "stock_level": 50}),
+        ("products_edit", {"product_id": 10, "category": "Drinks", "stock_level": 41}),
+        ("customers_add", {"customer_id": 7, "name": "Ann", "level": "Gold"}),
+        ("customers_add", {"customer_id": 8, "name": "Bob", "level": "Bronze"}),
+        ("customers_remove", {"customer_id": 8}),
+        ("sales_add", None),  # corrupt payload → dead-lettered, not applied
+    ]
+    with open(src / "all.json", "w") as f:
+        for seq, (topic, payload) in enumerate(ev):
+            value = "{broken" if payload is None else json.dumps({**payload, "seq": seq})
+            f.write(json.dumps({"topic": topic, "value": value, "seq": seq}) + "\n")
+
+    raw = ingest.file_json_stream(spark, str(src), "topic string, value string, seq long")
+    sinks = pipeline.build_sinks(spark, str(tmp_path / "warehouse"))
+    queries = pipeline.start_pipeline(raw, sinks, str(tmp_path / "ckpt_pos"))
+    for q in queries:
+        q.awaitTermination(120)
+
+    sales = {r["sale_id"]: (r["quantity"], r["price"]) for r in sinks["sales"].read().collect()}
+    assert sales == {1: (9, 5.0)}
+    products = {r["product_id"]: r["stock_level"] for r in sinks["products"].read().collect()}
+    assert products == {10: 41}
+    customers = {r["customer_id"]: r["name"] for r in sinks["customers"].read().collect()}
+    assert customers == {7: "Ann"}
+
+
+def test_pos_pipeline_incremental_second_drain(spark, tmp_path):
+    """A second AvailableNow drain applies only the new files (checkpointed
+    file tracking), converging the warehouse — the reference's hourly tick."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming import pipeline
+
+    src = tmp_path / "topics2"
+    src.mkdir()
+
+    def write_batch(fname, events, base_seq):
+        with open(src / fname, "w") as f:
+            for i, (topic, payload) in enumerate(events):
+                seq = base_seq + i
+                f.write(json.dumps({"topic": topic, "value": json.dumps({**payload, "seq": seq}), "seq": seq}) + "\n")
+
+    write_batch("b1.json", [("customers_add", {"customer_id": 1, "name": "A", "level": "Gold"})], 0)
+    raw = ingest.file_json_stream(spark, str(src), "topic string, value string, seq long")
+    sinks = pipeline.build_sinks(spark, str(tmp_path / "wh2"))
+    entities = tuple(s for s in pipeline.POS_ENTITIES if s.name == "customers")
+    for q in pipeline.start_pipeline(raw, sinks, str(tmp_path / "ck2"), entities):
+        q.awaitTermination(120)
+    assert {r["customer_id"] for r in sinks["customers"].read().collect()} == {1}
+
+    write_batch("b2.json", [
+        ("customers_add", {"customer_id": 2, "name": "B", "level": "Bronze"}),
+        ("customers_remove", {"customer_id": 1}),
+    ], 10)
+    raw2 = ingest.file_json_stream(spark, str(src), "topic string, value string, seq long")
+    for q in pipeline.start_pipeline(raw2, sinks, str(tmp_path / "ck2"), entities):
+        q.awaitTermination(120)
+    assert {r["customer_id"] for r in sinks["customers"].read().collect()} == {2}
