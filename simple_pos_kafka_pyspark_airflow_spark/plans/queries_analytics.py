@@ -1073,3 +1073,140 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("l_extendedprice"), 2).alias("price_min"),
         F.round(F.max("l_extendedprice"), 2).alias("price_max"),
     )
+
+
+@register(
+    "q_null_funcs",
+    "function",
+    oracle="""
+    SELECT c_custkey,
+           nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+           ifnull(nullif(c_mktsegment, 'BUILDING'), 'WAS_BUILDING') AS seg_defaulted,
+           CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NOT NULL
+                THEN 'other' ELSE 'building' END AS nvl2_ish,
+           CAST(nullif(c_mktsegment, 'BUILDING') IS NULL AS INTEGER) AS is_b
+    FROM customer
+    """,
+    notes="extension: null-handling family (nullif/ifnull/nvl2/isnull) — "
+    "all fold to CASE in both engines, codegen-trivial but a real API "
+    "surface users expect",
+)
+def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    seg_or_null = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return c.select(
+        "c_custkey",
+        seg_or_null.alias("seg_or_null"),
+        F.ifnull(seg_or_null, F.lit("WAS_BUILDING")).alias("seg_defaulted"),
+        F.nvl2(seg_or_null, F.lit("other"), F.lit("building")).alias("nvl2_ish"),
+        F.isnull(seg_or_null).cast("int").alias("is_b"),
+    )
+
+
+@register(
+    "q_try_cast",
+    "function",
+    oracle="""
+    SELECT p_partkey,
+           TRY_CAST(split_part(p_name, ' ', 1) AS INTEGER) AS word_as_int,
+           TRY_CAST(CAST(p_size AS VARCHAR) AS INTEGER) AS size_roundtrip,
+           TRY_CAST('not a number' AS DOUBLE) AS always_null
+    FROM part
+    """,
+    notes="extension: try_cast — failure yields NULL instead of an error in "
+    "both engines; the ingest-sanitization primitive for dirty corpora",
+)
+def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.try_to_number(F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)), F.lit("999999"))
+        .cast("int")
+        .alias("word_as_int"),
+        F.col("p_size").cast("string").try_cast("int").alias("size_roundtrip"),
+        F.lit("not a number").try_cast("double").alias("always_null"),
+    )
+
+
+@register(
+    "q_bitwise",
+    "function",
+    oracle="""
+    SELECT p_partkey,
+           p_size & 15 AS b_and,
+           p_size | 64 AS b_or,
+           xor(p_size, 255) AS b_xor,
+           p_size << 2 AS b_shl,
+           p_size >> 1 AS b_shr,
+           CAST(bit_count(CAST(p_size AS BIGINT)) AS INTEGER) AS popcnt
+    FROM part
+    """,
+    notes="extension: bitwise family (&,|,xor,shifts,popcount) — the "
+    "building blocks the simhash/LSH operators use, exposed as queryable "
+    "surface",
+)
+def q_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    sz = F.col("p_size")
+    return p.select(
+        "p_partkey",
+        sz.bitwiseAND(F.lit(15)).alias("b_and"),
+        sz.bitwiseOR(F.lit(64)).alias("b_or"),
+        sz.bitwiseXOR(F.lit(255)).alias("b_xor"),
+        F.shiftleft(sz, 2).alias("b_shl"),
+        F.shiftright(sz, 1).alias("b_shr"),
+        F.bit_count(sz.cast("long")).cast("int").alias("popcnt"),
+    )
+
+
+@register(
+    "q_tpch_q7",
+    "join",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS l_year,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+        OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+      AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+    GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    """,
+    notes="TPC-H Q7 (volume shipping): 6-way join with the nation dim joined "
+    "TWICE (supplier side and customer side) under a cross-pair predicate — "
+    "both nation joins broadcast; the disjunctive filter stays above them",
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between(
+            F.lit("1995-01-01").cast("timestamp"), F.lit("1996-12-31").cast("timestamp")
+        )
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY"))
+            | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+        )
+    )
+    return j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
