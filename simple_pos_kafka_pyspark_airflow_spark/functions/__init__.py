@@ -21,6 +21,7 @@ from ..llm.dedup import (
     simhash64,
     token_bag_key,
 )
+from ..llm.filtering import repetition_ratio
 from ..llm.simsearch import cosine, dot, hyperplane_signature, norm
 from ..llm.textops import (
     bpe_ish_token_count,
@@ -52,6 +53,7 @@ __all__ = [
     "predicted_lang",
     "punct_ratio",
     "quality_score",
+    "repetition_ratio",
     "shingles",
     "simhash64",
     "space_count",

@@ -7,7 +7,8 @@ Pandas UDFs only where vector math genuinely needs numpy, never
 row-at-a-time Python.
 
 - ``dedup``       exact + MinHash-LSH + SimHash + n-gram-Jaccard near-dup
-- ``simsearch``   embedding cosine top-k: brute force + LSH-bucketed
+- ``simsearch``   embedding cosine top-k: brute force + LSH-bucketed + IVF
 - ``textops``     tokenization, language-ID, quality scores, fingerprints
+- ``filtering``   corpus quality-gate cascade + fixed-size token chunking
 - ``multimodal``  opaque binary columns with typed metadata + stubbed decode
 """

@@ -418,3 +418,96 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)).alias("p50_approx")
     )
+
+
+@register(
+    "q_corpus_filter",
+    "llm",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+        len(toks) AS n_tok,
+        len(list_distinct(toks)) AS n_dist,
+        length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 1.0
+            / greatest(length(text), 1) AS punct,
+        len(list_filter(toks, x -> list_contains(['der','die','das','und','nicht','ist'], x))) AS s_de,
+        len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is'], x))) AS s_en,
+        len(list_filter(toks, x -> list_contains(['el','la','los','que','de','es'], x))) AS s_es,
+        len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est'], x))) AS s_fr,
+        len(list_filter(toks, x -> list_contains(['de5'], x))) AS s_zh
+      FROM t
+    ), v AS (
+      SELECT doc_id,
+        n_tok BETWEEN 10 AND 100000 AS len_ok,
+        CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
+             WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+             WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+             WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+             WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+             ELSE 'zh' END = 'en' AS lang_ok,
+        punct <= 0.2 AS punct_ok,
+        (1.0 - n_dist * 1.0 / greatest(n_tok, 1)) <= 0.6 AS rep_ok
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(len_ok AS INTEGER) AS len_ok,
+           CAST(lang_ok AS INTEGER) AS lang_ok,
+           CAST(punct_ok AS INTEGER) AS punct_ok,
+           CAST(rep_ok AS INTEGER) AS rep_ok,
+           CAST(len_ok AND lang_ok AND punct_ok AND rep_ok AS INTEGER) AS keep
+    FROM v
+    """,
+    notes="corpus filter cascade (llm/filtering.apply_corpus_filter): "
+    "length / language / punctuation / repetition gates as independent "
+    "bits + conjunction verdict, ONE projection pass fused with the scan — "
+    "rejected rows keep their rule bits so drop reasons aggregate without "
+    "a second scan. All integer/ratio comparisons are bit-identical "
+    "cross-engine (integer-division doubles)",
+)
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import filtering
+
+    d = table(spark, sf_dir, "documents")
+    out = filtering.apply_corpus_filter(d, "text")
+    return out.select(
+        "doc_id",
+        F.col("len_ok").cast("int").alias("len_ok"),
+        F.col("lang_ok").cast("int").alias("lang_ok"),
+        F.col("punct_ok").cast("int").alias("punct_ok"),
+        F.col("rep_ok").cast("int").alias("rep_ok"),
+        F.col("keep").cast("int").alias("keep"),
+    )
+
+
+@register(
+    "q_text_chunks",
+    "llm",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, CAST(ceil(len(toks) / 32.0) AS INTEGER) - 1)) AS chunk_idx
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(len(toks[chunk_idx * 32 + 1 : chunk_idx * 32 + 32]) AS INTEGER) AS n_tokens,
+           array_to_string(toks[chunk_idx * 32 + 1 : chunk_idx * 32 + 32], ' ') AS chunk_text
+    FROM c
+    """,
+    notes="tokenize-and-pack (llm/filtering.chunk_documents): fixed-size "
+    "token chunks via sequence+explode+slice — row multiplication stays "
+    "executor-side, zero shuffles; the deterministic chunking stage of a "
+    "training-data pipeline",
+)
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import filtering
+
+    d = table(spark, sf_dir, "documents")
+    return filtering.chunk_documents(d, "text", "doc_id", max_tokens=32)
