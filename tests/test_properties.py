@@ -1,0 +1,127 @@
+"""Property-based tests (hypothesis) — SURVEY.md §5 item 4.
+
+Each property replays randomized inputs against a plain-Python oracle or
+an algebraic law. Example counts are small because every example builds a
+Spark job; the generators are broad (duplicate keys, equal timestamps,
+empty strings, single-token docs) so the few examples cover the edges that
+matter.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from simple_pos_kafka_pyspark_airflow_spark.llm import dedup, filtering
+from simple_pos_kafka_pyspark_airflow_spark.operators import upsert, windows
+from simple_pos_kafka_pyspark_airflow_spark.streaming import cdc
+
+SETTINGS = settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+
+# (key, value, op, seq) event streams with deliberate key collisions
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5),  # key — tiny domain forces collisions
+        st.integers(0, 100),  # value
+        st.sampled_from(["upsert", "delete"]),
+    ),
+    min_size=0,
+    max_size=25,
+).map(lambda evs: [(k, v, op, seq) for seq, (k, v, op) in enumerate(evs)])
+
+
+@given(events_strategy)
+@SETTINGS
+def test_cdc_replay_matches_dict_oracle(spark, events):
+    oracle: dict[int, int] = {}
+    for k, v, op, _ in events:
+        if op == "upsert":
+            oracle[k] = v
+        else:
+            oracle.pop(k, None)
+    table = spark.createDataFrame([], "id long, val long")
+    if events:
+        ev = spark.createDataFrame(events, f"id long, val long, {cdc.OP_COL} string, seq long")
+        table = cdc.apply_cdc_batch(table, ev, "id", "seq")
+    got = {r["id"]: r["val"] for r in table.collect()}
+    assert got == oracle
+
+
+@given(events_strategy)
+@SETTINGS
+def test_merge_delta_idempotent(spark, events):
+    """merge(merge(old, new), new) == merge(old, new) — replay safety, the
+    property checkpoint recovery relies on."""
+    rows = [(k, v) for k, v, op, _ in events if op == "upsert"]
+    old = spark.createDataFrame([(0, -1), (1, -1)], "id long, val long")
+    new = spark.createDataFrame(rows, "id long, val long") if rows else old.limit(0)
+    new = cdc.latest_per_key(new, ["id"], "val") if rows else new
+    once = upsert.merge_delta(old, new, "id")
+    twice = upsert.merge_delta(once, new, "id")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 2000)),  # (user, ts seconds)
+        min_size=1,
+        max_size=30,
+    )
+)
+@SETTINGS
+def test_sessionize_matches_replay(spark, points):
+    gap = 300  # 5 minutes
+    rows = [(uid, i, sec) for i, (uid, sec) in enumerate(points)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, sec long").withColumn(
+        "ts", F.timestamp_seconds(F.col("sec"))
+    )
+    out = windows.sessionize(df, "user_id", "ts", "5 MINUTE", "event_id")
+    got = {(r["user_id"], r["event_id"]): r["sess_id"] for r in out.collect()}
+    # python replay: per user, sort by (sec, event_id), new session on gap
+    oracle = {}
+    per_user: dict[int, list[tuple[int, int]]] = {}
+    for uid, eid, sec in rows:
+        per_user.setdefault(uid, []).append((sec, eid))
+    for uid, evs in per_user.items():
+        sess, prev = 0, None
+        for sec, eid in sorted(evs):
+            if prev is None or sec - prev > gap:
+                sess += 1
+            oracle[(uid, eid)] = sess
+            prev = sec
+    assert got == oracle
+
+
+@given(st.lists(st.text(alphabet="ab c", min_size=0, max_size=30), min_size=1, max_size=8))
+@SETTINGS
+def test_chunks_reassemble_to_token_stream(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    chunks = filtering.chunk_documents(df, max_tokens=4).collect()
+    per_doc: dict[int, list[tuple[int, str]]] = {}
+    for r in chunks:
+        per_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk_text"]))
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if not toks:
+            assert i not in per_doc  # empty docs produce no chunks
+            continue
+        joined = " ".join(c for _, c in sorted(per_doc[i]))
+        assert joined == " ".join(toks)
+        assert len(per_doc[i]) == (len(toks) + 3) // 4
+
+
+@given(st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta"]), min_size=1, max_size=12))
+@SETTINGS
+def test_token_bag_key_order_invariant(spark, toks):
+    import random
+
+    shuffled = toks[:]
+    random.Random(7).shuffle(shuffled)
+    df = spark.createDataFrame([(" ".join(toks), " ".join(shuffled))], "a string, b string")
+    row = df.select(
+        dedup.token_bag_key(F.col("a")).alias("ka"), dedup.token_bag_key(F.col("b")).alias("kb")
+    ).first()
+    assert row["ka"] == row["kb"]
