@@ -18,47 +18,56 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .textops import LANG_MARKERS, predicted_lang, punct_ratio, tokens
+from .textops import predicted_lang_from_tokens, punct_ratio, tokens
 
 
 def repetition_ratio(text: Column) -> Column:
     """1 - distinct_tokens/total_tokens — the cheap boilerplate/spam signal
     (a 500-token doc of 30 distinct tokens scores 0.94)."""
-    toks = tokens(F.lower(text))
+    return _repetition_from_tokens(tokens(F.lower(text)))
+
+
+def _repetition_from_tokens(toks: Column) -> Column:
     n = F.size(toks)
     return (1.0 - F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1))).cast("double")
 
 
 def filter_rules(
     text: Column,
+    toks: Column,
     min_tokens: int = 10,
     max_tokens: int = 100_000,
     allowed_langs: tuple[str, ...] = ("en",),
     max_punct_ratio: float = 0.2,
     max_repetition: float = 0.6,
 ) -> dict[str, Column]:
-    """The rule set as named boolean columns (True = passes that rule)."""
-    n_tok = F.size(tokens(text))
+    """The rule set as named boolean columns (True = passes that rule).
+    ``toks`` should be a *materialized* lowercased token array attribute:
+    the rules reference it 8 times, and an inline tokenize expression would
+    be re-evaluated per reference (higher-order functions are interpreted,
+    so that multiplies real per-row cost, not just plan size)."""
+    n_tok = F.size(toks)
     return {
         "len_ok": (n_tok >= min_tokens) & (n_tok <= max_tokens),
-        "lang_ok": predicted_lang(text).isin(*allowed_langs),
+        "lang_ok": predicted_lang_from_tokens(toks).isin(*allowed_langs),
         "punct_ok": punct_ratio(text) <= max_punct_ratio,
-        "rep_ok": repetition_ratio(text) <= max_repetition,
+        "rep_ok": _repetition_from_tokens(toks) <= max_repetition,
     }
 
 
 def apply_corpus_filter(df: DataFrame, text_col: str = "text", **thresholds) -> DataFrame:
     """Annotate every document with its rule bits and the overall verdict
-    (``keep``). One projection; filter with ``.where("keep")`` or aggregate
-    the bits for a drop report."""
-    rules = filter_rules(F.col(text_col), **thresholds)
-    out = df
+    (``keep``). Two projections (tokens, then rules); filter with
+    ``.where("keep")`` or aggregate the bits for a drop report."""
+    toked = df.withColumn("__toks", tokens(F.lower(F.col(text_col))))
+    rules = filter_rules(F.col(text_col), F.col("__toks"), **thresholds)
+    out = toked
     for name, col in rules.items():
         out = out.withColumn(name, col)
     verdict = None
     for name in rules:
         verdict = F.col(name) if verdict is None else (verdict & F.col(name))
-    return out.withColumn("keep", verdict)
+    return out.withColumn("keep", verdict).drop("__toks")
 
 
 def chunk_documents(

@@ -110,7 +110,13 @@ def predicted_lang(text: Column) -> Column:
     """Argmax over per-language marker hits; ties break to the
     lexicographically-smallest code, zero hits → 'und'. A when-chain over a
     handful of languages constant-folds into one codegen expression."""
-    toks = tokens(F.lower(text))
+    return predicted_lang_from_tokens(tokens(F.lower(text)))
+
+
+def predicted_lang_from_tokens(toks: Column) -> Column:
+    """``predicted_lang`` over an already-materialized (lowercased) token
+    array — pass an attribute reference when several rules share the
+    tokens, so the tokenize isn't re-evaluated per rule."""
     codes = sorted(LANG_MARKERS)
     scores = {c: F.size(F.filter(toks, _marker_test(LANG_MARKERS[c]))) for c in codes}
     best = F.greatest(*scores.values())
