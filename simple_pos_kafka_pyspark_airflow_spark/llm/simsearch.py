@@ -85,7 +85,12 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit signature: bit i = (vec · plane_i) >= 0. Packed into a
-    long (n_planes ≤ 63)."""
+    long (n_planes ≤ 63).
+
+    Column-expression form (tests, single-row probes). Each plane's dot is
+    an interpreted ``F.aggregate`` fold — n_planes × dim lambda calls per
+    row — so DataFrame pipelines use ``with_hyperplane_signature``, which
+    does the whole batch in one BLAS matmul."""
     sig = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
@@ -93,6 +98,30 @@ def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
             F.lit(0).cast("long")
         )
     return sig
+
+
+def with_hyperplane_signature(
+    df: DataFrame, planes: list[list[float]], vec_col: str = "embedding", out_col: str = "_sig"
+) -> DataFrame:
+    """Arrow-batched signature: one (batch, dim) @ (dim, planes) matmul per
+    batch, sign bits packed into a long via a vectorized dot with the bit
+    weights. Identical output to ``hyperplane_signature`` (>= 0 ⇒ bit set).
+
+    At 100 TB the signature is computed once at ingest and stored; probes
+    then filter on the stored column (partition pruning), so this UDF is an
+    ingest-time cost, not a query-time one."""
+    from pyspark.sql.functions import pandas_udf
+
+    p = np.array(planes, dtype="float64")  # (n_planes, dim)
+    weights = np.array([1 << i for i in range(len(planes))], dtype="int64")
+
+    @pandas_udf("long")
+    def signature(col: pd.Series) -> pd.Series:
+        m = np.stack(col.to_numpy()).astype("float64")  # (batch, dim)
+        bits = (m @ p.T) >= 0  # (batch, n_planes)
+        return pd.Series(bits @ weights)
+
+    return df.withColumn(out_col, signature(F.col(vec_col)))
 
 
 def cosine_topk_lsh(
@@ -117,9 +146,10 @@ def cosine_topk_lsh(
         if sum(a * b for a, b in zip(query_vec, p)) >= 0:
             q_sig |= 1 << i
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    sig = hyperplane_signature(F.col(vec_col), planes)
-    pruned = df.withColumn("_ham", F.bit_count(sig.bitwiseXOR(F.lit(q_sig))).cast("int")).where(
-        F.col("_ham") <= max_hamming
+    pruned = (
+        with_hyperplane_signature(df, planes, vec_col)
+        .withColumn("_ham", F.bit_count(F.col("_sig").bitwiseXOR(F.lit(q_sig))).cast("int"))
+        .where(F.col("_ham") <= max_hamming)
     )
     scored = pruned.select(
         F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score")
@@ -219,10 +249,8 @@ def near_dup_pairs_embedding(
     dim_probe = df.select(F.size(vec_col).alias("d")).limit(1).collect()
     dim = dim_probe[0]["d"] if dim_probe else 0
     planes = _hyperplanes(dim, n_planes, seed)
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        hyperplane_signature(F.col(vec_col), planes).alias("_sig"),
+    sig = with_hyperplane_signature(df, planes, vec_col).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "_sig"
     )
     a = sig.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"), F.col("_sig").alias("sig_a"))
     b = sig.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"), F.col("_sig").alias("sig_b"))
