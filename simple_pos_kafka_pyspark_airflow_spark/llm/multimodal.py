@@ -106,6 +106,71 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def resize_assets(assets: DataFrame, max_bytes: int = 1024) -> DataFrame:
+    """'Resize' pass: emit a bounded-size payload per asset plus updated
+    metadata — the Spark shape of an image-resize stage (map-only, binary
+    in / binary out, metadata struct rewritten).
+
+    The transform itself is a STUB (truncate + marker suffix; production:
+    PIL thumbnail / ffmpeg scale). What is real and load-bearing: the
+    mapInPandas batch iteration over binary columns, the output schema
+    matching ``ASSET_SCHEMA``, and the no-shuffle plan.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.copy()
+            out["payload"] = [
+                (p[:max_bytes] if p is not None and len(p) > max_bytes else p)
+                for p in pdf["payload"]
+            ]
+            out["meta"] = [
+                {
+                    "width": min(m["width"], max_bytes) if m and m.get("width") else None,
+                    "height": m.get("height") if m else None,
+                    "duration_ms": m.get("duration_ms") if m else None,
+                }
+                for m in pdf["meta"]
+            ]
+            yield out
+
+    return assets.mapInPandas(batches, schema=ASSET_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling: one row per (asset, frame) — the video analogue of
+    explode. STUB decode (equal byte slices stand in for decoded frames;
+    production: ffmpeg keyframe extraction), REAL shape: mapInPandas
+    yielding a multiplied row count with its own schema, so downstream
+    per-frame feature extraction parallelizes over frames, not videos —
+    the difference between 1 task per 2-hour video and 1 per frame batch.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                if p is None or len(p) == 0:
+                    continue
+                step = max(1, len(p) // n_frames)
+                for i in range(min(n_frames, len(p))):
+                    ids.append(aid)
+                    idxs.append(i)
+                    frames.append(bytes(p[i * step : i * step + step]))
+            yield pd.DataFrame({"asset_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return assets.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 def synthesize_assets(documents: DataFrame, modality: str = "image") -> DataFrame:
     """Build a deterministic asset table from the documents corpus (text
     bytes stand in for media payloads) — exercises the real binary-column

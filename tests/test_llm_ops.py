@@ -122,3 +122,35 @@ def test_approx_percentile_close_to_exact(spark):
     ).collect()
     for r in rows:
         assert abs(r["approx"] - r["exact"]) <= 1.0, (r["l_returnflag"], r["approx"], r["exact"])
+
+
+def test_multimodal_resize_bounds_payload(spark):
+    from simple_pos_kafka_pyspark_airflow_spark.llm import multimodal
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    assets = multimodal.synthesize_assets(d)
+    resized = multimodal.resize_assets(assets, max_bytes=64)
+    rows = resized.collect()
+    assert len(rows) == 20
+    assert all(len(r["payload"]) <= 64 for r in rows)
+    assert all(r["meta"]["width"] is None or r["meta"]["width"] <= 64 for r in rows)
+    # stage is schema-preserving (simpleString ignores nullability flags)
+    assert resized.schema.simpleString() == assets.schema.simpleString()
+
+
+def test_multimodal_frame_sampling_multiplies_rows(spark):
+    from simple_pos_kafka_pyspark_airflow_spark.llm import multimodal
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(10)
+    assets = multimodal.synthesize_assets(d, modality="video")
+    frames = multimodal.sample_frames(assets, n_frames=4)
+    rows = frames.collect()
+    assert len(rows) == 40  # 4 frames per asset
+    per_asset = {}
+    for r in rows:
+        per_asset.setdefault(r["asset_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 1, 2, 3] for v in per_asset.values())
+    # frames are slices of the payload, deterministic
+    payload = {r["asset_id"]: bytes(r["payload"]) for r in assets.collect()}
+    for r in rows[:5]:
+        assert bytes(r["frame"]) in payload[r["asset_id"]]
