@@ -385,12 +385,16 @@ def ngram_jaccard_pairs_blocked(
 ) -> DataFrame:
     """Exact word-n-gram Jaccard within user-chosen blocking keys (e.g.
     same length band + language). Quadratic only *within* a block — the
-    caller's blocking choice is the scale knob. Oracle-expressible, unlike
-    the hash-based tiers."""
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        *[F.col(c) for c in block_cols],
-        F.array_distinct(shingles(F.col(text_col), n)).alias("_sh"),
+    caller's blocking choice is the scale knob.
+
+    Jaccard is computed over 64-bit shingle hashes (``shingle_hash_sets_df``
+    — codegen explode+agg, and long arrays intersect far cheaper than
+    string arrays); values equal the string-set Jaccard barring a 64-bit
+    collision inside one document. The DuckDB oracle computes the string
+    form — they agree on the testdata and on any realistic corpus."""
+    sets_df = shingle_hash_sets_df(df, text_col, id_col, n)
+    base = sets_df.join(
+        df.select(F.col(id_col).alias("_id"), *[F.col(c) for c in block_cols]), "_id"
     )
     a = base.select(
         F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), *[F.col(c) for c in block_cols]
