@@ -8,6 +8,7 @@ from .io import (
     read_kafka_batch,
     read_parquet,
     to_kafka_payload,
+    write_bucketed_table,
     write_kafka,
     write_partitioned,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "read_kafka_batch",
     "read_parquet",
     "to_kafka_payload",
+    "write_bucketed_table",
     "write_kafka",
     "write_partitioned",
 ]

@@ -108,6 +108,25 @@ def overwrite_atomic(df: DataFrame, path: str) -> None:
         shutil.rmtree(tombstone)
 
 
+def write_bucketed_table(
+    df: DataFrame, name: str, bucket_col: str, n_buckets: int = 32, sort: bool = True
+) -> None:
+    """Bucketed managed table: rows hash-partitioned into ``n_buckets``
+    files by ``bucket_col`` at write time (and sorted within buckets).
+
+    This is the 100 TB join strategy the plain path can't give: two tables
+    bucketed the same way equi-join with NO exchange on either side — the
+    shuffle was paid once at write, then amortized over every subsequent
+    join/aggregation on that key (verified by plan audit in
+    tests/test_sources.py). The reference's per-category product files
+    (``kafka_consumer.py:204``) are a hand-rolled version of exactly this.
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.format("parquet").saveAsTable(name)
+
+
 def to_kafka_payload(df: DataFrame, key_col: str | None = None) -> DataFrame:
     """Encode rows as Kafka records: value = JSON of all columns (the
     reference's producer serializer, ``kafka_producer.py:25``), key = the
