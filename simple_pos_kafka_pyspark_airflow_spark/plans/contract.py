@@ -39,6 +39,7 @@ _QUERY_MODULES = (
     "simple_pos_kafka_pyspark_airflow_spark.plans.queries_relational",
     "simple_pos_kafka_pyspark_airflow_spark.plans.queries_joins",
     "simple_pos_kafka_pyspark_airflow_spark.plans.queries_analytics",
+    "simple_pos_kafka_pyspark_airflow_spark.plans.queries_tpch",
     "simple_pos_kafka_pyspark_airflow_spark.plans.queries_llm",
 )
 
