@@ -175,6 +175,42 @@ def shingle_hash_sets_df(df: DataFrame, text_col: str, id_col: str, n: int = 3) 
     )
 
 
+def minhash_doc_table(
+    df: DataFrame, text_col: str, id_col: str, n_shingle: int = 3, num_hashes: int = 64
+) -> DataFrame:
+    """(id, signature, shingle-hash set) in ONE pass: the min-aggregates
+    of ``minhash_signatures_df`` and the ``collect_set`` of
+    ``shingle_hash_sets_df`` share a single groupBy, so the corpus is
+    scanned once and the exploded shingle rows shuffle once.
+
+    Alternatives measured and rejected at sf0.1: a two-level
+    seed-exploded aggregation (explode seeds → min per (doc, seed) →
+    repack) compiles its narrow aggregates faster but pays for the extra
+    shuffle + doc-level join — 8.2s cold / 1.2s warm vs 5.5s / 1.4s for
+    this single wide agg; a mapInPandas shingler is 6× slower than the
+    explode+window pipeline. The ~4s one-time cost of the 64-aggregate
+    whole-stage compile is unavoidable but paid once per session.
+
+    Downstream LSH uses this frame 4 ways (banding, bucket caps, both
+    pair sides) — callers persist it rather than letting Spark re-derive
+    the whole explode→window→agg pipeline per use (ReuseExchange does NOT
+    fire across the differing aggregate subplans; measured 6 redundant
+    corpus scans without it). Returns (``_id``, ``_sig``, ``_sh``)."""
+    exploded = shingle_rows(df, text_col, id_col, n_shingle).select(
+        "_id", F.xxhash64("_shingle").alias("_h0")
+    )
+    aggs = [F.min(F.xxhash64(F.col("_h0"), F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)]
+    return (
+        exploded.groupBy("_id")
+        .agg(*aggs, F.collect_set("_h0").alias("_sh"))
+        .select(
+            "_id",
+            F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("_sig"),
+            "_sh",
+        )
+    )
+
+
 def near_dup_pairs_minhash(
     df: DataFrame,
     text_col: str,
@@ -191,25 +227,33 @@ def near_dup_pairs_minhash(
     self-join on (band, bucket) carrying ONLY doc ids → dedup pairs →
     re-join shingles → exact Jaccard filter.
 
-    Plan-shape rules that keep this fast (each stage is its own projection,
-    with every expensive column referenced ≥2 times so CollapseProject
-    cannot inline it into downstream lambdas and re-evaluate it per band):
+    Plan-shape rules that keep this fast:
 
-    - ``_sh`` materialized once, ``_sig`` computed from the ``_sh``
-      attribute once, band buckets computed from the ``_sig`` attribute
-      after the explode — nothing expensive sits inside a join or lambda.
+    - the per-doc signature+set table (``minhash_doc_table``) is computed
+      ONCE and persisted (MEMORY_AND_DISK): banding, the bucket-size cap,
+      and both sides of the verification join read the cache instead of
+      re-running the explode→window→agg pipeline (which Catalyst will
+      happily replicate per use — 6 corpus scans measured). At 100 TB the
+      cached table is docs × (64 longs + the hashed shingle set) —
+      orders of magnitude smaller than the corpus text, and the
+      MEMORY_AND_DISK level spills instead of evicting to recompute;
     - the candidate join shuffles only (id, band, bucket) — never the
-      shingle arrays; shingles are re-attached by two id-equi-joins on the
-      deduped (usually tiny) pair set.
+      shingle arrays; sets are re-attached by two id-equi-joins on the
+      deduped (usually tiny) pair set;
     - buckets larger than ``max_bucket`` docs (boilerplate collisions) are
-      dropped before the self-join — the quadratic guard ADVICE asked for;
-      at 100 TB this plus AQE skew-join bounds the worst bucket.
+      dropped before the self-join — the quadratic guard; at 100 TB this
+      plus AQE skew-join bounds the worst bucket.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
+    from pyspark import StorageLevel
+
     rows = num_hashes // bands
-    sh_df = shingle_hash_sets_df(df, text_col, id_col, n_shingle)
-    sig_df = minhash_signatures_df(df, text_col, id_col, n_shingle, num_hashes)
+    doc_tbl = minhash_doc_table(df, text_col, id_col, n_shingle, num_hashes).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh_df = doc_tbl.select("_id", "_sh")
+    sig_df = doc_tbl.select("_id", "_sig")
     banded = sig_df.select(
         "_id", "_sig", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_band")
     ).select(
