@@ -74,6 +74,48 @@ def test_whole_stage_codegen_present(spark, sf_dir):
     assert "Found 0" not in plan.splitlines()[1], plan[:500]
 
 
+def test_tpch_q8_dims_broadcast_facts_not(spark, sf_dir):
+    """Q8's 7-table join: part/nation/region ride broadcasts; no
+    sort-merge join should appear at contract scale (facts hash-join)."""
+    plan = explain_str(build(spark, sf_dir, "q_tpch_q8"))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_tpch_q2_min_via_window_not_self_join(spark, sf_dir):
+    """The correlated-MIN rewrite must be a window over ps_partkey, not a
+    second aggregate+join pass over the supply relation."""
+    plan = explain_str(build(spark, sf_dir, "q_tpch_q2"))
+    assert "Window" in plan, plan
+    # one supply derivation, not two: lineitem appears in exactly one scan
+    scans = [ln for ln in plan.splitlines() if "lineitem.parquet" in ln and "Location" in ln]
+    assert len(scans) == 1, plan
+
+
+def test_tpch_q4_exists_becomes_semi_join(spark, sf_dir):
+    plan = explain_str(build(spark, sf_dir, "q_tpch_q4"))
+    assert "LeftSemi" in plan, plan
+
+
+def test_tpch_q21_semi_and_anti_joins(spark, sf_dir):
+    plan = explain_str(build(spark, sf_dir, "q_tpch_q21"))
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+
+
+def test_tpch_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    plan = explain_str(build(spark, sf_dir, "q_tpch_q22"))
+    assert "LeftAnti" in plan, plan
+    # the AVG threshold joins as a broadcast of a 1-row aggregate
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_tpch_q19_pushes_part_predicates(spark, sf_dir):
+    """The disjunctive brand/size predicate must not defeat pushdown of
+    the per-table conjuncts Catalyst can extract."""
+    plan = explain_str(build(spark, sf_dir, "q_tpch_q19"))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln and "p_brand" in ln]
+    assert pushed, plan
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_no_cartesian_product_anywhere(spark, sf_dir, name):
     """CartesianProduct is never acceptable — tiny×tiny cross joins must go
