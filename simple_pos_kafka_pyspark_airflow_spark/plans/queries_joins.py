@@ -303,3 +303,46 @@ def q_sink_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     o.where(F.col("o_orderstatus") == "O").write.mode("append").parquet(path)
     df = spark.read.schema(schemas.ORDERS).parquet(path)
     return df.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+
+
+@register(
+    "q_interval_join",
+    "join",
+    oracle="""
+    SELECT a.user_id,
+           CAST(a.event_id AS BIGINT) AS click_id,
+           CAST(b.event_id AS BIGINT) AS purchase_id
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 10 MINUTE
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    ORDER BY a.user_id, click_id, purchase_id
+    """,
+    notes="extension: the stream-stream interval-join kernel "
+    "(streaming/joins.interval_join) verified in batch mode — click → "
+    "purchase attribution within 10 minutes per user. On a live stream the "
+    "same plan runs with watermarks bounding both sides' state; here the "
+    "time bound is a theta predicate beside the user_id equi-key, so the "
+    "join stays a hash join with a residual range filter, never a "
+    "cartesian",
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import joins as stream_joins
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("r_event_id"), "ts"
+    )
+    out = stream_joins.interval_join(
+        clicks, buys, ["user_id"], "ts", "ts", lower="0 seconds", upper="10 minutes"
+    )
+    return (
+        out.select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("r_event_id").alias("purchase_id"),
+        )
+        .orderBy("user_id", "click_id", "purchase_id")
+    )

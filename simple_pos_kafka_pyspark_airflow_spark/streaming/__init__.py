@@ -10,12 +10,13 @@ daily file partitioning (``:82-83``) and the hourly mtime micro-batch
 - ``cdc``     : add/edit/remove topics → ``foreachBatch`` merge (T6, S7/S8)
 - ``state``   : keyed state — id sequence, stock levels (T2/T3)
 - ``windows`` : tumbling/sliding/session windows + watermarks (T4/T8)
+- ``joins``   : watermarked stream-stream interval joins (extension)
 
 Late data, which the reference silently mishandles (T8: the mtime window can
 miss or double-process files), is handled with watermarks + idempotent
 merges — a deliberate semantic upgrade documented in SURVEY.md §2.9.
 """
 
-from . import cdc, ingest, state, windows
+from . import cdc, ingest, joins, state, windows
 
-__all__ = ["cdc", "ingest", "state", "windows"]
+__all__ = ["cdc", "ingest", "joins", "state", "windows"]

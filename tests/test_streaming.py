@@ -391,3 +391,81 @@ def test_windowed_agg_with_watermark_stream(spark, tmp_path):
     assert got.get("2026-01-01 00:00:00") == 3.0
     assert got.get("2026-01-01 01:00:00") == 4.0
     assert "2026-01-01 05:00:00" not in got
+
+
+# ---------------------------------------------------------------------------
+# stream-stream interval join (extension)
+# ---------------------------------------------------------------------------
+
+
+def test_interval_join_batch_semantics(spark):
+    """Exact row-level semantics on batch frames: matches inside
+    [left_ts - lower, left_ts + upper] per key, nothing outside."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming import joins
+
+    orders = spark.createDataFrame(
+        [(1, "2026-01-01 10:00:00"), (2, "2026-01-01 11:00:00")], "k long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    pays = spark.createDataFrame(
+        [
+            (1, "2026-01-01 10:05:00", 5.0),   # +5m  -> in  (upper 10m)
+            (1, "2026-01-01 10:20:00", 6.0),   # +20m -> out
+            (2, "2026-01-01 10:58:00", 7.0),   # -2m  -> in  (lower 5m)
+            (2, "2026-01-01 10:40:00", 8.0),   # -20m -> out
+            (3, "2026-01-01 11:00:00", 9.0),   # no such key
+        ],
+        "k long, ts string, amt double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = joins.interval_join(
+        orders, pays, ["k"], "ts", "ts", lower="5 minutes", upper="10 minutes"
+    )
+    got = sorted((r["k"], r["amt"]) for r in out.collect())
+    assert got == [(1, 5.0), (2, 7.0)]
+
+
+def test_interval_join_stream_stream(spark, tmp_path):
+    """Two live file streams joined with watermarks, drained AvailableNow:
+    result equals the batch join of the same data."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming import joins
+
+    osrc, psrc = tmp_path / "orders", tmp_path / "pays"
+    osrc.mkdir(), psrc.mkdir()
+    orders = [(i, f"2026-01-01 10:{i:02d}:00") for i in range(0, 40, 5)]
+    pays = [(i, f"2026-01-01 10:{i + 2:02d}:00", float(i)) for i in range(0, 40, 10)]
+    with open(osrc / "o.json", "w") as f:
+        for k, ts in orders:
+            f.write(json.dumps({"k": k, "ts": ts}) + "\n")
+    with open(psrc / "p.json", "w") as f:
+        for k, ts, amt in pays:
+            f.write(json.dumps({"k": k, "ts": ts, "amt": amt}) + "\n")
+    o_stream = ingest.file_json_stream(spark, str(osrc), "k long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    p_stream = ingest.file_json_stream(
+        spark, str(psrc), "k long, ts string, amt double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = joins.interval_join(
+        o_stream,
+        p_stream,
+        ["k"],
+        "ts",
+        "ts",
+        lower="0 seconds",
+        upper="5 minutes",
+        left_watermark="10 minutes",
+        right_watermark="10 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["k"], r["amt"]) for r in spark.sql("SELECT k, amt FROM ss_join").collect()
+    )
+    # every payment lands 2 minutes after its order -> joins exactly once
+    assert got == [(k, float(k)) for k in range(0, 40, 10)]
