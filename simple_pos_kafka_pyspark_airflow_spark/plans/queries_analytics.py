@@ -1255,3 +1255,54 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "q_unpivot",
+    "setop",
+    oracle="""
+    SELECT p_partkey, metric, val
+    FROM (SELECT p_partkey,
+                 CAST(p_size AS DOUBLE) AS size,
+                 p_retailprice AS retailprice
+          FROM part)
+    UNPIVOT (val FOR metric IN (size, retailprice))
+    ORDER BY p_partkey, metric
+    """,
+    notes="extension: wide→long melt (DataFrame.unpivot / SQL UNPIVOT) — "
+    "columnar row-expansion with no shuffle; the long form is what the "
+    "profile/quality dashboards aggregate over. Both measures cast to one "
+    "type (unpivot requires it); raw doubles pass through bit-identical",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    )
+    return p.unpivot(["p_partkey"], ["size", "retailprice"], "metric", "val").orderBy(
+        "p_partkey", "metric"
+    )
+
+
+@register(
+    "q_window_cume",
+    "window",
+    oracle="""
+    SELECT c_custkey,
+           cume_dist()    OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS cd,
+           percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS pr
+    FROM customer
+    """,
+    notes="§2.8 extension: distribution windows — cume_dist/percent_rank "
+    "are rank-count ratios, so equal sort keys get equal outputs (no "
+    "unique tiebreak needed, unlike row_number) and the division of "
+    "identical integers is bit-identical across engines",
+)
+def q_window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.cume_dist().over(w).alias("cd"),
+        F.percent_rank().over(w).alias("pr"),
+    )

@@ -26,13 +26,22 @@ from .contract import register
     "join",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     """,
-    notes="J1: left-anti = CDC delete detection (POS_spark_dag.py:155,235,319)",
+    notes="J1: left-anti = CDC delete detection (POS_spark_dag.py:155,235,319). "
+    "The probe side is filtered to urgent orders so the result is non-empty "
+    "on the testdata (every customer has SOME order — an unfiltered anti "
+    "returns 0 rows, which any wrong plan could also produce)",
 )
 def q_join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return join_ops.anti_by_key(c, o, "c_custkey").select("c_custkey", "c_name")
 
 

@@ -530,13 +530,19 @@ def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey FROM customer
     EXCEPT
-    SELECT o_custkey AS c_custkey FROM orders
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
     """,
-    notes="extension (SURVEY §2.7 note): EXCEPT — J1's delete-detection as a set op",
+    notes="extension (SURVEY §2.7 note): EXCEPT — J1's delete-detection as a "
+    "set op. Right side filtered to urgent orders so the difference is "
+    "non-empty on the testdata (an unfiltered EXCEPT is vacuously 0 rows)",
 )
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select("c_custkey")
-    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return c.subtract(o)
 
 
