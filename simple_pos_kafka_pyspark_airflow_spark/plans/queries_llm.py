@@ -511,3 +511,87 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return filtering.chunk_documents(d, "text", "doc_id", max_tokens=32)
+
+
+@register(
+    "q_text_tfidf",
+    "llm",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, t
+      FROM documents, LATERAL UNNEST(regexp_split_to_array(lower(text), '\s+')) AS u(t)
+      WHERE t != ''
+    ),
+    tf AS (SELECT doc_id, t AS token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, t),
+    df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS dfreq
+           FROM (SELECT DISTINCT doc_id, token FROM tf) GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf, df.dfreq,
+           ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.dfreq), 4) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    """,
+    notes="TF-IDF as pure DataFrame composition (no MLlib HashingTF — the "
+    "exact token identity is kept, which training pipelines want for "
+    "interpretable filtering): explode → tf per (doc, token) → document "
+    "frequency per token → broadcast n_docs → ln ratio. Two shuffles "
+    "(doc-token, token); df table broadcasts back onto tf. The LN of "
+    "identical integer ratios agrees across engines; ROUND(,4) output",
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("dfreq"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "dfreq",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("dfreq")), 4
+            ).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "q_split_hash",
+    "llm",
+    oracle="""
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT n_chars,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT n_chars, (doc_id * 2654435761) % 100 AS bucket FROM documents)
+    )
+    GROUP BY split ORDER BY split
+    """,
+    notes="deterministic train/val/test assignment by multiplicative hash "
+    "of the stable id (Knuth constant) — the reproducible-split idiom for "
+    "training corpora: no RNG state, any engine reproduces the same "
+    "partition, membership is a pure projection (joins/filters at 100 TB "
+    "never need a split table). 80/10/10 by bucket ranges; exact integer "
+    "arithmetic on both engines",
+)
+def q_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(F.col("n_chars"), split.alias("split"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("split")
+    )

@@ -120,3 +120,59 @@ class FakeGroupState:
 
     def update(self, value: tuple) -> None:
         self._value = value
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4.x arbitrary-state API)
+# ---------------------------------------------------------------------------
+
+try:  # pragma: no cover - Spark 4.x only
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+except ImportError:  # pragma: no cover
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    StatefulProcessorHandle = None  # type: ignore[assignment]
+
+
+class StockProcessor(StatefulProcessor):
+    """``update_stock`` on the Spark 4 ``transformWithStateInPandas`` API.
+
+    Same semantics as the GroupState version above (T3: running per-product
+    stock with ``initial_stock`` seeding and quantity decrements), but on
+    the arbitrary-state processor model: named ``ValueState`` handles
+    (typed, TTL-capable, schema-evolvable) instead of one opaque state
+    tuple. This is the API Spark is consolidating stateful processing on —
+    the engine exposes both so pipelines can migrate incrementally.
+    """
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._level = handle.getValueState("stock_level", "stock_level double")
+
+    def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+        level = self._level.get()[0] if self._level.exists() else None
+        sold = 0.0
+        for pdf in rows:
+            if level is None and "initial_stock" in pdf.columns:
+                init = pdf["initial_stock"].dropna()
+                if len(init):
+                    level = float(init.iloc[0])
+            sold += float(pdf["quantity"].sum())
+        level = (level if level is not None else 0.0) - sold
+        self._level.update((level,))
+        yield pd.DataFrame({"product_id": [key[0]], "stock_level": [level]})
+
+    def close(self) -> None:
+        pass
+
+
+def stock_stream_tws(grouped_events: Any) -> Any:
+    """Wire ``StockProcessor`` onto ``df.groupBy('product_id')`` of a
+    stream via the Spark 4 API (update mode, no timers)."""
+    return grouped_events.transformWithStateInPandas(
+        statefulProcessor=StockProcessor(),
+        outputStructType=STOCK_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

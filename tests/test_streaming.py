@@ -469,3 +469,103 @@ def test_interval_join_stream_stream(spark, tmp_path):
     )
     # every payment lands 2 minutes after its order -> joins exactly once
     assert got == [(k, float(k)) for k in range(0, 40, 10)]
+
+
+def _protobuf_available() -> bool:
+    """transformWithStateInPandas spawns a streaming Python runner that
+    imports google.protobuf; without it the JVM-side query crashes
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE — observed live)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs google.protobuf in the Python "
+    "worker; not installed in this container (no pip allowed) — the "
+    "GroupState twin test_stock_stream_end_to_end covers the semantics",
+)
+def test_stock_stream_transform_with_state(spark, tmp_path):
+    """The Spark 4 transformWithStateInPandas stock processor: same
+    end state as the GroupState path across two incremental drains."""
+    src = tmp_path / "tws_sales"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        f.write(json.dumps({"product_id": 1, "quantity": 2.0, "initial_stock": 50.0}) + "\n")
+        f.write(json.dumps({"product_id": 1, "quantity": 3.0, "initial_stock": None}) + "\n")
+        f.write(json.dumps({"product_id": 2, "quantity": 1.0, "initial_stock": 10.0}) + "\n")
+    stream = ingest.file_json_stream(
+        spark, str(src), "product_id long, quantity double, initial_stock double"
+    )
+    out = state.stock_stream_tws(stream.groupBy("product_id"))
+    ckpt = str(tmp_path / "ckpt_tws")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_stock")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["product_id"]: r["stock_level"] for r in spark.sql("SELECT * FROM tws_stock").collect()}
+    assert got == {1: 45.0, 2: 9.0}
+    # second drain: state survives the restart via the checkpoint
+    with open(src / "b2.json", "w") as f:
+        f.write(json.dumps({"product_id": 1, "quantity": 5.0, "initial_stock": None}) + "\n")
+    q2 = (
+        state.stock_stream_tws(
+            ingest.file_json_stream(
+                spark, str(src), "product_id long, quantity double, initial_stock double"
+            ).groupBy("product_id")
+        )
+        .writeStream.format("memory")
+        .queryName("tws_stock2")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = {r["product_id"]: r["stock_level"] for r in spark.sql("SELECT * FROM tws_stock2").collect()}
+    assert got2.get(1) == 40.0
+
+
+def test_stock_processor_logic_direct():
+    """StockProcessor.handleInputRows against a fake ValueState: the
+    transform logic runs (and is covered) without the streaming runner,
+    which needs protobuf this container lacks."""
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    proc = state.StockProcessor()
+    proc._level = FakeValueState()
+    out1 = list(
+        proc.handleInputRows(
+            (1,),
+            iter([pd.DataFrame({"quantity": [2.0, 3.0], "initial_stock": [50.0, None]})]),
+            None,
+        )
+    )
+    assert out1[0]["stock_level"].iloc[0] == 45.0
+    out2 = list(
+        proc.handleInputRows(
+            (1,), iter([pd.DataFrame({"quantity": [5.0], "initial_stock": [None]})]), None
+        )
+    )
+    assert out2[0]["stock_level"].iloc[0] == 40.0
