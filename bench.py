@@ -62,8 +62,13 @@ def main() -> None:
     names = sorted(registry) if "--all" in sys.argv else [n for n in HEADLINE if n in registry]
 
     spark = get_session("spark_graft_bench")
-    # Warmup: JVM/codegen/Arrow init on a trivial plan.
+    # Warmup: JVM/codegen init, parquet reader path, and the noop sink —
+    # so the first measured query pays its plan, not one-time session
+    # machinery (the parquet + noop registration alone is ~1s).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     sc = spark.sparkContext
     timings: dict[str, float] = {}
