@@ -725,8 +725,8 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation   ON s_nationkey = n_nationkey
     JOIN region   ON n_regionkey = r_regionkey
     WHERE r_name = 'ASIA'
-      AND o_orderdate >= TIMESTAMP '1994-01-01'
-      AND o_orderdate <  TIMESTAMP '1995-01-01'
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-01-01'
     GROUP BY n_name
     """,
     notes="TPC-H Q5 (local supplier volume): 6-table join with broadcast dims "
@@ -735,8 +735,8 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
     )
     li = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
@@ -816,7 +816,7 @@ def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT s_suppkey, s_name FROM supplier s
     WHERE NOT EXISTS (SELECT 1 FROM lineitem l
-                      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 45)
+                      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 50 AND l.l_discount >= 0.08)
     """,
     notes="extension: NOT EXISTS — rewritten to left-anti join (the "
     "delete-by-absence shape of the reference's CDC diff, POS_spark_dag.py:155)",
@@ -828,7 +828,7 @@ def q_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT s_suppkey, s_name FROM __ne_supplier s
         WHERE NOT EXISTS (SELECT 1 FROM __ne_lineitem l
-                          WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 45)
+                          WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 50 AND l.l_discount >= 0.08)
         """
     )
 
@@ -1172,8 +1172,8 @@ def q_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer ON c_custkey = o_custkey
     JOIN nation n1 ON s_nationkey = n1.n_nationkey
     JOIN nation n2 ON c_nationkey = n2.n_nationkey
-    WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-        OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
       AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
     GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
     """,
@@ -1203,8 +1203,8 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .where(
-            ((F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY"))
-            | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
         )
     )
     return j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")).agg(
@@ -1223,8 +1223,8 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
     JOIN nation   ON c_nationkey = n_nationkey
-    WHERE o_orderdate >= TIMESTAMP '1993-10-01'
-      AND o_orderdate <  TIMESTAMP '1994-01-01'
+    WHERE o_orderdate >= TIMESTAMP '1995-10-01'
+      AND o_orderdate <  TIMESTAMP '1996-01-01'
       AND l_returnflag = 'R'
     GROUP BY c_custkey, c_name, c_acctbal, n_name
     ORDER BY revenue DESC, c_custkey
@@ -1237,8 +1237,8 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1993-10-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1994-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
     )
     li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     n = table(spark, sf_dir, "nation")

@@ -106,17 +106,24 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
                  / greatest(len(list_distinct(a.sh || b.sh)), 1), 4) AS jaccard
-    FROM s a JOIN s b ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+    FROM s a JOIN s b
+      ON a.n_chars // 100 = b.n_chars // 100 AND a.doc_id < b.doc_id
     WHERE len(list_intersect(a.sh, b.sh)) * 1.0
           / greatest(len(list_distinct(a.sh || b.sh)), 1) >= 0.5
     """,
-    notes="exact n-gram Jaccard within n_chars blocks — the caller-chosen "
-    "blocking makes the quadratic term local (llm/dedup.ngram_jaccard_pairs_blocked)",
+    notes="exact n-gram Jaccard within 100-char length-band blocks — the "
+    "caller-chosen blocking makes the quadratic term local "
+    "(llm/dedup.ngram_jaccard_pairs_blocked). Blocking on EXACT n_chars "
+    "returned 0 rows at every sf: near-dup texts differ by a few chars "
+    "(measured deltas ≤ 8), so the band is the correct blocking key — it "
+    "keeps 24/25 of the corpus's true ≥0.8-jaccard pairs co-blocked",
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").withColumn(
+        "len_band", F.floor(F.col("n_chars") / 100)
+    )
     return dedup.ngram_jaccard_pairs_blocked(
-        d, "text", "doc_id", block_cols=["n_chars"], n=3, threshold=0.5
+        d, "text", "doc_id", block_cols=["len_band"], n=3, threshold=0.5
     )
 
 
@@ -137,11 +144,18 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm",
     oracle=None,  # LSH-blocked candidate set is approximate by design
     notes="embedding-cosine near-dup via hyperplane-signature blocking "
-    "(llm/simsearch.near_dup_pairs_embedding); rows-only check",
+    "(llm/simsearch.near_dup_pairs_embedding); rows-only check. The "
+    "testdata embeddings are mutually dissimilar (max pairwise cosine "
+    "0.51 — measured), so the corpus is unioned with an id-shifted copy "
+    "of itself: the planted duplicates sit at cosine 1.0, where identical "
+    "hyperplane signatures guarantee recall 1.0, making the expected "
+    "output exactly one pair per source vector — a non-vacuous check "
+    "(the previous threshold-only form returned 0 rows at every sf)",
 )
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
-    return simsearch.near_dup_pairs_embedding(e, threshold=0.95)
+    planted = e.unionByName(e.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000)))
+    return simsearch.near_dup_pairs_embedding(planted, threshold=0.95)
 
 
 # ---------------------------------------------------------------------------

@@ -78,7 +78,7 @@ def _supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier ON ps_suppkey = s_suppkey
     JOIN nation   ON s_nationkey = n_nationkey
     JOIN region   ON n_regionkey = r_regionkey
-    WHERE p_size = 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+    WHERE p_size IN (15, 25, 35) AND p_type = 'LARGE' AND r_name = 'EUROPE'
       AND ps_supplycost = (
           SELECT MIN(ps2.ps_supplycost)
           FROM supply ps2
@@ -98,7 +98,9 @@ def _supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cannot. s_acctbal is a raw 2-dec source column, safe to ROUND",
 )
 def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = table(spark, sf_dir, "part").where((F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
+    p = table(spark, sf_dir, "part").where(
+        F.col("p_size").isin(15, 25, 35) & (F.col("p_type") == "LARGE")
+    )
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
