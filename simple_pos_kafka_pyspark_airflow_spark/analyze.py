@@ -1,0 +1,46 @@
+"""Physical-plan introspection: the numbers behind the scale rules.
+
+``plan_summary`` distills ``df.explain("formatted")`` into the counts the
+engine's plan discipline is stated in (docs/SCALE.md, tests/test_plans.py):
+exchanges (each one a full shuffle of its input), broadcast vs sort-merge
+joins, scans and whether their filters reached the reader, and cartesian
+products (always a bug). CI pins shapes with these; operators print them
+while tuning — the loop is "write the query, read the summary, fix the
+shape" instead of eyeballing raw explain output.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_text(df: DataFrame, mode: str = "formatted") -> str:
+    """The explain output as a string (``df.explain`` only prints)."""
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def plan_summary(df: DataFrame) -> dict[str, object]:
+    """Count the plan features the engine's scale rules are written in.
+
+    Keys: ``exchanges``, ``broadcast_joins``, ``sort_merge_joins``,
+    ``cartesian_products``, ``scans``, ``scans_with_pushed_filters``,
+    ``windows``, ``reused_exchanges``, ``tables`` (scanned file roots).
+    """
+    plan = explain_text(df)
+    scans = re.findall(r"Location: \S+ \[file:([^\]]*)\]", plan)
+    pushed = [p for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if p.strip()]
+    return {
+        "exchanges": plan.count("Exchange"),
+        "reused_exchanges": plan.count("ReusedExchange"),
+        "broadcast_joins": plan.count("BroadcastHashJoin")
+        + plan.count("BroadcastNestedLoopJoin"),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "cartesian_products": plan.count("CartesianProduct"),
+        "scans": len(scans),
+        "scans_with_pushed_filters": len(pushed),
+        "windows": len(re.findall(r"\(\d+\) Window", plan)),
+        "tables": sorted({s.rstrip("/").rsplit("/", 1)[-1] for s in scans}),
+    }

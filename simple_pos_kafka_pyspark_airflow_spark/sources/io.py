@@ -160,3 +160,36 @@ def read_kafka_batch(
         .option("startingOffsets", starting_offsets)
         .load()
     )
+
+
+def dir_bytes(path: str) -> int:
+    """Total bytes of data files under ``path`` (driver-side walk — fine
+    for a table directory listing; at lake scale use the catalog's stats)."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(bytes / target)`` files via the atomic tombstone swap.
+
+    Streaming sinks and frequent small batch appends accrete files far
+    below the scan-efficient size; at 100 TB the file count — not the
+    byte count — becomes the scan bottleneck (one task + one open per
+    file, footer reads, driver listing). Compaction trades one bounded
+    rewrite for every future scan's task count. ``coalesce`` (not
+    ``repartition``) avoids a shuffle: parquet row groups concatenate
+    fine, and output skew only matters if the input was already skewed —
+    callers with skewed inputs should repartition upstream. Returns the
+    number of output files requested."""
+    n_files = max(1, -(-dir_bytes(path) // target_file_bytes))  # ceil
+    df = spark.read.parquet(path)
+    compacted = df.coalesce(n_files)
+    overwrite_atomic(compacted, path)
+    return n_files

@@ -122,3 +122,14 @@ def test_no_cartesian_product_anywhere(spark, sf_dir, name):
     through BroadcastNestedLoopJoin (q_join_cross broadcasts explicitly)."""
     plan = explain_str(build(spark, sf_dir, name), mode="simple")
     assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
+
+
+def test_plan_summary_counts_features(spark, sf_dir):
+    from simple_pos_kafka_pyspark_airflow_spark.analyze import plan_summary
+
+    s = plan_summary(build(spark, sf_dir, "q_tpch_q5"))
+    assert s["broadcast_joins"] >= 2
+    assert s["cartesian_products"] == 0
+    assert s["scans"] >= 6
+    assert s["scans_with_pushed_filters"] >= 2
+    assert "lineitem.parquet" in s["tables"]

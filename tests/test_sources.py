@@ -105,3 +105,26 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_compact_parquet_reduces_files_keeps_rows(spark, tmp_path):
+    from simple_pos_kafka_pyspark_airflow_spark.sources import io as sio
+
+    path = str(tmp_path / "frag")
+    # 40 tiny appends -> >= 40 data files
+    base = spark.range(1000).withColumnRenamed("id", "k")
+    for i in range(8):
+        base.where((F.col("k") % 8) == i).repartition(5).write.mode("append").parquet(path)
+    files_before = [
+        f for _r, _d, fs in __import__("os").walk(path) for f in fs if f.endswith(".parquet")
+    ]
+    assert len(files_before) >= 40
+    n = sio.compact_parquet(spark, path, target_file_bytes=10**9)
+    got = spark.read.parquet(path)
+    assert n == 1
+    files_after = [
+        f for _r, _d, fs in __import__("os").walk(path) for f in fs if f.endswith(".parquet")
+    ]
+    assert len(files_after) == 1
+    assert got.count() == 1000
+    assert got.agg(F.sum("k")).collect()[0][0] == 999 * 1000 // 2
