@@ -46,12 +46,16 @@ HEADLINE = [
     "q_tpch_q1",
     "q_tpch_q3",
     "q_tpch_q5",
+    "q_tpch_q13",
+    "q_tpch_q21",
+    "q_interval_join",
     "q_sessionize",
     "q_window_tumbling",
     "q_dedup_exact",
     "q_dedup_minhash",
     "q_simsearch_topk",
     "q_text_tokens",
+    "q_text_tfidf",
 ]
 
 
