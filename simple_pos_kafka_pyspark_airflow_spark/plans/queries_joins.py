@@ -355,3 +355,49 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "click_id", "purchase_id")
     )
+
+
+@register(
+    "q_scan_orc",
+    "scan",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders GROUP BY o_orderpriority
+    """,
+    notes="source breadth beyond the reference: ORC sink + typed scan "
+    "(Spark's second first-class columnar format — same vectorized reader "
+    "+ predicate pushdown machinery as parquet). Derives an ORC copy of "
+    "orders, reads it back, aggregates; lossless int/string columns only",
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _workdir("scan_orc", os.path.basename(sf_dir.rstrip("/")))
+    src = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    src.write.mode("overwrite").orc(path)
+    df = spark.read.schema("o_orderkey LONG, o_orderpriority STRING").orc(path)
+    return df.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), F.sum("o_orderkey").alias("key_sum")
+    )
+
+
+@register(
+    "q_scan_jsonl",
+    "scan",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS uid_sum
+    FROM events GROUP BY event_type
+    """,
+    notes="S4's file form: JSON-lines sink + declared-schema scan (the "
+    "Kafka payload format as a batch source; schema declared, never "
+    "inferred). Derives a JSONL copy of events' int/string columns, reads "
+    "it back typed, aggregates",
+)
+def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _workdir("scan_jsonl", os.path.basename(sf_dir.rstrip("/")))
+    src = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    src.write.mode("overwrite").json(path)
+    df = spark.read.schema("event_id LONG, user_id LONG, event_type STRING").json(path)
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("user_id").alias("uid_sum")
+    )
