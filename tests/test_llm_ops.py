@@ -154,3 +154,24 @@ def test_multimodal_frame_sampling_multiplies_rows(spark):
     payload = {r["asset_id"]: bytes(r["payload"]) for r in assets.collect()}
     for r in rows[:5]:
         assert bytes(r["frame"]) in payload[r["asset_id"]]
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    """Hyperplane-LSH pruning must keep most of the exact top-10, and a
+    full-width Hamming budget (every signature admitted) must reproduce
+    brute force exactly — the pruning predicate is the only approximation."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm import simsearch
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    exact = [r["vec_id"] for r in simsearch.cosine_topk(e, q, k=10).collect()]
+    lsh = [
+        r["vec_id"]
+        for r in simsearch.cosine_topk_lsh(e, q, k=10, n_planes=16, max_hamming=8).collect()
+    ]
+    assert len(set(exact) & set(lsh)) >= 5, (exact, lsh)
+    full = [
+        r["vec_id"]
+        for r in simsearch.cosine_topk_lsh(e, q, k=10, n_planes=16, max_hamming=16).collect()
+    ]
+    assert full == exact
