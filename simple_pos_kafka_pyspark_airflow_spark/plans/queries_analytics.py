@@ -1306,3 +1306,62 @@ def q_window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cd"),
         F.percent_rank().over(w).alias("pr"),
     )
+
+
+@register(
+    "q_funnel",
+    "agg",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), c AS (
+      SELECT s.user_id, MIN(e.ts) AS click_ts
+      FROM s JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'click' AND e.ts > s.signup_ts
+      GROUP BY s.user_id
+    ), p AS (
+      SELECT c.user_id, MIN(e.ts) AS buy_ts
+      FROM c JOIN events e
+        ON e.user_id = c.user_id AND e.event_type = 'purchase' AND e.ts > c.click_ts
+      GROUP BY c.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_signup,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased
+    """,
+    notes="extension: ordered conversion funnel (signup → first later "
+    "click → first later purchase, per user) — the sequential-event "
+    "pattern product analytics runs constantly. Each stage is a per-user "
+    "min-aggregate joined forward on (user, ts>prev): three shuffles on "
+    "user_id which AQE plans as one partitioning reused; no window over "
+    "the full event stream, no self-cross-join",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    c = (
+        s.join(clicks, (s.user_id == F.col("c_user")) & (F.col("c_ts") > s.signup_ts))
+        .groupBy("user_id")
+        .agg(F.min("c_ts").alias("click_ts"))
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts")
+    )
+    p = (
+        c.join(buys, (c.user_id == F.col("b_user")) & (F.col("b_ts") > c.click_ts))
+        .groupBy("user_id")
+        .agg(F.min("b_ts").alias("buy_ts"))
+    )
+    return (
+        s.agg(F.count("*").alias("n_signup"))
+        .join(c.agg(F.count("*").alias("n_clicked")))
+        .join(p.agg(F.count("*").alias("n_purchased")))
+    )

@@ -82,7 +82,15 @@ def _values_equal(a: object, b: object, tol: float = 1e-9) -> bool:
     return a == b
 
 
-def compare(name: str, spark_df: DataFrame, oracle_df: pd.DataFrame) -> CompareResult:
+def compare(
+    name: str, spark_df: DataFrame, oracle_df: pd.DataFrame, strict: bool = False
+) -> CompareResult:
+    """``strict=False`` mirrors the local tolerance check; ``strict=True``
+    additionally requires float cells to be BIT-identical — the predictor
+    for the driver's value-hash gate, which has no tolerance. A query that
+    passes loose but fails strict will pass our tests and then fail the
+    driver (round-1 q_derive_arith did exactly this); run the strict form
+    over the registry before shipping float-producing queries."""
     res = CompareResult(name, True)
     got = _canon(spark_df.toPandas())
     want = _canon(oracle_df)
@@ -97,13 +105,29 @@ def compare(name: str, spark_df: DataFrame, oracle_df: pd.DataFrame) -> CompareR
     for col in got.columns:
         gv, wv = got[col].tolist(), want[col].tolist()
         bad = [
-            (i, g, w) for i, (g, w) in enumerate(zip(gv, wv)) if not _values_equal(_py(g), _py(w))
+            (i, g, w)
+            for i, (g, w) in enumerate(zip(gv, wv))
+            if not (
+                _values_bit_equal(_py(g), _py(w)) if strict else _values_equal(_py(g), _py(w))
+            )
         ]
         if bad:
             res.ok = False
             i, g, w = bad[0]
             res.problems.append(f"col {col}: {len(bad)} mismatches, first at row {i}: {g!r} != {w!r}")
     return res
+
+
+def _values_bit_equal(a: object, b: object) -> bool:
+    """Exact equality with null/NaN normalization (NaT==NaT, NaN==NaN) —
+    no float tolerance, matching a value-hash comparison."""
+    if _is_na(a) or _is_na(b):
+        return _is_na(a) and _is_na(b)
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) or math.isnan(b):
+            return math.isnan(a) and math.isnan(b)
+        return a == b
+    return a == b
 
 
 def _py(v: object) -> object:
@@ -122,7 +146,9 @@ def _py(v: object) -> object:
     return v
 
 
-def check_query(spark: SparkSession, name: str, sf_dir: str) -> CompareResult:
+def check_query(
+    spark: SparkSession, name: str, sf_dir: str, strict: bool = False
+) -> CompareResult:
     """Run one contract query against its oracle (or rows-only smoke)."""
     from .plans import load_registry
 
@@ -131,4 +157,4 @@ def check_query(spark: SparkSession, name: str, sf_dir: str) -> CompareResult:
     if cq.oracle is None:
         n = df.count()
         return CompareResult(name, True, [f"rows-only: {n} rows"])
-    return compare(name, df, run_oracle(cq.oracle, sf_dir))
+    return compare(name, df, run_oracle(cq.oracle, sf_dir), strict=strict)

@@ -34,3 +34,23 @@ def test_every_query_has_registry_metadata():
     for name, cq in REGISTRY.items():
         assert cq.category
         assert cq.notes, f"{name} missing notes"
+
+
+STRICT_SAMPLE = [
+    "q_tpch_q1",      # ROUND over money sums + avgs
+    "q_agg_sum",      # ROUND(SUM) per group
+    "q_derive_arith", # FLOOR-cents canonicalization (round-1 driver failure)
+    "q_tpch_q8",      # ROUND of a ratio of sums
+    "q_text_tfidf",   # ROUND of tf * ln(ratio)
+    "q_window_cume",  # rank-count ratios, no rounding at all
+]
+
+
+@pytest.mark.parametrize("name", STRICT_SAMPLE)
+def test_float_queries_bit_identical(spark, sf_dir, name):
+    """The driver's gate is a value HASH — floats must match bit-for-bit,
+    not within tolerance. Pin the float-heaviest query families to the
+    strict compare so a tolerance-masked drift can't reach the driver
+    (round 1's q_derive_arith failed exactly this way)."""
+    res = check_query(spark, name, sf_dir, strict=True)
+    assert res.ok, str(res)
