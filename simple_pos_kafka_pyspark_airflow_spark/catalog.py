@@ -19,12 +19,18 @@ from . import schemas
 
 TABLE_NAMES = tuple(schemas.TESTDATA)
 
-#: table → columns stored as parquet TIMESTAMP(NANOS). Spark's vectorized
-#: reader rejects nanos outright (PARQUET_TYPE_ILLEGAL); we read them as
-#: raw longs (legacy nanosAsLong conf) and floor-divide to microseconds —
-#: exactly DuckDB's ns→us truncation, so both engines see identical
-#: timestamps. Integer `div`, not `/`: ns epochs (~1.7e18) exceed double's
-#: 53-bit mantissa, so float division would corrupt low microseconds.
+#: table → columns that MAY be stored as parquet TIMESTAMP(NANOS),
+#: depending on the testdata generation (round 1 shipped ns, round 2 µs).
+#: Spark's vectorized reader rejects nanos outright (PARQUET_TYPE_ILLEGAL);
+#: with the legacy nanosAsLong conf they read as raw longs, which we
+#: floor-divide to microseconds — exactly DuckDB's ns→us truncation, so
+#: both engines see identical timestamps. Integer `div`, not `/`: ns
+#: epochs (~1.7e18) exceed double's 53-bit mantissa, so float division
+#: would corrupt low microseconds. The conversion is applied only when the
+#: column actually arrives as a long; µs/ms files are untouched either way
+#: (the conf only affects TIMESTAMP(NANOS) columns). NTZ timestamps are
+#: cast to the session type (UTC session tz ⇒ identical wall values) so
+#: downstream expressions see one timestamp flavor across data vintages.
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -43,8 +49,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # which are unreadable without it anyway.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for c in nanos_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    fixes = {}
+    for c, t in df.dtypes:
+        if c in nanos_cols and t == "bigint":
+            fixes[c] = F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+        elif t == "timestamp_ntz":
+            fixes[c] = F.col(c).cast("timestamp")
+    if fixes:
+        df = df.withColumns(fixes)
     expected = [f.name for f in schemas.TESTDATA[name].fields]
     if list(df.columns) != expected:
         raise ValueError(f"{name}: columns {df.columns} != expected {expected}")
