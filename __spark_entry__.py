@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from simple_pos_kafka_pyspark_airflow_spark.plans import load_registry
+from simple_pos_kafka_pyspark_airflow_spark.plans.contract import driver_ordered_registry
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -30,11 +31,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: cq.build for name, cq in load_registry().items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered so the driver's 50-query verification window lands on the
+    queries that have not yet had a green CORRECTNESS row (LLM pipeline +
+    TPC-H first; round-2-certified queries rotated to the back — those stay
+    covered by the full-registry local mirror in tests/test_contract.py).
+    """
+    return {name: cq.build for name, cq in driver_ordered_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every oracle-expressible query; queries
     without an entry get the driver's rows-only check."""
-    return {name: cq.oracle for name, cq in load_registry().items() if cq.oracle is not None}
+    return {
+        name: cq.oracle
+        for name, cq in driver_ordered_registry().items()
+        if cq.oracle is not None
+    }

@@ -75,3 +75,56 @@ def load_registry() -> dict[str, ContractQuery]:
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
     return dict(_REGISTRY)
+
+
+#: Queries with a green driver row in CORRECTNESS_r02.json.  The driver
+#: oracle-checks only the FIRST 50 queries in ``queries()`` order, so these
+#: are rotated to the back of the driver-facing ordering: the round-3 window
+#: then certifies the never-driver-checked set (all LLM-pipeline queries,
+#: all 22 TPC-H shapes, and the leading uncovered analytics queries).  The
+#: rotated-out queries stay covered by tests/test_contract.py, which runs
+#: the full registry against the DuckDB oracle with the same compare.
+_DRIVER_CERTIFIED_R02 = frozenset(
+    {
+        "q_scan_parquet", "q_project", "q_cast", "q_ts_parse", "q_derive_arith",
+        "q_case_tiers", "q_coalesce", "q_filter_eq", "q_filter_neq",
+        "q_filter_date", "q_filter_isin", "q_date_format", "q_substring_decode",
+        "q_concat", "q_json_roundtrip", "q_clamp", "q_agg_sum", "q_agg_count",
+        "q_agg_global", "q_distinct", "q_dropna", "q_agg_max_seq", "q_rollup",
+        "q_approx_distinct", "q_sort", "q_topk", "q_union_all", "q_except",
+        "q_intersect", "q_window_rank", "q_window_running", "q_window_lag",
+        "q_join_left_anti", "q_join_left", "q_join_semi", "q_join_inner",
+        "q_join_broadcast", "q_filter_theta", "q_stock_decrement",
+        "q_join_theta", "q_upsert_semantics", "q_scan_csv", "q_sink_append",
+        "q_interval_join", "q_scan_orc", "q_scan_jsonl", "q_window_ntile",
+        "q_window_dense", "q_window_firstlast", "q_window_range",
+    }
+)
+
+
+def driver_ordered_registry() -> dict[str, ContractQuery]:
+    """Registry ordered for the driver's 50-query verification window.
+
+    Priority groups (stable registration order within each):
+      0. LLM-pipeline queries (dedup ladder, simsearch, text ops, multimodal)
+         — ``q_dedup_minhash``/``q_dedup_simhash``/``q_dedup_embed`` failed in
+         round 1 and their fixes have never been driver-confirmed;
+      1. the 22 TPC-H shapes;
+      2. remaining never-driver-checked queries (analytics breadth);
+      3. queries already certified green in round 2 (kept last; still run by
+         the local full-registry mirror).
+    """
+    reg = load_registry()
+    index = {name: i for i, name in enumerate(reg)}
+
+    def group(name: str, cq: ContractQuery) -> int:
+        if name in _DRIVER_CERTIFIED_R02:
+            return 3
+        if cq.build.__module__.endswith("queries_llm"):
+            return 0
+        if name.startswith("q_tpch_"):
+            return 1
+        return 2
+
+    ordered = sorted(reg.items(), key=lambda kv: (group(*kv), index[kv[0]]))
+    return dict(ordered)
