@@ -4,10 +4,15 @@ Design (north-star requirement): image/audio/video payloads live in a
 ``binary`` column next to a typed metadata struct; decode / feature
 extraction / resize / frame-sampling run as **Arrow-batched Pandas UDFs
 over mapInPandas** so each Python worker touches a columnar batch, never a
-row. The decode itself is STUBBED — codec libraries are not in this
-container — but the Spark-side plumbing (schema, batch iteration,
-partitioning, UDF signatures) is real and tested; swap `_decode_stub` for
-a PIL/ffmpeg call in production.
+row.
+
+Decoding is REAL for header-parseable formats that need no codec library:
+24-bit BMP (``decode_bmp`` — width/height/channel means from the raw
+pixel array) and 16-bit PCM WAV (``decode_wav`` — sample rate / duration /
+RMS from the RIFF chunk walk). ``extract_features`` dispatches on the
+``mime`` column; payloads in any other format get deterministic byte-level
+statistics (``_byte_features``) — the swap-point for PIL/ffmpeg in a
+production image with codec libs is the ``_FEATURE_DECODERS`` table.
 
 Scale: payloads dominate storage, so the asset table is partitioned by
 (modality, size band) and feature extraction is a map-only pass — no
@@ -18,8 +23,10 @@ videos fits the Python worker heap.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -57,21 +64,139 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _decode_stub(payload: bytes, modality: str) -> list[float]:
-    """Deterministic fake decoder: 8 'features' derived from payload bytes.
+# ---------------------------------------------------------------------------
+# Dependency-free codecs: 24-bit BMP and 16-bit PCM WAV.  Both formats are
+# fully described by their headers, so a struct-based parser IS a real
+# decoder — no PIL/ffmpeg required.
+# ---------------------------------------------------------------------------
 
-    Production swap-point: image → PIL decode + resize + channel means;
-    audio → frame RMS; video → frame-sample + per-frame image path. Those
-    libs are absent here, so this stub keeps the pipeline shape testable
-    while making the substitution obvious.
-    """
-    if payload is None:
-        raise NotImplementedError("real decoders (PIL/ffmpeg) not available in this build")
+
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """Encode a 24-bit bottom-up BMP. ``pixels`` is ``width*height*3``
+    BGR bytes, row-major from the top row (this function flips to BMP's
+    bottom-up order and pads rows to 4 bytes)."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixels must be width*height*3 BGR bytes")
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    rows = [
+        pixels[r * row_bytes : (r + 1) * row_bytes] + b"\x00" * pad
+        for r in range(height - 1, -1, -1)
+    ]
+    data = b"".join(rows)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 0, 0, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
+    return header + info + data
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Parse a 24-bit uncompressed BMP: returns width, height, and
+    per-channel (b, g, r) means plus gray min/max over the real pixel
+    array. Raises ValueError on anything that is not such a BMP."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    _, width, height, _, bpp, compression = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={compression})")
+    row_bytes = width * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    n_rows = abs(height)
+    px = np.frombuffer(payload, dtype=np.uint8, count=stride * n_rows, offset=data_offset)
+    px = px.reshape(n_rows, stride)[:, :row_bytes].reshape(n_rows, width, 3).astype(np.float64)
+    if height > 0:  # bottom-up storage → flip to top-down
+        px = px[::-1]
+    gray = px.mean(axis=2)
+    return {
+        "width": width,
+        "height": n_rows,
+        "mean_b": float(px[:, :, 0].mean()),
+        "mean_g": float(px[:, :, 1].mean()),
+        "mean_r": float(px[:, :, 2].mean()),
+        "gray_min": float(gray.min()),
+        "gray_max": float(gray.max()),
+    }
+
+
+def encode_wav(samples: list[int] | np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode mono 16-bit PCM WAV from integer samples in [-32768, 32767]."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    data = struct.pack("<4sI", b"data", len(pcm)) + pcm
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE") + fmt + data
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse a mono 16-bit PCM WAV by walking the RIFF chunk list: returns
+    sample rate, sample count, duration_ms, and RMS/min/max of the real
+    sample array. Raises ValueError on non-PCM or malformed payloads."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, sample_rate, bits, channels, pcm = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1:
+                raise ValueError(f"unsupported WAV format code {audio_fmt}")
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if sample_rate is None or pcm is None or bits != 16 or channels != 1:
+        raise ValueError("expected mono 16-bit PCM WAV with fmt+data chunks")
+    samples = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
+    n = len(samples)
+    return {
+        "sample_rate": sample_rate,
+        "n_samples": n,
+        "duration_ms": 0.0 if n == 0 else n * 1000.0 / sample_rate,
+        "rms": 0.0 if n == 0 else float(np.sqrt((samples**2).mean())),
+        "sample_min": 0.0 if n == 0 else float(samples.min()),
+        "sample_max": 0.0 if n == 0 else float(samples.max()),
+    }
+
+
+def _byte_features(payload: bytes) -> list[float]:
+    """Deterministic byte-level statistics for formats without a bundled
+    decoder: 8 windowed byte-sum features. Kept as the fallback so the
+    pipeline never dead-ends on an unknown mime type."""
     n = len(payload)
     window = max(1, n // 8)
     return [
         float(sum(payload[i * window : (i + 1) * window]) % 997) / 997.0 for i in range(8)
     ]
+
+
+def _bmp_features(payload: bytes) -> list[float]:
+    d = decode_bmp(payload)
+    return [
+        float(d["width"]), float(d["height"]), d["mean_b"], d["mean_g"],
+        d["mean_r"], d["gray_min"], d["gray_max"], 24.0,
+    ]
+
+
+def _wav_features(payload: bytes) -> list[float]:
+    d = decode_wav(payload)
+    return [
+        float(d["sample_rate"]), 1.0, float(d["n_samples"]), d["duration_ms"],
+        d["rms"], d["sample_min"], d["sample_max"], 16.0,
+    ]
+
+
+#: mime → decoder producing the 8-float feature vector; the production
+#: swap-point for PIL/ffmpeg-backed formats is adding entries here.
+_FEATURE_DECODERS = {
+    "image/bmp": _bmp_features,
+    "audio/wav": _wav_features,
+    "audio/x-wav": _wav_features,
+}
+
+
+def _decode(payload: bytes, mime: str | None) -> list[float]:
+    decoder = _FEATURE_DECODERS.get(mime or "")
+    return decoder(payload) if decoder is not None else _byte_features(payload)
 
 
 def extract_features(assets: DataFrame) -> DataFrame:
@@ -87,8 +212,8 @@ def extract_features(assets: DataFrame) -> DataFrame:
 
         for pdf in it:
             feats = [
-                _decode_stub(p, m) if p is not None else None
-                for p, m in zip(pdf["payload"], pdf["modality"])
+                _decode(p, m) if p is not None else None
+                for p, m in zip(pdf["payload"], pdf["mime"])
             ]
             yield pd.DataFrame(
                 {
@@ -174,7 +299,8 @@ def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
 def synthesize_assets(documents: DataFrame, modality: str = "image") -> DataFrame:
     """Build a deterministic asset table from the documents corpus (text
     bytes stand in for media payloads) — exercises the real binary-column
-    path end-to-end without codec libs."""
+    path end-to-end; the octet-stream mime routes these payloads to the
+    byte-statistics decoder."""
     return documents.select(
         F.col("doc_id").alias("asset_id"),
         F.lit(modality).alias("modality"),
@@ -186,3 +312,46 @@ def synthesize_assets(documents: DataFrame, modality: str = "image") -> DataFram
             F.lit(None).cast("int").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+def synthesize_media_assets(documents: DataFrame, modality: str = "image") -> DataFrame:
+    """Build an asset table whose payloads are REAL media containers
+    synthesized deterministically from document text: 24-bit BMPs whose
+    pixel bytes are the text bytes (``modality='image'``) or mono 16-bit
+    PCM WAVs whose samples derive from the text bytes
+    (``modality='audio'``). The encode runs in the same Arrow-batched
+    mapInPandas shape as decode, so both directions of the binary-column
+    pipeline are exercised without codec libraries."""
+    if modality not in ("image", "audio"):
+        raise ValueError(f"unsupported modality {modality!r}")
+    mime = "image/bmp" if modality == "image" else "audio/wav"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, metas = [], []
+            for text in pdf["text"]:
+                raw = (text or "").encode("utf-8")
+                if modality == "image":
+                    # square-ish 24-bit image: pixel bytes = text bytes,
+                    # zero-padded to fill width*height*3
+                    width = max(1, min(16, (len(raw) + 2) // 3))
+                    height = max(1, -(-len(raw) // (width * 3)))
+                    pixels = raw.ljust(width * height * 3, b"\x00")
+                    payloads.append(encode_bmp(width, height, pixels))
+                    metas.append({"width": width, "height": height, "duration_ms": None})
+                else:
+                    samples = np.frombuffer(raw.ljust(len(raw) + len(raw) % 2, b"\x00"), dtype="<i2")
+                    payloads.append(encode_wav(samples, sample_rate=8000))
+                    dur = int(len(samples) * 1000 / 8000)
+                    metas.append({"width": None, "height": None, "duration_ms": dur})
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "modality": modality,
+                    "mime": mime,
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(batches, schema=ASSET_SCHEMA)

@@ -158,23 +158,55 @@ def cosine_topk_lsh(
 
 
 def ivf_centroids(
-    df: DataFrame, n_cells: int = 16, vec_col: str = "embedding", id_col: str = "vec_id"
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    refine_iters: int = 1,
 ) -> list[list[float]]:
-    """Deterministic coarse quantizer: take every (N/n_cells)-th vector in
-    id order as a centroid. No k-means iterations — for IVF the cells only
-    need to partition the space reasonably, and determinism (same corpus →
-    same index) matters more here than cell balance. The collect is
-    ``n_cells`` rows — O(kB) to the driver, never the corpus."""
-    n = df.count()
-    stride = max(1, n // n_cells)
+    """Deterministic coarse quantizer.
+
+    Seeds: the ``n_cells`` vectors with the smallest ``xxhash64(id)`` — a
+    deterministic pseudo-random sample, so the seeds spread across the
+    corpus no matter how ids are distributed (dense, sparse after dedup
+    filtering, or arbitrary; a naive ``id % stride`` pick degenerates to
+    fewer than ``n_cells`` cells on sparse ids). The seed pick executes as
+    TakeOrderedAndProject (per-partition k-heaps — no global sort, no
+    count pre-pass).
+
+    Refinement: ``refine_iters`` Lloyd iterations — assign every vector to
+    its nearest seed (one Arrow-batched matmul pass), recompute cell means
+    via posexplode + groupBy (shuffle carries (cell, pos, value) triples;
+    the aggregated result is ``n_cells × dim`` rows — kilobytes). One
+    iteration is enough to make cells follow the data's actual directional
+    mass, which raw sampled seeds don't; determinism holds because seeds,
+    assignment, and mean are all deterministic. Index build is a one-time
+    ingest cost at 100 TB; every collect here is O(n_cells × dim), never
+    the corpus."""
     rows = (
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .where((F.col("_id") % stride) == 0)
-        .orderBy("_id")
+        .orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
         .limit(n_cells)
         .collect()
     )
-    return [[float(x) for x in r["_v"]] for r in rows]
+    centroids = [[float(x) for x in r["_v"]] for r in rows]
+    for _ in range(refine_iters):
+        assigned = ivf_assign(df, centroids, vec_col, out_col="_cell")
+        means = (
+            assigned.select("_cell", F.posexplode(F.col(vec_col)).alias("_pos", "_x"))
+            .groupBy("_cell", "_pos")
+            .agg(F.avg(F.col("_x").cast("double")).alias("_m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["_cell"], {})[r["_pos"]] = float(r["_m"])
+        # cells that captured no vectors keep their seed centroid
+        centroids = [
+            [by_cell[c][p] for p in sorted(by_cell[c])] if c in by_cell else centroids[c]
+            for c in range(len(centroids))
+        ]
+    return centroids
 
 
 def ivf_assign(

