@@ -34,6 +34,33 @@ TABLE_NAMES = tuple(schemas.TESTDATA)
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+def _parquet_field_is_nanos(path: str, col: str) -> bool:
+    """True iff the parquet footer declares ``col`` as TIMESTAMP(NANOS).
+
+    The post-read Spark dtype alone can't distinguish a nanos column read
+    as long (via the nanosAsLong conf) from a table vintage that ships a
+    GENUINE int64 epoch column in some other unit — dividing the latter by
+    1000 would silently shift timestamps 1000×. The footer's logical type
+    is the ground truth, read via pyarrow without scanning data."""
+    try:
+        import pyarrow.parquet as pq
+
+        target = path
+        if os.path.isdir(path):  # multi-file table: any footer is canonical
+            data = [
+                os.path.join(path, f)
+                for f in sorted(os.listdir(path))
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            ]
+            if not data:
+                return False
+            target = data[0]
+        field = pq.read_schema(target).field(col)
+        return str(field.type).startswith("timestamp[ns")
+    except (ImportError, KeyError, OSError):
+        return False
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame.
 
@@ -42,18 +69,32 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in schemas.TESTDATA:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-    nanos_cols = _NANOS_TS_COLS.get(name, ())
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos_cols = tuple(
+        c for c in _NANOS_TS_COLS.get(name, ()) if _parquet_field_is_nanos(path, c)
+    )
     if nanos_cols:
         # Runtime-settable SQL conf; safe to set on the caller's session
         # (the driver hands us its own) — it only affects nanos columns,
         # which are unreadable without it anyway.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(path)
     fixes = {}
     for c, t in df.dtypes:
         if c in nanos_cols and t == "bigint":
+            # footer-verified TIMESTAMP(NANOS) read as raw ns long →
+            # truncate to µs exactly like DuckDB (integer div; see above)
             fixes[c] = F.timestamp_micros(F.expr(f"`{c}` div 1000"))
         elif t == "timestamp_ntz":
+            # instant-preserving ONLY under a UTC session: fail loudly on
+            # any other tz instead of silently shifting wall-clock values
+            # (the caller may hand us a session our factory didn't build)
+            tz = spark.conf.get("spark.sql.session.timeZone")
+            if tz != "UTC":
+                raise ValueError(
+                    f"{name}.{c} is TIMESTAMP_NTZ; casting to TIMESTAMP requires a "
+                    f"UTC session (got spark.sql.session.timeZone={tz!r})"
+                )
             fixes[c] = F.col(c).cast("timestamp")
     if fixes:
         df = df.withColumns(fixes)

@@ -162,6 +162,86 @@ def read_kafka_batch(
     )
 
 
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    user: str | None = None,
+    password: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    fetchsize: int = 10_000,
+    predicates: dict[str, str] | None = None,
+) -> DataFrame:
+    """JDBC table scan (S3 literal form — ``POS_spark_dag.py:43-52`` reads
+    ``public.{sales,products,customers}`` from Postgres with exactly this
+    builder shape).
+
+    Scale: a bare JDBC read is ONE task holding one connection — the
+    ``partition_column``/bounds/``num_partitions`` quartet is what makes it
+    executor-parallel (each task reads a key range). Filters still push
+    down (Spark renders them into each partition's WHERE clause). Requires
+    the vendor driver jar on the classpath at runtime; plan construction —
+    which is all the test container can exercise — does not."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("fetchsize", str(fetchsize))
+    )
+    if user is not None:
+        reader = reader.option("user", user)
+    if password is not None:
+        reader = reader.option("password", password)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None or num_partitions is None:
+            raise ValueError("partition_column requires lower_bound, upper_bound, num_partitions")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in (predicates or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    user: str | None = None,
+    password: str | None = None,
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+) -> None:
+    """JDBC append sink (S6 literal form — ``POS_spark_dag.py:109-117``
+    appends cleaned daily sales to Postgres). Executors write directly
+    (one connection per partition, ``batchsize`` rows per round-trip) — the
+    reference's OTHER write path, collect()+psycopg2 upserts
+    (``POS_spark_dag.py:170-193``), is deliberately not offered: it funnels
+    the data through the driver; keyed merges belong to
+    ``operators.upsert``/``streaming.cdc`` with this append as the load
+    step. ``num_partitions`` caps concurrent connections."""
+    out = df.coalesce(num_partitions) if num_partitions else df
+    writer = (
+        out.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .mode(mode)
+    )
+    if user is not None:
+        writer = writer.option("user", user)
+    if password is not None:
+        writer = writer.option("password", password)
+    writer.save()
+
+
 def dir_bytes(path: str) -> int:
     """Total bytes of data files under ``path`` (driver-side walk — fine
     for a table directory listing; at lake scale use the catalog's stats)."""

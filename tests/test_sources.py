@@ -128,3 +128,114 @@ def test_compact_parquet_reduces_files_keeps_rows(spark, tmp_path):
     assert len(files_after) == 1
     assert got.count() == 1000
     assert got.agg(F.sum("k")).collect()[0][0] == 999 * 1000 // 2
+
+
+def test_read_jdbc_builder_threads_options(spark):
+    """No database in the container: the builder must still construct a
+    valid JDBC read and fail at the CONNECTION layer (driver lookup /
+    connect), not with an option/validation error — proving url, table,
+    and partitioning options reached the source."""
+    import pytest
+
+    from simple_pos_kafka_pyspark_airflow_spark.sources import io as sio
+
+    with pytest.raises(Exception) as exc:
+        sio.read_jdbc(
+            spark,
+            url="jdbc:postgresql://nowhere.invalid:5432/pos",
+            table="public.sales",
+            user="u",
+            password="p",
+            partition_column="sale_id",
+            lower_bound=0,
+            upper_bound=1_000_000,
+            num_partitions=8,
+        )
+    msg = str(exc.value)
+    # Postgres driver jar absent => driver resolution error; with a jar it
+    # would be UnknownHost — either proves the JDBC source was engaged
+    assert "jdbc" in msg.lower() or "driver" in msg.lower() or "connect" in msg.lower()
+
+
+def test_read_jdbc_partitioning_requires_bounds(spark):
+    import pytest
+
+    from simple_pos_kafka_pyspark_airflow_spark.sources import io as sio
+
+    with pytest.raises(ValueError, match="partition_column requires"):
+        sio.read_jdbc(
+            spark, url="jdbc:postgresql://h/db", table="t", partition_column="id"
+        )
+
+
+def test_write_jdbc_fails_at_connection_not_validation(spark):
+    import pytest
+
+    from simple_pos_kafka_pyspark_airflow_spark.sources import io as sio
+
+    df = spark.range(10).withColumnRenamed("id", "sale_id")
+    with pytest.raises(Exception) as exc:
+        sio.write_jdbc(
+            df, url="jdbc:postgresql://nowhere.invalid:5432/pos", table="public.sales",
+            user="u", password="p", num_partitions=2,
+        )
+    msg = str(exc.value)
+    assert "jdbc" in msg.lower() or "driver" in msg.lower() or "connect" in msg.lower()
+
+
+def test_catalog_genuine_int64_not_nanos_divided(spark, tmp_path):
+    """A vintage shipping events.ts as a GENUINE int64 (not parquet
+    TIMESTAMP(NANOS)) must pass through untouched — the div-1000 is gated
+    on the footer's logical type, not the post-read Spark dtype."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_pos_kafka_pyspark_airflow_spark import catalog, schemas
+
+    cols = [f.name for f in schemas.TESTDATA["events"].fields]
+    micros = 1_755_000_000_000_000  # a plausible µs epoch, NOT ns
+    data = {c: [1] for c in cols}
+    data["ts"] = [micros]
+    for c in cols:
+        if c not in ("ts",):
+            data[c] = ["x"] if schemas.TESTDATA["events"][c].dataType.typeName() == "string" else [1]
+    tbl = pa.table({c: pa.array(data[c]) for c in cols})
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    df = catalog.table(spark, str(tmp_path), "events")
+    row = df.first()
+    assert row["ts"] == micros  # unshifted: no silent div-1000
+
+
+def test_catalog_ntz_requires_utc_session(spark, tmp_path):
+    """TIMESTAMP_NTZ→TIMESTAMP is instant-preserving only under UTC; a
+    non-UTC session must fail loudly instead of shifting wall values."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from simple_pos_kafka_pyspark_airflow_spark import catalog, schemas
+
+    cols = [f.name for f in schemas.TESTDATA["events"].fields]
+    data = {}
+    for c in cols:
+        if c == "ts":
+            data[c] = pa.array(
+                [datetime.datetime(2026, 1, 1, 12, 0, 0)], type=pa.timestamp("us")
+            )  # no tz => Spark reads TIMESTAMP_NTZ
+        elif schemas.TESTDATA["events"][c].dataType.typeName() == "string":
+            data[c] = pa.array(["x"])
+        else:
+            data[c] = pa.array([1])
+    pq.write_table(pa.table(data), str(tmp_path / "events.parquet"))
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    assert tz0 == "UTC"
+    utc_row = catalog.table(spark, str(tmp_path), "events").first()
+    assert utc_row["ts"] == datetime.datetime(2026, 1, 1, 12, 0, 0)
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="UTC session"):
+            catalog.table(spark, str(tmp_path), "events").first()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)

@@ -569,3 +569,167 @@ def test_stock_processor_logic_direct():
         )
     )
     assert out2[0]["stock_level"].iloc[0] == 40.0
+
+
+# ---------------------------------------------------------------------------
+# Kafka value-path parity (S4) without a broker: a batch DataFrame shaped
+# EXACTLY like the Kafka source's output (key/value binary, topic,
+# partition, offset, timestamp, timestampType) carries one payload per
+# reference topic, and the shared parse stage decodes them. The payload
+# dict shapes mirror the reference producer: transactions_sale
+# kafka_producer.py:127-135, transactions_edit/remove :187-197/:239-249
+# (adds sale_id + csv_path), products_add/edit/remove :332-341/:379-388/
+# :426-435, customers_add/edit/remove :480-486/:505-511/:530-536.
+# ---------------------------------------------------------------------------
+
+KAFKA_SOURCE_DDL = (
+    "key binary, value binary, topic string, partition int, "
+    "offset long, timestamp timestamp, timestampType int"
+)
+
+#: Reference payload schemas, one per topic family (types per the int()/
+#: float() coercions in kafka_producer.py:128-133).
+REF_TOPIC_SCHEMAS = {
+    "transactions_sale": (
+        "sale_date string, customer_id long, product_id long, quantity int, "
+        "price double, total_price double, payment_method string"
+    ),
+    "transactions_edit": (
+        "sale_id long, customer_id long, product_id long, quantity int, "
+        "price double, total_price double, payment_method string, csv_path string"
+    ),
+    "products_add": (
+        "product_id long, product_name string, product_description string, "
+        "product_category string, product_price double, stock_level int"
+    ),
+    "customers_add": "customer_id long, customer_name string, customer_location string",
+}
+REF_TOPIC_SCHEMAS["transactions_remove"] = REF_TOPIC_SCHEMAS["transactions_edit"]
+REF_TOPIC_SCHEMAS["products_edit"] = REF_TOPIC_SCHEMAS["products_add"]
+REF_TOPIC_SCHEMAS["products_remove"] = REF_TOPIC_SCHEMAS["products_add"]
+REF_TOPIC_SCHEMAS["customers_edit"] = REF_TOPIC_SCHEMAS["customers_add"]
+REF_TOPIC_SCHEMAS["customers_remove"] = REF_TOPIC_SCHEMAS["customers_add"]
+
+REF_PAYLOADS = {
+    "transactions_sale": {
+        "sale_date": "2026-08-13 10:00:00", "customer_id": 7, "product_id": 101,
+        "quantity": 2, "price": 9.5, "total_price": 19.0, "payment_method": "Cash",
+    },
+    "transactions_edit": {
+        "sale_id": 3, "customer_id": 7, "product_id": 101, "quantity": 1,
+        "price": 9.5, "total_price": 9.5, "payment_method": "PayPal",
+        "csv_path": "/opt/airflow/sales_data/sales_20260813.csv",
+    },
+    "transactions_remove": {
+        "sale_id": 4, "customer_id": 8, "product_id": 102, "quantity": 1,
+        "price": 5.0, "total_price": 5.0, "payment_method": "Credit Card",
+        "csv_path": "/opt/airflow/sales_data/sales_20260813.csv",
+    },
+    "products_add": {
+        "product_id": 101, "product_name": "Widget", "product_description": "A widget",
+        "product_category": "Electronics", "product_price": 9.5, "stock_level": 40,
+    },
+    "products_edit": {
+        "product_id": 101, "product_name": "Widget v2", "product_description": "Better",
+        "product_category": "Electronics", "product_price": 10.5, "stock_level": 35,
+    },
+    "products_remove": {
+        "product_id": 102, "product_name": "Gadget", "product_description": "Old",
+        "product_category": "Electronics", "product_price": 5.0, "stock_level": 0,
+    },
+    "customers_add": {"customer_id": 7, "customer_name": "Ada", "customer_location": "Paris"},
+    "customers_edit": {"customer_id": 7, "customer_name": "Ada L.", "customer_location": "Lyon"},
+    "customers_remove": {"customer_id": 8, "customer_name": "Bob", "customer_location": "Nice"},
+}
+
+
+def _kafka_shaped_df(spark, extra_rows=()):
+    import datetime
+
+    ts = datetime.datetime(2026, 8, 13, 10, 0, 0)
+    rows = [
+        (
+            str(p.get("customer_id", p.get("product_id", ""))).encode(),
+            json.dumps(p).encode("utf-8"),
+            topic,
+            i % 3,
+            100 + i,
+            ts,
+            0,
+        )
+        for i, (topic, p) in enumerate(sorted(REF_PAYLOADS.items()))
+    ]
+    return spark.createDataFrame(list(rows) + list(extra_rows), KAFKA_SOURCE_DDL)
+
+
+def test_kafka_value_path_all_nine_topics(spark):
+    """Every reference topic's payload decodes against its declared schema
+    from the Kafka-shaped frame, with Kafka metadata carried through."""
+    import datetime
+
+    raw = _kafka_shaped_df(spark)
+    for topic, payload in REF_PAYLOADS.items():
+        mine = raw.where(F.col("topic") == topic)
+        out = ingest.parse_json_events(
+            mine, REF_TOPIC_SCHEMAS[topic], keep=["topic", "partition", "offset", "timestamp"]
+        ).collect()
+        assert len(out) == 1
+        row = out[0]
+        assert row["_corrupt"] is None, topic
+        for field, want in payload.items():
+            got = row[field]
+            assert got == want, (topic, field, got, want)
+        assert row["topic"] == topic and row["offset"] >= 100
+        assert row["timestamp"] == datetime.datetime(2026, 8, 13, 10, 0, 0)
+
+
+def test_kafka_value_path_corrupt_routing(spark):
+    """Malformed payloads (truncated JSON, non-JSON, empty) land in
+    _corrupt with the raw text preserved; well-formed rows are unaffected."""
+    import datetime
+
+    ts = datetime.datetime(2026, 8, 13, 10, 0, 0)
+    bad = [
+        (b"k", b'{"customer_id": 7, "customer_name":', "customers_add", 0, 900, ts, 0),
+        (b"k", b"definitely not json", "customers_add", 0, 901, ts, 0),
+        (b"k", b"", "customers_add", 0, 902, ts, 0),
+    ]
+    raw = _kafka_shaped_df(spark, extra_rows=bad).where(F.col("topic") == "customers_add")
+    out = ingest.parse_json_events(
+        raw, REF_TOPIC_SCHEMAS["customers_add"], keep=["offset"]
+    ).collect()
+    by_offset = {r["offset"]: r for r in out}
+    good = [r for r in out if r["_corrupt"] is None and r["customer_id"] is not None]
+    assert len(good) == 1 and good[0]["customer_name"] == "Ada"
+    assert by_offset[900]["_corrupt"] == '{"customer_id": 7, "customer_name":'
+    assert by_offset[901]["_corrupt"] == "definitely not json"
+    # empty value: PERMISSIVE yields an all-null row (not _corrupt); a
+    # dead-letter sink must also filter on the pk being null
+    assert by_offset[902]["customer_id"] is None and by_offset[902]["_corrupt"] is None
+
+
+def test_kafka_value_path_through_entity_routing(spark):
+    """The full 9-topic frame routed through entity_events with the
+    reference's topic names: suffix picks the CDC op, prefix picks the
+    entity, corrupt rows are dropped."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.pipeline import EntitySpec, entity_events
+
+    specs = [
+        EntitySpec("transactions", REF_TOPIC_SCHEMAS["transactions_edit"], "sale_id"),
+        EntitySpec("products", REF_TOPIC_SCHEMAS["products_add"], "product_id"),
+        EntitySpec("customers", REF_TOPIC_SCHEMAS["customers_add"], "customer_id"),
+    ]
+    import datetime
+
+    ts = datetime.datetime(2026, 8, 13, 10, 0, 0)
+    raw = _kafka_shaped_df(
+        spark, extra_rows=[(b"k", b"garbage", "products_add", 0, 903, ts, 0)]
+    )
+    for spec in specs:
+        events = entity_events(raw, spec).collect()
+        assert len(events) == 3, spec.name  # one per suffix; corrupt dropped
+        ops = {}
+        for r in events:
+            ops[r[cdc.OP_COL]] = ops.get(r[cdc.OP_COL], 0) + 1
+        assert ops[cdc.OP_DELETE] == 1, spec.name
+        assert ops[cdc.OP_UPSERT] == 2, spec.name
