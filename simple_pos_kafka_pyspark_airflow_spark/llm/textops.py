@@ -50,6 +50,26 @@ def bpe_ish_token_count(text: Column) -> Column:
     )
 
 
+#: PII-shaped patterns, RE2-compatible (no lookarounds) so the identical
+#: pattern runs in DuckDB oracles. Deliberately simple: recall-oriented
+#: scrubbing for training corpora, not a compliance tool.
+REDACTION_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}", "<PHONE>"),
+)
+
+
+def redact(text: Column, patterns: tuple[tuple[str, str], ...] = REDACTION_PATTERNS) -> Column:
+    """Scrub PII-shaped substrings (emails, phone-like digit runs) — the
+    standard pre-training redaction pass. Chained ``regexp_replace`` stays
+    in codegen; replaces ALL occurrences (DuckDB needs the 'g' flag for
+    the same semantics)."""
+    out = text
+    for pattern, token in patterns:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
 def char_count(text: Column) -> Column:
     return F.length(text).cast("int")
 

@@ -374,6 +374,38 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_audio",
+    "llm",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id AS asset_id, octet_length(encode(text)) AS n FROM documents
+    )
+    SELECT asset_id,
+           CAST((n + (n % 2)) // 2 AS INTEGER) AS n_samples,
+           CAST(((n + (n % 2)) // 2) * 1000.0 / 8000 AS DOUBLE) AS duration_ms
+    FROM b
+    """,
+    notes="REAL audio decode, oracle-verified: documents → mono 16-bit PCM "
+    "WAV payloads (llm/multimodal.encode_wav; text bytes zero-padded to "
+    "even length become int16 samples) → mapInPandas feature extraction "
+    "that walks the RIFF chunks back (llm/multimodal.decode_wav). Sample "
+    "count and duration live only inside the container headers; the "
+    "duration doubles are dyadic (n/8 ms) so float32 feature storage is "
+    "exact and both engines hash identically. RMS/min/max pinned by unit "
+    "tests on known samples",
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    assets = multimodal.synthesize_media_assets(d, modality="audio")
+    feats = multimodal.extract_features(assets)
+    return feats.select(
+        "asset_id",
+        F.col("feature")[2].cast("int").alias("n_samples"),
+        F.col("feature")[3].cast("double").alias("duration_ms"),
+    )
+
+
+@register(
     "q_pandas_udf",
     "llm",
     oracle="""
@@ -611,6 +643,38 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+
+
+@register(
+    "q_text_redact",
+    "llm",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                      '@example.com or call 555-0100'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}', '<PHONE>', 'g') AS clean
+    FROM documents
+    """,
+    notes="PII-shaped redaction (llm/textops.redact): chained codegen "
+    "regexp_replace scrubbing emails and phone-like digit runs — the "
+    "standard pre-training scrub pass, map-only at any scale. "
+    "Deterministic synthetic PII is appended per row so every document "
+    "exercises a real (non-vacuous) replacement; patterns are "
+    "RE2-compatible so the identical regex runs in the DuckDB oracle "
+    "('g' flag gives DuckDB Spark's replace-all semantics)",
+)
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-0100"),
+    )
+    return d.select("doc_id", textops.redact(dirty).alias("clean"))
 
 
 @register(
