@@ -96,9 +96,16 @@ def test_tpch_q4_exists_becomes_semi_join(spark, sf_dir):
     assert "LeftSemi" in plan, plan
 
 
-def test_tpch_q21_semi_and_anti_joins(spark, sf_dir):
+def test_tpch_q21_single_lineitem_aggregation(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS pair is algebrized into one per-order
+    aggregation: exactly ONE lineitem scan, no semi/anti joins, and the
+    o_orderstatus filter pushed to the orders scan."""
     plan = explain_str(build(spark, sf_dir, "q_tpch_q21"))
-    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    scans = [ln for ln in plan.splitlines() if "lineitem.parquet" in ln and "Location" in ln]
+    assert len(scans) == 1, plan
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln and "o_orderstatus" in ln]
+    assert pushed, plan
 
 
 def test_tpch_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
