@@ -646,6 +646,52 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_split_contamination",
+    "llm",
+    oracle=_SHINGLE_CTE
+    + """
+    , sp AS (
+      SELECT doc_id, sh,
+             CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                  WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM s
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.split AS split_a, b.split AS split_b,
+           ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / greatest(len(list_distinct(a.sh || b.sh)), 1), 4) AS jaccard
+    FROM sp a JOIN sp b ON a.doc_id < b.doc_id
+    WHERE a.split <> b.split
+      AND len(list_intersect(a.sh, b.sh)) * 1.0
+          / greatest(len(list_distinct(a.sh || b.sh)), 1) >= 0.8
+    """,
+    notes="train/test DEcontamination — the eval-integrity pass every "
+    "training pipeline needs: near-dup pairs (MinHash+LSH candidates, "
+    "exact-Jaccard ≥0.8 verified) that CROSS the deterministic train/val/"
+    "test split of q_split_hash. Engine cost is the same O(docs×bands) "
+    "LSH as q_dedup_minhash plus a broadcast-sized split projection "
+    "(split membership is pure arithmetic on the id — no split table "
+    "join); the oracle is brute-force all-pairs. At 100 TB the "
+    "contaminated ids feed an anti-join to quarantine eval leakage",
+)
+def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    pairs = dedup.near_dup_pairs_minhash(
+        d, "text", "doc_id", n_shingle=3, num_hashes=64, bands=16, jaccard_threshold=0.8
+    )
+    bucket_a = (F.col("id_a") * F.lit(2654435761)) % 100
+    bucket_b = (F.col("id_b") * F.lit(2654435761)) % 100
+    split_of = lambda b: F.when(b < 80, "train").when(b < 90, "val").otherwise("test")  # noqa: E731
+    return (
+        pairs.withColumn("split_a", split_of(bucket_a))
+        .withColumn("split_b", split_of(bucket_b))
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+    )
+
+
+@register(
     "q_text_redact",
     "llm",
     oracle=r"""
