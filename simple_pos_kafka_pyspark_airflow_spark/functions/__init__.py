@@ -31,6 +31,7 @@ from ..llm.textops import (
     predicted_lang,
     punct_ratio,
     quality_score,
+    redact,
     space_count,
     stopword_ratio,
     token_count,
@@ -53,6 +54,7 @@ __all__ = [
     "predicted_lang",
     "punct_ratio",
     "quality_score",
+    "redact",
     "repetition_ratio",
     "shingles",
     "simhash64",

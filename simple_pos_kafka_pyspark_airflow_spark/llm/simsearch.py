@@ -267,6 +267,46 @@ def cosine_topk_ivf(
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
+def normalize_embeddings_by_group(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-group whitening: subtract the group's per-dimension mean and
+    divide by its per-dimension std (population), via **grouped-map
+    ``applyInPandas``** — the canonical shape for 'the computation needs
+    the whole group as one matrix' (here: group statistics + elementwise
+    transform in two BLAS passes per group).
+
+    Scale: one shuffle on ``group_col``; each group must fit a worker's
+    memory (fine for label-sharded corpora — groups are ~corpus/n_labels;
+    for giant groups, pre-aggregate means/stds with posexplode+groupBy
+    instead). Zero-variance dimensions pass through unscaled (std clamped
+    to 1) so constant dims don't produce NaN/Inf."""
+    out_schema = df.select(id_col, group_col, vec_col).schema
+
+    def whiten(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+        mu = m.mean(axis=0)
+        sd = m.std(axis=0)  # population std, matches STDDEV_POP
+        sd[sd == 0.0] = 1.0
+        w = (m - mu) / sd
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                group_col: pdf[group_col].to_numpy(),
+                vec_col: list(w.astype("float32")),
+            }
+        )
+
+    return (
+        df.select(id_col, group_col, vec_col)
+        .groupBy(group_col)
+        .applyInPandas(whiten, schema=out_schema)
+    )
+
+
 def near_dup_pairs_embedding(
     df: DataFrame,
     vec_col: str = "embedding",

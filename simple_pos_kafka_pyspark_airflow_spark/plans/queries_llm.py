@@ -646,6 +646,22 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_embed_normalize",
+    "llm",
+    oracle=None,  # float aggregation order differs across engines; semantics
+    # pinned by unit tests (exact numpy twin, mean≈0/std≈1 per group)
+    notes="§2.10 grouped-map discipline: per-label embedding whitening via "
+    "applyInPandas (llm/simsearch.normalize_embeddings_by_group) — the one "
+    "Pandas-UDF shape where the computation needs the whole group as a "
+    "matrix. One shuffle on label; rows-only check because per-dimension "
+    "mean/std doubles are summation-order-dependent across engines",
+)
+def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return simsearch.normalize_embeddings_by_group(e, "label", "embedding", "vec_id")
+
+
+@register(
     "q_split_contamination",
     "llm",
     oracle=_SHINGLE_CTE

@@ -277,3 +277,41 @@ def test_ivf_centroids_sparse_ids(spark):
     assert len(c) == 8
     # deterministic across invocations
     assert c == simsearch.ivf_centroids(df, n_cells=8)
+
+
+def test_normalize_embeddings_by_group_matches_numpy(spark):
+    """applyInPandas whitening must equal the driver-side numpy twin
+    exactly (same float32 output), with mean~0 / std~1 per group and
+    zero-variance dims passed through unscaled."""
+    import numpy as np
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm import simsearch
+
+    rows = [
+        (i, "a" if i % 2 == 0 else "b", [float(i), float(i * i % 7), 5.0])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<float>")
+    out = {
+        r["vec_id"]: (r["label"], np.array(r["embedding"], dtype="float32"))
+        for r in simsearch.normalize_embeddings_by_group(df).collect()
+    }
+    assert len(out) == 12
+    by_label = {}
+    for vid, lab, vec in rows:
+        by_label.setdefault(lab, []).append((vid, vec))
+    for lab, members in by_label.items():
+        m = np.array([v for _, v in members], dtype="float64")
+        mu, sd = m.mean(axis=0), m.std(axis=0)
+        sd[sd == 0.0] = 1.0
+        w = ((m - mu) / sd).astype("float32")
+        for (vid, _), want in zip(members, w):
+            got_lab, got = out[vid]
+            assert got_lab == lab
+            assert np.array_equal(got, want), (vid, got, want)
+        # constant dim (index 2) passes through centered but unscaled
+        grp = np.stack([out[vid][1] for vid, _ in members])
+        assert np.allclose(grp[:, 2], 0.0)
+        assert np.allclose(grp.mean(axis=0), 0.0, atol=1e-6)
+        nonconst = grp.std(axis=0)[:2]
+        assert np.allclose(nonconst, 1.0, atol=1e-5)
