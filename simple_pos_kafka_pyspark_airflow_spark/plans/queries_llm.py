@@ -646,6 +646,66 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_pack_sequences",
+    "llm",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER)
+               AS n_tokens,
+             CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                  WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ), p AS (
+      SELECT doc_id, split, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY split ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+      FROM t
+    )
+    SELECT doc_id, split, n_tokens,
+           CAST(prefix // 2048 AS INTEGER) AS pack_id,
+           CAST(prefix % 2048 AS INTEGER) AS pack_offset
+    FROM p
+    """,
+    notes="GPT-style sequence packing (concat-then-split): an exclusive "
+    "prefix sum of token counts in stable doc_id order assigns every "
+    "document its training-sequence id (prefix // 2048) and offset — "
+    "documents may straddle block boundaries exactly as in standard "
+    "pretraining packing. Packed WITHIN the deterministic split shards "
+    "(window PARTITION BY split): the global-cumsum bottleneck is bounded "
+    "by shard size, and at 100 TB the same pattern runs per storage shard "
+    "(hundreds of partitions), never one global sort. Pure integer "
+    "arithmetic — bit-identical across engines",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % 100
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    t = d.select(
+        "doc_id",
+        textops.token_count(F.col("text")).alias("n_tokens"),
+        split.alias("split"),
+    )
+    w = (
+        Window.partitionBy("split")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return t.select(
+        "doc_id",
+        "split",
+        "n_tokens",
+        F.floor(prefix / 2048).cast("int").alias("pack_id"),
+        (prefix % 2048).cast("int").alias("pack_offset"),
+    )
+
+
+@register(
     "q_embed_normalize",
     "llm",
     oracle=None,  # float aggregation order differs across engines; semantics

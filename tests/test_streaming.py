@@ -733,3 +733,31 @@ def test_kafka_value_path_through_entity_routing(spark):
             ops[r[cdc.OP_COL]] = ops.get(r[cdc.OP_COL], 0) + 1
         assert ops[cdc.OP_DELETE] == 1, spec.name
         assert ops[cdc.OP_UPSERT] == 2, spec.name
+
+
+def test_kafka_payload_encode_decode_roundtrip(spark):
+    """S5→S4 inverse property: to_kafka_payload's JSON encode followed by
+    parse_json_events recovers the original rows exactly — including
+    nulls, unicode, embedded quotes/newlines, and negative/zero numbers."""
+    from simple_pos_kafka_pyspark_airflow_spark.sources import io as sio
+
+    schema = "sale_id long, customer_id long, quantity int, price double, note string"
+    rows = [
+        (1, 7, 2, 9.5, "plain"),
+        (2, None, 0, -1.25, 'quote " and \\ backslash'),
+        (3, 8, -4, 0.0, "unicode: héllo wörld ☃"),
+        (4, 9, 1, 2.5, "line\nbreak\ttab"),
+        (5, 10, 3, 1e-3, None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    encoded = sio.to_kafka_payload(df, key_col="sale_id")
+    assert encoded.columns == ["key", "value"]
+    decoded = ingest.parse_json_events(encoded, schema, keep=["key"])
+    got = {r["sale_id"]: r for r in decoded.collect()}
+    assert len(got) == 5
+    for sale_id, customer_id, quantity, price, note in rows:
+        r = got[sale_id]
+        assert r["_corrupt"] is None
+        assert r["key"] == str(sale_id)
+        assert (r["customer_id"], r["quantity"], r["note"]) == (customer_id, quantity, note)
+        assert r["price"] == price
