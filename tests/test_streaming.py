@@ -761,3 +761,29 @@ def test_kafka_payload_encode_decode_roundtrip(spark):
         assert r["key"] == str(sale_id)
         assert (r["customer_id"], r["quantity"], r["note"]) == (customer_id, quantity, note)
         assert r["price"] == price
+
+
+def test_parquet_cdc_sink_batch_replay_idempotent(spark, tmp_path):
+    """Checkpoint-recovery semantics: foreachBatch may replay the last
+    batch after a crash. Re-applying the identical batch must leave the
+    table unchanged (f(f(T,E),E) == f(T,E) for last-write-wins + delete),
+    which is what makes the parquet sink effectively exactly-once."""
+    schema = "id long, name string, bal double"
+    ev_schema = f"id long, name string, bal double, {cdc.OP_COL} string, seq long"
+    sink = cdc.ParquetCdcSink(
+        spark, str(tmp_path / "wh"), pk="id", order_col="seq", schema=schema
+    )
+    batch1 = spark.createDataFrame(
+        [(1, "a", 1.0, "upsert", 1), (2, "b", 2.0, "upsert", 2)], ev_schema
+    )
+    sink.foreach_batch(batch1, 0)
+    batch2 = spark.createDataFrame(
+        [(1, "a2", 1.5, "upsert", 3), (2, None, None, "delete", 4), (3, "c", 3.0, "upsert", 5)],
+        ev_schema,
+    )
+    sink.foreach_batch(batch2, 1)
+    after_once = sorted(map(tuple, sink.read().collect()))
+    assert after_once == [(1, "a2", 1.5), (3, "c", 3.0)]
+    # crash-replay of batch 1: engine re-delivers the same batch id+data
+    sink.foreach_batch(batch2, 1)
+    assert sorted(map(tuple, sink.read().collect())) == after_once
