@@ -76,6 +76,19 @@ def entity_events(raw: DataFrame, spec: EntitySpec, topic_col: str = "topic") ->
     )
 
 
+def corrupt_events(raw: DataFrame, spec: EntitySpec, topic_col: str = "topic") -> DataFrame:
+    """The dead-letter complement of ``entity_events``: rows of the
+    entity's topics whose payload failed the schema parse, with the raw
+    payload and routing metadata preserved for replay/alerting. Production
+    wiring: a second ``writeStream`` on this frame into a quarantine table
+    — corrupt data is never silently dropped, and the partition/offset
+    columns (when present) identify the exact source records."""
+    mine = raw.where(F.col(topic_col).startswith(f"{spec.name}_"))
+    meta = [c for c in ("partition", "offset", "timestamp") if c in raw.columns]
+    parsed = parse_json_events(mine, spec.event_schema, keep=[topic_col, *meta])
+    return parsed.where(F.col("_corrupt").isNotNull()).select(topic_col, *meta, "_corrupt")
+
+
 def build_sinks(
     spark: SparkSession, warehouse_dir: str, entities: tuple[EntitySpec, ...] = POS_ENTITIES
 ) -> dict[str, ParquetCdcSink]:

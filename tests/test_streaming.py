@@ -787,3 +787,32 @@ def test_parquet_cdc_sink_batch_replay_idempotent(spark, tmp_path):
     # crash-replay of batch 1: engine re-delivers the same batch id+data
     sink.foreach_batch(batch2, 1)
     assert sorted(map(tuple, sink.read().collect())) == after_once
+
+
+def test_corrupt_events_dead_letter_routing(spark):
+    """corrupt_events captures exactly the rows entity_events drops, with
+    raw payload + source coordinates preserved."""
+    import datetime
+
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.pipeline import (
+        EntitySpec,
+        corrupt_events,
+        entity_events,
+    )
+
+    ts = datetime.datetime(2026, 8, 13, 10, 0, 0)
+    spec = EntitySpec("customers", REF_TOPIC_SCHEMAS["customers_add"], "customer_id")
+    bad = [
+        (b"k", b"{broken", "customers_add", 1, 900, ts, 0),
+        (b"k", b"<xml/>", "customers_remove", 2, 901, ts, 0),
+        (b"k", b"{}", "products_add", 0, 902, ts, 0),  # other entity: ignored
+    ]
+    raw = _kafka_shaped_df(spark, extra_rows=bad)
+    dead = corrupt_events(raw, spec).collect()
+    assert sorted((r["offset"], r["_corrupt"]) for r in dead) == [
+        (900, "{broken"),
+        (901, "<xml/>"),
+    ]
+    assert all(r["topic"].startswith("customers_") and r["partition"] in (1, 2) for r in dead)
+    # the good/bad split is exact: entity_events keeps the 3 well-formed
+    assert len(entity_events(raw, spec).collect()) == 3
