@@ -382,8 +382,16 @@ def near_dup_pairs_simhash(
     """SimHash near-dup: block on the 4 16-bit quarters of the simhash
     (pigeonhole: ≤3 differing bits ⇒ at least one identical quarter), then
     verify the Hamming distance exactly. Shuffle is O(docs × 4) on 16-bit
-    buckets — never quadratic."""
-    sh = simhash_df(df, text_col, id_col)
+    buckets — never quadratic.
+
+    The (id, simhash) table is persisted: both sides of the candidate
+    self-join read one materialization instead of re-running the 65-wide
+    conditional-count aggregation each (same discipline as
+    ``minhash_doc_table`` — ReuseExchange does not fire across self-join
+    sides with differing projections)."""
+    from pyspark import StorageLevel
+
+    sh = simhash_df(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     quarters = sh.select(
         "_id",
         "_sim",

@@ -317,12 +317,19 @@ def near_dup_pairs_embedding(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: block on the exact hyperplane
     signature (near-identical vectors almost surely share all sign bits),
-    verify cosine within blocks. Shuffle O(docs) on a 16-bit key."""
+    verify cosine within blocks. Shuffle O(docs) on a 16-bit key. The
+    signature table is persisted so both self-join sides read one
+    materialization — without it the Arrow-batched signature UDF runs
+    over the corpus twice."""
+    from pyspark import StorageLevel
+
     dim_probe = df.select(F.size(vec_col).alias("d")).limit(1).collect()
     dim = dim_probe[0]["d"] if dim_probe else 0
     planes = _hyperplanes(dim, n_planes, seed)
-    sig = with_hyperplane_signature(df, planes, vec_col).select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "_sig"
+    sig = (
+        with_hyperplane_signature(df, planes, vec_col)
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "_sig")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = sig.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"), F.col("_sig").alias("sig_a"))
     b = sig.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"), F.col("_sig").alias("sig_b"))
