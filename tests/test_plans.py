@@ -140,3 +140,32 @@ def test_plan_summary_counts_features(spark, sf_dir):
     assert s["scans"] >= 6
     assert s["scans_with_pushed_filters"] >= 2
     assert "lineitem.parquet" in s["tables"]
+
+
+def test_redact_and_decode_are_map_only(spark, sf_dir):
+    """Per-row corpus passes must not shuffle: redaction and multimodal
+    decode are single-scan, zero-exchange plans at any scale."""
+    from simple_pos_kafka_pyspark_airflow_spark.analyze import plan_summary
+
+    for name in ("q_text_redact", "q_multimodal_decode", "q_multimodal_audio"):
+        s = plan_summary(build(spark, sf_dir, name))
+        assert s["exchanges"] == 0, (name, s)
+        assert s["scans"] == 1, (name, s)
+
+
+def test_pack_sequences_bounded_exchanges(spark, sf_dir):
+    """Sequence packing is one window over the split shards: one scan,
+    no joins, and at most two exchanges (shard hash + AQE final)."""
+    from simple_pos_kafka_pyspark_airflow_spark.analyze import plan_summary
+
+    s = plan_summary(build(spark, sf_dir, "q_pack_sequences"))
+    assert s["scans"] == 1 and s["windows"] == 1, s
+    assert s["exchanges"] <= 2, s
+    assert s["cartesian_products"] == 0, s
+
+
+def test_embed_normalize_single_group_shuffle(spark, sf_dir):
+    from simple_pos_kafka_pyspark_airflow_spark.analyze import plan_summary
+
+    s = plan_summary(build(spark, sf_dir, "q_embed_normalize"))
+    assert s["scans"] == 1 and s["exchanges"] <= 2, s
