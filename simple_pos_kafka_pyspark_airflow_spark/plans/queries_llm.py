@@ -646,6 +646,34 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sample_rebalance",
+    "llm",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE (doc_id * 1597334677) % 1000 <
+          CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 700 ELSE 1000 END
+    """,
+    notes="deterministic stratified downsampling — corpus rebalancing "
+    "(e.g. cap overrepresented languages) via a multiplicative hash of the "
+    "stable id against a per-stratum keep-rate: no RNG state, every engine "
+    "reproduces the same sample, and membership is a pure projection "
+    "predicate — at 100 TB it pushes into the scan and composes with any "
+    "query, no sample table to join. Per-lang rates as a CASE (a broadcast "
+    "rates dim works identically for many strata)",
+)
+def q_sample_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(1597334677)) % 1000
+    rate = (
+        F.when(F.col("lang") == "en", 300)
+        .when(F.col("lang") == "de", 700)
+        .otherwise(1000)
+    )
+    return d.where(bucket < rate).select("doc_id", "lang", "source")
+
+
+@register(
     "q_pack_sequences",
     "llm",
     oracle="""
