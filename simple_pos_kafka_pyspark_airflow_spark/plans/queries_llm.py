@@ -657,10 +657,12 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     notes="deterministic stratified downsampling — corpus rebalancing "
     "(e.g. cap overrepresented languages) via a multiplicative hash of the "
     "stable id against a per-stratum keep-rate: no RNG state, every engine "
-    "reproduces the same sample, and membership is a pure projection "
-    "predicate — at 100 TB it pushes into the scan and composes with any "
-    "query, no sample table to join. Per-lang rates as a CASE (a broadcast "
-    "rates dim works identically for many strata)",
+    "reproduces the same sample, and membership is a pure row-local "
+    "predicate evaluated inside the scan's codegen stage — no RNG, no "
+    "shuffle, no sample table to join (the hash arithmetic itself is not "
+    "a parquet-pushable comparison; the win is composability, not I/O "
+    "skipping). Per-lang rates as a CASE (a broadcast rates dim works "
+    "identically for many strata)",
 )
 def q_sample_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
