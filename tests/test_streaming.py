@@ -816,3 +816,57 @@ def test_corrupt_events_dead_letter_routing(spark):
     assert all(r["topic"].startswith("customers_") and r["partition"] in (1, 2) for r in dead)
     # the good/bad split is exact: entity_events keeps the 3 well-formed
     assert len(entity_events(raw, spec).collect()) == 3
+
+
+def test_corpus_ingest_stream_quality_and_dedup(spark, tmp_path):
+    """Streaming corpus front door: junk rejected by the quality gate,
+    exact duplicates collapsed under the watermark, survivors landed with
+    quality/sha columns — end-to-end over a real stream drain."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming import corpus
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    good = "the quick brown fox jumps over the lazy dog near the river bank today"
+    with open(src / "batch.json", "w") as f:
+        rows = [
+            {"doc_id": 1, "text": good, "ts": "2026-08-13 10:00:00"},
+            {"doc_id": 2, "text": good, "ts": "2026-08-13 10:00:05"},  # exact dup
+            {"doc_id": 3, "text": "x", "ts": "2026-08-13 10:00:10"},  # too short
+            {"doc_id": 4, "text": "!!! ??? ###", "ts": "2026-08-13 10:00:15"},  # junk
+            {"doc_id": 5, "text": "a completely different sentence about many other things here", "ts": "2026-08-13 10:00:20"},
+        ]
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = ingest.file_json_stream(spark, str(src), "doc_id long, text string, ts string")
+    stream = stream.withColumn("ts", F.to_timestamp("ts"))
+    out = corpus.corpus_ingest(stream)
+    sink = tmp_path / "corpus"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(tmp_path / "ckpt_corpus"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(sink)).collect()
+    ids = sorted(r["doc_id"] for r in got)
+    assert ids == [1, 5] or ids == [2, 5]  # one of the dup pair survives
+    assert all(r["text_sha"] is not None and r["quality"] > 0 for r in got)
+
+
+def test_corpus_ingest_batch_twin(spark):
+    """Same plan on a batch frame: the gate and dedup are source-agnostic."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming import corpus
+
+    df = spark.createDataFrame(
+        [
+            (1, "many reasonable words in a sentence about things", "2026-08-13 10:00:00"),
+            (2, "many reasonable words in a sentence about things", "2026-08-13 11:00:00"),
+            (3, "@@", "2026-08-13 12:00:00"),
+        ],
+        "doc_id long, text string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = corpus.corpus_ingest(df).collect()
+    assert len(out) == 1
+    assert out[0]["doc_id"] in (1, 2)
