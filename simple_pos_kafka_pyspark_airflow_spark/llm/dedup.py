@@ -491,3 +491,76 @@ def ngram_jaccard_pairs_blocked(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster assignment (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: every document gets a
+    ``cluster_id`` (the minimum id reachable through the pair graph;
+    singletons cluster with themselves) — the step that turns pair lists
+    into an actionable keep/drop decision (keep ``doc_id == cluster_id``).
+
+    Iterative min-label propagation (Pregel-lite): each round joins the
+    current labels across the edge list and takes the per-node minimum.
+    Rounds needed = graph diameter — near-dup clusters are shallow (a dup
+    cluster's diameter is rarely >3), so this converges in a handful of
+    rounds; ``max_iter`` bounds adversarial chains, and each round is one
+    shuffle on the node id. The driver-side loop is the documented
+    exception for iterative algorithms (each iteration is still fully
+    distributed; only the 1-row convergence count returns to the driver).
+    Label frames are cached per round and the previous round unpersisted,
+    so the lineage (and recomputation) does not grow with iterations.
+
+    ``pairs`` must carry ``id_a``/``id_b``; ``all_ids`` (one ``id_col``
+    column) extends the output to documents in no pair.
+    """
+    from pyspark import StorageLevel
+
+    edges = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d")).unionAll(
+        pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d"))
+    )
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        edges.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iter):
+        neighbor = (
+            edges.join(labels, edges.d == labels.id)
+            .select(F.col("s").alias("id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "id")
+            .where(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+    if all_ids is not None:
+        out = (
+            all_ids.select(id_col)
+            .join(out, id_col, "left")
+            .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
+        )
+    return out.withColumn("keep", (F.col(id_col) == F.col("cluster_id")).cast("boolean"))

@@ -646,6 +646,51 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_clusters",
+    "llm",
+    oracle=_SHINGLE_CTE.replace("WITH t AS", "WITH RECURSIVE t AS")
+    + """
+    , pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+            / greatest(len(list_distinct(a.sh || b.sh)), 1) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id
+    ),
+    comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           CAST(COALESCE(comp.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+           (d.doc_id = COALESCE(comp.cluster_id, d.doc_id)) AS keep
+    FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
+    """,
+    notes="dedup cluster assignment: connected components over the "
+    "MinHash+LSH near-dup pair graph via iterative min-label propagation "
+    "(llm/dedup.dedup_clusters) — the step that turns pair lists into the "
+    "keep/drop decision (keep doc_id == cluster_id, the canonical "
+    "survivor). Rounds = cluster diameter (shallow for dup clusters); each "
+    "round is one shuffle on the node id, only a 1-row convergence probe "
+    "reaches the driver. Oracle: DuckDB recursive-CTE transitive closure "
+    "over the brute-force pair set",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    pairs = dedup.near_dup_pairs_minhash(
+        d, "text", "doc_id", n_shingle=3, num_hashes=64, bands=16, jaccard_threshold=0.8
+    )
+    return dedup.dedup_clusters(pairs, all_ids=d, id_col="doc_id").select(
+        "doc_id", "cluster_id", "keep"
+    )
+
+
+@register(
     "q_sample_rebalance",
     "llm",
     oracle="""

@@ -315,3 +315,23 @@ def test_normalize_embeddings_by_group_matches_numpy(spark):
         assert np.allclose(grp.mean(axis=0), 0.0, atol=1e-6)
         nonconst = grp.std(axis=0)[:2]
         assert np.allclose(nonconst, 1.0, atol=1e-5)
+
+
+def test_dedup_clusters_known_components(spark):
+    """Min-label propagation must assign every node the component minimum,
+    cover singletons from all_ids, and converge on a chain longer than one
+    propagation hop (1-2, 2-3, 3-4 => all label 1)."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 99]], "doc_id long")
+    out = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in
+           dedup.dedup_clusters(pairs, all_ids=ids).collect()}
+    assert out == {
+        1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False),
+        10: (10, True), 11: (10, False),
+        20: (20, True), 21: (20, False),
+        99: (99, True),
+    }
