@@ -106,22 +106,29 @@ def driver_ordered_registry() -> dict[str, ContractQuery]:
     """Registry ordered for the driver's 50-query verification window.
 
     Priority groups (stable registration order within each):
-      0. LLM-pipeline queries (dedup ladder, simsearch, text ops, multimodal)
-         — ``q_dedup_minhash``/``q_dedup_simhash``/``q_dedup_embed`` failed in
-         round 1 and their fixes have never been driver-confirmed;
+      0. ORACLE-checked LLM-pipeline queries (dedup ladder, simsearch, text
+         ops, multimodal), plus the two rows-only dedup queries that failed
+         in round 1 (``q_dedup_simhash``/``q_dedup_embed``) whose fixes have
+         never been driver-confirmed;
       1. the 22 TPC-H shapes;
-      2. remaining never-driver-checked queries (analytics breadth);
+      2. remaining never-driver-checked queries — analytics breadth first
+         (oracle-checked), then the rows-only LLM queries (a rows-only
+         driver row only proves "ran clean", so they yield window slots to
+         value-verified queries);
       3. queries already certified green in round 2 (kept last; still run by
          the local full-registry mirror).
     """
     reg = load_registry()
     index = {name: i for i, name in enumerate(reg)}
+    _ROWS_ONLY_PRIORITY = frozenset({"q_dedup_simhash", "q_dedup_embed"})
 
     def group(name: str, cq: ContractQuery) -> int:
         if name in _DRIVER_CERTIFIED_R02:
             return 3
         if cq.build.__module__.endswith("queries_llm"):
-            return 0
+            if cq.oracle is not None or name in _ROWS_ONLY_PRIORITY:
+                return 0
+            return 2
         if name.startswith("q_tpch_"):
             return 1
         return 2
