@@ -781,6 +781,49 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_embed_quantize",
+    "llm",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), s AS (
+      SELECT vec_id, v,
+             GREATEST(list_max(list_transform(v, x -> abs(x))) / 127.0, 1e-30) AS scale
+      FROM b
+    ), q AS (
+      SELECT vec_id, scale,
+             list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+      FROM s
+    )
+    SELECT vec_id, scale,
+           array_to_string(qv, ',') AS q_codes,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum
+    FROM q
+    """,
+    notes="symmetric per-vector int8 quantization "
+    "(llm/simsearch.quantize_embedding): scale = max|v|/127, q = "
+    "floor(v/scale + 0.5) — explicit half-up floor instead of round() "
+    "because the engines' rounding tie modes differ; every step is the "
+    "same IEEE double op on both sides, so even the raw double scale "
+    "hashes identically. Codes are emitted string-joined (+ checksum) — "
+    "scalar cells, since the driver's value-hash comparison is only "
+    "specified for scalars. At 100 TB the int8 form cuts embedding "
+    "storage and scan I/O 4x, scores candidates in integer arithmetic, "
+    "and exact re-scoring touches only finalists",
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    scale, q = simsearch.quantize_embedding(F.col("embedding"))
+    qq = e.select("vec_id", scale.alias("scale"), q.alias("qv"))
+    return qq.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.transform(F.col("qv"), lambda x: x.cast("string")), ",").alias("q_codes"),
+        F.aggregate(F.col("qv"), F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+    )
+
+
+@register(
     "q_embed_normalize",
     "llm",
     oracle=None,  # float aggregation order differs across engines; semantics

@@ -335,3 +335,48 @@ def test_dedup_clusters_known_components(spark):
         20: (20, True), 21: (20, False),
         99: (99, True),
     }
+
+
+def test_ivf_cell_partition_pruning(spark, tmp_path):
+    """The IVF scale story made concrete: with the cell id as the storage
+    partition key, a probe's cell filter becomes partition pruning — the
+    scan's PartitionFilters carries the cell predicate and only nprobe
+    directories are read."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm import simsearch
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = simsearch.ivf_centroids(e, n_cells=8)
+    assigned = simsearch.ivf_assign(e, cents, out_col="cell")
+    path = str(tmp_path / "ivf_table")
+    assigned.write.partitionBy("cell").parquet(path)
+    probe = spark.read.parquet(path).where(F.col("cell").isin([0, 3]))
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain(mode="formatted")
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cell" in pf[0], plan
+    # only the probed cells' rows come back, and they match the in-memory assignment
+    want = {r["vec_id"] for r in assigned.where(F.col("cell").isin([0, 3])).collect()}
+    got = {r["vec_id"] for r in probe.collect()}
+    assert got == want and got  # non-vacuous
+
+
+def test_quantize_dequantize_roundtrip(spark):
+    """Dequantized vectors must be within scale/2 per element, and the
+    int8 codes within [-127, 127]."""
+    import numpy as np
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm import simsearch
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    scale, q = simsearch.quantize_embedding(F.col("embedding"))
+    qdf = e.select("vec_id", "embedding", scale.alias("s"), q.alias("q"))
+    out = qdf.withColumn("deq", simsearch.dequantize_embedding(F.col("q"), F.col("s")))
+    for r in out.collect():
+        v = np.array(r["embedding"], dtype="float64")
+        dq = np.array(r["deq"], dtype="float64")
+        assert all(-127 <= x <= 127 for x in r["q"])
+        assert np.abs(v - dq).max() <= r["s"] / 2 + 1e-7, r["vec_id"]
