@@ -26,9 +26,12 @@ guard made distributed, bounded, and exactly-once.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..llm import dedup as dedup_ops
 from ..llm import textops
 
 
@@ -57,3 +60,139 @@ def corpus_ingest(
     if hashed.isStreaming:
         hashed = hashed.withWatermark(ts_col, watermark)
     return hashed.dropDuplicates(["text_sha"])
+
+
+def banded_index_rows(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shingle: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """The storable LSH index form of a document set: one row per
+    (doc, band) carrying the band's bucket hash and the doc's shingle-hash
+    set — everything a later batch needs to near-dup against this corpus
+    WITHOUT re-reading its text. Schema: (doc_id, band, bucket, sh)."""
+    rows = num_hashes // bands
+    doc_tbl = dedup_ops.minhash_doc_table(docs, text_col, id_col, n_shingle, num_hashes)
+    return doc_tbl.select(
+        F.col("_id").alias("doc_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        F.col("_sig"),
+        F.col("_sh").alias("sh"),
+    ).select(
+        "doc_id",
+        "band",
+        F.xxhash64(F.array_join(F.slice("_sig", F.col("band") * rows + 1, rows), ",")).alias(
+            "bucket"
+        ),
+        "sh",
+    )
+
+
+class IncrementalMinhashIndex:
+    """Near-dup dedup at ingest, incrementally: an LSH band-bucket index of
+    everything already landed, appended per micro-batch.
+
+    Per batch (``dedup_batch`` — plain DataFrames, so it slots into
+    ``foreachBatch`` or a batch backfill identically):
+
+    1. index the batch (``banded_index_rows``);
+    2. candidates = batch ⋈ landed index on (band, bucket) — at 100 TB
+       the landed index is stored partitioned/bucketed by (band, bucket),
+       so this probe is a co-located join against a table that is orders
+       of magnitude smaller than the corpus text (64 longs + shingle
+       hashes per doc);
+    3. exact-Jaccard verify candidates; batch docs matching a landed doc
+       at ≥ threshold are rejected;
+    4. within-batch near-dups collapse greedily to the minimum id
+       (pair-wise, not transitive — a chain A~B~C with A≁C keeps A and C);
+    5. survivors' index rows append to the landed index.
+
+    The index directory is the only state — no driver memory, no
+    streaming state store — so the dedup horizon is the whole corpus
+    lifetime, unlike watermark-bounded ``dropDuplicates``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        jaccard_threshold: float = 0.8,
+        n_shingle: int = 3,
+        num_hashes: int = 64,
+        bands: int = 16,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.text_col = text_col
+        self.id_col = id_col
+        self.threshold = jaccard_threshold
+        self.n_shingle = n_shingle
+        self.num_hashes = num_hashes
+        self.bands = bands
+
+    def _landed(self) -> DataFrame | None:
+        if os.path.isdir(self.path) and any(
+            f.endswith(".parquet") for f in os.listdir(self.path)
+        ):
+            return self.spark.read.parquet(self.path)
+        return None
+
+    def dedup_batch(self, docs: DataFrame) -> DataFrame:
+        """Return the batch rows that are NOT near-duplicates of landed or
+        earlier-in-batch documents, and append their index rows."""
+        from pyspark import StorageLevel
+
+        jac_ok = F.col("jaccard") >= self.threshold
+
+        # within-batch: greedy min-id keeper over the pair list
+        pairs = dedup_ops.near_dup_pairs_minhash(
+            docs, self.text_col, self.id_col,
+            n_shingle=self.n_shingle, num_hashes=self.num_hashes, bands=self.bands,
+            jaccard_threshold=self.threshold,
+        )
+        batch_drops = pairs.select(F.col("id_b").alias(self.id_col)).distinct()
+        kept = docs.join(batch_drops, self.id_col, "left_anti")
+
+        idx = banded_index_rows(
+            kept, self.text_col, self.id_col, self.n_shingle, self.num_hashes, self.bands
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+        landed = self._landed()
+        if landed is not None:
+            cand = (
+                idx.alias("new")
+                .join(landed.alias("old"), ["band", "bucket"])
+                .where(F.col("new.doc_id") != F.col("old.doc_id"))
+                .select(
+                    F.col("new.doc_id").alias("doc_id"),
+                    F.col("old.doc_id").alias("old_id"),
+                    F.col("new.sh").alias("sh_new"),
+                    F.col("old.sh").alias("sh_old"),
+                )
+                # collapse multi-band hits of the SAME (new, old) pair; every
+                # distinct landed witness still gets verified — keeping one
+                # arbitrary witness per new doc would miss dups whose kept
+                # witness happens to fall below threshold
+                .dropDuplicates(["doc_id", "old_id"])
+            )
+            inter = F.size(F.array_intersect("sh_new", "sh_old"))
+            union = F.size("sh_new") + F.size("sh_old") - inter
+            dup_ids = (
+                cand.withColumn("jaccard", inter / F.greatest(union, F.lit(1)))
+                .where(jac_ok)
+                .select("doc_id")
+                .distinct()
+            )
+            kept = kept.join(dup_ids, self.id_col, "left_anti")
+            idx_out = idx.join(
+                dup_ids.withColumnRenamed(self.id_col, "doc_id"), "doc_id", "left_anti"
+            )
+        else:
+            idx_out = idx
+        idx_out.write.mode("append").parquet(self.path)
+        return kept
