@@ -1365,3 +1365,41 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c.agg(F.count("*").alias("n_clicked")))
         .join(p.agg(F.count("*").alias("n_purchased")))
     )
+
+
+@register(
+    "q_cohort_retention",
+    "agg",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, date_trunc('month', o_orderdate) AS m
+      FROM orders
+    ),
+    f AS (SELECT o_custkey, MIN(m) AS cohort FROM o GROUP BY o_custkey)
+    SELECT f.cohort,
+           CAST(datediff('month', f.cohort, o.m) AS INTEGER) AS months_since,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+    FROM o JOIN f USING (o_custkey)
+    GROUP BY f.cohort, months_since
+    ORDER BY f.cohort, months_since
+    """,
+    notes="cohort retention matrix — customers grouped by first-order "
+    "month, counted distinct at each month offset: the standard retention "
+    "analysis shape. Two shuffles (first-order agg on custkey, matrix agg "
+    "on cohort/offset); months_between over month-truncated dates equals "
+    "DuckDB's month datediff exactly, so the offsets are integer-identical",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("m")
+    )
+    first = o.groupBy("o_custkey").agg(F.min("m").alias("cohort"))
+    joined = o.join(first, "o_custkey")
+    return (
+        joined.groupBy(
+            "cohort",
+            F.months_between(F.col("m"), F.col("cohort")).cast("int").alias("months_since"),
+        )
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+        .orderBy("cohort", "months_since")
+    )
