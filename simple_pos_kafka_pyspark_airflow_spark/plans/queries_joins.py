@@ -401,3 +401,68 @@ def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("event_type").agg(
         F.count("*").alias("n"), F.sum("user_id").alias("uid_sum")
     )
+
+
+@register(
+    "q_snapshot_diff",
+    "upsert",
+    oracle="""
+    SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+           CAST(NULL AS DOUBLE) AS c_acctbal, 'delete' AS _op
+    FROM customer WHERE c_custkey % 7 = 0
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal + 10, 'upsert'
+    FROM customer WHERE c_custkey % 7 <> 0 AND c_custkey % 5 = 0
+    """,
+    notes="changelog generation — the INVERSE of CDC apply "
+    "(operators/upsert.diff_snapshots): one null-safe full-outer join on "
+    "the pk emits exactly the upsert/delete events transforming snapshot "
+    "A into snapshot B; unchanged rows emit nothing. The reference "
+    "computes this diff via collect()+psycopg2 (POS_spark_dag.py:133-193) "
+    "— here it is one co-located shuffle when both snapshots are bucketed "
+    "by pk. Update/delete sets are synthesized deterministically (key mod "
+    "rules) so the oracle enumerates them directly",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    new = c.where(F.col("c_custkey") % 7 != 0).withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 10).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    return upsert_ops.diff_snapshots(c, new, "c_custkey")
+
+
+@register(
+    "q_scd2",
+    "upsert",
+    oracle="""
+    WITH c AS (SELECT c_custkey, c_name, c_acctbal FROM customer)
+    SELECT c_custkey, c_name, c_acctbal,
+           TIMESTAMP '1995-01-01' AS valid_from,
+           CASE WHEN c_custkey % 3 = 0 THEN TIMESTAMP '2000-06-01' END AS valid_to
+    FROM c
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal + 50,
+           TIMESTAMP '2000-06-01', CAST(NULL AS TIMESTAMP)
+    FROM c WHERE c_custkey % 3 = 0
+    """,
+    notes="slowly-changing-dimension type 2 (operators/upsert.scd2_apply): "
+    "an update batch closes the affected open versions (valid_to = "
+    "effective ts) and appends new open versions; closed history and "
+    "untouched keys pass through. One pk shuffle per batch; time travel "
+    "is then a pushable predicate, no joins. Updates synthesized "
+    "deterministically (every third key re-priced at 2000-06-01)",
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    hist = c.withColumn(
+        "valid_from", F.lit("1995-01-01").cast("timestamp")
+    ).withColumn("valid_to", F.lit(None).cast("timestamp"))
+    upd = (
+        c.where(F.col("c_custkey") % 3 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 50)
+        .withColumn("eff", F.lit("2000-06-01").cast("timestamp"))
+    )
+    return upsert_ops.scd2_apply(hist, upd, "c_custkey", "eff")

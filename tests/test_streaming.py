@@ -913,3 +913,55 @@ def test_incremental_minhash_index_across_batches(spark, tmp_path):
         "doc_id long, text string",
     )
     assert idx.dedup_batch(b3).collect() == []
+
+
+def test_diff_then_apply_is_identity(spark):
+    """diff_snapshots and apply_cdc_batch are inverses: applying the
+    generated changelog to the old snapshot reproduces the new snapshot
+    exactly — inserts, updates, deletes, and null-valued cells included."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators import upsert as u
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        "id long, name string, bal double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),          # unchanged
+         (2, "b2", 2.0),          # null -> value
+         (3, None, 30.0),         # value -> null
+         (5, "e", 50.0)],         # insert; 4 deleted
+        "id long, name string, bal double",
+    )
+    events = u.diff_snapshots(old, new, "id").withColumn("seq", F.lit(1))
+    assert sorted(r["id"] for r in events.collect()) == [2, 3, 4, 5]
+    rebuilt = cdc.apply_cdc_batch(old, events, pk="id", order_col="seq")
+    got = sorted(map(tuple, rebuilt.collect()))
+    want = sorted(map(tuple, new.collect()))
+    assert got == want
+
+
+def test_scd2_time_travel(spark):
+    """SCD2 history answers as-of queries with a pushable predicate."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators import upsert as u
+
+    hist = spark.createDataFrame(
+        [(1, "x", 10.0, "1995-01-01 00:00:00", None), (2, "y", 20.0, "1995-01-01 00:00:00", None)],
+        "id long, name string, bal double, valid_from string, valid_to string",
+    ).select(
+        "id", "name", "bal",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    upd = spark.createDataFrame([(1, "x", 99.0, "2000-06-01 00:00:00")],
+                                "id long, name string, bal double, eff string")
+    upd = upd.withColumn("eff", F.col("eff").cast("timestamp"))
+    out = u.scd2_apply(hist, upd, "id", "eff")
+    asof = lambda t: {  # noqa: E731
+        r["id"]: r["bal"]
+        for r in out.where(
+            (F.col("valid_from") <= F.lit(t).cast("timestamp"))
+            & (F.col("valid_to").isNull() | (F.lit(t).cast("timestamp") < F.col("valid_to")))
+        ).collect()
+    }
+    assert asof("1999-01-01 00:00:00") == {1: 10.0, 2: 20.0}
+    assert asof("2001-01-01 00:00:00") == {1: 99.0, 2: 20.0}
