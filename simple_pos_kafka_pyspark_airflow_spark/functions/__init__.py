@@ -22,7 +22,14 @@ from ..llm.dedup import (
     token_bag_key,
 )
 from ..llm.filtering import repetition_ratio
-from ..llm.simsearch import cosine, dot, hyperplane_signature, norm
+from ..llm.simsearch import (
+    cosine,
+    dequantize_embedding,
+    dot,
+    hyperplane_signature,
+    norm,
+    quantize_embedding,
+)
 from ..llm.textops import (
     bpe_ish_token_count,
     char_count,
@@ -45,6 +52,7 @@ __all__ = [
     "char_count",
     "cosine",
     "decode_prefix",
+    "dequantize_embedding",
     "dot",
     "fingerprint",
     "hyperplane_signature",
@@ -54,6 +62,7 @@ __all__ = [
     "predicted_lang",
     "punct_ratio",
     "quality_score",
+    "quantize_embedding",
     "redact",
     "repetition_ratio",
     "shingles",
