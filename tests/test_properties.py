@@ -125,3 +125,22 @@ def test_token_bag_key_order_invariant(spark, toks):
         dedup.token_bag_key(F.col("a")).alias("ka"), dedup.token_bag_key(F.col("b")).alias("kb")
     ).first()
     assert row["ka"] == row["kb"]
+
+
+snapshot_strategy = st.lists(
+    st.tuples(st.integers(0, 5), st.one_of(st.none(), st.integers(0, 50))),
+    min_size=0,
+    max_size=12,
+).map(lambda rows: list({k: (k, v) for k, v in rows}.values()))  # unique keys
+
+
+@given(snapshot_strategy, snapshot_strategy)
+@SETTINGS
+def test_diff_then_apply_reconstructs_new_snapshot(spark, old_rows, new_rows):
+    """∀ snapshots A, B: apply(A, diff(A, B)) == B — inserts, updates,
+    deletes, null cells, and empty frames included."""
+    old = spark.createDataFrame(old_rows, "id long, val long")
+    new = spark.createDataFrame(new_rows, "id long, val long")
+    events = upsert.diff_snapshots(old, new, "id").withColumn("seq", F.lit(1))
+    rebuilt = cdc.apply_cdc_batch(old, events, pk="id", order_col="seq")
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
