@@ -27,6 +27,7 @@ Determinism rules every query obeys (so hashes match across engines):
 from __future__ import annotations
 
 import importlib
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -102,6 +103,37 @@ _DRIVER_CERTIFIED_R02 = frozenset(
 )
 
 
+def _certified_from_disk() -> frozenset[str]:
+    """Queries with a green (or clean rows-only) row in ANY recorded
+    CORRECTNESS_r*.json at the repo root. Reading the driver's own records
+    makes the window rotation self-maintaining: when round N's results
+    land, round N+1's ordering automatically pushes the newly-certified
+    queries to the back and pulls never-checked ones into the window —
+    no code edit per round."""
+    import glob
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    names: set[str] = set()
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(p) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for q, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            nonvacuous = (row.get("spark_rows") or 0) > 0
+            if nonvacuous and (
+                row.get("hash_match") is True or row.get("err") == "no_oracle"
+            ):
+                # 0-row passes don't certify anything (round 1 recorded
+                # vacuous greens for queries that were later rewritten)
+                names.add(q)
+    return frozenset(names)
+
+
 def driver_ordered_registry() -> dict[str, ContractQuery]:
     """Registry ordered for the driver's 50-query verification window.
 
@@ -120,10 +152,11 @@ def driver_ordered_registry() -> dict[str, ContractQuery]:
     """
     reg = load_registry()
     index = {name: i for i, name in enumerate(reg)}
-    _ROWS_ONLY_PRIORITY = frozenset({"q_dedup_simhash", "q_dedup_embed"})
+    certified = _DRIVER_CERTIFIED_R02 | _certified_from_disk()
+    _ROWS_ONLY_PRIORITY = frozenset({"q_dedup_simhash", "q_dedup_embed"}) - certified
 
     def group(name: str, cq: ContractQuery) -> int:
-        if name in _DRIVER_CERTIFIED_R02:
+        if name in certified:
             return 3
         if cq.build.__module__.endswith("queries_llm"):
             if cq.oracle is not None or name in _ROWS_ONLY_PRIORITY:
