@@ -144,7 +144,14 @@ class IncrementalMinhashIndex:
 
     def dedup_batch(self, docs: DataFrame) -> DataFrame:
         """Return the batch rows that are NOT near-duplicates of landed or
-        earlier-in-batch documents, and append their index rows."""
+        earlier-in-batch documents, and append their index rows.
+
+        Cache lifetime: this runs once per micro-batch for the lifetime of
+        a stream, so every intermediate is either eagerly checkpointed
+        (truncating lineage AND bounding what later plans re-derive) or
+        explicitly unpersisted before return — per-batch state must not
+        accrete in the executor block manager.
+        """
         from pyspark import StorageLevel
 
         jac_ok = F.col("jaccard") >= self.threshold
@@ -156,7 +163,7 @@ class IncrementalMinhashIndex:
             jaccard_threshold=self.threshold,
         )
         batch_drops = pairs.select(F.col("id_b").alias(self.id_col)).distinct()
-        kept = docs.join(batch_drops, self.id_col, "left_anti")
+        kept = docs.join(batch_drops, self.id_col, "left_anti").localCheckpoint(eager=True)
 
         idx = banded_index_rows(
             kept, self.text_col, self.id_col, self.n_shingle, self.num_hashes, self.bands
@@ -188,11 +195,12 @@ class IncrementalMinhashIndex:
                 .select("doc_id")
                 .distinct()
             )
-            kept = kept.join(dup_ids, self.id_col, "left_anti")
+            kept = kept.join(dup_ids, self.id_col, "left_anti").localCheckpoint(eager=True)
             idx_out = idx.join(
                 dup_ids.withColumnRenamed(self.id_col, "doc_id"), "doc_id", "left_anti"
             )
         else:
             idx_out = idx
         idx_out.write.mode("append").parquet(self.path)
+        idx.unpersist()
         return kept
