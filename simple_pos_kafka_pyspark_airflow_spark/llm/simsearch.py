@@ -271,10 +271,14 @@ def quantize_embedding(vec: Column) -> tuple[Column, Column]:
     """Symmetric per-vector int8 quantization: returns (scale, int8 array)
     with ``scale = max|v| / 127`` and ``q_i = floor(v_i/scale + 0.5)``
     (explicit half-up floor — engine-independent, unlike round()'s
-    tie-mode differences). Pure codegen transforms; at 100 TB this cuts
-    embedding storage and scan I/O 4× versus float32, and candidate
-    scoring can run directly on the int8 form (dot products in int
-    arithmetic) with exact re-scoring only for finalists."""
+    tie-mode differences). JVM-side Column expressions, no Python hop —
+    but note ``aggregate``/``transform`` are CodegenFallback (interpreted
+    per element); for very wide vectors at ingest volume, the same math as
+    an Arrow ``pandas_udf`` (one numpy pass per batch) is the faster
+    shape, exactly like ``with_hyperplane_signature``. At 100 TB the int8
+    form cuts embedding storage and scan I/O 4× versus float32, and
+    candidate scoring can run directly on the int8 form (integer dot
+    products) with exact re-scoring only for finalists."""
     absmax = F.aggregate(
         vec, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
     )
