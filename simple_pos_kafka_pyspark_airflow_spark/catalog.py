@@ -61,6 +61,29 @@ def _parquet_field_is_nanos(path: str, col: str) -> bool:
         return False
 
 
+def _is_utc_equivalent(tz: str) -> bool:
+    """True iff ``tz`` names a zone with a permanent zero UTC offset.
+
+    The session a caller hands us may legitimately report 'Etc/UTC' or
+    'GMT' (a default-built Spark session uses the JVM zone id, 'Etc/UTC'
+    on a UTC host) — all instant-preserving for the NTZ cast. Zones are
+    resolved via zoneinfo and probed at two opposite-season instants so a
+    DST zone can't slip through."""
+    if tz in ("UTC", "Etc/UTC", "GMT", "Etc/GMT", "Z", "Zulu", "Universal"):
+        return True
+    try:
+        import datetime as dt
+        from zoneinfo import ZoneInfo
+
+        z = ZoneInfo(tz)
+        return all(
+            dt.datetime(2026, m, 1, tzinfo=z).utcoffset() == dt.timedelta(0)
+            for m in (1, 7)
+        )
+    except Exception:
+        return False
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame.
 
@@ -88,9 +111,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif t == "timestamp_ntz":
             # instant-preserving ONLY under a UTC session: fail loudly on
             # any other tz instead of silently shifting wall-clock values
-            # (the caller may hand us a session our factory didn't build)
+            # (the caller may hand us a session our factory didn't build —
+            # e.g. a default session reports 'Etc/UTC', which IS fine)
             tz = spark.conf.get("spark.sql.session.timeZone")
-            if tz != "UTC":
+            if not _is_utc_equivalent(tz):
                 raise ValueError(
                     f"{name}.{c} is TIMESTAMP_NTZ; casting to TIMESTAMP requires a "
                     f"UTC session (got spark.sql.session.timeZone={tz!r})"

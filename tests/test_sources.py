@@ -239,3 +239,41 @@ def test_catalog_ntz_requires_utc_session(spark, tmp_path):
             catalog.table(spark, str(tmp_path), "events").first()
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def test_catalog_accepts_utc_equivalent_zones():
+    from simple_pos_kafka_pyspark_airflow_spark.catalog import _is_utc_equivalent
+
+    for tz in ("UTC", "Etc/UTC", "GMT", "Etc/GMT", "Universal"):
+        assert _is_utc_equivalent(tz), tz
+    for tz in ("America/New_York", "Europe/Berlin", "Asia/Tokyo", "nonsense/zone", ""):
+        assert not _is_utc_equivalent(tz), tz
+
+
+def test_catalog_ntz_ok_under_etc_utc(spark, tmp_path):
+    """A default-built session reports Etc/UTC — the guard must accept it
+    (the driver may hand us exactly such a session)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_pos_kafka_pyspark_airflow_spark import catalog, schemas
+
+    cols = [f.name for f in schemas.TESTDATA["events"].fields]
+    data = {}
+    for c in cols:
+        if c == "ts":
+            data[c] = pa.array([datetime.datetime(2026, 1, 1, 12, 0, 0)], type=pa.timestamp("us"))
+        elif schemas.TESTDATA["events"][c].dataType.typeName() == "string":
+            data[c] = pa.array(["x"])
+        else:
+            data[c] = pa.array([1])
+    pq.write_table(pa.table(data), str(tmp_path / "events.parquet"))
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Etc/UTC")
+    try:
+        row = catalog.table(spark, str(tmp_path), "events").first()
+        assert row["ts"] == datetime.datetime(2026, 1, 1, 12, 0, 0)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
