@@ -965,3 +965,48 @@ def test_scd2_time_travel(spark):
     }
     assert asof("1999-01-01 00:00:00") == {1: 10.0, 2: 20.0}
     assert asof("2001-01-01 00:00:00") == {1: 99.0, 2: 20.0}
+
+
+def test_full_reference_lifecycle_events_to_tiers(spark, tmp_path):
+    """The whole reference, one test: 9-topic event stream → CDC warehouse
+    (exactly-once parquet) → the hourly ETL's membership-tier computation
+    over the warehouse — the chain POS_spark_dag.py runs across three
+    processes, here as stream + one DataFrame plan."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators.relational import membership_tiers
+    from simple_pos_kafka_pyspark_airflow_spark.streaming import pipeline
+
+    src = tmp_path / "topics"
+    src.mkdir()
+    # Ann buys 12k total (Silver); Bob's single sale is edited up to 60k
+    # (Gold); Cat registers but never buys (floor tier via coalesce)
+    ev = [
+        ("customers_add", {"customer_id": 1, "name": "Ann", "level": ""}),
+        ("customers_add", {"customer_id": 2, "name": "Bob", "level": ""}),
+        ("customers_add", {"customer_id": 3, "name": "Cat", "level": ""}),
+        ("sales_add", {"sale_id": 1, "customer_id": 1, "quantity": 2, "price": 5000.0}),
+        ("sales_add", {"sale_id": 2, "customer_id": 1, "quantity": 1, "price": 2000.0}),
+        ("sales_add", {"sale_id": 3, "customer_id": 2, "quantity": 1, "price": 500.0}),
+        ("sales_edit", {"sale_id": 3, "customer_id": 2, "quantity": 1, "price": 60000.0}),
+        ("sales_add", {"sale_id": 4, "customer_id": 2, "quantity": 1, "price": 100.0}),
+        ("sales_remove", {"sale_id": 4}),
+    ]
+    with open(src / "all.json", "w") as f:
+        for seq, (topic, payload) in enumerate(ev):
+            f.write(json.dumps({"topic": topic, "value": json.dumps({**payload, "seq": seq}), "seq": seq}) + "\n")
+    raw = ingest.file_json_stream(spark, str(src), "topic string, value string, seq long")
+    sinks = pipeline.build_sinks(spark, str(tmp_path / "wh"))
+    for q in pipeline.start_pipeline(raw, sinks, str(tmp_path / "ckpt")):
+        q.awaitTermination(120)
+
+    sales = sinks["sales"].read().withColumn(
+        "total_price", F.col("quantity") * F.col("price")
+    )
+    tiers = membership_tiers(
+        sinks["customers"].read(), sales, "customer_id", "customer_id", "total_price"
+    )
+    got = {r["name"]: (r["membership_level"], r["lifetime_spend"]) for r in tiers.collect()}
+    assert got == {
+        "Ann": ("Silver", 12000.0),
+        "Bob": ("Gold", 60000.0),
+        "Cat": ("Bronze", 0.0),
+    }
