@@ -144,3 +144,41 @@ def test_diff_then_apply_reconstructs_new_snapshot(spark, old_rows, new_rows):
     events = upsert.diff_snapshots(old, new, "id").withColumn("seq", F.lit(1))
     rebuilt = cdc.apply_cdc_batch(old, events, pk="id", order_col="seq")
     assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
+
+
+@given(
+    st.lists(  # batches of (key, value) updates; ts = batch index
+        st.lists(st.tuples(st.integers(0, 3), st.integers(0, 9)), min_size=1, max_size=4)
+        .map(lambda b: list({k: (k, v) for k, v in b}.values())),  # one update per key per batch
+        min_size=1,
+        max_size=4,
+    )
+)
+@SETTINGS
+def test_scd2_matches_version_replay(spark, batches):
+    """Applying update batches through scd2_apply yields exactly the
+    version history a sequential replay produces: each key's versions
+    chain (valid_from, valid_to) with the last one open."""
+    import datetime
+
+    base_keys = [0, 1]
+    t0 = datetime.datetime(1990, 1, 1)
+    ts = lambda i: t0 + datetime.timedelta(days=i + 1)  # noqa: E731
+
+    hist_rows = [(k, -1, t0, None) for k in base_keys]
+    hist = spark.createDataFrame(hist_rows, "id long, val long, valid_from timestamp, valid_to timestamp")
+    # oracle: per key, list of (val, from, to)
+    oracle = {k: [(-1, t0, None)] for k in base_keys}
+    for i, batch in enumerate(batches):
+        upd = spark.createDataFrame(
+            [(k, v, ts(i)) for k, v in batch], "id long, val long, eff timestamp"
+        )
+        hist = upsert.scd2_apply(hist, upd, "id", "eff")
+        for k, v in batch:
+            if k in oracle:
+                val, frm, _ = oracle[k][-1]
+                oracle[k][-1] = (val, frm, ts(i))  # close current
+            oracle.setdefault(k, []).append((v, ts(i), None))
+    got = sorted((r["id"], r["val"], r["valid_from"], r["valid_to"]) for r in hist.collect())
+    want = sorted((k, v, f, t) for k, vs in oracle.items() for v, f, t in vs)
+    assert got == want
