@@ -106,8 +106,11 @@ class IncrementalMinhashIndex:
        hashes per doc);
     3. exact-Jaccard verify candidates; batch docs matching a landed doc
        at ≥ threshold are rejected;
-    4. within-batch near-dups collapse greedily to the minimum id
-       (pair-wise, not transitive — a chain A~B~C with A≁C keeps A and C);
+    4. within-batch near-dups: any doc appearing as the larger id of a
+       pair is dropped, so chains collapse toward their minimum (A~B~C
+       drops B and C, keeping A — the cluster-representative policy;
+       for exact component semantics over huge batches use
+       ``llm.dedup.dedup_clusters`` on the pair list instead);
     5. survivors' index rows append to the landed index.
 
     The index directory is the only state — no driver memory, no
