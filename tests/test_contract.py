@@ -66,3 +66,24 @@ def test_survey_inventory_matches_registry():
     reg = set(REGISTRY)
     assert doc - reg == set(), f"SURVEY names unknown queries: {sorted(doc - reg)}"
     assert reg - doc == set(), f"undocumented queries: {sorted(reg - doc)}"
+
+
+def test_driver_ordering_is_a_permutation():
+    """The driver-facing ordering must contain exactly the registry —
+    a grouping bug that drops or duplicates a query would silently
+    shrink the verification surface."""
+    from simple_pos_kafka_pyspark_airflow_spark.plans.contract import driver_ordered_registry
+
+    ordered = driver_ordered_registry()
+    assert list(sorted(ordered)) == sorted(REGISTRY)
+    assert len(ordered) == len(REGISTRY)
+
+
+def test_bench_headline_names_resolve():
+    """bench.py silently skips unknown names (names = [n for n in HEADLINE
+    if n in registry]) — a renamed query would vanish from BENCH_r{N}
+    without an error. Pin every headline name to the registry."""
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in REGISTRY]
+    assert missing == [], missing
