@@ -1,0 +1,81 @@
+"""Event validation — the reference producer's gate, composed.
+
+The reference validates a POS sale interactively before publishing
+(``kafka_producer.py:118-137``): every field present (:120), the product
+exists and has sufficient stock (:69-85 via ``out_of_stock``), and edits/
+removes must reference an existing sale while adds must not collide
+(``is_data``/``is_sales_data``, :41-58). Each rule is a driver-side pandas
+scan there; here the whole gate is ONE annotated projection + two keyed
+joins, and rejected events keep their per-rule bits and a first-failure
+reason — the dead-letter discipline of ``streaming.pipeline.corrupt_events``
+applied to semantic validation.
+
+Scale: the product lookup is a broadcast join (dimension-sized); the
+duplicate guard is a left-semi-shaped join on the sale id (co-located when
+the sales table is bucketed by id). Rule evaluation itself is codegen —
+no Python, no per-rule scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: reference-required sale fields (kafka_producer.py:120)
+REQUIRED_SALE_FIELDS = ("customer_id", "product_id", "quantity", "price", "payment_method")
+
+
+def validate_sale_events(
+    events: DataFrame,
+    products: DataFrame,
+    existing_sales: DataFrame | None = None,
+    product_key: str = "product_id",
+    stock_col: str = "stock_level",
+    sale_key: str = "sale_id",
+    required: tuple[str, ...] = REQUIRED_SALE_FIELDS,
+) -> DataFrame:
+    """Annotate sale events with validation rule bits and a verdict.
+
+    Output adds one boolean per rule, ``valid`` (their conjunction) and
+    ``reject_reason`` (first failing rule's name, null when valid):
+
+    - ``has_<field>`` per required field (reference :120);
+    - ``known_product`` / ``in_stock`` — product exists and
+      ``quantity <= stock_level`` (reference ``out_of_stock``, :69-85);
+    - ``fresh_sale_id`` — the sale id is not already taken (reference
+      duplicate guard, :41-58); skipped when ``existing_sales`` is None.
+
+    Filter ``valid`` for the accept path and ``~valid`` for the
+    quarantine path — both read the same annotated frame.
+    """
+    dim = products.select(
+        F.col(product_key), F.col(stock_col).alias("__stock")
+    ).dropDuplicates([product_key])
+    out = events.join(F.broadcast(dim), on=product_key, how="left")
+
+    rules: dict[str, F.Column] = {}
+    for c in required:
+        rules[f"has_{c}"] = F.col(c).isNotNull()
+    rules["known_product"] = F.col("__stock").isNotNull()
+    rules["in_stock"] = F.coalesce(F.col("quantity") <= F.col("__stock"), F.lit(False))
+
+    if existing_sales is not None:
+        taken = existing_sales.select(
+            F.col(sale_key).alias("__taken_id"), F.lit(True).alias("__taken")
+        ).dropDuplicates(["__taken_id"])
+        out = out.join(taken, out[sale_key] == taken["__taken_id"], "left").drop("__taken_id")
+        rules["fresh_sale_id"] = F.col("__taken").isNull()
+
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+    valid = F.lit(True)
+    for name in rules:
+        valid = valid & F.col(name)
+    reason = F.lit(None).cast("string")
+    for name in reversed(list(rules)):  # first failing rule wins
+        reason = F.when(~F.col(name), F.lit(name)).otherwise(reason)
+    return (
+        out.withColumn("valid", valid)
+        .withColumn("reject_reason", reason)
+        .drop("__stock", "__taken")
+    )

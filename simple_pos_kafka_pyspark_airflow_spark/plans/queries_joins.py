@@ -466,3 +466,70 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("eff", F.lit("2000-06-01").cast("timestamp"))
     )
     return upsert_ops.scd2_apply(hist, upd, "c_custkey", "eff")
+
+
+@register(
+    "q_validate_events",
+    "filter",
+    oracle="""
+    WITH ev AS (
+      SELECT l_orderkey * 10 + l_linenumber AS sale_id,
+             l_suppkey AS customer_id,
+             l_partkey AS product_id,
+             CAST(l_quantity AS INTEGER) AS quantity,
+             CASE WHEN l_linenumber = 3 THEN NULL ELSE l_extendedprice END AS price,
+             l_returnflag AS payment_method
+      FROM lineitem
+    ), pr AS (
+      SELECT p_partkey AS product_id, CAST(p_size AS INTEGER) AS stock FROM part
+    ), j AS (
+      SELECT ev.*, pr.stock,
+             (ev.sale_id % 11 = 0) AS taken
+      FROM ev LEFT JOIN pr USING (product_id)
+    )
+    SELECT sale_id,
+           price IS NOT NULL AS has_price,
+           stock IS NOT NULL AS known_product,
+           COALESCE(quantity <= stock, FALSE) AS in_stock,
+           NOT taken AS fresh_sale_id,
+           (price IS NOT NULL AND stock IS NOT NULL
+            AND COALESCE(quantity <= stock, FALSE) AND NOT taken) AS valid,
+           CASE WHEN price IS NULL THEN 'has_price'
+                WHEN stock IS NULL THEN 'known_product'
+                WHEN NOT COALESCE(quantity <= stock, FALSE) THEN 'in_stock'
+                WHEN taken THEN 'fresh_sale_id' END AS reject_reason
+    FROM j
+    """,
+    notes="the reference producer's composed validation gate "
+    "(operators/validation.validate_sale_events; kafka_producer.py:41-137: "
+    "required fields, product-exists, stock sufficiency, duplicate-id "
+    "guard) over deterministically synthesized events: lineitem rows as "
+    "sales, price nulled on every third line, part sizes as stock, every "
+    "11th id pre-taken. One broadcast dim join + one keyed guard join; "
+    "per-rule bits + first-failure reason come out of a single projection. "
+    "Always-true has_* field bits are projected out of the compare (the "
+    "synthesized events never null those fields)",
+)
+def q_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.validation import validate_sale_events
+
+    li = table(spark, sf_dir, "lineitem")
+    events = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("sale_id"),
+        F.col("l_suppkey").alias("customer_id"),
+        F.col("l_partkey").alias("product_id"),
+        F.col("l_quantity").cast("int").alias("quantity"),
+        F.when(F.col("l_linenumber") == 3, F.lit(None))
+        .otherwise(F.col("l_extendedprice"))
+        .alias("price"),
+        F.col("l_returnflag").alias("payment_method"),
+    )
+    products = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("product_id"), F.col("p_size").cast("int").alias("stock_level")
+    )
+    existing = events.where(F.col("sale_id") % 11 == 0).select("sale_id")
+    out = validate_sale_events(events, products, existing)
+    return out.select(
+        "sale_id", "has_price", "known_product", "in_stock", "fresh_sale_id",
+        "valid", "reject_reason",
+    )

@@ -1010,3 +1010,37 @@ def test_full_reference_lifecycle_events_to_tiers(spark, tmp_path):
         "Bob": ("Gold", 60000.0),
         "Cat": ("Bronze", 0.0),
     }
+
+
+def test_validate_sale_events_rules_and_reasons(spark):
+    """The producer's composed gate (required fields, stock sufficiency,
+    duplicate-id guard) as one annotated projection: each reference
+    rejection case maps to its rule bit and first-failure reason."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators.validation import validate_sale_events
+
+    products = spark.createDataFrame(
+        [(101, 5), (102, 0)], "product_id long, stock_level int"
+    )
+    existing = spark.createDataFrame([(1,)], "sale_id long")
+    events = spark.createDataFrame(
+        [
+            (10, 7, 101, 2, 9.5, "Cash"),        # ok
+            (11, None, 101, 1, 9.5, "Cash"),     # missing customer
+            (12, 7, 999, 1, 9.5, "Cash"),        # unknown product
+            (13, 7, 101, 99, 9.5, "Cash"),       # insufficient stock
+            (14, 7, 102, 1, 9.5, "Cash"),        # zero stock
+            (1, 7, 101, 1, 9.5, "PayPal"),       # duplicate sale_id
+            (15, 7, 101, 1, None, None),         # two missing fields -> first reason
+        ],
+        "sale_id long, customer_id long, product_id long, quantity int, price double, payment_method string",
+    )
+    out = {r["sale_id"]: r for r in validate_sale_events(events, products, existing).collect()}
+    assert out[10]["valid"] and out[10]["reject_reason"] is None
+    assert not out[11]["valid"] and out[11]["reject_reason"] == "has_customer_id"
+    assert not out[12]["valid"] and out[12]["reject_reason"] == "known_product"
+    assert not out[13]["valid"] and out[13]["reject_reason"] == "in_stock"
+    assert not out[14]["valid"] and out[14]["reject_reason"] == "in_stock"
+    assert not out[1]["valid"] and out[1]["reject_reason"] == "fresh_sale_id"
+    assert not out[15]["valid"] and out[15]["reject_reason"] == "has_price"
+    # accept/quarantine split covers every event exactly once
+    assert sum(1 for r in out.values() if r["valid"]) == 1
