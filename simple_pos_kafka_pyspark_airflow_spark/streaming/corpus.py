@@ -11,9 +11,13 @@ Stages (all codegen; the stream never leaves the JVM):
 1. quality gate — ``textops.quality_score`` plus a minimum length, as one
    projection; rejects are counted, not silently dropped (route the
    complement to a quarantine sink in production);
-2. exact dedup — ``dropDuplicates`` on ``sha2(text)`` bounded by a
-   watermark: state holds one 32-byte digest per document seen within the
-   lateness horizon, so memory is O(docs/horizon), not O(corpus);
+2. exact dedup — ``dropDuplicatesWithinWatermark`` on ``sha2(text)``:
+   state holds one 32-byte digest per document until the watermark passes
+   its event time + delay, so memory is O(docs/horizon), not O(corpus).
+   (Plain ``dropDuplicates`` would NOT evict state on a subset of columns
+   that excludes the event-time column — it grows O(all distinct docs)
+   on an unbounded stream, which is exactly the bound this stage must
+   avoid.);
 3. typed landing — append sink partitioned however the caller's writer
    chooses (date partitioning composes downstream).
 
@@ -25,8 +29,6 @@ guard made distributed, bounded, and exactly-once.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -44,11 +46,19 @@ def corpus_ingest(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Quality-gate + watermark-bounded exact dedup over a document stream
-    (works identically on a batch frame — same plan, no stream required).
+    (a batch frame takes the same gate + ``dropDuplicates`` plan).
 
     Returns the surviving documents with ``quality`` and ``text_sha``
-    columns attached; duplicates within the watermark horizon keep only
-    the first arrival.
+    columns attached; duplicates arriving within the watermark horizon of
+    the first arrival keep only that first arrival. On the streaming path
+    this is ``dropDuplicatesWithinWatermark`` (Spark >= 3.5): unlike
+    ``dropDuplicates(subset)``, it evicts a key's state once the watermark
+    passes its event time + delay, so state is bounded by the horizon —
+    the documented O(docs/horizon) memory bound. The trade is the dedup
+    guarantee's scope: a duplicate arriving AFTER the horizon is kept
+    (re-ingested); the near-dup compaction pass over the landed corpus
+    (``llm.dedup`` / ``IncrementalMinhashIndex``) is the corpus-lifetime
+    backstop.
     """
     scored = docs.withColumn("quality", textops.quality_score(F.col(text_col))).withColumn(
         "n_tokens", textops.token_count(F.col(text_col))
@@ -58,7 +68,9 @@ def corpus_ingest(
     )
     hashed = kept.withColumn("text_sha", F.sha2(F.col(text_col), 256))
     if hashed.isStreaming:
-        hashed = hashed.withWatermark(ts_col, watermark)
+        return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["text_sha"]
+        )
     return hashed.dropDuplicates(["text_sha"])
 
 
@@ -106,16 +118,34 @@ class IncrementalMinhashIndex:
        hashes per doc);
     3. exact-Jaccard verify candidates; batch docs matching a landed doc
        at ≥ threshold are rejected;
-    4. within-batch near-dups: any doc appearing as the larger id of a
-       pair is dropped, so chains collapse toward their minimum (A~B~C
-       drops B and C, keeping A — the cluster-representative policy;
-       for exact component semantics over huge batches use
-       ``llm.dedup.dedup_clusters`` on the pair list instead);
+    4. within-batch near-dups: the pair list goes through
+       ``llm.dedup.dedup_clusters`` (connected components, min-label) and
+       each component keeps exactly its minimum id — the
+       cluster-representative policy, exact over chains (A~B~C keeps A
+       even when A~C never paired, and (1,5)+(2,5) keeps only 1, where a
+       greedy drop-every-``id_b`` pass would inconsistently keep 2);
     5. survivors' index rows append to the landed index.
 
     The index directory is the only state — no driver memory, no
     streaming state store — so the dedup horizon is the whole corpus
-    lifetime, unlike watermark-bounded ``dropDuplicates``.
+    lifetime, unlike watermark-bounded ``dropDuplicatesWithinWatermark``.
+
+    Index discovery goes through the Hadoop FileSystem API of the path's
+    own scheme, so the index may live on S3/HDFS/ABFS — never a
+    driver-local ``os`` probe (a local-only probe would return "no index"
+    on an object store and SILENTLY skip landed-corpus dedup, the worst
+    failure mode for this component).
+
+    Crash/replay discipline: the per-batch append is plain parquet, not a
+    transactional commit — if ``foreachBatch`` replays a batch after a
+    crash between the append and the checkpoint commit, the survivors'
+    index rows land twice. Duplicated index rows cannot change dedup
+    DECISIONS (a replayed doc never matches itself — the probe join
+    excludes ``doc_id`` self-pairs — and duplicate (new, old) witnesses
+    collapse via ``dropDuplicates`` before the Jaccard verify); they only
+    grow the index. Run ``compact()`` periodically to rewrite the index
+    deduplicated (atomic swap), or back the index with a transactional
+    table format (Delta/Iceberg) in production.
     """
 
     def __init__(
@@ -139,11 +169,32 @@ class IncrementalMinhashIndex:
         self.bands = bands
 
     def _landed(self) -> DataFrame | None:
-        if os.path.isdir(self.path) and any(
-            f.endswith(".parquet") for f in os.listdir(self.path)
-        ):
-            return self.spark.read.parquet(self.path)
-        return None
+        """The landed index, or None ONLY when no index has ever been
+        written. Existence is probed through the Hadoop FileSystem of the
+        path's scheme (works on file:/S3A/HDFS/ABFS alike); an existing
+        path that then fails to read as parquet is a real error and
+        raises — it must never be silently treated as "no index" (that
+        would skip landed-corpus dedup while still appending rows)."""
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return None
+        if not fs.listStatus(jpath):  # dir created but nothing committed yet
+            return None
+        return self.spark.read.parquet(self.path)
+
+    def compact(self) -> None:
+        """Rewrite the index with replay-duplicated rows collapsed
+        (atomic snapshot swap; see the class docstring). One shuffle on
+        (doc_id, band) over index rows — tens of bytes per doc-band, not
+        corpus text — so this is cheap relative to the corpus it guards."""
+        from ..sources.io import overwrite_atomic
+
+        landed = self._landed()
+        if landed is None:
+            return
+        overwrite_atomic(landed.dropDuplicates(["doc_id", "band"]), self.path)
 
     def dedup_batch(self, docs: DataFrame) -> DataFrame:
         """Return the batch rows that are NOT near-duplicates of landed or
@@ -159,13 +210,15 @@ class IncrementalMinhashIndex:
 
         jac_ok = F.col("jaccard") >= self.threshold
 
-        # within-batch: greedy min-id keeper over the pair list
+        # within-batch: connected components over the pair list; each
+        # component keeps its min id (exact cluster-representative policy)
         pairs = dedup_ops.near_dup_pairs_minhash(
             docs, self.text_col, self.id_col,
             n_shingle=self.n_shingle, num_hashes=self.num_hashes, bands=self.bands,
             jaccard_threshold=self.threshold,
         )
-        batch_drops = pairs.select(F.col("id_b").alias(self.id_col)).distinct()
+        components = dedup_ops.dedup_clusters(pairs, id_col=self.id_col)
+        batch_drops = components.where(~F.col("keep")).select(self.id_col)
         kept = docs.join(batch_drops, self.id_col, "left_anti").localCheckpoint(eager=True)
 
         idx = banded_index_rows(

@@ -915,6 +915,80 @@ def test_incremental_minhash_index_across_batches(spark, tmp_path):
     assert idx.dedup_batch(b3).collect() == []
 
 
+def test_incremental_index_discovery_is_filesystem_api_not_local_os(spark, tmp_path, monkeypatch):
+    """Index discovery must go through the Hadoop FS API, not driver-local
+    ``os`` calls: on S3/HDFS a local probe would return "no index" and
+    SILENTLY skip landed-corpus dedup. Two pins: (a) a landed index
+    addressed by a ``file:`` URI — where ``os.path.isdir`` is False — is
+    still discovered and still rejects a near-dup; (b) no ``os.path`` /
+    ``os.listdir`` call happens anywhere in discovery."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import IncrementalMinhashIndex
+
+    base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet town square"
+    uri = "file://" + str(tmp_path / "lsh_index")
+    assert not os.path.isdir(uri)  # the old local-FS probe would bail here
+    idx = IncrementalMinhashIndex(spark, uri, num_hashes=16, bands=8)
+    assert idx._landed() is None  # never-written path: probed via FS API, clean None
+
+    b1 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    assert [r["doc_id"] for r in idx.dedup_batch(b1).collect()] == [1]
+
+    monkeypatch.setattr(os.path, "isdir", lambda p: pytest.fail("os.path.isdir in discovery"))
+    monkeypatch.setattr(os, "listdir", lambda p: pytest.fail("os.listdir in discovery"))
+    b2 = spark.createDataFrame(
+        [(10, base.replace("square", "plaza"))], "doc_id long, text string"
+    )
+    assert idx.dedup_batch(b2).collect() == []  # rejected off the file:-URI index
+
+
+def test_incremental_index_replay_duplicates_are_harmless_and_compactable(spark, tmp_path):
+    """foreachBatch replay appends a batch's index rows twice. Decisions
+    must not change (self-pairs excluded, duplicate witnesses collapsed);
+    ``compact()`` restores the single-copy index via atomic swap."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import IncrementalMinhashIndex
+
+    base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet town square"
+    path = str(tmp_path / "lsh_index")
+    idx = IncrementalMinhashIndex(spark, path, num_hashes=16, bands=8)
+
+    b1 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    assert [r["doc_id"] for r in idx.dedup_batch(b1).collect()] == [1]
+    # replay the same batch: doc 1 must survive again (it never matches
+    # itself in the landed index), landing its 8 band rows a second time
+    assert [r["doc_id"] for r in idx.dedup_batch(b1).collect()] == [1]
+    assert spark.read.parquet(path).count() == 16
+
+    idx.compact()
+    assert spark.read.parquet(path).count() == 8
+    # post-compact the index still rejects a near-dup of the landed doc
+    b2 = spark.createDataFrame(
+        [(10, base.replace("square", "plaza"))], "doc_id long, text string"
+    )
+    assert idx.dedup_batch(b2).collect() == []
+
+
+def test_incremental_index_within_batch_chain_keeps_component_minimum(spark, tmp_path):
+    """Within-batch policy is exact connected components: in a star
+    (1~5, 2~5 but 1≁2) a greedy drop-every-id_b pass would keep both 1 and
+    2 — two surviving docs from one component. The cluster-representative
+    policy keeps only the component minimum."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import IncrementalMinhashIndex
+
+    hub = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
+    spoke_a = hub.replace("pi", "rho")        # ~ hub, and ~ spoke_b only via hub
+    spoke_b = hub.replace("alpha", "sigma")   # ~ hub
+    idx = IncrementalMinhashIndex(
+        spark, str(tmp_path / "lsh_index"), num_hashes=16, bands=8, jaccard_threshold=0.8
+    )
+    batch = spark.createDataFrame(
+        [(1, spoke_a), (2, spoke_b), (5, hub)], "doc_id long, text string"
+    )
+    kept = sorted(r["doc_id"] for r in idx.dedup_batch(batch).collect())
+    assert kept == [1]
+    landed = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "lsh_index")).collect()}
+    assert landed == {1}
+
+
 def test_diff_then_apply_is_identity(spark):
     """diff_snapshots and apply_cdc_batch are inverses: applying the
     generated changelog to the old snapshot reproduces the new snapshot
