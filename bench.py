@@ -4,12 +4,17 @@
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 
     {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {"q1": sec, ...}, "sf": ...}
+     "queries": {"q1": min_sec, ...}, "runs": {"q1": [sec, ...], ...},
+     "sf": ...}
 
 Each query is timed end-to-end (plan + execute + collect-to-count) the way
-the driver's consumer would see it. A warmup query first pays the one-time
-session/codegen costs so per-query numbers measure the plans, not JVM
-startup.
+the driver's consumer would see it, ``$SPARK_GRAFT_BENCH_RUNS`` times
+(default 3 for the headline suite, 1 for ``--all``); ``queries`` and the
+total carry the per-query MINIMUM. Run-to-run variance on a shared box is
+up to 8× (measured: the same query 1.1s and 9.5s back-to-back), so a
+single sample cannot distinguish a regression from host noise — minima
+can. A warmup query first pays the one-time session/codegen costs so
+per-query numbers measure the plans, not JVM startup.
 """
 
 from __future__ import annotations
@@ -63,7 +68,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     registry = load_registry()
-    names = sorted(registry) if "--all" in sys.argv else [n for n in HEADLINE if n in registry]
+    run_all = "--all" in sys.argv
+    names = sorted(registry) if run_all else [n for n in HEADLINE if n in registry]
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1" if run_all else "3")))
 
     spark = get_session("spark_graft_bench")
     # Warmup: JVM/codegen init, parquet reader path, and the noop sink —
@@ -94,40 +101,46 @@ def main() -> None:
 
     sc = spark.sparkContext
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name in names:
-        sc.setJobGroup(name, f"bench:{name}", interruptOnCancel=True)
-        # cancelJobGroup only kills jobs running at call time — AQE queries
-        # run many short jobs with driver-side gaps between them, so a
-        # one-shot cancel can fire into a gap and the query sails on. Keep
-        # cancelling every 2s until the query actually returns.
-        done = threading.Event()
+        runs: list[float] = []
+        for _ in range(n_runs):
+            sc.setJobGroup(name, f"bench:{name}", interruptOnCancel=True)
+            # cancelJobGroup only kills jobs running at call time — AQE
+            # queries run many short jobs with driver-side gaps between
+            # them, so a one-shot cancel can fire into a gap and the query
+            # sails on. Keep cancelling every 2s until the query returns.
+            done = threading.Event()
 
-        def hound(group: str = name, done: threading.Event = done) -> None:
-            if done.wait(QUERY_TIMEOUT_SEC):
-                return
-            while not done.is_set():
-                sc.cancelJobGroup(group)
-                done.wait(2)
+            def hound(group: str = name, done: threading.Event = done) -> None:
+                if done.wait(QUERY_TIMEOUT_SEC):
+                    return
+                while not done.is_set():
+                    sc.cancelJobGroup(group)
+                    done.wait(2)
 
-        watchdog = threading.Thread(target=hound, daemon=True)
-        watchdog.start()
-        t0 = time.perf_counter()
-        try:
-            df = registry[name].build(spark, sf_dir)
-            # noop sink: executes the FULL plan (count() would let Catalyst
-            # prune projections and skip expression evaluation).
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 4)
-            print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
-        except Exception as exc:  # cancelled by watchdog or genuine failure
-            timings[name] = round(time.perf_counter() - t0, 4)
-            print(f"# {name}: FAILED after {timings[name]:.3f}s ({type(exc).__name__})",
-                  file=sys.stderr)
-        finally:
-            done.set()
-            # PySpark has no clearJobGroup; resetting the local property is
-            # the documented way to detach subsequent jobs from the group.
-            sc.setLocalProperty("spark.jobGroup.id", None)
+            watchdog = threading.Thread(target=hound, daemon=True)
+            watchdog.start()
+            t0 = time.perf_counter()
+            try:
+                df = registry[name].build(spark, sf_dir)
+                # noop sink: executes the FULL plan (count() would let
+                # Catalyst prune projections and skip evaluation).
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(round(time.perf_counter() - t0, 4))
+            except Exception as exc:  # watchdog cancel or genuine failure
+                runs.append(round(time.perf_counter() - t0, 4))
+                print(f"# {name}: FAILED after {runs[-1]:.3f}s ({type(exc).__name__})",
+                      file=sys.stderr)
+                break  # a failed/cancelled query won't get better; move on
+            finally:
+                done.set()
+                # PySpark has no clearJobGroup; resetting the local property
+                # detaches subsequent jobs from the group.
+                sc.setLocalProperty("spark.jobGroup.id", None)
+        samples[name] = runs
+        timings[name] = min(runs)
+        print(f"# {name}: {timings[name]:.3f}s (min of {runs})", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -137,6 +150,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": samples,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -137,6 +137,15 @@ def _certified_from_disk() -> frozenset[str]:
 def driver_ordered_registry() -> dict[str, ContractQuery]:
     """Registry ordered for the driver's 50-query verification window.
 
+    The ordering depends on repo-root ``CORRECTNESS_r*.json`` artifacts
+    read at call time — deliberate (it makes the window rotation
+    self-maintaining across rounds) but a hidden input, so it is made
+    visible and escapable: a log line reports how many queries the disk
+    records rotated behind the window, and ``SPARK_GRAFT_STABLE_ORDER=1``
+    disables the disk-derived component entirely (pure registration
+    order), for deployments that need a reproducible ``queries()``
+    ordering independent of checkout state.
+
     Priority groups (stable registration order within each):
       0. ORACLE-checked LLM-pipeline queries (dedup ladder, simsearch, text
          ops, multimodal), plus the two rows-only dedup queries that failed
@@ -152,7 +161,19 @@ def driver_ordered_registry() -> dict[str, ContractQuery]:
     """
     reg = load_registry()
     index = {name: i for i, name in enumerate(reg)}
-    certified = _DRIVER_CERTIFIED_R02 | _certified_from_disk()
+    if os.environ.get("SPARK_GRAFT_STABLE_ORDER") == "1":
+        return reg
+    from_disk = _certified_from_disk()
+    certified = _DRIVER_CERTIFIED_R02 | from_disk
+    if from_disk - _DRIVER_CERTIFIED_R02:
+        import logging
+
+        logging.getLogger(__name__).info(
+            "driver_ordered_registry: CORRECTNESS_r*.json records rotate %d "
+            "certified queries behind the verification window "
+            "(SPARK_GRAFT_STABLE_ORDER=1 disables)",
+            len((from_disk - _DRIVER_CERTIFIED_R02) & set(reg)),
+        )
     _ROWS_ONLY_PRIORITY = frozenset({"q_dedup_simhash", "q_dedup_embed"}) - certified
 
     def group(name: str, cq: ContractQuery) -> int:

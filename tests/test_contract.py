@@ -79,6 +79,19 @@ def test_driver_ordering_is_a_permutation():
     assert len(ordered) == len(REGISTRY)
 
 
+def test_stable_order_env_disables_disk_derived_rotation(monkeypatch):
+    """The window rotation reads CORRECTNESS_r*.json from the repo root —
+    a hidden input to the public queries() ordering. The escape hatch must
+    really escape: with SPARK_GRAFT_STABLE_ORDER=1 the ordering is pure
+    registration order, independent of checkout state."""
+    from simple_pos_kafka_pyspark_airflow_spark.plans.contract import driver_ordered_registry
+
+    monkeypatch.setenv("SPARK_GRAFT_STABLE_ORDER", "1")
+    assert list(driver_ordered_registry()) == list(REGISTRY)
+    monkeypatch.delenv("SPARK_GRAFT_STABLE_ORDER")
+    assert list(driver_ordered_registry()) != list(REGISTRY)
+
+
 def test_bench_headline_names_resolve():
     """bench.py silently skips unknown names (names = [n for n in HEADLINE
     if n in registry]) — a renamed query would vanish from BENCH_r{N}
