@@ -90,6 +90,38 @@ def diff_snapshots(
     return out
 
 
+def scd2_close(
+    history: DataFrame,
+    deleted: DataFrame,
+    pk: str | list[str],
+    effective_col: str,
+    start_col: str = "valid_from",
+    end_col: str = "valid_to",
+) -> DataFrame:
+    """SCD2 delete: close the open versions of ``deleted`` keys at their
+    ``effective_col`` timestamp WITHOUT opening a replacement version —
+    the history keeps the full lifespan, the dimension simply ends. The
+    complement of ``scd2_apply`` for CDC streams that carry deletes.
+    Same single-pk-shuffle shape; idempotent (an already-closed version
+    is not current, so a replayed delete is a no-op)."""
+    from pyspark.sql import functions as F
+
+    keys = [pk] if isinstance(pk, str) else list(pk)
+    eff = deleted.select(*keys, F.col(effective_col).alias("__eff")).dropDuplicates(keys)
+    current = history.where(F.col(end_col).isNull())
+    closed_now = (
+        current.join(eff, on=keys, how="inner")
+        .withColumn(end_col, F.col("__eff"))
+        .drop("__eff")
+    )
+    untouched_current = current.join(eff.select(*keys), on=keys, how="left_anti")
+    return (
+        history.where(F.col(end_col).isNotNull())
+        .unionByName(closed_now)
+        .unionByName(untouched_current)
+    )
+
+
 def scd2_apply(
     history: DataFrame,
     updates: DataFrame,
@@ -134,7 +166,10 @@ def scd2_apply(
     new_versions = updates.select(
         *dim_cols,
         F.col(effective_col).alias(start_col),
-        F.lit(None).cast("timestamp").alias(end_col),
+        # open version: end is null OF THE EFFECTIVE COLUMN'S TYPE, so a
+        # long sequence number works as the version clock, not just
+        # timestamps (unionByName would reject a type mismatch)
+        F.lit(None).cast(updates.schema[effective_col].dataType).alias(end_col),
     )
     return (
         already_closed.unionByName(closed_now)

@@ -146,3 +146,120 @@ class ParquetCdcSink:
         shutil.move(staging, self.path)
         if os.path.isdir(self._tombstone):
             shutil.rmtree(self._tombstone)
+
+
+class ScdParquetCdcSink(ParquetCdcSink):
+    """CDC sink that keeps the current snapshot AND an SCD2 version
+    history: every net change lands as a closed/open version chain, so the
+    warehouse answers as-of queries under the live streaming pipeline.
+
+    Composition per batch (all plain DataFrame ops):
+
+    1. ``apply_cdc_batch`` → the new snapshot (inherited semantics);
+    2. ``diff_snapshots(old, new)`` → the batch's NET changelog. Diffing
+       snapshots rather than versioning raw events is what makes history
+       maintenance idempotent and noise-free: an event that restates the
+       current value emits nothing, and a replayed batch (crash between
+       the two directory swaps, or checkpoint commit failure) diffs to
+       empty or filters to already-present versions — no duplicate chain
+       entries either way;
+    3. upserts → ``scd2_apply`` (close current version at the event's
+       CDC timestamp, open the new one); deletes → ``scd2_close`` (close,
+       nothing opens). New versions are keyed (pk, valid_from): an
+       incoming version whose key already exists in history is a replay
+       and is dropped before apply;
+    4. write both staging dirs, then swap HISTORY first, snapshot second.
+       Order matters: if the crash lands between the swaps, the replayed
+       batch still sees the OLD snapshot, recomputes the same non-empty
+       diff, and the (pk, valid_from) filter makes the history update a
+       no-op — whereas snapshot-first would replay an empty diff and lose
+       the batch's versions forever.
+
+    Scale: everything is pk-shuffled exactly like the base sink plus one
+    (pk, valid_from) anti join on the history — co-located when both
+    tables are bucketed by pk. With Delta/Iceberg the two swaps become
+    one transaction; the composition is the stable part.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        history_path: str,
+        pk: str | list[str],
+        order_col: str,
+        schema: str,
+        order_type: str = "timestamp",
+    ) -> None:
+        super().__init__(spark, path, pk, order_col, schema)
+        self.history_path = history_path
+        # valid_from/valid_to take the version clock's own type: event-time
+        # timestamps and monotonic sequence numbers both work
+        self.history_schema = f"{schema}, valid_from {order_type}, valid_to {order_type}"
+
+    def read_history(self) -> DataFrame:
+        tomb = self.history_path.rstrip("/") + ".__tombstone__"
+        if os.path.isdir(tomb):
+            if os.path.isdir(self.history_path):
+                shutil.rmtree(tomb)
+            else:
+                os.rename(tomb, self.history_path)
+        if os.path.isdir(self.history_path) and any(
+            f.endswith(".parquet") for f in os.listdir(self.history_path)
+        ):
+            return self.spark.read.schema(self.history_schema).parquet(self.history_path)
+        return self.spark.createDataFrame([], self.history_schema)
+
+    def foreach_batch(self, events: DataFrame, batch_id: int) -> None:
+        if events.isEmpty():
+            return
+        current = self.read()
+        new_snapshot = apply_cdc_batch(current, events, self.pk, self.order_col)
+        changes = diff_snapshots_with_ts(current, new_snapshot, events, self.pk, self.order_col)
+        history = self.read_history()
+        upserts = changes.where(F.col(OP_COL) == OP_UPSERT).drop(OP_COL)
+        # replay guard: a version is identified by (pk, valid_from)
+        fresh = upserts.join(
+            history.select(*self.pk, F.col("valid_from").alias(self.order_col)),
+            on=[*self.pk, self.order_col],
+            how="left_anti",
+        )
+        new_history = upsert_ops.scd2_apply(history, fresh, self.pk, self.order_col)
+        deletes = changes.where(F.col(OP_COL) == OP_DELETE).select(*self.pk, self.order_col)
+        new_history = upsert_ops.scd2_close(new_history, deletes, self.pk, self.order_col)
+
+        stage_root = os.path.join(tempfile.gettempdir(), "spark_graft_cdc_staging")
+        snap_staging = os.path.join(stage_root, uuid.uuid4().hex)
+        hist_staging = os.path.join(stage_root, uuid.uuid4().hex)
+        # materialize BOTH before touching either live dir (plans read them)
+        new_snapshot.write.mode("overwrite").parquet(snap_staging)
+        new_history.write.mode("overwrite").parquet(hist_staging)
+
+        hist_tomb = self.history_path.rstrip("/") + ".__tombstone__"
+        if os.path.isdir(self.history_path):
+            os.rename(self.history_path, hist_tomb)
+        shutil.move(hist_staging, self.history_path)
+        if os.path.isdir(hist_tomb):
+            shutil.rmtree(hist_tomb)
+
+        os.makedirs(os.path.dirname(self.path) or "/", exist_ok=True)
+        if os.path.isdir(self.path):
+            os.rename(self.path, self._tombstone)
+        shutil.move(snap_staging, self.path)
+        if os.path.isdir(self._tombstone):
+            shutil.rmtree(self._tombstone)
+
+
+def diff_snapshots_with_ts(
+    old: DataFrame,
+    new: DataFrame,
+    events: DataFrame,
+    pk: list[str],
+    order_col: str,
+) -> DataFrame:
+    """``diff_snapshots`` stamped with each changed key's CDC timestamp
+    (the winning event's ``order_col``) — every changed key necessarily
+    has an event in the batch, so the join is lossless."""
+    changes = upsert_ops.diff_snapshots(old, new, pk, op_col=OP_COL)
+    eff = latest_per_key(events, pk, order_col).select(*pk, order_col)
+    return changes.join(eff, on=pk, how="inner")

@@ -66,6 +66,59 @@ def test_overwrite_atomic_replaces_and_recovers(spark, tmp_path):
     assert not os.path.isdir(tombstone)
 
 
+def test_overwrite_atomic_crash_during_staging_leaves_old_snapshot(spark, tmp_path):
+    """A failure while WRITING the staging copy (executor dies, bad data,
+    quota) must leave the live snapshot untouched and readable — the
+    staging path is the only casualty."""
+    path = str(tmp_path / "snap")
+    v1 = spark.createDataFrame([(1, "a", 1.0)], SCHEMA)
+    sources.overwrite_atomic(v1, path)
+    poison = spark.createDataFrame([(2, "b", 2.0)], SCHEMA).select(
+        F.assert_true(F.col("id") == 1).alias("boom"), "id", "name", "bal"
+    )
+    try:
+        sources.overwrite_atomic(poison, path)
+        raise AssertionError("poison write should have failed")
+    except Exception:
+        pass
+    assert [r["id"] for r in sources.read_parquet(spark, path).collect()] == [1]
+    assert not os.path.isdir(path + ".__tombstone__")
+
+
+def test_overwrite_atomic_crash_between_stage_and_swap_is_recoverable(
+    spark, tmp_path, monkeypatch
+):
+    """A crash AT the swap (after the live dir was tombstoned, before
+    staging moved in) is the worst window: the old snapshot survives as
+    the tombstone and the NEXT writer must reclaim it — v1 is never lost,
+    and the subsequent overwrite completes normally."""
+    import simple_pos_kafka_pyspark_airflow_spark.sources.io as io_mod
+
+    path = str(tmp_path / "snap")
+    tombstone = path + ".__tombstone__"
+    v1 = spark.createDataFrame([(1, "a", 1.0)], SCHEMA)
+    v2 = spark.createDataFrame([(2, "b", 2.0)], SCHEMA)
+    sources.overwrite_atomic(v1, path)
+
+    def crash(src, dst):
+        raise RuntimeError("injected crash before swap completed")
+
+    monkeypatch.setattr(io_mod.shutil, "move", crash)
+    try:
+        sources.overwrite_atomic(v2, path)
+        raise AssertionError("injected crash did not propagate")
+    except RuntimeError:
+        pass
+    # post-crash: no live dir, but the old snapshot is intact in the tombstone
+    assert not os.path.isdir(path)
+    assert [r["id"] for r in sources.read_parquet(spark, tombstone).collect()] == [1]
+
+    monkeypatch.undo()
+    sources.overwrite_atomic(v2, path)
+    assert [r["id"] for r in sources.read_parquet(spark, path).collect()] == [2]
+    assert not os.path.isdir(tombstone)
+
+
 def test_kafka_payload_roundtrips_through_parse(spark):
     df = spark.createDataFrame(ROWS, SCHEMA)
     payload = sources.to_kafka_payload(df, key_col="id")

@@ -125,6 +125,94 @@ def test_parquet_cdc_sink_stream(spark, tmp_path):
     assert got == {1: ("a2", 1.5)}
 
 
+def test_scd2_cdc_sink_versions_history_under_stream(spark, tmp_path):
+    """The streaming warehouse keeps SCD2 history: add/edit/remove events
+    drained through real micro-batches produce the exact hand-computed
+    version chain, a restating event opens NO new version, and replaying a
+    micro-batch (crash recovery) leaves both tables unchanged."""
+    src = tmp_path / "cdc_events"
+    src.mkdir()
+    schema = "id long, name string, bal double"
+    ev_schema = f"id long, name string, bal double, {cdc.OP_COL} string, ts timestamp"
+
+    def w(f, id, name, bal, op, ts):
+        f.write(json.dumps(
+            {"id": id, "name": name, "bal": bal, cdc.OP_COL: op, "ts": ts}) + "\n")
+
+    sink = cdc.ScdParquetCdcSink(
+        spark, str(tmp_path / "warehouse"), str(tmp_path / "history"),
+        pk="id", order_col="ts", schema=schema,
+    )
+
+    def drain():  # one AvailableNow pass over files not yet checkpointed
+        q = (
+            ingest.file_json_stream(spark, str(src), ev_schema)
+            .writeStream.foreachBatch(sink.foreach_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt_scd"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # sequential drains pin the batch order (a single multi-file drain may
+    # group or reorder files — irrelevant in production where the version
+    # clock orders events, but this test pins exact valid_from values)
+    with open(src / "batch1.json", "w") as f:
+        w(f, 1, "a", 1.0, "upsert", "2026-01-01T10:00:00Z")
+        w(f, 2, "b", 2.0, "upsert", "2026-01-01T11:00:00Z")
+    drain()
+    with open(src / "batch2.json", "w") as f:
+        w(f, 1, "a2", 1.5, "upsert", "2026-01-02T10:00:00Z")   # edit
+        w(f, 2, None, None, "delete", "2026-01-02T11:00:00Z")  # remove
+        w(f, 3, "c", 3.0, "upsert", "2026-01-02T12:00:00Z")    # add
+    drain()
+    with open(src / "batch3.json", "w") as f:
+        w(f, 3, "c", 3.0, "upsert", "2026-01-03T10:00:00Z")    # restates current value
+    drain()
+
+    assert {r["id"]: (r["name"], r["bal"]) for r in sink.read().collect()} == {
+        1: ("a2", 1.5), 3: ("c", 3.0)
+    }
+
+    def ts(s):
+        import datetime
+        return datetime.datetime.fromisoformat(s)
+
+    def chain():
+        return sorted(
+            (
+                (r["id"], r["name"], r["bal"],
+                 r["valid_from"].isoformat(), r["valid_to"].isoformat() if r["valid_to"] else None)
+                for r in sink.read_history().collect()
+            )
+        )
+
+    expected = sorted([
+        (1, "a", 1.0, ts("2026-01-01 10:00:00").isoformat(), ts("2026-01-02 10:00:00").isoformat()),
+        (1, "a2", 1.5, ts("2026-01-02 10:00:00").isoformat(), None),
+        (2, "b", 2.0, ts("2026-01-01 11:00:00").isoformat(), ts("2026-01-02 11:00:00").isoformat()),
+        # batch 3 restated (3, c, 3.0): snapshot-diff is empty, so NO new
+        # version — valid_from stays the ORIGINAL change time
+        (3, "c", 3.0, ts("2026-01-02 12:00:00").isoformat(), None),
+    ])
+    assert chain() == expected
+
+    # replay batch 2 (simulates foreachBatch redelivery after a crash):
+    # decisions are diff-based + (pk, valid_from)-guarded, so both the
+    # snapshot and the version chain are unchanged
+    replay = spark.createDataFrame(
+        [
+            (1, "a2", 1.5, "upsert", ts("2026-01-02 10:00:00")),
+            (2, None, None, "delete", ts("2026-01-02 11:00:00")),
+            (3, "c", 3.0, "upsert", ts("2026-01-02 12:00:00")),
+        ],
+        ev_schema,
+    )
+    sink.foreach_batch(replay, 1)
+    assert chain() == expected
+    assert {r["id"] for r in sink.read().collect()} == {1, 3}
+
+
 def test_cdc_property_random_replay_vs_dict_oracle(spark):
     """Random add/edit/remove sequences: engine state == dict-replay oracle
     (SURVEY §5 item 4)."""
