@@ -103,6 +103,32 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert full == exact
 
 
+def test_ivf_multi_assignment_replicates_and_contains_primary(spark):
+    """n_assign=2 emits exactly 2 rows per vector, the primary (argmax)
+    cell is always among them, and a full-coverage probe reproduces brute
+    force exactly (dedup-on-id keeps query semantics unchanged)."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm import simsearch
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c = simsearch.ivf_centroids(e, n_cells=8)
+    single = simsearch.ivf_assign(e, c).select("vec_id", F.col("cell").alias("primary"))
+    multi = simsearch.ivf_assign(e, c, n_assign=2)
+    assert multi.count() == 2 * e.count()
+    per_vec = multi.groupBy("vec_id").agg(F.collect_set("cell").alias("cells"))
+    missing_primary = per_vec.join(single, "vec_id").where(
+        ~F.array_contains("cells", F.col("primary"))
+    )
+    assert missing_primary.count() == 0
+
+    q = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    exact = [r["vec_id"] for r in simsearch.cosine_topk(e, q, k=10).collect()]
+    full = [
+        r["vec_id"]
+        for r in simsearch.cosine_topk_ivf(e, q, k=10, n_cells=8, nprobe=8, n_assign=2).collect()
+    ]
+    assert full == exact
+
+
 def test_ivf_assignment_deterministic(spark):
     from simple_pos_kafka_pyspark_airflow_spark.llm import simsearch
 

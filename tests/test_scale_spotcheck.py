@@ -1,0 +1,199 @@
+"""sf0.1 spot-checks for the scale-sensitive LLM operators.
+
+The driver oracles at sf0.01; bucket caps, LSH detection bounds, and ANN
+recall only bite with more data — and the DuckDB brute-force oracle is
+O(docs²), measured at >20 minutes for the minhash query alone at sf0.1,
+so these checks are Spark-side and O(reported pairs) instead:
+
+- **soundness**: every reported near-dup pair re-verifies exact shingle
+  Jaccard ≥ threshold through an independent shingle-set plan (no
+  minhash, no banding);
+- **completeness**: planted near-duplicates with known exact Jaccard
+  above the LSH detection bound must ALL be found — at 5000 docs the
+  band-bucket structure (bucket caps, multi-band witness collapse) is
+  exercised far harder than at the oracle scale;
+- **cluster invariants**: labels are component minima and consistent
+  along every pair edge — properties that hold for ANY correct
+  connected-components output, checked without a transitive-closure
+  oracle;
+- **ANN recall**: recall@10 ≥ 0.9 vs the exact top-k on the real
+  embeddings table at both sf0.01 and sf0.1. The test embeddings are
+  near-isotropic (max pairwise cosine ≈ 0.5) — the worst case for IVF,
+  where single-assignment recall decays toward nprobe/n_cells; the
+  pinned configuration uses n_assign replication (see
+  ``simsearch.ivf_assign``), the documented lever for exactly this
+  regime.
+
+Run time is dominated by a handful of sf0.1 minhash passes (~1 min
+total); deselect with ``-m "not scale"``.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_pos_kafka_pyspark_airflow_spark.llm import dedup, simsearch
+
+SF01 = "/root/testdata/sf0.1"
+# NOT a multiple of 100: the split hash is (id·2654435761) mod 100 and
+# 2654435761 ≡ 61 (mod 100), so a multiple-of-100 offset would shift every
+# planted doc's split bucket by 0 — no planted pair would ever cross splits
+PLANT_BASE = 10_000_001
+N_PLANT = 20
+
+pytestmark = pytest.mark.scale
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF01}/documents.parquet").select("doc_id", "text")
+
+
+def _with_planted(spark):
+    """sf0.1 documents plus N_PLANT planted near-dups: doc PLANT_BASE+i
+    appends one token to doc i's text, so exact Jaccard on 3-shingles is
+    (L-2)/(L-1) ≥ 10/11 for docs of L ≥ 12 tokens — comfortably above the
+    0.8 threshold and above the ~1e-7 LSH miss bound at j=0.9."""
+    docs = _docs(spark)
+    eligible = (
+        docs.withColumn("_n", F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .where(F.col("_n") >= 12)
+        .orderBy("doc_id")
+        .limit(N_PLANT)
+    )
+    planted = eligible.select(
+        (F.col("doc_id") + F.lit(PLANT_BASE)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" plantedsuffixtoken")).alias("text"),
+    )
+    originals = [r["doc_id"] for r in eligible.select("doc_id").collect()]
+    return docs.unionByName(planted), originals
+
+
+def test_minhash_sf01_finds_all_planted_pairs_and_reports_no_false_pairs(spark):
+    corpus, originals = _with_planted(spark)
+    pairs = dedup.near_dup_pairs_minhash(
+        corpus, "text", "doc_id", n_shingle=3, num_hashes=64, bands=16,
+        jaccard_threshold=0.8,
+    ).cache()
+
+    # completeness on the planted set: every (orig, orig+PLANT_BASE) pair
+    planted_hits = {
+        r["id_a"]
+        for r in pairs.where(F.col("id_b") - F.col("id_a") == PLANT_BASE).collect()
+    }
+    missing = [i for i in originals if i not in planted_hits]
+    assert missing == [], f"planted near-dups missed at sf0.1: {missing}"
+
+    # soundness of EVERY reported pair: exact shingle Jaccard via an
+    # independent plan (shingle sets only — no signatures, no bands)
+    sh = dedup.shingle_hash_sets_df(corpus, "text", "doc_id")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    checked = (
+        pairs.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+        .withColumn("exact_j", inter / F.greatest(union, F.lit(1)))
+    )
+    n_pairs = pairs.count()
+    assert n_pairs >= N_PLANT
+    bad = checked.where(
+        (F.col("exact_j") < 0.8) | (F.abs(F.round("exact_j", 4) - F.col("jaccard")) > 1e-9)
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
+    pairs.unpersist()
+
+
+def test_dedup_clusters_sf01_component_invariants(spark):
+    docs = _docs(spark)
+    pairs = dedup.near_dup_pairs_minhash(
+        docs, "text", "doc_id", n_shingle=3, num_hashes=64, bands=16,
+        jaccard_threshold=0.8,
+    ).localCheckpoint(eager=True)
+    labels = dedup.dedup_clusters(pairs, all_ids=docs, id_col="doc_id").cache()
+
+    assert labels.count() == docs.count()  # total assignment
+    assert labels.where(F.col("cluster_id") > F.col("doc_id")).count() == 0  # min-label
+    assert labels.where(F.col("keep") != (F.col("doc_id") == F.col("cluster_id"))).count() == 0
+
+    # every edge connects same-label endpoints
+    la = labels.select(F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("ca"))
+    lb = labels.select(F.col("doc_id").alias("id_b"), F.col("cluster_id").alias("cb"))
+    disagree = pairs.join(la, "id_a").join(lb, "id_b").where(F.col("ca") != F.col("cb"))
+    assert disagree.count() == 0, disagree.limit(5).collect()
+
+    # every cluster representative exists and keeps itself
+    reps = labels.select(F.col("cluster_id").alias("doc_id")).distinct()
+    orphans = reps.join(labels.where("keep"), "doc_id", "left_anti")
+    assert orphans.count() == 0, orphans.limit(5).collect()
+    labels.unpersist()
+
+
+def test_split_contamination_sf01_catches_planted_cross_split_dup(spark):
+    """Decontamination at sf0.1: a planted test-split near-dup of a
+    train-split document must be reported by the same pair+split logic the
+    registered query composes; reported splits must equal the hash
+    arithmetic recomputed from the ids."""
+    corpus, originals = _with_planted(spark)
+
+    def bucket(i: int) -> int:
+        return (i * 2654435761) % 100
+
+    def split(i: int) -> str:
+        b = bucket(i)
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    pairs = dedup.near_dup_pairs_minhash(
+        corpus, "text", "doc_id", n_shingle=3, num_hashes=64, bands=16,
+        jaccard_threshold=0.8,
+    )
+    bucket_a = (F.col("id_a") * F.lit(2654435761)) % 100
+    bucket_b = (F.col("id_b") * F.lit(2654435761)) % 100
+    split_of = lambda b: F.when(b < 80, "train").when(b < 90, "val").otherwise("test")  # noqa: E731
+    contaminated = (
+        pairs.withColumn("split_a", split_of(bucket_a))
+        .withColumn("split_b", split_of(bucket_b))
+        .where(F.col("split_a") != F.col("split_b"))
+        .collect()
+    )
+    # splits reported == splits recomputed from the id arithmetic
+    for r in contaminated:
+        assert r["split_a"] == split(r["id_a"]) and r["split_b"] == split(r["id_b"])
+    # every planted pair whose two ids hash to different splits is caught
+    expected = {
+        (i, i + PLANT_BASE) for i in originals if split(i) != split(i + PLANT_BASE)
+    }
+    got = {(r["id_a"], r["id_b"]) for r in contaminated}
+    assert expected, "fixture degenerate: no planted pair crosses splits"
+    assert expected - got == set(), f"cross-split dups missed: {expected - got}"
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.01", SF01])
+def test_ann_recall_at_scale(spark, sf_dir):
+    """recall@10 ≥ 0.9 vs exact top-k on the real embeddings, both driver
+    scale and 10×. Params are the documented scale configuration: LSH
+    Hamming budget 10/16; IVF nprobe 8/16 with n_assign=3 replication
+    (single-assignment IVF measures 0.5-0.8 here — near-isotropic
+    vectors — which is exactly what replication exists to fix)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    e.count()
+    recalls_lsh, recalls_ivf = [], []
+    for qid in (0, 1, 2):
+        q = [float(x) for x in e.where(F.col("vec_id") == qid).first()["embedding"]]
+        exact = {r["vec_id"] for r in simsearch.cosine_topk(e, q, k=10).collect()}
+        lsh = {
+            r["vec_id"]
+            for r in simsearch.cosine_topk_lsh(
+                e, q, k=10, n_planes=16, max_hamming=10
+            ).collect()
+        }
+        ivf = {
+            r["vec_id"]
+            for r in simsearch.cosine_topk_ivf(
+                e, q, k=10, n_cells=16, nprobe=8, n_assign=3
+            ).collect()
+        }
+        recalls_lsh.append(len(exact & lsh) / 10)
+        recalls_ivf.append(len(exact & ivf) / 10)
+    e.unpersist()
+    assert sum(recalls_lsh) / len(recalls_lsh) >= 0.9, recalls_lsh
+    assert sum(recalls_ivf) / len(recalls_ivf) >= 0.9, recalls_ivf
