@@ -469,6 +469,37 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_scd2_close",
+    "upsert",
+    oracle="""
+    WITH c AS (SELECT c_custkey, c_name, c_acctbal FROM customer)
+    SELECT c_custkey, c_name, c_acctbal,
+           TIMESTAMP '1995-01-01' AS valid_from,
+           CASE WHEN c_custkey % 4 = 0 THEN TIMESTAMP '2001-03-01' END AS valid_to
+    FROM c
+    """,
+    notes="SCD2 delete path (operators/upsert.scd2_close): a delete batch "
+    "closes the affected open versions at the delete timestamp WITHOUT "
+    "opening replacements — the dimension's lifespan simply ends, history "
+    "is preserved. The complement of q_scd2 for CDC streams carrying "
+    "deletes (streaming ScdParquetCdcSink composes both); same single pk "
+    "shuffle. Deletes synthesized deterministically (every fourth key "
+    "removed at 2001-03-01)",
+)
+def q_scd2_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    hist = c.withColumn(
+        "valid_from", F.lit("1995-01-01").cast("timestamp")
+    ).withColumn("valid_to", F.lit(None).cast("timestamp"))
+    deleted = (
+        c.where(F.col("c_custkey") % 4 == 0)
+        .select("c_custkey")
+        .withColumn("eff", F.lit("2001-03-01").cast("timestamp"))
+    )
+    return upsert_ops.scd2_close(hist, deleted, "c_custkey", "eff")
+
+
+@register(
     "q_validate_events",
     "filter",
     oracle="""
