@@ -493,6 +493,153 @@ def ngram_jaccard_pairs_blocked(
     )
 
 
+def containment_pairs_blocked(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Shingle-containment pairs: |A∩B| / min(|A|, |B|) ≥ threshold within
+    caller-chosen blocks — the near-dup measure for SUB-document duplication
+    (a short doc embedded in a long one scores containment ≈ 1 while its
+    Jaccard ≈ |short|/|long| can sit far below any dedup threshold).
+
+    Jaccard-style size-ratio prefiltering is deliberately absent: containment
+    exists to catch size-skewed pairs, so the only quadratic bound is the
+    caller's blocking choice (the scale knob, same contract as
+    ``ngram_jaccard_pairs_blocked``). The threshold test is evaluated as the
+    integer cross-multiplication ``I ≥ ceil(t·min)`` on exact set sizes
+    before the reported ratio is rounded, so the cut is engine-exact.
+
+    No reference analogue (its dedup guard is an exact-match driver scan,
+    ``kafka_producer.py:41-58``); north-star extension per BASELINE.json.
+    """
+    from pyspark import StorageLevel
+
+    sets_df = shingle_hash_sets_df(df, text_col, id_col, n)
+    base = (
+        sets_df.join(
+            df.select(F.col(id_col).alias("_id"), *[F.col(c) for c in block_cols]), "_id"
+        )
+        .withColumn("_sz", F.size("_sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = base.select(
+        F.col("_id").alias("id_a"),
+        F.col("_sh").alias("sh_a"),
+        F.col("_sz").alias("sz_a"),
+        *[F.col(c) for c in block_cols],
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"),
+        F.col("_sh").alias("sh_b"),
+        F.col("_sz").alias("sz_b"),
+        *[F.col(c).alias(f"{c}_b") for c in block_cols],
+    )
+    cond = a.id_a < b.id_b
+    for c in block_cols:
+        cond = cond & (a[c] == b[f"{c}_b"])
+    pairs = a.join(b, cond).withColumn("_i", F.size(F.array_intersect("sh_a", "sh_b")))
+    min_sz = F.greatest(F.least("sz_a", "sz_b"), F.lit(1))
+    return (
+        pairs.where(F.col("_i") >= F.ceil(F.lit(threshold) * min_sz))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("_i") / min_sz, 4).alias("containment"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Span-level boilerplate dedup (C4/line-dedup family)
+# ---------------------------------------------------------------------------
+
+
+def boilerplate_span_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_tokens: int = 3,
+    min_docs: int = 2,
+    delimiter: str | None = None,
+) -> DataFrame:
+    """Remove spans that repeat across documents — the line/paragraph-level
+    dedup pass (C4-style boilerplate removal; with token segmentation, the
+    duplicated-span removal of corpus-dedup practice) that document-level
+    dedup cannot express: it edits INSIDE surviving documents.
+
+    Segmentation: ``delimiter`` (e.g. ``"\\n"`` for true line dedup) when
+    given, else fixed non-overlapping windows of ``span_tokens`` whitespace
+    tokens (the final window keeps the remainder). A span is boilerplate
+    when it occurs verbatim in ≥ ``min_docs`` distinct documents; each doc
+    returns with those spans excised (order of survivors preserved) plus a
+    dropped-span count. Documents with zero tokens are passed through
+    unchanged with ``n_dropped = 0``.
+
+    Scale shape (the reason this is exactly two shuffles):
+
+    1. segment rows → groupBy the span's **sha2-256 digest** with partial
+       map-side aggregation — the shuffle carries a fixed-width digest per
+       span occurrence, never span text;
+    2. boilerplate digests (a tiny fraction of distinct spans) broadcast
+       back against the segment rows — no second corpus shuffle;
+    3. reassembly groups segments by doc id: one shuffle of surviving span
+       text, upper-bounded by corpus size.
+
+    The reference has no in-document transformation beyond column maps;
+    north-star extension per BASELINE.json.
+    """
+    if delimiter is not None:
+        segs_arr = F.filter(F.split(F.col(text_col), F.lit(delimiter), -1), lambda s: s != "")
+        joiner = delimiter
+    else:
+        toks = tokens(F.col(text_col))
+        n_spans = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+        segs_arr = F.transform(
+            F.sequence(F.lit(0), F.greatest(n_spans - 1, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i * span_tokens + 1, span_tokens), " "),
+        )
+        segs_arr = F.when(F.size(toks) > 0, segs_arr).otherwise(F.array().cast("array<string>"))
+        joiner = " "
+    seg = df.select(F.col(id_col), F.posexplode(segs_arr).alias("_i", "_seg")).withColumn(
+        "_dig", F.sha2("_seg", 256)
+    )
+    boiler = (
+        seg.groupBy("_dig")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_dig")
+    )
+    flagged = seg.join(F.broadcast(boiler.withColumn("_b", F.lit(True))), "_dig", "left")
+    is_boiler = F.coalesce(F.col("_b"), F.lit(False))
+    cleaned = flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~is_boiler, F.struct(F.col("_i"), F.col("_seg")))
+                    )
+                ),
+                lambda s: s["_seg"],
+            ),
+            joiner,
+        ).alias("text_clean"),
+        F.sum(is_boiler.cast("int")).cast("int").alias("n_dropped"),
+    )
+    return (
+        df.select(id_col)
+        .join(cleaned, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cluster assignment (connected components over near-dup pairs)
 # ---------------------------------------------------------------------------

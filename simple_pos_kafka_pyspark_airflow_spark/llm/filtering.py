@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .textops import predicted_lang_from_tokens, punct_ratio, tokens
+from .textops import LANG_MARKERS, predicted_lang_from_tokens, punct_ratio, tokens
 
 
 def repetition_ratio(text: Column) -> Column:
@@ -68,6 +68,78 @@ def apply_corpus_filter(df: DataFrame, text_col: str = "text", **thresholds) -> 
     for name in rules:
         verdict = F.col(name) if verdict is None else (verdict & F.col(name))
     return out.withColumn("keep", verdict).drop("__toks")
+
+
+def document_stat_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    min_stopwords_present: int = 2,
+    max_symbol_pct: int = 10,
+    max_dup3_pct: int = 30,
+    min_alpha_pct: int = 80,
+) -> DataFrame:
+    """Document-statistics quality gate (the Gopher-rules family, public
+    pretraining practice): five independent per-document rules emitted as
+    bit columns plus their conjunction.
+
+    Every threshold is evaluated by integer cross-multiplication on exact
+    counts (``10·symbols ≤ n_tok`` rather than ``symbols/n_tok ≤ 0.1``), so
+    rule bits are engine-exact — no float ratio ever decides a document's
+    fate differently across engines:
+
+    - ``meanlen_ok``: mean token length within [min, max] chars
+      (``min·n ≤ Σlen(tok) ≤ max·n``) — too short = tag soup, too long =
+      base64/URL debris;
+    - ``stop_ok``: ≥ ``min_stopwords_present`` DISTINCT function words
+      present — real prose uses several;
+    - ``symbol_ok``: tokens that are symbol debris (``#`` runs or ``...``)
+      ≤ ``max_symbol_pct`` % of tokens;
+    - ``dup3_ok``: duplicated sliding token-trigram fraction ≤
+      ``max_dup3_pct`` % — the within-document repetition signal (the
+      cross-document form is ``dedup.boilerplate_span_dedup``);
+    - ``alpha_ok``: ≥ ``min_alpha_pct`` % of tokens contain a letter.
+
+    One projection pass over a materialized token array, all codegen, zero
+    shuffles — same execution contract as ``filter_rules``. Rejects keep
+    their bits so drop reasons aggregate without a second scan.
+    """
+    stop = LANG_MARKERS["en"]
+    toked = df.select(
+        F.col(id_col), F.col(text_col), tokens(F.lower(F.col(text_col))).alias("_toks")
+    )
+    n = F.size("_toks")
+    tot_chars = F.aggregate("_toks", F.lit(0), lambda a, t: a + F.length(t))
+    n_stop = F.size(F.array_intersect(F.array_distinct("_toks"), F.array(*map(F.lit, stop))))
+    n_sym = F.size(F.filter(F.col("_toks"), lambda t: t.rlike(r"^#+$") | t.contains("...")))
+    tri = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+            lambda i: F.array_join(F.slice("_toks", i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_tri = F.size(tri)
+    n_tri_dup = n_tri - F.size(F.array_distinct(tri))
+    n_alpha = F.size(F.filter(F.col("_toks"), lambda t: t.rlike("[a-z]")))
+    rules = {
+        "meanlen_ok": (F.lit(min_mean_word_len) * n <= tot_chars)
+        & (tot_chars <= F.lit(max_mean_word_len) * n),
+        "stop_ok": n_stop >= F.lit(min_stopwords_present),
+        "symbol_ok": F.lit(100) * n_sym <= F.lit(max_symbol_pct) * n,
+        "dup3_ok": F.lit(100) * n_tri_dup <= F.lit(max_dup3_pct) * n_tri,
+        "alpha_ok": F.lit(100) * n_alpha >= F.lit(min_alpha_pct) * n,
+    }
+    out = toked.select(
+        id_col, *[col.cast("int").alias(name) for name, col in rules.items()]
+    )
+    keep = None
+    for name in rules:
+        bit = F.col(name) == 1
+        keep = bit if keep is None else (keep & bit)
+    return out.withColumn("keep", keep.cast("int"))
 
 
 def chunk_documents(

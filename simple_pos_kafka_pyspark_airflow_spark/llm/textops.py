@@ -146,6 +146,34 @@ def predicted_lang_from_tokens(toks: Column) -> Column:
     return F.when(best <= 0, F.lit("und")).otherwise(expr)
 
 
+def ngram_occurrence_counts(df, text_col: str = "text", n: int = 2):
+    """Corpus-wide word n-gram occurrence counts: (ngram, n_occ), every
+    SLIDING occurrence counted (not per-doc distinct) — the raw statistic
+    behind vocabulary audits, contamination probes ("is this benchmark
+    phrase in the corpus?") and boilerplate discovery.
+
+    Scale shape: explode sliding windows executor-side (no shuffle for the
+    row multiplication), then one groupBy where map-side partial
+    aggregation collapses each partition's counts before the exchange — the
+    shuffle carries one row per DISTINCT n-gram per partition, not one per
+    occurrence. Top-k consumers should ``orderBy(...).limit(k)`` so Spark
+    plans TakeOrderedAndProject (per-partition heaps, no global sort).
+    Docs shorter than ``n`` tokens contribute nothing, mirroring sliding
+    semantics.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(toks.alias("_toks")).where(F.size("_toks") >= n)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+        lambda i: F.array_join(F.slice("_toks", i, n), " "),
+    )
+    return (
+        base.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_occ"))
+    )
+
+
 def fingerprint(text: Column, prime: int = 1_000_003, mod: int = (1 << 61) - 1) -> Column:
     """Deterministic polynomial rolling-hash fingerprint of the token
     stream: ``sum(hash_i * prime^i) mod m`` folded left with

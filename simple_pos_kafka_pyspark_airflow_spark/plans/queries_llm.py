@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..llm import dedup, multimodal, simsearch, textops
+from ..llm import dedup, filtering, multimodal, simsearch, textops
 from .contract import register
 
 # DuckDB shingle CTE shared by the jaccard oracles (3-gram word shingles,
@@ -950,4 +950,169 @@ def q_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
         .orderBy("split")
+    )
+
+
+@register(
+    "q_dedup_containment",
+    "llm",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                         i -> array_to_string(toks[i:i+2], ' ')))
+             END AS sh
+      FROM t
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / greatest(least(len(a.sh), len(b.sh)), 1), 4) AS containment
+    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))
+          >= ceil(0.8 * greatest(least(len(a.sh), len(b.sh)), 1))
+    """,
+    notes="shingle-containment near-dup (|A∩B|/min(|A|,|B|) ≥ 0.8) within "
+    "language blocks — catches SUB-document duplication that Jaccard "
+    "structurally misses (a doc embedded in a 10× larger one has "
+    "containment ≈ 1 but jaccard ≈ 0.1, below every dedup threshold). No "
+    "size-ratio prefilter by design: size-skewed pairs are the quarry. "
+    "Threshold is integer cross-multiplication on exact set sizes, so the "
+    "cut is engine-exact (llm/dedup.containment_pairs_blocked)",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return dedup.containment_pairs_blocked(
+        d, "text", "doc_id", block_cols=["lang"], n=3, threshold=0.8
+    )
+
+
+@register(
+    "q_text_dedup_spans",
+    "llm",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), segl AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, CAST(ceil(len(toks) / 3.0) AS BIGINT) - 1),
+                            i -> array_to_string(toks[3*i+1:3*i+3], ' ')) AS segs
+      FROM t WHERE len(toks) > 0
+    ), seg AS (
+      SELECT doc_id, unnest(segs) AS seg,
+             unnest(generate_series(0, len(segs) - 1)) AS i
+      FROM segl
+    ), boiler AS (
+      SELECT seg FROM seg GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 2
+    ), kept AS (
+      SELECT s.doc_id, s.i, s.seg, (b.seg IS NOT NULL) AS is_b
+      FROM seg s LEFT JOIN boiler b ON s.seg = b.seg
+    ), agg AS (
+      SELECT doc_id,
+             COALESCE(string_agg(seg, ' ' ORDER BY i) FILTER (WHERE NOT is_b), '')
+               AS text_clean,
+             SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS n_dropped
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.text_clean, '') AS text_clean,
+           CAST(COALESCE(a.n_dropped, 0) AS INTEGER) AS n_dropped
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    notes="span-level boilerplate dedup (the C4 line-dedup / duplicated-"
+    "span-removal family): 3-token spans occurring verbatim in ≥2 distinct "
+    "docs are excised from every document — editing INSIDE documents, which "
+    "doc-level dedup cannot express. Engine counts spans by sha2 digest so "
+    "the count shuffle carries fixed-width keys; boilerplate digests "
+    "broadcast back (llm/dedup.boilerplate_span_dedup). Oracle groups the "
+    "span strings directly — identical output barring a SHA-256 collision",
+)
+def q_text_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return dedup.boilerplate_span_dedup(
+        d, "text", "doc_id", span_tokens=3, min_docs=2
+    )
+
+
+@register(
+    "q_quality_rules",
+    "llm",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+        len(toks) AS n,
+        CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS tot,
+        len(list_intersect(list_distinct(toks),
+                           ['the','and','of','to','a','in','is'])) AS nstop,
+        len(list_filter(toks, x -> regexp_matches(x, '^#+$') OR contains(x, '...')))
+          AS nsym,
+        CASE WHEN len(toks) >= 3
+             THEN list_transform(generate_series(1, len(toks) - 2),
+                                 i -> array_to_string(toks[i:i+2], ' '))
+             ELSE CAST([] AS VARCHAR[]) END AS tri,
+        len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS nalpha
+      FROM t
+    )
+    SELECT doc_id,
+      CAST(3*n <= tot AND tot <= 10*n AS INTEGER) AS meanlen_ok,
+      CAST(nstop >= 2 AS INTEGER) AS stop_ok,
+      CAST(100*nsym <= 10*n AS INTEGER) AS symbol_ok,
+      CAST(100*(len(tri) - len(list_distinct(tri))) <= 30*len(tri) AS INTEGER) AS dup3_ok,
+      CAST(100*nalpha >= 80*n AS INTEGER) AS alpha_ok,
+      CAST((3*n <= tot AND tot <= 10*n) AND nstop >= 2 AND 100*nsym <= 10*n
+           AND 100*(len(tri) - len(list_distinct(tri))) <= 30*len(tri)
+           AND 100*nalpha >= 80*n AS INTEGER) AS keep
+    FROM s
+    """,
+    notes="document-statistics quality gate (Gopher-rules family): mean "
+    "word length band, distinct-stopword presence, symbol-token ratio, "
+    "within-doc duplicated-trigram fraction, alphabetic-token ratio — five "
+    "bits + conjunction per doc. Every threshold is integer "
+    "cross-multiplication on exact counts, so bits are engine-exact; one "
+    "codegen projection pass, zero shuffles "
+    "(llm/filtering.document_stat_rules)",
+)
+def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return filtering.document_stat_rules(d, "text", "doc_id")
+
+
+@register(
+    "q_text_ngram_topk",
+    "llm",
+    oracle="""
+    WITH t AS (
+      SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ), g AS (
+      SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+1], ' '))) AS ngram
+      FROM t WHERE len(toks) >= 2
+    )
+    SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM g GROUP BY ngram
+    ORDER BY n_occ DESC, ngram LIMIT 100
+    """,
+    notes="corpus-wide top-k word bigrams — the vocabulary/boilerplate/"
+    "contamination audit statistic. Sliding windows explode executor-side "
+    "(no shuffle for row multiplication); map-side partial aggregation "
+    "collapses counts before the single exchange; orderBy+limit plans "
+    "TakeOrderedAndProject (per-partition heaps, no global sort). "
+    "Deterministic total order via (count desc, ngram asc) "
+    "(llm/textops.ngram_occurrence_counts)",
+)
+def q_text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        textops.ngram_occurrence_counts(d, "text", n=2)
+        .orderBy(F.desc("n_occ"), F.asc("ngram"))
+        .limit(100)
     )

@@ -406,3 +406,109 @@ def test_quantize_dequantize_roundtrip(spark):
         dq = np.array(r["deq"], dtype="float64")
         assert all(-127 <= x <= 127 for x in r["q"])
         assert np.abs(v - dq).max() <= r["s"] / 2 + 1e-7, r["vec_id"]
+
+
+def test_boilerplate_span_dedup_excises_shared_spans(spark):
+    """A 3-token span present verbatim in two docs must vanish from both,
+    other spans stay, order preserved, drop counts exact."""
+    df = spark.createDataFrame(
+        [
+            (1, "one two three shared span here four five six"),
+            (2, "shared span here seven eight nine"),
+            (3, "totally unrelated words only appearing once"),
+        ],
+        ["doc_id", "text"],
+    )
+    # spans of doc1: [one two three][shared span here][four five six]
+    # spans of doc2: [shared span here][seven eight nine]
+    out = {
+        r["doc_id"]: r
+        for r in dedup.boilerplate_span_dedup(
+            df, "text", "doc_id", span_tokens=3, min_docs=2
+        ).collect()
+    }
+    assert out[1]["text_clean"] == "one two three four five six"
+    assert out[1]["n_dropped"] == 1
+    assert out[2]["text_clean"] == "seven eight nine"
+    assert out[2]["n_dropped"] == 1
+    assert out[3]["text_clean"] == "totally unrelated words only appearing once"
+    assert out[3]["n_dropped"] == 0
+
+
+def test_boilerplate_span_dedup_delimiter_mode_and_empty_doc(spark):
+    """Delimiter segmentation = true line dedup; an all-boilerplate or
+    empty document survives as an empty string with the right count."""
+    df = spark.createDataFrame(
+        [
+            (1, "keep me\ncommon footer\nalso keep"),
+            (2, "common footer"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.boilerplate_span_dedup(
+            df, "text", "doc_id", min_docs=2, delimiter="\n"
+        ).collect()
+    }
+    assert out[1]["text_clean"] == "keep me\nalso keep"
+    assert out[1]["n_dropped"] == 1
+    assert out[2]["text_clean"] == "" and out[2]["n_dropped"] == 1
+    assert out[3]["text_clean"] == "" and out[3]["n_dropped"] == 0
+
+
+def test_containment_catches_subdocument_jaccard_misses(spark):
+    """A short doc embedded in a much larger one: containment ≈ 1 (caught)
+    while Jaccard is far below 0.8 (missed by the Jaccard rung) — the
+    exact gap this operator exists to close."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"tok{i} filler{i} extra{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, short, "en"), (2, long, "en"), (3, "unrelated words here entirely", "en")],
+        ["doc_id", "text", "lang"],
+    )
+    got = dedup.containment_pairs_blocked(
+        df, "text", "doc_id", block_cols=["lang"], n=3, threshold=0.8
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
+    assert got[0]["containment"] >= 0.99
+    jac = dedup.ngram_jaccard_pairs_blocked(
+        df, "text", "doc_id", block_cols=["lang"], n=3, threshold=0.8
+    ).collect()
+    assert jac == []  # Jaccard rung misses the embedded pair at the same threshold
+
+
+def test_document_stat_rules_bits(spark):
+    """Each rule trips on its designed pathology and only that one."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm import filtering
+
+    good = "the cat and the dog sat in a warm house near the fire"
+    symbols = "the and " + " ".join(["###"] * 10)
+    repeat = "the and " + " ".join(["big red car"] * 10)
+    longwords = "the and " + " ".join(["pneumonoultramicroscopic"] * 10)
+    numbers = "the and " + " ".join(str(i) for i in range(20))
+    df = spark.createDataFrame(
+        [(1, good), (2, symbols), (3, repeat), (4, longwords), (5, numbers)],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in filtering.document_stat_rules(df, "text", "doc_id").collect()}
+    assert out[1]["keep"] == 1
+    assert out[2]["symbol_ok"] == 0 and out[2]["keep"] == 0
+    assert out[3]["dup3_ok"] == 0 and out[3]["keep"] == 0
+    assert out[4]["meanlen_ok"] == 0 and out[4]["keep"] == 0
+    assert out[5]["alpha_ok"] == 0 and out[5]["keep"] == 0
+    # all have >= 2 distinct stopwords ('the', 'and') => stop_ok everywhere
+    assert all(r["stop_ok"] == 1 for r in out.values())
+
+
+def test_ngram_occurrence_counts_sliding(spark):
+    """Sliding (not distinct-per-doc) semantics: 'a b a b' has bigrams
+    [a b][b a][a b] — 'a b' counts twice; docs shorter than n contribute
+    nothing."""
+    df = spark.createDataFrame([(1, "a b a b"), (2, "solo")], ["doc_id", "text"])
+    got = {
+        r["ngram"]: r["n_occ"]
+        for r in textops.ngram_occurrence_counts(df, "text", n=2).collect()
+    }
+    assert got == {"a b": 2, "b a": 1}

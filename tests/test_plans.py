@@ -169,3 +169,26 @@ def test_embed_normalize_single_group_shuffle(spark, sf_dir):
 
     s = plan_summary(build(spark, sf_dir, "q_embed_normalize"))
     assert s["scans"] == 1 and s["exchanges"] <= 2, s
+
+
+def test_quality_rules_is_map_only(spark, sf_dir):
+    """The Gopher-style stat gate is a single projection pass — any
+    Exchange in its plan means a rule accidentally aggregated."""
+    plan = explain_str(build(spark, sf_dir, "q_quality_rules"))
+    assert "Exchange" not in plan, plan
+
+
+def test_ngram_topk_take_ordered_single_exchange(spark, sf_dir):
+    """Corpus n-gram top-k: one partial/final count exchange, then
+    TakeOrderedAndProject — never a global Sort."""
+    plan = explain_str(build(spark, sf_dir, "q_text_ngram_topk"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("+- Exchange") <= 1, plan
+
+
+def test_span_dedup_broadcasts_boilerplate(spark, sf_dir):
+    """Span dedup must broadcast the (tiny) boilerplate digest set back
+    against segment rows — a shuffle join there would re-shuffle the whole
+    segmented corpus a third time."""
+    plan = explain_str(build(spark, sf_dir, "q_text_dedup_spans"))
+    assert "BroadcastHashJoin" in plan, plan
