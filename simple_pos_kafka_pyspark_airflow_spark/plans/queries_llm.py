@@ -1086,6 +1086,47 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_embed_assign",
+    "llm",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < 8
+    ), s AS (
+      SELECT e.vec_id, c.cid,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) AS score
+      FROM embeddings e CROSS JOIN c
+    )
+    SELECT vec_id, CAST(cid AS INTEGER) AS cell
+    FROM (SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+          FROM s)
+    WHERE rn = 1
+    """,
+    notes="nearest-centroid assignment (the k-means E-step / semantic-"
+    "partition pass) through the PRODUCTION Arrow kernel (llm/simsearch."
+    "ivf_assign: one batched float64 matmul + argmax per Arrow batch) — "
+    "the exact-oracle twin that the rows-only q_simsearch_ivf check can't "
+    "give. Centroids are the 8 lowest-id vectors so the oracle can select "
+    "them in SQL; np.argmax's first-index tie-break matches the oracle's "
+    "(score DESC, cid) row_number because the centroid list is built in "
+    "ascending id order. Integer cell output: a float summation-order "
+    "delta can only flip the result if two centroid cosines collide "
+    "within ulps — not a property of real embedding data. Map-only at any "
+    "scale; at 100 TB `cell` becomes the storage partition key",
+)
+def q_embed_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in e.where(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
+    ]
+    return simsearch.ivf_assign(e, cents, "embedding", out_col="cell").select(
+        "vec_id", "cell"
+    )
+
+
+@register(
     "q_text_ngram_topk",
     "llm",
     oracle="""

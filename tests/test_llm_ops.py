@@ -512,3 +512,20 @@ def test_ngram_occurrence_counts_sliding(spark):
         for r in textops.ngram_occurrence_counts(df, "text", n=2).collect()
     }
     assert got == {"a b": 2, "b a": 1}
+
+
+def test_ivf_assign_tiebreak_first_centroid(spark):
+    """Exact cosine ties (duplicate centroids) must resolve to the LOWEST
+    centroid index — the contract q_embed_assign's oracle pins with
+    (score DESC, cid) ordering; np.argmax's first-index behavior is what
+    makes the two engines agree, so it must not regress."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm import simsearch
+
+    df = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"])
+    cents = [[0.0, 1.0], [1.0, 0.0], [1.0, 0.0]]  # cents 1 and 2 identical
+    out = {
+        r["vec_id"]: r["cell"]
+        for r in simsearch.ivf_assign(df, cents, "embedding").collect()
+    }
+    assert out[1] == 1  # tie between centroids 1 and 2 → lowest index
+    assert out[2] == 0
