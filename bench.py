@@ -61,6 +61,8 @@ HEADLINE = [
     "q_simsearch_topk",
     "q_text_tokens",
     "q_text_tfidf",
+    "q_text_dedup_spans",
+    "q_embed_assign",
 ]
 
 

@@ -604,8 +604,16 @@ def boilerplate_span_dedup(
         )
         segs_arr = F.when(F.size(toks) > 0, segs_arr).otherwise(F.array().cast("array<string>"))
         joiner = " "
-    seg = df.select(F.col(id_col), F.posexplode(segs_arr).alias("_i", "_seg")).withColumn(
-        "_dig", F.sha2("_seg", 256)
+    from pyspark import StorageLevel
+
+    # both the boilerplate-count branch and the flag/reassembly branch
+    # read the segmented corpus; persist it so tokenize+segment+sha2 runs
+    # once, not once per consumer (same discipline as the minhash/ngram
+    # doc tables — ReuseExchange does not fire across differing subplans)
+    seg = (
+        df.select(F.col(id_col), F.posexplode(segs_arr).alias("_i", "_seg"))
+        .withColumn("_dig", F.sha2("_seg", 256))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     boiler = (
         seg.groupBy("_dig")
