@@ -185,3 +185,23 @@ def fingerprint(text: Column, prime: int = 1_000_003, mod: int = (1 << 61) - 1) 
         F.lit(0).cast("long"),
         lambda acc, t: (acc * F.lit(prime) + F.abs(F.xxhash64(t))) % F.lit(mod),
     )
+
+
+def fingerprint_portable(
+    text: Column, prime: int = 1_000_003, mod: int = 2_147_483_647
+) -> Column:
+    """``fingerprint`` with an engine-portable token hash: each token maps
+    to the integer value of the first 7 hex chars of its SHA-256 (< 2^28 —
+    SHA-256 is universally available, unlike xxhash64), folded as
+    ``acc·prime + h  mod  2^31−1``. Bounds are chosen so no intermediate
+    exceeds ~2^52: engines that RAISE on int64 overflow (rather than wrap)
+    compute the identical value, which is what makes the fingerprint
+    cross-engine verifiable — the property the xxhash64 form can't offer.
+    Same order-sensitivity, same columnar execution."""
+    toks = tokens(text)
+    h = lambda t: F.conv(F.substring(F.sha2(t, 256), 1, 7), 16, 10).cast("long")  # noqa: E731
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(prime) + h(t)) % F.lit(mod),
+    )

@@ -304,13 +304,31 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_text_fingerprint",
     "llm",
-    oracle=None,  # polynomial rolling hash over xxhash64 tokens — engine-specific
-    notes="document fingerprint: order-sensitive rolling hash of the token "
-    "stream (llm/textops.fingerprint); rows-only check",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(list_reduce(
+        list_prepend(0, list_transform(toks,
+          s -> ('0x' || substr(sha256(s), 1, 7))::BIGINT)),
+        (a, b) -> (a * 1000003 + b) % 2147483647
+      ) AS BIGINT) AS fp
+    FROM t
+    """,
+    notes="document fingerprint: order-sensitive polynomial rolling hash of "
+    "the token stream. The token hash is the first 7 hex chars of SHA-256 "
+    "and the fold is acc·1000003+h mod 2^31−1 "
+    "(llm/textops.fingerprint_portable) — bounds keep every intermediate "
+    "under ~2^52 so overflow-raising and overflow-wrapping engines agree, "
+    "which is what upgraded this query from rows-only to value-verified; "
+    "the xxhash64 form (llm/textops.fingerprint) remains the cheap "
+    "single-engine variant",
 )
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    return d.select("doc_id", textops.fingerprint(F.col("text")).alias("fp"))
+    return d.select("doc_id", textops.fingerprint_portable(F.col("text")).alias("fp"))
 
 
 # ---------------------------------------------------------------------------
