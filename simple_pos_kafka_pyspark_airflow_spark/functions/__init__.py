@@ -34,6 +34,7 @@ from ..llm.textops import (
     bpe_ish_token_count,
     char_count,
     fingerprint,
+    fingerprint_portable,
     lang_scores,
     predicted_lang,
     punct_ratio,
@@ -55,6 +56,7 @@ __all__ = [
     "dequantize_embedding",
     "dot",
     "fingerprint",
+    "fingerprint_portable",
     "hyperplane_signature",
     "lang_scores",
     "minhash_signature",

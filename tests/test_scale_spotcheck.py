@@ -197,3 +197,64 @@ def test_ann_recall_at_scale(spark, sf_dir):
     e.unpersist()
     assert sum(recalls_lsh) / len(recalls_lsh) >= 0.9, recalls_lsh
     assert sum(recalls_ivf) / len(recalls_ivf) >= 0.9, recalls_ivf
+
+
+CHEAP_ORACLE_AT_SCALE = [
+    # new-family queries whose DuckDB oracle is O(n) or O(n·k) — unlike the
+    # minhash family, these CAN be value-verified at sf0.1 directly
+    "q_text_dedup_spans",
+    "q_quality_rules",
+    "q_text_ngram_topk",
+    "q_text_fingerprint",
+    "q_embed_assign",
+]
+
+
+@pytest.mark.parametrize("name", CHEAP_ORACLE_AT_SCALE)
+def test_new_family_oracle_green_at_sf01(spark, name):
+    """Full driver-mirror value check at 10× the driver's scale: span
+    boilerplate thresholds, quality-rule bits, top-k tiebreaks, rolling-
+    hash folds and centroid argmax must all stay hash-exact when the data
+    (and segment/n-gram cardinality) grows 10×."""
+    from simple_pos_kafka_pyspark_airflow_spark.testing import check_query
+
+    res = check_query(spark, name, SF01)
+    assert res.ok, str(res)
+
+
+def test_containment_sf01_finds_planted_subdocuments(spark):
+    """Containment at sf0.1 with planted sub-documents: a 9-token prefix of
+    a long doc has every shingle inside the long doc's set, so containment
+    is exactly 1.0 — all planted pairs must be reported, every reported
+    pair must respect the threshold, and the planted prefix docs must pair
+    with their source."""
+    docs = spark.read.parquet(f"{SF01}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    eligible = (
+        docs.withColumn("_n", F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .where(F.col("_n") >= 15)
+        .orderBy("doc_id")
+        .limit(10)
+    )
+    planted = eligible.select(
+        (F.col("doc_id") + F.lit(PLANT_BASE)).alias("doc_id"),
+        F.array_join(F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 9), " ").alias(
+            "text"
+        ),
+        "lang",
+    )
+    originals = [r["doc_id"] for r in eligible.select("doc_id").collect()]
+    corpus = docs.unionByName(planted)
+    pairs = dedup.containment_pairs_blocked(
+        corpus, "text", "doc_id", block_cols=["lang"], n=3, threshold=0.8
+    ).cache()
+    got = {
+        r["id_a"]
+        for r in pairs.where(F.col("id_b") - F.col("id_a") == PLANT_BASE).collect()
+    }
+    missing = [i for i in originals if i not in got]
+    assert missing == [], f"planted sub-documents missed at sf0.1: {missing}"
+    assert pairs.where(F.col("containment") < 0.8).count() == 0
+    assert pairs.where(F.col("id_a") >= F.col("id_b")).count() == 0
+    pairs.unpersist()
