@@ -558,6 +558,36 @@ def containment_pairs_blocked(
 # ---------------------------------------------------------------------------
 
 
+def span_segment_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_tokens: int = 3,
+    delimiter: str | None = None,
+) -> DataFrame:
+    """One row per document span: ``(id_col, _i, _seg, _dig)`` — position,
+    span text, and its SHA-256 digest. ``delimiter`` splits on a literal
+    separator (true line segmentation); otherwise fixed non-overlapping
+    windows of ``span_tokens`` whitespace tokens (final window keeps the
+    remainder). Shared by the batch boilerplate pass
+    (``boilerplate_span_dedup``) and the ingest-time incremental span
+    index (``streaming.corpus.IncrementalSpanIndex``), so both segment
+    identically. Zero-token documents produce no rows."""
+    if delimiter is not None:
+        segs_arr = F.filter(F.split(F.col(text_col), F.lit(delimiter), -1), lambda s: s != "")
+    else:
+        toks = tokens(F.col(text_col))
+        n_spans = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+        segs_arr = F.transform(
+            F.sequence(F.lit(0), F.greatest(n_spans - 1, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i * span_tokens + 1, span_tokens), " "),
+        )
+        segs_arr = F.when(F.size(toks) > 0, segs_arr).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col), F.posexplode(segs_arr).alias("_i", "_seg")).withColumn(
+        "_dig", F.sha2("_seg", 256)
+    )
+
+
 def boilerplate_span_dedup(
     df: DataFrame,
     text_col: str,
@@ -592,28 +622,15 @@ def boilerplate_span_dedup(
     The reference has no in-document transformation beyond column maps;
     north-star extension per BASELINE.json.
     """
-    if delimiter is not None:
-        segs_arr = F.filter(F.split(F.col(text_col), F.lit(delimiter), -1), lambda s: s != "")
-        joiner = delimiter
-    else:
-        toks = tokens(F.col(text_col))
-        n_spans = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
-        segs_arr = F.transform(
-            F.sequence(F.lit(0), F.greatest(n_spans - 1, F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i * span_tokens + 1, span_tokens), " "),
-        )
-        segs_arr = F.when(F.size(toks) > 0, segs_arr).otherwise(F.array().cast("array<string>"))
-        joiner = " "
     from pyspark import StorageLevel
 
+    joiner = delimiter if delimiter is not None else " "
     # both the boilerplate-count branch and the flag/reassembly branch
     # read the segmented corpus; persist it so tokenize+segment+sha2 runs
     # once, not once per consumer (same discipline as the minhash/ngram
     # doc tables — ReuseExchange does not fire across differing subplans)
-    seg = (
-        df.select(F.col(id_col), F.posexplode(segs_arr).alias("_i", "_seg"))
-        .withColumn("_dig", F.sha2("_seg", 256))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    seg = span_segment_rows(df, text_col, id_col, span_tokens, delimiter).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     boiler = (
         seg.groupBy("_dig")

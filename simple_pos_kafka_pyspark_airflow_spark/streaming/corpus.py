@@ -260,3 +260,173 @@ class IncrementalMinhashIndex:
         idx_out.write.mode("append").parquet(self.path)
         idx.unpersist()
         return kept
+
+
+class IncrementalSpanIndex:
+    """Boilerplate-span removal at ingest, incrementally: a persistent
+    (span-digest → distinct-doc count) index accumulated per micro-batch,
+    so a span that repeats ACROSS batches is excised as soon as its
+    corpus-lifetime count reaches ``min_docs`` — the streaming half of
+    ``llm.dedup.boilerplate_span_dedup`` (which needs the whole corpus in
+    one frame and can't see history).
+
+    Per batch (``clean_batch(docs, batch_id)``; plain DataFrames, so it
+    slots into ``foreachBatch`` or a batch backfill identically):
+
+    1. segment the batch (``llm.dedup.span_segment_rows`` — identical
+       segmentation to the batch operator);
+    2. combined count per digest = this batch's distinct-doc count + the
+       landed index's count; spans at ``>= min_docs`` are boilerplate;
+    3. boilerplate digests broadcast back against the batch's segment
+       rows; surviving spans reassemble each document in order;
+    4. the batch's per-digest counts append to the index keyed by
+       ``batch_id``.
+
+    Exactly-once under replay WITHOUT a transactional store: index rows
+    carry the ``foreachBatch`` batch id, and the history probe (a) skips
+    rows tagged with the CURRENT batch id — a replayed batch's own landed
+    counts would otherwise count every one of its spans against itself —
+    and (b) collapses ``dropDuplicates([digest, batch_id])`` so replays
+    of earlier batches contribute once. Together a replayed batch sees
+    exactly the history its first run saw. This is a stronger requirement
+    than the minhash index's (where duplicated rows can't change
+    decisions) because counting is threshold-sensitive.
+
+    Semantics note: excision is forward-looking — a span that crosses the
+    threshold in batch N is removed from batch N onward; copies already
+    landed in batches < N stay until the periodic batch compaction pass
+    re-runs ``boilerplate_span_dedup`` over the corpus (same digests, so
+    the two passes agree on what is boilerplate).
+
+    Scale: the index shuffles fixed-width digests (32 B) with map-side
+    partial aggregation; at 100 TB it lives partitioned by digest prefix
+    on the object store and the probe is a broadcast of the batch's
+    distinct digests against it (or a co-located join once the index
+    outgrows broadcast range). Index discovery uses the Hadoop FileSystem
+    API of the path's scheme — same discipline as
+    ``IncrementalMinhashIndex``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        span_tokens: int = 3,
+        min_docs: int = 2,
+        delimiter: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.text_col = text_col
+        self.id_col = id_col
+        self.span_tokens = span_tokens
+        self.min_docs = min_docs
+        self.delimiter = delimiter
+
+    def _landed(self) -> DataFrame | None:
+        """Landed per-(digest, batch) counts, or None ONLY when no index
+        was ever written (an existing-but-unreadable path raises — it must
+        never silently become 'no history')."""
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return None
+        if not fs.listStatus(jpath):
+            return None
+        return self.spark.read.parquet(self.path)
+
+    def clean_batch(self, docs: DataFrame, batch_id: int) -> DataFrame:
+        """Return the batch with corpus-lifetime boilerplate spans excised
+        (``text_clean`` + ``n_dropped`` per doc), and record the batch's
+        span counts in the index."""
+        from pyspark import StorageLevel
+
+        seg = dedup_ops.span_segment_rows(
+            docs, self.text_col, self.id_col, self.span_tokens, self.delimiter
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+        batch_counts = seg.groupBy("_dig").agg(
+            F.count_distinct(F.col(self.id_col)).alias("_n")
+        )
+        landed = self._landed()
+        if landed is not None:
+            # exclude THIS batch's id from history: on a replay the landed
+            # index already holds this batch's counts, and summing them in
+            # would double-count every span against itself — flipping
+            # excision decisions the first run didn't make. With the
+            # self-id excluded (plus the (digest, batch) collapse for
+            # replays of OTHER batches), a replayed batch sees exactly the
+            # history the original run saw.
+            history = (
+                landed.where(F.col("_batch") != F.lit(batch_id))
+                .dropDuplicates(["_dig", "_batch"])
+                .groupBy("_dig")
+                .agg(F.sum("_n").alias("_n"))
+            )
+            combined = (
+                batch_counts.unionByName(history)
+                .groupBy("_dig")
+                .agg(F.sum("_n").alias("_n"))
+            )
+        else:
+            combined = batch_counts
+        boiler = combined.where(F.col("_n") >= self.min_docs).select("_dig")
+
+        flagged = seg.join(F.broadcast(boiler.withColumn("_b", F.lit(True))), "_dig", "left")
+        is_boiler = F.coalesce(F.col("_b"), F.lit(False))
+        joiner = self.delimiter if self.delimiter is not None else " "
+        cleaned = flagged.groupBy(self.id_col).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~is_boiler, F.struct(F.col("_i"), F.col("_seg")))
+                        )
+                    ),
+                    lambda s: s["_seg"],
+                ),
+                joiner,
+            ).alias("text_clean"),
+            F.sum(is_boiler.cast("int")).cast("int").alias("n_dropped"),
+        )
+        out = (
+            docs.select(self.id_col)
+            .join(cleaned, self.id_col, "left")
+            .select(
+                self.id_col,
+                F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+                F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        batch_counts.withColumn("_batch", F.lit(batch_id).cast("long")).write.mode(
+            "append"
+        ).parquet(self.path)
+        seg.unpersist()
+        return out
+
+    def compact(self) -> None:
+        """Rewrite the index with replayed batch rows collapsed and counts
+        pre-aggregated per digest under a single batch key (atomic
+        snapshot swap) — probes after compaction read one row per distinct
+        span digest.
+
+        Run only at a quiesced point (stream stopped, or last batch's
+        checkpoint committed): compaction folds per-batch rows into the
+        sentinel batch ``-1``, after which a replay of a pre-compaction
+        batch can no longer exclude its own contribution from history."""
+        from ..sources.io import overwrite_atomic
+
+        landed = self._landed()
+        if landed is None:
+            return
+        collapsed = (
+            landed.dropDuplicates(["_dig", "_batch"])
+            .groupBy("_dig")
+            .agg(F.sum("_n").alias("_n"))
+            .withColumn("_batch", F.lit(-1).cast("long"))
+        )
+        overwrite_atomic(collapsed, self.path)

@@ -1206,3 +1206,74 @@ def test_validate_sale_events_rules_and_reasons(spark):
     assert not out[15]["valid"] and out[15]["reject_reason"] == "has_price"
     # accept/quarantine split covers every event exactly once
     assert sum(1 for r in out.values() if r["valid"]) == 1
+
+
+def test_incremental_span_index_cross_batch_boilerplate(spark, tmp_path):
+    """A span seen once in batch 0 and again in batch 1 crosses the
+    min_docs=2 threshold at batch 1: batch 1's doc lands WITHOUT it, while
+    batch 0's copy (already landed) is untouched — the documented
+    forward-looking semantics."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import IncrementalSpanIndex
+
+    path = str(tmp_path / "spanidx")
+    idx = IncrementalSpanIndex(spark, path, span_tokens=3, min_docs=2)
+    b0 = spark.createDataFrame(
+        [(1, "common footer span one two three"), (2, "unrelated text here")],
+        ["doc_id", "text"],
+    )
+    out0 = {r["doc_id"]: r for r in idx.clean_batch(b0, batch_id=0).collect()}
+    # batch 0: nothing repeated yet — everything survives
+    assert out0[1]["text_clean"] == "common footer span one two three"
+    assert out0[1]["n_dropped"] == 0
+
+    b1 = spark.createDataFrame(
+        [(3, "common footer span four five six"), (4, "fresh content only")],
+        ["doc_id", "text"],
+    )
+    out1 = {r["doc_id"]: r for r in idx.clean_batch(b1, batch_id=1).collect()}
+    # the repeated 3-token span is excised from the new doc
+    assert out1[3]["text_clean"] == "four five six"
+    assert out1[3]["n_dropped"] == 1
+    assert out1[4]["text_clean"] == "fresh content only"
+    assert out1[4]["n_dropped"] == 0
+
+
+def test_incremental_span_index_within_batch_and_replay_stability(spark, tmp_path):
+    """Within-batch repeats are excised immediately; replaying a batch
+    (same batch_id, crash-recovery path) appends duplicate index rows but
+    the (digest, batch) collapse keeps counts — and therefore excision
+    decisions — identical."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import IncrementalSpanIndex
+
+    path = str(tmp_path / "spanidx")
+    idx = IncrementalSpanIndex(spark, path, span_tokens=3, min_docs=2)
+    b0 = spark.createDataFrame(
+        [(1, "shared span here alpha beta gamma"), (2, "shared span here delta epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in idx.clean_batch(b0, batch_id=0).collect()}
+    assert out[1]["text_clean"] == "alpha beta gamma" and out[1]["n_dropped"] == 1
+    assert out[2]["text_clean"] == "delta epsilon zeta" and out[2]["n_dropped"] == 1
+
+    # replay batch 0 (as after a crash between append and checkpoint
+    # commit): output identical, and a singleton span in a later batch
+    # must NOT be excised by phantom double-counts of itself
+    out_replay = {r["doc_id"]: r for r in idx.clean_batch(b0, batch_id=0).collect()}
+    assert {k: (v["text_clean"], v["n_dropped"]) for k, v in out.items()} == {
+        k: (v["text_clean"], v["n_dropped"]) for k, v in out_replay.items()
+    }
+    b1 = spark.createDataFrame([(5, "alpha beta gamma new tail words")], ["doc_id", "text"])
+    out1 = idx.clean_batch(b1, batch_id=1).collect()[0]
+    # 'alpha beta gamma' appeared in doc 1's CLEANED output but as a span
+    # digest it was counted once in batch 0 (doc 1) — plus doc 5 now → 2
+    # distinct docs → excised. This pins cross-batch counting through the
+    # replayed index: the count must be 2 (1 landed + 1 here), not 3.
+    assert out1["text_clean"] == "new tail words" and out1["n_dropped"] == 1
+
+    # compaction collapses to one row per digest and preserves decisions
+    idx.compact()
+    landed = spark.read.parquet(path)
+    assert landed.groupBy("_dig").count().where("count > 1").count() == 0
+    b2 = spark.createDataFrame([(6, "shared span here eta theta iota")], ["doc_id", "text"])
+    out2 = idx.clean_batch(b2, batch_id=2).collect()[0]
+    assert out2["text_clean"] == "eta theta iota" and out2["n_dropped"] == 1
