@@ -553,6 +553,56 @@ def containment_pairs_blocked(
     )
 
 
+def exact_ngram_collisions(
+    corpus: DataFrame,
+    probe: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Exact word-n-gram collision decontamination: for each ``corpus``
+    document, how many DISTINCT ``probe`` documents share at least one
+    sliding n-gram with it — the published GPT-3/PaLM-style exact-overlap
+    check (a training doc containing any 8–13-gram from an eval set is
+    flagged), complementing the LSH near-dup form
+    (``q_split_contamination``) which misses verbatim *sub-span* leaks in
+    otherwise-dissimilar documents.
+
+    Output: ``(id_col, n_probe_hits)`` for flagged corpus docs only.
+
+    Scale shape: both sides explode to per-(doc, gram) rows executor-side
+    (no shuffle for the row multiplication) and collapse to DISTINCT
+    (doc, gram) before the join, so the exchange carries each document's
+    gram *set*, not its occurrence stream. The join shuffles on the gram
+    string here so the result is oracle-exact; at 100 TB shuffle
+    ``xxhash64(gram)`` (8 bytes vs ~n·6-byte strings — same result modulo
+    a ~2⁻⁶⁴ collision) and broadcast the probe side outright when it is an
+    eval set (thousands of docs): the corpus side then never shuffles at
+    all. Stopword-only grams ('of the … in a') hit everything and make
+    hot keys; raise ``n`` or pre-drop grams whose corpus frequency exceeds
+    a cap (``textops.ngram_occurrence_counts`` gives the frequencies).
+    """
+
+    def gram_rows(df: DataFrame, out_id: str) -> DataFrame:
+        toks = tokens(F.lower(F.col(text_col)))
+        base = df.select(F.col(id_col).alias(out_id), toks.alias("_toks")).where(
+            F.size("_toks") >= n
+        )
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+            lambda i: F.array_join(F.slice("_toks", i, n), " "),
+        )
+        return base.select(out_id, F.explode(F.array_distinct(grams)).alias("_gram"))
+
+    c = gram_rows(corpus, id_col)
+    p = gram_rows(probe, "_probe_id")
+    return (
+        c.join(p, "_gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("_probe_id").alias("n_probe_hits"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Span-level boilerplate dedup (C4/line-dedup family)
 # ---------------------------------------------------------------------------

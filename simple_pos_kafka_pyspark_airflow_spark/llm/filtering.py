@@ -142,6 +142,43 @@ def document_stat_rules(
     return out.withColumn("keep", keep.cast("int"))
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    cap: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen by a deterministic hash
+    rank of the stable id — the per-domain cap every crawl-derived corpus
+    applies so no single site dominates the mixture (public practice:
+    C4/RefinedWeb-style domain caps).
+
+    The rank key is ``md5(id)``: a uniform pseudo-random order that every
+    engine reproduces (no RNG state, no seed plumbing), with the id itself
+    as tiebreak so the selection is total even under hash collisions.
+    Capping is a *sample* of each group, not a prefix of it — ranking by
+    the raw id would bias the kept set toward whatever the id order
+    encodes (usually crawl time).
+
+    Scale: the ``row_number() ≤ cap`` filter plans as ``WindowGroupLimit``
+    (Spark ≥ 3.5 rank-limit pushdown) on BOTH sides of the exchange — each
+    input partition forwards at most ``cap`` rows per group it sees, so
+    the shuffle carries O(partitions·groups·cap) rows, not the corpus,
+    and no task ever sorts a mega-domain's full group (the skew story; a
+    plan-pin test guards the pushdown from regressing to a bare Window).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
 def chunk_documents(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_tokens: int = 32
 ) -> DataFrame:

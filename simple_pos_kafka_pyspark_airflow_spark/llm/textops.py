@@ -174,6 +174,35 @@ def ngram_occurrence_counts(df, text_col: str = "text", n: int = 2):
     )
 
 
+def corpus_mixture(df, group_cols=("source", "lang"), text_col: str = "text"):
+    """Per-group corpus composition — the data-mixture table every
+    pretraining run is configured from: document count, token count, each
+    group's share of all corpus tokens, and mean tokens per document.
+    Its output is what feeds back into per-stratum sampling rates
+    (``q_sample_rebalance``) and per-domain caps
+    (``filtering.cap_per_group``).
+
+    Shapes: one groupBy (map-side partial agg collapses each partition to
+    one row per group before the exchange), then the grand total — a
+    single row — joins back via broadcast. Shares and means divide exact
+    integer counts, so the doubles are bit-identical across engines with
+    no rounding step.
+    """
+    g = (
+        df.select(*group_cols, token_count(F.col(text_col)).alias("_n"))
+        .groupBy(*group_cols)
+        .agg(F.count("*").alias("n_docs"), F.sum("_n").alias("sum_tokens"))
+    )
+    total = g.agg(F.sum("sum_tokens").alias("_tot"))
+    return g.join(F.broadcast(total)).select(
+        *group_cols,
+        "n_docs",
+        "sum_tokens",
+        (F.col("sum_tokens") / F.col("_tot")).alias("token_share"),
+        (F.col("sum_tokens") / F.col("n_docs")).alias("mean_tokens"),
+    )
+
+
 def fingerprint(text: Column, prime: int = 1_000_003, mod: int = (1 << 61) - 1) -> Column:
     """Deterministic polynomial rolling-hash fingerprint of the token
     stream: ``sum(hash_i * prime^i) mod m`` folded left with

@@ -1175,3 +1175,96 @@ def q_text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occ"), F.asc("ngram"))
         .limit(100)
     )
+
+
+@register(
+    "q_sample_source_cap",
+    "llm",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 20
+    """,
+    notes="per-domain cap (C4/RefinedWeb practice): keep at most 20 docs "
+    "per source, selected by deterministic md5(id) rank so the kept set "
+    "is an unbiased sample of the domain, not a crawl-order prefix, and "
+    "every engine reproduces it with no RNG state. One shuffle on source "
+    "+ streaming window rank; mega-domain skew handled by a two-phase "
+    "pre-trim at scale (llm/filtering.cap_per_group docstring)",
+)
+def q_sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return filtering.cap_per_group(d, "source", cap=20, id_col="doc_id").select(
+        "doc_id", "source"
+    )
+
+
+@register(
+    "q_split_ngram_leak",
+    "llm",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, (doc_id * 2654435761) % 100 AS b,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, b,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(toks) - 4),
+               i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+      FROM t WHERE len(toks) >= 5
+    )
+    SELECT tr.doc_id, CAST(COUNT(DISTINCT te.doc_id) AS BIGINT) AS n_probe_hits
+    FROM g tr JOIN g te ON tr.gram = te.gram
+    WHERE tr.b < 80 AND te.b >= 90
+    GROUP BY tr.doc_id
+    """,
+    notes="exact n-gram decontamination (GPT-3/PaLM-style): train-split "
+    "docs sharing any sliding word 5-gram with the held-out test split, "
+    "with the distinct count of leaking test docs — catches verbatim "
+    "sub-span leaks the LSH whole-doc form (q_split_contamination) "
+    "misses. Gram SETS (array_distinct before explode) cross the "
+    "exchange, not occurrence streams; same deterministic hash split as "
+    "q_split_hash/q_pack_sequences so all three compose "
+    "(llm/dedup.exact_ngram_collisions)",
+)
+def q_split_ngram_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % 100
+    train = d.where(bucket < 80)
+    test = d.where(bucket >= 90)
+    return dedup.exact_ngram_collisions(train, test, "text", "doc_id", n=5)
+
+
+@register(
+    "q_corpus_mixture",
+    "llm",
+    oracle="""
+    WITH t AS (
+      SELECT source, lang,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+      FROM documents
+    ), g AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS sum_tokens
+      FROM t GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, sum_tokens,
+           sum_tokens * 1.0 / (SELECT SUM(sum_tokens) FROM g) AS token_share,
+           sum_tokens * 1.0 / n_docs AS mean_tokens
+    FROM g
+    """,
+    notes="the data-mixture composition table (docs, tokens, corpus token "
+    "share, mean doc length per source×lang) that pretraining sampling "
+    "rates are configured from — feeds q_sample_rebalance / "
+    "cap_per_group. One partial-agg groupBy + a broadcast 1-row grand "
+    "total; shares divide exact integer counts so the doubles are "
+    "bit-identical with no rounding (llm/textops.corpus_mixture)",
+)
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return textops.corpus_mixture(d, ("source", "lang"), "text")

@@ -529,3 +529,63 @@ def test_ivf_assign_tiebreak_first_centroid(spark):
     }
     assert out[1] == 1  # tie between centroids 1 and 2 → lowest index
     assert out[2] == 0
+
+
+def test_cap_per_group_semantics(spark):
+    """At most `cap` rows per group survive; a group under the cap keeps
+    everything; the kept set is the deterministic md5-rank sample, so two
+    invocations agree row-for-row."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm import filtering
+
+    rows = [(i, "big") for i in range(10)] + [(100 + i, "small") for i in range(2)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = filtering.cap_per_group(df, "source", cap=3, id_col="doc_id")
+    by_src = {r["source"]: [] for r in kept.collect()}
+    for r in kept.collect():
+        by_src[r["source"]].append(r["doc_id"])
+    assert len(by_src["big"]) == 3
+    assert sorted(by_src["small"]) == [100, 101]
+    again = sorted((r["source"], r["doc_id"]) for r in
+                   filtering.cap_per_group(df, "source", cap=3, id_col="doc_id").collect())
+    assert again == sorted((r["source"], r["doc_id"]) for r in kept.collect())
+
+
+def test_exact_ngram_collisions_planted_leak(spark):
+    """A corpus doc embedding a probe doc's 5-gram verbatim is flagged
+    with the right distinct-probe count; docs with no shared n-gram (or
+    too short to have one) are absent."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm import dedup as d
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro words here then THE SECRET EVAL ANSWER IS purple finally"),
+            (2, "completely unrelated text with many distinct tokens overall"),
+            (3, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    probe = spark.createDataFrame(
+        [
+            (900, "the secret eval answer is purple"),
+            (901, "answer is purple and nothing else matters"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["n_probe_hits"]
+           for r in d.exact_ngram_collisions(corpus, probe, n=5).collect()}
+    # doc 1 shares 5-grams with probe 900 (case-insensitive); probe 901's
+    # only 5-grams don't appear in doc 1's sliding windows? 'answer is purple
+    # and nothing' — not in corpus; so exactly one distinct probe hit.
+    assert got == {1: 1}
+
+
+def test_corpus_mixture_shares_sum_to_one(spark, sf_dir):
+    from simple_pos_kafka_pyspark_airflow_spark.catalog import table
+    from simple_pos_kafka_pyspark_airflow_spark.llm import textops as t
+
+    d = table(spark, sf_dir, "documents")
+    rows = t.corpus_mixture(d).collect()
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-9
+    assert sum(r["n_docs"] for r in rows) == d.count()
+    for r in rows:
+        assert abs(r["mean_tokens"] - r["sum_tokens"] / r["n_docs"]) < 1e-12

@@ -192,3 +192,25 @@ def test_span_dedup_broadcasts_boilerplate(spark, sf_dir):
     segmented corpus a third time."""
     plan = explain_str(build(spark, sf_dir, "q_text_dedup_spans"))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_source_cap_pushes_window_group_limit(spark, sf_dir):
+    """q_sample_source_cap's rank ≤ cap filter must plan WindowGroupLimit
+    on both sides of the exchange (Spark 3.5 rank-limit pushdown): each
+    input partition forwards at most cap rows per group, so the shuffle is
+    O(partitions·groups·cap) and no task sorts a mega-domain's full group.
+    A bare Window + Filter here means the pushdown regressed — a skew
+    outage at 100 TB."""
+    plan = explain_str(build(spark, sf_dir, "q_sample_source_cap"))
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_ngram_leak_distinct_grams_before_join(spark, sf_dir):
+    """q_split_ngram_leak must never build gram rows from the occurrence
+    stream: both sides explode array_distinct(grams) (gram SETS), and the
+    probe/test side — orders of magnitude smaller by the split — is the
+    broadcast or build side, so the corpus side joins without shuffling
+    its gram rows at this SF."""
+    plan = explain_str(build(spark, sf_dir, "q_split_ngram_leak"))
+    assert "array_distinct" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
