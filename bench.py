@@ -63,6 +63,8 @@ HEADLINE = [
     "q_text_tfidf",
     "q_text_dedup_spans",
     "q_embed_assign",
+    "q_sample_source_cap",
+    "q_split_ngram_leak",
 ]
 
 

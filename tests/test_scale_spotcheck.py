@@ -207,6 +207,10 @@ CHEAP_ORACLE_AT_SCALE = [
     "q_text_ngram_topk",
     "q_text_fingerprint",
     "q_embed_assign",
+    # gram-set hash join / window-rank / two-level agg — all O(n·grams)
+    "q_split_ngram_leak",
+    "q_sample_source_cap",
+    "q_corpus_mixture",
 ]
 
 
