@@ -10,5 +10,7 @@ row-at-a-time Python.
 - ``simsearch``   embedding cosine top-k: brute force + LSH-bucketed + IVF
 - ``textops``     tokenization, language-ID, quality scores, fingerprints
 - ``filtering``   corpus quality-gate cascade + fixed-size token chunking
+- ``curation``    the composed end-to-end ladder: gate → exact dedup →
+                  near-dup components → domain cap → split → decontaminate
 - ``multimodal``  opaque binary columns with typed metadata + stubbed decode
 """

@@ -1,0 +1,146 @@
+"""The end-to-end batch curation pipeline: every stage a pretraining
+corpus passes through between raw crawl and tokenizer, composed from the
+operators this package already ships — one call, one lineage, one report.
+
+Stage order is the standard one (public practice: C4/RefinedWeb/Gopher
+pipelines) and it matters:
+
+1. quality gate first — cheapest per-row test drops the most volume
+   before anything shuffles;
+2. exact dedup before near-dup — byte-identical copies are the bulk of
+   duplication and cost one digest shuffle, so the quadratic-ish LSH
+   stage sees the smallest possible corpus;
+3. near-dup clusters keep one representative per connected component
+   (min id — deterministic, chain-exact);
+4. per-domain cap after dedup — capping before dedup would let a
+   domain's surviving quota be eaten by duplicates;
+5. split assignment is pure id arithmetic (no data movement), then
+6. decontamination LAST: train docs sharing an exact n-gram with the
+   held-out split are quarantined, so nothing later can reintroduce
+   leakage.
+
+Each stage's plan is the one its operator documents (see docs/SCALE.md);
+composing them adds no new shuffles beyond the stages' own. The report
+is a tiny driver-side list of (stage, rows) — the only collects are the
+per-stage counts, O(stages) scalar actions, and callers who don't want
+them can pass ``counts=False`` and get a single uncollected lineage.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup as dedup_ops
+from . import filtering
+
+
+@dataclass(frozen=True)
+class CurationConfig:
+    text_col: str = "text"
+    id_col: str = "doc_id"
+    source_col: str = "source"
+    # quality gate (filtering.apply_corpus_filter thresholds)
+    min_tokens: int = 10
+    max_tokens: int = 100_000
+    allowed_langs: tuple[str, ...] = ("en",)
+    # near-dup
+    jaccard_threshold: float = 0.8
+    n_shingle: int = 3
+    # domain cap
+    per_source_cap: int = 1_000_000
+    # split: (id · KNUTH) mod 100 — same hash as q_split_hash/q_pack_sequences
+    train_pct: int = 80
+    val_pct: int = 10
+    # decontamination
+    leak_ngram: int = 5
+
+
+_KNUTH = 2654435761
+
+
+def split_col(id_col: str, cfg: CurationConfig) -> F.Column:
+    """Deterministic split assignment: pure arithmetic on the stable id,
+    identical to ``q_split_hash``/``q_pack_sequences`` so every pipeline
+    stage and oracle agrees on membership."""
+    bucket = (F.col(id_col) * F.lit(_KNUTH)) % 100
+    return (
+        F.when(bucket < cfg.train_pct, "train")
+        .when(bucket < cfg.train_pct + cfg.val_pct, "val")
+        .otherwise("test")
+    )
+
+
+def curate_corpus(
+    docs: DataFrame, cfg: CurationConfig = CurationConfig(), counts: bool = True
+) -> tuple[DataFrame, list[tuple[str, int]]]:
+    """Run the full curation ladder; returns ``(survivors, report)`` where
+    survivors carry a ``split`` column and report is ``[(stage, rows)]``
+    (empty when ``counts=False``).
+
+    Survivor rows are a subset of input rows (original columns + split) —
+    no stage rewrites text, so provenance is the id.
+    """
+    report: list[tuple[str, int]] = []
+
+    def note(stage: str, df: DataFrame) -> DataFrame:
+        if counts:
+            report.append((stage, df.count()))
+        return df
+
+    t, i = cfg.text_col, cfg.id_col
+    note("raw", docs)
+
+    # 1. quality gate — one projection pass, bits dropped after the verdict
+    gated = note(
+        "quality_gate",
+        filtering.apply_corpus_filter(
+            docs,
+            t,
+            min_tokens=cfg.min_tokens,
+            max_tokens=cfg.max_tokens,
+            allowed_langs=cfg.allowed_langs,
+        )
+        .where("keep")
+        .select(*docs.columns),
+    )
+
+    # 2. exact dedup — keep each byte-identical group's min id
+    exact_keep = dedup_ops.exact_dup_groups(gated, t, i).select(
+        F.col("keep_id").alias(i)
+    )
+    exact = note("exact_dedup", gated.join(exact_keep, i, "semi"))
+
+    # 3. near-dup — LSH pairs → connected components → keep the min-id
+    #    representative of every component
+    pairs = dedup_ops.near_dup_pairs_minhash(
+        exact, t, i,
+        n_shingle=cfg.n_shingle, jaccard_threshold=cfg.jaccard_threshold,
+    )
+    drops = (
+        dedup_ops.dedup_clusters(pairs, id_col=i).where(~F.col("keep")).select(i)
+    )
+    near = note("near_dedup", exact.join(drops, i, "left_anti"))
+
+    # 4. per-domain cap — deterministic md5-rank sample within each source
+    capped = note(
+        "domain_cap",
+        filtering.cap_per_group(near, cfg.source_col, cfg.per_source_cap, i),
+    )
+
+    # 5. split assignment — no data movement
+    split = capped.withColumn("split", split_col(i, cfg))
+
+    # 6. decontamination — drop train/val docs sharing any exact n-gram
+    #    with the held-out test split
+    held_out = split.where(F.col("split") == "test")
+    leaks = dedup_ops.exact_ngram_collisions(
+        split.where(F.col("split") != "test"), held_out, t, i, n=cfg.leak_ngram
+    ).select(i)
+    out = note(
+        "decontaminated",
+        split.join(leaks, i, "left_anti"),
+    )
+    return out, report
