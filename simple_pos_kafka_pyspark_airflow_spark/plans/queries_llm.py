@@ -1268,3 +1268,97 @@ def q_split_ngram_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return textops.corpus_mixture(d, ("source", "lang"), "text")
+
+
+@register(
+    "q_curation_e2e",
+    "llm",
+    oracle="""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, text, source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ), gate AS (
+      SELECT doc_id, text, source, toks FROM t
+      WHERE len(toks) BETWEEN 3 AND 100000
+        AND length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 1.0
+            / greatest(length(text), 1) <= 0.2
+        AND (1.0 - len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1)) <= 0.6
+    ), exact AS (
+      SELECT * FROM gate
+      WHERE doc_id IN (SELECT MIN(doc_id) FROM gate GROUP BY text)
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                         i -> array_to_string(toks[i:i+2], ' ')))
+             END AS sh
+      FROM exact
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+            / greatest(len(list_distinct(a.sh || b.sh)), 1) >= 0.8
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id
+    ), comp AS (
+      SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    ), near AS (
+      SELECT e.doc_id, e.source, e.toks
+      FROM exact e LEFT JOIN comp ON e.doc_id = comp.id
+      WHERE comp.id IS NULL OR e.doc_id = comp.cluster_id
+    ), capped AS (
+      SELECT doc_id, source, toks FROM (
+        SELECT doc_id, source, toks,
+               ROW_NUMBER() OVER (
+                 PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM near) WHERE rn <= 40
+    ), labeled AS (
+      SELECT doc_id, source, toks,
+             CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                  WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM capped
+    ), grams AS (
+      SELECT doc_id, split,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(toks) - 4),
+               i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+      FROM labeled WHERE len(toks) >= 5
+    ), leaks AS (
+      SELECT DISTINCT tr.doc_id
+      FROM grams tr JOIN grams te ON tr.gram = te.gram
+      WHERE tr.split <> 'test' AND te.split = 'test'
+    )
+    SELECT doc_id, source, split FROM labeled
+    WHERE doc_id NOT IN (SELECT doc_id FROM leaks)
+    """,
+    notes="the ENTIRE batch curation ladder value-verified as one query: "
+    "quality gate (length/punct/repetition; all languages admitted so "
+    "the lang bit is vacuous and the oracle stays readable) → exact "
+    "dedup (min id per text) → MinHash-LSH near-dup connected components "
+    "(recursive-CTE transitive closure in the oracle, Pregel-lite "
+    "min-label propagation in the engine) → per-source cap 40 by "
+    "md5-rank → deterministic split → exact 5-gram decontamination of "
+    "train∪val against test. Output = surviving (doc_id, source, split). "
+    "Composing the stages adds no shuffles beyond the stages' own "
+    "(llm/curation.curate_corpus); the per-stage invariant suite lives "
+    "in tests/test_curation_pipeline.py",
+)
+def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import curation
+
+    d = table(spark, sf_dir, "documents")
+    cfg = curation.CurationConfig(
+        min_tokens=3,
+        allowed_langs=("en", "de", "fr", "es", "zh", "und"),
+        per_source_cap=40,
+    )
+    out, _ = curation.curate_corpus(d, cfg, counts=False)
+    return out.select("doc_id", "source", "split")
