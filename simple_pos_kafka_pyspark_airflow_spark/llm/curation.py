@@ -21,9 +21,14 @@ pipelines) and it matters:
 
 Each stage's plan is the one its operator documents (see docs/SCALE.md);
 composing them adds no new shuffles beyond the stages' own. The report
-is a tiny driver-side list of (stage, rows) — the only collects are the
-per-stage counts, O(stages) scalar actions, and callers who don't want
-them can pass ``counts=False`` and get a single uncollected lineage.
+is a tiny driver-side list of (stage, rows). With ``counts=True`` each
+reported stage is eagerly ``localCheckpoint``-ed before its count, so
+the run costs O(stages) materializations — a naive count-per-stage on
+one lineage would recompute every upstream stage per count, O(stages²)
+scans of the corpus — and the count actions can never observe a
+recomputation-divergent stage. With ``counts=False`` nothing
+materializes and the caller gets one pure, fully-optimizable lineage
+(the contract query / production path).
 """
 
 from __future__ import annotations
@@ -87,6 +92,7 @@ def curate_corpus(
 
     def note(stage: str, df: DataFrame) -> DataFrame:
         if counts:
+            df = df.localCheckpoint(eager=True)
             report.append((stage, df.count()))
         return df
 
