@@ -182,3 +182,69 @@ def test_scd2_matches_version_replay(spark, batches):
     got = sorted((r["id"], r["val"], r["valid_from"], r["valid_to"]) for r in hist.collect())
     want = sorted((k, v, f, t) for k, vs in oracle.items() for v, f, t in vs)
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 300), st.sampled_from(["s0", "s1", "s2"])),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 6),
+)
+@SETTINGS
+def test_cap_per_group_matches_python_oracle(spark, rows, cap):
+    """cap_per_group must keep EXACTLY the python-computed md5-rank
+    sample of each group — not just the right sizes. Pins both the
+    deterministic selection and the WindowGroupLimit rewrite's
+    semantics-preservation in one property."""
+    import hashlib
+
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sorted(
+        (r["source"], r["doc_id"])
+        for r in filtering.cap_per_group(df, "source", cap, "doc_id").collect()
+    )
+    by_group: dict[str, list[int]] = {}
+    for i, s in rows:
+        by_group.setdefault(s, []).append(i)
+    want = sorted(
+        (s, i)
+        for s, ids in by_group.items()
+        for i in sorted(ids, key=lambda x: (hashlib.md5(str(x).encode()).hexdigest(), x))[:cap]
+    )
+    assert got == want
+
+
+@given(
+    st.lists(st.text(alphabet="abc ", min_size=0, max_size=40), min_size=0, max_size=6),
+    st.lists(st.text(alphabet="abc ", min_size=0, max_size=40), min_size=0, max_size=4),
+    st.integers(2, 4),
+)
+@SETTINGS
+def test_exact_ngram_collisions_matches_python_oracle(spark, corpus_texts, probe_texts, n):
+    """Distinct-probe-hit counts must equal a brute-force python n-gram
+    set intersection — including the edge cases (docs shorter than n on
+    either side never collide; zero-collision docs are absent)."""
+
+    def gram_set(t: str) -> set[tuple[str, ...]]:
+        toks = t.lower().split()
+        return {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    corpus = spark.createDataFrame(
+        list(enumerate(corpus_texts)), "doc_id long, text string"
+    )
+    probe = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(probe_texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n_probe_hits"]
+        for r in dedup.exact_ngram_collisions(corpus, probe, n=n).collect()
+    }
+    want: dict[int, int] = {}
+    for ci, ct in enumerate(corpus_texts):
+        hits = sum(1 for pt in probe_texts if gram_set(ct) & gram_set(pt))
+        if hits:
+            want[ci] = hits
+    assert got == want
