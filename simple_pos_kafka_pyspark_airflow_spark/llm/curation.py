@@ -26,9 +26,12 @@ reported stage is eagerly ``localCheckpoint``-ed before its count, so
 the run costs O(stages) materializations — a naive count-per-stage on
 one lineage would recompute every upstream stage per count, O(stages²)
 scans of the corpus — and the count actions can never observe a
-recomputation-divergent stage. With ``counts=False`` nothing
-materializes and the caller gets one pure, fully-optimizable lineage
-(the contract query / production path).
+recomputation-divergent stage. With ``counts=False`` the per-stage
+materializations are skipped; note that the near-dup component stage
+(``dedup.dedup_clusters``) is inherently iterative and still runs its
+label-propagation rounds eagerly at build time (checkpointed labels,
+one convergence probe per round) on either path — everything else stays
+one lazy lineage.
 """
 
 from __future__ import annotations
@@ -97,7 +100,7 @@ def curate_corpus(
         return df
 
     t, i = cfg.text_col, cfg.id_col
-    note("raw", docs)
+    docs = note("raw", docs)
 
     # 1. quality gate — one projection pass, bits dropped after the verdict
     gated = note(

@@ -584,15 +584,16 @@ def exact_ngram_collisions(
     """
 
     def gram_rows(df: DataFrame, out_id: str) -> DataFrame:
+        from .textops import sliding_grams
+
         toks = tokens(F.lower(F.col(text_col)))
         base = df.select(F.col(id_col).alias(out_id), toks.alias("_toks")).where(
             F.size("_toks") >= n
         )
-        grams = F.transform(
-            F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
-            lambda i: F.array_join(F.slice("_toks", i, n), " "),
+        return base.select(
+            out_id,
+            F.explode(F.array_distinct(sliding_grams(F.col("_toks"), n))).alias("_gram"),
         )
-        return base.select(out_id, F.explode(F.array_distinct(grams)).alias("_gram"))
 
     c = gram_rows(corpus, id_col)
     p = gram_rows(probe, "_probe_id")

@@ -146,6 +146,17 @@ def predicted_lang_from_tokens(toks: Column) -> Column:
     return F.when(best <= 0, F.lit("und")).otherwise(expr)
 
 
+def sliding_grams(toks: Column, n: int) -> Column:
+    """All sliding word n-grams of a token array, space-joined — THE gram
+    definition: every n-gram consumer (occurrence counts, exact-collision
+    decontamination, and their DuckDB oracles) must share it, or a
+    tokenization tweak in one silently desynchronizes the others."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+
+
 def ngram_occurrence_counts(df, text_col: str = "text", n: int = 2):
     """Corpus-wide word n-gram occurrence counts: (ngram, n_occ), every
     SLIDING occurrence counted (not per-doc distinct) — the raw statistic
@@ -163,12 +174,8 @@ def ngram_occurrence_counts(df, text_col: str = "text", n: int = 2):
     """
     toks = tokens(F.lower(F.col(text_col)))
     base = df.select(toks.alias("_toks")).where(F.size("_toks") >= n)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
-        lambda i: F.array_join(F.slice("_toks", i, n), " "),
-    )
     return (
-        base.select(F.explode(grams).alias("ngram"))
+        base.select(F.explode(sliding_grams(F.col("_toks"), n)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count("*").alias("n_occ"))
     )

@@ -1233,10 +1233,15 @@ def q_sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(llm/dedup.exact_ngram_collisions)",
 )
 def q_split_ngram_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import curation
+
     d = table(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * F.lit(2654435761)) % 100
-    train = d.where(bucket < 80)
-    test = d.where(bucket >= 90)
+    # the canonical split definition (curation.split_col) so this probe,
+    # curate_corpus, q_split_hash and q_pack_sequences can never disagree
+    # on membership
+    split = curation.split_col("doc_id", curation.CurationConfig())
+    train = d.where(split == "train")
+    test = d.where(split == "test")
     return dedup.exact_ngram_collisions(train, test, "text", "doc_id", n=5)
 
 
@@ -1347,9 +1352,15 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "min-label propagation in the engine) → per-source cap 40 by "
     "md5-rank → deterministic split → exact 5-gram decontamination of "
     "train∪val against test. Output = surviving (doc_id, source, split). "
-    "Composing the stages adds no shuffles beyond the stages' own "
-    "(llm/curation.curate_corpus); the per-stage invariant suite lives "
-    "in tests/test_curation_pipeline.py",
+    "Oracle-exactness inherits the near-dup stage's preconditions, which "
+    "this corpus satisfies (same bounds q_dedup_minhash/q_dedup_clusters "
+    "document): no LSH band bucket near the max_bucket=10k quadratic "
+    "guard, true pairs at j≥0.9 where the miss bound is ~4e-8, component "
+    "diameter far under the max_iter=20 propagation bound — data beyond "
+    "those bounds diverges from the brute-force closure BY DESIGN "
+    "(guards trade exactness for a scale ceiling). Composing the stages "
+    "adds no shuffles beyond the stages' own (llm/curation.curate_corpus); "
+    "the per-stage invariant suite lives in tests/test_curation_pipeline.py",
 )
 def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm import curation
