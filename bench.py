@@ -106,8 +106,10 @@ def main() -> None:
     sc = spark.sparkContext
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
+    failed: list[str] = []
     for name in names:
         runs: list[float] = []
+        ok_runs: list[float] = []
         for _ in range(n_runs):
             sc.setJobGroup(name, f"bench:{name}", interruptOnCancel=True)
             # cancelJobGroup only kills jobs running at call time — AQE
@@ -132,6 +134,7 @@ def main() -> None:
                 # Catalyst prune projections and skip evaluation).
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(round(time.perf_counter() - t0, 4))
+                ok_runs.append(runs[-1])
             except Exception as exc:  # watchdog cancel or genuine failure
                 runs.append(round(time.perf_counter() - t0, 4))
                 print(f"# {name}: FAILED after {runs[-1]:.3f}s ({type(exc).__name__})",
@@ -143,7 +146,13 @@ def main() -> None:
                 # detaches subsequent jobs from the group.
                 sc.setLocalProperty("spark.jobGroup.id", None)
         samples[name] = runs
-        timings[name] = min(runs)
+        # a failed/cancelled run's elapsed time is NOT a valid minimum —
+        # a 0.4s transient crash must not report as the query's best time.
+        # Only when every run failed does the failure's elapsed stand in
+        # (and the name is flagged in `failed`).
+        timings[name] = min(ok_runs) if ok_runs else min(runs)
+        if not ok_runs:
+            failed.append(name)
         print(f"# {name}: {timings[name]:.3f}s (min of {runs})", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
@@ -155,6 +164,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "runs": samples,
+                "failed": failed,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

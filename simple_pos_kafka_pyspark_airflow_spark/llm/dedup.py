@@ -541,10 +541,17 @@ def containment_pairs_blocked(
     cond = a.id_a < b.id_b
     for c in block_cols:
         cond = cond & (a[c] == b[f"{c}_b"])
+    from fractions import Fraction
+
+    # exact rational form of the threshold (0.55 → 11/20) so the cut is
+    # TRUE integer cross-multiplication: den·I ≥ num·min. ceil(t·min) on
+    # the float would misclassify exact-boundary pairs (ceil(0.55·20) =
+    # ceil(11.000000000000002) = 12 drops a pair at exactly 0.55).
+    frac = Fraction(str(threshold)).limit_denominator(10**9)
     pairs = a.join(b, cond).withColumn("_i", F.size(F.array_intersect("sh_a", "sh_b")))
     min_sz = F.greatest(F.least("sz_a", "sz_b"), F.lit(1))
     return (
-        pairs.where(F.col("_i") >= F.ceil(F.lit(threshold) * min_sz))
+        pairs.where(F.lit(frac.denominator) * F.col("_i") >= F.lit(frac.numerator) * min_sz)
         .select(
             "id_a",
             "id_b",
@@ -625,7 +632,12 @@ def span_segment_rows(
     index (``streaming.corpus.IncrementalSpanIndex``), so both segment
     identically. Zero-token documents produce no rows."""
     if delimiter is not None:
-        segs_arr = F.filter(F.split(F.col(text_col), F.lit(delimiter), -1), lambda s: s != "")
+        # F.split takes a Java REGEX; the API promises a LITERAL
+        # separator, so quote it (\Q...\E, splicing any embedded \E) —
+        # an unquoted '.' or '|' would otherwise split on everything and
+        # silently destroy the corpus
+        quoted = "\\Q" + delimiter.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+        segs_arr = F.filter(F.split(F.col(text_col), F.lit(quoted), -1), lambda s: s != "")
     else:
         toks = tokens(F.col(text_col))
         n_spans = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")

@@ -103,11 +103,19 @@ def scd2_close(
     the history keeps the full lifespan, the dimension simply ends. The
     complement of ``scd2_apply`` for CDC streams that carry deletes.
     Same single-pk-shuffle shape; idempotent (an already-closed version
-    is not current, so a replayed delete is a no-op)."""
+    is not current, so a replayed delete is a no-op). Multiple delete
+    rows per key (raw CDC events rather than a collapsed diff) close at
+    the LATEST effective time — a deterministic aggregate, where a
+    keep-any collapse would record an arbitrary lifespan end across
+    runs."""
     from pyspark.sql import functions as F
 
     keys = [pk] if isinstance(pk, str) else list(pk)
-    eff = deleted.select(*keys, F.col(effective_col).alias("__eff")).dropDuplicates(keys)
+    eff = (
+        deleted.select(*keys, F.col(effective_col).alias("__eff"))
+        .groupBy(*keys)
+        .agg(F.max("__eff").alias("__eff"))
+    )
     current = history.where(F.col(end_col).isNull())
     closed_now = (
         current.join(eff, on=keys, how="inner")

@@ -991,8 +991,8 @@ def q_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
                  / greatest(least(len(a.sh), len(b.sh)), 1), 4) AS containment
     FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.sh, b.sh))
-          >= ceil(0.8 * greatest(least(len(a.sh), len(b.sh)), 1))
+    WHERE 5 * len(list_intersect(a.sh, b.sh))
+          >= 4 * greatest(least(len(a.sh), len(b.sh)), 1)
     """,
     notes="shingle-containment near-dup (|A∩B|/min(|A|,|B|) ≥ 0.8) within "
     "language blocks — catches SUB-document duplication that Jaccard "

@@ -87,25 +87,49 @@ def write_partitioned(
     writer.parquet(path)
 
 
+def _fs_rename(fs, src, dst) -> bool:
+    """The swap primitive, isolated so crash tests can inject a failure
+    exactly at the rename window."""
+    return fs.rename(src, dst)
+
+
 def overwrite_atomic(df: DataFrame, path: str) -> None:
     """Full-snapshot overwrite with the same crash discipline as
     ``streaming.cdc.ParquetCdcSink``: write to staging, tombstone-rename the
     live dir, move staging in, drop the tombstone. Readers never observe a
     half-written table; a crash leaves either the old or the new snapshot
-    (plus at worst a tombstone the next writer reclaims)."""
-    staging = f"{path.rstrip('/')}.__staging__{uuid.uuid4().hex[:8]}"
-    tombstone = path.rstrip("/") + ".__tombstone__"
-    df.write.mode("overwrite").parquet(staging)
-    os.makedirs(os.path.dirname(path) or "/", exist_ok=True)
-    if os.path.isdir(tombstone) and not os.path.isdir(path):
-        os.rename(tombstone, path)  # recover a predecessor's half-swap
-    if os.path.isdir(path):
-        if os.path.isdir(tombstone):
-            shutil.rmtree(tombstone)
-        os.rename(path, tombstone)
-    shutil.move(staging, path)
-    if os.path.isdir(tombstone):
-        shutil.rmtree(tombstone)
+    (plus at worst a tombstone the next writer reclaims).
+
+    All directory surgery goes through the Hadoop FileSystem of the
+    path's own scheme, so the same code serves local paths, ``file:``
+    URIs, HDFS and ABFS — never driver-local ``os`` calls, which crash or
+    silently no-op on any non-local URI (exactly the deployments the
+    index/CDC compaction paths exist for). The swap inherits the
+    filesystem's rename semantics: atomic on POSIX/HDFS/ABFS; on S3A a
+    dir rename is copy+delete, so back snapshots there with a
+    transactional table format instead (docs/SCALE.md)."""
+    spark = df.sparkSession
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    base = path.rstrip("/")
+    live = hpath(base)
+    staging = hpath(f"{base}.__staging__{uuid.uuid4().hex[:8]}")
+    tombstone = hpath(base + ".__tombstone__")
+    fs = live.getFileSystem(spark._jsc.hadoopConfiguration())
+    df.write.mode("overwrite").parquet(staging.toString())
+    parent = live.getParent()
+    if parent is not None and not fs.exists(parent):
+        fs.mkdirs(parent)
+    if fs.exists(tombstone) and not fs.exists(live):
+        _fs_rename(fs, tombstone, live)  # recover a predecessor's half-swap
+    if fs.exists(live):
+        if fs.exists(tombstone):
+            fs.delete(tombstone, True)
+        if not _fs_rename(fs, live, tombstone):
+            raise OSError(f"overwrite_atomic: tombstone rename failed for {path}")
+    if not _fs_rename(fs, staging, live):
+        raise OSError(f"overwrite_atomic: swap rename failed for {path}")
+    if fs.exists(tombstone):
+        fs.delete(tombstone, True)
 
 
 def write_bucketed_table(

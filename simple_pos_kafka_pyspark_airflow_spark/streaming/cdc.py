@@ -218,12 +218,27 @@ class ScdParquetCdcSink(ParquetCdcSink):
         changes = diff_snapshots_with_ts(current, new_snapshot, events, self.pk, self.order_col)
         history = self.read_history()
         upserts = changes.where(F.col(OP_COL) == OP_UPSERT).drop(OP_COL)
-        # replay guard: a version is identified by (pk, valid_from)
-        fresh = upserts.join(
-            history.select(*self.pk, F.col("valid_from").alias(self.order_col)),
-            on=[*self.pk, self.order_col],
-            how="left_anti",
-        )
+        # replay guard: a version is identified by its FULL content (all
+        # schema columns, incl. the event timestamp), not just
+        # (pk, valid_from) — a legitimate second change that lands with
+        # the same coarse-granularity timestamp as the version it
+        # supersedes differs in at least one value column and must NOT be
+        # classified as a replay (it would silently vanish from history).
+        # eqNullSafe per column so a NULL-bearing version still matches
+        # its replayed twin. A true same-ts update closes the prior
+        # version at its own valid_from (zero-length lifespan recording
+        # the superseded value) and opens the new one — deterministic
+        # last-writer-wins, consistent with the snapshot's tiebreak.
+        hist_versions = history.select(
+            *[c for c in upserts.columns if c != self.order_col],
+            F.col("valid_from").alias(self.order_col),
+        ).alias("h")
+        u = upserts.alias("u")
+        same = None
+        for c in upserts.columns:
+            e = F.col(f"u.{c}").eqNullSafe(F.col(f"h.{c}"))
+            same = e if same is None else (same & e)
+        fresh = u.join(hist_versions, same, "left_anti")
         new_history = upsert_ops.scd2_apply(history, fresh, self.pk, self.order_col)
         deletes = changes.where(F.col(OP_COL) == OP_DELETE).select(*self.pk, self.order_col)
         new_history = upsert_ops.scd2_close(new_history, deletes, self.pk, self.order_col)

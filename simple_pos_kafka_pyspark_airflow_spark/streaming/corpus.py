@@ -37,6 +37,30 @@ from ..llm import dedup as dedup_ops
 from ..llm import textops
 
 
+def _read_landed_index(spark: SparkSession, path: str) -> DataFrame | None:
+    """Shared index discovery for the incremental indexes: probe through
+    the Hadoop FileSystem of the path's own scheme (works on
+    file:/S3A/HDFS/ABFS alike — never a driver-local ``os`` probe, which
+    would return "no index" on an object store and silently skip
+    landed-corpus dedup). Returns None ONLY for a never-committed index:
+    a missing path, an empty directory, or a directory holding nothing
+    but hidden entries (parquet's ``_temporary`` from a crashed first
+    append, ``_SUCCESS`` markers). An existing committed path that then
+    fails to read as parquet is a real error and raises."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    committed = [
+        s
+        for s in fs.listStatus(jpath)
+        if not s.getPath().getName().startswith(("_", "."))
+    ]
+    if not committed:
+        return None
+    return spark.read.parquet(path)
+
+
 def corpus_ingest(
     docs: DataFrame,
     text_col: str = "text",
@@ -174,15 +198,14 @@ class IncrementalMinhashIndex:
         path's scheme (works on file:/S3A/HDFS/ABFS alike); an existing
         path that then fails to read as parquet is a real error and
         raises — it must never be silently treated as "no index" (that
-        would skip landed-corpus dedup while still appending rows)."""
-        jvm = self.spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(self.path)
-        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        if not fs.exists(jpath):
-            return None
-        if not fs.listStatus(jpath):  # dir created but nothing committed yet
-            return None
-        return self.spark.read.parquet(self.path)
+        would skip landed-corpus dedup while still appending rows).
+        A directory holding ONLY hidden entries (``_temporary`` from a
+        crashed, never-committed first append; ``_SUCCESS`` markers) is
+        "write never committed", not "index unreadable": return None so
+        the pipeline proceeds instead of wedging every batch on an
+        unreadable-parquet error."""
+        landed = _read_landed_index(self.spark, self.path)
+        return landed
 
     def compact(self) -> None:
         """Rewrite the index with replay-duplicated rows collapsed
@@ -328,15 +351,9 @@ class IncrementalSpanIndex:
     def _landed(self) -> DataFrame | None:
         """Landed per-(digest, batch) counts, or None ONLY when no index
         was ever written (an existing-but-unreadable path raises — it must
-        never silently become 'no history')."""
-        jvm = self.spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(self.path)
-        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        if not fs.exists(jpath):
-            return None
-        if not fs.listStatus(jpath):
-            return None
-        return self.spark.read.parquet(self.path)
+        never silently become 'no history'; hidden-entry-only debris from
+        a crashed first append counts as never-written)."""
+        return _read_landed_index(self.spark, self.path)
 
     def clean_batch(self, docs: DataFrame, batch_id: int) -> DataFrame:
         """Return the batch with corpus-lifetime boilerplate spans excised

@@ -589,3 +589,46 @@ def test_corpus_mixture_shares_sum_to_one(spark, sf_dir):
     assert sum(r["n_docs"] for r in rows) == d.count()
     for r in rows:
         assert abs(r["mean_tokens"] - r["sum_tokens"] / r["n_docs"]) < 1e-12
+
+
+def test_span_dedup_metachar_delimiter_is_literal(spark):
+    """The delimiter is a LITERAL separator, not a regex: splitting on '.'
+    must segment sentences, not atomize the text (an unquoted '.' regex
+    matches every character — every doc would come back empty)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha.SHARED BOILERPLATE.unique beta"),
+            (2, "other gamma.SHARED BOILERPLATE.other delta"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_dropped"])
+        for r in dedup.boilerplate_span_dedup(
+            docs, "text", "doc_id", min_docs=2, delimiter="."
+        ).collect()
+    }
+    assert out[1] == ("unique alpha.unique beta", 1)
+    assert out[2] == ("other gamma.other delta", 1)
+
+
+def test_containment_exact_boundary_threshold_is_kept(spark):
+    """A pair at EXACTLY the threshold must pass: the cut is true integer
+    cross-multiplication (den*I >= num*min), where float ceil(t*min)
+    would drop it (ceil(0.55*20) evaluates to 12 in IEEE doubles)."""
+    # A: 22 distinct tokens -> 20 shingles (the SMALLER set, min=20).
+    # B: A's first 13 tokens + 19 fresh -> 30 shingles, sharing exactly
+    # the 11 windows fully inside that 13-token prefix (the two boundary
+    # windows mix fresh tokens and match nothing in A).
+    # containment = 11/20 = 0.55 exactly.
+    a_tokens = [f"w{i}" for i in range(22)]
+    b_tokens = a_tokens[:13] + [f"x{i}" for i in range(19)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(a_tokens), "g"), (2, " ".join(b_tokens), "g")],
+        ["doc_id", "text", "lang"],
+    )
+    pairs = dedup.containment_pairs_blocked(
+        docs, "text", "doc_id", block_cols=["lang"], n=3, threshold=0.55
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    assert abs(pairs[0]["containment"] - 0.55) < 1e-9

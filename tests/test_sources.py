@@ -100,10 +100,14 @@ def test_overwrite_atomic_crash_between_stage_and_swap_is_recoverable(
     v2 = spark.createDataFrame([(2, "b", 2.0)], SCHEMA)
     sources.overwrite_atomic(v1, path)
 
-    def crash(src, dst):
-        raise RuntimeError("injected crash before swap completed")
+    real_rename = io_mod._fs_rename
 
-    monkeypatch.setattr(io_mod.shutil, "move", crash)
+    def crash(fs, src, dst):
+        if "__staging__" in src.toString():
+            raise RuntimeError("injected crash before swap completed")
+        return real_rename(fs, src, dst)
+
+    monkeypatch.setattr(io_mod, "_fs_rename", crash)
     try:
         sources.overwrite_atomic(v2, path)
         raise AssertionError("injected crash did not propagate")

@@ -11,6 +11,7 @@ semantics (kafka_consumer.py) without its single-thread constraint.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import random
@@ -1277,3 +1278,122 @@ def test_incremental_span_index_within_batch_and_replay_stability(spark, tmp_pat
     b2 = spark.createDataFrame([(6, "shared span here eta theta iota")], ["doc_id", "text"])
     out2 = idx.clean_batch(b2, batch_id=2).collect()[0]
     assert out2["text_clean"] == "eta theta iota" and out2["n_dropped"] == 1
+
+
+def test_incremental_index_compact_works_on_file_uri(spark, tmp_path):
+    """compact() must run on the same non-local path forms discovery
+    supports: overwrite_atomic's directory surgery goes through the
+    Hadoop FS API, so a file:-URI index (where driver-local os calls see
+    nothing) compacts in place — replay-duplicated rows collapse and the
+    index still rejects near-dups afterward."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import IncrementalMinhashIndex
+
+    base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet town square"
+    uri = "file://" + str(tmp_path / "lsh_index")
+    idx = IncrementalMinhashIndex(spark, uri, num_hashes=16, bands=8)
+    b1 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    assert [r["doc_id"] for r in idx.dedup_batch(b1).collect()] == [1]
+    # simulate a foreachBatch replay: the same batch appends its index
+    # rows a second time
+    idx.dedup_batch(b1).collect()
+    landed = idx._landed()
+    assert landed.count() > landed.dropDuplicates(["doc_id", "band"]).count()
+
+    idx.compact()
+
+    landed = idx._landed()
+    assert landed.count() == landed.dropDuplicates(["doc_id", "band"]).count()
+    b2 = spark.createDataFrame(
+        [(10, base.replace("square", "plaza"))], "doc_id long, text string"
+    )
+    assert idx.dedup_batch(b2).collect() == []
+
+
+def test_incremental_index_uncommitted_temporary_dir_is_no_index(spark, tmp_path):
+    """A crashed FIRST append can leave only parquet's _temporary dir
+    behind: that is 'write never committed', not 'index unreadable' —
+    discovery must return None (and the batch proceeds un-deduped, to be
+    caught by compaction) rather than wedging every subsequent batch on
+    an unreadable-parquet error."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import IncrementalMinhashIndex
+
+    path = str(tmp_path / "lsh_index")
+    os.makedirs(os.path.join(path, "_temporary", "0"))
+    idx = IncrementalMinhashIndex(spark, path, num_hashes=16, bands=8)
+    assert idx._landed() is None
+    base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet town square"
+    b1 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    assert [r["doc_id"] for r in idx.dedup_batch(b1).collect()] == [1]
+    assert idx._landed() is not None  # first real append commits over the debris
+
+
+def test_scd2_cdc_sink_same_timestamp_second_change_not_dropped(spark, tmp_path):
+    """A legitimate SECOND change arriving with the same coarse-granularity
+    timestamp as the version it supersedes (rapid updates across a batch
+    boundary, second-resolution clock) must land in history: the replay
+    guard identifies a replay by FULL version content, not (pk, ts) alone.
+    The superseded same-ts version survives as a zero-length record and
+    the open version carries the newest value."""
+    src = tmp_path / "cdc_events"
+    src.mkdir()
+    schema = "id long, name string, bal double"
+    ev_schema = f"id long, name string, bal double, {cdc.OP_COL} string, ts timestamp"
+    sink = cdc.ScdParquetCdcSink(
+        spark, str(tmp_path / "warehouse"), str(tmp_path / "history"),
+        pk="id", order_col="ts", schema=schema,
+    )
+
+    def drain():
+        q = (
+            ingest.file_json_stream(spark, str(src), ev_schema)
+            .writeStream.foreachBatch(sink.foreach_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    ts = "2026-01-01T10:00:00Z"
+    with open(src / "b1.json", "w") as f:
+        f.write(json.dumps({"id": 1, "name": "a", "bal": 1.0, cdc.OP_COL: "upsert", "ts": ts}) + "\n")
+    drain()
+    with open(src / "b2.json", "w") as f:  # same key, same second, new value
+        f.write(json.dumps({"id": 1, "name": "a2", "bal": 2.0, cdc.OP_COL: "upsert", "ts": ts}) + "\n")
+    drain()
+
+    hist = sink.read_history().collect()
+    open_rows = [r for r in hist if r["valid_to"] is None]
+    assert [(r["name"], r["bal"]) for r in open_rows] == [("a2", 2.0)]
+    # the superseded same-ts version is retained (zero-length lifespan)
+    assert ("a", 1.0) in {(r["name"], r["bal"]) for r in hist}
+    assert {r["id"]: r["bal"] for r in sink.read().collect()} == {1: 2.0}
+
+    # replaying the identical batch changes nothing (content guard)
+    sink.foreach_batch(
+        spark.createDataFrame(
+            [(1, "a2", 2.0, "upsert", datetime.datetime(2026, 1, 1, 10, 0, 0))],
+            ev_schema,
+        ),
+        batch_id=99,
+    )
+    assert len(sink.read_history().collect()) == len(hist)
+
+
+def test_scd2_close_multiple_deletes_per_key_close_at_latest(spark):
+    """Raw CDC delete streams can carry several delete rows per key in one
+    batch: the open version must close at the LATEST effective time
+    deterministically, never at whichever row wins a shuffle."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators import upsert as upsert_ops
+
+    t = datetime.datetime
+    history = spark.createDataFrame(
+        [(1, "a", t(2026, 1, 1), None)],
+        "id long, name string, valid_from timestamp, valid_to timestamp",
+    )
+    deleted = spark.createDataFrame(
+        [(1, t(2026, 1, 2)), (1, t(2026, 1, 3)), (1, t(2026, 1, 2, 12))],
+        "id long, ts timestamp",
+    )
+    for _ in range(3):  # deterministic across invocations
+        out = upsert_ops.scd2_close(history, deleted, "id", "ts").collect()
+        assert [r["valid_to"] for r in out] == [t(2026, 1, 3)]
