@@ -93,43 +93,91 @@ def _fs_rename(fs, src, dst) -> bool:
     return fs.rename(src, dst)
 
 
+def _fs_for(spark: SparkSession, path: str):
+    """(FileSystem, Path) for the path's OWN scheme — the only way any
+    snapshot/index directory surgery is allowed to touch storage. Driver-
+    local ``os``/``shutil`` calls crash or silently no-op on non-local
+    URIs (file:, HDFS, ABFS) — exactly the deployments the compaction and
+    CDC paths exist for."""
+    p = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def fs_dir_has_data(spark: SparkSession, path: str) -> bool:
+    """True when ``path`` exists and holds at least one non-hidden entry.
+    Hidden-only debris (parquet's ``_temporary`` from a crashed, never-
+    committed write; ``_SUCCESS`` markers) counts as NO data — treating
+    it as a committed table would wedge every reader on an unreadable-
+    parquet error."""
+    fs, p = _fs_for(spark, path)
+    if not fs.exists(p):
+        return False
+    return any(
+        not s.getPath().getName().startswith(("_", ".")) for s in fs.listStatus(p)
+    )
+
+
+def fs_recover_tombstone(spark: SparkSession, live: str) -> None:
+    """Heal the crash window of a tombstone swap: a tombstone WITHOUT a
+    live dir is the old snapshot mid-swap — restore it; a tombstone next
+    to a live dir is garbage from a completed swap — drop it."""
+    base = live.rstrip("/")
+    fs, p = _fs_for(spark, base)
+    t = spark._jvm.org.apache.hadoop.fs.Path(base + ".__tombstone__")
+    if fs.exists(t):
+        if fs.exists(p):
+            fs.delete(t, True)
+        else:
+            _fs_rename(fs, t, p)
+
+
+def fs_swap_in(spark: SparkSession, staging: str, live: str) -> None:
+    """Atomically promote ``staging`` to ``live``: live → tombstone,
+    staging → live, drop tombstone. A crash at any point leaves either
+    the old or the new snapshot (plus at worst a tombstone that
+    ``fs_recover_tombstone`` reclaims). ``staging`` must be a sibling on
+    the SAME filesystem — a cross-filesystem rename is a copy, not a
+    swap. Atomicity inherits the filesystem's rename: real on
+    POSIX/HDFS/ABFS; on S3A rename is copy+delete, so use a
+    transactional table format there instead (docs/SCALE.md)."""
+    base = live.rstrip("/")
+    fs, p = _fs_for(spark, base)
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    s = hpath(staging)
+    t = hpath(base + ".__tombstone__")
+    parent = p.getParent()
+    if parent is not None and not fs.exists(parent):
+        fs.mkdirs(parent)
+    if fs.exists(p):
+        if fs.exists(t):
+            fs.delete(t, True)
+        if not _fs_rename(fs, p, t):
+            raise OSError(f"atomic swap: tombstone rename failed for {live}")
+    if not _fs_rename(fs, s, p):
+        raise OSError(f"atomic swap: staging rename failed for {live}")
+    if fs.exists(t):
+        fs.delete(t, True)
+
+
+def staging_sibling(path: str) -> str:
+    """A unique staging directory NEXT TO the target (same parent, same
+    filesystem) so the promotion is a rename, never a copy."""
+    return f"{path.rstrip('/')}.__staging__{uuid.uuid4().hex[:8]}"
+
+
 def overwrite_atomic(df: DataFrame, path: str) -> None:
     """Full-snapshot overwrite with the same crash discipline as
     ``streaming.cdc.ParquetCdcSink``: write to staging, tombstone-rename the
     live dir, move staging in, drop the tombstone. Readers never observe a
     half-written table; a crash leaves either the old or the new snapshot
-    (plus at worst a tombstone the next writer reclaims).
-
-    All directory surgery goes through the Hadoop FileSystem of the
-    path's own scheme, so the same code serves local paths, ``file:``
-    URIs, HDFS and ABFS — never driver-local ``os`` calls, which crash or
-    silently no-op on any non-local URI (exactly the deployments the
-    index/CDC compaction paths exist for). The swap inherits the
-    filesystem's rename semantics: atomic on POSIX/HDFS/ABFS; on S3A a
-    dir rename is copy+delete, so back snapshots there with a
-    transactional table format instead (docs/SCALE.md)."""
+    (plus at worst a tombstone the next writer reclaims). All directory
+    surgery goes through the Hadoop FileSystem of the path's own scheme
+    (``fs_swap_in``) — local paths, ``file:`` URIs, HDFS and ABFS alike."""
     spark = df.sparkSession
-    hpath = spark._jvm.org.apache.hadoop.fs.Path
-    base = path.rstrip("/")
-    live = hpath(base)
-    staging = hpath(f"{base}.__staging__{uuid.uuid4().hex[:8]}")
-    tombstone = hpath(base + ".__tombstone__")
-    fs = live.getFileSystem(spark._jsc.hadoopConfiguration())
-    df.write.mode("overwrite").parquet(staging.toString())
-    parent = live.getParent()
-    if parent is not None and not fs.exists(parent):
-        fs.mkdirs(parent)
-    if fs.exists(tombstone) and not fs.exists(live):
-        _fs_rename(fs, tombstone, live)  # recover a predecessor's half-swap
-    if fs.exists(live):
-        if fs.exists(tombstone):
-            fs.delete(tombstone, True)
-        if not _fs_rename(fs, live, tombstone):
-            raise OSError(f"overwrite_atomic: tombstone rename failed for {path}")
-    if not _fs_rename(fs, staging, live):
-        raise OSError(f"overwrite_atomic: swap rename failed for {path}")
-    if fs.exists(tombstone):
-        fs.delete(tombstone, True)
+    staging = staging_sibling(path)
+    df.write.mode("overwrite").parquet(staging)
+    fs_recover_tombstone(spark, path)
+    fs_swap_in(spark, staging, path)
 
 
 def write_bucketed_table(

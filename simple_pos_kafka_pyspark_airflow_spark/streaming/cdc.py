@@ -29,15 +29,11 @@ in this container); the swap is atomic via staged directory rename.
 
 from __future__ import annotations
 
-import os
-import shutil
-import tempfile
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import upsert as upsert_ops
+from ..sources.io import fs_dir_has_data, fs_recover_tombstone, fs_swap_in, staging_sibling
 
 OP_COL = "_op"
 OP_UPSERT = "upsert"
@@ -104,25 +100,9 @@ class ParquetCdcSink:
         self.order_col = order_col
         self.schema = schema  # DDL string: snapshot columns (no _op / order col)
 
-    @property
-    def _tombstone(self) -> str:
-        return self.path.rstrip("/") + ".__tombstone__"
-
-    def _recover(self) -> None:
-        """If a crash left a tombstone (see foreach_batch), restore it —
-        unless the new live dir already landed, in which case the tombstone
-        is garbage from a completed swap."""
-        if os.path.isdir(self._tombstone):
-            if os.path.isdir(self.path):
-                shutil.rmtree(self._tombstone)
-            else:
-                os.rename(self._tombstone, self.path)
-
     def read(self) -> DataFrame:
-        self._recover()
-        if os.path.isdir(self.path) and any(
-            f.endswith(".parquet") for f in os.listdir(self.path)
-        ):
+        fs_recover_tombstone(self.spark, self.path)
+        if fs_dir_has_data(self.spark, self.path):
             return self.spark.read.schema(self.schema).parquet(self.path)
         return self.spark.createDataFrame([], self.schema)
 
@@ -131,21 +111,15 @@ class ParquetCdcSink:
             return
         current = self.read()
         new_snapshot = apply_cdc_batch(current, events, self.pk, self.order_col)
-        staging = os.path.join(
-            tempfile.gettempdir(), "spark_graft_cdc_staging", uuid.uuid4().hex
-        )
-        # Write BEFORE touching the live dir (the plan reads the live dir).
+        # Stage as a SIBLING of the live dir (same filesystem, so the
+        # promotion is a rename, never a copy), written BEFORE the live
+        # dir is touched (the plan reads the live dir). The swap itself
+        # (live → tombstone, staging → live, drop tombstone) and its
+        # crash-window recovery live in sources.io.fs_swap_in /
+        # fs_recover_tombstone — Hadoop-FS surgery, valid on any scheme.
+        staging = staging_sibling(self.path)
         new_snapshot.write.mode("overwrite").parquet(staging)
-        os.makedirs(os.path.dirname(self.path) or "/", exist_ok=True)
-        # Swap via rename, never rmtree-then-move: live → tombstone,
-        # staging → live, drop tombstone. A crash at any point leaves
-        # either the old table or the new one, and _recover() handles the
-        # window where only the tombstone exists.
-        if os.path.isdir(self.path):
-            os.rename(self.path, self._tombstone)
-        shutil.move(staging, self.path)
-        if os.path.isdir(self._tombstone):
-            shutil.rmtree(self._tombstone)
+        fs_swap_in(self.spark, staging, self.path)
 
 
 class ScdParquetCdcSink(ParquetCdcSink):
@@ -198,15 +172,8 @@ class ScdParquetCdcSink(ParquetCdcSink):
         self.history_schema = f"{schema}, valid_from {order_type}, valid_to {order_type}"
 
     def read_history(self) -> DataFrame:
-        tomb = self.history_path.rstrip("/") + ".__tombstone__"
-        if os.path.isdir(tomb):
-            if os.path.isdir(self.history_path):
-                shutil.rmtree(tomb)
-            else:
-                os.rename(tomb, self.history_path)
-        if os.path.isdir(self.history_path) and any(
-            f.endswith(".parquet") for f in os.listdir(self.history_path)
-        ):
+        fs_recover_tombstone(self.spark, self.history_path)
+        if fs_dir_has_data(self.spark, self.history_path):
             return self.spark.read.schema(self.history_schema).parquet(self.history_path)
         return self.spark.createDataFrame([], self.history_schema)
 
@@ -243,26 +210,14 @@ class ScdParquetCdcSink(ParquetCdcSink):
         deletes = changes.where(F.col(OP_COL) == OP_DELETE).select(*self.pk, self.order_col)
         new_history = upsert_ops.scd2_close(new_history, deletes, self.pk, self.order_col)
 
-        stage_root = os.path.join(tempfile.gettempdir(), "spark_graft_cdc_staging")
-        snap_staging = os.path.join(stage_root, uuid.uuid4().hex)
-        hist_staging = os.path.join(stage_root, uuid.uuid4().hex)
+        snap_staging = staging_sibling(self.path)
+        hist_staging = staging_sibling(self.history_path)
         # materialize BOTH before touching either live dir (plans read them)
         new_snapshot.write.mode("overwrite").parquet(snap_staging)
         new_history.write.mode("overwrite").parquet(hist_staging)
-
-        hist_tomb = self.history_path.rstrip("/") + ".__tombstone__"
-        if os.path.isdir(self.history_path):
-            os.rename(self.history_path, hist_tomb)
-        shutil.move(hist_staging, self.history_path)
-        if os.path.isdir(hist_tomb):
-            shutil.rmtree(hist_tomb)
-
-        os.makedirs(os.path.dirname(self.path) or "/", exist_ok=True)
-        if os.path.isdir(self.path):
-            os.rename(self.path, self._tombstone)
-        shutil.move(snap_staging, self.path)
-        if os.path.isdir(self._tombstone):
-            shutil.rmtree(self._tombstone)
+        # swap HISTORY first, snapshot second (see class docstring)
+        fs_swap_in(self.spark, hist_staging, self.history_path)
+        fs_swap_in(self.spark, snap_staging, self.path)
 
 
 def diff_snapshots_with_ts(

@@ -47,16 +47,9 @@ def _read_landed_index(spark: SparkSession, path: str) -> DataFrame | None:
     but hidden entries (parquet's ``_temporary`` from a crashed first
     append, ``_SUCCESS`` markers). An existing committed path that then
     fails to read as parquet is a real error and raises."""
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(jpath):
-        return None
-    committed = [
-        s
-        for s in fs.listStatus(jpath)
-        if not s.getPath().getName().startswith(("_", "."))
-    ]
-    if not committed:
+    from ..sources.io import fs_dir_has_data
+
+    if not fs_dir_has_data(spark, path):
         return None
     return spark.read.parquet(path)
 

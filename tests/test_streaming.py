@@ -1397,3 +1397,28 @@ def test_scd2_close_multiple_deletes_per_key_close_at_latest(spark):
     for _ in range(3):  # deterministic across invocations
         out = upsert_ops.scd2_close(history, deleted, "id", "ts").collect()
         assert [r["valid_to"] for r in out] == [t(2026, 1, 3)]
+
+
+def test_cdc_sink_works_on_file_uri_warehouse(spark, tmp_path):
+    """The CDC sink's snapshot swap must run on any Hadoop-FS path form:
+    a file:-URI warehouse (where the old os/shutil surgery saw no
+    directory and crashed at the staging move) applies batches and
+    replays idempotently."""
+    uri = "file://" + str(tmp_path / "warehouse")
+    sink = cdc.ParquetCdcSink(
+        spark, uri, pk="id", order_col="ts", schema="id long, name string"
+    )
+    t = datetime.datetime
+    ev_schema = f"id long, name string, {cdc.OP_COL} string, ts timestamp"
+    b1 = spark.createDataFrame(
+        [(1, "a", "upsert", t(2026, 1, 1)), (2, "b", "upsert", t(2026, 1, 1))], ev_schema
+    )
+    sink.foreach_batch(b1, 0)
+    assert {r["id"]: r["name"] for r in sink.read().collect()} == {1: "a", 2: "b"}
+    b2 = spark.createDataFrame(
+        [(1, "a2", "upsert", t(2026, 1, 2)), (2, None, "delete", t(2026, 1, 2))], ev_schema
+    )
+    sink.foreach_batch(b2, 1)
+    sink.foreach_batch(b2, 1)  # replay converges
+    assert {r["id"]: r["name"] for r in sink.read().collect()} == {1: "a2"}
+    assert not os.path.isdir(uri)  # the URI itself is not a local path
