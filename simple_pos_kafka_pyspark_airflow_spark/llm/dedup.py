@@ -769,6 +769,23 @@ def dedup_clusters(
         pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d"))
     )
     edges = both.localCheckpoint(eager=True)
+    if edges.isEmpty():
+        # no pairs at all — the COMMON case for a streaming micro-batch
+        # probing the incremental index. Skip the propagation machinery
+        # entirely (each round costs a join + eager checkpoint +
+        # convergence probe, ~seconds of per-batch latency for nothing):
+        # every document is its own singleton cluster.
+        if all_ids is None:
+            return pairs.select(
+                F.col("id_a").alias(id_col),
+                F.col("id_a").alias("cluster_id"),
+                F.lit(True).alias("keep"),
+            ).limit(0)
+        return all_ids.select(
+            id_col,
+            F.col(id_col).alias("cluster_id"),
+            F.lit(True).alias("keep"),
+        )
     labels = (
         edges.select(F.col("s").alias("id"))
         .distinct()

@@ -632,3 +632,17 @@ def test_containment_exact_boundary_threshold_is_kept(spark):
     ).collect()
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
     assert abs(pairs[0]["containment"] - 0.55) < 1e-9
+
+
+def test_dedup_clusters_empty_pairs_fast_path(spark):
+    """Zero pairs — the common case for a streaming micro-batch — must
+    yield all-singleton clusters without running the propagation loop,
+    and an empty frame (typed like the pair columns) without all_ids."""
+    pairs = spark.createDataFrame([], "id_a long, id_b long, jaccard double")
+    ids = spark.createDataFrame([(7,), (9,)], ["doc_id"])
+    out = {r["doc_id"]: (r["cluster_id"], r["keep"])
+           for r in dedup.dedup_clusters(pairs, all_ids=ids).collect()}
+    assert out == {7: (7, True), 9: (9, True)}
+    bare = dedup.dedup_clusters(pairs)
+    assert bare.columns == ["doc_id", "cluster_id", "keep"]
+    assert bare.count() == 0
