@@ -60,6 +60,10 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.IntegerType(), True),
         T.StructField("payload_sha", T.StringType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        # False when a decoder-mapped mime failed to parse and the row
+        # fell back to byte statistics — corrupt assets are quarantinable
+        # downstream instead of invisible
+        T.StructField("decode_ok", T.BooleanType(), True),
     ]
 )
 
@@ -137,6 +141,8 @@ def decode_wav(payload: bytes) -> dict:
         cid, size = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:  # declared size clamps short on truncation
+                raise ValueError("truncated WAV fmt chunk")
             audio_fmt, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
             if audio_fmt != 1:
@@ -160,12 +166,17 @@ def decode_wav(payload: bytes) -> dict:
 
 def _byte_features(payload: bytes) -> list[float]:
     """Deterministic byte-level statistics for formats without a bundled
-    decoder: 8 windowed byte-sum features. Kept as the fallback so the
-    pipeline never dead-ends on an unknown mime type."""
-    n = len(payload)
-    window = max(1, n // 8)
+    decoder: 8 windowed byte-sum features over near-equal windows that
+    cover EVERY byte (np.array_split — a trailing remainder folds into
+    the windows rather than being dropped, so payloads differing only in
+    their final bytes fingerprint differently). One vectorized numpy pass
+    — this runs per-row on the Arrow hot path, where a per-byte Python
+    loop would dominate the batch."""
+    if not payload:
+        return [0.0] * 8
+    arr = np.frombuffer(payload, dtype=np.uint8)
     return [
-        float(sum(payload[i * window : (i + 1) * window]) % 997) / 997.0 for i in range(8)
+        float(int(w.sum()) % 997) / 997.0 for w in np.array_split(arr.astype(np.int64), 8)
     ]
 
 
@@ -194,9 +205,20 @@ _FEATURE_DECODERS = {
 }
 
 
-def _decode(payload: bytes, mime: str | None) -> list[float]:
+def _decode(payload: bytes, mime: str | None) -> tuple[list[float], bool]:
+    """(features, decode_ok). A corrupt payload of a decoder-mapped mime
+    must NOT abort the Spark job — one bad asset in a 100 TB run would
+    fail the task, every retry, and the whole job. It falls back to byte
+    statistics with ``decode_ok=False`` so the pipeline continues AND the
+    corruption is visible/quarantinable downstream (silent fallback would
+    be the opposite failure mode)."""
     decoder = _FEATURE_DECODERS.get(mime or "")
-    return decoder(payload) if decoder is not None else _byte_features(payload)
+    if decoder is None:
+        return _byte_features(payload), True
+    try:
+        return decoder(payload), True
+    except (ValueError, struct.error):
+        return _byte_features(payload), False
 
 
 def extract_features(assets: DataFrame) -> DataFrame:
@@ -205,14 +227,15 @@ def extract_features(assets: DataFrame) -> DataFrame:
     Arrow moves the binary column to Python in columnar batches; each batch
     yields a features frame. This is the canonical slow-path shape: the
     ONLY Python hop in the multimodal pipeline, explicitly batched.
+    Per-row decode errors never fail the task (see ``_decode``).
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in it:
-            feats = [
-                _decode(p, m) if p is not None else None
+            decoded = [
+                _decode(p, m) if p is not None else (None, True)
                 for p, m in zip(pdf["payload"], pdf["mime"])
             ]
             yield pd.DataFrame(
@@ -224,7 +247,8 @@ def extract_features(assets: DataFrame) -> DataFrame:
                         hashlib.sha256(p).hexdigest() if p is not None else None
                         for p in pdf["payload"]
                     ],
-                    "feature": feats,
+                    "feature": [f for f, _ in decoded],
+                    "decode_ok": [ok for _, ok in decoded],
                 }
             )
 
@@ -251,7 +275,11 @@ def resize_assets(assets: DataFrame, max_bytes: int = 1024) -> DataFrame:
             ]
             out["meta"] = [
                 {
-                    "width": min(m["width"], max_bytes) if m and m.get("width") else None,
+                    # `is not None`, not truthiness: width 0 is a KNOWN
+                    # zero, which a falsy check would erase into NULL
+                    "width": min(m["width"], max_bytes)
+                    if m and m.get("width") is not None
+                    else None,
                     "height": m.get("height") if m else None,
                     "duration_ms": m.get("duration_ms") if m else None,
                 }

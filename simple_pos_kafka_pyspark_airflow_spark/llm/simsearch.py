@@ -71,7 +71,13 @@ def cosine_topk(
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes via a tiny LCG — no numpy
-    RNG state, reproducible everywhere."""
+    RNG state, reproducible everywhere. At most 63 planes: signatures
+    pack into a signed 64-bit long (bit i = plane i), and 1 << 63
+    overflows int64 — validated here so the constraint surfaces as a
+    clear error at the API boundary, not an OverflowError inside a UDF
+    build."""
+    if not 1 <= n_planes <= 63:
+        raise ValueError(f"n_planes must be in [1, 63] (signature is a signed long), got {n_planes}")
     state = seed & 0x7FFFFFFF
     planes: list[list[float]] = []
     for _ in range(n_planes):
@@ -112,6 +118,8 @@ def with_hyperplane_signature(
     ingest-time cost, not a query-time one."""
     from pyspark.sql.functions import pandas_udf
 
+    if len(planes) > 63:
+        raise ValueError(f"at most 63 planes fit a signed-long signature, got {len(planes)}")
     p = np.array(planes, dtype="float64")  # (n_planes, dim)
     weights = np.array([1 << i for i in range(len(planes))], dtype="int64")
 
@@ -285,13 +293,20 @@ def cosine_topk_ivf(
     fly; at scale it is precomputed and ``cell`` is the partition key, so
     the probe reads ``nprobe·n_assign/n_cells`` of the data — the IVF
     complement to the hyperplane-LSH path above."""
-    centroids = ivf_centroids(df, n_cells, vec_col, id_col)
+    from pyspark import StorageLevel
+
+    # the on-the-fly build reads the input three times (seed pick, refine
+    # assignment, probe assignment) — persist the projected frame so the
+    # upstream lineage executes once, same discipline as the near-dup
+    # signature table (MEMORY_AND_DISK is eviction-safe under pressure)
+    base = df.select(id_col, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+    centroids = ivf_centroids(base, n_cells, vec_col, id_col)
     c = np.array(centroids, dtype="float64")
     c_hat = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
     q = np.array(query_vec, dtype="float64")
     q_hat = q / max(float(np.linalg.norm(q)), 1e-12)
     probe = np.argsort(-(c_hat @ q_hat))[:nprobe].tolist()
-    assigned = ivf_assign(df, centroids, vec_col, n_assign=n_assign)
+    assigned = ivf_assign(base, centroids, vec_col, n_assign=n_assign)
     pruned = assigned.where(F.col("cell").isin([int(p) for p in probe]))
     if n_assign > 1:
         pruned = pruned.dropDuplicates([id_col])
@@ -316,7 +331,10 @@ def quantize_embedding(vec: Column) -> tuple[Column, Column]:
         vec, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
     )
     scale = F.greatest(absmax / F.lit(127.0), F.lit(1e-30))
-    q = F.transform(vec, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int"))
+    # tinyint, not int: codes are provably in [-127, 127], and a 4-byte
+    # element type would silently forfeit the whole 4× storage/scan-I/O
+    # claim the quantized form exists for
+    q = F.transform(vec, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("tinyint"))
     return scale, q
 
 

@@ -38,34 +38,62 @@ try:  # pragma: no cover - import shape varies across pyspark minor versions
 except ImportError:  # pragma: no cover
     GroupStateTimeout = None  # type: ignore[assignment]
 
-STOCK_STATE_SCHEMA = "stock_level double"
+STOCK_STATE_SCHEMA = "stock_level double, seeded boolean"
 STOCK_OUTPUT_SCHEMA = "product_id long, stock_level double"
 SEQ_STATE_SCHEMA = "last_id long"
 SEQ_OUTPUT_SCHEMA = "event_key long, assigned_id long"
 
 
+def _fold_stock(
+    prior: tuple[float, bool] | None, batches: Iterable[pd.DataFrame]
+) -> tuple[float, bool]:
+    """The per-key batch fold shared by BOTH stateful APIs (GroupState
+    ``update_stock`` and Spark-4 ``StockProcessor``), so the semantics
+    cannot drift between them: accumulate quantity decrements and apply
+    the ``initial_stock`` seed.
+
+    Seeding is tracked with an explicit ``seeded`` flag, NOT "level is
+    set": a key whose first processed events are sales (stream started
+    mid-topic, seed event landing in a later micro-batch) accumulates a
+    negative level, and the late seed is then applied ADDITIVELY —
+    retroactively correct — instead of being silently ignored forever.
+    Several distinct seed values in one batch resolve to the maximum
+    (deterministic under shuffle row order; duplicates from at-least-once
+    delivery agree anyway).
+    """
+    level, seeded = prior if prior is not None else (0.0, False)
+    sold = 0.0
+    seed = None
+    for pdf in batches:
+        if not seeded and "initial_stock" in pdf.columns:
+            init = pdf["initial_stock"].dropna()
+            if len(init):
+                m = float(init.max())
+                seed = m if seed is None else max(seed, m)
+        sold += float(pdf["quantity"].sum())
+    if seed is not None:
+        level += seed
+        seeded = True
+    return level - sold, seeded
+
+
 def update_stock(
     key: tuple[Any, ...], batches: Iterable[pd.DataFrame], state: Any
 ) -> Iterator[pd.DataFrame]:
-    """Running stock per product: state = remaining stock, events carry
-    ``quantity`` (sales decrement; negative quantity = restock). Emits the
-    post-batch level per product — the reference's CSV ``stock_level``
-    column as streaming state (``kafka_consumer.py:111-117``).
+    """Running stock per product: state = (remaining stock, seeded flag),
+    events carry ``quantity`` (sales decrement; negative quantity =
+    restock). Emits the post-batch level per product — the reference's
+    CSV ``stock_level`` column as streaming state
+    (``kafka_consumer.py:111-117``).
 
-    Initial stock arrives as a ``initial_stock`` column on the first
-    event(s) for the key (NULL afterwards).
+    Initial stock arrives as an ``initial_stock`` column on the seeding
+    event (NULL on the rest); a seed arriving AFTER the key's first sales
+    still applies (see ``_fold_stock``).
     """
     (product_id,) = key
-    level = state.get[0] if state.exists else None
-    sold = 0.0
-    for pdf in batches:
-        if level is None and "initial_stock" in pdf.columns:
-            init = pdf["initial_stock"].dropna()
-            if len(init):
-                level = float(init.iloc[0])
-        sold += float(pdf["quantity"].sum())
-    level = (level if level is not None else 0.0) - sold
-    state.update((level,))
+    prior = (state.get[0], bool(state.get[1])) if state.exists else None
+    level, seeded = _fold_stock(prior, batches)
+    state.update((level, seeded))
     yield pd.DataFrame({"product_id": [product_id], "stock_level": [level]})
 
 
@@ -91,6 +119,12 @@ def assign_ids(
 
 def stock_stream(grouped_events: Any) -> Any:
     """Wire ``update_stock`` onto ``df.groupBy('product_id')`` of a stream."""
+    if GroupStateTimeout is None:
+        raise ImportError(
+            "pyspark.sql.streaming.state.GroupStateTimeout is unavailable in "
+            "this pyspark build — applyInPandasWithState cannot be wired; "
+            "use stock_stream_tws (transformWithStateInPandas) instead"
+        )
     return grouped_events.applyInPandasWithState(
         update_stock,
         outputStructType=STOCK_OUTPUT_SCHEMA,
@@ -148,19 +182,13 @@ class StockProcessor(StatefulProcessor):
     """
 
     def init(self, handle: "StatefulProcessorHandle") -> None:
-        self._level = handle.getValueState("stock_level", "stock_level double")
+        self._level = handle.getValueState("stock_level", STOCK_STATE_SCHEMA)
 
     def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
-        level = self._level.get()[0] if self._level.exists() else None
-        sold = 0.0
-        for pdf in rows:
-            if level is None and "initial_stock" in pdf.columns:
-                init = pdf["initial_stock"].dropna()
-                if len(init):
-                    level = float(init.iloc[0])
-            sold += float(pdf["quantity"].sum())
-        level = (level if level is not None else 0.0) - sold
-        self._level.update((level,))
+        got = self._level.get() if self._level.exists() else None
+        prior = (got[0], bool(got[1])) if got is not None else None
+        level, seeded = _fold_stock(prior, rows)
+        self._level.update((level, seeded))
         yield pd.DataFrame({"product_id": [key[0]], "stock_level": [level]})
 
     def close(self) -> None:

@@ -255,7 +255,32 @@ def test_update_stock_decrements_and_persists():
     assert out1["stock_level"].iloc[0] == 45.0
     out2 = list(state.update_stock((7,), [pd.DataFrame({"quantity": [5.0]})], st))[0]
     assert out2["stock_level"].iloc[0] == 40.0
-    assert st.get == (40.0,)
+    assert st.get == (40.0, True)
+
+
+def test_update_stock_late_seed_applies_retroactively():
+    """A key whose FIRST processed events are sales (stream started
+    mid-topic, seed event in a later micro-batch) must not lose its
+    initial stock: the level goes negative, then the late seed applies
+    additively — and only once."""
+    st = state.FakeGroupState()
+    out1 = list(state.update_stock((7,), [pd.DataFrame({"quantity": [3.0]})], st))[0]
+    assert out1["stock_level"].iloc[0] == -3.0
+    assert st.get == (-3.0, False)
+    out2 = list(
+        state.update_stock(
+            (7,), [pd.DataFrame({"quantity": [2.0], "initial_stock": [100.0]})], st
+        )
+    )[0]
+    assert out2["stock_level"].iloc[0] == 95.0  # -3 + 100 - 2
+    # a later (bogus/duplicate) seed is ignored once seeded
+    out3 = list(
+        state.update_stock(
+            (7,), [pd.DataFrame({"quantity": [5.0], "initial_stock": [100.0]})], st
+        )
+    )[0]
+    assert out3["stock_level"].iloc[0] == 90.0
+    assert st.get == (90.0, True)
 
 
 def test_assign_ids_dense_and_monotonic_across_batches():
