@@ -175,9 +175,24 @@ def overwrite_atomic(df: DataFrame, path: str) -> None:
     (``fs_swap_in``) — local paths, ``file:`` URIs, HDFS and ABFS alike."""
     spark = df.sparkSession
     staging = staging_sibling(path)
-    df.write.mode("overwrite").parquet(staging)
+    write_staged(df, staging)
     fs_recover_tombstone(spark, path)
     fs_swap_in(spark, staging, path)
+
+
+def write_staged(df: DataFrame, staging: str) -> None:
+    """Write a staging snapshot, deleting the half-written directory if
+    the write itself fails — otherwise every failed attempt leaks a
+    uuid-named ``.__staging__*`` sibling next to the live table that no
+    recovery path would ever reclaim (a flaky nightly job accretes them
+    without bound)."""
+    try:
+        df.write.mode("overwrite").parquet(staging)
+    except Exception:
+        fs, p = _fs_for(df.sparkSession, staging)
+        if fs.exists(p):
+            fs.delete(p, True)
+        raise
 
 
 def write_bucketed_table(
@@ -245,7 +260,8 @@ def read_jdbc(
     upper_bound: int | None = None,
     num_partitions: int | None = None,
     fetchsize: int = 10_000,
-    predicates: dict[str, str] | None = None,
+    predicates: list[str] | None = None,
+    extra_options: dict[str, str] | None = None,
 ) -> DataFrame:
     """JDBC table scan (S3 literal form — ``POS_spark_dag.py:43-52`` reads
     ``public.{sales,products,customers}`` from Postgres with exactly this
@@ -253,10 +269,20 @@ def read_jdbc(
 
     Scale: a bare JDBC read is ONE task holding one connection — the
     ``partition_column``/bounds/``num_partitions`` quartet is what makes it
-    executor-parallel (each task reads a key range). Filters still push
-    down (Spark renders them into each partition's WHERE clause). Requires
+    executor-parallel (each task reads a key range); ``predicates`` is the
+    non-numeric alternative — one WHERE clause per partition, passed to
+    Spark's real ``jdbc(predicates=...)`` path (NOT as reader options,
+    which the source would silently ignore). Filters still push down
+    (Spark renders them into each partition's WHERE clause). Requires
     the vendor driver jar on the classpath at runtime; plan construction —
     which is all the test container can exercise — does not."""
+    if predicates:
+        props = {"fetchsize": str(fetchsize), **(extra_options or {})}
+        if user is not None:
+            props["user"] = user
+        if password is not None:
+            props["password"] = password
+        return spark.read.jdbc(url, table, predicates=list(predicates), properties=props)
     reader = (
         spark.read.format("jdbc")
         .option("url", url)
@@ -276,7 +302,7 @@ def read_jdbc(
             .option("upperBound", str(upper_bound))
             .option("numPartitions", str(num_partitions))
         )
-    for k, v in (predicates or {}).items():
+    for k, v in (extra_options or {}).items():
         reader = reader.option(k, v)
     return reader.load()
 
@@ -298,8 +324,12 @@ def write_jdbc(
     (``POS_spark_dag.py:170-193``), is deliberately not offered: it funnels
     the data through the driver; keyed merges belong to
     ``operators.upsert``/``streaming.cdc`` with this append as the load
-    step. ``num_partitions`` caps concurrent connections."""
-    out = df.coalesce(num_partitions) if num_partitions else df
+    step. ``num_partitions`` caps concurrent connections via
+    ``repartition`` — one extra shuffle, but ``coalesce`` would propagate
+    the cap UP through every narrow upstream stage (the aggregation
+    feeding the write would itself run in ``num_partitions`` tasks —
+    with 1, the whole job on one core)."""
+    out = df.repartition(num_partitions) if num_partitions else df
     writer = (
         out.write.format("jdbc")
         .option("url", url)
@@ -314,15 +344,14 @@ def write_jdbc(
     writer.save()
 
 
-def dir_bytes(path: str) -> int:
-    """Total bytes of data files under ``path`` (driver-side walk — fine
-    for a table directory listing; at lake scale use the catalog's stats)."""
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if not f.startswith(("_", ".")):
-                total += os.path.getsize(os.path.join(root, f))
-    return total
+def dir_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under ``path`` through the Hadoop FileSystem of the
+    path's own scheme (``getContentSummary``) — a driver-local walk would
+    return 0 on any non-local URI and silently missize everything
+    downstream (compaction would coalesce a multi-TB table to ONE file).
+    At lake scale prefer the catalog's stats over a live listing."""
+    fs, p = _fs_for(spark, path)
+    return int(fs.getContentSummary(p).getLength())
 
 
 def compact_parquet(
@@ -340,7 +369,7 @@ def compact_parquet(
     fine, and output skew only matters if the input was already skewed —
     callers with skewed inputs should repartition upstream. Returns the
     number of output files requested."""
-    n_files = max(1, -(-dir_bytes(path) // target_file_bytes))  # ceil
+    n_files = max(1, -(-dir_bytes(spark, path) // target_file_bytes))  # ceil
     df = spark.read.parquet(path)
     compacted = df.coalesce(n_files)
     overwrite_atomic(compacted, path)

@@ -33,7 +33,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import upsert as upsert_ops
-from ..sources.io import fs_dir_has_data, fs_recover_tombstone, fs_swap_in, staging_sibling
+from ..sources.io import (
+    _fs_for,
+    fs_dir_has_data,
+    fs_recover_tombstone,
+    fs_swap_in,
+    staging_sibling,
+    write_staged,
+)
 
 OP_COL = "_op"
 OP_UPSERT = "upsert"
@@ -118,7 +125,7 @@ class ParquetCdcSink:
         # crash-window recovery live in sources.io.fs_swap_in /
         # fs_recover_tombstone — Hadoop-FS surgery, valid on any scheme.
         staging = staging_sibling(self.path)
-        new_snapshot.write.mode("overwrite").parquet(staging)
+        write_staged(new_snapshot, staging)
         fs_swap_in(self.spark, staging, self.path)
 
 
@@ -213,8 +220,16 @@ class ScdParquetCdcSink(ParquetCdcSink):
         snap_staging = staging_sibling(self.path)
         hist_staging = staging_sibling(self.history_path)
         # materialize BOTH before touching either live dir (plans read them)
-        new_snapshot.write.mode("overwrite").parquet(snap_staging)
-        new_history.write.mode("overwrite").parquet(hist_staging)
+        write_staged(new_snapshot, snap_staging)
+        try:
+            write_staged(new_history, hist_staging)
+        except Exception:
+            # the snapshot staging already landed — reclaim it too, or the
+            # pair of failed stagings leaks per retry
+            fs, p = _fs_for(self.spark, snap_staging)
+            if fs.exists(p):
+                fs.delete(p, True)
+            raise
         # swap HISTORY first, snapshot second (see class docstring)
         fs_swap_in(self.spark, hist_staging, self.history_path)
         fs_swap_in(self.spark, snap_staging, self.path)

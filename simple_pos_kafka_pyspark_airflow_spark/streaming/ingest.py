@@ -50,7 +50,11 @@ def parse_json_events(
     st = schema if isinstance(schema, StructType) else StructType.fromDDL(schema)
     value = F.col(value_col).cast("string")
     if keep_corrupt:
-        st = StructType(st.fields).add("_corrupt", StringType())
+        # copy the FIELD LIST, not just the StructType wrapper —
+        # StructType(st.fields) aliases the caller's list, and .add()
+        # would append _corrupt to their (often module-constant) schema,
+        # corrupting every later use of it
+        st = StructType(list(st.fields)).add("_corrupt", StringType())
         parsed = raw.withColumn(
             "_parsed", F.from_json(value, st, {"columnNameOfCorruptRecord": "_corrupt"})
         )
@@ -78,14 +82,30 @@ def kafka_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    parsed = parse_json_events(raw, schema)
-    return parsed.withColumns(
-        {
-            "_topic": raw["topic"],
-            "_partition": raw["partition"],
-            "_offset": raw["offset"],
-            "_kafka_ts": raw["timestamp"],
-        }
+    return parse_kafka_frame(raw, schema)
+
+
+def parse_kafka_frame(raw: DataFrame, schema: StructType | str) -> DataFrame:
+    """Parse a Kafka-SHAPED frame (key/value binary + topic/partition/
+    offset/timestamp) into typed columns plus the metadata as
+    ``_topic``/``_partition``/``_offset``/``_kafka_ts``. Split out of
+    ``kafka_stream`` so the composition is testable broker-free on a
+    batch frame with the source's schema.
+
+    The metadata is renamed BEFORE parsing and threaded through the
+    parse's ``keep`` list: referencing the raw frame's columns after the
+    parse projection is unresolvable (they no longer exist in the parsed
+    plan), and the underscore names can't collide with payload fields.
+    """
+    meta = raw.select(
+        F.col("topic").alias("_topic"),
+        F.col("partition").alias("_partition"),
+        F.col("offset").alias("_offset"),
+        F.col("timestamp").alias("_kafka_ts"),
+        "value",
+    )
+    return parse_json_events(
+        meta, schema, keep=["_topic", "_partition", "_offset", "_kafka_ts"]
     )
 
 

@@ -46,16 +46,22 @@ def interval_join(
     closes their interval) — they default to None so batch verification
     runs the same function unchanged.
 
-    Output: left columns + right columns (right's key and timestamp
-    renamed with a ``r_`` prefix to keep the joined schema unambiguous).
+    Output: left columns + right columns; EVERY right column that
+    collides with a left name — not just the key and timestamp — is
+    renamed with a ``r_`` prefix, so the joined schema is genuinely
+    unambiguous (two streams of the same event family routinely share
+    value column names like ``amount``; leaving those duplicated would
+    make any downstream reference throw AMBIGUOUS_REFERENCE).
     """
     if left_watermark is not None:
         left = left.withWatermark(left_ts, left_watermark)
     if right_watermark is not None:
         right = right.withWatermark(right_ts, right_watermark)
+    left_names = set(left.columns)
     renamed = right
-    for c in (*on, right_ts):
-        renamed = renamed.withColumnRenamed(c, f"r_{c}")
+    for c in right.columns:
+        if c in (*on, right_ts) or c in left_names:
+            renamed = renamed.withColumnRenamed(c, f"r_{c}")
     r_ts = F.col(f"r_{right_ts}")
     cond = r_ts.between(
         F.col(left_ts) - F.expr(f"INTERVAL {lower}"),

@@ -64,7 +64,15 @@ def entity_events(raw: DataFrame, spec: EntitySpec, topic_col: str = "topic") ->
     topic suffix becomes the CDC op. Corrupt payloads are dropped here
     (count them into a dead-letter sink in production — the _corrupt column
     is already populated)."""
-    mine = raw.where(F.col(topic_col).startswith(f"{spec.name}_"))
+    # a NULL payload (Kafka tombstone, producer bug) parses to all-null
+    # fields with _corrupt ALSO null — the corrupt filter alone would
+    # wave an all-null row into the warehouse upsert. Gate on the RAW
+    # value, not the parsed pk: reference `*_sale` events legitimately
+    # carry no pk (the pipeline assigns ids downstream, T2). Null-value
+    # rows route to corrupt_events, never silently forward.
+    mine = raw.where(
+        F.col(topic_col).startswith(f"{spec.name}_") & F.col("value").isNotNull()
+    )
     parsed = parse_json_events(mine, spec.event_schema, keep=[topic_col])
     op = F.when(F.col(topic_col).endswith("_remove"), F.lit(OP_DELETE)).otherwise(
         F.lit(OP_UPSERT)
@@ -85,8 +93,17 @@ def corrupt_events(raw: DataFrame, spec: EntitySpec, topic_col: str = "topic") -
     columns (when present) identify the exact source records."""
     mine = raw.where(F.col(topic_col).startswith(f"{spec.name}_"))
     meta = [c for c in ("partition", "offset", "timestamp") if c in raw.columns]
-    parsed = parse_json_events(mine, spec.event_schema, keep=[topic_col, *meta])
-    return parsed.where(F.col("_corrupt").isNotNull()).select(topic_col, *meta, "_corrupt")
+    parsed = parse_json_events(mine, spec.event_schema, keep=[topic_col, *meta, "value"])
+    # exact complement of entity_events' gate: schema-corrupt payloads
+    # (_corrupt set) AND null-payload tombstones (value null, where
+    # _corrupt is null too — the row is preserved with a null payload
+    # column; topic/partition/offset identify the source record)
+    bad = F.col("_corrupt").isNotNull() | F.col("value").isNull()
+    return parsed.where(bad).select(
+        topic_col,
+        *meta,
+        F.coalesce(F.col("_corrupt"), F.col("value").cast("string")).alias("_corrupt"),
+    )
 
 
 def build_sinks(

@@ -37,12 +37,7 @@ def tumbling_agg(
     if watermark is not None:
         df = df.withWatermark(ts_col, watermark)
     g = df.groupBy(F.window(F.col(ts_col), duration), *keys)
-    return g.agg(*aggs).select(
-        F.col("window.start").alias("window_start"),
-        F.col("window.end").alias("window_end"),
-        *keys,
-        *[F.col(c) for c in _agg_names(aggs)],
-    )
+    return _select_windowed(g.agg(*aggs), "window", keys)
 
 
 def sliding_agg(
@@ -59,12 +54,7 @@ def sliding_agg(
     if watermark is not None:
         df = df.withWatermark(ts_col, watermark)
     g = df.groupBy(F.window(F.col(ts_col), duration, slide), *keys)
-    return g.agg(*aggs).select(
-        F.col("window.start").alias("window_start"),
-        F.col("window.end").alias("window_end"),
-        *keys,
-        *[F.col(c) for c in _agg_names(aggs)],
-    )
+    return _select_windowed(g.agg(*aggs), "window", keys)
 
 
 def session_agg(
@@ -81,28 +71,38 @@ def session_agg(
     if watermark is not None:
         df = df.withWatermark(ts_col, watermark)
     g = df.groupBy(F.session_window(F.col(ts_col), gap), *keys)
-    return g.agg(*aggs).select(
-        F.col("session_window.start").alias("window_start"),
-        F.col("session_window.end").alias("window_end"),
-        *keys,
-        *[F.col(c) for c in _agg_names(aggs)],
-    )
+    return _select_windowed(g.agg(*aggs), "session_window", keys)
 
 
 def dedup_with_watermark(df: DataFrame, keys: list[str], ts_col: str, lateness: str) -> DataFrame:
     """Streaming duplicate-key rejection (T7): the reference's producer-side
-    "is this id already in the CSV" guard (``kafka_producer.py:41-58``) as
-    ``dropDuplicates`` with watermark-bounded state — O(keys within the
-    lateness horizon) instead of O(all history)."""
-    return df.withWatermark(ts_col, lateness).dropDuplicates([*keys, ts_col])
+    "is this id already in the CSV" guard (``kafka_producer.py:41-58``) —
+    duplicates are identified by KEY ALONE, exactly like the reference
+    (a retried event re-stamped with a fresh timestamp is still the same
+    sale and must be rejected; including the timestamp in the dedup
+    subset would wave it through and double-count).
+
+    Streaming path: ``dropDuplicatesWithinWatermark(keys)`` — state is
+    one entry per key within the lateness horizon and is EVICTED once
+    the watermark passes (plain ``dropDuplicates(keys)`` on a stream
+    never evicts a subset-keyed state and grows O(all keys ever)). Batch
+    twin: plain key dedup, same result set.
+    """
+    if df.isStreaming:
+        return df.withWatermark(ts_col, lateness).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
 
 
-def _agg_names(aggs: list[Column]) -> list[str]:
-    """Output names of aliased aggregate columns (callers alias every agg,
-    per the engine's determinism rules)."""
-    names = []
-    for c in aggs:
-        # Column.__repr__ is "Column<'sum(x) AS total'>"
-        r = repr(c)
-        names.append(r.rsplit(" AS ", 1)[-1].rstrip("'>") if " AS " in r else r)
-    return names
+def _select_windowed(agged: DataFrame, window_col: str, keys: list[str]) -> DataFrame:
+    """Flatten (window struct, keys, aggs) → (window_start, window_end,
+    keys, aggs). Agg output names come from the aggregated frame's OWN
+    schema — never from parsing ``Column.__repr__``, whose format is
+    version-dependent and silently yields garbage for un-aliased or
+    lowercase-``as`` expressions."""
+    agg_names = agged.columns[1 + len(keys):]
+    return agged.select(
+        F.col(f"{window_col}.start").alias("window_start"),
+        F.col(f"{window_col}.end").alias("window_end"),
+        *keys,
+        *[F.col(c) for c in agg_names],
+    )

@@ -334,3 +334,36 @@ def test_catalog_ntz_ok_under_etc_utc(spark, tmp_path):
         assert row["ts"] == datetime.datetime(2026, 1, 1, 12, 0, 0)
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def test_write_staged_cleans_up_failed_staging(spark, tmp_path):
+    """A staging write that fails mid-flight must delete its half-written
+    directory — otherwise every retry leaks a uuid-named .__staging__*
+    sibling that no recovery path reclaims."""
+    import simple_pos_kafka_pyspark_airflow_spark.sources.io as io_mod
+
+    path = str(tmp_path / "snap")
+    poison = spark.createDataFrame([(1, "a", 1.0)], SCHEMA).select(
+        F.assert_true(F.col("id") == 2).alias("boom"), "id", "name", "bal"
+    )
+    try:
+        sources.overwrite_atomic(poison, path)
+        raise AssertionError("poison write should have failed")
+    except Exception:
+        pass
+    leftovers = [p for p in os.listdir(tmp_path) if "__staging__" in p]
+    assert leftovers == []
+
+
+def test_dir_bytes_and_compact_work_on_file_uri(spark, tmp_path):
+    """Sizing and compaction must run on Hadoop-FS path forms: a file:-URI
+    table (invisible to os.walk, which would size it at 0 and coalesce
+    everything to ONE file) sizes correctly and compacts in place."""
+    uri = "file://" + str(tmp_path / "table")
+    df = spark.range(10000).selectExpr("id", "id * 2 AS v")
+    df.repartition(8).write.parquet(uri)
+    from simple_pos_kafka_pyspark_airflow_spark.sources import io as sio
+    assert sio.dir_bytes(spark, uri) > 0
+    n = sio.compact_parquet(spark, uri, target_file_bytes=1 << 30)
+    assert n == 1
+    assert spark.read.parquet(uri).count() == 10000

@@ -1447,3 +1447,103 @@ def test_cdc_sink_works_on_file_uri_warehouse(spark, tmp_path):
     sink.foreach_batch(b2, 1)  # replay converges
     assert {r["id"]: r["name"] for r in sink.read().collect()} == {1: "a2"}
     assert not os.path.isdir(uri)  # the URI itself is not a local path
+
+
+def test_null_payload_tombstone_routes_to_dead_letter(spark):
+    """A Kafka tombstone (value=NULL) parses to all-null fields with
+    _corrupt ALSO null: it must neither upsert an all-null row into the
+    warehouse (entity_events) nor vanish (corrupt_events catches it)."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.pipeline import (
+        EntitySpec, corrupt_events, entity_events,
+    )
+
+    ts = datetime.datetime(2026, 8, 13, 10, 0, 0)
+    spec = EntitySpec("products", REF_TOPIC_SCHEMAS["products_add"], "product_id")
+    raw = _kafka_shaped_df(
+        spark, extra_rows=[(b"k", None, "products_add", 0, 904, ts, 0)]
+    )
+    good = entity_events(raw, spec).collect()
+    assert len(good) == 3  # the three real product events; tombstone gone
+    assert all(r["product_id"] is not None for r in good)
+    dead = corrupt_events(raw, spec).collect()
+    assert len(dead) == 1 and dead[0]["offset"] == 904
+
+
+def test_parse_kafka_frame_carries_metadata(spark):
+    """kafka_stream's parse composition, broker-free: metadata survives
+    the parse projection as _topic/_partition/_offset/_kafka_ts next to
+    the typed payload columns (referencing the raw frame's columns AFTER
+    the parse was an unresolvable-attribute error)."""
+    raw = _kafka_shaped_df(spark)
+    out = ingest.parse_kafka_frame(
+        raw.where(F.col("topic") == "products_add"), REF_TOPIC_SCHEMAS["products_add"]
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["_topic"] == "products_add" and r["_offset"] is not None
+    assert r["product_id"] == 101 and r["_corrupt"] is None
+
+
+def test_parse_json_events_does_not_mutate_caller_schema(spark):
+    """parse_json_events must copy the field list: a shared StructType
+    constant passed twice previously gained a _corrupt field on the first
+    call and made the second call throw AMBIGUOUS_REFERENCE_TO_FIELDS."""
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromDDL("id long, name string")
+    df = spark.createDataFrame([("{}",)], "value string")
+    before = len(st.fields)
+    ingest.parse_json_events(df, st).collect()
+    assert len(st.fields) == before
+    ingest.parse_json_events(df, st).collect()  # second call must not throw
+    assert len(st.fields) == before
+
+
+def test_interval_join_prefixes_all_shared_columns(spark):
+    """Two streams of the same event family routinely share value column
+    names: every collision must come out r_-prefixed so the joined schema
+    is referenceable (a bare duplicate throws AMBIGUOUS_REFERENCE)."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming import joins as sj
+
+    t = datetime.datetime
+    left = spark.createDataFrame(
+        [(1, t(2026, 1, 1, 10, 0), 5.0)], "k long, ts timestamp, amount double"
+    )
+    right = spark.createDataFrame(
+        [(1, t(2026, 1, 1, 10, 5), 7.0)], "k long, ts timestamp, amount double"
+    )
+    out = sj.interval_join(left, right, ["k"], "ts", "ts", upper="15 minutes")
+    assert sorted(out.columns) == ["amount", "k", "r_amount", "r_k", "r_ts", "ts"]
+    row = out.collect()[0]
+    assert row["amount"] == 5.0 and row["r_amount"] == 7.0
+
+
+def test_dedup_with_watermark_rejects_restamped_duplicate(spark, tmp_path):
+    """T7 semantics: a retried event with the same key but a regenerated
+    timestamp is STILL the same sale and must be rejected — duplicates
+    are identified by key alone, with watermark-bounded state on the
+    streaming path (dropDuplicatesWithinWatermark)."""
+    src = tmp_path / "dups"
+    src.mkdir()
+    with open(src / "events.json", "w") as f:
+        f.write(json.dumps({"sale_id": 1, "ts": "2026-01-01T10:00:00Z"}) + "\n")
+        f.write(json.dumps({"sale_id": 1, "ts": "2026-01-01T10:00:01Z"}) + "\n")
+        f.write(json.dumps({"sale_id": 2, "ts": "2026-01-01T10:00:02Z"}) + "\n")
+    stream = ingest.file_json_stream(spark, str(src), "sale_id long, ts timestamp")
+    deduped = windows.dedup_with_watermark(stream, ["sale_id"], "ts", "10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_restamp")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT sale_id FROM dedup_restamp").collect()
+    assert sorted(r["sale_id"] for r in got) == [1, 2]
+    # batch twin: same key-only semantics
+    batch = spark.createDataFrame(
+        [(1, datetime.datetime(2026, 1, 1, 10, 0)), (1, datetime.datetime(2026, 1, 1, 10, 1))],
+        "sale_id long, ts timestamp",
+    )
+    assert windows.dedup_with_watermark(batch, ["sale_id"], "ts", "10 minutes").count() == 1
