@@ -32,15 +32,25 @@ def plan_summary(df: DataFrame) -> dict[str, object]:
     plan = explain_text(df)
     scans = re.findall(r"Location: \S+ \[file:([^\]]*)\]", plan)
     pushed = [p for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if p.strip()]
+
+    def nodes(name: str) -> int:
+        # count each physical node exactly ONCE via its numbered detail
+        # header "(N) NodeName". Raw substring counting was doubly wrong:
+        # formatted explain prints every node twice (tree line + detail
+        # header), and "Exchange" also substring-matches BroadcastExchange
+        # and ReusedExchange — a broadcast-only plan with ZERO shuffles
+        # reported exchanges=4, so thresholds pinned against the metric
+        # were calibrated on 2x-inflated, broadcast-contaminated counts.
+        return len(re.findall(rf"\(\d+\) {name}\b", plan))
+
     return {
-        "exchanges": plan.count("Exchange"),
-        "reused_exchanges": plan.count("ReusedExchange"),
-        "broadcast_joins": plan.count("BroadcastHashJoin")
-        + plan.count("BroadcastNestedLoopJoin"),
-        "sort_merge_joins": plan.count("SortMergeJoin"),
-        "cartesian_products": plan.count("CartesianProduct"),
+        "exchanges": nodes("Exchange"),
+        "reused_exchanges": nodes("ReusedExchange"),
+        "broadcast_joins": nodes("BroadcastHashJoin") + nodes("BroadcastNestedLoopJoin"),
+        "sort_merge_joins": nodes("SortMergeJoin"),
+        "cartesian_products": nodes("CartesianProduct"),
         "scans": len(scans),
         "scans_with_pushed_filters": len(pushed),
-        "windows": len(re.findall(r"\(\d+\) Window", plan)),
+        "windows": nodes("Window"),
         "tables": sorted({s.rstrip("/").rsplit("/", 1)[-1] for s in scans}),
     }

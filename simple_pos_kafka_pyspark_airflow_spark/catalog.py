@@ -97,11 +97,26 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         c for c in _NANOS_TS_COLS.get(name, ()) if _parquet_field_is_nanos(path, c)
     )
     if nanos_cols:
-        # Runtime-settable SQL conf; safe to set on the caller's session
-        # (the driver hands us its own) — it only affects nanos columns,
-        # which are unreadable without it anyway.
+        # Runtime-settable SQL conf, but scoped to THIS read and restored:
+        # left set on the caller's session, every later TIMESTAMP(NANOS)
+        # parquet read anywhere would silently return raw ns bigints
+        # (without this function's footer-verified div-1000 fixup) instead
+        # of failing loudly. NOTE the restore covers only the eager plan
+        # construction here — the conf is also read at execution time, so
+        # the read below materializes the schema immediately under the
+        # flag via the .schema() probe before restoring.
+        prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+        try:
+            df = spark.read.parquet(path)
+            df.schema  # force analysis under the flag
+        finally:
+            if prior is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
+    else:
+        df = spark.read.parquet(path)
     fixes = {}
     for c, t in df.dtypes:
         if c in nanos_cols and t == "bigint":

@@ -68,10 +68,24 @@ def range_join_bucketed(
     ``equi`` adds extra equality pairs ``(left_col, right_col)`` to the join
     key (e.g. per-user sessionization) — column names must be disjoint
     between the two inputs for unambiguous output.
+
+    ``how`` supports ``inner`` and ``left``. The left form canNOT be the
+    bucketed join's own ``how='left'``: each left row explodes into up to
+    2 bucket copies, and a copy that matches in one bucket would still
+    null-extend from the other (spurious duplicates), while a NULL-ts
+    left row explodes into zero copies and would vanish entirely. The
+    left path instead runs the inner join, then null-extends exactly the
+    left rows with no match anywhere (tracked by a per-row id that never
+    leaves the plan).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join_bucketed supports inner/left, got {how!r}")
     win = F.expr(f"INTERVAL {window}")
     # bucket id = floor(epoch / bucket_seconds), a dense long key.
     bucket_secs = F.lit(_interval_seconds(bucket))
+    base = (
+        left.withColumn("__lid", F.monotonically_increasing_id()) if how == "left" else left
+    )
     l_start = F.unix_timestamp(F.col(left_ts))
     l_end = F.unix_timestamp(F.col(left_ts) + win)
     # Upper bound is floor(l_end / bucket), NOT floor((l_end - 1) / bucket):
@@ -80,7 +94,7 @@ def range_join_bucketed(
     # that bucket uncovered and silently drop matches in the final
     # sub-second slice. The occasional extra bucket is harmless — the
     # residual range predicate filters it.
-    left_b = left.withColumn(
+    left_b = base.withColumn(
         "__bucket",
         F.explode(F.sequence(F.floor(l_start / bucket_secs), F.floor(l_end / bucket_secs))),
     )
@@ -92,7 +106,14 @@ def range_join_bucketed(
     )
     for lc, rc in equi or []:
         cond = cond & (left_b[lc] == right_b[rc])
-    return left_b.join(right_b, cond, how).drop(left_b["__bucket"]).drop(right_b["__bucket"])
+    inner = left_b.join(right_b, cond, "inner").drop(left_b["__bucket"]).drop(right_b["__bucket"])
+    if how == "inner":
+        return inner
+    matched = inner.select("__lid").dropDuplicates(["__lid"])
+    unmatched = base.join(matched, "__lid", "left_anti").join(
+        right.limit(0), F.lit(False), "left"
+    )
+    return inner.unionByName(unmatched).drop("__lid")
 
 
 def _interval_seconds(interval: str) -> int:
@@ -125,17 +146,24 @@ def asof_join_backward(
 
     ``pick`` column names must not collide with left's columns. Rows with no
     preceding right row get nulls.
+
+    The pick columns travel as ONE struct through the window fill, so the
+    match is atomic: every picked value comes from the SAME latest right
+    row, and a NULL inside that row stays NULL. Filling each column
+    independently with ``last(ignorenulls)`` would tear the row — a NULL
+    in the latest right row silently replaced by a stale value from an
+    older one, and different columns sourced from different rows.
     """
     lt = (
         left.withColumn("__k", F.col(left_key))
         .withColumn("__t", F.col(left_ts))
         .withColumn("__side", F.lit(1))
     )
-    rt = (
-        right.select(
-            F.col(right_key).alias("__k"), F.col(right_ts).alias("__t"), *[F.col(c) for c in pick]
-        )
-        .withColumn("__side", F.lit(0))
+    rt = right.select(
+        F.col(right_key).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.struct(*[F.col(c) for c in pick]).alias("__pick"),
+        F.lit(0).alias("__side"),
     )
     u = lt.unionByName(rt, allowMissingColumns=True)
     from pyspark.sql import Window
@@ -145,9 +173,10 @@ def asof_join_backward(
         .orderBy("__t", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in pick:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return u.where(F.col("__side") == 1).drop("__k", "__t", "__side")
+    filled = u.withColumn("__pick", F.last("__pick", ignorenulls=True).over(w))
+    return filled.where(F.col("__side") == 1).select(
+        *left.columns, *[F.col("__pick").getField(c).alias(c) for c in pick]
+    )
 
 
 def theta_filter_join(left: DataFrame, right: DataFrame, on: str, predicate: Column) -> DataFrame:

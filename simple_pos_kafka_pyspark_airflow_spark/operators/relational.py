@@ -70,8 +70,15 @@ def membership_tiers(
         .agg(F.sum(amount_col).alias("lifetime_spend"))
         .withColumn("membership_level", case_tiers(F.col("lifetime_spend"), tiers, floor))
     )
+    # the reference CUSTOMERS table already carries membership_level (it is
+    # the column this computation REFRESHES) — drop any previous value
+    # before the join, or the coalesce below hits an ambiguous reference
+    dim = customers
+    for stale in ("membership_level", "lifetime_spend"):
+        if stale in dim.columns:
+            dim = dim.drop(stale)
     return (
-        customers.join(spend, on=cust_key, how="left")
+        dim.join(spend, on=cust_key, how="left")
         .withColumn("membership_level", F.coalesce(F.col("membership_level"), F.lit(floor)))
         .withColumn("lifetime_spend", F.coalesce(F.col("lifetime_spend"), F.lit(0.0)))
     )
@@ -91,5 +98,11 @@ def decode_prefix(col: Column, mapping: dict[str, str], default: str = "Unknown"
 
 def clamp(col: Column, lo: float, hi: float) -> Column:
     """Bounded numeric input (reference streamlit ``min_value=`` widgets,
-    ``kafka_producer.py:114-115``) as ``greatest(least(x, hi), lo)``."""
-    return F.greatest(F.least(col, F.lit(hi)), F.lit(lo))
+    ``kafka_producer.py:114-115``) as ``greatest(least(x, hi), lo)`` —
+    with NULL propagated explicitly: Spark's (and DuckDB's) least/greatest
+    SKIP nulls, so a bare composition would turn a missing measurement
+    into the UPPER bound (least(NULL, hi) = hi), fabricating the maximum
+    allowed value out of absent data."""
+    return F.when(col.isNull(), F.lit(None)).otherwise(
+        F.greatest(F.least(col, F.lit(hi)), F.lit(lo))
+    )

@@ -35,9 +35,9 @@ def merge_delta(old: DataFrame, new: DataFrame, pk: str | list[str]) -> DataFram
     primary key does not appear in ``new``. Equivalent to the reference's
     ``INSERT … ON CONFLICT (pk) DO UPDATE`` (``POS_spark_dag.py:178-193``)
     without the driver round-trip."""
-    keys = [pk] if isinstance(pk, str) else list(pk)
-    untouched = old.join(new.select(*keys).dropDuplicates(keys), on=keys, how="left_anti")
-    return new.unionByName(untouched)
+    # "old rows whose pk is absent from new" IS delete-by-absence — one
+    # definition (deletes), not an inlined twin that could drift
+    return new.unionByName(deletes(old, new, pk))
 
 
 def deletes(old: DataFrame, new: DataFrame, pk: str | list[str]) -> DataFrame:

@@ -48,15 +48,20 @@ def validate_sale_events(
     Filter ``valid`` for the accept path and ``~valid`` for the
     quarantine path — both read the same annotated frame.
     """
-    dim = products.select(
-        F.col(product_key), F.col(stock_col).alias("__stock")
-    ).dropDuplicates([product_key])
+    dim = (
+        products.select(F.col(product_key), F.col(stock_col).alias("__stock"))
+        .dropDuplicates([product_key])
+        .withColumn("__known", F.lit(True))
+    )
     out = events.join(F.broadcast(dim), on=product_key, how="left")
 
     rules: dict[str, F.Column] = {}
     for c in required:
         rules[f"has_{c}"] = F.col(c).isNotNull()
-    rules["known_product"] = F.col("__stock").isNotNull()
+    # join-presence flag, NOT `__stock IS NOT NULL`: a product that exists
+    # with NULL stock_level (nullable per schema) is a KNOWN product with
+    # indeterminate stock — the stock probe must not decide existence
+    rules["known_product"] = F.coalesce(F.col("__known"), F.lit(False))
     rules["in_stock"] = F.coalesce(F.col("quantity") <= F.col("__stock"), F.lit(False))
 
     if existing_sales is not None:
@@ -77,5 +82,5 @@ def validate_sale_events(
     return (
         out.withColumn("valid", valid)
         .withColumn("reject_reason", reason)
-        .drop("__stock", "__taken")
+        .drop("__stock", "__taken", "__known")
     )

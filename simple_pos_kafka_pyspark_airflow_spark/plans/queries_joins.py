@@ -512,21 +512,23 @@ def q_scd2_close(spark: SparkSession, sf_dir: str) -> DataFrame:
              l_returnflag AS payment_method
       FROM lineitem
     ), pr AS (
-      SELECT p_partkey AS product_id, CAST(p_size AS INTEGER) AS stock FROM part
+      SELECT p_partkey AS product_id, CAST(p_size AS INTEGER) AS stock,
+             TRUE AS known
+      FROM part
     ), j AS (
-      SELECT ev.*, pr.stock,
+      SELECT ev.*, pr.stock, COALESCE(pr.known, FALSE) AS known,
              (ev.sale_id % 11 = 0) AS taken
       FROM ev LEFT JOIN pr USING (product_id)
     )
     SELECT sale_id,
            price IS NOT NULL AS has_price,
-           stock IS NOT NULL AS known_product,
+           known AS known_product,
            COALESCE(quantity <= stock, FALSE) AS in_stock,
            NOT taken AS fresh_sale_id,
-           (price IS NOT NULL AND stock IS NOT NULL
+           (price IS NOT NULL AND known
             AND COALESCE(quantity <= stock, FALSE) AND NOT taken) AS valid,
            CASE WHEN price IS NULL THEN 'has_price'
-                WHEN stock IS NULL THEN 'known_product'
+                WHEN NOT known THEN 'known_product'
                 WHEN NOT COALESCE(quantity <= stock, FALSE) THEN 'in_stock'
                 WHEN taken THEN 'fresh_sale_id' END AS reject_reason
     FROM j

@@ -312,8 +312,16 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_clamp",
     "function",
-    oracle="SELECT event_id, GREATEST(LEAST(value, 400.0), 10.0) AS clamped FROM events",
-    notes="F7: bounded numeric input (streamlit min/max widgets kafka_producer.py:114-115)",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value IS NULL THEN NULL
+                ELSE GREATEST(LEAST(value, 400.0), 10.0) END AS clamped
+    FROM events
+    """,
+    notes="F7: bounded numeric input (streamlit min/max widgets "
+    "kafka_producer.py:114-115). NULL propagates explicitly on both "
+    "engines: bare least/greatest SKIP nulls and would fabricate the "
+    "upper bound from a missing value",
 )
 def q_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "events").select(

@@ -646,3 +646,64 @@ def test_dedup_clusters_empty_pairs_fast_path(spark):
     bare = dedup.dedup_clusters(pairs)
     assert bare.columns == ["doc_id", "cluster_id", "keep"]
     assert bare.count() == 0
+
+
+def test_asof_join_picks_latest_row_atomically(spark):
+    """The as-of match is a ROW, not per-column fills: a NULL in the
+    latest right row stays NULL (never backfilled from an older row), and
+    all picked values come from the same right row."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators.joins import asof_join_backward
+
+    right = spark.createDataFrame(
+        [(1, 1, 5.0, 2), (1, 2, None, 3)], "k long, t long, price double, qty long"
+    )
+    left = spark.createDataFrame([(1, 3)], "k long, t long")
+    row = asof_join_backward(left, right, "k", "k", "t", "t", ["price", "qty"]).collect()[0]
+    assert row["qty"] == 3
+    assert row["price"] is None  # latest row's NULL, not t=1's stale 5.0
+
+
+def test_range_join_left_no_spurious_bucket_duplicates(spark):
+    """how='left': a left row matching in one of its bucket copies emits
+    only its matches; an unmatched left row (including NULL-ts) emits
+    exactly ONE null-extended row — never one per bucket copy."""
+    import datetime
+
+    from simple_pos_kafka_pyspark_airflow_spark.operators.joins import range_join_bucketed
+
+    t = datetime.datetime
+    left = spark.createDataFrame(
+        [(1, t(2026, 1, 1, 23, 0)), (2, t(2026, 1, 5, 0, 0)), (3, None)],
+        "lid long, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, t(2026, 1, 2, 1, 0))], "rid long, rts timestamp"
+    )
+    out = range_join_bucketed(left, right, "lts", "rts", window="1 day", how="left")
+    rows = sorted(out.collect(), key=lambda r: r["lid"])
+    assert [r["lid"] for r in rows] == [1, 2, 3]  # exactly one row each
+    assert rows[0]["rid"] == 10          # matched (window straddles midnight)
+    assert rows[1]["rid"] is None        # in range of nothing
+    assert rows[2]["rid"] is None        # NULL ts preserved, null-extended
+
+
+def test_membership_tiers_refreshes_existing_column(spark):
+    """The reference CUSTOMERS table already carries membership_level —
+    the computation REFRESHES it, so a dim with the column present must
+    work (previously an ambiguous-reference error) and the stale value
+    must be replaced."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators.relational import membership_tiers
+
+    customers = spark.createDataFrame(
+        [(1, "Ada", "stale_gold"), (2, "Bob", "stale_none")],
+        "customer_id long, name string, membership_level string",
+    )
+    orders = spark.createDataFrame([(1, 60000.0)], "o_custkey long, amount double")
+    out = {
+        r["customer_id"]: r["membership_level"]
+        for r in membership_tiers(
+            customers, orders, "customer_id", "o_custkey", "amount"
+        ).collect()
+    }
+    assert "stale_gold" not in out.values() and "stale_none" not in out.values()
+    assert out[1] != out[2]  # spender tiered above the no-order floor

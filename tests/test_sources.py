@@ -367,3 +367,33 @@ def test_dir_bytes_and_compact_work_on_file_uri(spark, tmp_path):
     n = sio.compact_parquet(spark, uri, target_file_bytes=1 << 30)
     assert n == 1
     assert spark.read.parquet(uri).count() == 10000
+
+
+def test_catalog_nanos_read_scoped_conf(spark, tmp_path):
+    """A genuine TIMESTAMP(NANOS) events file reads correctly (footer-
+    gated div-1000 to µs) AND the nanosAsLong conf is restored after —
+    leaving it set session-wide would silently turn every LATER nanos
+    parquet read anywhere into raw bigints without the fixup."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_pos_kafka_pyspark_airflow_spark import catalog, schemas
+
+    cols = [f.name for f in schemas.TESTDATA["events"].fields]
+    ns = 1_755_000_000_000_000_000  # epoch ns
+    data = {}
+    for c in cols:
+        if c == "ts":
+            data[c] = pa.array([ns], type=pa.timestamp("ns"))
+        elif schemas.TESTDATA["events"][c].dataType.typeName() == "string":
+            data[c] = pa.array(["x"])
+        else:
+            data[c] = pa.array([1])
+    pq.write_table(pa.table(data), str(tmp_path / "events.parquet"))
+
+    df = catalog.table(spark, str(tmp_path), "events")
+    row = df.first()  # execution AFTER the conf restore must still work
+    assert row["ts"] == datetime.datetime.utcfromtimestamp(ns / 1e9)
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "false"
