@@ -59,6 +59,7 @@ HEADLINE = [
     "q_dedup_exact",
     "q_dedup_minhash",
     "q_simsearch_topk",
+    "q_simsearch_batch",
     "q_text_tokens",
     "q_text_tfidf",
     "q_text_dedup_spans",

@@ -64,6 +64,56 @@ def cosine_topk(
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
+def cosine_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Batched exact top-k retrieval: every query vector gets its ``k``
+    nearest corpus vectors by cosine — the realistic shape for
+    decontamination and retrieval passes, where thousands of probes run
+    against the corpus at once (per-query ``cosine_topk`` would scan the
+    corpus once PER query).
+
+    Plan: one corpus scan ⋈ broadcast(queries) (BroadcastNestedLoopJoin —
+    the query side is tiny by construction), JVM-side double dot product,
+    then a ``row_number() <= k`` window per query. The window does NOT
+    shuffle the full O(corpus × n_queries) scored set: Spark's rank-limit
+    pushdown (``WindowGroupLimit``, 3.5+) inserts a partial per-partition
+    top-k BEFORE the exchange — visible in the plan as
+    ``WindowGroupLimit … Partial`` under the Exchange — so only
+    n_partitions × n_queries × k rows shuffle to the final window. That
+    is exactly the hand-built mapInPandas local-top-k shape, but
+    JVM-side and for free; the declarative window IS the scale-correct
+    formulation (verified by ``test_simsearch_batch_bounded_shuffle``).
+
+    Determinism: scores are rounded to 6 dp BEFORE selection on both
+    engines and ties break on the corpus id, so the result is unique and
+    oracle-comparable (same discipline as ``cosine_topk``).
+    """
+    from pyspark.sql.window import Window
+
+    scored = (
+        df.select(id_col, vec_col)
+        .crossJoin(F.broadcast(queries.select(q_id_col, q_vec_col)))
+        .select(
+            q_id_col,
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col(q_vec_col)), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= k)
+        .select(q_id_col, id_col, "score", "rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH (random hyperplanes, seeded)
 # ---------------------------------------------------------------------------

@@ -240,6 +240,40 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_anomaly_zscore",
+    "agg",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, AVG(value) AS mu, stddev_pop(value) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - s.mu) / s.sd, 4) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE s.sd > 0 AND ABS(ROUND((e.value - s.mu) / s.sd, 4)) > 3
+    """,
+    notes="extension: per-group z-score outlier gate (data-quality anomaly "
+    "sweep) — group moments are one partial-aggregable shuffle to a "
+    "group-cardinality-sized table that broadcasts back over the fact scan; "
+    "never a window over all rows (which would shuffle the full corpus on "
+    "the group key and serialize each group through one reducer)",
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("_mu"), F.stddev_pop("value").alias("_sd")
+    )
+    z = F.round((F.col("value") - F.col("_mu")) / F.col("_sd"), 4)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.col("_sd") > 0)
+        .withColumn("z", z)
+        .where(F.abs(F.col("z")) > 3)
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
+@register(
     "q_agg_conditional",
     "agg",
     oracle="""

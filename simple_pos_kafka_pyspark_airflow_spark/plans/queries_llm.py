@@ -204,6 +204,38 @@ def q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_simsearch_batch",
+    "llm",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 8
+    ), s AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+      FROM embeddings e CROSS JOIN q
+    ), r AS (
+      SELECT query_id, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, vec_id) AS INT) AS rn
+      FROM s
+    )
+    SELECT query_id, vec_id, score, rn FROM r WHERE rn <= 5
+    """,
+    notes="batched exact top-k retrieval (8 query vectors at once): one corpus "
+    "scan ⋈ broadcast(queries); WindowGroupLimit rank-limit pushdown bounds "
+    "the shuffle to n_partitions×n_queries×k rows (plan-pinned) — the "
+    "decontamination/retrieval probe shape at 100 TB",
+)
+def q_simsearch_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return simsearch.cosine_topk_batch(e, queries, k=5)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

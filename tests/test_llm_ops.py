@@ -707,3 +707,26 @@ def test_membership_tiers_refreshes_existing_column(spark):
     }
     assert "stale_gold" not in out.values() and "stale_none" not in out.values()
     assert out[1] != out[2]  # spender tiered above the no-order floor
+
+
+def test_batch_topk_matches_per_query_topk(spark):
+    """cosine_topk_batch over N query vectors must agree exactly, query by
+    query, with N independent cosine_topk runs — same scores, same order,
+    same tiebreaks."""
+    from pyspark.sql import functions as F
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm import simsearch
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = e.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = simsearch.cosine_topk_batch(e, queries, k=7).collect()
+    by_query: dict[int, list[tuple[int, float]]] = {}
+    for r in sorted(batch, key=lambda r: (r["query_id"], r["rn"])):
+        by_query.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))
+    assert sorted(by_query) == [0, 1, 2, 3]
+    for qid, got in by_query.items():
+        qv = [float(x) for x in e.where(F.col("vec_id") == qid).first()["embedding"]]
+        want = [(r["vec_id"], r["score"]) for r in simsearch.cosine_topk(e, qv, k=7).collect()]
+        assert got == want, (qid, got, want)

@@ -214,3 +214,22 @@ def test_ngram_leak_distinct_grams_before_join(spark, sf_dir):
     plan = explain_str(build(spark, sf_dir, "q_split_ngram_leak"))
     assert "array_distinct" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_simsearch_batch_bounded_shuffle(spark, sf_dir):
+    """q_simsearch_batch: the per-query top-k window must ride the rank-limit
+    pushdown — WindowGroupLimit Partial ahead of the exchange and Final after
+    it — so the shuffle carries n_partitions×n_queries×k rows, never the full
+    O(corpus × n_queries) scored cross product. The query side must arrive by
+    broadcast (nested-loop: tiny build side, no shuffle of the corpus)."""
+    plan = explain_str(build(spark, sf_dir, "q_simsearch_batch"))
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_anomaly_zscore_broadcasts_group_moments(spark, sf_dir):
+    """q_anomaly_zscore: the per-group moment table (group-cardinality rows)
+    must broadcast back over the fact scan — a whole-corpus window or a
+    shuffle join on event_type would funnel each group through one reducer."""
+    plan = explain_str(build(spark, sf_dir, "q_anomaly_zscore"))
+    assert "BroadcastHashJoin" in plan, plan
