@@ -1547,3 +1547,82 @@ def test_dedup_with_watermark_rejects_restamped_duplicate(spark, tmp_path):
         "sale_id long, ts timestamp",
     )
     assert windows.dedup_with_watermark(batch, ["sale_id"], "ts", "10 minutes").count() == 1
+
+
+def test_incremental_ivf_ingest_probe_matches_brute_force(spark, tmp_path):
+    """IncrementalIvfIndex: after two ingested batches, a probe at
+    nprobe=n_cells (≡ full scan of the index) must equal the exact
+    brute-force top-k over the union — same ids, same scores, same
+    tiebreaks — and a new index object on the same path must answer
+    identically from the persisted quantizer alone (restart survival)."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm import simsearch
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.ann import IncrementalIvfIndex
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf_index")
+    idx = IncrementalIvfIndex(spark, path, n_cells=8, n_assign=2)
+    idx.fit(e)
+    idx.ingest_batch(e.where(F.col("vec_id") % 2 == 0))
+    idx.ingest_batch(e.where(F.col("vec_id") % 2 == 1))
+
+    q = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    want = [(r["vec_id"], r["score"]) for r in simsearch.cosine_topk(e, q, k=10).collect()]
+    got = [(r["vec_id"], r["score"]) for r in idx.probe(q, k=10, nprobe=8).collect()]
+    assert got == want
+
+    # pruned probe returns a subset of the index scored exactly
+    pruned = [(r["vec_id"], r["score"]) for r in idx.probe(q, k=10, nprobe=2).collect()]
+    assert set(pruned) <= {
+        (r["vec_id"], r["score"])
+        for r in simsearch.cosine_topk(e, q, k=500).collect()
+    }
+
+    again = IncrementalIvfIndex(spark, path, n_cells=8, n_assign=2)
+    assert again._centroids() == idx._centroids()
+    assert [(r["vec_id"], r["score"]) for r in again.probe(q, k=10, nprobe=8).collect()] == want
+
+
+def test_incremental_ivf_probe_partition_pruning(spark, tmp_path):
+    """The probe's cell filter must reach the scan as a PartitionFilter —
+    the index directory layout IS the ANN acceleration; a probe that
+    scans every cell directory has silently become brute force."""
+    import contextlib
+    import io
+
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.ann import IncrementalIvfIndex
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf_index")
+    idx = IncrementalIvfIndex(spark, path, n_cells=8)
+    idx.fit(e)
+    idx.ingest_batch(e)
+    q = [float(x) for x in e.where(F.col("vec_id") == 7).first()["embedding"]]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        idx.probe(q, k=5, nprobe=2).explain(mode="formatted")
+    pf = [ln for ln in buf.getvalue().splitlines() if "PartitionFilters" in ln]
+    assert pf and "cell" in pf[0], buf.getvalue()
+
+
+def test_incremental_ivf_replay_duplicates_harmless_and_compactable(spark, tmp_path):
+    """A replayed foreachBatch append lands rows twice: probes must not
+    change (id dedup before scoring), and compact() must collapse the
+    index back to one row per (id, cell) under the atomic swap."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.ann import IncrementalIvfIndex
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
+    path = str(tmp_path / "ivf_index")
+    idx = IncrementalIvfIndex(spark, path, n_cells=4, n_assign=2)
+    idx.fit(e)
+    idx.ingest_batch(e)
+    q = [float(x) for x in e.where(F.col("vec_id") == 3).first()["embedding"]]
+    before = [(r["vec_id"], r["score"]) for r in idx.probe(q, k=10, nprobe=4).collect()]
+
+    idx.ingest_batch(e)  # replay
+    n_replayed = spark.read.parquet(path).count()
+    assert before == [(r["vec_id"], r["score"]) for r in idx.probe(q, k=10, nprobe=4).collect()]
+
+    idx.compact()
+    n_compacted = spark.read.parquet(path).count()
+    assert n_compacted == n_replayed // 2 == 200  # 100 ids × n_assign 2
+    assert before == [(r["vec_id"], r["score"]) for r in idx.probe(q, k=10, nprobe=4).collect()]
