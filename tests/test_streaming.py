@@ -1626,3 +1626,38 @@ def test_incremental_ivf_replay_duplicates_harmless_and_compactable(spark, tmp_p
     n_compacted = spark.read.parquet(path).count()
     assert n_compacted == n_replayed // 2 == 200  # 100 ids × n_assign 2
     assert before == [(r["vec_id"], r["score"]) for r in idx.probe(q, k=10, nprobe=4).collect()]
+
+
+def test_incremental_ivf_under_streaming_foreach_batch(spark, tmp_path):
+    """IncrementalIvfIndex driven the way production drives it: a file
+    stream of embedding rows drained through foreachBatch(ingest_batch)
+    with AvailableNow. After the drain, a full-width probe must equal
+    brute force over everything that streamed in."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm import simsearch
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.ann import IncrementalIvfIndex
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    src = tmp_path / "vecs"
+    e.write.parquet(str(src))
+
+    path = str(tmp_path / "ivf_index")
+    idx = IncrementalIvfIndex(spark, path, n_cells=4, n_assign=2)
+    idx.fit(e)  # bootstrap quantizer from the backfill corpus
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(lambda batch, _id: idx.ingest_batch(batch))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    qv = [float(x) for x in e.where(F.col("vec_id") == 1).first()["embedding"]]
+    want = [(r["vec_id"], r["score"]) for r in simsearch.cosine_topk(e, qv, k=10).collect()]
+    got = [(r["vec_id"], r["score"]) for r in idx.probe(qv, k=10, nprobe=4).collect()]
+    assert got == want
