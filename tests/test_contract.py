@@ -43,6 +43,8 @@ STRICT_SAMPLE = [
     "q_tpch_q8",      # ROUND of a ratio of sums
     "q_text_tfidf",   # ROUND of tf * ln(ratio)
     "q_window_cume",  # rank-count ratios, no rounding at all
+    "q_simsearch_batch",  # ROUND of cosine quotients feeding rank selection
+    "q_anomaly_zscore",   # ROUND of a z-score quotient feeding the |z| gate
 ]
 
 
