@@ -248,6 +248,10 @@ def ivf_centroids(
         .collect()
     )
     centroids = [[float(x) for x in r["_v"]] for r in rows]
+    if not centroids:
+        # empty corpus: no quantizer. Refining would crash (0-cell argmax);
+        # callers decide whether empty is an error (streaming.ann.fit raises)
+        return []
     for _ in range(refine_iters):
         assigned = ivf_assign(df, centroids, vec_col, out_col="_cell")
         means = (

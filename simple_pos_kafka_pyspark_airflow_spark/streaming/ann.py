@@ -83,6 +83,11 @@ class IncrementalIvfIndex:
         cents = simsearch.ivf_centroids(
             df.select(self.id_col, self.vec_col), self.n_cells, self.vec_col, self.id_col
         )
+        if not cents:
+            raise ValueError(
+                "fit() needs a non-empty bootstrap corpus: zero vectors yield no "
+                "quantizer (an empty first micro-batch must not define the index)"
+            )
         rows = [
             (int(c), int(p), float(v))
             for c, row in enumerate(cents)
@@ -111,7 +116,11 @@ class IncrementalIvfIndex:
 
     def ingest_batch(self, df: DataFrame) -> None:
         """Assign the batch to cells and append it to the index, laid out
-        ``partitionBy(cell)`` so probes partition-prune."""
+        ``partitionBy(cell)`` so probes partition-prune. An empty batch
+        (idle trigger) is a no-op — it must neither crash the Arrow
+        assignment nor, worse, bootstrap the quantizer from nothing."""
+        if df.isEmpty():
+            return
         cents = self._centroids()
         if cents is None:
             cents = self.fit(df)
@@ -134,6 +143,11 @@ class IncrementalIvfIndex:
         cents = self._centroids()
         if cents is None:
             raise ValueError(f"no quantizer at {self.centroid_path}: fit() or ingest first")
+        if not fs_dir_has_data(self.spark, self.path):
+            raise ValueError(
+                f"no index rows at {self.path}: the quantizer exists but nothing "
+                "was ever ingested (or the first append crashed before commit)"
+            )
         c = np.array(cents, dtype="float64")
         c_hat = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
         q = np.array(query_vec, dtype="float64")

@@ -1661,3 +1661,34 @@ def test_incremental_ivf_under_streaming_foreach_batch(spark, tmp_path):
     want = [(r["vec_id"], r["score"]) for r in simsearch.cosine_topk(e, qv, k=10).collect()]
     got = [(r["vec_id"], r["score"]) for r in idx.probe(qv, k=10, nprobe=4).collect()]
     assert got == want
+
+
+def test_incremental_ivf_edge_guards(spark, tmp_path):
+    """Empty batches are idle-trigger business as usual (no-op, and never
+    a quantizer bootstrap); probing with no quantizer or an empty index
+    raises a clear error instead of a deep numpy/path traceback."""
+    import pytest as _pytest
+
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.ann import IncrementalIvfIndex
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    empty = e.where(F.lit(False))
+    path = str(tmp_path / "ivf_index")
+    idx = IncrementalIvfIndex(spark, path, n_cells=4)
+
+    idx.ingest_batch(empty)  # no quantizer yet: must not fit-from-nothing
+    assert idx._centroids() is None
+    with _pytest.raises(ValueError, match="non-empty bootstrap"):
+        idx.fit(empty)
+    q = [0.0] * len(e.first()["embedding"])
+    with _pytest.raises(ValueError, match="no quantizer"):
+        idx.probe(q)
+
+    idx.fit(e)
+    with _pytest.raises(ValueError, match="no index rows"):
+        idx.probe(q)
+    idx.ingest_batch(empty)  # quantizer exists: still a no-op
+    with _pytest.raises(ValueError, match="no index rows"):
+        idx.probe(q)
+    idx.ingest_batch(e)
+    assert idx.probe(q, k=5, nprobe=4).count() == 5
