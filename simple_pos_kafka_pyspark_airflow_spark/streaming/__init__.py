@@ -11,12 +11,16 @@ daily file partitioning (``:82-83``) and the hourly mtime micro-batch
 - ``state``   : keyed state — id sequence, stock levels (T2/T3)
 - ``windows`` : tumbling/sliding/session windows + watermarks (T4/T8)
 - ``joins``   : watermarked stream-stream interval joins (extension)
+- ``pipeline``: the 9-topic POS topology end-to-end (T1/T6 composed)
+- ``corpus``  : LLM corpus ingest — quality gate, bounded exact dedup,
+                incremental near-dup / span indexes (extension)
+- ``ann``     : ingest-time incremental IVF similarity index (extension)
 
 Late data, which the reference silently mishandles (T8: the mtime window can
 miss or double-process files), is handled with watermarks + idempotent
 merges — a deliberate semantic upgrade documented in SURVEY.md §2.9.
 """
 
-from . import cdc, ingest, joins, state, windows
+from . import ann, cdc, corpus, ingest, joins, pipeline, state, windows
 
-__all__ = ["cdc", "ingest", "joins", "state", "windows"]
+__all__ = ["ann", "cdc", "corpus", "ingest", "joins", "pipeline", "state", "windows"]
