@@ -24,6 +24,15 @@ as ``IncrementalMinhashIndex`` does for text near-dup state:
   Scoring is the exact JVM cosine with the library-wide determinism
   discipline (6 dp round, id tiebreak).
 
+- **quantized storage** (``store_quantized=True``): index rows carry
+  (scale, int8 codes) instead of float32 — ~4× less index on disk and
+  ~4× less scan I/O per probe, the dominant probe cost at 100 TB.
+  Quantized probes rank on the dequantized form (error ≤ scale/2 per
+  element); ``probe(..., rescore_from=corpus)`` re-ranks an over-fetched
+  candidate set against the exact vectors (the IVF-PQ re-rank shape) and
+  returns exactly the brute-force answer as long as the true top-k
+  survives the candidate cut.
+
 Crash/replay: the per-batch append is plain parquet, so a replayed
 ``foreachBatch`` batch lands its rows twice. Duplicate rows cannot
 change probe RESULTS (probes dedup on the vector id before scoring, and
@@ -61,7 +70,16 @@ class IncrementalIvfIndex:
         n_assign: int = 1,
         vec_col: str = "embedding",
         id_col: str = "vec_id",
+        store_quantized: bool = False,
     ) -> None:
+        """``store_quantized=True`` stores each vector as (scale, int8
+        codes) instead of float32 — the index shrinks ~4× and so does
+        every probe's scan I/O, which is the dominant cost of a probe at
+        100 TB. Probes score the dequantized form (per-element error ≤
+        scale/2); pass ``rescore_from`` to ``probe`` to re-rank an
+        over-fetched candidate set against the exact corpus vectors.
+        Readers auto-detect the layout from the index schema, so one
+        index never mixes forms with another's flag."""
         self.spark = spark
         self.path = path.rstrip("/")
         self.centroid_path = self.path + "_centroids"
@@ -69,6 +87,7 @@ class IncrementalIvfIndex:
         self.n_assign = n_assign
         self.vec_col = vec_col
         self.id_col = id_col
+        self.store_quantized = store_quantized
 
     # -- quantizer ---------------------------------------------------------
 
@@ -131,15 +150,40 @@ class IncrementalIvfIndex:
             out_col="cell",
             n_assign=self.n_assign,
         )
+        if self.store_quantized:
+            scale, codes = simsearch.quantize_embedding(F.col(self.vec_col))
+            assigned = assigned.select(
+                self.id_col, "cell", scale.alias("q_scale"), codes.alias("q_codes")
+            )
         assigned.write.mode("append").partitionBy("cell").parquet(self.path)
 
     # -- query -------------------------------------------------------------
 
-    def probe(self, query_vec: list[float], k: int = 10, nprobe: int = 4) -> DataFrame:
-        """Exact cosine top-k over the ``nprobe`` cells nearest the query.
+    def probe(
+        self,
+        query_vec: list[float],
+        k: int = 10,
+        nprobe: int = 4,
+        rescore_from: DataFrame | None = None,
+        overfetch: int = 4,
+    ) -> DataFrame:
+        """Cosine top-k over the ``nprobe`` cells nearest the query.
         Returns (id, score) with the library determinism discipline; ids
         replicated across cells (``n_assign`` > 1) or by batch replays
-        dedup before scoring, so results are independent of both."""
+        dedup before scoring, so results are independent of both.
+
+        On a float index the scores are exact. On a quantized index
+        (``store_quantized`` — detected from the stored schema) candidates
+        are scored on the dequantized int8 form: within-``scale/2``
+        per element, which preserves ranking unless true scores are
+        closer than the quantization noise. ``rescore_from`` (the exact
+        corpus, keyed by ``id_col``) upgrades that to exact: the top
+        ``overfetch×k`` candidates by quantized score are re-scored
+        against their true vectors — a broadcast of a k-sized id set
+        against the corpus scan, the IVF-PQ re-rank shape — and the final
+        top-k is exact as long as the true top-k survives the candidate
+        cut (quantization error would need to demote a true neighbor past
+        ``(overfetch-1)·k`` impostors for a miss)."""
         cents = self._centroids()
         if cents is None:
             raise ValueError(f"no quantizer at {self.centroid_path}: fit() or ingest first")
@@ -158,12 +202,29 @@ class IncrementalIvfIndex:
             .where(F.col("cell").isin(cells))
             .dropDuplicates([self.id_col])
         )
+        quantized = "q_codes" in idx.columns
+        vec = (
+            simsearch.dequantize_embedding(F.col("q_codes"), F.col("q_scale"))
+            if quantized
+            else F.col(self.vec_col)
+        )
         qcol = F.array(*[F.lit(float(x)) for x in query_vec])
         scored = idx.select(
             F.col(self.id_col),
+            F.round(simsearch.cosine(vec, qcol), 6).alias("score"),
+        )
+        if rescore_from is None:
+            return scored.orderBy(F.col("score").desc(), F.col(self.id_col)).limit(k)
+        cand_ids = (
+            scored.orderBy(F.col("score").desc(), F.col(self.id_col))
+            .limit(overfetch * k)
+            .select(self.id_col)
+        )
+        exact = rescore_from.join(F.broadcast(cand_ids), self.id_col).select(
+            F.col(self.id_col),
             F.round(simsearch.cosine(F.col(self.vec_col), qcol), 6).alias("score"),
         )
-        return scored.orderBy(F.col("score").desc(), F.col(self.id_col)).limit(k)
+        return exact.orderBy(F.col("score").desc(), F.col(self.id_col)).limit(k)
 
     # -- maintenance -------------------------------------------------------
 

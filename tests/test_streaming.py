@@ -1692,3 +1692,32 @@ def test_incremental_ivf_edge_guards(spark, tmp_path):
         idx.probe(q)
     idx.ingest_batch(e)
     assert idx.probe(q, k=5, nprobe=4).count() == 5
+
+
+def test_incremental_ivf_quantized_index_shrinks_and_rescore_exact(spark, tmp_path):
+    """store_quantized=True: the index on disk is a fraction of the float
+    form (this is the whole point — probe scan I/O at 100 TB); quantized
+    probing stays high-recall; and rescore_from upgrades the result to
+    EXACTLY the brute-force top-k, scores included."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm import simsearch
+    from simple_pos_kafka_pyspark_airflow_spark.sources.io import dir_bytes
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.ann import IncrementalIvfIndex
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    fpath, qpath = str(tmp_path / "ivf_f"), str(tmp_path / "ivf_q")
+    fidx = IncrementalIvfIndex(spark, fpath, n_cells=4)
+    qidx = IncrementalIvfIndex(spark, qpath, n_cells=4, store_quantized=True)
+    fidx.fit(e), qidx.fit(e)
+    fidx.ingest_batch(e), qidx.ingest_batch(e)
+    assert dir_bytes(spark, qpath) < 0.6 * dir_bytes(spark, fpath)
+
+    q = [float(x) for x in e.where(F.col("vec_id") == 5).first()["embedding"]]
+    exact = [(r["vec_id"], r["score"]) for r in simsearch.cosine_topk(e, q, k=10).collect()]
+    approx = [r["vec_id"] for r in qidx.probe(q, k=10, nprobe=4).collect()]
+    assert len(set(approx) & {i for i, _ in exact}) >= 9  # quantization noise ≤ 1 of 10
+
+    rescored = [
+        (r["vec_id"], r["score"])
+        for r in qidx.probe(q, k=10, nprobe=4, rescore_from=e).collect()
+    ]
+    assert rescored == exact
