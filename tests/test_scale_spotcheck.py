@@ -266,3 +266,28 @@ def test_containment_sf01_finds_planted_subdocuments(spark):
     assert pairs.where(F.col("containment") < 0.8).count() == 0
     assert pairs.where(F.col("id_a") >= F.col("id_b")).count() == 0
     pairs.unpersist()
+
+
+def test_incremental_ivf_index_at_sf01(spark, tmp_path):
+    """The ingest-time quantized IVF index at 10× the driver scale: 5000
+    vectors ingested in two batches, probed with replication + exact
+    re-rank — must return exactly the brute-force top-10."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.ann import IncrementalIvfIndex
+
+    e = spark.read.parquet(f"{SF01}/embeddings.parquet").cache()
+    e.count()
+    idx = IncrementalIvfIndex(
+        spark, str(tmp_path / "ivf"), n_cells=16, n_assign=3, store_quantized=True
+    )
+    idx.fit(e)
+    idx.ingest_batch(e.where(F.col("vec_id") % 2 == 0))
+    idx.ingest_batch(e.where(F.col("vec_id") % 2 == 1))
+    for qid in (0, 1, 2):
+        q = [float(x) for x in e.where(F.col("vec_id") == qid).first()["embedding"]]
+        exact = [(r["vec_id"], r["score"]) for r in simsearch.cosine_topk(e, q, k=10).collect()]
+        got = [
+            (r["vec_id"], r["score"])
+            for r in idx.probe(q, k=10, nprobe=8, rescore_from=e).collect()
+        ]
+        assert got == exact, (qid, got, exact)
+    e.unpersist()
