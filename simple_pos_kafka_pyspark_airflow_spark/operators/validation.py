@@ -84,3 +84,47 @@ def validate_sale_events(
         .withColumn("reject_reason", reason)
         .drop("__stock", "__taken", "__known")
     )
+
+
+def group_moments(
+    df: DataFrame, value_col: str = "value", group_col: str = "event_type"
+) -> DataFrame:
+    """The (group, _mu, _sd) reference table ``anomaly_gate`` consumes:
+    one partial-aggregable shuffle to a group-cardinality-sized result.
+    Computed batch-side over the landed corpus; refresh on a maintenance
+    cadence, not per event."""
+    return df.groupBy(group_col).agg(
+        F.avg(value_col).alias("_mu"), F.stddev_pop(value_col).alias("_sd")
+    )
+
+
+def anomaly_gate(
+    df: DataFrame,
+    moments: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Per-group z-score outlier gate; one implementation for batch sweeps
+    (``q_anomaly_zscore``) and live streams alike.
+
+    The moment table broadcasts under the scan (or under every micro-batch
+    on a stream — a stateless stream-static join: no aggregation state, no
+    watermark, no output-mode conflict with row-level append alerts; the
+    batch/stream split IS the production monitoring shape, moments on a
+    refresh cadence, the gate at ingest latency). Never a window over the
+    group key, which would shuffle every row and serialize each group
+    through one reducer.
+
+    Returns the anomalous rows with ``z`` (4 dp — rounded BEFORE the
+    threshold compare, so engines agree on the boundary; same
+    canonicalization as the contract oracle).
+    """
+    z = F.round((F.col(value_col) - F.col("_mu")) / F.col("_sd"), 4)
+    return (
+        df.join(F.broadcast(moments), group_col)
+        .where(F.col("_sd") > 0)
+        .withColumn("z", z)
+        .where(F.abs(F.col("z")) > z_threshold)
+        .drop("_mu", "_sd")
+    )

@@ -259,18 +259,11 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the group key and serialize each group through one reducer)",
 )
 def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import validation
+
     ev = table(spark, sf_dir, "events")
-    stats = ev.groupBy("event_type").agg(
-        F.avg("value").alias("_mu"), F.stddev_pop("value").alias("_sd")
-    )
-    z = F.round((F.col("value") - F.col("_mu")) / F.col("_sd"), 4)
-    return (
-        ev.join(F.broadcast(stats), "event_type")
-        .where(F.col("_sd") > 0)
-        .withColumn("z", z)
-        .where(F.abs(F.col("z")) > 3)
-        .select("event_id", "event_type", "value", "z")
-    )
+    gated = validation.anomaly_gate(ev, validation.group_moments(ev))
+    return gated.select("event_id", "event_type", "value", "z")
 
 
 @register(

@@ -1721,3 +1721,47 @@ def test_incremental_ivf_quantized_index_shrinks_and_rescore_exact(spark, tmp_pa
         for r in qidx.probe(q, k=10, nprobe=4, rescore_from=e).collect()
     ]
     assert rescored == exact
+
+
+def test_anomaly_gate_stream_matches_batch_query(spark, tmp_path):
+    """The streaming data-quality monitor shape: moments computed batch-side,
+    the z-score gate applied to a live stream as a stateless stream-static
+    broadcast join. Streamed alerts must equal the batch q_anomaly_zscore
+    rows on the same events at the same moments snapshot."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators import validation
+    from simple_pos_kafka_pyspark_airflow_spark.plans import load_registry
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    moments = validation.group_moments(ev)
+
+    src = tmp_path / "events_stream"
+    ev.repartition(3).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    assert stream.isStreaming
+    alerts = validation.anomaly_gate(stream, moments).select(
+        "event_id", "event_type", "value", "z"
+    )
+    sink = tmp_path / "alerts"
+    q = (
+        alerts.writeStream.format("parquet")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["event_id"], r["z"])
+        for r in spark.read.schema(alerts.schema).parquet(str(sink)).collect()
+    }
+    want = {
+        (r["event_id"], r["z"])
+        for r in load_registry()["q_anomaly_zscore"].build(spark, sf).collect()
+    }
+    assert got == want and got
