@@ -72,6 +72,7 @@ def cosine_topk_batch(
     id_col: str = "vec_id",
     q_id_col: str = "query_id",
     q_vec_col: str = "query_vec",
+    arrow: bool = False,
 ) -> DataFrame:
     """Batched exact top-k retrieval: every query vector gets its ``k``
     nearest corpus vectors by cosine — the realistic shape for
@@ -94,18 +95,50 @@ def cosine_topk_batch(
     Determinism: scores are rounded to 6 dp BEFORE selection on both
     engines and ties break on the corpus id, so the result is unique and
     oracle-comparable (same discipline as ``cosine_topk``).
+
+    ``arrow=True`` swaps the per-(row × query) JVM fold — an interpreted
+    higher-order expression, O(n_queries × dim) lambda calls per corpus
+    row — for ONE (batch × dim) @ (dim × n_queries) BLAS matmul per
+    Arrow batch (the ``ivf_assign`` discipline). Same results on
+    well-separated data (pinned by test), but the rounding tie-mode is
+    numpy's half-even rather than Spark's half-up, so the oracle-checked
+    contract query keeps the JVM form; use the Arrow form when the query
+    batch grows past ~tens of vectors and the fold dominates the scan.
     """
     from pyspark.sql.window import Window
 
-    scored = (
-        df.select(id_col, vec_col)
-        .crossJoin(F.broadcast(queries.select(q_id_col, q_vec_col)))
-        .select(
-            q_id_col,
-            id_col,
-            F.round(cosine(F.col(vec_col), F.col(q_vec_col)), 6).alias("score"),
+    if arrow:
+        qrows = queries.select(q_id_col, q_vec_col).collect()  # broadcast-small by contract
+        qids = [r[q_id_col] for r in qrows]
+        qmat = np.stack([np.asarray(r[q_vec_col], dtype="float64") for r in qrows])
+        q_hat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<double>")
+        def all_scores(col: pd.Series) -> pd.Series:
+            m = np.stack(col.to_numpy()).astype("float64")
+            m_hat = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            return pd.Series(np.round(m_hat @ q_hat.T, 6).tolist())
+
+        qid_arr = F.array(*[F.lit(q) for q in qids])
+        scored = (
+            df.select(id_col, all_scores(F.col(vec_col)).alias("_s"))
+            .select(id_col, F.posexplode("_s").alias("_qi", "score"))
+            .select(
+                F.element_at(qid_arr, F.col("_qi") + 1).alias(q_id_col), id_col, "score"
+            )
         )
-    )
+    else:
+        scored = (
+            df.select(id_col, vec_col)
+            .crossJoin(F.broadcast(queries.select(q_id_col, q_vec_col)))
+            .select(
+                q_id_col,
+                id_col,
+                F.round(cosine(F.col(vec_col), F.col(q_vec_col)), 6).alias("score"),
+            )
+        )
     w = Window.partitionBy(q_id_col).orderBy(F.col("score").desc(), F.col(id_col))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("int"))

@@ -730,3 +730,24 @@ def test_batch_topk_matches_per_query_topk(spark):
         qv = [float(x) for x in e.where(F.col("vec_id") == qid).first()["embedding"]]
         want = [(r["vec_id"], r["score"]) for r in simsearch.cosine_topk(e, qv, k=7).collect()]
         assert got == want, (qid, got, want)
+
+
+def test_batch_topk_arrow_path_matches_jvm_path(spark):
+    """The Arrow matmul scoring form must agree with the JVM fold form —
+    same ids, same order, scores equal to the 6 dp the contract rounds to
+    (the two forms differ only in rounding tie-mode, which well-separated
+    data never exercises)."""
+    from pyspark.sql import functions as F
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm import simsearch
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = e.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    jvm = simsearch.cosine_topk_batch(e, queries, k=8).collect()
+    arrow = simsearch.cosine_topk_batch(e, queries, k=8, arrow=True).collect()
+    key = lambda r: (r["query_id"], r["rn"])  # noqa: E731
+    assert [(r["query_id"], r["vec_id"], r["score"]) for r in sorted(jvm, key=key)] == [
+        (r["query_id"], r["vec_id"], r["score"]) for r in sorted(arrow, key=key)
+    ]
