@@ -151,9 +151,11 @@ class IncrementalIvfIndex:
             n_assign=self.n_assign,
         )
         if self.store_quantized:
-            scale, codes = simsearch.quantize_embedding(F.col(self.vec_col))
-            assigned = assigned.select(
-                self.id_col, "cell", scale.alias("q_scale"), codes.alias("q_codes")
+            # Arrow form: quantizing every ingested vector through the
+            # interpreted Column expression would pay rows × dim lambda
+            # dispatches per batch; the numpy pass is bit-identical
+            assigned = simsearch.quantize_embeddings_arrow(assigned, self.vec_col).select(
+                self.id_col, "cell", "q_scale", "q_codes"
             )
         assigned.write.mode("append").partitionBy("cell").parquet(self.path)
 

@@ -751,3 +751,26 @@ def test_batch_topk_arrow_path_matches_jvm_path(spark):
     assert [(r["query_id"], r["vec_id"], r["score"]) for r in sorted(jvm, key=key)] == [
         (r["query_id"], r["vec_id"], r["score"]) for r in sorted(arrow, key=key)
     ]
+
+
+def test_quantize_arrow_bit_identical_to_column_form(spark):
+    """The Arrow quantizer and the Column-expression quantizer must agree
+    bit-for-bit (max is order-independent; scale/divide/floor are
+    elementwise IEEE ops) — they are interchangeable mid-corpus."""
+    from pyspark.sql import functions as F
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm import simsearch
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    scale, codes = simsearch.quantize_embedding(F.col("embedding"))
+    col_form = {
+        r["vec_id"]: (r["s"], list(r["q"]))
+        for r in e.select("vec_id", scale.alias("s"), codes.alias("q")).collect()
+    }
+    arrow_form = {
+        r["vec_id"]: (r["q_scale"], list(r["q_codes"]))
+        for r in simsearch.quantize_embeddings_arrow(e).select(
+            "vec_id", "q_scale", "q_codes"
+        ).collect()
+    }
+    assert col_form == arrow_form
