@@ -248,3 +248,99 @@ def test_exact_ngram_collisions_matches_python_oracle(spark, corpus_texts, probe
         if hits:
             want[ci] = hits
     assert got == want
+
+
+def _round_half_up(x: float, n: int) -> float:
+    """Spark ROUND semantics (BigDecimal HALF_UP — ties away from zero);
+    python round() is half-even, which would diverge exactly on ties."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-n)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),  # group — collisions guaranteed
+            st.integers(-50, 50),  # value (ints: exact float arithmetic)
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SETTINGS
+def test_anomaly_gate_matches_python_oracle(spark, rows):
+    """anomaly_gate == a plain-python z-score replay: same flagged ids,
+    same 4 dp z values (constant groups drop via the sd>0 guard)."""
+    import math
+
+    from simple_pos_kafka_pyspark_airflow_spark.operators import validation
+
+    data = [(i, g, float(v)) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "event_id long, event_type string, value double")
+    got = {
+        r["event_id"]: r["z"]
+        for r in validation.anomaly_gate(
+            df, validation.group_moments(df), z_threshold=1.0
+        ).collect()
+    }
+
+    by_group: dict[str, list[tuple[int, float]]] = {}
+    for i, g, v in data:
+        by_group.setdefault(g, []).append((i, v))
+    want = {}
+    for g, members in by_group.items():
+        vals = [v for _, v in members]
+        mu = sum(vals) / len(vals)
+        sd = math.sqrt(sum((v - mu) ** 2 for v in vals) / len(vals))
+        if sd <= 0:
+            continue
+        for i, v in members:
+            z = _round_half_up((v - mu) / sd, 4)
+            if abs(z) > 1.0:
+                want[i] = z
+    assert set(got) == set(want)
+    for i in got:
+        assert abs(got[i] - want[i]) < 1e-9, (i, got[i], want[i])
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(-3, 3), min_size=4, max_size=4),
+        min_size=2,
+        max_size=15,
+        unique_by=lambda v: tuple(v),
+    ),
+    st.integers(1, 4),
+)
+@SETTINGS
+def test_batch_topk_matches_python_oracle(spark, vecs, k):
+    """cosine_topk_batch == a python top-k replay under the same
+    (rounded score desc, id asc) total order, for every query."""
+    import math
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm import simsearch
+
+    data = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    queries = df.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = [
+        (r["query_id"], r["vec_id"], r["score"], r["rn"])
+        for r in simsearch.cosine_topk_batch(df, queries, k=k).collect()
+    ]
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(y * y for y in b))
+        return _round_half_up(dot / max(na * nb, 1e-12), 6)
+
+    want = []
+    for qid, qv in [(d[0], d[1]) for d in data[:2]]:
+        scored = sorted(
+            ((cos(v, qv), i) for i, v in data), key=lambda t: (-t[0], t[1])
+        )[:k]
+        want.extend((qid, i, s, rn + 1) for rn, (s, i) in enumerate(scored))
+    assert sorted(got) == sorted(want)
