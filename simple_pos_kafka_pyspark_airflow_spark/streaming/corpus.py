@@ -440,3 +440,53 @@ class IncrementalSpanIndex:
             .withColumn("_batch", F.lit(-1).cast("long"))
         )
         overwrite_atomic(collapsed, self.path)
+
+
+def ingest_corpus_batch(
+    docs: DataFrame,
+    batch_id: int,
+    minhash_index: IncrementalMinhashIndex,
+    span_index: IncrementalSpanIndex | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.3,
+    min_tokens: int = 3,
+) -> DataFrame:
+    """The whole corpus front door for one micro-batch, composed in the
+    order the batch curation ladder uses (``llm.curation.curate_corpus``)
+    but against PERSISTENT cross-batch state:
+
+    1. quality gate + within-batch exact dedup (``corpus_ingest`` batch
+       path — attaches ``quality``/``n_tokens``/``text_sha``);
+    2. near-dup rejection vs everything already landed plus within-batch
+       clusters (``IncrementalMinhashIndex.dedup_batch`` — also appends
+       the survivors' index rows);
+    3. optional corpus-lifetime boilerplate-span excision
+       (``IncrementalSpanIndex.clean_batch`` — the surviving documents'
+       ``text`` is REPLACED by the cleaned form, and the batch's span
+       counts land in the index).
+
+    Returns the landed form of the batch: the rows to append to the
+    corpus store. Slots directly into ``foreachBatch``:
+
+        stream.writeStream.foreachBatch(
+            lambda b, i: sink(ingest_corpus_batch(b, i, mh_idx, span_idx))
+        )
+
+    Ordering note: near-dup runs BEFORE span excision (same as the batch
+    ladder) so a document is judged on its full text; the span indexes of
+    dropped documents never pollute the boilerplate counts because
+    ``clean_batch`` only sees survivors.
+    """
+    gated = corpus_ingest(
+        docs, text_col=text_col, min_quality=min_quality, min_tokens=min_tokens
+    )
+    kept = minhash_index.dedup_batch(gated)
+    if span_index is None:
+        return kept
+    cleaned = span_index.clean_batch(kept, batch_id)
+    return (
+        kept.drop(text_col)
+        .join(cleaned.select(id_col, "text_clean", "n_dropped"), id_col)
+        .withColumnRenamed("text_clean", text_col)
+    )

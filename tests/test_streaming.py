@@ -1765,3 +1765,43 @@ def test_anomaly_gate_stream_matches_batch_query(spark, tmp_path):
         for r in load_registry()["q_anomaly_zscore"].build(spark, sf).collect()
     }
     assert got == want and got
+
+
+def test_ingest_corpus_batch_composes_front_door(spark, tmp_path):
+    """The composed corpus front door across two micro-batches: quality
+    rejects never land, a cross-batch near-dup is rejected off the
+    persistent index, and a span repeated across batches is excised from
+    the later batch's landed text."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import (
+        IncrementalMinhashIndex,
+        IncrementalSpanIndex,
+        ingest_corpus_batch,
+    )
+
+    a_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    mh = IncrementalMinhashIndex(
+        spark, str(tmp_path / "mh"), num_hashes=16, bands=8, jaccard_threshold=0.8
+    )
+    sp = IncrementalSpanIndex(spark, str(tmp_path / "sp"), span_tokens=3, min_docs=2)
+
+    b1 = spark.createDataFrame(
+        [(1, a_text), (2, "too short")], "doc_id long, text string"
+    )
+    landed1 = ingest_corpus_batch(b1, 0, mh, sp, min_quality=0.0, min_tokens=3)
+    rows1 = {r["doc_id"]: r["text"] for r in landed1.collect()}
+    assert set(rows1) == {1}  # quality gate dropped doc 2 (2 tokens)
+    assert rows1[1] == a_text  # nothing boilerplate yet (all counts = 1)
+
+    b2 = spark.createDataFrame(
+        [
+            (10, a_text + " extratoken"),  # near-dup of landed doc 1
+            (11, "one two three four five six alpha beta gamma"),  # shares a span with doc 1
+        ],
+        "doc_id long, text string",
+    )
+    landed2 = ingest_corpus_batch(b2, 1, mh, sp, min_quality=0.0, min_tokens=3)
+    rows2 = {r["doc_id"]: (r["text"], r["n_dropped"]) for r in landed2.collect()}
+    assert set(rows2) == {11}  # 10 rejected off the persistent near-dup index
+    text11, dropped11 = rows2[11]
+    assert "alpha beta gamma" not in text11  # cross-batch boilerplate excised
+    assert "one two three" in text11 and dropped11 == 1
