@@ -1805,3 +1805,42 @@ def test_ingest_corpus_batch_composes_front_door(spark, tmp_path):
     text11, dropped11 = rows2[11]
     assert "alpha beta gamma" not in text11  # cross-batch boilerplate excised
     assert "one two three" in text11 and dropped11 == 1
+
+
+def test_kafka_value_path_embeddings_into_ivf_index(spark, tmp_path):
+    """Broker-free Kafka→ANN loop: embedding payloads decode off a
+    Kafka-shaped frame (array<float> through from_json) and feed the
+    incremental IVF index; a probe must return exactly the decoded
+    vectors' brute-force top-k."""
+    import datetime
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm import simsearch
+    from simple_pos_kafka_pyspark_airflow_spark.streaming import ingest
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.ann import IncrementalIvfIndex
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(64)
+    ts = datetime.datetime(2026, 8, 13, 10, 0, 0)
+    rows = [
+        (
+            str(r["vec_id"]).encode(),
+            json.dumps({"vec_id": r["vec_id"], "embedding": [float(x) for x in r["embedding"]]}).encode(),
+            "embeddings",
+            r["vec_id"] % 3,
+            100 + r["vec_id"],
+            ts,
+            0,
+        )
+        for r in e.collect()
+    ]
+    raw = spark.createDataFrame(rows, KAFKA_SOURCE_DDL)
+    decoded = ingest.parse_kafka_frame(raw, "vec_id long, embedding array<float>")
+    assert decoded.where(F.col("_corrupt").isNotNull()).count() == 0
+    vecs = decoded.select("vec_id", F.col("embedding").cast("array<float>"))
+
+    idx = IncrementalIvfIndex(spark, str(tmp_path / "ivf"), n_cells=4, n_assign=2)
+    idx.fit(vecs)
+    idx.ingest_batch(vecs)
+    q = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    want = [(r["vec_id"], r["score"]) for r in simsearch.cosine_topk(e, q, k=5).collect()]
+    got = [(r["vec_id"], r["score"]) for r in idx.probe(q, k=5, nprobe=4).collect()]
+    assert got == want
