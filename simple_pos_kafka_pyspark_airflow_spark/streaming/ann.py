@@ -228,6 +228,69 @@ class IncrementalIvfIndex:
         )
         return exact.orderBy(F.col("score").desc(), F.col(self.id_col)).limit(k)
 
+    def probe_batch(
+        self,
+        queries: list[tuple[int, list[float]]],
+        k: int = 10,
+        nprobe: int = 4,
+    ) -> DataFrame:
+        """Many probes in ONE index pass — the bulk-decontamination shape.
+
+        Each query still sees only its own ``nprobe`` nearest cells (same
+        semantics as N ``probe`` calls, pinned by test): the scan prunes
+        to the UNION of probed cells (PartitionFilter), then a broadcast
+        (query, cell) pair table restricts each query to its cells, and a
+        per-query ``row_number`` window — bounded by the rank-limit
+        pushdown exactly as in ``cosine_topk_batch`` — yields the top-k.
+        Returns (query_id, id, score, rn)."""
+        cents = self._centroids()
+        if cents is None:
+            raise ValueError(f"no quantizer at {self.centroid_path}: fit() or ingest first")
+        if not fs_dir_has_data(self.spark, self.path):
+            raise ValueError(f"no index rows at {self.path}: ingest before probing")
+        if not queries:
+            raise ValueError("probe_batch needs at least one query")
+        c = np.array(cents, dtype="float64")
+        c_hat = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+        pairs = []
+        for qid, qv in queries:
+            q = np.array(qv, dtype="float64")
+            q_hat = q / max(float(np.linalg.norm(q)), 1e-12)
+            for cell in np.argsort(-(c_hat @ q_hat))[:nprobe]:
+                pairs.append((int(qid), int(cell)))
+        all_cells = sorted({cell for _, cell in pairs})
+        pair_df = self.spark.createDataFrame(pairs, "query_id long, cell int")
+        qvec_df = self.spark.createDataFrame(
+            [(int(qid), [float(x) for x in qv]) for qid, qv in queries],
+            "query_id long, query_vec array<double>",
+        )
+
+        idx = (
+            self.spark.read.parquet(self.path)
+            .where(F.col("cell").isin(all_cells))
+            .join(F.broadcast(pair_df), "cell")
+            .dropDuplicates(["query_id", self.id_col])
+        )
+        quantized = "q_codes" in idx.columns
+        vec = (
+            simsearch.dequantize_embedding(F.col("q_codes"), F.col("q_scale"))
+            if quantized
+            else F.col(self.vec_col)
+        )
+        scored = idx.join(F.broadcast(qvec_df), "query_id").select(
+            "query_id",
+            F.col(self.id_col),
+            F.round(simsearch.cosine(vec, F.col("query_vec")), 6).alias("score"),
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(self.id_col))
+        return (
+            scored.withColumn("rn", F.row_number().over(w).cast("int"))
+            .where(F.col("rn") <= k)
+            .select("query_id", self.id_col, "score", "rn")
+        )
+
     # -- maintenance -------------------------------------------------------
 
     def compact(self) -> None:

@@ -1844,3 +1844,32 @@ def test_kafka_value_path_embeddings_into_ivf_index(spark, tmp_path):
     want = [(r["vec_id"], r["score"]) for r in simsearch.cosine_topk(e, q, k=5).collect()]
     got = [(r["vec_id"], r["score"]) for r in idx.probe(q, k=5, nprobe=4).collect()]
     assert got == want
+
+
+def test_incremental_ivf_probe_batch_matches_per_query_probes(spark, tmp_path):
+    """probe_batch must equal N independent probe() calls query-by-query —
+    same ids, scores, and ranks — on both float and quantized indexes."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.ann import IncrementalIvfIndex
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in e.where(F.col("vec_id") < 3).collect()
+    ]
+    for quant in (False, True):
+        idx = IncrementalIvfIndex(
+            spark, str(tmp_path / f"ivf_{quant}"), n_cells=8, n_assign=2,
+            store_quantized=quant,
+        )
+        idx.fit(e)
+        idx.ingest_batch(e)
+        batch = {}
+        for r in idx.probe_batch(qs, k=6, nprobe=3).collect():
+            batch.setdefault(r["query_id"], []).append((r["rn"], r["vec_id"], r["score"]))
+        assert sorted(batch) == [0, 1, 2]
+        for qid, qv in qs:
+            want = [
+                (i + 1, r["vec_id"], r["score"])
+                for i, r in enumerate(idx.probe(qv, k=6, nprobe=3).collect())
+            ]
+            assert sorted(batch[qid]) == want, (quant, qid)
