@@ -250,6 +250,11 @@ class IncrementalIvfIndex:
             raise ValueError(f"no index rows at {self.path}: ingest before probing")
         if not queries:
             raise ValueError("probe_batch needs at least one query")
+        if len({qid for qid, _ in queries}) != len(queries):
+            raise ValueError(
+                "duplicate query ids: each id labels one result group, so a "
+                "repeat would silently fan out the score join"
+            )
         c = np.array(cents, dtype="float64")
         c_hat = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
         pairs = []

@@ -1873,3 +1873,15 @@ def test_incremental_ivf_probe_batch_matches_per_query_probes(spark, tmp_path):
                 for i, r in enumerate(idx.probe(qv, k=6, nprobe=3).collect())
             ]
             assert sorted(batch[qid]) == want, (quant, qid)
+
+
+def test_incremental_ivf_probe_batch_rejects_duplicate_query_ids(spark, tmp_path):
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.ann import IncrementalIvfIndex
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(20)
+    idx = IncrementalIvfIndex(spark, str(tmp_path / "ivf"), n_cells=2)
+    idx.fit(e)
+    idx.ingest_batch(e)
+    v = [float(x) for x in e.first()["embedding"]]
+    with pytest.raises(ValueError, match="duplicate query ids"):
+        idx.probe_batch([(1, v), (1, v)])
