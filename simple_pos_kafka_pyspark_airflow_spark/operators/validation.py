@@ -128,3 +128,75 @@ def anomaly_gate(
         .where(F.abs(F.col("z")) > z_threshold)
         .drop("_mu", "_sd")
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    n_bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Per-group fixed-width histogram: (group, bin, n, frac). The bin
+    range defaults to the frame's global [min, max] (one cheap agg);
+    pass ``lo``/``hi`` explicitly when histogramming a LIVE batch against
+    a reference distribution — both sides must share the bin edges or
+    the comparison is meaningless. Values outside [lo, hi] clamp into the
+    edge bins so a drifted tail is visible rather than dropped.
+
+    One partial-aggregable shuffle of (group, bin) pairs — group-cardinality
+    × n_bins result rows, never a per-row shuffle."""
+    if lo is None or hi is None:
+        row = df.agg(
+            F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi")
+        ).first()
+        lo = float(row["_lo"]) if lo is None else lo
+        hi = float(row["_hi"]) if hi is None else hi
+    width = (hi - lo) / n_bins if hi > lo else 1.0
+    bin_col = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))),
+    ).cast("int")
+    counts = (
+        df.withColumn("bin", bin_col)
+        .groupBy(group_col, "bin")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = counts.groupBy(group_col).agg(F.sum("n").alias("_total"))
+    return counts.join(totals, group_col).select(
+        group_col, "bin", "n", (F.col("n") / F.col("_total")).alias("frac")
+    )
+
+
+def psi_drift(
+    reference: DataFrame,
+    current: DataFrame,
+    group_col: str = "event_type",
+    eps: float = 1e-4,
+) -> DataFrame:
+    """Population Stability Index per group between two histograms from
+    ``value_histogram`` (MUST share lo/hi/n_bins — pass them explicitly
+    when building the current side): PSI = Σ_bins (p - q)·ln(p/q) with
+    empty bins floored at ``eps``. Rule of thumb: < 0.1 stable, 0.1-0.25
+    drifting, > 0.25 action needed.
+
+    A full-outer join on (group, bin) keeps bins that are empty on either
+    side — exactly the bins where drift lives. Output: (group, psi,
+    n_bins_compared); cost is group-cardinality × n_bins rows end-to-end,
+    so this runs per micro-batch without touching the corpus."""
+    p = reference.select(
+        group_col, "bin", F.col("frac").alias("_p")
+    )
+    q = current.select(group_col, "bin", F.col("frac").alias("_q"))
+    joined = p.join(q, [group_col, "bin"], "full_outer").select(
+        group_col,
+        F.coalesce("_p", F.lit(0.0)).alias("_p"),
+        F.coalesce("_q", F.lit(0.0)).alias("_q"),
+    )
+    pe = F.greatest(F.col("_p"), F.lit(eps))
+    qe = F.greatest(F.col("_q"), F.lit(eps))
+    term = (pe - qe) * F.log(pe / qe)
+    return joined.groupBy(group_col).agg(
+        F.sum(term).alias("psi"), F.count("*").cast("int").alias("n_bins_compared")
+    )

@@ -1885,3 +1885,41 @@ def test_incremental_ivf_probe_batch_rejects_duplicate_query_ids(spark, tmp_path
     v = [float(x) for x in e.first()["embedding"]]
     with pytest.raises(ValueError, match="duplicate query ids"):
         idx.probe_batch([(1, v), (1, v)])
+
+
+def test_psi_drift_detects_shifted_distribution(spark):
+    """PSI ≈ 0 between identical distributions; large for a mean-shifted
+    one — and agrees with a python replay of the same histograms."""
+    import math
+    import random
+
+    from simple_pos_kafka_pyspark_airflow_spark.operators import validation
+
+    rng = random.Random(7)
+    ref_rows = [("a", rng.gauss(0, 1)) for _ in range(2000)]
+    same_rows = [("a", rng.gauss(0, 1)) for _ in range(2000)]
+    shifted_rows = [("a", rng.gauss(3, 1)) for _ in range(2000)]
+    mk = lambda rows: spark.createDataFrame(rows, "event_type string, value double")  # noqa: E731
+
+    ref_h = validation.value_histogram(mk(ref_rows), lo=-4.0, hi=4.0, n_bins=8)
+    same_h = validation.value_histogram(mk(same_rows), lo=-4.0, hi=4.0, n_bins=8)
+    shift_h = validation.value_histogram(mk(shifted_rows), lo=-4.0, hi=4.0, n_bins=8)
+
+    psi_same = validation.psi_drift(ref_h, same_h).first()["psi"]
+    psi_shift = validation.psi_drift(ref_h, shift_h).first()["psi"]
+    assert psi_same < 0.1 < psi_shift  # stable vs action-needed
+
+    # python replay with the same binning and eps floor
+    def hist(rows):
+        counts = [0] * 8
+        for _, v in rows:
+            b = min(7, max(0, int((v - -4.0) / 1.0)))
+            counts[b] += 1
+        return [c / len(rows) for c in counts]
+
+    p, q = hist(ref_rows), hist(shifted_rows)
+    want = sum(
+        (max(a, 1e-4) - max(b, 1e-4)) * math.log(max(a, 1e-4) / max(b, 1e-4))
+        for a, b in zip(p, q)
+    )
+    assert abs(psi_shift - want) < 1e-9
