@@ -148,6 +148,13 @@ def value_histogram(
     One partial-aggregable shuffle of (group, bin) pairs — group-cardinality
     × n_bins result rows, never a per-row shuffle."""
     if lo is None or hi is None:
+        if df.isStreaming:
+            raise ValueError(
+                "value_histogram on a stream needs explicit lo/hi (the "
+                "reference distribution's edges) — a global min/max agg "
+                "cannot run inside a micro-batch plan, and per-batch edges "
+                "would make histograms incomparable across batches anyway"
+            )
         row = df.agg(
             F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi")
         ).first()
