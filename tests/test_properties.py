@@ -344,3 +344,28 @@ def test_batch_topk_matches_python_oracle(spark, vecs, k):
         )[:k]
         want.extend((qid, i, s, rn + 1) for rn, (s, i) in enumerate(scored))
     assert sorted(got) == sorted(want)
+
+
+@given(
+    st.lists(st.integers(0, 20), min_size=6, max_size=6),
+    st.lists(st.integers(0, 20), min_size=6, max_size=6),
+)
+@SETTINGS
+def test_psi_drift_nonnegative_and_symmetric(spark, ref_counts, cur_counts):
+    """PSI = Σ (p-q)·ln(p/q): every term is ≥ 0 (p-q and ln(p/q) share
+    sign), and the sum is invariant under swapping the two sides —
+    both must hold for ANY pair of histograms."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators import validation
+
+    def hist_df(counts):
+        total = sum(counts) or 1
+        rows = [("g", b, c, c / total) for b, c in enumerate(counts)]
+        return spark.createDataFrame(
+            rows, "event_type string, bin int, n long, frac double"
+        )
+
+    ref, cur = hist_df(ref_counts), hist_df(cur_counts)
+    fwd = validation.psi_drift(ref, cur).first()["psi"]
+    rev = validation.psi_drift(cur, ref).first()["psi"]
+    assert fwd >= 0.0
+    assert abs(fwd - rev) < 1e-12

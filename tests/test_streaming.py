@@ -1923,3 +1923,24 @@ def test_psi_drift_detects_shifted_distribution(spark):
         for a, b in zip(p, q)
     )
     assert abs(psi_shift - want) < 1e-9
+
+
+def test_incremental_ivf_compact_idempotent(spark, tmp_path):
+    """compact∘compact == compact: a second pass finds nothing to collapse
+    and probes are unchanged throughout."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.ann import IncrementalIvfIndex
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(60)
+    idx = IncrementalIvfIndex(spark, str(tmp_path / "ivf"), n_cells=4, n_assign=2)
+    idx.fit(e)
+    idx.ingest_batch(e)
+    idx.ingest_batch(e)  # replay
+    q = [float(x) for x in e.first()["embedding"]]
+    want = [(r["vec_id"], r["score"]) for r in idx.probe(q, k=8, nprobe=4).collect()]
+
+    idx.compact()
+    n1 = spark.read.parquet(str(tmp_path / "ivf")).count()
+    idx.compact()
+    n2 = spark.read.parquet(str(tmp_path / "ivf")).count()
+    assert n1 == n2 == 120  # 60 ids × n_assign 2
+    assert want == [(r["vec_id"], r["score"]) for r in idx.probe(q, k=8, nprobe=4).collect()]
