@@ -241,3 +241,53 @@ def fingerprint_portable(
         F.lit(0).cast("long"),
         lambda acc, t: (acc * F.lit(prime) + h(t)) % F.lit(mod),
     )
+
+
+def token_distribution(df, text_col: str = "text", top_n: int = 100):
+    """The corpus's token frequency profile as a comparable histogram:
+    (bin, frac) over the ``top_n`` most frequent whitespace tokens (count
+    desc, token asc tiebreak — deterministic) plus an ``<oov>`` bucket
+    folding everything else, with ``corpus`` as a constant group column so
+    the frame plugs straight into ``operators.validation.psi_drift``.
+
+    One explode + partial-aggregable count shuffle; the top-n pick is
+    TakeOrderedAndProject and every driver-side object is O(top_n).
+    """
+    from pyspark.sql import functions as F
+
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), "bin").limit(top_n).collect()
+    total = counts.agg(F.sum("n").alias("t")).first()["t"] or 1
+    top_total = sum(r["n"] for r in top)
+    rows = [("corpus", r["bin"], r["n"], r["n"] / total) for r in top]
+    rows.append(("corpus", "<oov>", total - top_total, (total - top_total) / total))
+    return df.sparkSession.createDataFrame(
+        rows, "corpus string, bin string, n long, frac double"
+    )
+
+
+def token_distribution_against(df, reference_dist, text_col: str = "text"):
+    """The live side of token drift: histogram ``df`` against the
+    REFERENCE's vocabulary (its bins are the only valid bins — unseen
+    tokens fold into ``<oov>``), so the two frames share edges and
+    ``psi_drift(reference_dist, this)`` is meaningful. The vocab rides a
+    broadcast-sized literal ``isin`` (≤ top_n tokens)."""
+    from pyspark.sql import functions as F
+
+    vocab = [r["bin"] for r in reference_dist.select("bin").collect() if r["bin"] != "<oov>"]
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    binned = toks.select(
+        F.when(F.col("tok").isin(vocab), F.col("tok")).otherwise("<oov>").alias("bin")
+    )
+    counts = binned.groupBy("bin").agg(F.count("*").alias("n"))
+    totals = counts.agg(F.sum("n").alias("t")).first()["t"] or 1
+    return counts.select(
+        F.lit("corpus").alias("corpus"),
+        "bin",
+        "n",
+        (F.col("n") / F.lit(float(totals))).alias("frac"),
+    )

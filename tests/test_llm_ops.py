@@ -774,3 +774,26 @@ def test_quantize_arrow_bit_identical_to_column_form(spark):
         ).collect()
     }
     assert col_form == arrow_form
+
+
+def test_token_psi_separates_stable_vs_rewritten_corpus(spark):
+    """Token-distribution PSI: two halves of the corpus are stable
+    (< 0.25); a vowel-rewritten copy (most tokens leave the reference
+    vocabulary, mass floods <oov>) reads as severe drift (> 1) — the
+    text twin of the value-drift monitor, sharing psi_drift. (The
+    synthetic documents share one vocabulary across lang labels, so
+    drift must be manufactured, not sampled.)"""
+    from pyspark.sql import functions as F
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm import textops
+    from simple_pos_kafka_pyspark_airflow_spark.operators import validation
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ref = textops.token_distribution(docs.where(F.col("doc_id") % 2 == 0), top_n=50)
+
+    same = textops.token_distribution_against(docs.where(F.col("doc_id") % 2 == 1), ref)
+    rewritten = docs.select(F.translate("text", "aeiou", "xyzwv").alias("text"))
+    cross = textops.token_distribution_against(rewritten, ref)
+    psi_same = validation.psi_drift(ref, same, group_col="corpus").first()["psi"]
+    psi_cross = validation.psi_drift(ref, cross, group_col="corpus").first()["psi"]
+    assert psi_same < 0.25 < 1.0 < psi_cross, (psi_same, psi_cross)
