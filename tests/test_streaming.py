@@ -1944,3 +1944,56 @@ def test_incremental_ivf_compact_idempotent(spark, tmp_path):
     n2 = spark.read.parquet(str(tmp_path / "ivf")).count()
     assert n1 == n2 == 120  # 60 ids × n_assign 2
     assert want == [(r["vec_id"], r["score"]) for r in idx.probe(q, k=8, nprobe=4).collect()]
+
+
+def test_ingest_corpus_batch_under_streaming_drain(spark, tmp_path):
+    """The composed front door under a real AvailableNow drain, one file
+    per micro-batch: later batches must dedup against EARLIER batches'
+    landed state through the persistent indexes."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import (
+        IncrementalMinhashIndex,
+        IncrementalSpanIndex,
+        ingest_corpus_batch,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    src = tmp_path / "docs"
+    src.mkdir()
+    b1 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    b2 = spark.createDataFrame(
+        [(10, base + " extratoken"), (11, "one two three four five six alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+
+    mh = IncrementalMinhashIndex(
+        spark, str(tmp_path / "mh"), num_hashes=16, bands=8, jaccard_threshold=0.8
+    )
+    sp = IncrementalSpanIndex(spark, str(tmp_path / "sp"), span_tokens=3, min_docs=2)
+    sink = str(tmp_path / "landed")
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, bid: ingest_corpus_batch(
+                batch, bid, mh, sp, min_quality=0.0, min_tokens=3
+            )
+            .write.mode("append")
+            .parquet(sink)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    landed = {r["doc_id"]: r["text"] for r in spark.read.parquet(sink).collect()}
+    assert 1 in landed and 10 not in landed  # cross-batch near-dup rejected
+    if 11 in landed:  # batch order is file order; doc 11 lands span-cleaned
+        assert "alpha beta gamma" not in landed[11]
+    assert set(landed) == {1, 11}
