@@ -233,3 +233,19 @@ def test_anomaly_zscore_broadcasts_group_moments(spark, sf_dir):
     shuffle join on event_type would funnel each group through one reducer."""
     plan = explain_str(build(spark, sf_dir, "q_anomaly_zscore"))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_simsearch_topk_zero_shuffle(spark, sf_dir):
+    """The exact-cosine baseline is one scan + TakeOrderedAndProject:
+    per-partition k-heaps merged on the driver, zero exchanges — any
+    shuffle here means the scorer or the top-k regressed."""
+    plan = explain_str(build(spark, sf_dir, "q_simsearch_topk"), mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_dedup_exact_single_digest_shuffle(spark, sf_dir):
+    """Exact dedup shuffles once, on the sha digest — never the text and
+    never twice (a second exchange would mean the dedup re-partitioned)."""
+    plan = explain_str(build(spark, sf_dir, "q_dedup_exact"), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
