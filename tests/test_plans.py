@@ -249,3 +249,15 @@ def test_dedup_exact_single_digest_shuffle(spark, sf_dir):
     never twice (a second exchange would mean the dedup re-partitioned)."""
     plan = explain_str(build(spark, sf_dir, "q_dedup_exact"), mode="simple")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_tfidf_single_broadcast_hint(spark, sf_dir):
+    """The round-2 scale flaw was a FORCED broadcast of the
+    vocabulary-sized document-frequency table. Exactly one broadcast hint
+    may exist in q_text_tfidf's logical plan — the 1-row n_docs scalar;
+    a second hint means the vocabulary broadcast crept back (the planner
+    may still broadcast small sides at tiny SFs on its own, which is fine
+    and not what this pins)."""
+    df = build(spark, sf_dir, "q_text_tfidf")
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1, analyzed
