@@ -207,3 +207,44 @@ def psi_drift(
     return joined.groupBy(group_col).agg(
         F.sum(term).alias("psi"), F.count("*").cast("int").alias("n_bins_compared")
     )
+
+
+def schema_drift(reference: DataFrame, current: DataFrame) -> dict[str, list[str]]:
+    """Structural drift between two frames: columns added, removed, or
+    type-changed relative to ``reference``. Pure metadata — no job runs —
+    so this gates every micro-batch for free (the reference pipeline's
+    implicit-pandas-columns equivalent of a CREATE TABLE contract)."""
+    ref = {f.name: f.dataType.simpleString() for f in reference.schema.fields}
+    cur = {f.name: f.dataType.simpleString() for f in current.schema.fields}
+    return {
+        "added": sorted(set(cur) - set(ref)),
+        "removed": sorted(set(ref) - set(cur)),
+        "type_changed": sorted(
+            f"{name}: {ref[name]} -> {cur[name]}"
+            for name in set(ref) & set(cur)
+            if ref[name] != cur[name]
+        ),
+    }
+
+
+def null_rate_drift(
+    reference: DataFrame, current: DataFrame, cols: list[str] | None = None
+) -> DataFrame:
+    """Per-column null-fraction comparison: (column, ref_rate, cur_rate,
+    delta). One single-pass aggregation per frame (every column's rate in
+    the same job — never a pass per column); the result is
+    n_columns-sized. A jump in a column's null rate is the classic
+    silent-upstream-change signal."""
+    cols = cols or [c for c in reference.columns if c in set(current.columns)]
+
+    def rates(df: DataFrame) -> dict[str, float]:
+        row = df.agg(
+            *[F.avg(F.col(c).isNull().cast("double")).alias(c) for c in cols]
+        ).first()
+        return {c: (float(row[c]) if row[c] is not None else 0.0) for c in cols}
+
+    r, c = rates(reference), rates(current)
+    rows = [(name, r[name], c[name], c[name] - r[name]) for name in cols]
+    return reference.sparkSession.createDataFrame(
+        rows, "column string, ref_rate double, cur_rate double, delta double"
+    )

@@ -1997,3 +1997,30 @@ def test_ingest_corpus_batch_under_streaming_drain(spark, tmp_path):
     if 11 in landed:  # batch order is file order; doc 11 lands span-cleaned
         assert "alpha beta gamma" not in landed[11]
     assert set(landed) == {1, 11}
+
+
+def test_schema_and_null_rate_drift(spark):
+    """Schema drift reports adds/removes/type changes without running a
+    job; null-rate drift flags the column whose null fraction jumped."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators import validation
+
+    ref = spark.createDataFrame(
+        [(1, "x", 1.0)], "id long, name string, score double"
+    )
+    from decimal import Decimal
+
+    cur = spark.createDataFrame(
+        [(1, Decimal("2.00"), "extra")], "id long, score decimal(10,2), note string"
+    )
+    drift = validation.schema_drift(ref, cur)
+    assert drift["added"] == ["note"]
+    assert drift["removed"] == ["name"]
+    assert drift["type_changed"] == ["score: double -> decimal(10,2)"]
+
+    ref2 = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c"), (4, "d")], "id long, v string")
+    cur2 = spark.createDataFrame(
+        [(1, None), (2, None), (3, None), (4, "d")], "id long, v string"
+    )
+    rates = {r["column"]: r for r in validation.null_rate_drift(ref2, cur2).collect()}
+    assert rates["v"]["ref_rate"] == 0.0 and rates["v"]["cur_rate"] == 0.75
+    assert abs(rates["v"]["delta"] - 0.75) < 1e-12 and rates["id"]["delta"] == 0.0
