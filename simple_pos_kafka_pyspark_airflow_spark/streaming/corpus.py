@@ -212,6 +212,54 @@ class IncrementalMinhashIndex:
             return
         overwrite_atomic(landed.dropDuplicates(["doc_id", "band"]), self.path)
 
+    @staticmethod
+    def _landed_matches(idx: DataFrame, landed: DataFrame) -> DataFrame:
+        """(doc_id, old_id, jaccard) for every (batch doc, landed doc)
+        candidate pair sharing a band bucket, with the exact shingle
+        Jaccard computed. Multi-band hits of the SAME pair collapse
+        first; every DISTINCT landed witness still gets verified —
+        keeping one arbitrary witness per new doc would miss dups whose
+        kept witness happens to fall below threshold."""
+        cand = (
+            idx.alias("new")
+            .join(landed.alias("old"), ["band", "bucket"])
+            .where(F.col("new.doc_id") != F.col("old.doc_id"))
+            .select(
+                F.col("new.doc_id").alias("doc_id"),
+                F.col("old.doc_id").alias("old_id"),
+                F.col("new.sh").alias("sh_new"),
+                F.col("old.sh").alias("sh_old"),
+            )
+            .dropDuplicates(["doc_id", "old_id"])
+        )
+        inter = F.size(F.array_intersect("sh_new", "sh_old"))
+        union = F.size("sh_new") + F.size("sh_old") - inter
+        return cand.select(
+            "doc_id", "old_id", (inter / F.greatest(union, F.lit(1))).alias("jaccard")
+        )
+
+    def probe(self, docs: DataFrame) -> DataFrame:
+        """READ-ONLY near-dup lookup: (doc_id, old_id, jaccard) for every
+        batch document matching a LANDED document at ≥ threshold — the
+        decontamination question ("is this already in the corpus?")
+        without mutating the index and without the within-batch pass.
+        Returns an empty frame when no index has been written. ``jaccard``
+        is rounded to 4 dp, matching ``near_dup_pairs_minhash``."""
+        landed = self._landed()
+        if landed is None:
+            id_type = docs.schema[self.id_col].dataType.simpleString()
+            return self.spark.createDataFrame(
+                [], f"doc_id {id_type}, old_id {id_type}, jaccard double"
+            )
+        idx = banded_index_rows(
+            docs, self.text_col, self.id_col, self.n_shingle, self.num_hashes, self.bands
+        )
+        return (
+            self._landed_matches(idx, landed)
+            .where(F.col("jaccard") >= self.threshold)
+            .select("doc_id", "old_id", F.round("jaccard", 4).alias("jaccard"))
+        )
+
     def dedup_batch(self, docs: DataFrame) -> DataFrame:
         """Return the batch rows that are NOT near-duplicates of landed or
         earlier-in-batch documents, and append their index rows.
@@ -243,26 +291,8 @@ class IncrementalMinhashIndex:
 
         landed = self._landed()
         if landed is not None:
-            cand = (
-                idx.alias("new")
-                .join(landed.alias("old"), ["band", "bucket"])
-                .where(F.col("new.doc_id") != F.col("old.doc_id"))
-                .select(
-                    F.col("new.doc_id").alias("doc_id"),
-                    F.col("old.doc_id").alias("old_id"),
-                    F.col("new.sh").alias("sh_new"),
-                    F.col("old.sh").alias("sh_old"),
-                )
-                # collapse multi-band hits of the SAME (new, old) pair; every
-                # distinct landed witness still gets verified — keeping one
-                # arbitrary witness per new doc would miss dups whose kept
-                # witness happens to fall below threshold
-                .dropDuplicates(["doc_id", "old_id"])
-            )
-            inter = F.size(F.array_intersect("sh_new", "sh_old"))
-            union = F.size("sh_new") + F.size("sh_old") - inter
             dup_ids = (
-                cand.withColumn("jaccard", inter / F.greatest(union, F.lit(1)))
+                self._landed_matches(idx, landed)
                 .where(jac_ok)
                 .select("doc_id")
                 .distinct()

@@ -2024,3 +2024,32 @@ def test_schema_and_null_rate_drift(spark):
     rates = {r["column"]: r for r in validation.null_rate_drift(ref2, cur2).collect()}
     assert rates["v"]["ref_rate"] == 0.0 and rates["v"]["cur_rate"] == 0.75
     assert abs(rates["v"]["delta"] - 0.75) < 1e-12 and rates["id"]["delta"] == 0.0
+
+
+def test_minhash_index_probe_is_read_only(spark, tmp_path):
+    """probe() answers the decontamination question against the landed
+    corpus — reports the near-dup pair with its exact Jaccard — without
+    appending index rows; empty-index probes return an empty frame."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import IncrementalMinhashIndex
+
+    base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet town square"
+    idx = IncrementalMinhashIndex(
+        spark, str(tmp_path / "mh"), num_hashes=16, bands=8, jaccard_threshold=0.8
+    )
+    b0 = spark.createDataFrame([(5, base)], "doc_id long, text string")
+    assert idx.probe(b0).collect() == []  # nothing landed yet
+
+    idx.dedup_batch(b0)
+    n_rows = spark.read.parquet(str(tmp_path / "mh")).count()
+
+    probe_docs = spark.createDataFrame(
+        [(9, base.replace("square", "plaza")), (10, "entirely different text about nothing")],
+        "doc_id long, text string",
+    )
+    hits = idx.probe(probe_docs).collect()
+    assert [(r["doc_id"], r["old_id"]) for r in hits] == [(9, 5)]
+    assert hits[0]["jaccard"] >= 0.8
+    assert spark.read.parquet(str(tmp_path / "mh")).count() == n_rows  # unchanged
+
+    # the probe did not affect later ingest decisions
+    assert idx.dedup_batch(probe_docs).select("doc_id").collect()[0]["doc_id"] == 10
