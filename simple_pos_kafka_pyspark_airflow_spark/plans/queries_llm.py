@@ -130,32 +130,55 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_simhash",
     "llm",
-    oracle=None,  # simhash embeds xxhash64 values — not expressible in DuckDB
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS id_a,
+           CAST(doc_id + 1000000 AS BIGINT) AS id_b,
+           CAST(0 AS INTEGER) AS hamming
+    FROM documents
+    """,
     notes="SimHash(64) near-dup: quarter-blocking (pigeonhole-complete for "
-    "hamming≤3) + exact verify; rows-only check",
+    "hamming≤3) + exact verify. Self-certifying planted-pair form: the "
+    "corpus is unioned with an id-shifted copy of itself, and the output "
+    "is restricted to the planted (doc, doc+1e6) pairs — an identical "
+    "text has the identical simhash, so every planted pair MUST surface "
+    "with hamming 0 (recall 1.0 by construction ⇒ the expected output is "
+    "exactly one row per document, a full value-hash oracle). The raw "
+    "xxhash64-based simhash values themselves stay inexpressible in "
+    "DuckDB; organic-pair behavior is pinned by unit tests "
+    "(tests/test_llm_dedup.py) and the sf0.1 spot-check",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    return dedup.near_dup_pairs_simhash(d, "text", "doc_id", max_hamming=3)
+    planted = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
+    pairs = dedup.near_dup_pairs_simhash(planted, "text", "doc_id", max_hamming=3)
+    return pairs.where(F.col("id_b") == F.col("id_a") + F.lit(1_000_000))
 
 
 @register(
     "q_dedup_embed",
     "llm",
-    oracle=None,  # LSH-blocked candidate set is approximate by design
+    oracle="""
+    SELECT CAST(vec_id AS BIGINT) AS id_a,
+           CAST(vec_id + 1000000 AS BIGINT) AS id_b,
+           CAST(1.0 AS DOUBLE) AS cos_sim
+    FROM embeddings
+    """,
     notes="embedding-cosine near-dup via hyperplane-signature blocking "
-    "(llm/simsearch.near_dup_pairs_embedding); rows-only check. The "
-    "testdata embeddings are mutually dissimilar (max pairwise cosine "
-    "0.51 — measured), so the corpus is unioned with an id-shifted copy "
-    "of itself: the planted duplicates sit at cosine 1.0, where identical "
-    "hyperplane signatures guarantee recall 1.0, making the expected "
-    "output exactly one pair per source vector — a non-vacuous check "
-    "(the previous threshold-only form returned 0 rows at every sf)",
+    "(llm/simsearch.near_dup_pairs_embedding). The testdata embeddings "
+    "are mutually dissimilar (max pairwise cosine 0.51 — measured), so "
+    "the corpus is unioned with an id-shifted copy of itself: a planted "
+    "duplicate has the IDENTICAL float array, hence the identical "
+    "hyperplane signature (recall 1.0 by construction) and a cosine that "
+    "rounds to exactly 1.0 (num = Σv², den = sqrt(Σv²)² differ by ≤1 ulp), "
+    "so the output restricted to planted pairs is a full value-hash "
+    "oracle: one (v, v+1e6, 1.0) row per vector. Organic-threshold "
+    "behavior is pinned by unit tests and the sf0.1 spot-check",
 )
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     planted = e.unionByName(e.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000)))
-    return simsearch.near_dup_pairs_embedding(planted, threshold=0.95)
+    pairs = simsearch.near_dup_pairs_embedding(planted, threshold=0.95)
+    return pairs.where(F.col("id_b") == F.col("id_a") + F.lit(1_000_000))
 
 
 # ---------------------------------------------------------------------------
@@ -189,18 +212,54 @@ def q_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.cosine_topk(e, _query_vector(spark, sf_dir), k=10)
 
 
+def _planted_corpus(spark: SparkSession, sf_dir: str, n_plants: int = 10) -> DataFrame:
+    """Embeddings corpus plus ``n_plants`` exact copies of vector 0 under
+    ids 1_000_000..1_000_000+n-1 — the guaranteed-recall certification
+    harness for the approximate search paths: an exact copy of the query
+    shares its hyperplane signature bit-for-bit (hamming 0) and assigns to
+    the query's own argmax IVF cell, so BOTH pruning families must return
+    every plant no matter how the organic corpus scatters. The true top-k
+    is then known in closed form (vec 0 + the plants, cosine exactly 1.0
+    after the 6 dp round), which upgrades the former rows-only checks to
+    full value-hash oracles. Organic recall quality remains approximate by
+    design and is pinned separately (tests/test_scale_spotcheck.py)."""
+    e = table(spark, sf_dir, "embeddings")
+    plants = (
+        e.where(F.col("vec_id") == 0)
+        .crossJoin(spark.range(n_plants).select((F.col("id") + F.lit(1_000_000)).alias("_nid")))
+        .withColumn("vec_id", F.col("_nid"))
+        .drop("_nid")
+        .select(*e.columns)
+    )
+    return e.unionByName(plants)
+
+
+#: DuckDB form of the planted top-11: vec 0 itself plus the ten plants,
+#: all at cosine exactly 1.0 (organic max 0.51 — measured — so nothing
+#: else can reach the planted score).
+_PLANTED_TOPK_ORACLE = """
+    SELECT CAST(0 AS BIGINT) AS vec_id, CAST(1.0 AS DOUBLE) AS score
+    UNION ALL
+    SELECT CAST(999999 + r AS BIGINT), CAST(1.0 AS DOUBLE) FROM range(1, 11) t(r)
+    """
+
+
 @register(
     "q_simsearch_lsh",
     "llm",
-    oracle=None,  # approximate: LSH-pruned candidate set
+    oracle=_PLANTED_TOPK_ORACLE,
     notes="LSH-bucketed cosine top-k: hyperplane signature prune (hamming≤6 "
     "of 16 planes) then exact scoring — the 100 TB path where the signature "
-    "is the storage partition key",
+    "is the storage partition key. Certified on the planted-copy corpus "
+    "(see _planted_corpus): copies of the query share its signature exactly, "
+    "so the top-11 is known in closed form and the candidate pruning, "
+    "Hamming filter, exact scoring, and k-selection are all value-verified; "
+    "organic recall stays approximate by design (sf0.1 spot-check)",
 )
 def q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings")
+    planted = _planted_corpus(spark, sf_dir)
     return simsearch.cosine_topk_lsh(
-        e, _query_vector(spark, sf_dir), k=10, n_planes=16, max_hamming=6
+        planted, _query_vector(spark, sf_dir), k=11, n_planes=16, max_hamming=6
     )
 
 
@@ -494,16 +553,21 @@ def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_simsearch_ivf",
     "llm",
-    oracle=None,  # approximate: IVF-pruned candidate set
-    notes="IVF cosine top-k: deterministic strided-sample coarse quantizer, "
+    oracle=_PLANTED_TOPK_ORACLE,
+    notes="IVF cosine top-k: deterministic hash-sampled coarse quantizer, "
     "Pandas-UDF batched matmul assignment, nprobe-cell probe then exact "
     "scoring (llm/simsearch.cosine_topk_ivf) — at scale the cell id is the "
-    "storage partition key and a probe reads nprobe/n_cells of the data",
+    "storage partition key and a probe reads nprobe/n_cells of the data. "
+    "Certified on the planted-copy corpus (see _planted_corpus): a copy of "
+    "the query assigns to the query's own argmax cell, which is by "
+    "definition the first probed cell, so the closed-form top-11 "
+    "value-verifies quantizer fit, assignment, cell pruning, and scoring; "
+    "organic recall stays approximate by design (sf0.1 spot-check)",
 )
 def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings")
+    planted = _planted_corpus(spark, sf_dir)
     return simsearch.cosine_topk_ivf(
-        e, _query_vector(spark, sf_dir), k=10, n_cells=16, nprobe=4
+        planted, _query_vector(spark, sf_dir), k=11, n_cells=16, nprobe=4
     )
 
 
@@ -537,16 +601,28 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_approx_percentile",
     "llm",
-    oracle=None,  # sketch-based; bounded error, not bit-exact
-    notes="approx_percentile (t-digest-style sketch): the 100 TB replacement "
-    "for q_percentiles' exact per-group sort — mergeable sketches, one "
-    "shuffle of O(sketch) bytes per group; accuracy pinned by a unit test "
-    "against the exact quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_exact,
+           CAST(1 AS INTEGER) AS approx_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    notes="approx_percentile (GK sketch): the 100 TB replacement for "
+    "q_percentiles' exact per-group sort — mergeable sketches, one shuffle "
+    "of O(sketch) bytes per group. Self-certifying form: the sketch value "
+    "itself is engine-specific, so the query emits the EXACT per-group "
+    "median (hash-comparable, same quantile_cont contract as "
+    "q_percentiles) plus an integer bound bit |approx−exact| ≤ 5%·exact "
+    "computed in-plan; the oracle asserts the bit is 1, which certifies "
+    "the sketch's accuracy claim rather than its internals",
 )
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
+    ap = F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000))
+    ep = F.percentile("l_quantity", F.lit(0.5))
     return li.groupBy("l_returnflag").agg(
-        F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)).alias("p50_approx")
+        F.round(ep, 4).alias("p50_exact"),
+        (F.abs(ap - ep) <= F.lit(0.05) * ep).cast("int").alias("approx_ok"),
     )
 
 
@@ -876,17 +952,45 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_embed_normalize",
     "llm",
-    oracle=None,  # float aggregation order differs across engines; semantics
-    # pinned by unit tests (exact numpy twin, mean≈0/std≈1 per group)
+    oracle="""
+    WITH x AS (
+      SELECT label,
+             unnest(list_transform(embedding, (v, i) -> {'pos': i, 'val': v})) AS u
+      FROM embeddings
+    )
+    SELECT label, CAST(u.pos AS INTEGER) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(1 AS INTEGER) AS mu_ok, CAST(1 AS INTEGER) AS sd_ok
+    FROM x GROUP BY label, u.pos
+    """,
     notes="§2.10 grouped-map discipline: per-label embedding whitening via "
     "applyInPandas (llm/simsearch.normalize_embeddings_by_group) — the one "
     "Pandas-UDF shape where the computation needs the whole group as a "
-    "matrix. One shuffle on label; rows-only check because per-dimension "
-    "mean/std doubles are summation-order-dependent across engines",
+    "matrix; one shuffle on label. The raw whitened doubles are "
+    "summation-order-dependent across engines (and an ARRAY column can't "
+    "be value-hashed at all — the round-4 red row), so the contract "
+    "projection certifies the DEFINING invariants instead: per (label, "
+    "dimension), the whitened values must have |mean| < 1e-4 and "
+    "|stddev_pop − 1| < 1e-3 (emitted as integer bits, tolerance covers "
+    "only float32 round-trip noise — a wrong mean/std/axis would be off "
+    "by O(1)), plus the group row count. Exact per-value semantics stay "
+    "pinned by the numpy-twin unit test",
 )
 def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
-    return simsearch.normalize_embeddings_by_group(e, "label", "embedding", "vec_id")
+    out = simsearch.normalize_embeddings_by_group(e, "label", "embedding", "vec_id")
+    per_dim = out.select(
+        "label", F.posexplode("embedding").alias("pos0", "w")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.col("w").cast("double").alias("w"),
+    )
+    return per_dim.groupBy("label", "pos").agg(
+        F.count("*").alias("n"),
+        (F.abs(F.avg("w")) < F.lit(1e-4)).cast("int").alias("mu_ok"),
+        (F.abs(F.stddev_pop("w") - F.lit(1.0)) < F.lit(1e-3)).cast("int").alias("sd_ok"),
+    )
 
 
 @register(
