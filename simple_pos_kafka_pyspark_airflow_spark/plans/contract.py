@@ -78,44 +78,41 @@ def load_registry() -> dict[str, ContractQuery]:
     return dict(_REGISTRY)
 
 
-#: Queries with a green driver row in CORRECTNESS_r02.json.  The driver
-#: oracle-checks only the FIRST 50 queries in ``queries()`` order, so these
-#: are rotated to the back of the driver-facing ordering: the round-3 window
-#: then certifies the never-driver-checked set (all LLM-pipeline queries,
-#: all 22 TPC-H shapes, and the leading uncovered analytics queries).  The
-#: rotated-out queries stay covered by tests/test_contract.py, which runs
-#: the full registry against the DuckDB oracle with the same compare.
-_DRIVER_CERTIFIED_R02 = frozenset(
-    {
-        "q_scan_parquet", "q_project", "q_cast", "q_ts_parse", "q_derive_arith",
-        "q_case_tiers", "q_coalesce", "q_filter_eq", "q_filter_neq",
-        "q_filter_date", "q_filter_isin", "q_date_format", "q_substring_decode",
-        "q_concat", "q_json_roundtrip", "q_clamp", "q_agg_sum", "q_agg_count",
-        "q_agg_global", "q_distinct", "q_dropna", "q_agg_max_seq", "q_rollup",
-        "q_approx_distinct", "q_sort", "q_topk", "q_union_all", "q_except",
-        "q_intersect", "q_window_rank", "q_window_running", "q_window_lag",
-        "q_join_left_anti", "q_join_left", "q_join_semi", "q_join_inner",
-        "q_join_broadcast", "q_filter_theta", "q_stock_decrement",
-        "q_join_theta", "q_upsert_semantics", "q_scan_csv", "q_sink_append",
-        "q_interval_join", "q_scan_orc", "q_scan_jsonl", "q_window_ntile",
-        "q_window_dense", "q_window_firstlast", "q_window_range",
-    }
-)
+#: Certification ledger: ``{"synced_through": N, "queries": {name:
+#: {"round": N, "sha": <oracle sha>}}}``.  An entry means "the driver
+#: value-verified this query in round N, against an oracle whose text
+#: hashed to ``sha``".  The sha makes oracle edits self-decertifying: if
+#: the current oracle text no longer hashes to the recorded value, the
+#: certification is void and the query rotates back into the driver's
+#: verification window (see ``certification_state``).
+_CERT_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "certified_oracles.json")
 
 
-def _certified_from_disk() -> frozenset[str]:
-    """Queries with a green (or clean rows-only) row in ANY recorded
-    CORRECTNESS_r*.json at the repo root. Reading the driver's own records
-    makes the window rotation self-maintaining: when round N's results
-    land, round N+1's ordering automatically pushes the newly-certified
-    queries to the back and pulls never-checked ones into the window —
-    no code edit per round."""
+def _oracle_sha(oracle: str | None) -> str:
+    """Stable fingerprint of a query's oracle text (rows-only queries get a
+    sentinel so gaining an oracle later also decertifies)."""
+    import hashlib
+
+    text = oracle if oracle is not None else "<rows-only>"
+    return hashlib.sha256(text.encode()).hexdigest()[:16]
+
+
+def _green_rows_from_disk() -> dict[str, list[int]]:
+    """name -> sorted rounds with a nonvacuous green (or clean rows-only)
+    row in the repo-root ``CORRECTNESS_r*.json`` artifacts.  0-row passes
+    don't certify anything (round 1 recorded vacuous greens for queries
+    that were later rewritten)."""
     import glob
     import json
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    names: set[str] = set()
+    rounds: dict[str, set[int]] = {}
     for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(p) as f:
                 data = json.load(f)
@@ -128,64 +125,167 @@ def _certified_from_disk() -> frozenset[str]:
             if nonvacuous and (
                 row.get("hash_match") is True or row.get("err") == "no_oracle"
             ):
-                # 0-row passes don't certify anything (round 1 recorded
-                # vacuous greens for queries that were later rewritten)
-                names.add(q)
-    return frozenset(names)
+                rounds.setdefault(q, set()).add(rnd)
+    return {q: sorted(rs) for q, rs in rounds.items()}
+
+
+def _load_cert_file() -> dict:
+    import json
+
+    try:
+        with open(_CERT_FILE) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return {"synced_through": 0, "queries": {}}
+    if not isinstance(data, dict) or not isinstance(data.get("queries"), dict):
+        return {"synced_through": 0, "queries": {}}
+    data.setdefault("synced_through", 0)
+    return data
+
+
+def sync_certifications(reg: dict[str, ContractQuery] | None = None) -> int:
+    """Fold new driver results into the certification ledger.
+
+    Processes only CORRECTNESS rounds strictly newer than the ledger's
+    ``synced_through`` watermark: each green row from a new round
+    (re-)certifies its query at that round with the CURRENT oracle sha.
+    The watermark is what makes this safe to run automatically — rows the
+    ledger already judged (e.g. greens recorded against a since-rewritten
+    oracle, deliberately left uncertified) are never reinterpreted against
+    today's oracle text.  The residual race (oracle edited between the
+    driver run and the first sync) is self-healing: a wrongly-recorded
+    certification still rotates back into the window oldest-first and gets
+    re-verified within a few rounds.
+
+    Returns the number of ledger entries added/updated; best-effort writes
+    (a read-only checkout just skips persisting).
+    """
+    import json
+
+    reg = reg if reg is not None else load_registry()
+    ledger = _load_cert_file()
+    watermark = int(ledger.get("synced_through", 0))
+    green = _green_rows_from_disk()
+    max_round = watermark
+    changed = 0
+    for name, rounds in green.items():
+        new_rounds = [r for r in rounds if r > watermark]
+        if not new_rounds or name not in reg:
+            max_round = max(max_round, *(rounds or [0]))
+            continue
+        rnd = max(new_rounds)
+        max_round = max(max_round, rnd)
+        entry = ledger["queries"].get(name)
+        sha = _oracle_sha(reg[name].oracle)
+        if entry is None or entry.get("round") != rnd or entry.get("sha") != sha:
+            ledger["queries"][name] = {"round": rnd, "sha": sha}
+            changed += 1
+    # prune ledger entries for queries that no longer exist
+    for stale in [n for n in ledger["queries"] if n not in reg]:
+        del ledger["queries"][stale]
+        changed += 1
+    if changed or max_round > watermark:
+        ledger["synced_through"] = max_round
+        try:
+            with open(_CERT_FILE, "w") as f:
+                json.dump(
+                    {
+                        "synced_through": ledger["synced_through"],
+                        "queries": {k: ledger["queries"][k] for k in sorted(ledger["queries"])},
+                    },
+                    f,
+                    indent=1,
+                )
+                f.write("\n")
+        except OSError:
+            pass
+    return changed
+
+
+def certification_state(reg: dict[str, ContractQuery] | None = None) -> dict[str, int]:
+    """name -> round of the standing certification, for queries whose
+    ledger sha still matches the current oracle text.  An oracle rewrite
+    (sha mismatch) voids the certification — the query re-enters the
+    driver window and only a NEW green row (via ``sync_certifications``)
+    re-certifies it."""
+    reg = reg if reg is not None else load_registry()
+    ledger = _load_cert_file()
+    out: dict[str, int] = {}
+    for name, entry in ledger["queries"].items():
+        cq = reg.get(name)
+        if cq is None or not isinstance(entry, dict):
+            continue
+        if entry.get("sha") == _oracle_sha(cq.oracle):
+            out[name] = int(entry.get("round", 0))
+    return out
 
 
 def driver_ordered_registry() -> dict[str, ContractQuery]:
     """Registry ordered for the driver's 50-query verification window.
 
-    The ordering depends on repo-root ``CORRECTNESS_r*.json`` artifacts
-    read at call time — deliberate (it makes the window rotation
-    self-maintaining across rounds) but a hidden input, so it is made
-    visible and escapable: a log line reports how many queries the disk
-    records rotated behind the window, and ``SPARK_GRAFT_STABLE_ORDER=1``
-    disables the disk-derived component entirely (pure registration
-    order), for deployments that need a reproducible ``queries()``
-    ordering independent of checkout state.
+    The ordering depends on the certification ledger (itself synced from
+    repo-root ``CORRECTNESS_r*.json`` artifacts) read at call time —
+    deliberate (it makes the window rotation self-maintaining across
+    rounds) but a hidden input, so it is made visible and escapable: a log
+    line reports how many queries the ledger rotated behind the window,
+    and ``SPARK_GRAFT_STABLE_ORDER=1`` disables the disk-derived component
+    entirely (pure registration order), for deployments that need a
+    reproducible ``queries()`` ordering independent of checkout state.
 
-    Priority groups (stable registration order within each):
-      0. ORACLE-checked LLM-pipeline queries (dedup ladder, simsearch, text
-         ops, multimodal), plus the two rows-only dedup queries that failed
-         in round 1 (``q_dedup_simhash``/``q_dedup_embed``) whose fixes have
-         never been driver-confirmed;
-      1. the 22 TPC-H shapes;
-      2. remaining never-driver-checked queries — analytics breadth first
-         (oracle-checked), then the rows-only LLM queries (a rows-only
-         driver row only proves "ran clean", so they yield window slots to
-         value-verified queries);
-      3. queries already certified green in round 2 (kept last; still run by
-         the local full-registry mirror).
+    Priority groups:
+      0. uncertified oracle-checked LLM-pipeline queries (dedup ladder,
+         simsearch, text ops, multimodal) — includes any query whose
+         oracle was rewritten since its last green row (sha-decertified);
+      1. uncertified TPC-H shapes;
+      2. remaining uncertified queries — oracle-checked analytics breadth
+         first, then rows-only queries (a rows-only driver row only proves
+         "ran clean", so they yield window slots to value-verified ones);
+      3. certified queries, OLDEST certification first — so the driver
+         perpetually re-verifies the stalest rows instead of converging to
+         a fixed order once everything is green.  Registration order
+         breaks ties within every group.
     """
     reg = load_registry()
     index = {name: i for i, name in enumerate(reg)}
     if os.environ.get("SPARK_GRAFT_STABLE_ORDER") == "1":
         return reg
-    from_disk = _certified_from_disk()
-    certified = _DRIVER_CERTIFIED_R02 | from_disk
-    if from_disk - _DRIVER_CERTIFIED_R02:
+    sync_certifications(reg)
+    certified = certification_state(reg)
+    if certified:
         import logging
 
         logging.getLogger(__name__).info(
-            "driver_ordered_registry: CORRECTNESS_r*.json records rotate %d "
+            "driver_ordered_registry: certification ledger rotates %d "
             "certified queries behind the verification window "
             "(SPARK_GRAFT_STABLE_ORDER=1 disables)",
-            len((from_disk - _DRIVER_CERTIFIED_R02) & set(reg)),
+            len(set(certified) & set(reg)),
         )
-    _ROWS_ONLY_PRIORITY = frozenset({"q_dedup_simhash", "q_dedup_embed"}) - certified
 
     def group(name: str, cq: ContractQuery) -> int:
         if name in certified:
             return 3
         if cq.build.__module__.endswith("queries_llm"):
-            if cq.oracle is not None or name in _ROWS_ONLY_PRIORITY:
-                return 0
-            return 2
+            return 0 if cq.oracle is not None else 2
         if name.startswith("q_tpch_"):
             return 1
         return 2
 
-    ordered = sorted(reg.items(), key=lambda kv: (group(*kv), index[kv[0]]))
+    def key(kv: tuple[str, ContractQuery]) -> tuple[int, int, int]:
+        name, cq = kv
+        g = group(name, cq)
+        staleness = certified.get(name, 0) if g == 3 else 0
+        return (g, staleness, index[name])
+
+    ordered = sorted(reg.items(), key=key)
     return dict(ordered)
+
+
+if __name__ == "__main__":  # pragma: no cover - maintenance CLI
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "sync":
+        n = sync_certifications()
+        state = certification_state()
+        print(f"synced: {n} ledger entries updated; {len(state)} queries certified")
+    else:
+        print("usage: python -m simple_pos_kafka_pyspark_airflow_spark.plans.contract sync")

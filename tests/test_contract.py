@@ -94,6 +94,86 @@ def test_stable_order_env_disables_disk_derived_rotation(monkeypatch):
     assert list(driver_ordered_registry()) != list(REGISTRY)
 
 
+def test_certified_rotate_oldest_first():
+    """Once every query is certified, the rotation must NOT converge to a
+    fixed order: certified queries are ordered oldest-certification-first,
+    so the driver's 50-query window perpetually re-verifies the stalest
+    rows (round 5's window had converged to registration order and could
+    never surface anything again)."""
+    from simple_pos_kafka_pyspark_airflow_spark.plans.contract import (
+        certification_state,
+        driver_ordered_registry,
+    )
+
+    certified = certification_state(REGISTRY)
+    ordered = list(driver_ordered_registry())
+    rounds = [certified[n] for n in ordered if n in certified]
+    assert rounds == sorted(rounds), "certified queries not oldest-first"
+
+
+def test_oracle_rewrite_decertifies(tmp_path, monkeypatch):
+    """An oracle-text edit must void the standing certification (the green
+    row on disk was earned by the OLD oracle) so the query re-enters the
+    driver window.  Round 5's rewrites rode stale certifications and were
+    never driver-run — the sha in the ledger prevents a recurrence."""
+    import json
+
+    from simple_pos_kafka_pyspark_airflow_spark.plans import contract
+
+    ledger = {
+        "synced_through": 5,
+        "queries": {
+            "q_agg_sum": {"round": 5, "sha": "0" * 16},  # wrong sha = rewritten oracle
+            "q_agg_count": {
+                "round": 4,
+                "sha": contract._oracle_sha(REGISTRY["q_agg_count"].oracle),
+            },
+        },
+    }
+    p = tmp_path / "certified_oracles.json"
+    p.write_text(json.dumps(ledger))
+    monkeypatch.setattr(contract, "_CERT_FILE", str(p))
+    state = contract.certification_state(REGISTRY)
+    assert "q_agg_sum" not in state, "sha mismatch must decertify"
+    assert state.get("q_agg_count") == 4
+
+
+def test_sync_respects_watermark(tmp_path, monkeypatch):
+    """``sync_certifications`` must only interpret CORRECTNESS rounds newer
+    than the ledger watermark — old green rows (possibly earned by a
+    since-rewritten oracle) are never re-read against today's oracle."""
+    import json
+
+    from simple_pos_kafka_pyspark_airflow_spark.plans import contract
+
+    p = tmp_path / "certified_oracles.json"
+    p.write_text(json.dumps({"synced_through": 99, "queries": {}}))
+    monkeypatch.setattr(contract, "_CERT_FILE", str(p))
+    changed = contract.sync_certifications(REGISTRY)
+    assert changed == 0
+    assert json.loads(p.read_text())["queries"] == {}
+
+
+def test_ledger_shas_match_current_oracles():
+    """Every standing ledger entry's sha must match the current oracle
+    text.  A red run here means an oracle was rewritten without
+    decertifying — delete the entry (or run the sync CLI after the next
+    driver round) so the new oracle gets driver-verified."""
+    import json
+
+    from simple_pos_kafka_pyspark_airflow_spark.plans import contract
+
+    with open(contract._CERT_FILE) as f:
+        ledger = json.load(f)
+    stale = {
+        name: entry
+        for name, entry in ledger["queries"].items()
+        if name in REGISTRY
+        and entry["sha"] != contract._oracle_sha(REGISTRY[name].oracle)
+    }
+    assert stale == {}, f"rewritten oracles still certified: {sorted(stale)}"
+
+
 def test_bench_headline_names_resolve():
     """bench.py silently skips unknown names (names = [n for n in HEADLINE
     if n in registry]) — a renamed query would vanish from BENCH_r{N}
