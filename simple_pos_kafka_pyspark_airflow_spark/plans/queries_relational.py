@@ -469,13 +469,35 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_approx_distinct",
     "agg",
-    oracle=None,  # approximate result — rows-only check (SURVEY §2.5 note)
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
+           CAST(1 AS INTEGER) AS approx_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
     notes="extension: approx_count_distinct (HyperLogLog++) — the 100 TB substitute "
-    "for exact COUNT(DISTINCT); rows-only because the estimate is engine-specific",
+    "for exact COUNT(DISTINCT): mergeable O(registers) sketch per group vs an "
+    "exact distinct's full shuffle of the key column. Self-certifying form "
+    "(same pattern as q_approx_percentile): the HLL estimate is "
+    "engine-specific, so the query emits the EXACT per-group distinct count "
+    "(hash-comparable) plus an in-plan bound bit |approx−exact| ≤ 2%·exact "
+    "at rsd=0.01; the oracle asserts the bit is 1, certifying the sketch's "
+    "accuracy claim rather than its internals. HLL is hash-deterministic, so "
+    "the bit is stable run-to-run",
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    return li.agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+    exact = F.count_distinct("l_partkey")
+    approx = F.approx_count_distinct("l_partkey", rsd=0.01)
+    return li.groupBy("l_returnflag").agg(
+        exact.alias("n_parts_exact"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= F.lit(0.02) * exact.cast("double")
+        )
+        .cast("int")
+        .alias("approx_ok"),
+    )
 
 
 # ---------------------------------------------------------------------------
