@@ -140,6 +140,20 @@ class IncrementalIvfIndex:
         assignment nor, worse, bootstrap the quantizer from nothing."""
         if df.isEmpty():
             return
+        if fs_dir_has_data(self.spark, self.path):
+            stored_quantized = "q_codes" in self.spark.read.parquet(self.path).columns
+            if stored_quantized != self.store_quantized:
+                # Appending the other layout would not fail loudly: probes
+                # auto-detect the layout from the schema, so the minority
+                # layout's rows read as nulls and silently vanish from
+                # results. Refuse at ingest instead.
+                raise ValueError(
+                    f"index at {self.path} stores "
+                    f"{'quantized (q_scale, q_codes)' if stored_quantized else f'float {self.vec_col!r}'} "
+                    f"rows but this writer has store_quantized={self.store_quantized}; "
+                    "reopen with the matching flag (or compact() to a new path) — "
+                    "mixing layouts makes one layout's vectors invisible to probes"
+                )
         cents = self._centroids()
         if cents is None:
             cents = self.fit(df)

@@ -1723,6 +1723,82 @@ def test_incremental_ivf_quantized_index_shrinks_and_rescore_exact(spark, tmp_pa
     assert rescored == exact
 
 
+def test_incremental_ivf_rejects_layout_mixing(spark, tmp_path):
+    """Reopening a quantized index with the default (float) flag — or vice
+    versa — must raise at ingest, not append the other layout: probes
+    auto-detect the layout from the stored schema, so a minority layout's
+    rows read as nulls and silently vanish from results."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.ann import IncrementalIvfIndex
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(40)
+    path = str(tmp_path / "ivf")
+    qidx = IncrementalIvfIndex(spark, path, n_cells=4, store_quantized=True)
+    qidx.fit(e)
+    qidx.ingest_batch(e)
+    n_before = spark.read.parquet(path).count()
+
+    # reopen with the default flag (the silent-mixing bug scenario)
+    fidx = IncrementalIvfIndex(spark, path, n_cells=4)
+    with pytest.raises(ValueError, match="store_quantized"):
+        fidx.ingest_batch(e)
+    assert spark.read.parquet(path).count() == n_before  # nothing appended
+
+    # and the mirror direction: float index, quantized writer
+    fpath = str(tmp_path / "ivf_f")
+    f2 = IncrementalIvfIndex(spark, fpath, n_cells=4)
+    f2.fit(e)
+    f2.ingest_batch(e)
+    q2 = IncrementalIvfIndex(spark, fpath, n_cells=4, store_quantized=True)
+    with pytest.raises(ValueError, match="store_quantized"):
+        q2.ingest_batch(e)
+
+    # the matching flag still appends fine
+    qidx.ingest_batch(e)
+    assert spark.read.parquet(path).count() == 2 * n_before
+
+
+def test_incremental_ivf_compact_crash_between_staging_and_swap(spark, tmp_path):
+    """A compact() that dies after writing the staging copy but before the
+    snapshot swap must leave the live index untouched (probes read the old
+    rows) and a re-run must converge — the same crash contract the minhash
+    index's compact carries."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming import ann as ann_mod
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.ann import IncrementalIvfIndex
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(60)
+    path = str(tmp_path / "ivf")
+    idx = IncrementalIvfIndex(spark, path, n_cells=4, n_assign=2)
+    idx.fit(e)
+    idx.ingest_batch(e)
+    idx.ingest_batch(e)  # replay-duplicated rows for compact to collapse
+    q = [float(x) for x in e.first()["embedding"]]
+    want = [(r["vec_id"], r["score"]) for r in idx.probe(q, k=8, nprobe=4).collect()]
+    n_dup = spark.read.parquet(path).count()
+
+    real_swap = ann_mod.fs_swap_in
+
+    def crash_swap(spark_, staging, dest):
+        raise RuntimeError("injected crash before swap")
+
+    ann_mod.fs_swap_in = crash_swap
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            idx.compact()
+        # live index untouched: still the duplicated rows, same probe answer
+        assert spark.read.parquet(path).count() == n_dup
+        assert want == [
+            (r["vec_id"], r["score"]) for r in idx.probe(q, k=8, nprobe=4).collect()
+        ]
+    finally:
+        ann_mod.fs_swap_in = real_swap
+
+    idx.compact()  # re-run converges over the leftover staging dir
+    assert spark.read.parquet(path).count() == 120  # 60 ids × n_assign 2
+    assert want == [
+        (r["vec_id"], r["score"]) for r in idx.probe(q, k=8, nprobe=4).collect()
+    ]
+
+
 def test_anomaly_gate_stream_matches_batch_query(spark, tmp_path):
     """The streaming data-quality monitor shape: moments computed batch-side,
     the z-score gate applied to a live stream as a stateless stream-static
