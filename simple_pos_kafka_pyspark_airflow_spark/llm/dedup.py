@@ -566,6 +566,7 @@ def exact_ngram_collisions(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 5,
+    max_gram_docs: int | None = 1000,
 ) -> DataFrame:
     """Exact word-n-gram collision decontamination: for each ``corpus``
     document, how many DISTINCT ``probe`` documents share at least one
@@ -585,9 +586,20 @@ def exact_ngram_collisions(
     ``xxhash64(gram)`` (8 bytes vs ~n·6-byte strings — same result modulo
     a ~2⁻⁶⁴ collision) and broadcast the probe side outright when it is an
     eval set (thousands of docs): the corpus side then never shuffles at
-    all. Stopword-only grams ('of the … in a') hit everything and make
-    hot keys; raise ``n`` or pre-drop grams whose corpus frequency exceeds
-    a cap (``textops.ngram_occurrence_counts`` gives the frequencies).
+    all.
+
+    Hot-gram guard (``max_gram_docs``, default-on): stopword-only grams
+    ('of the … in a') occur in a huge fraction of any natural corpus, and
+    a gram shared by K corpus docs and M probe docs materializes K·M join
+    rows in ONE key's task — the skewed-shuffle straggler at 100 TB.
+    Grams present in more than ``max_gram_docs`` DISTINCT corpus docs are
+    dropped from BOTH sides before the join (the minhash ``max_bucket``
+    discipline: a map-side-combined count per gram, then an equi-join
+    filter), bounding any key's fan-out to ``max_gram_docs · M``. Such
+    grams are boilerplate, not leak evidence — the published exact-overlap
+    decontamination protocols drop them for the same reason — but a doc
+    whose ONLY shared grams are hot ones will no longer be flagged; pass
+    ``None`` for the exact uncapped form.
     """
 
     def gram_rows(df: DataFrame, out_id: str) -> DataFrame:
@@ -604,6 +616,16 @@ def exact_ngram_collisions(
 
     c = gram_rows(corpus, id_col)
     p = gram_rows(probe, "_probe_id")
+    if max_gram_docs is not None:
+        # rows are already distinct per (doc, gram), so count() == distinct
+        # docs per gram; partial agg combines map-side before the exchange
+        ok_grams = (
+            c.groupBy("_gram").count().where(F.col("count") <= max_gram_docs).drop("count")
+        )
+        # filtering the corpus side alone suffices (the equi-join can then
+        # never produce a hot key); the probe side's hot rows just find no
+        # match, which is cheaper than a second filtering join
+        c = c.join(ok_grams, "_gram")
     return (
         c.join(p, "_gram")
         .groupBy(id_col)

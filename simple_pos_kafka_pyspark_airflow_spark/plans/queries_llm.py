@@ -1353,9 +1353,11 @@ def q_sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
                generate_series(1, len(toks) - 4),
                i -> array_to_string(toks[i:i+4], ' ')))) AS gram
       FROM t WHERE len(toks) >= 5
+    ), ok AS (
+      SELECT gram FROM g WHERE b < 80 GROUP BY gram HAVING COUNT(*) <= 1000
     )
     SELECT tr.doc_id, CAST(COUNT(DISTINCT te.doc_id) AS BIGINT) AS n_probe_hits
-    FROM g tr JOIN g te ON tr.gram = te.gram
+    FROM g tr JOIN ok USING (gram) JOIN g te ON tr.gram = te.gram
     WHERE tr.b < 80 AND te.b >= 90
     GROUP BY tr.doc_id
     """,
@@ -1364,8 +1366,11 @@ def q_sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with the distinct count of leaking test docs — catches verbatim "
     "sub-span leaks the LSH whole-doc form (q_split_contamination) "
     "misses. Gram SETS (array_distinct before explode) cross the "
-    "exchange, not occurrence streams; same deterministic hash split as "
-    "q_split_hash/q_pack_sequences so all three compose "
+    "exchange, not occurrence streams; the default-on hot-gram cap "
+    "(grams in > 1000 distinct train docs are dropped, mirrored in the "
+    "oracle) bounds any join key's fan-out — the skewed-shuffle guard at "
+    "100 TB, same discipline as minhash max_bucket. Same deterministic "
+    "hash split as q_split_hash/q_pack_sequences so all three compose "
     "(llm/dedup.exact_ngram_collisions)",
 )
 def q_split_ngram_leak(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -579,6 +579,68 @@ def test_exact_ngram_collisions_planted_leak(spark):
     assert got == {1: 1}
 
 
+def test_exact_ngram_collisions_hot_gram_cap(spark):
+    """The default-on hot-gram cap: a stopword gram present in every
+    corpus doc must stop producing candidate pairs once its corpus
+    frequency exceeds ``max_gram_docs`` — the skewed-shuffle guard — while
+    a rare (real-leak) gram in the same docs still flags them."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm import dedup as d
+
+    boiler = "of the in a to and for with on at"  # one hot 10-token span
+    corpus = spark.createDataFrame(
+        [(i, f"{boiler} unique{i} filler{i} pad{i} x{i} y{i}") for i in range(6)]
+        + [(99, f"{boiler} THE SECRET EVAL ANSWER IS purple tail words here")],
+        ["doc_id", "text"],
+    )
+    probe = spark.createDataFrame(
+        [(900, f"{boiler} something else entirely different tokens"),
+         (901, "the secret eval answer is purple")],
+        ["doc_id", "text"],
+    )
+    uncapped = {r["doc_id"]: r["n_probe_hits"]
+                for r in d.exact_ngram_collisions(corpus, probe, n=5,
+                                                  max_gram_docs=None).collect()}
+    assert set(uncapped) == {0, 1, 2, 3, 4, 5, 99}  # boilerplate hits everything
+    capped = {r["doc_id"]: r["n_probe_hits"]
+              for r in d.exact_ngram_collisions(corpus, probe, n=5,
+                                                max_gram_docs=5).collect()}
+    # the boiler grams sit in 7 > 5 corpus docs -> dropped; only the real
+    # verbatim leak survives, and its hit count no longer includes probe 900
+    assert capped == {99: 1}
+
+
+def test_exact_ngram_collisions_cap_bounds_join_input(spark):
+    """Row-count bound on the join's corpus side: after the cap filter, no
+    gram key may carry more than ``max_gram_docs`` corpus rows (this is
+    the property that bounds any single shuffle task at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm.dedup import tokens
+    from simple_pos_kafka_pyspark_airflow_spark.llm.textops import sliding_grams
+
+    cap = 5
+    boiler = "of the in a to and for with on at"
+    corpus = spark.createDataFrame(
+        [(i, f"{boiler} unique{i} filler{i} pad{i}") for i in range(8)],
+        ["doc_id", "text"],
+    )
+    # reproduce the capped corpus side exactly as exact_ngram_collisions
+    # builds it, then assert the per-gram bound
+    toks = tokens(F.lower(F.col("text")))
+    c = (
+        corpus.select(F.col("doc_id"), toks.alias("_toks"))
+        .where(F.size("_toks") >= 5)
+        .select("doc_id", F.explode(F.array_distinct(sliding_grams(F.col("_toks"), 5))).alias("_gram"))
+    )
+    ok = c.groupBy("_gram").count().where(F.col("count") <= cap).drop("count")
+    capped_c = c.join(ok, "_gram")
+    worst = capped_c.groupBy("_gram").count().agg(F.max("count")).first()[0]
+    assert worst is not None and worst <= cap
+    # and the hot boiler grams really were present pre-cap (the test bites)
+    pre = c.groupBy("_gram").count().agg(F.max("count")).first()[0]
+    assert pre == 8
+
+
 def test_corpus_mixture_shares_sum_to_one(spark, sf_dir):
     from simple_pos_kafka_pyspark_airflow_spark.catalog import table
     from simple_pos_kafka_pyspark_airflow_spark.llm import textops as t
