@@ -111,6 +111,23 @@ def cosine_topk_batch(
 
     if arrow:
         qrows = queries.select(q_id_col, q_vec_col).collect()  # broadcast-small by contract
+        if not qrows:
+            # the JVM twin yields an empty frame here (empty broadcast
+            # side); np.stack([]) would crash — the two documented-
+            # interchangeable forms must agree on the degenerate input
+            from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+            return df.sparkSession.createDataFrame(
+                [],
+                StructType(
+                    [
+                        queries.schema[q_id_col],
+                        df.schema[id_col],
+                        StructField("score", DoubleType()),
+                        StructField("rn", IntegerType()),
+                    ]
+                ),
+            )
         qids = [r[q_id_col] for r in qrows]
         qmat = np.stack([np.asarray(r[q_vec_col], dtype="float64") for r in qrows])
         q_hat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
@@ -119,6 +136,8 @@ def cosine_topk_batch(
 
         @pandas_udf("array<double>")
         def all_scores(col: pd.Series) -> pd.Series:
+            if col.empty:  # empty Arrow batch (empty corpus partition)
+                return pd.Series([], dtype=object)
             m = np.stack(col.to_numpy()).astype("float64")
             m_hat = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
             return pd.Series(np.round(m_hat @ q_hat.T, 6).tolist())

@@ -158,6 +158,12 @@ def value_histogram(
         row = df.agg(
             F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi")
         ).first()
+        if row["_lo"] is None or row["_hi"] is None:
+            raise ValueError(
+                f"value_histogram: cannot derive bin edges — {value_col!r} has "
+                "no non-null values (empty frame or all-null column); pass "
+                "lo/hi explicitly (e.g. the reference distribution's edges)"
+            )
         lo = float(row["_lo"]) if lo is None else lo
         hi = float(row["_hi"]) if hi is None else hi
     width = (hi - lo) / n_bins if hi > lo else 1.0
@@ -236,6 +242,19 @@ def null_rate_drift(
     n_columns-sized. A jump in a column's null rate is the classic
     silent-upstream-change signal."""
     cols = cols or [c for c in reference.columns if c in set(current.columns)]
+    if not cols:
+        raise ValueError(
+            "null_rate_drift: no columns to compare — reference and current "
+            "share no column names (a disjoint rename is schema_drift's job, "
+            "not a null-rate question); pass cols explicitly to override"
+        )
+    missing = [c for c in cols if c not in reference.columns or c not in current.columns]
+    if missing:
+        raise ValueError(
+            f"null_rate_drift: cols {missing} absent from one side — comparing "
+            "a column to nothing would read as a 0.0 rate, masking the drift "
+            "it was meant to expose"
+        )
 
     def rates(df: DataFrame) -> dict[str, float]:
         row = df.agg(

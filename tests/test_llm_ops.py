@@ -815,6 +815,33 @@ def test_batch_topk_arrow_path_matches_jvm_path(spark):
     ]
 
 
+def test_batch_topk_arrow_path_empty_inputs_match_jvm_path(spark):
+    """Degenerate inputs must not split the documented-interchangeable
+    forms: an empty QUERY frame crashed the Arrow path in np.stack while
+    the JVM twin returned an empty frame; both must return empty, with
+    the same columns, for empty queries and for an empty corpus."""
+    from pyspark.sql import functions as F
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm import simsearch
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    no_queries = e.where(F.lit(False)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    jvm = simsearch.cosine_topk_batch(e, no_queries, k=8)
+    arrow = simsearch.cosine_topk_batch(e, no_queries, k=8, arrow=True)
+    assert jvm.columns == arrow.columns == ["query_id", "vec_id", "score", "rn"]
+    assert jvm.count() == arrow.count() == 0
+
+    queries = e.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    empty_corpus = e.where(F.lit(False))
+    jvm2 = simsearch.cosine_topk_batch(empty_corpus, queries, k=8)
+    arrow2 = simsearch.cosine_topk_batch(empty_corpus, queries, k=8, arrow=True)
+    assert jvm2.count() == arrow2.count() == 0
+
+
 def test_quantize_arrow_bit_identical_to_column_form(spark):
     """The Arrow quantizer and the Column-expression quantizer must agree
     bit-for-bit (max is order-independent; scale/divide/floor are

@@ -2102,6 +2102,32 @@ def test_schema_and_null_rate_drift(spark):
     assert abs(rates["v"]["delta"] - 0.75) < 1e-12 and rates["id"]["delta"] == 0.0
 
 
+def test_validation_degenerate_inputs_fail_loudly(spark):
+    """The monitoring family's edge guards: deriving histogram edges from
+    an empty/all-null frame, and null-rate drift over disjoint or
+    one-sided column sets, must raise a clear error instead of the former
+    opaque crashes (float(None) / agg of zero columns)."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators import validation
+
+    empty = spark.createDataFrame([], "event_type string, value double")
+    with pytest.raises(ValueError, match="bin edges"):
+        validation.value_histogram(empty)
+    all_null = spark.createDataFrame(
+        [("a", None), ("b", None)], "event_type string, value double"
+    )
+    with pytest.raises(ValueError, match="bin edges"):
+        validation.value_histogram(all_null)
+    # explicit edges make the empty frame well-defined: empty histogram
+    assert validation.value_histogram(empty, lo=0.0, hi=1.0).count() == 0
+
+    ref = spark.createDataFrame([(1,)], "a long")
+    cur = spark.createDataFrame([(1,)], "b long")
+    with pytest.raises(ValueError, match="no columns to compare"):
+        validation.null_rate_drift(ref, cur)
+    with pytest.raises(ValueError, match="absent from one side"):
+        validation.null_rate_drift(ref, cur, cols=["a"])
+
+
 def test_minhash_index_probe_is_read_only(spark, tmp_path):
     """probe() answers the decontamination question against the landed
     corpus — reports the near-dup pair with its exact Jaccard — without
