@@ -493,18 +493,62 @@ def normalize_embeddings_by_group(
     group_col: str = "label",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    method: str = "grouped",
 ) -> DataFrame:
     """Per-group whitening: subtract the group's per-dimension mean and
-    divide by its per-dimension std (population), via **grouped-map
-    ``applyInPandas``** — the canonical shape for 'the computation needs
-    the whole group as one matrix' (here: group statistics + elementwise
-    transform in two BLAS passes per group).
+    divide by its per-dimension std (population).
 
-    Scale: one shuffle on ``group_col``; each group must fit a worker's
-    memory (fine for label-sharded corpora — groups are ~corpus/n_labels;
-    for giant groups, pre-aggregate means/stds with posexplode+groupBy
-    instead). Zero-variance dimensions pass through unscaled (std clamped
-    to 1) so constant dims don't produce NaN/Inf."""
+    ``method="grouped"`` (default): **grouped-map ``applyInPandas``** —
+    the canonical shape for 'the computation needs the whole group as one
+    matrix' (group statistics + elementwise transform in two BLAS passes
+    per group). One shuffle on ``group_col``; each group must fit a
+    worker's memory — fine for label-sharded corpora (groups are
+    ~corpus/n_labels).
+
+    ``method="agg"``: the giant-group escape hatch. When one label
+    dominates a 100 TB corpus, its group cannot land on one worker, so
+    the moments are computed distributed — posexplode to (group, pos,
+    val) rows, a partial-aggregable groupBy for per-dimension mean /
+    stddev_pop, the per-group stat ARRAYS broadcast back (O(n_groups ×
+    dim) — tiny), and an elementwise ``zip_with`` transform. No group
+    ever materializes on a single worker; memory is bounded by the stats
+    table, not the largest group. The zip_with lambdas are interpreted
+    (CodegenFallback), so the grouped form is faster when groups fit —
+    pick "agg" for memory safety, not speed. Both methods agree to fp
+    tolerance (pinned by test); results are NOT guaranteed bit-identical
+    (numpy pairwise summation vs Spark's sequential/Welford moments).
+
+    Zero-variance dimensions pass through unscaled (std clamped to 1) so
+    constant dims don't produce NaN/Inf — both methods."""
+    if method == "agg":
+        exploded = df.select(group_col, F.posexplode(vec_col).alias("_pos", "_val"))
+        stats = exploded.groupBy(group_col, "_pos").agg(
+            F.avg(F.col("_val").cast("double")).alias("_mu"),
+            F.stddev_pop(F.col("_val").cast("double")).alias("_sd"),
+        )
+        per_group = stats.groupBy(group_col).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_mu"))), lambda s: s["_mu"]
+            ).alias("_mus"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_sd"))), lambda s: s["_sd"]
+            ).alias("_sds"),
+        )
+        centered = F.zip_with(
+            F.col(vec_col), F.col("_mus"), lambda x, m: x.cast("double") - m
+        )
+        whitened = F.zip_with(
+            centered,
+            F.col("_sds"),
+            lambda x, s: (x / F.when(s == 0.0, F.lit(1.0)).otherwise(s)).cast("float"),
+        )
+        return (
+            df.select(id_col, group_col, vec_col)
+            .join(F.broadcast(per_group), group_col)
+            .select(id_col, group_col, whitened.alias(vec_col))
+        )
+    if method != "grouped":
+        raise ValueError(f"method must be 'grouped' or 'agg', got {method!r}")
     out_schema = df.select(id_col, group_col, vec_col).schema
 
     def whiten(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -8,6 +8,7 @@ pin the non-degeneracy properties that bug violated.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from simple_pos_kafka_pyspark_airflow_spark.llm import dedup, textops
@@ -339,6 +340,45 @@ def test_normalize_embeddings_by_group_matches_numpy(spark):
         grp = np.stack([out[vid][1] for vid, _ in members])
         assert np.allclose(grp[:, 2], 0.0)
         assert np.allclose(grp.mean(axis=0), 0.0, atol=1e-6)
+
+
+def test_normalize_agg_method_agrees_with_grouped(spark):
+    """The giant-group escape hatch (method='agg': distributed
+    posexplode+groupBy moments, no group ever on one worker) must agree
+    with the grouped-map form to 1e-6 on real data — including the
+    zero-variance clamp and single-row groups."""
+    import numpy as np
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm import simsearch
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    grouped = {
+        r["vec_id"]: np.array(r["embedding"], dtype="float64")
+        for r in simsearch.normalize_embeddings_by_group(e).collect()
+    }
+    agg = {
+        r["vec_id"]: np.array(r["embedding"], dtype="float64")
+        for r in simsearch.normalize_embeddings_by_group(e, method="agg").collect()
+    }
+    assert set(grouped) == set(agg) and len(grouped) == e.count()
+    worst = max(float(np.abs(grouped[k] - agg[k]).max()) for k in grouped)
+    assert worst <= 1e-6, worst
+
+    # constant dim + single-row group: std clamps to 1 on both paths
+    edge = spark.createDataFrame(
+        [(1, "solo", [2.0, 5.0]), (2, "duo", [1.0, 5.0]), (3, "duo", [3.0, 5.0])],
+        "vec_id long, label string, embedding array<float>",
+    )
+    for method in ("grouped", "agg"):
+        got = {
+            r["vec_id"]: list(r["embedding"])
+            for r in simsearch.normalize_embeddings_by_group(edge, method=method).collect()
+        }
+        assert got[1] == [0.0, 0.0]  # single-row group whitens to zeros
+        assert got[2] == [-1.0, 0.0] and got[3] == [1.0, 0.0]
+
+    with pytest.raises(ValueError, match="grouped.*agg"):
+        simsearch.normalize_embeddings_by_group(edge, method="nope")
         nonconst = grp.std(axis=0)[:2]
         assert np.allclose(nonconst, 1.0, atol=1e-5)
 
