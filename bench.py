@@ -66,6 +66,13 @@ HEADLINE = [
     "q_embed_assign",
     "q_sample_source_cap",
     "q_split_ngram_leak",
+    # the composed heavies: the most expensive real pipelines (full
+    # curation ladder, iterative connected components, LSH
+    # decontamination) — exactly the plans whose scale behavior the
+    # headline suite exists to watch
+    "q_curation_e2e",
+    "q_dedup_clusters",
+    "q_split_contamination",
 ]
 
 
