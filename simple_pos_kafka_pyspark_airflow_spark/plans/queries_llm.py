@@ -134,7 +134,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(doc_id AS BIGINT) AS id_a,
            CAST(doc_id + 1000000 AS BIGINT) AS id_b,
            CAST(0 AS INTEGER) AS hamming
-    FROM documents
+    FROM documents WHERE trim(text) <> ''
     """,
     notes="SimHash(64) near-dup: quarter-blocking (pigeonhole-complete for "
     "hamming≤3) + exact verify. Self-certifying planted-pair form: the "
@@ -142,13 +142,15 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is restricted to the planted (doc, doc+1e6) pairs — an identical "
     "text has the identical simhash, so every planted pair MUST surface "
     "with hamming 0 (recall 1.0 by construction ⇒ the expected output is "
-    "exactly one row per document, a full value-hash oracle). The raw "
-    "xxhash64-based simhash values themselves stay inexpressible in "
+    "exactly one row per document, a full value-hash oracle). Both sides "
+    "exclude whitespace-only docs (simhash_df drops zero-token texts, "
+    "which would otherwise silently drop that doc's planted pair). The "
+    "raw xxhash64-based simhash values themselves stay inexpressible in "
     "DuckDB; organic-pair behavior is pinned by unit tests "
     "(tests/test_llm_dedup.py) and the sf0.1 spot-check",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").where(F.trim(F.col("text")) != "")
     planted = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
     pairs = dedup.near_dup_pairs_simhash(planted, "text", "doc_id", max_hamming=3)
     return pairs.where(F.col("id_b") == F.col("id_a") + F.lit(1_000_000))
@@ -973,8 +975,13 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dimension), the whitened values must have |mean| < 1e-4 and "
     "|stddev_pop − 1| < 1e-3 (emitted as integer bits, tolerance covers "
     "only float32 round-trip noise — a wrong mean/std/axis would be off "
-    "by O(1)), plus the group row count. Exact per-value semantics stay "
-    "pinned by the numpy-twin unit test",
+    "by O(1)), plus the group row count. sd_ok is vacuously 1 for "
+    "single-row groups (they whiten to zeros by the std-clamp contract, "
+    "where stddev_pop=0 is correct, not a defect); a zero-variance INPUT "
+    "dimension in a larger group would legitimately trip the bit — the "
+    "testdata has none (smallest group 42 rows, all dims nontrivial "
+    "variance). Exact per-value semantics stay pinned by the numpy-twin "
+    "unit test",
 )
 def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
@@ -989,7 +996,9 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_dim.groupBy("label", "pos").agg(
         F.count("*").alias("n"),
         (F.abs(F.avg("w")) < F.lit(1e-4)).cast("int").alias("mu_ok"),
-        (F.abs(F.stddev_pop("w") - F.lit(1.0)) < F.lit(1e-3)).cast("int").alias("sd_ok"),
+        ((F.abs(F.stddev_pop("w") - F.lit(1.0)) < F.lit(1e-3)) | (F.count("*") == 1))
+        .cast("int")
+        .alias("sd_ok"),
     )
 
 

@@ -342,6 +342,33 @@ def test_normalize_embeddings_by_group_matches_numpy(spark):
         assert np.allclose(grp.mean(axis=0), 0.0, atol=1e-6)
 
 
+def test_simhash_planted_pair_oracle_survives_whitespace_doc(spark, tmp_path):
+    """q_dedup_simhash's oracle asserts one planted pair per document, but
+    simhash_df drops zero-token texts — a whitespace-only doc would have
+    silently dropped its pair and failed the row-count compare (latent:
+    the shipped testdata has no such rows). Both sides now exclude
+    trim(text)='' docs; pin that on a corpus WITH such a row."""
+    import shutil
+
+    import pandas as pd
+
+    from simple_pos_kafka_pyspark_airflow_spark.testing import check_query
+
+    src = "/root/testdata/sf0.001"
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"]:
+        shutil.copy(f"{src}/{t}.parquet", str(tmp_path / f"{t}.parquet"))
+    d = pd.read_parquet(f"{src}/documents.parquet")
+    extra = d.iloc[[0]].copy()
+    extra["doc_id"] = 999_999
+    extra["text"] = "   "
+    pd.concat([d, extra], ignore_index=True).to_parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    res = check_query(spark, "q_dedup_simhash", str(tmp_path))
+    assert res.ok, str(res)
+
+
 def test_normalize_agg_method_agrees_with_grouped(spark):
     """The giant-group escape hatch (method='agg': distributed
     posexplode+groupBy moments, no group ever on one worker) must agree
