@@ -750,6 +750,70 @@ def boilerplate_span_dedup(
     )
 
 
+def intra_doc_span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 3,
+    delimiter: str | None = None,
+) -> DataFrame:
+    """WITHIN-document repetition removal (the Gopher/C4 'repeated lines/
+    paragraphs' pass): every repeated span inside a document is excised
+    except its FIRST occurrence, order preserved. Complements
+    ``boilerplate_span_dedup`` (cross-document spans) — a crawl page that
+    repeats its own nav block ten times is repetition even if no other
+    document shares it.
+
+    Segmentation is ``span_segment_rows`` (same contract: ``delimiter``
+    for true line dedup, else fixed non-overlapping ``span_tokens``-token
+    windows), so the two passes compose on identical span boundaries.
+
+    Output: ``(id_col, text_clean, n_spans, n_dup_spans)`` — one row per
+    input document (zero-token docs pass through with empty text and zero
+    counts).
+
+    Scale shape: two partial-aggregable shuffles, both keyed by the doc —
+    (doc, span-digest) → first position + occurrence count, then doc →
+    reassembly. No window function (a per-doc window would buffer whole
+    docs per task anyway — the groupBy gets map-side combine for free),
+    no cross-document exchange at all: cost is bounded by corpus size,
+    never corpus².
+
+    The reference has no in-document transformation; north-star extension
+    per BASELINE.json (same family as boilerplate_span_dedup).
+    """
+    joiner = delimiter if delimiter is not None else " "
+    seg = span_segment_rows(df, text_col, id_col, span_tokens, delimiter)
+    per_span = seg.groupBy(id_col, "_dig").agg(
+        F.min("_i").alias("_keep_i"),
+        # all rows in the group carry the identical span text (sha2-keyed),
+        # so min is just a deterministic pick
+        F.min("_seg").alias("_seg"),
+        F.count("*").alias("_n_occ"),
+    )
+    cleaned = per_span.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_keep_i", "_seg"))),
+                lambda s: s["_seg"],
+            ),
+            joiner,
+        ).alias("text_clean"),
+        F.sum("_n_occ").cast("int").alias("n_spans"),
+        (F.sum("_n_occ") - F.count("*")).cast("int").alias("n_dup_spans"),
+    )
+    return (
+        df.select(id_col)
+        .join(cleaned, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cluster assignment (connected components over near-dup pairs)
 # ---------------------------------------------------------------------------

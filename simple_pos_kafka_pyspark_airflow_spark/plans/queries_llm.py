@@ -1203,6 +1203,52 @@ def q_text_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_text_dedup_intra",
+    "llm",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), segl AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, CAST(ceil(len(toks) / 3.0) AS BIGINT) - 1),
+                            i -> array_to_string(toks[3*i+1:3*i+3], ' ')) AS segs
+      FROM t WHERE len(toks) > 0
+    ), seg AS (
+      SELECT doc_id, unnest(segs) AS seg,
+             unnest(generate_series(0, len(segs) - 1)) AS i
+      FROM segl
+    ), p AS (
+      SELECT doc_id, seg, MIN(i) AS keep_i, COUNT(*) AS n_occ
+      FROM seg GROUP BY doc_id, seg
+    ), agg AS (
+      SELECT doc_id,
+             string_agg(seg, ' ' ORDER BY keep_i) AS text_clean,
+             CAST(SUM(n_occ) AS INTEGER) AS n_spans,
+             CAST(SUM(n_occ) - COUNT(*) AS INTEGER) AS n_dup_spans
+      FROM p GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.text_clean, '') AS text_clean,
+           COALESCE(a.n_spans, 0) AS n_spans,
+           COALESCE(a.n_dup_spans, 0) AS n_dup_spans
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    notes="WITHIN-document repetition removal (the Gopher/C4 repeated-"
+    "lines pass): every repeated 3-token span inside a doc is excised "
+    "except its first occurrence, order preserved — the self-repetition "
+    "complement of q_text_dedup_spans' cross-document boilerplate. Two "
+    "partial-aggregable doc-keyed shuffles, no window, no cross-doc "
+    "exchange (llm/dedup.intra_doc_span_dedup); oracle groups span "
+    "strings where the engine groups sha2 digests — identical barring a "
+    "SHA-256 collision",
+)
+def q_text_dedup_intra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return dedup.intra_doc_span_dedup(d, "text", "doc_id", span_tokens=3)
+
+
+@register(
     "q_quality_rules",
     "llm",
     oracle="""

@@ -342,6 +342,37 @@ def test_normalize_embeddings_by_group_matches_numpy(spark):
         assert np.allclose(grp.mean(axis=0), 0.0, atol=1e-6)
 
 
+def test_intra_doc_span_dedup_removes_self_repetition(spark):
+    """Within-doc repetition removal: a doc repeating its own span keeps
+    only the FIRST occurrence in order; unique docs pass through intact;
+    zero-token docs survive with empty text and zero counts. Line mode
+    (delimiter) dedups whole lines."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm import dedup as d
+
+    df = spark.createDataFrame(
+        [
+            # spans (3 tokens): [nav bar home] [alpha beta gamma] [nav bar home]
+            (1, "nav bar home alpha beta gamma nav bar home"),
+            (2, "all unique tokens here nothing repeats at all"),
+            (3, "   "),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: (r["text_clean"], r["n_spans"], r["n_dup_spans"])
+           for r in d.intra_doc_span_dedup(df, "text", "doc_id", span_tokens=3).collect()}
+    assert got[1] == ("nav bar home alpha beta gamma", 3, 1)
+    assert got[2] == ("all unique tokens here nothing repeats at all", 3, 0)
+    assert got[3] == ("", 0, 0)
+
+    lines = spark.createDataFrame(
+        [(7, "subscribe now\nreal content\nsubscribe now\nmore content")],
+        ["doc_id", "text"],
+    )
+    out = d.intra_doc_span_dedup(lines, "text", "doc_id", delimiter="\n").collect()[0]
+    assert out["text_clean"] == "subscribe now\nreal content\nmore content"
+    assert (out["n_spans"], out["n_dup_spans"]) == (4, 1)
+
+
 def test_simhash_planted_pair_oracle_survives_whitespace_doc(spark, tmp_path):
     """q_dedup_simhash's oracle asserts one planted pair per document, but
     simhash_df drops zero-token texts — a whitespace-only doc would have
