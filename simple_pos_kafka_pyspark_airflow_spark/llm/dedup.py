@@ -54,6 +54,31 @@ def token_bag_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame
     )
 
 
+def canonical_text(text: Column) -> Column:
+    """Normalization for canonical-form exact dedup (the RefinedWeb/Falcon
+    'exact dedup after normalization' key): lowercase, strip every
+    non-alphanumeric character to a space, collapse whitespace runs, trim.
+    Pure codegen (lower + two regexp_replace + trim) with an exact DuckDB
+    twin — ASCII classes only, so no ICU/locale divergence."""
+    lowered = F.lower(text)
+    stripped = F.regexp_replace(lowered, "[^a-z0-9\\s]", " ")
+    return F.trim(F.regexp_replace(stripped, "\\s+", " "))
+
+
+def canonical_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact-duplicate groups under the CANONICAL form: catches the
+    case/punctuation/whitespace variants ('Hello, World!' vs 'hello
+    world') that raw exact dedup misses but that are still verbatim
+    copies, sitting between exact and token-bag in the ladder (token-bag
+    additionally forgives word order). Same scale shape as exact dedup:
+    one shuffle on the sha2 digest of the canonical form — the text never
+    shuffles."""
+    return (
+        df.groupBy(F.sha2(canonical_text(F.col(text_col)), 256).alias("canon_sha"))
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

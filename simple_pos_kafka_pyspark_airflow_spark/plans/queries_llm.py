@@ -74,6 +74,29 @@ def q_dedup_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_canonical",
+    "llm",
+    oracle="""
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))
+    """,
+    notes="canonical-form exact dedup (the RefinedWeb/Falcon "
+    "normalize-then-hash key): lowercase, strip punctuation to spaces, "
+    "collapse whitespace — catches case/punctuation variants raw exact "
+    "dedup misses while staying one sha2-keyed shuffle; sits between "
+    "q_dedup_exact and q_dedup_tokens in the ladder (token-bag "
+    "additionally forgives word order). ASCII-only regex classes so the "
+    "Java and RE2 engines agree (llm/dedup.canonical_dup_groups)",
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return dedup.canonical_dup_groups(d, "text", "doc_id").select("keep_id", "n_copies")
+
+
+@register(
     "q_dedup_minhash",
     "llm",
     oracle=_SHINGLE_CTE

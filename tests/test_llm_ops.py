@@ -342,6 +342,29 @@ def test_normalize_embeddings_by_group_matches_numpy(spark):
         assert np.allclose(grp.mean(axis=0), 0.0, atol=1e-6)
 
 
+def test_canonical_dedup_catches_case_punct_variants(spark):
+    """Canonical-form exact dedup groups verbatim copies that differ only
+    in case/punctuation/whitespace — which raw exact dedup must NOT group
+    — while word-order variants stay distinct (that's token-bag's job)."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm import dedup as d
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello, World! This is FINE."),
+            (2, "hello world   this is fine"),
+            (3, "world hello this is fine"),  # reordered: NOT canonical-equal
+            (4, "something else entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    canon = {(r["keep_id"], r["n_copies"])
+             for r in d.canonical_dup_groups(df, "text", "doc_id").collect()}
+    assert canon == {(1, 2), (3, 1), (4, 1)}
+    raw = {(r["keep_id"], r["n_copies"])
+           for r in d.exact_dup_groups(df, "text", "doc_id").collect()}
+    assert raw == {(1, 1), (2, 1), (3, 1), (4, 1)}  # raw form keeps all four
+
+
 def test_intra_doc_span_dedup_removes_self_repetition(spark):
     """Within-doc repetition removal: a doc repeating its own span keeps
     only the FIRST occurrence in order; unique docs pass through intact;
