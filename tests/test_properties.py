@@ -218,6 +218,56 @@ def test_cap_per_group_matches_python_oracle(spark, rows, cap):
 
 
 @given(
+    st.lists(st.text(alphabet="ab .,!X", min_size=0, max_size=40), min_size=0, max_size=6),
+    st.integers(2, 3),
+)
+@SETTINGS
+def test_intra_doc_span_dedup_matches_python_oracle(spark, texts, span_tokens):
+    """Within-doc repetition removal must equal the brute-force python
+    twin: segment into fixed token windows, keep each span's first
+    occurrence in order, count spans and removed repeats — including
+    zero-token docs and remainder windows."""
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_spans"], r["n_dup_spans"])
+        for r in dedup.intra_doc_span_dedup(df, "text", "doc_id", span_tokens).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.split()
+        spans = [
+            " ".join(toks[j : j + span_tokens]) for j in range(0, len(toks), span_tokens)
+        ]
+        seen: dict[str, int] = {}
+        kept = []
+        for s in spans:
+            if s not in seen:
+                seen[s] = 1
+                kept.append(s)
+        want = (" ".join(kept), len(spans), len(spans) - len(kept))
+        assert got[i] == want, (i, t, got[i], want)
+
+
+@given(st.lists(st.text(alphabet="aB .,!2", min_size=0, max_size=30), min_size=0, max_size=8))
+@SETTINGS
+def test_canonical_dedup_matches_python_oracle(spark, texts):
+    """Canonical-form groups must equal the python twin's normalize-then-
+    group: lower, non-alphanumerics to spaces, collapse runs, trim."""
+    import re
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = sorted(
+        (r["keep_id"], r["n_copies"])
+        for r in dedup.canonical_dup_groups(df, "text", "doc_id").collect()
+    )
+    groups: dict[str, list[int]] = {}
+    for i, t in enumerate(texts):
+        key = re.sub(r"\s+", " ", re.sub(r"[^a-z0-9\s]", " ", t.lower())).strip()
+        groups.setdefault(key, []).append(i)
+    want = sorted((min(ids), len(ids)) for ids in groups.values())
+    assert got == want
+
+
+@given(
     st.lists(st.text(alphabet="abc ", min_size=0, max_size=40), min_size=0, max_size=6),
     st.lists(st.text(alphabet="abc ", min_size=0, max_size=40), min_size=0, max_size=4),
     st.integers(2, 4),
