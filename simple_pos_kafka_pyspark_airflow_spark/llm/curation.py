@@ -122,6 +122,16 @@ def curate_corpus(
     )
     exact = note("exact_dedup", gated.join(exact_keep, i, "semi"))
 
+    # exact survivors feed three consumers (the minhash doc table, the
+    # near-dedup anti-join's left side, and through it every later
+    # stage); with counts=True the note() checkpoint already cut the
+    # lineage, otherwise persist so the gate+dedup prefix runs once, not
+    # once per consumer
+    if not counts:
+        from pyspark import StorageLevel
+
+        exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
+
     # 3. near-dup — LSH pairs → connected components → keep the min-id
     #    representative of every component
     pairs = dedup_ops.near_dup_pairs_minhash(
@@ -141,6 +151,12 @@ def curate_corpus(
 
     # 5. split assignment — no data movement
     split = capped.withColumn("split", split_col(i, cfg))
+    # split feeds the decontamination join twice (train∪val side, test
+    # side) and the final anti-join — same persist rationale as `exact`
+    if not counts:
+        from pyspark import StorageLevel
+
+        split = split.persist(StorageLevel.MEMORY_AND_DISK)
 
     # 6. decontamination — drop train/val docs sharing any exact n-gram
     #    with the held-out test split
