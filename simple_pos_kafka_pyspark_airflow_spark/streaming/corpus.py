@@ -308,6 +308,117 @@ class IncrementalMinhashIndex:
         return kept
 
 
+class IncrementalDigestIndex:
+    """Corpus-lifetime EXACT dedup at ingest — the tier-1 counterpart of
+    ``IncrementalMinhashIndex``: a persistent (digest → doc id) index of
+    everything already landed, probed per micro-batch with a plain
+    digest equi-join. ``dropDuplicatesWithinWatermark`` (``corpus_ingest``)
+    bounds its guarantee to the watermark horizon; the minhash index
+    catches landed exact dups too (jaccard 1.0) but at banding+verify
+    cost — this index answers the byte-identical question with one
+    32-byte-key join, the cheap pre-filter the dedup ladder starts with.
+
+    ``canonical=True`` keys the index on the normalized form
+    (``llm.dedup.canonical_text``: lower / punct→space / collapse
+    whitespace), catching case/punctuation variants — the incremental
+    twin of ``canonical_dup_groups``.
+
+    Per batch (``dedup_batch`` — plain DataFrames, slots into
+    ``foreachBatch`` or a batch backfill identically): drop within-batch
+    copies keeping each digest's min id, anti-join the landed index on
+    the digest, append the survivors' (digest, id) rows.
+
+    Scale: the index holds ~40 bytes per landed document — orders of
+    magnitude smaller than the corpus — and every shuffle is keyed by the
+    uniformly-distributed digest (no skew by construction). At 100 TB
+    store it bucketed by digest so the probe is a co-located join.
+
+    Crash/replay: a replayed batch's append lands its rows twice, which
+    cannot change decisions — the probe ignores matches with the SAME doc
+    id (a replayed doc must not be rejected against its own landed row),
+    and duplicate (digest, id) rows collapse in ``compact()`` under the
+    same atomic snapshot swap the other indexes use. Same FileSystem-API
+    discovery discipline (object-store safe).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        canonical: bool = False,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.text_col = text_col
+        self.id_col = id_col
+        self.canonical = canonical
+
+    def _digest(self) -> F.Column:
+        text = F.col(self.text_col)
+        if self.canonical:
+            text = dedup_ops.canonical_text(text)
+        return F.sha2(text, 256)
+
+    def _landed(self) -> DataFrame | None:
+        """Landed (digest, id) rows, or None ONLY when no index was ever
+        written (an existing-but-unreadable path raises; hidden-entry-only
+        debris from a crashed first append counts as never-written)."""
+        return _read_landed_index(self.spark, self.path)
+
+    def probe(self, docs: DataFrame) -> DataFrame:
+        """READ-ONLY exact-dup lookup: (doc_id, old_id) for every batch
+        document whose digest already exists in the landed index under a
+        DIFFERENT id. Empty frame when no index has been written."""
+        landed = self._landed()
+        id_type = docs.schema[self.id_col].dataType.simpleString()
+        if landed is None:
+            return self.spark.createDataFrame([], f"doc_id {id_type}, old_id {id_type}")
+        hashed = docs.select(
+            F.col(self.id_col).alias("doc_id"), self._digest().alias("_dig")
+        )
+        return (
+            hashed.join(
+                landed.select(F.col(self.id_col).alias("old_id"), "_dig"), "_dig"
+            )
+            .where(F.col("doc_id") != F.col("old_id"))
+            .select("doc_id", "old_id")
+            .dropDuplicates(["doc_id", "old_id"])
+        )
+
+    def dedup_batch(self, docs: DataFrame) -> DataFrame:
+        """Return the batch rows that are NOT byte-identical (or
+        canonical-identical) to landed or earlier-in-batch documents, and
+        append the survivors' (digest, id) rows to the index."""
+        hashed = docs.withColumn("_dig", self._digest())
+        keep_ids = hashed.groupBy("_dig").agg(F.min(self.id_col).alias(self.id_col))
+        kept = hashed.join(keep_ids, [self.id_col, "_dig"], "semi")
+        landed = self._landed()
+        if landed is not None:
+            dup_ids = (
+                kept.select(self.id_col, "_dig")
+                .join(landed.select(F.col(self.id_col).alias("_old"), "_dig"), "_dig")
+                .where(F.col(self.id_col) != F.col("_old"))
+                .select(self.id_col)
+                .distinct()
+            )
+            kept = kept.join(dup_ids, self.id_col, "left_anti")
+        kept = kept.localCheckpoint(eager=True)
+        kept.select(self.id_col, "_dig").write.mode("append").parquet(self.path)
+        return kept.drop("_dig")
+
+    def compact(self) -> None:
+        """Collapse replay-duplicated (digest, id) rows (atomic snapshot
+        swap) — one shuffle over 40-byte index rows."""
+        from ..sources.io import overwrite_atomic
+
+        landed = self._landed()
+        if landed is None:
+            return
+        overwrite_atomic(landed.dropDuplicates(["_dig", self.id_col]), self.path)
+
+
 class IncrementalSpanIndex:
     """Boilerplate-span removal at ingest, incrementally: a persistent
     (span-digest → distinct-doc count) index accumulated per micro-batch,
@@ -481,6 +592,7 @@ def ingest_corpus_batch(
     id_col: str = "doc_id",
     min_quality: float = 0.3,
     min_tokens: int = 3,
+    digest_index: IncrementalDigestIndex | None = None,
 ) -> DataFrame:
     """The whole corpus front door for one micro-batch, composed in the
     order the batch curation ladder uses (``llm.curation.curate_corpus``)
@@ -488,6 +600,10 @@ def ingest_corpus_batch(
 
     1. quality gate + within-batch exact dedup (``corpus_ingest`` batch
        path — attaches ``quality``/``n_tokens``/``text_sha``);
+    1b. optional corpus-lifetime exact dedup
+       (``IncrementalDigestIndex.dedup_batch`` when ``digest_index`` is
+       given) — the cheap digest equi-join rejects byte-identical landed
+       copies BEFORE the minhash machinery prices them;
     2. near-dup rejection vs everything already landed plus within-batch
        clusters (``IncrementalMinhashIndex.dedup_batch`` — also appends
        the survivors' index rows);
@@ -511,6 +627,8 @@ def ingest_corpus_batch(
     gated = corpus_ingest(
         docs, text_col=text_col, min_quality=min_quality, min_tokens=min_tokens
     )
+    if digest_index is not None:
+        gated = digest_index.dedup_batch(gated)
     kept = minhash_index.dedup_batch(gated)
     if span_index is None:
         return kept

@@ -2102,6 +2102,90 @@ def test_schema_and_null_rate_drift(spark):
     assert abs(rates["v"]["delta"] - 0.75) < 1e-12 and rates["id"]["delta"] == 0.0
 
 
+def test_incremental_digest_index_cross_batch_exact_dedup(spark, tmp_path):
+    """IncrementalDigestIndex: batch 2's byte-identical copy of a landed
+    doc is rejected; within-batch copies keep the min id; replaying a
+    batch neither rejects its own docs nor changes decisions; compact
+    collapses the replayed rows; probe is read-only."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import IncrementalDigestIndex
+
+    path = str(tmp_path / "digest")
+    idx = IncrementalDigestIndex(spark, path)
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta"), (3, "alpha beta gamma")],
+        ["doc_id", "text"],
+    )
+    got1 = sorted(r["doc_id"] for r in idx.dedup_batch(b1).collect())
+    assert got1 == [1, 2]  # within-batch copy (3) dropped, min id kept
+
+    b2 = spark.createDataFrame(
+        [(10, "alpha beta gamma"), (11, "brand new content")], ["doc_id", "text"]
+    )
+    hits = {(r["doc_id"], r["old_id"]) for r in idx.probe(b2).collect()}
+    assert hits == {(10, 1)}
+    n_index_before = spark.read.parquet(path).count()
+    assert n_index_before == 2  # probe appended nothing
+    got2 = sorted(r["doc_id"] for r in idx.dedup_batch(b2).collect())
+    assert got2 == [11]  # landed copy rejected
+
+    # replay batch 2 (foreachBatch redelivery): same survivors — the
+    # replayed doc must NOT be rejected against its own landed row
+    replay = sorted(r["doc_id"] for r in idx.dedup_batch(b2).collect())
+    assert replay == [11]
+    idx.compact()
+    landed = spark.read.parquet(path)
+    assert landed.count() == 3  # 1, 2, 11 — replay duplicate collapsed
+    assert sorted(r["doc_id"] for r in landed.collect()) == [1, 2, 11]
+
+
+def test_incremental_digest_index_canonical_mode(spark, tmp_path):
+    """canonical=True keys the index on the normalized form: a landed
+    doc's case/punctuation variant is rejected cross-batch, while the
+    default byte-exact index admits it."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import IncrementalDigestIndex
+
+    b1 = spark.createDataFrame([(1, "Hello, World!")], ["doc_id", "text"])
+    b2 = spark.createDataFrame([(2, "hello world")], ["doc_id", "text"])
+
+    canon = IncrementalDigestIndex(spark, str(tmp_path / "canon"), canonical=True)
+    canon.dedup_batch(b1)
+    assert canon.dedup_batch(b2).count() == 0  # variant rejected
+
+    raw = IncrementalDigestIndex(spark, str(tmp_path / "raw"))
+    raw.dedup_batch(b1)
+    assert sorted(r["doc_id"] for r in raw.dedup_batch(b2).collect()) == [2]
+
+
+def test_ingest_corpus_batch_with_digest_prefilter(spark, tmp_path):
+    """The composed front door with the digest pre-filter: a byte-exact
+    landed copy is rejected by the cheap digest join before the minhash
+    stage, and the minhash index never records its rows."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import (
+        IncrementalDigestIndex,
+        IncrementalMinhashIndex,
+        ingest_corpus_batch,
+    )
+
+    ts = datetime.datetime(2026, 8, 14, 12, 0, 0)
+    mh = IncrementalMinhashIndex(spark, str(tmp_path / "mh"))
+    dg = IncrementalDigestIndex(spark, str(tmp_path / "dg"))
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today", ts)],
+        ["doc_id", "text", "ts"],
+    )
+    out1 = ingest_corpus_batch(b1, 0, mh, digest_index=dg)
+    assert [r["doc_id"] for r in out1.collect()] == [1]
+    b2 = spark.createDataFrame(
+        [(5, "the quick brown fox jumps over the lazy dog today", ts),
+         (6, "entirely different words compose this second document here", ts)],
+        ["doc_id", "text", "ts"],
+    )
+    out2 = ingest_corpus_batch(b2, 1, mh, digest_index=dg)
+    assert [r["doc_id"] for r in out2.collect()] == [6]
+    # the exact copy never reached the minhash index
+    assert spark.read.parquet(str(tmp_path / "mh")).where("doc_id = 5").count() == 0
+
+
 def test_validation_degenerate_inputs_fail_loudly(spark):
     """The monitoring family's edge guards: deriving histogram edges from
     an empty/all-null frame, and null-rate drift over disjoint or
