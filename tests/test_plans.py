@@ -216,6 +216,37 @@ def test_ngram_leak_distinct_grams_before_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_ngram_leak_hot_gram_cap_aggregates_map_side(spark, sf_dir):
+    """The hot-gram cap's per-gram corpus count must be a partial+final
+    hash aggregate pair (map-side combine), never a single-pass aggregate
+    or a window: a hot gram's occurrence rows must combine per partition
+    BEFORE the exchange, or the count stage itself becomes the straggler
+    the cap exists to prevent."""
+    plan = explain_str(build(spark, sf_dir, "q_split_ngram_leak"))
+    assert "partial_count" in plan or "Partial" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_dedup_canonical_single_digest_shuffle(spark, sf_dir):
+    """Canonical dedup must keep exact dedup's shape: one hash exchange on
+    the digest of the normalized form — normalization happens in the scan
+    projection, adding zero exchanges."""
+    plan = explain_str(build(spark, sf_dir, "q_dedup_canonical"), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_dedup_intra_no_window_no_cross_doc_join(spark, sf_dir):
+    """Within-doc repetition removal must stay an aggregate pipeline: no
+    Window operator (would buffer whole docs per task and lose map-side
+    combine), no broadcast/nested-loop join (would mean a cross-document
+    comparison crept in) — its only join is the left join back to the
+    full doc list."""
+    plan = explain_str(build(spark, sf_dir, "q_text_dedup_intra"))
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_simsearch_batch_bounded_shuffle(spark, sf_dir):
     """q_simsearch_batch: the per-query top-k window must ride the rank-limit
     pushdown — WindowGroupLimit Partial ahead of the exchange and Final after
