@@ -211,6 +211,10 @@ CHEAP_ORACLE_AT_SCALE = [
     "q_split_ngram_leak",
     "q_sample_source_cap",
     "q_corpus_mixture",
+    # round-6 dedup tiers: O(n) digest grouping and O(n·spans) within-doc
+    # span aggregation — both oracle-cheap at any SF
+    "q_dedup_canonical",
+    "q_text_dedup_intra",
     # batched retrieval (O(n·queries)) and the z-score gate (O(n)) — the
     # sf0.1 run also exercises 10× the rank-limit-pushdown tiebreak surface
     "q_simsearch_batch",
