@@ -401,23 +401,16 @@ def simhash_df(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return g.select("_id", sim.alias("_sim"))
 
 
-def near_dup_pairs_simhash(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
-) -> DataFrame:
-    """SimHash near-dup: block on the 4 16-bit quarters of the simhash
-    (pigeonhole: ≤3 differing bits ⇒ at least one identical quarter), then
-    verify the Hamming distance exactly. Shuffle is O(docs × 4) on 16-bit
-    buckets — never quadratic.
-
-    The (id, simhash) table is persisted: both sides of the candidate
-    self-join read one materialization instead of re-running the 65-wide
-    conditional-count aggregation each (same discipline as
-    ``minhash_doc_table`` — ReuseExchange does not fire across self-join
-    sides with differing projections)."""
-    from pyspark import StorageLevel
-
-    sh = simhash_df(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
-    quarters = sh.select(
+def hamming_pairs_64(sig_df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs over ANY 64-bit signature column: block on the 4
+    16-bit quarters (pigeonhole: ≤3 differing bits ⇒ at least one
+    identical quarter — complete for ``max_hamming`` ≤ 3), then verify
+    the Hamming distance exactly. Shuffle is O(rows × 4) on 16-bit
+    buckets — never quadratic. Input schema: ``(_id, _sim)``; shared by
+    text SimHash (``near_dup_pairs_simhash``) and image average-hash
+    (``llm.multimodal.near_dup_images_ahash``), so both families carry
+    the same scale discipline. Returns (id_a, id_b, hamming)."""
+    quarters = sig_df.select(
         "_id",
         "_sim",
         F.explode(
@@ -445,6 +438,23 @@ def near_dup_pairs_simhash(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def near_dup_pairs_simhash(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup: 64-bit simhash per doc, then the shared
+    quarter-blocking + exact-Hamming verify (``hamming_pairs_64``).
+
+    The (id, simhash) table is persisted: both sides of the candidate
+    self-join read one materialization instead of re-running the 65-wide
+    conditional-count aggregation each (same discipline as
+    ``minhash_doc_table`` — ReuseExchange does not fire across self-join
+    sides with differing projections)."""
+    from pyspark import StorageLevel
+
+    sh = simhash_df(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    return hamming_pairs_64(sh, max_hamming)
 
 
 # ---------------------------------------------------------------------------

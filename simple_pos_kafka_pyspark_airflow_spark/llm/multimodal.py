@@ -93,10 +93,10 @@ def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
     return header + info + data
 
 
-def decode_bmp(payload: bytes) -> dict:
-    """Parse a 24-bit uncompressed BMP: returns width, height, and
-    per-channel (b, g, r) means plus gray min/max over the real pixel
-    array. Raises ValueError on anything that is not such a BMP."""
+def _bmp_pixels(payload: bytes) -> np.ndarray:
+    """The (height, width, 3) float64 pixel array of a 24-bit uncompressed
+    BMP, top-down. Raises ValueError on anything that is not such a BMP.
+    Shared by the statistics decoder and the perceptual hash."""
     if len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     data_offset = struct.unpack_from("<I", payload, 10)[0]
@@ -110,6 +110,37 @@ def decode_bmp(payload: bytes) -> dict:
     px = px.reshape(n_rows, stride)[:, :row_bytes].reshape(n_rows, width, 3).astype(np.float64)
     if height > 0:  # bottom-up storage → flip to top-down
         px = px[::-1]
+    return px
+
+
+def ahash_bmp(payload: bytes, grid: int = 8) -> int:
+    """64-bit average-hash (aHash) of a 24-bit BMP: grayscale, sample to
+    a ``grid``×``grid`` raster (nearest-index sampling — defined for any
+    image ≥ 1×1, unlike average pooling), threshold at the raster mean;
+    bit (i·grid+j) is 1 when cell (i, j) is STRICTLY above the mean (ties
+    → 0, so a constant image hashes to 0). Returned as a SIGNED 64-bit
+    value (two's complement) so it stores in a Spark LongType — the same
+    convention as the text simhash. Byte-identical images always collide;
+    small pixel perturbations move few bits (verified by unit test)."""
+    gray = _bmp_pixels(payload).mean(axis=2)
+    h, w = gray.shape
+    rows = (np.arange(grid) * h) // grid
+    cols = (np.arange(grid) * w) // grid
+    raster = gray[np.ix_(rows, cols)]
+    bits = (raster > raster.mean()).flatten()
+    val = 0
+    for i, b in enumerate(bits):
+        if b:
+            val |= 1 << i
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Parse a 24-bit uncompressed BMP: returns width, height, and
+    per-channel (b, g, r) means plus gray min/max over the real pixel
+    array. Raises ValueError on anything that is not such a BMP."""
+    px = _bmp_pixels(payload)
+    n_rows, width = px.shape[0], px.shape[1]
     gray = px.mean(axis=2)
     return {
         "width": width,
@@ -383,3 +414,51 @@ def synthesize_media_assets(documents: DataFrame, modality: str = "image") -> Da
             )
 
     return documents.select("doc_id", "text").mapInPandas(batches, schema=ASSET_SCHEMA)
+
+
+def image_ahash_df(
+    assets: DataFrame, payload_col: str = "payload", id_col: str = "asset_id"
+) -> DataFrame:
+    """(_id, _sim): the 64-bit perceptual average-hash of every BMP asset
+    — the image analogue of ``dedup.simhash_df``. Arrow-batched pandas
+    UDF (the binary-column slow-path discipline: one Python hop per
+    batch, numpy inside); non-BMP/corrupt payloads yield a null ``_sim``
+    and are dropped, never aborting the job (same contract as
+    ``extract_features``'s decode_ok)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def ah(col: pd.Series) -> pd.Series:
+        out = []
+        for payload in col:
+            try:
+                out.append(ahash_bmp(bytes(payload)))
+            except (ValueError, TypeError):
+                out.append(None)
+        return pd.Series(out, dtype="object")
+
+    return (
+        assets.select(F.col(id_col).alias("_id"), ah(F.col(payload_col)).alias("_sim"))
+        .where(F.col("_sim").isNotNull())
+    )
+
+
+def near_dup_images_ahash(
+    assets: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Perceptual image near-dup pairs: aHash per asset, then the SAME
+    quarter-blocking + exact-Hamming verify the text simhash uses
+    (``dedup.hamming_pairs_64`` — pigeonhole-complete for hamming ≤ 3,
+    shuffle O(assets × 4) on 16-bit keys, never quadratic). The hash
+    table is persisted so both self-join sides read one materialization
+    — decoding every image twice is the expensive half here. Returns
+    (id_a, id_b, hamming)."""
+    from pyspark import StorageLevel
+
+    from . import dedup as dedup_ops
+
+    sig = image_ahash_df(assets, payload_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    return dedup_ops.hamming_pairs_64(sig, max_hamming)

@@ -540,6 +540,38 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_dedup",
+    "llm",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS id_a,
+           CAST(doc_id + 1000000 AS BIGINT) AS id_b,
+           CAST(0 AS INTEGER) AS hamming
+    FROM documents
+    """,
+    notes="perceptual image near-dup (average-hash over the REAL BMP "
+    "decoder): documents → synthesized 24-bit BMPs → 64-bit aHash per "
+    "image (Arrow-batched, numpy raster sampling) → the SAME "
+    "quarter-blocking + exact-Hamming pipeline as the text simhash "
+    "(llm/dedup.hamming_pairs_64; shuffle O(assets × 4), never "
+    "quadratic). Self-certifying planted-pair form: the asset table is "
+    "unioned with an id-shifted copy — byte-identical payloads hash "
+    "identically, so every planted (doc, doc+1e6) pair MUST surface at "
+    "hamming 0 (recall 1.0 by pigeonhole ⇒ exactly one row per doc, a "
+    "full value-hash oracle); the raw hash values stay inexpressible in "
+    "DuckDB (no BMP decode), perturbation locality pinned by unit tests "
+    "(llm/multimodal.near_dup_images_ahash)",
+)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    assets = multimodal.synthesize_media_assets(d, modality="image")
+    planted = assets.unionByName(
+        assets.withColumn("asset_id", F.col("asset_id") + F.lit(1_000_000))
+    )
+    pairs = multimodal.near_dup_images_ahash(planted, max_hamming=3)
+    return pairs.where(F.col("id_b") == F.col("id_a") + F.lit(1_000_000))
+
+
+@register(
     "q_pandas_udf",
     "llm",
     oracle="""

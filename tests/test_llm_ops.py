@@ -233,6 +233,61 @@ def test_bmp_codec_row_padding():
     assert (d["mean_b"], d["mean_g"], d["mean_r"]) == (1.0, 2.0, 3.0)
 
 
+def test_ahash_bmp_properties():
+    """The perceptual hash's defining properties, pure Python: identical
+    payloads collide; a small pixel perturbation moves at most a few bits
+    while a different image moves many; constant and degenerate (1x1)
+    images are well-defined; non-BMP bytes raise."""
+    import pytest as _pytest
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm.multimodal import ahash_bmp, encode_bmp
+
+    base = bytes((i * 37) % 256 for i in range(8 * 8 * 3))
+    h1 = ahash_bmp(encode_bmp(8, 8, base))
+    assert h1 == ahash_bmp(encode_bmp(8, 8, base))  # deterministic
+    # perturb ONE pixel hard (flip to extreme): at most a few raster bits move
+    near = bytearray(base)
+    near[0], near[1], near[2] = 255, 255, 255
+    h2 = ahash_bmp(encode_bmp(8, 8, bytes(near)))
+    assert bin((h1 ^ h2) & ((1 << 64) - 1)).count("1") <= 3
+    # a genuinely different image diverges far past the near-dup band
+    other = bytes((i * 151 + 89) % 256 for i in range(8 * 8 * 3))
+    h3 = ahash_bmp(encode_bmp(8, 8, other))
+    assert bin((h1 ^ h3) & ((1 << 64) - 1)).count("1") > 3
+    assert ahash_bmp(encode_bmp(4, 4, b"\x07" * 48)) == 0  # constant → ties → 0
+    assert ahash_bmp(encode_bmp(1, 1, b"\x01\x02\x03")) == 0
+    with _pytest.raises(ValueError):
+        ahash_bmp(b"not a bitmap at all")
+
+
+def test_near_dup_images_ahash_planted_and_corrupt(spark):
+    """The image near-dup pipeline finds a byte-identical planted copy at
+    hamming 0 and a lightly-perturbed copy within the hamming band, keeps
+    unrelated images apart, and DROPS corrupt payloads instead of
+    aborting the job."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm.multimodal import (
+        encode_bmp,
+        near_dup_images_ahash,
+    )
+
+    base = bytes((i * 37) % 256 for i in range(8 * 8 * 3))
+    near = bytearray(base)
+    near[0], near[1], near[2] = 255, 255, 255
+    other = bytes((i * 151 + 89) % 256 for i in range(8 * 8 * 3))
+    rows = [
+        (1, encode_bmp(8, 8, base)),
+        (2, encode_bmp(8, 8, base)),          # exact copy
+        (3, encode_bmp(8, 8, bytes(near))),   # perceptual near-dup
+        (4, encode_bmp(8, 8, other)),         # unrelated
+        (5, b"corrupt not-a-bmp payload"),    # must be dropped, not fatal
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in near_dup_images_ahash(df, max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0 and pairs[(2, 3)] == pairs[(1, 3)] <= 3
+    assert all(4 not in p and 5 not in p for p in pairs)
+
+
 def test_wav_codec_exact_values():
     import math
 
