@@ -462,3 +462,76 @@ def near_dup_images_ahash(
 
     sig = image_ahash_df(assets, payload_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     return dedup_ops.hamming_pairs_64(sig, max_hamming)
+
+
+def fingerprint_wav(payload: bytes, n_windows: int = 65) -> int:
+    """64-bit audio fingerprint of a mono 16-bit PCM WAV: mean absolute
+    amplitude over ``n_windows`` near-equal sample windows (every sample
+    covered, trailing remainder folded — the ``_byte_features`` split
+    discipline), then bit i = window i+1's energy STRICTLY above window
+    i's (the sign-of-delta chain — the shape Shazam-style fingerprints
+    reduce to without an FFT dependency). 65 windows → 64 delta bits.
+    Signed 64-bit (two's complement) for Spark LongType, same convention
+    as ``ahash_bmp``/simhash. Byte-identical audio always collides; a
+    localized edit moves only the bits whose windows it touches. Empty
+    or shorter-than-``n_windows`` audio is well-defined (empty windows
+    have zero energy). Raises ValueError on non-PCM payloads."""
+    decode_wav(payload)  # validates the container (raises on non-PCM)
+    # re-walk for the raw samples (decode_wav returns statistics only)
+    pos, pcm = 12, b""
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        if cid == b"data":
+            pcm = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size % 2)
+    samples = np.abs(np.frombuffer(pcm, dtype="<i2").astype(np.float64))
+    energies = [float(w.mean()) if len(w) else 0.0 for w in np.array_split(samples, n_windows)]
+    val = 0
+    for i in range(n_windows - 1):
+        if energies[i + 1] > energies[i]:
+            val |= 1 << i
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def audio_fingerprint_df(
+    assets: DataFrame, payload_col: str = "payload", id_col: str = "asset_id"
+) -> DataFrame:
+    """(_id, _sim): the 64-bit audio fingerprint of every WAV asset — the
+    audio analogue of ``image_ahash_df``; corrupt/non-WAV payloads yield
+    null and drop, never aborting the job."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def fp(col: pd.Series) -> pd.Series:
+        out = []
+        for payload in col:
+            try:
+                out.append(fingerprint_wav(bytes(payload)))
+            except (ValueError, TypeError):
+                out.append(None)
+        return pd.Series(out, dtype="object")
+
+    return (
+        assets.select(F.col(id_col).alias("_id"), fp(F.col(payload_col)).alias("_sim"))
+        .where(F.col("_sim").isNotNull())
+    )
+
+
+def near_dup_audio_fingerprint(
+    assets: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Audio near-dup pairs: WAV fingerprint per asset through the shared
+    quarter-blocking + exact-Hamming pipeline (``dedup.hamming_pairs_64``
+    — the third family on that pipeline, after text simhash and image
+    aHash). Returns (id_a, id_b, hamming)."""
+    from pyspark import StorageLevel
+
+    from . import dedup as dedup_ops
+
+    sig = audio_fingerprint_df(assets, payload_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return dedup_ops.hamming_pairs_64(sig, max_hamming)

@@ -572,6 +572,36 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_audio_dedup",
+    "llm",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS id_a,
+           CAST(doc_id + 1000000 AS BIGINT) AS id_b,
+           CAST(0 AS INTEGER) AS hamming
+    FROM documents
+    """,
+    notes="audio near-dup (64-bit energy-delta fingerprint over the REAL "
+    "WAV chunk-walk decoder — the FFT-free Shazam-family reduction): "
+    "documents → synthesized PCM WAVs → sign-of-delta bits over 65 "
+    "amplitude windows → the shared quarter-blocking + exact-Hamming "
+    "pipeline (llm/dedup.hamming_pairs_64 — third family on it after "
+    "text simhash and image aHash). Same self-certifying planted-pair "
+    "form as q_multimodal_dedup: byte-identical audio fingerprints "
+    "identically, so every planted (doc, doc+1e6) pair surfaces at "
+    "hamming 0 — exactly one row per doc, full value-hash oracle "
+    "(llm/multimodal.near_dup_audio_fingerprint)",
+)
+def q_multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    assets = multimodal.synthesize_media_assets(d, modality="audio")
+    planted = assets.unionByName(
+        assets.withColumn("asset_id", F.col("asset_id") + F.lit(1_000_000))
+    )
+    pairs = multimodal.near_dup_audio_fingerprint(planted, max_hamming=3)
+    return pairs.where(F.col("id_b") == F.col("id_a") + F.lit(1_000_000))
+
+
+@register(
     "q_pandas_udf",
     "llm",
     oracle="""

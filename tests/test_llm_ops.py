@@ -288,6 +288,60 @@ def test_near_dup_images_ahash_planted_and_corrupt(spark):
     assert all(4 not in p and 5 not in p for p in pairs)
 
 
+def test_fingerprint_wav_properties():
+    """The audio fingerprint's defining properties: deterministic; a
+    LOCALIZED amplitude edit moves only the delta bits whose windows it
+    touches (≤ 2 per edited window) while different audio diverges far
+    past the near-dup band; empty audio is well-defined; junk raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm.multimodal import encode_wav, fingerprint_wav
+
+    s = (np.sin(np.linspace(0, 40, 4000)) * 20000).astype(int)
+    f1 = fingerprint_wav(encode_wav(s))
+    assert f1 == fingerprint_wav(encode_wav(s))
+    edited = s.copy()
+    edited[100:160] = 32000  # one ~61-sample window saturated
+    f2 = fingerprint_wav(encode_wav(edited))
+    assert bin((f1 ^ f2) & ((1 << 64) - 1)).count("1") <= 3
+    other = (np.cos(np.linspace(0, 97, 4000)) * 15000).astype(int)
+    f3 = fingerprint_wav(encode_wav(other))
+    assert bin((f1 ^ f3) & ((1 << 64) - 1)).count("1") > 3
+    assert fingerprint_wav(encode_wav([])) == 0
+    with _pytest.raises(ValueError):
+        fingerprint_wav(b"not audio")
+
+
+def test_near_dup_audio_planted_and_corrupt(spark):
+    """The audio near-dup pipeline: byte-identical planted copy at
+    hamming 0, locally-edited copy within the band, unrelated audio
+    apart, corrupt payloads dropped not fatal."""
+    import numpy as np
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm.multimodal import (
+        encode_wav,
+        near_dup_audio_fingerprint,
+    )
+
+    s = (np.sin(np.linspace(0, 40, 4000)) * 20000).astype(int)
+    edited = s.copy()
+    edited[100:160] = 32000
+    other = (np.cos(np.linspace(0, 97, 4000)) * 15000).astype(int)
+    rows = [
+        (1, encode_wav(s)),
+        (2, encode_wav(s)),
+        (3, encode_wav(edited)),
+        (4, encode_wav(other)),
+        (5, b"corrupt"),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in near_dup_audio_fingerprint(df, max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0 and (1, 3) in pairs and pairs[(1, 3)] <= 3
+    assert all(4 not in p and 5 not in p for p in pairs)
+
+
 def test_wav_codec_exact_values():
     import math
 
