@@ -103,9 +103,14 @@ def _bmp_pixels(payload: bytes) -> np.ndarray:
     _, width, height, _, bpp, compression = struct.unpack_from("<IiiHHI", payload, 14)
     if bpp != 24 or compression != 0:
         raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={compression})")
+    n_rows = abs(height)
+    if width <= 0 or n_rows == 0:
+        # a crafted header with zero/negative dimensions must fail as a
+        # normal corrupt payload (the Arrow UDFs catch ValueError), not
+        # surface later as an IndexError from empty-array indexing
+        raise ValueError(f"degenerate BMP dimensions ({width}x{height})")
     row_bytes = width * 3
     stride = row_bytes + ((-row_bytes) % 4)
-    n_rows = abs(height)
     px = np.frombuffer(payload, dtype=np.uint8, count=stride * n_rows, offset=data_offset)
     px = px.reshape(n_rows, stride)[:, :row_bytes].reshape(n_rows, width, 3).astype(np.float64)
     if height > 0:  # bottom-up storage → flip to top-down

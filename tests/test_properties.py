@@ -267,6 +267,45 @@ def test_canonical_dedup_matches_python_oracle(spark, texts):
     assert got == want
 
 
+@given(st.binary(min_size=0, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_media_decoders_fail_closed_on_arbitrary_bytes(payload):
+    """Every media decoder's error contract on untrusted bytes: raise
+    ValueError (the class the Arrow UDFs catch and drop) or return a
+    valid result — never IndexError/struct.error/etc., which would abort
+    a whole 100 TB job on one corrupt asset. Pure Python, no Spark, so
+    the example count can be high."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm import multimodal as mm
+
+    for fn in (mm.decode_bmp, mm.ahash_bmp, mm.decode_wav, mm.fingerprint_wav):
+        try:
+            fn(payload)
+        except ValueError:
+            pass
+
+
+@given(st.binary(min_size=0, max_size=120))
+@settings(max_examples=100, deadline=None)
+def test_media_decoders_fail_closed_on_forged_headers(payload):
+    """Same contract with VALID magic bytes prepended — exercises the
+    header-parse paths (dimensions, chunk walks) instead of bailing at
+    the magic check."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm import multimodal as mm
+
+    bmp_forged = b"BM" + payload
+    wav_forged = b"RIFF" + payload[:4].ljust(4, b"\x00") + b"WAVE" + payload
+    for fn, data in (
+        (mm.decode_bmp, bmp_forged),
+        (mm.ahash_bmp, bmp_forged),
+        (mm.decode_wav, wav_forged),
+        (mm.fingerprint_wav, wav_forged),
+    ):
+        try:
+            fn(data)
+        except ValueError:
+            pass
+
+
 @given(
     st.lists(st.text(alphabet="abc ", min_size=0, max_size=40), min_size=0, max_size=6),
     st.lists(st.text(alphabet="abc ", min_size=0, max_size=40), min_size=0, max_size=4),
