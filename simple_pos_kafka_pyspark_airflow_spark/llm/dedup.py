@@ -401,15 +401,27 @@ def simhash_df(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return g.select("_id", sim.alias("_sim"))
 
 
-def hamming_pairs_64(sig_df: DataFrame, max_hamming: int = 3) -> DataFrame:
+def hamming_pairs_64(
+    sig_df: DataFrame, max_hamming: int = 3, max_block: int = 10_000
+) -> DataFrame:
     """Near-dup pairs over ANY 64-bit signature column: block on the 4
     16-bit quarters (pigeonhole: ≤3 differing bits ⇒ at least one
     identical quarter — complete for ``max_hamming`` ≤ 3), then verify
     the Hamming distance exactly. Shuffle is O(rows × 4) on 16-bit
     buckets — never quadratic. Input schema: ``(_id, _sim)``; shared by
-    text SimHash (``near_dup_pairs_simhash``) and image average-hash
-    (``llm.multimodal.near_dup_images_ahash``), so both families carry
-    the same scale discipline. Returns (id_a, id_b, hamming)."""
+    text SimHash (``near_dup_pairs_simhash``), image average-hash and
+    audio fingerprints (``llm.multimodal``), so every family carries the
+    same scale discipline. Returns (id_a, id_b, hamming).
+
+    ``max_block``: quarter-key blocks holding more than this many rows
+    are dropped before the self-join — the ``max_bucket`` discipline from
+    minhash. Degenerate media make this non-theoretical: every blank
+    image hashes to 0, so one hash value can own a block that would
+    otherwise go O(n²) in a single task. The trade (same as minhash):
+    pairs whose ONLY shared quarters sit in dropped blocks are missed —
+    but a block that hot is boilerplate, not near-duplication evidence.
+    Never binds at contract scale (largest testdata block ≈ tens of
+    rows); pass ``None`` for the uncapped form."""
     quarters = sig_df.select(
         "_id",
         "_sim",
@@ -425,6 +437,11 @@ def hamming_pairs_64(sig_df: DataFrame, max_hamming: int = 3) -> DataFrame:
             )
         ).alias("blk"),
     )
+    if max_block is not None:
+        ok_blocks = (
+            quarters.groupBy("blk").count().where(F.col("count") <= max_block).drop("count")
+        )
+        quarters = quarters.join(ok_blocks, "blk")
     a = quarters.select(F.col("_id").alias("id_a"), F.col("_sim").alias("sim_a"), "blk")
     b = quarters.select(F.col("_id").alias("id_b"), F.col("_sim").alias("sim_b"), F.col("blk").alias("blk_b"))
     cand = (

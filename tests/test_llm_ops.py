@@ -451,6 +451,27 @@ def test_normalize_embeddings_by_group_matches_numpy(spark):
         assert np.allclose(grp.mean(axis=0), 0.0, atol=1e-6)
 
 
+def test_hamming_pairs_block_cap(spark):
+    """The quarter-block cap: a degenerate block (hundreds of identical
+    signatures — e.g. blank images all hashing to 0) stops producing
+    pairs once it exceeds max_block, while a small real near-dup pair in
+    a different block survives. This is the guard against the O(n²)
+    single-task block at scale."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm.dedup import hamming_pairs_64
+
+    rows = [(i, 0) for i in range(50)]  # one degenerate all-zero block
+    real_sig = (0x1234 << 48) | (0x5678 << 32) | (0x9ABC << 16) | 0xDEF0
+    rows += [(100, real_sig), (101, real_sig ^ 1)]  # hamming-1 pair
+    df = spark.createDataFrame(rows, "_id long, _sim long")
+
+    capped = hamming_pairs_64(df, max_hamming=3, max_block=10)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(100, 101)}  # degenerate block dropped, real pair kept
+
+    uncapped = hamming_pairs_64(df, max_hamming=3, max_block=None)
+    assert uncapped.count() == 50 * 49 // 2 + 1  # the quadratic blow-up the cap prevents
+
+
 def test_canonical_dedup_catches_case_punct_variants(spark):
     """Canonical-form exact dedup groups verbatim copies that differ only
     in case/punctuation/whitespace — which raw exact dedup must NOT group
