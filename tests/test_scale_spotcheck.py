@@ -215,6 +215,11 @@ CHEAP_ORACLE_AT_SCALE = [
     # span aggregation — both oracle-cheap at any SF
     "q_dedup_canonical",
     "q_text_dedup_intra",
+    # planted-pair media dedup: one-row-per-doc oracles; the sf0.1 run
+    # drives 2×10k real BMP/WAV encodes+decodes through the hamming
+    # pipeline (~10 s / ~6 s measured)
+    "q_multimodal_dedup",
+    "q_multimodal_audio_dedup",
     # batched retrieval (O(n·queries)) and the z-score gate (O(n)) — the
     # sf0.1 run also exercises 10× the rank-limit-pushdown tiebreak surface
     "q_simsearch_batch",
