@@ -2186,6 +2186,63 @@ def test_ingest_corpus_batch_with_digest_prefilter(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "mh")).where("doc_id = 5").count() == 0
 
 
+def test_digest_index_under_streaming_drain(spark, tmp_path):
+    """The digest pre-filter under a real AvailableNow drain, one file per
+    micro-batch: batch 2's byte-identical copy of batch 1's landed doc is
+    rejected through the PERSISTENT index (not watermark state), and the
+    composed front door lands exactly the distinct survivors."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import (
+        IncrementalDigestIndex,
+        IncrementalMinhashIndex,
+        ingest_corpus_batch,
+    )
+
+    ts = datetime.datetime(2026, 8, 14, 12, 0, 0)
+    text_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    text_b = "completely different second document with its own tokens here"
+    src = tmp_path / "docs"
+    src.mkdir()
+    schema = "doc_id long, text string, ts timestamp"
+    spark.createDataFrame([(1, text_a, ts)], schema).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    spark.createDataFrame(
+        [(10, text_a, ts), (11, text_b, ts)], schema
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    mh = IncrementalMinhashIndex(spark, str(tmp_path / "mh"), num_hashes=16, bands=8)
+    dg = IncrementalDigestIndex(spark, str(tmp_path / "dg"))
+    sink = str(tmp_path / "landed")
+
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(str(src / "f1")).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, bid: ingest_corpus_batch(
+                batch, bid, mh, min_quality=0.0, min_tokens=3, digest_index=dg
+            )
+            .write.mode("append")
+            .parquet(sink)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    landed = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
+    assert landed == [1, 11]  # the cross-batch exact copy (10) never landed
+    # and the digest index recorded exactly the survivors
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "dg")).collect()
+    ) == [1, 11]
+
+
 def test_validation_degenerate_inputs_fail_loudly(spark):
     """The monitoring family's edge guards: deriving histogram edges from
     an empty/all-null frame, and null-rate drift over disjoint or
