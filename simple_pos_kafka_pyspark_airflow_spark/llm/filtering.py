@@ -179,6 +179,70 @@ def cap_per_group(
     )
 
 
+def temperature_keep_rates(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    mod: int = 1000,
+) -> DataFrame:
+    """Per-group keep-rates (``group_col``, ``rate`` ∈ [0, mod]) that
+    reshape the corpus token mixture toward ``share_i ∝ tokens_i^alpha``
+    — temperature sampling, the standard pretraining mixture knob
+    (alpha=1 keeps the natural mixture; alpha→0 flattens it). Since a
+    keep-rate can only DOWNsample, rates normalize so the smallest group
+    keeps everything: ``rate_i = floor(mod · (t_min/t_i)^(1-alpha))``.
+
+    Determinism: for the default ``alpha=0.5`` the rate is computed as
+    ``sqrt(t_min)/sqrt(t_i)`` — sqrt and one division are both
+    correctly-rounded IEEE ops over exact integer token counts, so the
+    rates (and therefore sample membership) are bit-identical across
+    engines. Other alphas go through ``pow``, whose last-ulp rounding is
+    libm-specific — fine for production sampling, not for a hash-exact
+    oracle.
+
+    Scale: one partial-aggregable groupBy to a group-cardinality table +
+    a 1-row global min — broadcast-sized output; apply with
+    ``temperature_sample``."""
+    from .textops import token_count
+
+    toks = df.groupBy(group_col).agg(
+        F.sum(token_count(F.col(text_col))).alias("_t")
+    )
+    tmin = toks.agg(F.min("_t").alias("_tmin"))
+    joined = toks.crossJoin(F.broadcast(tmin))
+    if alpha == 0.5:
+        ratio = F.sqrt(F.col("_tmin").cast("double")) / F.sqrt(F.col("_t").cast("double"))
+    else:
+        ratio = F.pow(
+            F.col("_tmin").cast("double") / F.col("_t").cast("double"), F.lit(1.0 - alpha)
+        )
+    return joined.select(
+        group_col, F.floor(F.lit(mod) * ratio).cast("int").alias("rate")
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    mod: int = 1000,
+) -> DataFrame:
+    """Deterministic temperature-mixture downsampling: keep a document
+    when its id-hash bucket falls under its group's
+    ``temperature_keep_rates`` rate — the same multiplicative-hash
+    membership as ``q_sample_rebalance`` (no RNG, row-local predicate),
+    but with the per-group rates DERIVED from the corpus mixture instead
+    of hand-configured. One tiny broadcast join of the rates table over
+    the scan; membership composes with splits/packing because it is pure
+    arithmetic on the stable id."""
+    rates = temperature_keep_rates(df, group_col, text_col, alpha, mod)
+    bucket = (F.col(id_col) * F.lit(1597334677)) % mod
+    return df.join(F.broadcast(rates), group_col).where(bucket < F.col("rate"))
+
+
 def chunk_documents(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_tokens: int = 32
 ) -> DataFrame:

@@ -934,6 +934,42 @@ def q_sample_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sample_temperature",
+    "llm",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS tk
+      FROM documents GROUP BY source
+    ), r AS (
+      SELECT source,
+             CAST(FLOOR(1000 * (sqrt(CAST((SELECT MIN(tk) FROM t) AS DOUBLE))
+                                / sqrt(CAST(tk AS DOUBLE)))) AS INTEGER) AS rate
+      FROM t
+    )
+    SELECT d.doc_id, d.source, r.rate
+    FROM documents d JOIN r USING (source)
+    WHERE (d.doc_id * 1597334677) % 1000 < r.rate
+    """,
+    notes="temperature-mixture downsampling (share_i ∝ tokens_i^alpha, "
+    "alpha=0.5): per-source keep-rates DERIVED from the corpus token "
+    "mixture (normalized so the smallest source keeps all), applied via "
+    "the same deterministic id-hash membership as q_sample_rebalance — "
+    "the standard pretraining mixture knob with zero RNG. Rates are "
+    "bit-identical cross-engine because sqrt and one division are "
+    "correctly-rounded IEEE ops over exact integer token sums (general "
+    "alpha uses pow and is excluded from the oracle by design). One "
+    "group-cardinality agg + broadcast rates join over the scan "
+    "(llm/filtering.temperature_sample)",
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return filtering.temperature_sample(d, "source", "text", alpha=0.5).select(
+        "doc_id", "source", "rate"
+    )
+
+
+@register(
     "q_pack_sequences",
     "llm",
     oracle="""

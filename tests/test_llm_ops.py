@@ -451,6 +451,34 @@ def test_normalize_embeddings_by_group_matches_numpy(spark):
         assert np.allclose(grp.mean(axis=0), 0.0, atol=1e-6)
 
 
+def test_temperature_keep_rates_math(spark):
+    """Hand-checkable mixture: sources with 100/400/1600 tokens at
+    alpha=0.5 keep 1000/500/250 per-mille (rate ∝ sqrt(t_min/t_i));
+    alpha=1 keeps the natural mixture (all rates = mod); alpha→0
+    flattens fully (rate ∝ t_min/t_i)."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm import filtering
+
+    rows = []
+    did = 0
+    for src, n_docs, toks_per_doc in [("a", 10, 10), ("b", 20, 20), ("c", 40, 40)]:
+        for _ in range(n_docs):
+            rows.append((did, src, " ".join(["w"] * toks_per_doc)))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def rates(alpha):
+        return {r["source"]: r["rate"]
+                for r in filtering.temperature_keep_rates(df, "source", "text", alpha).collect()}
+
+    assert rates(0.5) == {"a": 1000, "b": 500, "c": 250}
+    assert rates(1.0) == {"a": 1000, "b": 1000, "c": 1000}
+    assert rates(0.0) == {"a": 1000, "b": 250, "c": 62}  # t_min/t_i = 1, 1/4, 1/16
+
+    kept = filtering.temperature_sample(df, "source", "text", alpha=0.5)
+    assert kept.where("source = 'a'").count() == 10  # smallest source keeps all
+    assert kept.count() < len(rows)  # larger sources actually downsampled
+
+
 def test_hamming_pairs_block_cap(spark):
     """The quarter-block cap: a degenerate block (hundreds of identical
     signatures — e.g. blank images all hashing to 0) stops producing
