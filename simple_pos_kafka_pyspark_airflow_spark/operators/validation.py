@@ -233,6 +233,45 @@ def schema_drift(reference: DataFrame, current: DataFrame) -> dict[str, list[str
     }
 
 
+def embedding_drift(
+    reference: DataFrame, current: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Embedding-space drift: per-dimension mean of the reference vs the
+    current batch — the encoder-regression / data-shift signal scalar
+    monitors can't see (a new encoder version shifts the embedding
+    distribution long before any null rate or row count moves).
+
+    Output: (pos, mu_ref, mu_cur, shift) — one row per dimension, means
+    rounded to 6 dp (the library's cross-engine float discipline: kills
+    summation-order ulps) and shift their exact difference. Deliberately
+    NO cross-dimension reduction in the contract surface (an L2 norm
+    would re-introduce order-dependent summation); threshold downstream
+    with ``max(abs(shift))`` or feed ``psi_drift`` per dimension.
+
+    Scale: posexplode → partial-aggregable groupBy per side — two
+    dim-cardinality tables joined on pos; cost is O(rows × dim) map-side
+    and O(dim) after the exchange, so it runs per micro-batch."""
+
+    def dim_means(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(F.posexplode(vec_col).alias("pos", "_v"))
+            .groupBy("pos")
+            .agg(F.round(F.avg(F.col("_v").cast("double")), 6).alias(out))
+        )
+
+    ref = dim_means(reference, "mu_ref")
+    cur = dim_means(current, "mu_cur")
+    return (
+        ref.join(cur, "pos")
+        .select(
+            F.col("pos").cast("int").alias("pos"),
+            "mu_ref",
+            "mu_cur",
+            (F.col("mu_cur") - F.col("mu_ref")).alias("shift"),
+        )
+    )
+
+
 def null_rate_drift(
     reference: DataFrame, current: DataFrame, cols: list[str] | None = None
 ) -> DataFrame:

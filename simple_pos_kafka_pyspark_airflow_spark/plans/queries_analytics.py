@@ -267,6 +267,49 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_embed_drift",
+    "agg",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id,
+             unnest(list_transform(embedding, (v, i) -> {'pos': i, 'val': v})) AS u
+      FROM embeddings
+    ), r AS (
+      SELECT u.pos, ROUND(AVG(CAST(u.val AS DOUBLE)), 6) AS mu_ref
+      FROM x WHERE vec_id % 2 = 0 GROUP BY u.pos
+    ), c AS (
+      SELECT u.pos, ROUND(AVG(CAST(u.val AS DOUBLE)), 6) AS mu_cur
+      FROM x WHERE vec_id % 2 = 1 GROUP BY u.pos
+    )
+    SELECT CAST(r.pos AS INTEGER) AS pos, mu_ref, mu_cur,
+           mu_cur - mu_ref AS shift
+    FROM r JOIN c USING (pos)
+    """,
+    notes="embedding-space drift monitor (operators/validation."
+    "embedding_drift): per-dimension mean of a reference slice vs a "
+    "current slice (synthetic split: even/odd vec_id) — the encoder-"
+    "regression signal scalar monitors can't see. Means rounded to 6 dp "
+    "(cross-engine summation-ulp discipline, same as q_embed_centroid); "
+    "deliberately NO cross-dimension norm in the contract surface (it "
+    "would re-introduce order-dependent summation). posexplode + "
+    "partial-aggregable groupBy per side → two dim-cardinality tables "
+    "joined on pos; DuckDB's unnest is 1-based, Spark's posexplode "
+    "0-based — the join is on each engine's own pos so the offset "
+    "cancels, and the output pos is 1-based on both (Spark adds 1)",
+)
+def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import validation
+
+    e = table(spark, sf_dir, "embeddings")
+    drift = validation.embedding_drift(
+        e.where(F.col("vec_id") % 2 == 0), e.where(F.col("vec_id") % 2 == 1)
+    )
+    return drift.select(
+        (F.col("pos") + 1).cast("int").alias("pos"), "mu_ref", "mu_cur", "shift"
+    )
+
+
+@register(
     "q_agg_conditional",
     "agg",
     oracle="""

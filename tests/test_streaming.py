@@ -2269,6 +2269,25 @@ def test_validation_degenerate_inputs_fail_loudly(spark):
         validation.null_rate_drift(ref, cur, cols=["a"])
 
 
+def test_embedding_drift_detects_planted_shift(spark):
+    """A constant shift planted in one dimension shows up as exactly that
+    dimension's shift value; undrifted dimensions report 0.0."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators import validation
+
+    ref = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    cur = spark.createDataFrame(
+        [(i, [1.0, 2.5, 3.0]) for i in range(8)],  # dim 1 shifted by +0.5
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["pos"]: r for r in validation.embedding_drift(ref, cur).collect()}
+    assert rows[0]["shift"] == 0.0 and rows[2]["shift"] == 0.0
+    assert rows[1]["shift"] == 0.5
+    assert rows[1]["mu_ref"] == 2.0 and rows[1]["mu_cur"] == 2.5
+
+
 def test_minhash_index_probe_is_read_only(spark, tmp_path):
     """probe() answers the decontamination question against the landed
     corpus — reports the near-dup pair with its exact Jaccard — without
