@@ -247,6 +247,26 @@ def test_dedup_intra_no_window_no_cross_doc_join(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_sample_temperature_broadcasts_rates(spark, sf_dir):
+    """The derived keep-rates table is group-cardinality-sized and must
+    broadcast back over the documents scan — a shuffle join on source
+    would move the corpus to join against a handful of rows. The mixture
+    aggregation itself must carry map-side partial aggregation."""
+    plan = explain_str(build(spark, sf_dir, "q_sample_temperature"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial" in plan.lower(), plan
+
+
+def test_embed_drift_no_window_two_sides(spark, sf_dir):
+    """The drift monitor is two partial-aggregable posexplode+groupBy
+    pipelines joined on the dimension — never a window, never a
+    cartesian; the post-exchange state is O(dim)."""
+    plan = explain_str(build(spark, sf_dir, "q_embed_drift"))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Generate posexplode" in plan or "posexplode" in plan, plan
+
+
 def test_simsearch_batch_bounded_shuffle(spark, sf_dir):
     """q_simsearch_batch: the per-query top-k window must ride the rank-limit
     pushdown — WindowGroupLimit Partial ahead of the exchange and Final after

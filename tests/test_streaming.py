@@ -1922,6 +1922,52 @@ def test_kafka_value_path_embeddings_into_ivf_index(spark, tmp_path):
     assert got == want
 
 
+def test_kafka_value_path_documents_into_digest_index(spark, tmp_path):
+    """Broker-free Kafka→dedup loop: document payloads decode off a
+    Kafka-shaped frame (from_json) and feed the incremental digest index;
+    a byte-identical document arriving in a later Kafka batch is rejected
+    against the landed corpus."""
+    import datetime
+
+    from simple_pos_kafka_pyspark_airflow_spark.streaming import ingest
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import IncrementalDigestIndex
+
+    ts = datetime.datetime(2026, 8, 14, 10, 0, 0)
+
+    def kafka_frame(docs):
+        rows = [
+            (
+                str(i).encode(),
+                json.dumps({"doc_id": i, "text": t}).encode(),
+                "documents",
+                i % 3,
+                500 + i,
+                ts,
+                0,
+            )
+            for i, t in docs
+        ]
+        return spark.createDataFrame(rows, KAFKA_SOURCE_DDL)
+
+    idx = IncrementalDigestIndex(spark, str(tmp_path / "dg"))
+    b1 = ingest.parse_kafka_frame(
+        kafka_frame([(1, "alpha beta gamma"), (2, "delta epsilon zeta")]),
+        "doc_id long, text string",
+    )
+    assert b1.where(F.col("_corrupt").isNotNull()).count() == 0
+    assert sorted(
+        r["doc_id"] for r in idx.dedup_batch(b1.select("doc_id", "text")).collect()
+    ) == [1, 2]
+
+    b2 = ingest.parse_kafka_frame(
+        kafka_frame([(9, "alpha beta gamma"), (10, "fresh new content")]),
+        "doc_id long, text string",
+    )
+    assert sorted(
+        r["doc_id"] for r in idx.dedup_batch(b2.select("doc_id", "text")).collect()
+    ) == [10]
+
+
 def test_incremental_ivf_probe_batch_matches_per_query_probes(spark, tmp_path):
     """probe_batch must equal N independent probe() calls query-by-query —
     same ids, scores, and ranks — on both float and quantized indexes."""
