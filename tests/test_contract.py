@@ -154,6 +154,32 @@ def test_sync_respects_watermark(tmp_path, monkeypatch):
     assert json.loads(p.read_text())["queries"] == {}
 
 
+def test_sync_certifies_new_round_greens(tmp_path, monkeypatch):
+    """The positive path the next round relies on: a green row in a round
+    NEWER than the watermark certifies its query at that round with the
+    current oracle sha, advances the watermark, and the query then sorts
+    into the certified group."""
+    import json
+
+    from simple_pos_kafka_pyspark_airflow_spark.plans import contract
+
+    p = tmp_path / "certified_oracles.json"
+    p.write_text(json.dumps({"synced_through": 5, "queries": {}}))
+    monkeypatch.setattr(contract, "_CERT_FILE", str(p))
+    monkeypatch.setattr(
+        contract, "_green_rows_from_disk", lambda: {"q_agg_sum": [3, 6], "q_ghost": [6]}
+    )
+    changed = contract.sync_certifications(REGISTRY)
+    assert changed == 1  # q_agg_sum added; q_ghost not in registry -> ignored
+    ledger = json.loads(p.read_text())
+    assert ledger["synced_through"] == 6
+    assert ledger["queries"]["q_agg_sum"]["round"] == 6
+    state = contract.certification_state(REGISTRY)
+    assert state == {"q_agg_sum": 6}
+    # idempotent: a second sync sees nothing newer than the watermark
+    assert contract.sync_certifications(REGISTRY) == 0
+
+
 def test_ledger_shas_match_current_oracles():
     """Every standing ledger entry's sha must match the current oracle
     text.  A red run here means an oracle was rewritten without
