@@ -1673,9 +1673,11 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "this corpus satisfies (same bounds q_dedup_minhash/q_dedup_clusters "
     "document): no LSH band bucket near the max_bucket=10k quadratic "
     "guard, true pairs at j≥0.9 where the miss bound is ~4e-8, component "
-    "diameter far under the max_iter=20 propagation bound — data beyond "
-    "those bounds diverges from the brute-force closure BY DESIGN "
-    "(guards trade exactness for a scale ceiling). Composing the stages "
+    "diameter far under the max_iter=20 propagation bound, and no 5-gram "
+    "in >1000 distinct train docs (the decontamination hot-gram cap; "
+    "measured max 4 at sf0.1) — data beyond those bounds diverges from "
+    "the brute-force closure BY DESIGN (guards trade exactness for a "
+    "scale ceiling). Composing the stages "
     "adds no shuffles beyond the stages' own (llm/curation.curate_corpus); "
     "the per-stage invariant suite lives in tests/test_curation_pipeline.py",
 )
