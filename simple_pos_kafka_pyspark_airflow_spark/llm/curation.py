@@ -82,11 +82,18 @@ def split_col(id_col: str, cfg: CurationConfig) -> F.Column:
 
 
 def curate_corpus(
-    docs: DataFrame, cfg: CurationConfig = CurationConfig(), counts: bool = True
-) -> tuple[DataFrame, list[tuple[str, int]]]:
+    docs: DataFrame,
+    cfg: CurationConfig = CurationConfig(),
+    counts: bool = True,
+    return_frames: bool = False,
+):
     """Run the full curation ladder; returns ``(survivors, report)`` where
     survivors carry a ``split`` column and report is ``[(stage, rows)]``
-    (empty when ``counts=False``).
+    (empty when ``counts=False``). With ``return_frames=True`` a third
+    element carries the intermediate stage frames
+    (``gated``/``exact``/``near``/``capped``/``leak_ids``) for the
+    drop-reason audit (``curation_drop_reasons``) — same single run, no
+    recomputation.
 
     Survivor rows are a subset of input rows (original columns + split) —
     no stage rewrites text, so provenance is the id.
@@ -168,4 +175,52 @@ def curate_corpus(
         "decontaminated",
         split.join(leaks, i, "left_anti"),
     )
+    if return_frames:
+        frames = {
+            "gated": gated, "exact": exact, "near": near,
+            "capped": capped, "leak_ids": leaks,
+        }
+        return out, report, frames
     return out, report
+
+
+#: CASE order of the drop-reason audit — a document's reason is the FIRST
+#: ladder stage that dropped it (a doc dropped at the domain cap never
+#: reaches decontamination, so later-stage membership is undefined for it).
+DROP_STAGES = ("quality", "exact_dup", "near_dup", "domain_cap", "decontaminated")
+
+
+def curation_drop_reasons(
+    docs: DataFrame, cfg: CurationConfig = CurationConfig()
+) -> DataFrame:
+    """Per-document curation provenance: ``(id_col, stage)`` for EVERY
+    input document, where ``stage`` is the first ladder stage that
+    dropped it (``DROP_STAGES`` order) or ``'kept'`` — the audit table
+    that answers "why did my corpus shrink 40%?" without re-running any
+    stage by hand. Drop-rate-by-stage aggregates are one further
+    ``groupBy(stage)``.
+
+    Built from the ladder's own stage frames (same single run — no
+    recomputation beyond id-set membership joins): five id-only left
+    joins over broadcastable-or-id-shuffled marker sets, then one CASE.
+    At 100 TB each marker join is keyed by the doc id — no text moves."""
+    i = cfg.id_col
+    _, _, fr = curate_corpus(docs, cfg, counts=False, return_frames=True)
+
+    marked = docs.select(i)
+    for name, frame in (
+        ("_g", fr["gated"]), ("_e", fr["exact"]), ("_n", fr["near"]),
+        ("_c", fr["capped"]), ("_l", fr["leak_ids"]),
+    ):
+        marked = marked.join(
+            frame.select(F.col(i)).withColumn(name, F.lit(True)), i, "left"
+        )
+    stage = (
+        F.when(F.col("_g").isNull(), "quality")
+        .when(F.col("_e").isNull(), "exact_dup")
+        .when(F.col("_n").isNull(), "near_dup")
+        .when(F.col("_c").isNull(), "domain_cap")
+        .when(F.col("_l").isNotNull(), "decontaminated")
+        .otherwise("kept")
+    )
+    return marked.select(i, stage.alias("stage"))

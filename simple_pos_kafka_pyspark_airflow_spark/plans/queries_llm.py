@@ -1692,3 +1692,101 @@ def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out, _ = curation.curate_corpus(d, cfg, counts=False)
     return out.select("doc_id", "source", "split")
+
+
+@register(
+    "q_curation_reasons",
+    "llm",
+    oracle="""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, text, source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ), gate AS (
+      SELECT doc_id, text, source, toks FROM t
+      WHERE len(toks) BETWEEN 3 AND 100000
+        AND length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 1.0
+            / greatest(length(text), 1) <= 0.2
+        AND (1.0 - len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1)) <= 0.6
+    ), exact AS (
+      SELECT * FROM gate
+      WHERE doc_id IN (SELECT MIN(doc_id) FROM gate GROUP BY text)
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                         i -> array_to_string(toks[i:i+2], ' ')))
+             END AS sh
+      FROM exact
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+            / greatest(len(list_distinct(a.sh || b.sh)), 1) >= 0.8
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id
+    ), comp AS (
+      SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    ), near AS (
+      SELECT e.doc_id, e.source, e.toks
+      FROM exact e LEFT JOIN comp ON e.doc_id = comp.id
+      WHERE comp.id IS NULL OR e.doc_id = comp.cluster_id
+    ), capped AS (
+      SELECT doc_id, source, toks FROM (
+        SELECT doc_id, source, toks,
+               ROW_NUMBER() OVER (
+                 PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM near) WHERE rn <= 40
+    ), labeled AS (
+      SELECT doc_id, source, toks,
+             CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                  WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM capped
+    ), grams AS (
+      SELECT doc_id, split,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(toks) - 4),
+               i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+      FROM labeled WHERE len(toks) >= 5
+    ), leaks AS (
+      SELECT DISTINCT tr.doc_id
+      FROM grams tr JOIN grams te ON tr.gram = te.gram
+      WHERE tr.split <> 'test' AND te.split = 'test'
+    )
+    SELECT d.doc_id,
+           CASE
+             WHEN d.doc_id NOT IN (SELECT doc_id FROM gate) THEN 'quality'
+             WHEN d.doc_id NOT IN (SELECT doc_id FROM exact) THEN 'exact_dup'
+             WHEN d.doc_id NOT IN (SELECT doc_id FROM near) THEN 'near_dup'
+             WHEN d.doc_id NOT IN (SELECT doc_id FROM capped) THEN 'domain_cap'
+             WHEN d.doc_id IN (SELECT doc_id FROM leaks) THEN 'decontaminated'
+             ELSE 'kept'
+           END AS stage
+    FROM documents d
+    """,
+    notes="per-document curation provenance (llm/curation."
+    "curation_drop_reasons): every input doc labeled with the FIRST "
+    "ladder stage that dropped it (quality → exact_dup → near_dup → "
+    "domain_cap → decontaminated) or 'kept' — the audit that answers "
+    "'why did my corpus shrink?'. Built from q_curation_e2e's stage "
+    "frames in the SAME run (five id-only marker joins + one CASE, no "
+    "stage recomputed); the oracle extends the e2e CTE chain with the "
+    "same CASE. Inherits q_curation_e2e's oracle preconditions",
+)
+def q_curation_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import curation
+
+    d = table(spark, sf_dir, "documents")
+    cfg = curation.CurationConfig(
+        min_tokens=3,
+        allowed_langs=("en", "de", "fr", "es", "zh", "und"),
+        per_source_cap=40,
+    )
+    return curation.curation_drop_reasons(d, cfg)

@@ -83,3 +83,52 @@ def test_curation_counts_off_returns_empty_report(spark, sf_dir):
     )
     assert report == []
     assert "split" in out.columns and out.limit(1).count() == 1
+
+
+def test_drop_reasons_exercise_every_stage(spark):
+    """curation_drop_reasons on a corpus planted to hit EVERY stage: a
+    too-short doc (quality), a byte-copy (exact_dup), a near-dup
+    (near_dup), a source over the cap (domain_cap), a train doc sharing a
+    5-gram with a test doc (decontaminated), and survivors (kept). The
+    reason is the FIRST dropping stage, and every input doc gets exactly
+    one row."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    # find a test-split id and a train/val id deterministically
+    KNUTH = 2654435761
+    test_id = next(i for i in range(200, 400) if (i * KNUTH) % 100 >= 90)
+    train_id = next(i for i in range(500, 700) if (i * KNUTH) % 100 < 90)
+    leak_text = "the secret answer is purple exactly here now"
+    rows = [
+        (1, base, "s1"),
+        (2, "xx", "s1"),
+        (3, base, "s1"),
+        (4, base + " kilo", "s1"),
+        (train_id, leak_text, "s2"),
+        (test_id, leak_text + " with extra trailing words appended here", "s3"),
+    ]
+    # overflow source s4 past the cap
+    cap = 3
+    for k in range(cap + 2):
+        rows.append((1000 + k, f"unique{k} filler{k} pad{k} words{k} here{k}", "s4"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    cfg = curation.CurationConfig(
+        min_tokens=3,
+        allowed_langs=("en", "de", "fr", "es", "zh", "und"),
+        per_source_cap=cap,
+        jaccard_threshold=0.8,
+    )
+    got = {r["doc_id"]: r["stage"]
+           for r in curation.curation_drop_reasons(df, cfg).collect()}
+    assert len(got) == len(rows)  # one row per input doc
+    assert got[2] == "quality"
+    assert got[3] == "exact_dup"
+    assert got[4] == "near_dup"
+    assert got[1] == "kept"
+    # the leak pair: the train/val doc decontaminates, the test doc stays
+    assert got[train_id] == "decontaminated"
+    assert got[test_id] == "kept"
+    # exactly 2 of the s4 docs hit the cap
+    s4 = [got[1000 + k] for k in range(cap + 2)]
+    assert s4.count("domain_cap") == 2 and s4.count("kept") == cap
+    assert set(got.values()) == {"quality", "exact_dup", "near_dup",
+                                 "domain_cap", "decontaminated", "kept"}
