@@ -73,6 +73,11 @@ HEADLINE = [
     "q_curation_e2e",
     "q_dedup_clusters",
     "q_split_contamination",
+    # round-6 families: within-doc repetition removal (aggregate-only
+    # span pipeline) and perceptual media dedup (codec decode + shared
+    # hamming blocking — the Arrow-batch-dominated plan shape)
+    "q_text_dedup_intra",
+    "q_multimodal_dedup",
 ]
 
 
