@@ -291,3 +291,47 @@ def token_distribution_against(df, reference_dist, text_col: str = "text"):
         "n",
         (F.col("n") / F.lit(float(totals))).alias("frac"),
     )
+
+
+def unigram_logprob_scores(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Model-free fluency scoring: each document's mean unigram
+    log-probability under the CORPUS'S OWN token distribution — the
+    perplexity-filter shape (CCNet/KenLM practice) without an external
+    LM: documents full of tokens the corpus rarely uses (garbled
+    encodings, boilerplate codes, exotic spam) score far below prose, and
+    a threshold on the score is the filter. Output: (id_col, n_tokens,
+    mean_logprob) — zero-token documents produce no row (their mean is
+    undefined).
+
+    Scale shape: one partial-aggregable token-count shuffle builds the
+    frequency table; the per-occurrence join back is keyed by the token —
+    hot stopword keys are the classic skew, handled by broadcasting the
+    frequency table when the vocabulary fits (tens of millions of tokens
+    × ~16 B — usually it does) and AQE skew-join otherwise; the final
+    per-doc mean is another partial-aggregable shuffle on the id. The
+    exploded token stream is computed twice (freq build + scoring join) —
+    deliberate: at corpus scale persisting the occurrence stream costs
+    more than re-scanning.
+
+    Determinism: counts and the total are exact integers; ``c/N`` is one
+    correctly-rounded division; ``ln`` is libm-level (last-ulp varies
+    across engines) and the per-doc mean is summation-order-dependent, so
+    the score rounds to 6 dp — the library's cross-engine float
+    discipline (same as TF-IDF's ln path)."""
+    from pyspark.sql import functions as F
+
+    toks = df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("_tok"))
+    freq = toks.groupBy("_tok").agg(F.count("*").alias("_c"))
+    total = freq.agg(F.sum("_c").alias("_n"))
+    scored = (
+        toks.join(F.broadcast(freq), "_tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.log(F.col("_c").cast("double") / F.col("_n").cast("double")).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_tokens"),
+        F.round(F.avg("_lp"), 6).alias("mean_logprob"),
+    )

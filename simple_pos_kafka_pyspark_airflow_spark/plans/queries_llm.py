@@ -447,6 +447,41 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", textops.fingerprint_portable(F.col("text")).alias("fp"))
 
 
+@register(
+    "q_text_logprob",
+    "llm",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+      FROM documents
+    ), f AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tok
+    ), n AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS total FROM f
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_tokens,
+           ROUND(AVG(ln(CAST(f.c AS DOUBLE) / CAST((SELECT total FROM n) AS DOUBLE))), 6)
+             AS mean_logprob
+    FROM tok t JOIN f USING (tok)
+    GROUP BY t.doc_id
+    """,
+    notes="model-free fluency scoring (llm/textops.unigram_logprob_scores): "
+    "each doc's mean unigram log-probability under the corpus's OWN token "
+    "distribution — the CCNet/KenLM perplexity-filter shape without an "
+    "external LM; a threshold on the score is the garbled-text filter. "
+    "One token-count shuffle + broadcast frequency join + per-doc mean; "
+    "hot stopword join keys ride the broadcast (AQE skew-join at "
+    "vocabularies past broadcast range). Score rounded to 6 dp (ln is "
+    "libm-level and the mean is summation-order-dependent — the TF-IDF "
+    "ln discipline)",
+)
+def q_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return textops.unigram_logprob_scores(d, "text", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------

@@ -451,6 +451,35 @@ def test_normalize_embeddings_by_group_matches_numpy(spark):
         assert np.allclose(grp.mean(axis=0), 0.0, atol=1e-6)
 
 
+def test_unigram_logprob_scores_math_and_ranking(spark):
+    """Hand-computable corpus: scores equal the exact mean ln(c/N) per
+    doc; a doc of corpus-rare tokens scores strictly below one of common
+    tokens (the filter property); zero-token docs produce no row."""
+    import math
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm import textops as t
+
+    df = spark.createDataFrame(
+        [
+            (1, "the the cat"),
+            (2, "the cat"),
+            (3, "zzz"),
+            (4, "   "),
+        ],
+        ["doc_id", "text"],
+    )
+    # corpus counts: the=3, cat=2, zzz=1; N=6
+    got = {r["doc_id"]: (r["n_tokens"], r["mean_logprob"])
+           for r in t.unigram_logprob_scores(df, "text", "doc_id").collect()}
+    N = 6.0
+    lp = lambda c: math.log(c / N)  # noqa: E731
+    assert got[1] == (3, round((2 * lp(3) + lp(2)) / 3, 6))
+    assert got[2] == (2, round((lp(3) + lp(2)) / 2, 6))
+    assert got[3] == (1, round(lp(1), 6))
+    assert 4 not in got  # zero tokens -> undefined mean -> no row
+    assert got[3][1] < got[2][1] < got[1][1]  # rare-token doc scores lowest
+
+
 def test_temperature_keep_rates_math(spark):
     """Hand-checkable mixture: sources with 100/400/1600 tokens at
     alpha=0.5 keep 1000/500/250 per-mille (rate ∝ sqrt(t_min/t_i));
