@@ -244,25 +244,43 @@ def temperature_sample(
 
 
 def chunk_documents(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_tokens: int = 32
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 32,
+    stride: int | None = None,
 ) -> DataFrame:
     """Split each document's token stream into fixed-size training chunks:
     (id, chunk_idx, n_tokens, chunk_text). The final chunk keeps the
     remainder. Chunk boundaries are token-aligned and deterministic.
 
+    ``stride`` (default ``max_tokens`` = disjoint windows) sets the step
+    between chunk starts; ``stride < max_tokens`` yields OVERLAPPING
+    context windows — the standard long-document training shape where
+    each chunk carries ``max_tokens - stride`` tokens of left context so
+    no next-token prediction ever starts cold at a chunk boundary. Chunk
+    i starts at token ``i·stride``; starts past the end are not emitted,
+    so every chunk is non-empty and the last chunk may be short.
+
     Columnar construction: ``sequence`` over the chunk count → explode →
     ``slice`` the token array per chunk — row multiplication happens
     executor-side with no shuffle, the 100 TB shape for tokenize-and-pack.
     """
+    step = max_tokens if stride is None else stride
+    if step <= 0:
+        raise ValueError(f"stride must be positive, got {step}")
     toks = tokens(F.col(text_col))
     base = df.select(F.col(id_col), toks.alias("_toks"))
-    n_chunks = F.ceil(F.size("_toks") / F.lit(max_tokens)).cast("int")
+    # number of window starts strictly inside the token stream:
+    # ceil(n / step) for the disjoint case generalizes to the count of
+    # starts i·step < n
+    n_chunks = F.ceil(F.size("_toks") / F.lit(step)).cast("int")
     exploded = base.where(F.size("_toks") > 0).select(
         id_col,
         "_toks",
         F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
     )
-    chunk = F.slice(F.col("_toks"), F.col("chunk_idx") * max_tokens + 1, max_tokens)
+    chunk = F.slice(F.col("_toks"), F.col("chunk_idx") * step + 1, max_tokens)
     return exploded.select(
         id_col,
         F.col("chunk_idx").cast("int").alias("chunk_idx"),

@@ -842,6 +842,39 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_text_chunks_overlap",
+    "llm",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, CAST(ceil(len(toks) / 24.0) AS INTEGER) - 1)) AS chunk_idx
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(len(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32]) AS INTEGER) AS n_tokens,
+           array_to_string(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ') AS chunk_text
+    FROM c
+    """,
+    notes="OVERLAPPING context windows (llm/filtering.chunk_documents with "
+    "stride 24 < max_tokens 32): each chunk carries 8 tokens of left "
+    "context so no next-token prediction starts cold at a boundary — the "
+    "standard long-document training shape. Same zero-shuffle "
+    "sequence+explode+slice construction as q_text_chunks; chunk starts "
+    "step by the stride, window length stays max_tokens, last window "
+    "keeps the remainder",
+)
+def q_text_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import filtering
+
+    d = table(spark, sf_dir, "documents")
+    return filtering.chunk_documents(d, "text", "doc_id", max_tokens=32, stride=24)
+
+
+@register(
     "q_text_tfidf",
     "llm",
     oracle=r"""

@@ -451,6 +451,33 @@ def test_normalize_embeddings_by_group_matches_numpy(spark):
         assert np.allclose(grp.mean(axis=0), 0.0, atol=1e-6)
 
 
+def test_chunk_documents_overlapping_stride(spark):
+    """stride < max_tokens yields overlapping windows: consecutive chunks
+    share exactly max_tokens - stride tokens; starts past the end are not
+    emitted; every token appears in at least one chunk; stride=max_tokens
+    reproduces the disjoint form; stride<=0 raises."""
+    import pytest as _pytest
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm import filtering
+
+    toks = [f"t{i}" for i in range(10)]
+    df = spark.createDataFrame([(1, " ".join(toks))], ["doc_id", "text"])
+    out = {r["chunk_idx"]: r["chunk_text"].split(" ")
+           for r in filtering.chunk_documents(df, max_tokens=4, stride=2).collect()}
+    assert out[0] == ["t0", "t1", "t2", "t3"]
+    assert out[1] == ["t2", "t3", "t4", "t5"]  # 2 tokens of overlap
+    assert out[4] == ["t8", "t9"]              # last window keeps remainder
+    assert len(out) == 5                       # start 10 >= n -> not emitted
+    covered = {t for c in out.values() for t in c}
+    assert covered == set(toks)
+
+    disjoint = filtering.chunk_documents(df, max_tokens=4).collect()
+    explicit = filtering.chunk_documents(df, max_tokens=4, stride=4).collect()
+    assert sorted(map(tuple, disjoint)) == sorted(map(tuple, explicit))
+    with _pytest.raises(ValueError, match="stride"):
+        filtering.chunk_documents(df, max_tokens=4, stride=0)
+
+
 def test_unigram_logprob_scores_math_and_ranking(spark):
     """Hand-computable corpus: scores equal the exact mean ln(c/N) per
     doc; a doc of corpus-rare tokens scores strictly below one of common
