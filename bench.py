@@ -78,6 +78,9 @@ HEADLINE = [
     # hamming blocking — the Arrow-batch-dominated plan shape)
     "q_text_dedup_intra",
     "q_multimodal_dedup",
+    # broadcast-Bloom decontamination: the corpus-never-shuffles plan
+    # (bitmap build + Arrow gather) vs q_split_ngram_leak's exact join
+    "q_split_bloom",
 ]
 
 

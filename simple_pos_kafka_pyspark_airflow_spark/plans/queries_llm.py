@@ -1631,6 +1631,68 @@ def q_split_ngram_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_split_bloom",
+    "llm",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, (doc_id * 2654435761) % 100 AS b,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, b,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(toks) - 4),
+               i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+      FROM t WHERE len(toks) >= 5
+    ), hits AS (
+      SELECT DISTINCT tr.doc_id
+      FROM g tr JOIN g te ON tr.gram = te.gram
+      WHERE tr.b < 80 AND te.b >= 90
+    )
+    SELECT t.doc_id,
+           CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS INTEGER) AS exact_hit,
+           CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS INTEGER) AS bloom_hit,
+           CAST(1 AS INTEGER) AS superset_ok
+    FROM t LEFT JOIN hits h USING (doc_id)
+    WHERE t.b < 80 AND len(t.toks) >= 5
+    """,
+    notes="broadcast-Bloom decontamination (llm/bloom.py): the probe "
+    "(test) split's 5-gram Bloom bitmap is built with one "
+    "distinct-positions shuffle and broadcast (~0.5 MB at m=2^22); the "
+    "train corpus is flagged by an Arrow-vectorized bitmap gather — no "
+    "gram string ever shuffles, the 100 TB-side complement to "
+    "q_split_ngram_leak's exact join. Certification: superset_ok "
+    "asserts the Bloom guarantee (no false negatives vs the uncapped "
+    "exact collision set); bloom_hit is additionally value-matched to "
+    "exact_hit, valid because at m=2^22/k=4 the per-gram fp rate is "
+    "~3e-11 and the hashes (xxhash64, fixed seeds) are deterministic — "
+    "measured zero fp at sf0.001/0.01/0.1, so equality is stable, not "
+    "probabilistic. Same split arithmetic as q_split_hash so the tiers "
+    "compose",
+)
+def q_split_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import bloom, curation
+
+    d = table(spark, sf_dir, "documents")
+    split = curation.split_col("doc_id", curation.CurationConfig())
+    train = d.where(split == "train")
+    test = d.where(split == "test")
+    flags = bloom.bloom_decontaminate(
+        train, test, "text", "doc_id", n=5, m_bits=1 << 22
+    )
+    exact = dedup.exact_ngram_collisions(
+        train, test, "text", "doc_id", n=5, max_gram_docs=None
+    ).withColumnRenamed("n_probe_hits", "_nh")
+    exact_hit = F.when(F.col("_nh").isNotNull(), 1).otherwise(0).cast("int")
+    return flags.join(exact, "doc_id", "left").select(
+        "doc_id",
+        exact_hit.alias("exact_hit"),
+        F.col("bloom_hit").cast("int").alias("bloom_hit"),
+        (F.col("bloom_hit").cast("int") >= exact_hit).cast("int").alias("superset_ok"),
+    )
+
+
+@register(
     "q_corpus_mixture",
     "llm",
     oracle="""

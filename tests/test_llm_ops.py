@@ -1221,3 +1221,96 @@ def test_token_psi_separates_stable_vs_rewritten_corpus(spark):
     psi_same = validation.psi_drift(ref, same, group_col="corpus").first()["psi"]
     psi_cross = validation.psi_drift(ref, cross, group_col="corpus").first()["psi"]
     assert psi_same < 0.25 < 1.0 < psi_cross, (psi_same, psi_cross)
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-Bloom decontamination (llm/bloom.py)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_corpora(spark):
+    probe = spark.createDataFrame(
+        [
+            (100, "the secret eval answer is forty two exactly"),
+            (101, "unrelated benchmark prompt about alpine marmots today"),
+        ],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains probe 100's 5-gram "secret eval answer is forty"
+            (1, "we know the secret eval answer is forty two said the doc"),
+            # no 5-gram overlap with any probe doc
+            (2, "completely different text about gardening tools and winter soil"),
+            # too short for a 5-gram: must be absent from the output
+            (3, "tiny doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    return corpus, probe
+
+
+def test_bloom_flags_planted_leak_and_skips_clean_doc(spark):
+    from simple_pos_kafka_pyspark_airflow_spark.llm import bloom
+
+    corpus, probe = _bloom_corpora(spark)
+    rows = {
+        r["doc_id"]: r
+        for r in bloom.bloom_decontaminate(corpus, probe, m_bits=1 << 20).collect()
+    }
+    assert set(rows) == {1, 2}, "sub-n-token docs must not appear"
+    assert rows[1]["bloom_hit"] == 1 and rows[1]["n_bloom_grams"] >= 1
+    assert rows[2]["bloom_hit"] == 0 and rows[2]["n_bloom_grams"] == 0
+    assert rows[2]["n_grams"] > 0
+
+
+def test_bloom_no_false_negatives_probing_probe_against_itself(spark):
+    """The Bloom guarantee: every probe document's every gram must test
+    positive against the probe's own bitmap — exactly, not statistically."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm import bloom
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    flags = bloom.bloom_decontaminate(docs, docs, m_bits=1 << 22).collect()
+    assert len(flags) > 0
+    for r in flags:
+        assert r["bloom_hit"] == 1 and r["n_bloom_grams"] == r["n_grams"], r
+
+
+def test_bloom_empty_probe_flags_nothing(spark):
+    from simple_pos_kafka_pyspark_airflow_spark.llm import bloom
+
+    corpus, probe = _bloom_corpora(spark)
+    empty = probe.where(F.lit(False))
+    rows = bloom.bloom_decontaminate(corpus, empty, m_bits=1 << 20).collect()
+    assert {r["doc_id"] for r in rows} == {1, 2}
+    assert all(r["bloom_hit"] == 0 and r["n_bloom_grams"] == 0 for r in rows)
+
+
+def test_bloom_small_bitmap_and_single_hash_still_sound(spark):
+    """m_bits below the packing chunk size and k=1 exercise the chunk
+    arithmetic edge; soundness (no false negatives) must hold even when a
+    tiny saturated bitmap makes false positives likely."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm import bloom
+
+    corpus, probe = _bloom_corpora(spark)
+    rows = {
+        r["doc_id"]: r
+        for r in bloom.bloom_decontaminate(
+            corpus, probe, m_bits=1 << 8, n_hashes=1
+        ).collect()
+    }
+    assert rows[1]["bloom_hit"] == 1  # the leak can never be missed
+
+
+def test_bloom_bitmap_rejects_bad_params(spark):
+    from simple_pos_kafka_pyspark_airflow_spark.llm import bloom
+
+    corpus, probe = _bloom_corpora(spark)
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom.bloom_bitmap(probe, m_bits=12)
+    with pytest.raises(ValueError, match="n_hashes"):
+        bloom.bloom_bitmap(probe, n_hashes=0)
+    import numpy as np
+
+    with pytest.raises(ValueError, match="bitmap"):
+        bloom.bloom_flag(corpus, np.zeros(0, dtype=np.uint8))
