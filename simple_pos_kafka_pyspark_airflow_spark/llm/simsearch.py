@@ -423,6 +423,98 @@ def cosine_topk_ivf(
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
+def cosine_topk_ivf_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_assign: int = 1,
+) -> DataFrame:
+    """Batched IVF retrieval: every query gets its ``k`` nearest corpus
+    vectors, scanning only the union of the queries' probed cells — the
+    realistic retrieval shape (``cosine_topk_ivf`` is the single-query
+    form; scanning the corpus once per query is exactly what an index
+    exists to avoid).
+
+    Plan: the quantizer is built once (every collect O(n_cells × dim));
+    the corpus is cell-assigned (at 100 TB this runs at ingest and
+    ``cell`` is the storage partition key); per-query probe cells come
+    from one tiny driver-side matmul over the collected query batch
+    (broadcast-small by contract, same as ``cosine_topk_batch``); the
+    (query, cell) probe pairs broadcast into an equi-join on ``cell`` —
+    against a cell-partitioned store that join IS partition pruning, so
+    the batch reads ≤ nprobe·n_assign/n_cells of the data — and the
+    per-query top-k window gets Spark's rank-limit pushdown
+    (``WindowGroupLimit Partial`` before the exchange).
+
+    Determinism: same discipline as every top-k here — scores rounded to
+    6 dp before selection, corpus id as tiebreak; replicated assignments
+    (``n_assign`` > 1) dedup per (query, id) before scoring."""
+    from pyspark import StorageLevel
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.window import Window
+
+    base = df.select(id_col, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+    centroids = ivf_centroids(base, n_cells, vec_col, id_col)
+    qrows = queries.select(q_id_col, q_vec_col).collect()
+    empty_schema = StructType(
+        [
+            queries.schema[q_id_col],
+            df.schema[id_col],
+            StructField("score", DoubleType()),
+            StructField("rn", IntegerType()),
+        ]
+    )
+    if not centroids or not qrows:
+        # empty corpus (no quantizer) or empty query batch: both
+        # degenerate to the empty result frame, matching cosine_topk_batch
+        return df.sparkSession.createDataFrame([], empty_schema)
+    c = np.array(centroids, dtype="float64")
+    c_hat = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    probe_rows = []
+    for r in qrows:
+        q = np.asarray(r[q_vec_col], dtype="float64")
+        q_hat = q / max(float(np.linalg.norm(q)), 1e-12)
+        for cell in np.argsort(-(c_hat @ q_hat))[:nprobe]:
+            probe_rows.append((r[q_id_col], [float(x) for x in r[q_vec_col]], int(cell)))
+    probes = df.sparkSession.createDataFrame(
+        probe_rows,
+        StructType(
+            [
+                queries.schema[q_id_col],
+                StructField(q_vec_col, ArrayType(DoubleType())),
+                StructField("cell", IntegerType()),
+            ]
+        ),
+    )
+    assigned = ivf_assign(base, centroids, vec_col, n_assign=n_assign)
+    joined = assigned.join(F.broadcast(probes), "cell")
+    if n_assign > 1:
+        joined = joined.dropDuplicates([q_id_col, id_col])
+    scored = joined.select(
+        q_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col(q_vec_col)), 6).alias("score"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= k)
+        .select(q_id_col, id_col, "score", "rn")
+    )
+
+
 def quantize_embedding(vec: Column) -> tuple[Column, Column]:
     """Symmetric per-vector int8 quantization: returns (scale, int8 array)
     with ``scale = max|v| / 127`` and ``q_i = floor(v_i/scale + 0.5)``

@@ -694,6 +694,57 @@ def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_simsearch_recall",
+    "llm",
+    oracle="""
+    SELECT vec_id AS query_id,
+           CAST(10 AS BIGINT) AS n_exact,
+           CAST(1 AS INTEGER) AS recall_ok
+    FROM embeddings ORDER BY vec_id LIMIT 8
+    """,
+    notes="in-plan ANN quality certification: batched IVF retrieval "
+    "(llm/simsearch.cosine_topk_ivf_batch — probe-pairs broadcast join "
+    "on the cell key, the partition-pruning shape at scale) joined "
+    "against the exact batched top-10 (cosine_topk_batch), per-query "
+    "overlap counted in the same plan. recall_ok asserts recall@10 "
+    ">= 0.8 per query at n_cells=16/nprobe=8/n_assign=3 (measured "
+    ">= 0.9 at sf0.001/0.01/0.1 on the near-isotropic test embeddings; "
+    "the 0.8 bound leaves one-neighbor margin). Deterministic "
+    "end-to-end: hash-sampled quantizer seeds, rounded scores, id "
+    "tiebreaks — so the bit is stable, and the recall harness itself "
+    "is distributed (no driver-side per-query loop), which is what "
+    "lets the same query audit an index over any corpus size",
+)
+def q_simsearch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    queries = (
+        e.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    exact = simsearch.cosine_topk_batch(e, queries, k=10)
+    approx = simsearch.cosine_topk_ivf_batch(
+        e, queries, k=10, n_cells=16, nprobe=8, n_assign=3
+    )
+    overlap = (
+        exact.select("query_id", "vec_id")
+        .join(approx.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            (F.coalesce("n_overlap", F.lit(0)) >= 8).cast("int").alias("recall_ok"),
+        )
+    )
+
+
+@register(
     "q_embed_centroid",
     "llm",
     oracle="""

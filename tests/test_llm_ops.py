@@ -1314,3 +1314,60 @@ def test_bloom_bitmap_rejects_bad_params(spark):
 
     with pytest.raises(ValueError, match="bitmap"):
         bloom.bloom_flag(corpus, np.zeros(0, dtype=np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# Batched IVF retrieval (llm/simsearch.cosine_topk_ivf_batch)
+# ---------------------------------------------------------------------------
+
+
+def _embed_queries(spark, n=4):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = (
+        e.orderBy("vec_id")
+        .limit(n)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    return e, qs
+
+
+def test_ivf_batch_matches_single_query_form(spark):
+    """The batched probe must return exactly what n independent
+    single-query probes return (same quantizer params ⇒ same cells ⇒
+    same candidates ⇒ same rounded-score/id-tiebreak top-k)."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm import simsearch
+
+    e, qs = _embed_queries(spark, n=3)
+    batch = {
+        (r["query_id"], r["rn"]): r["vec_id"]
+        for r in simsearch.cosine_topk_ivf_batch(
+            e, qs, k=5, n_cells=8, nprobe=3
+        ).collect()
+    }
+    for q in qs.collect():
+        single = simsearch.cosine_topk_ivf(
+            e, list(q["query_vec"]), k=5, n_cells=8, nprobe=3
+        ).collect()
+        for rn, row in enumerate(single, start=1):
+            assert batch[(q["query_id"], rn)] == row["vec_id"]
+
+
+def test_ivf_batch_full_probe_equals_exact_batch(spark):
+    """nprobe = n_cells prunes nothing: the IVF batch must equal the
+    exact batched top-k row-for-row — the brute-force degeneration that
+    pins scoring and tiebreaks independently of the index."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm import simsearch
+
+    e, qs = _embed_queries(spark, n=3)
+    ivf = simsearch.cosine_topk_ivf_batch(e, qs, k=5, n_cells=4, nprobe=4)
+    exact = simsearch.cosine_topk_batch(e, qs, k=5)
+    assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_ivf_batch_empty_queries_yields_empty_frame(spark):
+    from simple_pos_kafka_pyspark_airflow_spark.llm import simsearch
+
+    e, qs = _embed_queries(spark)
+    out = simsearch.cosine_topk_ivf_batch(e, qs.where(F.lit(False)), k=5)
+    assert out.columns == ["query_id", "vec_id", "score", "rn"]
+    assert out.count() == 0
