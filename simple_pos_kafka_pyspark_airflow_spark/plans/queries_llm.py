@@ -1744,6 +1744,71 @@ def q_split_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_shard_manifest",
+    "llm",
+    oracle="""
+    WITH t AS (
+      SELECT CAST((doc_id * 2654435761) % 16 AS INTEGER) AS shard,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+      FROM documents
+    ), m AS (
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS sum_tokens
+      FROM t GROUP BY shard
+    )
+    SELECT shard, n_docs, sum_tokens,
+           CAST(CASE WHEN (SELECT MAX(n_docs) FROM m)
+                          <= 1.5 * (SELECT SUM(n_docs) FROM m) / 16
+                     THEN 1 ELSE 0 END AS INTEGER) AS balance_ok
+    FROM m
+    """,
+    notes="training-shard export: deterministic multiplicative-hash shard "
+    "assignment (same arithmetic family as q_split_hash so splits and "
+    "shards compose), repartition('shard') so each shard is ONE writer "
+    "task -> one file (the small-files guard), physical "
+    "partitionBy('shard') parquet write, then the manifest is computed "
+    "from the READ-BACK — certifying the round-trip, not the "
+    "pre-write frame. balance_ok bound-bit asserts max shard <= 1.5x "
+    "mean (an odd multiplier mod 2^k is a bijection on dense ids, so "
+    "shards self-balance; at 100 TB swap in xxhash64 for sparse ids — "
+    "same plan, hash not oracle-expressible). The per-shard manifest "
+    "(docs, tokens) is what a training loader consumes for "
+    "deterministic epoch ordering",
+)
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from .queries_joins import _workdir
+
+    n_shards = 16
+    d = table(spark, sf_dir, "documents")
+    shard = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(n_shards)).cast("int")
+    docs = d.select(
+        "doc_id",
+        textops.token_count(F.col("text")).alias("n_tokens"),
+        shard.alias("shard"),
+    )
+    path = _workdir("shard_export", os.path.basename(sf_dir.rstrip("/")))
+    docs.repartition(n_shards, "shard").write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(path)
+    man = (
+        spark.read.parquet(path)
+        .groupBy(F.col("shard").cast("int").alias("shard"))
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("sum_tokens"))
+    )
+    stats = man.agg(
+        F.max("n_docs").alias("_mx"), (F.sum("n_docs") / F.lit(n_shards)).alias("_avg")
+    )
+    return man.crossJoin(F.broadcast(stats)).select(
+        "shard",
+        "n_docs",
+        "sum_tokens",
+        (F.col("_mx") <= F.lit(1.5) * F.col("_avg")).cast("int").alias("balance_ok"),
+    )
+
+
+@register(
     "q_corpus_mixture",
     "llm",
     oracle="""

@@ -1371,3 +1371,31 @@ def test_ivf_batch_empty_queries_yields_empty_frame(spark):
     out = simsearch.cosine_topk_ivf_batch(e, qs.where(F.lit(False)), k=5)
     assert out.columns == ["query_id", "vec_id", "score", "rn"]
     assert out.count() == 0
+
+
+def test_shard_export_writes_one_file_per_shard(spark, tmp_path):
+    """The repartition('shard') before partitionBy is the small-files
+    guard: each shard directory must contain exactly ONE parquet part
+    (without it, every writer task emits a part per shard it sees —
+    n_tasks × n_shards files at scale)."""
+    import glob
+    import os
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm import textops
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_shards = 8
+    shard = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(n_shards)).cast("int")
+    docs = d.select("doc_id", textops.token_count(F.col("text")).alias("n_tokens"),
+                    shard.alias("shard"))
+    path = str(tmp_path / "shards")
+    docs.repartition(n_shards, "shard").write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(path)
+    dirs = sorted(glob.glob(os.path.join(path, "shard=*")))
+    assert len(dirs) == n_shards, "multiplicative hash must populate every shard"
+    for sd in dirs:
+        parts = glob.glob(os.path.join(sd, "*.parquet"))
+        assert len(parts) == 1, f"{sd} has {len(parts)} files"
+    # round-trip completeness: no doc lost or duplicated by the write
+    assert spark.read.parquet(path).count() == d.count()
