@@ -312,3 +312,46 @@ def test_tfidf_single_broadcast_hint(spark, sf_dir):
     df = build(spark, sf_dir, "q_text_tfidf")
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("ResolvedHint") == 1, analyzed
+
+
+def test_bloom_flag_single_doc_exchange_no_gram_shuffle(spark, sf_dir):
+    """bloom_flag (the corpus side of q_split_bloom) must shuffle exactly
+    once — the per-document verdict reduce — and the exchange key must be
+    the document id, never the gram: a gram-keyed exchange is precisely
+    the cost the Bloom tier exists to delete. The membership probe must
+    be an Arrow batch (vectorized gather), not a row-at-a-time UDF."""
+    import numpy as np
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm import bloom
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = bloom.bloom_flag(docs, np.zeros(1 << 17, dtype=np.uint8))
+    plan = explain_str(df, mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "hashpartitioning(doc_id" in plan, plan
+    assert "_gram" not in plan.split("Exchange")[1].split("\n")[0], plan
+    assert "ArrowEvalPython" in plan or "PythonUDF" in plan, plan
+
+
+def test_ivf_batch_rank_limit_and_cell_broadcast(spark, sf_dir):
+    """cosine_topk_ivf_batch (inside q_simsearch_recall): the probe-pairs
+    frame must arrive by broadcast on the cell key (at scale that join is
+    partition pruning against the cell-partitioned store — a shuffle join
+    would re-shuffle the corpus on cell), and the per-query top-k must
+    ride the rank-limit pushdown (WindowGroupLimit on both sides of the
+    exchange) so only n_partitions×n_queries×k scored rows shuffle."""
+    from pyspark.sql import functions as F
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm import simsearch
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = (
+        e.orderBy("vec_id")
+        .limit(2)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    plan = explain_str(
+        simsearch.cosine_topk_ivf_batch(e, qs, k=5, n_cells=4, nprobe=2)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("WindowGroupLimit") >= 2, plan
