@@ -583,6 +583,121 @@ class IncrementalSpanIndex:
         overwrite_atomic(collapsed, self.path)
 
 
+class PersistentBloomGate:
+    """Corpus-lifetime decontamination gate: the eval set's gram Bloom
+    bitmap (``llm.bloom``) persisted beside the corpus indexes and applied
+    to every ingest micro-batch, so contaminated documents are rejected at
+    the front door instead of by a full-corpus sweep later.
+
+    Lifecycle: ``fit(probe)`` once per eval-set release (rebuilds and
+    atomically overwrites the stored bitmap); ``flag_batch``/``clean_batch``
+    per micro-batch. Unlike the dedup indexes, the gate is READ-ONLY at
+    ingest — flagging writes nothing — so micro-batch retries are
+    trivially idempotent and no staging/replay protocol is needed.
+
+    Storage: (chunk, bits, m_bits) parquet rows — one 128 KiB-chunk row
+    per populated bitmap chunk, so the store is a few MB regardless of
+    corpus size and loads with one bounded collect. The loaded bitmap is
+    cached on the driver and broadcast per batch by ``bloom_flag``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        n: int = 5,
+        n_hashes: int = 4,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.n = n
+        self.n_hashes = n_hashes
+        self._cache = None
+
+    def fit(
+        self,
+        probe: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        m_bits: int = 1 << 24,
+    ) -> None:
+        """Build the probe set's bitmap and persist it (overwrite —
+        an eval-set release replaces the gate wholesale)."""
+        from ..llm.bloom import _CHUNK_BITS, bloom_bitmap
+
+        bitmap = bloom_bitmap(
+            probe, text_col, id_col, n=self.n, m_bits=m_bits, n_hashes=self.n_hashes
+        )
+        nbytes = min(_CHUNK_BITS, m_bits) >> 3
+        rows = [
+            (c // nbytes, bytes(bitmap[c : c + nbytes].tobytes()), m_bits)
+            for c in range(0, len(bitmap), nbytes)
+            if bitmap[c : c + nbytes].any()  # zero chunks reconstruct from m_bits
+        ]
+        # an empty-probe gate still commits: (chunk=-1, no bits) carries
+        # m_bits so load() distinguishes "fit on empty eval set" (valid,
+        # flags nothing) from "never fit" (error)
+        if not rows:
+            rows = [(-1, b"", m_bits)]
+        self.spark.createDataFrame(
+            rows, schema="chunk int, bits binary, m_bits long"
+        ).write.mode("overwrite").parquet(self.path)
+        self._cache = bitmap
+
+    def _bitmap(self):
+        import numpy as np
+
+        from ..llm.bloom import _CHUNK_BITS
+        from ..sources.io import fs_dir_has_data
+
+        if self._cache is not None:
+            return self._cache
+        if not fs_dir_has_data(self.spark, self.path):
+            raise ValueError(
+                f"no Bloom gate at {self.path}: fit() it with the eval set first"
+            )
+        rows = self.spark.read.parquet(self.path).collect()
+        if not rows:
+            raise ValueError(
+                f"Bloom gate at {self.path} is committed but empty — refit"
+            )
+        m_bits = int(rows[0]["m_bits"])
+        nbytes = min(_CHUNK_BITS, m_bits) >> 3
+        bitmap = np.zeros(m_bits >> 3, dtype=np.uint8)
+        for r in rows:
+            c = int(r["chunk"])
+            if c < 0:  # empty-probe sentinel: no bits to place
+                continue
+            bitmap[c * nbytes : (c + 1) * nbytes] = np.frombuffer(r["bits"], np.uint8)
+        self._cache = bitmap
+        return bitmap
+
+    def flag_batch(
+        self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ) -> DataFrame:
+        """The batch with ``bloom_hit``/``n_bloom_grams`` attached (0 for
+        documents too short to carry an n-gram — they cannot leak one)."""
+        from ..llm.bloom import bloom_flag
+
+        verdicts = bloom_flag(
+            docs, self._bitmap(), text_col, id_col, n=self.n, n_hashes=self.n_hashes
+        ).select(id_col, "n_bloom_grams", "bloom_hit")
+        return (
+            docs.join(verdicts, id_col, "left")
+            .withColumn("bloom_hit", F.coalesce("bloom_hit", F.lit(0)))
+            .withColumn("n_bloom_grams", F.coalesce("n_bloom_grams", F.lit(0)))
+        )
+
+    def clean_batch(
+        self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ) -> DataFrame:
+        """The batch minus contaminated documents (columns unchanged)."""
+        flagged = self.flag_batch(docs, text_col, id_col)
+        return flagged.where(F.col("bloom_hit") == 0).drop(
+            "bloom_hit", "n_bloom_grams"
+        )
+
+
 def ingest_corpus_batch(
     docs: DataFrame,
     batch_id: int,
@@ -593,6 +708,7 @@ def ingest_corpus_batch(
     min_quality: float = 0.3,
     min_tokens: int = 3,
     digest_index: IncrementalDigestIndex | None = None,
+    bloom_gate: PersistentBloomGate | None = None,
 ) -> DataFrame:
     """The whole corpus front door for one micro-batch, composed in the
     order the batch curation ladder uses (``llm.curation.curate_corpus``)
@@ -627,6 +743,13 @@ def ingest_corpus_batch(
     gated = corpus_ingest(
         docs, text_col=text_col, min_quality=min_quality, min_tokens=min_tokens
     )
+    if bloom_gate is not None:
+        # decontamination ahead of every index: a contaminated document
+        # must never land index rows (the batch ladder decontaminates
+        # last because its indexes are transient; these persist), and the
+        # gate is the cheapest stage after the projection — a read-only
+        # broadcast-bitmap gather
+        gated = bloom_gate.clean_batch(gated, text_col=text_col, id_col=id_col)
     if digest_index is not None:
         gated = digest_index.dedup_batch(gated)
     kept = minhash_index.dedup_batch(gated)

@@ -2361,3 +2361,95 @@ def test_minhash_index_probe_is_read_only(spark, tmp_path):
 
     # the probe did not affect later ingest decisions
     assert idx.dedup_batch(probe_docs).select("doc_id").collect()[0]["doc_id"] == 10
+
+
+# ---------------------------------------------------------------------------
+# PersistentBloomGate (ingest-time decontamination)
+# ---------------------------------------------------------------------------
+
+
+def _gate_frames(spark):
+    evalset = spark.createDataFrame(
+        [(900, "the canary benchmark answer is purple giraffe today")],
+        ["doc_id", "text"],
+    )
+    batch1 = spark.createDataFrame(
+        [
+            (1, "clean document about procedural terrain generation methods here"),
+            (2, "leaky doc quoting the canary benchmark answer is purple giraffe"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch2 = spark.createDataFrame(
+        [
+            (3, "another clean document with entirely unrelated subject matter words"),
+            (4, "second leak repeating canary benchmark answer is purple giraffe verbatim"),
+            (5, "tiny"),  # sub-5-token doc: cannot carry a leak, must pass
+        ],
+        ["doc_id", "text"],
+    )
+    return evalset, batch1, batch2
+
+
+def test_bloom_gate_persists_across_reopen(spark, tmp_path):
+    """fit() once; a FRESH gate object over the same path (a new driver
+    process after restart) must flag the same leaks from the stored
+    bitmap, across multiple batches."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import PersistentBloomGate
+
+    evalset, batch1, batch2 = _gate_frames(spark)
+    path = str(tmp_path / "gate")
+    PersistentBloomGate(spark, path).fit(evalset, m_bits=1 << 20)
+
+    reopened = PersistentBloomGate(spark, path)
+    kept1 = {r["doc_id"] for r in reopened.clean_batch(batch1).collect()}
+    kept2 = {r["doc_id"] for r in reopened.clean_batch(batch2).collect()}
+    assert kept1 == {1}
+    assert kept2 == {3, 5}, "short docs pass; the leak is rejected"
+
+
+def test_bloom_gate_unfit_raises_not_passes(spark, tmp_path):
+    """A never-fit gate must refuse loudly — silently flagging nothing
+    would wave contamination into the corpus."""
+    import pytest as _pytest
+
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import PersistentBloomGate
+
+    _, batch1, _ = _gate_frames(spark)
+    gate = PersistentBloomGate(spark, str(tmp_path / "missing"))
+    with _pytest.raises(ValueError, match="fit"):
+        gate.clean_batch(batch1).collect()
+
+
+def test_bloom_gate_empty_evalset_is_valid_and_flags_nothing(spark, tmp_path):
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import PersistentBloomGate
+
+    evalset, batch1, _ = _gate_frames(spark)
+    path = str(tmp_path / "gate0")
+    PersistentBloomGate(spark, path).fit(evalset.where(F.lit(False)), m_bits=1 << 20)
+    reopened = PersistentBloomGate(spark, path)
+    assert reopened.clean_batch(batch1).count() == batch1.count()
+
+
+def test_ingest_front_door_rejects_contaminated_before_indexing(spark, tmp_path):
+    """ingest_corpus_batch with a bloom_gate: the contaminated document
+    must neither land NOR leave index rows behind (the gate runs ahead of
+    every persistent index), and a replay of the same batch converges."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import (
+        IncrementalMinhashIndex,
+        PersistentBloomGate,
+        ingest_corpus_batch,
+    )
+
+    evalset, batch1, _ = _gate_frames(spark)
+    gate_path = str(tmp_path / "gate")
+    PersistentBloomGate(spark, gate_path).fit(evalset, m_bits=1 << 20)
+    gate = PersistentBloomGate(spark, gate_path)
+    mh = IncrementalMinhashIndex(spark, str(tmp_path / "mh"))
+
+    landed = ingest_corpus_batch(
+        batch1, 0, mh, min_quality=0.0, min_tokens=1, bloom_gate=gate
+    )
+    assert {r["doc_id"] for r in landed.collect()} == {1}
+    idx_ids = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "mh")).collect()}
+    assert 2 not in idx_ids, "contaminated doc must not leave index rows"
