@@ -458,3 +458,50 @@ def test_psi_drift_nonnegative_and_symmetric(spark, ref_counts, cur_counts):
     rev = validation.psi_drift(cur, ref).first()["psi"]
     assert fwd >= 0.0
     assert abs(fwd - rev) < 1e-12
+
+
+texts_strategy = st.lists(
+    st.lists(
+        st.sampled_from("alpha beta gamma delta epsilon zeta eta theta".split()),
+        min_size=0,
+        max_size=12,
+    ).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts_strategy, texts_strategy)
+@SETTINGS
+def test_bloom_soundness_matches_python_gram_oracle(spark, corpus_texts, probe_texts):
+    """Bloom soundness is a deterministic guarantee, not a statistic:
+    every corpus doc sharing at least one sliding 3-gram with the probe
+    set (python oracle) MUST be flagged, for arbitrary corpora including
+    empty/short/duplicate texts. (False positives are allowed by the
+    contract — the tiny 2^16 bitmap here even makes them likely — so the
+    property is one-sided, exactly as the operator documents.)"""
+    from simple_pos_kafka_pyspark_airflow_spark.llm import bloom
+
+    def gram_set(text: str, n: int = 3) -> set[str]:
+        toks = [t for t in text.lower().split() if t]
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    probe_grams = set().union(*(gram_set(t) for t in probe_texts)) if probe_texts else set()
+    expected_hits = {
+        i for i, t in enumerate(corpus_texts) if gram_set(t) & probe_grams
+    }
+
+    corpus = spark.createDataFrame(
+        list(enumerate(corpus_texts)), ["doc_id", "text"]
+    )
+    probe = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(probe_texts)], ["doc_id", "text"]
+    )
+    flagged = {
+        r["doc_id"]
+        for r in bloom.bloom_decontaminate(
+            corpus, probe, n=3, m_bits=1 << 16
+        ).collect()
+        if r["bloom_hit"] == 1
+    }
+    assert expected_hits <= flagged, (expected_hits, flagged)

@@ -224,6 +224,13 @@ CHEAP_ORACLE_AT_SCALE = [
     # sf0.1 run also exercises 10× the rank-limit-pushdown tiebreak surface
     "q_simsearch_batch",
     "q_anomaly_zscore",
+    # round-6 families: Bloom decontamination (the zero-fp claim must
+    # hold at 10× the gram cardinality), batched-IVF recall (10× the
+    # corpus per probed cell), shard export (10× docs through the
+    # one-file-per-shard write path)
+    "q_split_bloom",
+    "q_simsearch_recall",
+    "q_shard_manifest",
 ]
 
 
