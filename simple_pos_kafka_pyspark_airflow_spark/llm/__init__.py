@@ -7,6 +7,8 @@ Pandas UDFs only where vector math genuinely needs numpy, never
 row-at-a-time Python.
 
 - ``dedup``       exact + MinHash-LSH + SimHash + n-gram-Jaccard near-dup
+- ``bloom``       broadcast-Bloom n-gram decontamination (corpus never
+                  shuffles; eval-set bitmap broadcast + Arrow gather)
 - ``simsearch``   embedding cosine top-k: brute force + LSH-bucketed + IVF
 - ``textops``     tokenization, language-ID, quality scores, fingerprints
 - ``filtering``   corpus quality-gate cascade + fixed-size token chunking

@@ -159,6 +159,25 @@ def bloom_flag(
     )
 
 
+def bloom_stats(bitmap: np.ndarray, n_hashes: int = 4) -> dict:
+    """Sizing audit for a built bitmap: observed fill fraction and the
+    implied per-gram false-positive rate (``fill^k``). Run this after
+    ``bloom_bitmap`` when the probe corpus changes — fill above ~0.3
+    means ``m_bits`` is undersized for the gram count and the fp rate
+    is collapsing toward 1 (a saturated filter flags everything, which
+    is sound but useless)."""
+    bitmap = np.asarray(bitmap, dtype=np.uint8)
+    set_bits = int(np.unpackbits(bitmap).sum())
+    m_bits = int(bitmap.size) << 3
+    fill = set_bits / m_bits if m_bits else 1.0
+    return {
+        "m_bits": m_bits,
+        "set_bits": set_bits,
+        "fill": fill,
+        "fp_per_gram": fill**n_hashes,
+    }
+
+
 def bloom_decontaminate(
     corpus: DataFrame,
     probe: DataFrame,

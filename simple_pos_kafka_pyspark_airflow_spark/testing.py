@@ -158,3 +158,43 @@ def check_query(
         n = df.count()
         return CompareResult(name, True, [f"rows-only: {n} rows"])
     return compare(name, df, run_oracle(cq.oracle, sf_dir), strict=strict)
+
+
+def sweep(
+    spark: SparkSession, sf_dir: str, strict: bool = True, names: list[str] | None = None
+) -> list[CompareResult]:
+    """The full-registry driver-mirror sweep (the pre-ship gate the verify
+    recipe prescribes): every contract query vs its DuckDB oracle in ONE
+    Spark session, strict (bit-identical floats — the driver's value-hash
+    predictor) by default. Prints each result as it lands; returns all."""
+    from .plans import load_registry
+
+    results: list[CompareResult] = []
+    for name in names if names is not None else list(load_registry()):
+        try:
+            res = check_query(spark, name, sf_dir, strict=strict)
+        except Exception as exc:  # a crash is a failure, not an abort
+            res = CompareResult(name, False, [f"{type(exc).__name__}: {exc}"])
+        print(res, flush=True)
+        results.append(res)
+    return results
+
+
+if __name__ == "__main__":  # pragma: no cover - maintenance CLI
+    # python -m simple_pos_kafka_pyspark_airflow_spark.testing [sf_dir] [--loose]
+    import sys
+    import time
+
+    from .session import get_session
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf = args[0] if args else "/root/testdata/sf0.01"
+    t0 = time.time()
+    out = sweep(get_session("strict_sweep"), sf, strict="--loose" not in sys.argv)
+    bad = [r.name for r in out if not r.ok]
+    print(
+        f"SWEEP {'FAILED' if bad else 'OK'} in {time.time() - t0:.0f}s: "
+        f"{len(out) - len(bad)}/{len(out)} green"
+        + (f"; failures: {bad}" if bad else "")
+    )
+    sys.exit(1 if bad else 0)

@@ -1399,3 +1399,19 @@ def test_shard_export_writes_one_file_per_shard(spark, tmp_path):
         assert len(parts) == 1, f"{sd} has {len(parts)} files"
     # round-trip completeness: no doc lost or duplicated by the write
     assert spark.read.parquet(path).count() == d.count()
+
+
+def test_bloom_stats_reports_fill_and_fp(spark):
+    """The sizing audit must reflect the real bitmap: fill grows with the
+    probe gram count, and the implied fp rate is fill^k."""
+    import numpy as np
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm import bloom
+
+    _, probe = _bloom_corpora(spark)
+    bm = bloom.bloom_bitmap(probe, m_bits=1 << 16, n_hashes=4)
+    s = bloom.bloom_stats(bm, n_hashes=4)
+    assert s["m_bits"] == 1 << 16
+    # 2 probe docs * <=5 grams * 4 hashes: a handful of bits, low fill
+    assert 0 < s["set_bits"] <= 40
+    assert s["fp_per_gram"] == s["fill"] ** 4 < 1e-8
