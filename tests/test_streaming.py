@@ -2453,3 +2453,73 @@ def test_ingest_front_door_rejects_contaminated_before_indexing(spark, tmp_path)
     assert {r["doc_id"] for r in landed.collect()} == {1}
     idx_ids = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "mh")).collect()}
     assert 2 not in idx_ids, "contaminated doc must not leave index rows"
+
+
+def test_full_front_door_with_bloom_gate_under_streaming_drain(spark, tmp_path):
+    """The complete front door — Bloom decontamination gate + digest +
+    minhash indexes — under a real AvailableNow drain, one file per
+    micro-batch: the contaminated document is rejected in ITS batch, the
+    later byte-identical copy of a landed doc is rejected by the digest
+    index, and the near-dup by the minhash index."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import (
+        IncrementalDigestIndex,
+        IncrementalMinhashIndex,
+        PersistentBloomGate,
+        ingest_corpus_batch,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    leak = "the canary benchmark answer is purple giraffe exactly as published"
+    evalset = spark.createDataFrame(
+        [(900, "canary benchmark answer is purple giraffe")], "doc_id long, text string"
+    )
+    src = tmp_path / "docs"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, base), (2, leak)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(10, base), (11, base + " extratoken"), (12, "one two three four five unrelated")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    gate_path = str(tmp_path / "gate")
+    PersistentBloomGate(spark, gate_path).fit(evalset, m_bits=1 << 20)
+    gate = PersistentBloomGate(spark, gate_path)
+    dg = IncrementalDigestIndex(spark, str(tmp_path / "dg"))
+    mh = IncrementalMinhashIndex(
+        spark, str(tmp_path / "mh"), num_hashes=16, bands=8, jaccard_threshold=0.8
+    )
+    sink = str(tmp_path / "landed")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, bid: ingest_corpus_batch(
+                batch,
+                bid,
+                mh,
+                min_quality=0.0,
+                min_tokens=3,
+                digest_index=dg,
+                bloom_gate=gate,
+            )
+            .write.mode("append")
+            .parquet(sink)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    landed = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+    # 2 contaminated (bloom); 10 exact copy (digest); 11 near-dup (minhash)
+    assert landed == {1, 12}, landed
+    # and the rejected docs left no index rows behind
+    mh_ids = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "mh")).collect()}
+    assert 2 not in mh_ids and 10 not in mh_ids
