@@ -324,6 +324,61 @@ def near_dup_pairs_minhash(
 # ---------------------------------------------------------------------------
 
 
+def lsh_candidate_probability(jaccard: float, bands: int, rows: int) -> float:
+    """The banded-LSH s-curve: probability that two documents with the
+    given Jaccard similarity share at least one band bucket,
+    ``1 - (1 - j^rows)^bands``. This is the closed form behind
+    ``near_dup_pairs_minhash``'s defaults and the number to consult when
+    retuning them."""
+    if not 0.0 <= jaccard <= 1.0:
+        raise ValueError(f"jaccard must be in [0, 1], got {jaccard}")
+    return 1.0 - (1.0 - jaccard**rows) ** bands
+
+
+def lsh_tune(
+    threshold: float, num_hashes: int = 64, min_recall: float = 0.95
+) -> tuple[int, int]:
+    """Pick (bands, rows) for a target Jaccard ``threshold``: among the
+    factorizations ``bands × rows = num_hashes`` whose s-curve catches a
+    threshold-similarity pair with probability ≥ ``min_recall``, choose
+    the one with the least false-candidate mass (the s-curve integral
+    below the threshold — wasted exact-verify work). Recall is a
+    CONSTRAINT, not a weight, because the two costs are different in
+    kind: a false candidate costs one cheap exact-Jaccard check, a miss
+    ships a duplicate into the corpus unrecoverably. If no factorization
+    meets the recall floor, the steepest available (most bands) is
+    returned — the best recall ``num_hashes`` can buy. Closed forms
+    sampled on a grid, microseconds at config time.
+
+    ``lsh_tune(0.8, 64)`` → (16, 4): the library defaults, with
+    p(candidate | j = 0.8) ≈ 0.9998.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    fallback: tuple[int, int, int] | None = None  # (bands, bands, rows)
+    best: tuple[float, int, int] | None = None
+    for rows in range(1, num_hashes + 1):
+        if num_hashes % rows:
+            continue
+        bands = num_hashes // rows
+        if fallback is None or bands > fallback[0]:
+            fallback = (bands, bands, rows)
+        if lsh_candidate_probability(threshold, bands, rows) < min_recall:
+            continue
+        steps = 200
+        fp = sum(
+            lsh_candidate_probability((i + 0.5) / steps, bands, rows)
+            for i in range(steps)
+            if (i + 0.5) / steps < threshold
+        ) / steps
+        if best is None or fp < best[0]:
+            best = (fp, bands, rows)
+    if best is not None:
+        return best[1], best[2]
+    assert fallback is not None
+    return fallback[1], fallback[2]
+
+
 def token_hashes(text: Column) -> Column:
     """Per-token xxhash64 array — materialize this ONCE (its own projection
     column) before feeding ``simhash_from_hashes``, which references it 64

@@ -1415,3 +1415,26 @@ def test_bloom_stats_reports_fill_and_fp(spark):
     # 2 probe docs * <=5 grams * 4 hashes: a handful of bits, low fill
     assert 0 < s["set_bits"] <= 40
     assert s["fp_per_gram"] == s["fill"] ** 4 < 1e-8
+
+
+def test_lsh_tune_recovers_library_defaults_and_honors_recall():
+    from simple_pos_kafka_pyspark_airflow_spark.llm.dedup import (
+        lsh_candidate_probability,
+        lsh_tune,
+    )
+
+    assert lsh_tune(0.8, 64) == (16, 4)
+    for t in (0.3, 0.5, 0.7, 0.8, 0.9):
+        b, r = lsh_tune(t, 64)
+        assert b * r == 64
+        assert lsh_candidate_probability(t, b, r) >= 0.95, (t, b, r)
+    # steeper thresholds want longer bands (fewer, wider ORs)
+    assert lsh_tune(0.9, 64)[1] >= lsh_tune(0.5, 64)[1]
+    # an undersized signature that can't meet the floor still returns the
+    # best-recall factorization instead of crashing
+    b, r = lsh_tune(0.95, 2)
+    assert b * r == 2
+    with pytest.raises(ValueError):
+        lsh_tune(0.0)
+    with pytest.raises(ValueError):
+        lsh_candidate_probability(1.5, 16, 4)
