@@ -52,6 +52,11 @@ def get_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # push filterless MIN/MAX/COUNT to parquet footer statistics: a
+        # bare stats query answers from metadata instead of scanning rows
+        # (off by default in Spark; correctness is the parquet stats
+        # contract, and any filter/nested column disables it per-query)
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         # 128 MB split targets: at 100 TB that is ~800k input tasks, the
         # right granularity for dynamic allocation; locally it just works.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
