@@ -1438,3 +1438,29 @@ def test_lsh_tune_recovers_library_defaults_and_honors_recall():
         lsh_tune(0.0)
     with pytest.raises(ValueError):
         lsh_candidate_probability(1.5, 16, 4)
+
+
+def test_group_overlap_minhash_tracks_planted_overlap(spark):
+    """Three synthetic sources with engineered overlap: identical sources
+    estimate ≈ 1, disjoint ≈ 0, half-overlapping in between — the
+    estimator must order them correctly and hit the extremes exactly
+    (identical sets have identical signatures; disjoint sets agree only
+    by hash collision)."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm import dedup
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "one two three four five six seven eight nine ten"
+    rows = (
+        [("s1", a), ("s2", a)]  # identical
+        + [("s3", b)]  # disjoint from s1/s2
+        + [("s4", a + " " + b)]  # superset: overlaps both
+    )
+    df = spark.createDataFrame(rows, ["source", "text"])
+    est = {
+        (r["group_a"], r["group_b"]): r["est_jaccard"]
+        for r in dedup.group_overlap_minhash(df, "source", "text").collect()
+    }
+    assert est[("s1", "s2")] == 1.0
+    assert est[("s1", "s3")] < 0.05
+    assert 0.1 < est[("s1", "s4")] < 0.9
+    assert est[("s1", "s2")] > est[("s1", "s4")] > est[("s1", "s3")]
