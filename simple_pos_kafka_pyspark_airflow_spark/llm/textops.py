@@ -181,6 +181,64 @@ def ngram_occurrence_counts(df, text_col: str = "text", n: int = 2):
     )
 
 
+def heavy_hitters_topk(df, text_col: str = "text", n: int = 2, k: int = 20, capacity: int | None = None):
+    """Top-k n-grams via distributed Misra–Gries: the bounded-exchange
+    alternative to ``ngram_occurrence_counts`` + top-k, for corpora whose
+    DISTINCT n-gram vocabulary is itself too large to shuffle (the exact
+    form's exchange carries one row per distinct gram per partition —
+    at 100 TB of web text that is the vocabulary times the partition
+    count).
+
+    Three stages:
+
+    1. per-partition candidate summaries — one ``mapInPandas`` pass
+       keeping a Misra–Gries summary of ``capacity`` grams (merged
+       batch-wise via the mergeable-summaries rule: add the batch's
+       counts, then subtract the (capacity+1)-th largest running count
+       from everything and drop non-positives). MG guarantees any gram
+       with partition frequency > partition_size/capacity survives;
+    2. the candidate union (≤ partitions × capacity rows — thousands,
+       not the vocabulary) broadcasts back against the gram stream for
+       ONE exact recount restricted to candidates;
+    3. exact top-k over the recounted candidates (TakeOrderedAndProject,
+       (count desc, gram asc) total order).
+
+    Sketch errors therefore only ever MISS deep-tail items (a true
+    heavy hitter with global frequency > total/capacity appears in some
+    partition's summary); every REPORTED count is exact. Default
+    ``capacity = 8·k`` leaves a deep margin; raise it if the k-th item's
+    frequency approaches total/capacity. Gram definition (lowercase
+    whitespace tokens, sliding windows) is shared with every other gram
+    consumer via ``sliding_grams``."""
+    import pandas as pd
+
+    cap = capacity or 8 * k
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(toks.alias("_toks")).where(F.size("_toks") >= n)
+    grams = base.select(F.explode(sliding_grams(F.col("_toks"), n)).alias("ngram"))
+
+    def mg_summaries(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for g, c in pdf["ngram"].value_counts().items():
+                counters[g] = counters.get(g, 0) + int(c)
+            if len(counters) > cap:
+                # subtract the (cap+1)-th largest count from all, drop <=0
+                cut = sorted(counters.values(), reverse=True)[cap]
+                counters = {g: c - cut for g, c in counters.items() if c > cut}
+        if counters:
+            yield pd.DataFrame({"ngram": list(counters)})
+
+    candidates = grams.mapInPandas(mg_summaries, "ngram string").distinct()
+    return (
+        grams.join(F.broadcast(candidates), "ngram")
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_occ"))
+        .orderBy(F.desc("n_occ"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
 def corpus_mixture(df, group_cols=("source", "lang"), text_col: str = "text"):
     """Per-group corpus composition — the data-mixture table every
     pretraining run is configured from: document count, token count, each

@@ -1609,6 +1609,41 @@ def q_text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_text_heavyhitters",
+    "llm",
+    oracle="""
+    WITH t AS (
+      SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ), g AS (
+      SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+1], ' '))) AS ngram
+      FROM t WHERE len(toks) >= 2
+    )
+    SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM g GROUP BY ngram
+    ORDER BY n_occ DESC, ngram LIMIT 50
+    """,
+    notes="top-50 bigrams via distributed Misra-Gries "
+    "(llm/textops.heavy_hitters_topk): per-partition mapInPandas "
+    "summaries -> candidate union broadcast -> exact recount restricted "
+    "to candidates -> top-k. The exchange carries O(partitions x "
+    "capacity) candidates + candidate-only counts, never the distinct "
+    "vocabulary — the regime where the exact groupBy's exchange IS the "
+    "bottleneck at 100 TB. Honesty note: the synthetic corpus's bigram "
+    "vocabulary (~931, near-uniform counts — no true heavy hitters) "
+    "sits under the 1024 capacity, so ON TESTDATA the summary is "
+    "lossless and the oracle compare certifies the merge/recount/top-k "
+    "machinery end-to-end; the lossy sketch regime (capacity << vocab, "
+    "planted skew) is pinned by "
+    "test_heavy_hitters_finds_planted_skew_with_tiny_capacity",
+)
+def q_text_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return textops.heavy_hitters_topk(d, "text", n=2, k=50, capacity=1024)
+
+
+@register(
     "q_sample_source_cap",
     "llm",
     oracle="""

@@ -1464,3 +1464,58 @@ def test_group_overlap_minhash_tracks_planted_overlap(spark):
     assert est[("s1", "s3")] < 0.05
     assert 0.1 < est[("s1", "s4")] < 0.9
     assert est[("s1", "s2")] > est[("s1", "s4")] > est[("s1", "s3")]
+
+
+def test_heavy_hitters_finds_planted_skew_with_tiny_capacity(spark):
+    """The lossy sketch regime: vocabulary far above capacity, two
+    planted heavy bigrams carrying ~30% of the mass. MG must surface
+    both with EXACT counts (the recount stage) while the capacity is a
+    small fraction of the vocabulary — and must agree with the exact
+    top-k on the heavy head."""
+    import random
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm import textops
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(2000)]
+    rows = []
+    for i in range(400):
+        toks = [rng.choice(vocab) for _ in range(30)]
+        if i % 3 == 0:
+            # plant "hot alpha" and "hot beta" runs
+            toks[0:2] = ["hot", "alpha"]
+            toks[10:12] = ["hot", "beta"]
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    hh = {
+        r["ngram"]: r["n_occ"]
+        for r in textops.heavy_hitters_topk(df, k=5, capacity=64).collect()
+    }
+    exact = {
+        r["ngram"]: r["n_occ"]
+        for r in textops.ngram_occurrence_counts(df, "text", 2)
+        .orderBy(F.desc("n_occ"))
+        .limit(5)
+        .collect()
+    }
+    assert "hot alpha" in hh and "hot beta" in hh
+    assert hh["hot alpha"] == exact["hot alpha"]  # reported counts are exact
+    assert hh["hot beta"] == exact["hot beta"]
+
+
+def test_heavy_hitters_lossless_when_capacity_exceeds_vocab(spark):
+    """capacity >= vocabulary keeps every gram: the sketch path must then
+    equal the exact top-k row-for-row, tiebreaks included."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm import textops
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hh = [tuple(r) for r in textops.heavy_hitters_topk(d, k=20, capacity=4096).collect()]
+    exact = [
+        tuple(r)
+        for r in textops.ngram_occurrence_counts(d, "text", 2)
+        .orderBy(F.desc("n_occ"), F.asc("ngram"))
+        .limit(20)
+        .collect()
+    ]
+    assert hh == exact
