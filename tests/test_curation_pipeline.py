@@ -132,3 +132,57 @@ def test_drop_reasons_exercise_every_stage(spark):
     assert s4.count("domain_cap") == 2 and s4.count("kept") == cap
     assert set(got.values()) == {"quality", "exact_dup", "near_dup",
                                  "domain_cap", "decontaminated", "kept"}
+
+
+def test_end_to_end_corpus_to_shards_and_index(spark, sf_dir, tmp_path):
+    """The whole production story composed: curate the raw corpus, gate
+    it against an eval set's Bloom bitmap, export balanced shards (one
+    file each), build the persistent ANN index over the survivors'
+    embeddings, and audit the index's recall — every stage consuming the
+    previous stage's real output, nothing mocked."""
+    import glob
+    import os
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm import simsearch
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.ann import IncrementalIvfIndex
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import PersistentBloomGate
+
+    # 1. curation ladder
+    out, report, cfg = _survivors(spark, sf_dir)
+    n_curated = out.count()
+    assert n_curated > 0
+
+    # 2. eval-set decontamination over the CURATED corpus: plant the
+    # eval set as a slice of surviving docs so the gate provably fires
+    evalset = out.select("doc_id", "text").orderBy("doc_id").limit(5)
+    gate_path = str(tmp_path / "gate")
+    PersistentBloomGate(spark, gate_path).fit(evalset, m_bits=1 << 20)
+    clean = PersistentBloomGate(spark, gate_path).clean_batch(
+        out.select("doc_id", "text", "source", "split")
+    )
+    n_clean = clean.count()
+    assert n_clean <= n_curated - 5, "planted eval docs must be rejected"
+
+    # 3. shard export: one file per shard, nothing lost
+    n_shards = 4
+    shard = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(n_shards)).cast("int")
+    shard_path = str(tmp_path / "shards")
+    clean.withColumn("shard", shard).repartition(n_shards, "shard").write.partitionBy(
+        "shard"
+    ).parquet(shard_path)
+    assert spark.read.parquet(shard_path).count() == n_clean
+    for d in glob.glob(os.path.join(shard_path, "shard=*")):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1
+
+    # 4. ANN index over the clean survivors' embeddings
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    surviving_emb = emb.join(clean.select(F.col("doc_id").alias("vec_id")), "vec_id")
+    idx = IncrementalIvfIndex(spark, str(tmp_path / "ann"), n_cells=8)
+    idx.fit(surviving_emb)
+    idx.ingest_batch(surviving_emb)
+
+    # 5. recall audit: probing a stored vector must return itself first
+    probe_row = surviving_emb.orderBy("vec_id").first()
+    got = idx.probe(list(probe_row["embedding"]), k=3, nprobe=8).collect()
+    assert got[0]["vec_id"] == probe_row["vec_id"]
+    assert abs(got[0]["score"] - 1.0) < 1e-6
