@@ -81,6 +81,12 @@ HEADLINE = [
     # broadcast-Bloom decontamination: the corpus-never-shuffles plan
     # (bitmap build + Arrow gather) vs q_split_ngram_leak's exact join
     "q_split_bloom",
+    # batched IVF retrieval + in-plan recall audit; Misra-Gries
+    # heavy-hitter candidates + exact recount; pairwise source-overlap
+    # exact + sketch certification — the round's sketch/index families
+    "q_simsearch_recall",
+    "q_text_heavyhitters",
+    "q_source_overlap",
 ]
 
 
