@@ -24,3 +24,42 @@ def sorted_output(df: DataFrame, *cols: str) -> DataFrame:
     ``sortWithinPartitions`` + partitioned sink (the reference's per-file
     key sort is exactly sort-within-partition semantics)."""
     return df.orderBy(*cols)
+
+
+def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of two non-negative int columns into
+    one long sort key: bit i of ``a`` lands at position 2i, bit i of
+    ``b`` at 2i+1 — so rows close in BOTH dimensions are close in the
+    key.
+
+    Why this exists at 100 TB: parquet prunes row groups by per-column
+    min/max statistics, but sorting by one column leaves the other's
+    ranges spanning everything — a 2-D range query (time window × key
+    range) then prunes on one dimension only. ``sortWithinPartitions``
+    on the Z key clusters BOTH dimensions into each row group, so both
+    columns' footer stats tighten and a 2-D predicate skips most of the
+    file (this is the layout trick behind Delta/Iceberg OPTIMIZE
+    ZORDER, expressed as a plain column + sort — no table format
+    needed). Everything is shiftright/bitwise-and/shiftleft — codegen
+    intrinsics, no UDF.
+
+    Inputs must already be non-negative and fit ``bits`` bits (quantize
+    first: e.g. ``unix_timestamp/3600`` hour buckets, ``pmod(key, 2^16)``
+    ranges); 2·bits ≤ 62 keeps the result in a positive long. The key
+    ORDERS the layout, it never answers queries — predicates stay on the
+    original columns, which is what makes the technique free to adopt.
+    """
+    from pyspark.sql import functions as F
+
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    ai = a.cast("long")
+    bi = b.cast("long")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = (
+            key
+            + F.shiftleft(F.shiftright(ai, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(bi, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return key
