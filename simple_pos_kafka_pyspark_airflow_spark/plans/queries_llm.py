@@ -1778,6 +1778,53 @@ def q_split_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLOSURE_SQL = """
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM {tbl}
+  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM {tbl}
+  UNION ALL SELECT doc_id + 2000000 AS doc_id, text FROM {tbl}
+), dup AS (
+  SELECT doc_id, md5(text) AS sha FROM corpus
+), edges AS (
+  SELECT a.doc_id AS src, MAX(b.doc_id) AS dst
+  FROM dup a JOIN dup b ON a.sha = b.sha AND b.doc_id < a.doc_id
+  GROUP BY a.doc_id
+), reach (src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION ALL
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), labels AS (
+  SELECT src, MIN(dst) AS cluster FROM reach GROUP BY src
+)
+SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster
+FROM dup d LEFT JOIN labels l ON d.doc_id = l.src
+"""
+
+
+@register(
+    "q_closure_recursive",
+    "llm",
+    oracle=_CLOSURE_SQL.format(tbl="documents"),
+    notes="connected components via Spark 4 RECURSIVE CTE — the "
+    "Catalyst-native iterative form (the production dedup_clusters "
+    "operator iterates driver-side with localCheckpoint per round; "
+    "this is the same fixpoint expressed declaratively, one engine "
+    "feature the reference era lacked). Planted 3-copy corpus gives "
+    "every document a 3-member exact-dup cluster whose edges are "
+    "PREDECESSOR links (MAX below, not group min), forcing genuine "
+    "multi-hop recursion to reach the cluster label; identical SQL "
+    "runs on both engines (md5 computed engine-side, only ids cross "
+    "the compare). Scale: reach rows are O(chain-length) per member "
+    "with UNION ALL (Spark's recursion supports only UNION ALL; "
+    "spark.sql.cte.recursion.level.limit guards runaway) — on "
+    "organic corpora cap dup-group size first, the same discipline "
+    "as every self-join in the dedup ladder",
+)
+def q_closure_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "documents").createOrReplaceTempView("_closure_docs")
+    return spark.sql(_CLOSURE_SQL.format(tbl="_closure_docs"))
+
+
 @register(
     "q_source_overlap",
     "llm",

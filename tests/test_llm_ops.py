@@ -1519,3 +1519,34 @@ def test_heavy_hitters_lossless_when_capacity_exceeds_vocab(spark):
         .collect()
     ]
     assert hh == exact
+
+
+def test_recursive_closure_reaches_cluster_min_through_chains(spark):
+    """Spark 4 recursive CTE: a 4-member dup chain linked by PREDECESSOR
+    edges must label every member with the chain minimum — requiring
+    3 recursion steps from the tail, not a one-hop lookup."""
+    rows = [(i, "same text for everyone") for i in (7, 1007, 2007, 3007)] + [
+        (42, "a unique document")
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).createOrReplaceTempView("_rc_docs")
+    out = spark.sql(
+        """
+        WITH RECURSIVE dup AS (
+          SELECT doc_id, md5(text) AS sha FROM _rc_docs
+        ), edges AS (
+          SELECT a.doc_id AS src, MAX(b.doc_id) AS dst
+          FROM dup a JOIN dup b ON a.sha = b.sha AND b.doc_id < a.doc_id
+          GROUP BY a.doc_id
+        ), reach (src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION ALL
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ), labels AS (
+          SELECT src, MIN(dst) AS cluster FROM reach GROUP BY src
+        )
+        SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster
+        FROM dup d LEFT JOIN labels l ON d.doc_id = l.src
+        """
+    ).collect()
+    labels = {r["doc_id"]: r["cluster"] for r in out}
+    assert labels == {7: 7, 1007: 7, 2007: 7, 3007: 7, 42: 42}
