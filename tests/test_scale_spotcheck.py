@@ -231,6 +231,12 @@ CHEAP_ORACLE_AT_SCALE = [
     "q_split_bloom",
     "q_simsearch_recall",
     "q_shard_manifest",
+    # layout round-trip, recursive fixpoint, VARIANT extraction — all
+    # cheap oracles whose 10× run exercises multi-row-group writes,
+    # deeper recursion trees, and 10× the parse surface
+    "q_zorder_scan",
+    "q_closure_recursive",
+    "q_variant_extract",
 ]
 
 
