@@ -355,3 +355,26 @@ def test_ivf_batch_rank_limit_and_cell_broadcast(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_shard_store_join_gets_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """A join against the shard-partitioned store on the partition key
+    must plan a dynamicpruning PartitionFilter: the dim side's filter
+    result prunes fact partitions AT RUNTIME, so a 100 TB shard store
+    joined to a filtered manifest reads only the matching shards. A plain
+    isnotnull-only PartitionFilters line here means DPP regressed and the
+    join scans every shard."""
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    shard = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(16)).cast("int")
+    store = str(tmp_path / "store")
+    d.withColumn("shard", shard).write.partitionBy("shard").parquet(store)
+    fact = spark.read.parquet(store)
+    manifest = (
+        spark.range(16)
+        .select(F.col("id").cast("int").alias("shard"))
+        .where(F.col("shard") % 4 == 0)
+    )
+    plan = explain_str(fact.join(manifest, "shard"))
+    assert "dynamicpruning" in plan.lower(), plan
