@@ -1865,8 +1865,18 @@ def q_closure_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pattern as the other self-certifying sketches)",
 )
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     d = table(spark, sf_dir, "documents")
-    g = d.select("source", F.explode(dedup.shingles(F.col("text"))).alias("sh")).distinct()
+    # the distinct (source, shingle) frame feeds three consumers (two
+    # join sides + the per-source counts): persist it or the scan +
+    # explode + distinct runs three times (measured 6.0 s -> ~3 s at
+    # sf0.1); same discipline as minhash_doc_table
+    g = (
+        d.select("source", F.explode(dedup.shingles(F.col("text"))).alias("sh"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     c = g.groupBy("source").agg(F.count("*").alias("n"))
     inter = (
         g.alias("a")
