@@ -768,6 +768,12 @@ def exact_ngram_collisions(
     c = gram_rows(corpus, id_col)
     p = gram_rows(probe, "_probe_id")
     if max_gram_docs is not None:
+        # the corpus gram rows feed both the cap count and the join —
+        # persist them or the scan + tokenize + explode runs twice
+        # (measured 2.0 s -> 1.5 s min-of-3 at sf0.1)
+        from pyspark import StorageLevel
+
+        c = c.persist(StorageLevel.MEMORY_AND_DISK)
         # rows are already distinct per (doc, gram), so count() == distinct
         # docs per gram; partial agg combines map-side before the exchange
         ok_grams = (
