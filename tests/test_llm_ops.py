@@ -1550,3 +1550,21 @@ def test_recursive_closure_reaches_cluster_min_through_chains(spark):
     ).collect()
     labels = {r["doc_id"]: r["cluster"] for r in out}
     assert labels == {7: 7, 1007: 7, 2007: 7, 3007: 7, 42: 42}
+
+
+def test_minhash_defaults_agree_with_lsh_tune():
+    """The pipeline default (16 bands x 4 rows at threshold 0.8, k=64)
+    must be exactly what the s-curve tuner derives — if either side is
+    retuned, this forces the other to follow (or the divergence to be
+    justified here)."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm.dedup import lsh_tune
+    import inspect
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm.dedup import near_dup_pairs_minhash
+
+    sig = inspect.signature(near_dup_pairs_minhash)
+    k = sig.parameters["num_hashes"].default
+    bands = sig.parameters["bands"].default
+    thr = sig.parameters["jaccard_threshold"].default
+    tuned_bands, tuned_rows = lsh_tune(thr, k)
+    assert (bands, k // bands) == (tuned_bands, tuned_rows)
