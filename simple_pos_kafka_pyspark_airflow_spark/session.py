@@ -57,6 +57,10 @@ def get_session(
         # (off by default in Spark; correctness is the parquet stats
         # contract, and any filter/nested column disables it per-query)
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # let Python DataSources (sources/pydatasource.py) receive
+        # pushFilters() for planning-time file pruning; Spark still
+        # re-applies every filter row-level, so this is plan-shape only
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # 128 MB split targets: at 100 TB that is ~800k input tasks, the
         # right granularity for dynamic allocation; locally it just works.
         .config("spark.sql.files.maxPartitionBytes", "134217728")

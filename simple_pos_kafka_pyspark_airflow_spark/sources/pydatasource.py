@@ -1,0 +1,271 @@
+"""Spark 4 Python DataSource: the reference's CSV "state-file" layout as a
+first-class pluggable source and stream source.
+
+Reference behavior re-expressed (SURVEY §2.1 S10/S11): the consumer
+materializes Kafka topics into daily ``sales_YYYYMMDD.csv`` files
+(``kafka_consumer.py:82-83``) and the Spark DAG rediscovers them by
+filename (``POS_spark_dag.py:63-76``: list the directory, parse the date
+out of each name, pick matches).  That filename-driven layout is packaged
+here as a Spark 4 ``DataSource`` (``pyspark.sql.datasource``, new in the
+engine generation the reference predates) named ``pos_statefiles``:
+
+- **one ``InputPartition`` per file** → executor-parallel scans with no
+  driver funnel; a directory of N daily files scans with N-way
+  parallelism exactly like a partitioned parquet table;
+- the filename date is surfaced as a ``file_date`` column — in the
+  reference the filename IS the partition value, so the source treats it
+  as one (never re-parsed from row data);
+- **planning-time file pruning via ``pushFilters``**: comparison /
+  membership predicates on ``file_date`` prune the file list before any
+  partition is created — the custom-source twin of parquet partition
+  pruning.  A ``WHERE file_date >= X`` scan opens only the matching
+  files.  All filters are also returned to Spark for re-evaluation
+  (partial pushdown), so correctness never depends on the prune;
+- a **streaming twin** (``PosStateFileStreamSource``) whose offset is the
+  count of files in sorted-filename order: each micro-batch reads exactly
+  the newly-arrived files once — the reference's mtime-discovery loop
+  (``POS_spark_dag.py:63-76``) without the rescans, and replayable from
+  any committed offset.
+
+Scale notes: the file listing is one driver-side ``os.listdir`` per plan
+(same cost class as any file-source planning); rows stream through the
+Python worker in batches, so this source is for *ingest-edge* formats
+Spark lacks a native reader for — once landed, data lives in parquet.
+The schema is the POS sales state-file schema, fixed by the consumer's
+column list (``kafka_consumer.py:91``).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from collections.abc import Iterator, Sequence
+from datetime import date, datetime
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+#: State-file schema (kafka_consumer.py:91's column list, typed): the
+#: row columns stored IN the CSV plus the filename-derived file_date.
+STATEFILE_SCHEMA = (
+    "sale_id BIGINT, customer_id BIGINT, total_price DOUBLE, file_date DATE"
+)
+
+_PREFIX, _SUFFIX = "sales_", ".csv"
+
+
+def filename_for(d: date) -> str:
+    """``date(1995, 3, 14) -> 'sales_19950314.csv'`` (kafka_consumer.py:82)."""
+    return f"{_PREFIX}{d.strftime('%Y%m%d')}{_SUFFIX}"
+
+
+def _date_of(fname: str) -> date | None:
+    """Parse the date out of a state filename; None for non-matching names."""
+    if not (fname.startswith(_PREFIX) and fname.endswith(_SUFFIX)):
+        return None
+    stamp = fname[len(_PREFIX) : -len(_SUFFIX)]
+    try:
+        return datetime.strptime(stamp, "%Y%m%d").date()
+    except ValueError:
+        return None
+
+
+def _list_state_files(path: str) -> list[tuple[str, date]]:
+    """Sorted (abs path, file date) for every state file under ``path``.
+    Sorted by name == sorted by date (zero-padded stamps), which the
+    stream reader relies on for a stable offset ordering."""
+    out = []
+    for fname in sorted(os.listdir(path)):
+        d = _date_of(fname)
+        if d is not None:
+            out.append((os.path.join(path, fname), d))
+    return out
+
+
+def _read_state_file(fpath: str, fdate: date) -> Iterator[tuple]:
+    """Yield typed rows from one state file (runs on executors)."""
+    with open(fpath, newline="") as f:
+        rows = csv.reader(f)
+        header = next(rows, None)
+        if header is None:
+            return
+        for rec in rows:
+            yield (int(rec[0]), int(rec[1]), float(rec[2]), fdate)
+
+
+def _to_date(v: object) -> date | None:
+    """Filter values for a DATE column arrive as datetime.date; tolerate
+    ISO strings (option-supplied bounds)."""
+    if isinstance(v, date):
+        return v
+    if isinstance(v, str):
+        try:
+            return date.fromisoformat(v)
+        except ValueError:
+            return None
+    return None
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str, file_date: date):
+        self.path = path
+        self.file_date = file_date
+
+
+class _StateFileReader(DataSourceReader):
+    def __init__(self, path: str):
+        self.path = path
+        #: planning-time date predicates, filled by pushFilters:
+        #: list of (op, value) applied conjunctively to each file's date.
+        self._date_preds: list[tuple[str, object]] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Record ``file_date`` comparisons for file-level pruning.  Every
+        filter is returned (Spark re-applies them row-level), so the prune
+        is a pure optimization — exactly parquet partition-pruning
+        semantics where the residual filter also remains in the plan."""
+        for f in filters:
+            if isinstance(f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)):
+                if f.attribute == ("file_date",):
+                    d = _to_date(f.value)
+                    if d is not None:
+                        self._date_preds.append((type(f).__name__, d))
+            elif isinstance(f, In) and f.attribute == ("file_date",):
+                ds = [_to_date(v) for v in f.values]
+                if all(d is not None for d in ds):
+                    self._date_preds.append(("In", frozenset(ds)))
+        return filters
+
+    def _keep(self, d: date) -> bool:
+        for op, v in self._date_preds:
+            if op == "EqualTo" and not d == v:
+                return False
+            if op == "GreaterThan" and not d > v:
+                return False
+            if op == "GreaterThanOrEqual" and not d >= v:
+                return False
+            if op == "LessThan" and not d < v:
+                return False
+            if op == "LessThanOrEqual" and not d <= v:
+                return False
+            if op == "In" and d not in v:
+                return False
+        return True
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [
+            _FilePartition(p, d) for p, d in _list_state_files(self.path) if self._keep(d)
+        ]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        return _read_state_file(partition.path, partition.file_date)
+
+
+class PosStateFileDataSource(DataSource):
+    """``spark.read.format("pos_statefiles").option("path", dir).load()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pos_statefiles"
+
+    def schema(self) -> str:
+        return STATEFILE_SCHEMA
+
+    def reader(self, schema: StructType) -> _StateFileReader:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("pos_statefiles requires .option('path', <dir>)")
+        return _StateFileReader(path)
+
+
+class _StateFileStreamReader(DataSourceStreamReader):
+    """Micro-batch reader over an append-only state-file directory.
+
+    Offset = ``{"index": n}`` — the first n files in sorted-filename
+    order are consumed.  Filenames embed dates and the consumer only ever
+    *adds* daily files (kafka_consumer.py:82-83 appends today's file), so
+    the sorted listing is append-stable and any (start, end] range
+    re-reads identically on replay — exactly-once per file with no
+    per-file bookkeeping beyond one integer.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        return {"index": len(_list_state_files(self.path))}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        files = _list_state_files(self.path)
+        return [
+            _FilePartition(p, d) for p, d in files[int(start["index"]) : int(end["index"])]
+        ]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        return _read_state_file(partition.path, partition.file_date)
+
+    def commit(self, end: dict) -> None:  # files are the durable log; nothing to ack
+        return None
+
+
+class PosStateFileStreamSource(DataSource):
+    """``spark.readStream.format("pos_statefiles_stream")...`` — the
+    incremental-discovery twin (S10) of the batch source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pos_statefiles_stream"
+
+    def schema(self) -> str:
+        return STATEFILE_SCHEMA
+
+    def streamReader(self, schema: StructType) -> _StateFileStreamReader:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("pos_statefiles_stream requires .option('path', <dir>)")
+        return _StateFileStreamReader(path)
+
+
+def register_pos_sources(spark) -> None:
+    """Idempotently register both sources on a session (re-registration
+    replaces the prior entry, so repeated calls are safe)."""
+    spark.dataSource.register(PosStateFileDataSource)
+    spark.dataSource.register(PosStateFileStreamSource)
+
+
+def write_state_files(rows: Iterator[tuple], out_dir: str) -> list[str]:
+    """Test/fixture helper: write ``(sale_id, customer_id, total_price,
+    file_date)`` rows into per-date ``sales_YYYYMMDD.csv`` files — the
+    consumer's materialization layout (kafka_consumer.py:96-106).  Floats
+    are written with ``repr`` (shortest round-trip form), so
+    ``float(text)`` recovers the exact double.  Driver-side by design:
+    used only to lay down small fixtures, never as a production sink."""
+    os.makedirs(out_dir, exist_ok=True)
+    by_date: dict[date, list[tuple]] = {}
+    for sale_id, customer_id, total_price, d in rows:
+        by_date.setdefault(d, []).append((sale_id, customer_id, total_price))
+    paths = []
+    for d, recs in sorted(by_date.items()):
+        fpath = os.path.join(out_dir, filename_for(d))
+        with open(fpath, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["sale_id", "customer_id", "total_price"])
+            for sale_id, customer_id, total_price in sorted(recs):
+                w.writerow([sale_id, customer_id, repr(total_price)])
+        paths.append(fpath)
+    return paths
