@@ -112,7 +112,13 @@ def minhash_signature(shingle_arr: Column, num_hashes: int = 64) -> Column:
     )
 
 
-def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+def shingle_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     """One row per (doc, shingle), built WITHOUT higher-order functions:
 
     posexplode(split) → drop empties → ``lead(token, 1..n-1)`` over a
@@ -121,23 +127,34 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataF
     per-doc aggregations (signatures, shingle sets) need anyway, so AQE
     reuses the exchange.
 
+    ``id_col`` MUST identify a single document: the lead window orders
+    token positions *within* an id, so an id shared by several docs would
+    interleave their tokens into shingles that span document boundaries
+    (and make the output order-dependent). Group-level consumers
+    (``group_overlap_minhash``) shingle per-doc and pass the group as a
+    ``carry`` column — constant per input row, propagated through the
+    explode so the grouped aggregation never needs a join back.
+
     Matches ``shingles`` (and the DuckDB oracle CTE) exactly: lowercased
     whitespace tokens, <n-token docs yield their whole token string as the
     single shingle (``concat_ws`` skips the NULL leads, so the first row of
     a short doc is precisely the full join). Shingles are NOT deduplicated
     — min-aggregates don't care, and set consumers ``collect_set``.
-    Returns (``_id``, ``_shingle``).
+    Returns (``_id``, *carry, ``_shingle``).
     """
     from pyspark.sql import Window
 
+    carried = [F.col(c) for c in carry]
     if n < 2:
         return df.select(
             F.col(id_col).alias("_id"),
+            *carried,
             F.explode(tokens(F.lower(F.col(text_col)))).alias("_shingle"),
         )
     toks = (
         df.select(
             F.col(id_col).alias("_id"),
+            *carried,
             F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_pos", "_t"),
         ).where(F.col("_t") != "")
     )
@@ -145,6 +162,7 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataF
     leads = [F.lead("_t", j).over(w) for j in range(1, n)]
     rows = toks.select(
         "_id",
+        *carry,
         F.concat_ws(" ", F.col("_t"), *leads).alias("_shingle"),
         leads[-1].isNotNull().alias("_complete"),
         (F.row_number().over(w) == 1).alias("_first"),
@@ -152,7 +170,7 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataF
     )
     return rows.where(
         (F.col("_big") & F.col("_complete")) | (~F.col("_big") & F.col("_first"))
-    ).select("_id", "_shingle")
+    ).select("_id", *carry, "_shingle")
 
 
 def minhash_signatures_df(
@@ -209,9 +227,32 @@ def group_overlap_minhash(
     the corpus's whole shingle vocabulary; that path remains the
     verifier at test scale (``q_source_overlap``) while this sketch is
     the product at 100 TB. Estimator std ≈ sqrt(j(1-j)/k); k=64 → ±0.06
-    at j=0.5, deterministic given the seeded hashes."""
-    sigs = minhash_signatures_df(
-        df.select(group_col, text_col), text_col, group_col, n_shingle, num_hashes
+    at j=0.5, deterministic given the seeded hashes.
+
+    Shingling happens per-DOCUMENT (a synthesized unique row id), with the
+    group carried alongside; only the min-aggregation is keyed by the
+    group. Shingling by the group id directly would interleave tokens of
+    different docs inside the lead window (shingles spanning document
+    boundaries, tie-order-dependent output) — the signature would not be
+    the union-set MinHash. The synthesized id only partitions the window;
+    each doc's shingle multiset is invariant to its value, so the result
+    is deterministic and independent of row order."""
+    docs = df.select(
+        F.col(group_col).alias("_grp"), F.col(text_col).alias("_txt")
+    ).withColumn("_did", F.monotonically_increasing_id())
+    rows = shingle_rows(docs, "_txt", "_did", n_shingle, carry=("_grp",))
+    exploded = rows.select("_grp", F.xxhash64("_shingle").alias("_h0"))
+    aggs = [
+        F.min(F.xxhash64(F.col("_h0"), F.lit(i))).alias(f"_m{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = (
+        exploded.groupBy("_grp")
+        .agg(*aggs)
+        .select(
+            F.col("_grp").alias("_id"),
+            F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("_sig"),
+        )
     )
     a = sigs.select(F.col("_id").alias("group_a"), F.col("_sig").alias("_sa"))
     b = sigs.select(F.col("_id").alias("group_b"), F.col("_sig").alias("_sb"))

@@ -1466,6 +1466,44 @@ def test_group_overlap_minhash_tracks_planted_overlap(spark):
     assert est[("s1", "s2")] > est[("s1", "s4")] > est[("s1", "s3")]
 
 
+def test_group_overlap_minhash_multi_doc_groups_union_semantics(spark):
+    """Regression (ADVICE r6 high): the group signature must be the
+    MinHash of the group's UNION of per-document shingle sets. Two groups
+    holding the same documents — in different row orders, split across
+    different doc boundaries — must estimate exactly 1.0, and the result
+    must be invariant to input row order (the old code shingled with the
+    group as the window id, interleaving tokens across docs)."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm import dedup
+
+    d1 = "alpha beta gamma delta epsilon zeta eta theta"
+    d2 = "one two three four five six seven eight"
+    d3 = "red orange yellow green blue indigo violet ultraviolet"
+    rows = [("g1", d1), ("g1", d2), ("g1", d3), ("g2", d3), ("g2", d1), ("g2", d2)]
+    df = spark.createDataFrame(rows, ["source", "text"])
+
+    def estimates(frame):
+        return {
+            (r["group_a"], r["group_b"]): r["est_jaccard"]
+            for r in dedup.group_overlap_minhash(frame, "source", "text").collect()
+        }
+
+    est = estimates(df)
+    # identical union sets -> identical signatures, exactly 1.0 — no
+    # cross-document shingles may exist (they would differ between the
+    # two groups' doc orders and break the tie)
+    assert est[("g1", "g2")] == 1.0
+    # row-order invariance: shuffled input gives the identical estimates
+    shuffled = spark.createDataFrame(list(reversed(rows)), ["source", "text"])
+    assert estimates(shuffled) == est
+    # a group containing only a subset must NOT estimate 1.0 against the
+    # full group (sanity that 1.0 above is not a degenerate constant)
+    est3 = estimates(
+        spark.createDataFrame(rows + [("g3", d1)], ["source", "text"])
+    )
+    assert est3[("g1", "g2")] == 1.0
+    assert est3[("g1", "g3")] < 1.0
+
+
 def test_heavy_hitters_finds_planted_skew_with_tiny_capacity(spark):
     """The lossy sketch regime: vocabulary far above capacity, two
     planted heavy bigrams carrying ~30% of the mass. MG must surface
