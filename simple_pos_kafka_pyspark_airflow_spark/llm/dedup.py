@@ -598,10 +598,20 @@ def hamming_pairs_64(
 
 
 def near_dup_pairs_simhash(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_block: int | None = 10_000,
 ) -> DataFrame:
     """SimHash near-dup: 64-bit simhash per doc, then the shared
     quarter-blocking + exact-Hamming verify (``hamming_pairs_64``).
+
+    ``max_block`` passes through to the blocking stage: the 10k default
+    makes the pipeline LOSSY for quarter-key blocks hotter than the cap
+    (degenerate/boilerplate signatures) in exchange for a bounded
+    worst-case task — ``None`` restores the pigeonhole-complete
+    uncapped semantics (every hamming ≤ 3 pair guaranteed found).
 
     The (id, simhash) table is persisted: both sides of the candidate
     self-join read one materialization instead of re-running the 65-wide
@@ -611,7 +621,7 @@ def near_dup_pairs_simhash(
     from pyspark import StorageLevel
 
     sh = simhash_df(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
-    return hamming_pairs_64(sh, max_hamming)
+    return hamming_pairs_64(sh, max_hamming, max_block=max_block)
 
 
 # ---------------------------------------------------------------------------

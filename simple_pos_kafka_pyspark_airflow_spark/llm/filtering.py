@@ -261,6 +261,10 @@ def chunk_documents(
     no next-token prediction ever starts cold at a chunk boundary. Chunk
     i starts at token ``i·stride``; starts past the end are not emitted,
     so every chunk is non-empty and the last chunk may be short.
+    ``stride > max_tokens`` raises: it would silently DROP
+    ``stride - max_tokens`` tokens between consecutive windows — if
+    gap-sampling is what you want, filter chunks downstream instead of
+    encoding data loss in the window step (ADVICE r6).
 
     Columnar construction: ``sequence`` over the chunk count → explode →
     ``slice`` the token array per chunk — row multiplication happens
@@ -269,6 +273,11 @@ def chunk_documents(
     step = max_tokens if stride is None else stride
     if step <= 0:
         raise ValueError(f"stride must be positive, got {step}")
+    if step > max_tokens:
+        raise ValueError(
+            f"stride ({step}) > max_tokens ({max_tokens}) would silently drop "
+            "tokens between windows; sample chunks downstream instead"
+        )
     toks = tokens(F.col(text_col))
     base = df.select(F.col(id_col), toks.alias("_toks"))
     # number of window starts strictly inside the token stream:

@@ -453,20 +453,24 @@ def near_dup_images_ahash(
     payload_col: str = "payload",
     id_col: str = "asset_id",
     max_hamming: int = 3,
+    max_block: int | None = 10_000,
 ) -> DataFrame:
     """Perceptual image near-dup pairs: aHash per asset, then the SAME
     quarter-blocking + exact-Hamming verify the text simhash uses
     (``dedup.hamming_pairs_64`` — pigeonhole-complete for hamming ≤ 3,
     shuffle O(assets × 4) on 16-bit keys, never quadratic). The hash
     table is persisted so both self-join sides read one materialization
-    — decoding every image twice is the expensive half here. Returns
-    (id_a, id_b, hamming)."""
+    — decoding every image twice is the expensive half here.
+    ``max_block`` (the hot-block cap, where degenerate media like blank
+    frames pile onto one hash) makes the default LOSSY above 10k rows
+    per quarter-key block; ``None`` restores pigeonhole-complete output.
+    Returns (id_a, id_b, hamming)."""
     from pyspark import StorageLevel
 
     from . import dedup as dedup_ops
 
     sig = image_ahash_df(assets, payload_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
-    return dedup_ops.hamming_pairs_64(sig, max_hamming)
+    return dedup_ops.hamming_pairs_64(sig, max_hamming, max_block=max_block)
 
 
 def fingerprint_wav(payload: bytes, n_windows: int = 65) -> int:
@@ -527,11 +531,14 @@ def near_dup_audio_fingerprint(
     payload_col: str = "payload",
     id_col: str = "asset_id",
     max_hamming: int = 3,
+    max_block: int | None = 10_000,
 ) -> DataFrame:
     """Audio near-dup pairs: WAV fingerprint per asset through the shared
     quarter-blocking + exact-Hamming pipeline (``dedup.hamming_pairs_64``
     — the third family on that pipeline, after text simhash and image
-    aHash). Returns (id_a, id_b, hamming)."""
+    aHash). ``max_block`` as in ``near_dup_images_ahash`` (None =
+    pigeonhole-complete, default 10k = hot-block lossy).
+    Returns (id_a, id_b, hamming)."""
     from pyspark import StorageLevel
 
     from . import dedup as dedup_ops
@@ -539,4 +546,4 @@ def near_dup_audio_fingerprint(
     sig = audio_fingerprint_df(assets, payload_col, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    return dedup_ops.hamming_pairs_64(sig, max_hamming)
+    return dedup_ops.hamming_pairs_64(sig, max_hamming, max_block=max_block)

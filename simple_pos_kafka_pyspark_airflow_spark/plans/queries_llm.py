@@ -800,6 +800,42 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_approx_percentile_sketch",
+    "llm",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(1 AS INTEGER) AS rank_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    notes="the PRODUCTION form of the grouped median: approx_percentile "
+    "sketch WITHOUT the exact percentile aggregate (q_approx_percentile "
+    "pays the exact buffer-all-values percentile in-plan for its bound "
+    "bit, so its bench number showed the exact path's profile — the r5/r6 "
+    "ADVICE item). Certification here is the QUANTILE RANK CONTRACT, "
+    "checked with one extra hash-agg scan + broadcast join instead of a "
+    "per-group value sort: the fraction of rows ≤ the sketch's p50 must "
+    "sit within 0.5 ± (sketch rank error 1e-4 + one value-bin of tie "
+    "mass ≈ 0.02) — a wrong quantile is off by O(0.5). The bit is robust "
+    "to the sketch's merge-order nondeterminism because the rank bound "
+    "holds for ANY legal GK state, so the row hashes identically every "
+    "run. At 100 TB: two scans, both partial-aggregated, no value buffer",
+)
+def q_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    ap = li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)).alias("_p50")
+    )
+    joined = li.select("l_returnflag", "l_quantity").join(
+        F.broadcast(ap), "l_returnflag"
+    )
+    frac = F.avg((F.col("l_quantity") <= F.col("_p50")).cast("double"))
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        (F.abs(frac - F.lit(0.5)) <= F.lit(0.03)).cast("int").alias("rank_ok"),
+    )
+
+
+@register(
     "q_corpus_filter",
     "llm",
     oracle="""
@@ -1908,6 +1944,39 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_inter",
         (F.col("_na") + F.col("_nb") - F.col("n_inter")).alias("n_union"),
         (F.abs(F.col("est_jaccard") - exact_j) <= 0.25).cast("int").alias("est_ok"),
+    )
+
+
+@register(
+    "q_source_overlap_sketch",
+    "llm",
+    oracle="""
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(1 AS INTEGER) AS est_in_range
+    FROM (SELECT DISTINCT source FROM documents) a
+    JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source
+    """,
+    notes="the PRODUCTION form of the source-overlap audit: MinHash "
+    "union-sketch alone (llm/dedup.group_overlap_minhash, k=128) — one "
+    "corpus scan, 8·k bytes per source over the exchange, S² trivial "
+    "pairs; NO exact (source, shingle) self-join. This is the entry the "
+    "bench times, so the measured number is the 100 TB plan's profile "
+    "(the r6 verdict flagged the combined exact+sketch q_source_overlap "
+    "as misrepresenting the production path). The oracle value-checks "
+    "pair enumeration (every unordered source pair exactly once) and the "
+    "[0,1] range bit; the sketch's ACCURACY is certified by "
+    "q_source_overlap's est_ok bound on the identical kernel, which "
+    "stays registered for driver certification at test scale",
+)
+def q_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    est = dedup.group_overlap_minhash(d, "source", "text", num_hashes=128)
+    return est.select(
+        F.col("group_a").alias("source_a"),
+        F.col("group_b").alias("source_b"),
+        ((F.col("est_jaccard") >= 0) & (F.col("est_jaccard") <= 1))
+        .cast("int")
+        .alias("est_in_range"),
     )
 
 

@@ -476,6 +476,10 @@ def test_chunk_documents_overlapping_stride(spark):
     assert sorted(map(tuple, disjoint)) == sorted(map(tuple, explicit))
     with _pytest.raises(ValueError, match="stride"):
         filtering.chunk_documents(df, max_tokens=4, stride=0)
+    # stride > max_tokens would silently drop tokens between windows
+    # (ADVICE r6) — must raise, not gap-sample
+    with _pytest.raises(ValueError, match="drop"):
+        filtering.chunk_documents(df, max_tokens=4, stride=6)
 
 
 def test_unigram_logprob_scores_math_and_ranking(spark):
