@@ -315,6 +315,70 @@ def q_sink_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_scan_statefiles",
+    "scan",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS file_year,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01'
+    GROUP BY 1
+    """,
+    notes="S10/S11 under the driver surface: the Spark 4 Python "
+    "DataSource over the reference's CSV state-file layout "
+    "(sources/pydatasource.py; kafka_consumer.py:82-83's "
+    "sales_YYYYMMDD.csv files). Derives one state file per order-YEAR "
+    "from the orders table (idempotent per sf_dir — written once, "
+    "driver-side by design: fixture layout for an ingest-edge format, "
+    "never a production sink), scans it via "
+    "format('pos_statefiles'), and filters file_date >= 1997 so the "
+    "pushFilters file prune engages (plan-shape pinned in "
+    "tests/test_sources.py — only matching files open). Values are a "
+    "full oracle: repr() floats round-trip the exact double, and "
+    "ROUND(sum,2) sits on the cent lattice per contract.py's rules",
+)
+def q_scan_statefiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import pydatasource
+
+    path = _workdir("statefiles", os.path.basename(sf_dir.rstrip("/")))
+    marker = os.path.join(path, "_complete")
+    if not os.path.exists(marker):
+        rows = (
+            table(spark, sf_dir, "orders")
+            .select(
+                F.col("o_orderkey"),
+                F.col("o_custkey"),
+                F.col("o_totalprice"),
+                F.date_trunc("year", F.col("o_orderdate")).cast("date").alias("fd"),
+            )
+            .collect()
+        )
+        pydatasource.write_state_files(
+            ((r["o_orderkey"], r["o_custkey"], r["o_totalprice"], r["fd"]) for r in rows),
+            path,
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    pydatasource.register_pos_sources(spark)
+    df = (
+        spark.read.format("pos_statefiles")
+        .option("path", path)
+        .load()
+        .where(F.col("file_date") >= F.lit("1997-01-01").cast("date"))
+    )
+    # group key is year(file_date) AS INT, not the DATE itself: Spark
+    # hands DATE back as datetime.date while DuckDB->pandas yields
+    # Timestamp — a hash-compare footgun with zero information gain here
+    return df.groupBy(F.year("file_date").cast("int").alias("file_year")).agg(
+        F.count("*").alias("n"),
+        F.sum("customer_id").alias("sum_cust"),
+        F.round(F.sum("total_price"), 2).alias("sum_price"),
+    )
+
+
+@register(
     "q_interval_join",
     "join",
     oracle="""

@@ -22,8 +22,9 @@ engine generation the reference predates) named ``pos_statefiles``:
   files.  All filters are also returned to Spark for re-evaluation
   (partial pushdown), so correctness never depends on the prune;
 - a **streaming twin** (``PosStateFileStreamSource``) whose offset is the
-  count of files in sorted-filename order: each micro-batch reads exactly
-  the newly-arrived files once — the reference's mtime-discovery loop
+  max consumed filename (a watermark — backfill-safe, see
+  ``_StateFileStreamReader``): each micro-batch reads exactly the
+  newly-arrived files once — the reference's mtime-discovery loop
   (``POS_spark_dag.py:63-76``) without the rescans, and replayable from
   any committed offset.
 
@@ -193,27 +194,57 @@ class PosStateFileDataSource(DataSource):
 class _StateFileStreamReader(DataSourceStreamReader):
     """Micro-batch reader over an append-only state-file directory.
 
-    Offset = ``{"index": n}`` — the first n files in sorted-filename
-    order are consumed.  Filenames embed dates and the consumer only ever
-    *adds* daily files (kafka_consumer.py:82-83 appends today's file), so
-    the sorted listing is append-stable and any (start, end] range
-    re-reads identically on replay — exactly-once per file with no
-    per-file bookkeeping beyond one integer.
+    Offset = ``{"last": <filename>, "n": <count>}`` — the maximum
+    consumed state filename (the watermark; ``""`` = nothing consumed)
+    plus the number of files at-or-below it.  A batch ``(start, end]``
+    reads exactly the files sorting strictly after ``start.last`` and
+    at most ``end.last`` — names embed zero-padded dates, so name order
+    is date order and the range replays identically regardless of how
+    many NEWER files arrived since (exactly-once per file, no per-file
+    bookkeeping).
+
+    Why a watermark and not a positional index (ADVICE r6): an index
+    into the sorted listing silently corrupts on backfill — a file with
+    an EARLIER date inserted mid-list shifts every index, so a committed
+    range re-reads an old file and permanently skips the new one.  With
+    the watermark a backfilled file can never be re-read or shift the
+    range; the ``n`` count makes the violated append-only contract LOUD
+    instead of silent: if the number of files at-or-below the committed
+    watermark no longer matches, ``partitions`` raises rather than
+    skipping the backfill (kafka_consumer.py:82-83 only ever appends
+    today's file, so this never fires on reference-shaped ingest).
     """
 
     def __init__(self, path: str):
         self.path = path
 
+    def _offset_at(self, files: list[tuple[str, date]]) -> dict:
+        last = os.path.basename(files[-1][0]) if files else ""
+        return {"last": last, "n": len(files)}
+
     def initialOffset(self) -> dict:
-        return {"index": 0}
+        return {"last": "", "n": 0}
 
     def latestOffset(self) -> dict:
-        return {"index": len(_list_state_files(self.path))}
+        return self._offset_at(_list_state_files(self.path))
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         files = _list_state_files(self.path)
+        s_last, s_n = str(start.get("last", "")), int(start.get("n", 0))
+        e_last = str(end.get("last", ""))
+        at_or_below = [fd for fd in files if os.path.basename(fd[0]) <= s_last]
+        if len(at_or_below) != s_n:
+            raise ValueError(
+                f"state-file directory violated the append-only contract: "
+                f"{len(at_or_below)} files sort at-or-below the committed "
+                f"watermark {s_last!r} but {s_n} were consumed — a file was "
+                "backfilled (or deleted) behind the stream; re-ingest it "
+                "under today's date or reset the checkpoint"
+            )
         return [
-            _FilePartition(p, d) for p, d in files[int(start["index"]) : int(end["index"])]
+            _FilePartition(p, d)
+            for p, d in files
+            if s_last < os.path.basename(p) <= e_last
         ]
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:

@@ -500,3 +500,137 @@ def test_zorder_layout_prunes_row_groups_on_both_dimensions(spark, tmp_path):
     assert zo_u[0] < zo_u[1], "z-order must prune the user filter"
     assert zo_u[0] <= lin_u[0] // 2, (zo_u, lin_u)
     assert zo_d[0] < zo_d[1], "z-order must still prune the day filter"
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource: POS state-file layout (sources/pydatasource.py)
+# ---------------------------------------------------------------------------
+
+
+def test_statefile_batch_source_reads_and_prunes(spark, tmp_path):
+    """The pos_statefiles batch source: typed rows with the filename date
+    surfaced as file_date, and pushFilters pruning the FILE LIST at
+    planning time (the custom-source twin of parquet partition pruning).
+    The prune is asserted at the planner level — partitions() after
+    pushFilters must open only matching files — and end-to-end values
+    come back identical with and without the prune (partial pushdown:
+    Spark re-applies every filter row-level)."""
+    from datetime import date
+
+    from simple_pos_kafka_pyspark_airflow_spark.sources import pydatasource as pds
+
+    rows = [
+        (1, 10, 5.5, date(2024, 1, 1)),
+        (2, 11, 7.25, date(2024, 1, 1)),
+        (3, 12, 1.0, date(2024, 1, 2)),
+        (4, 13, 2.0, date(2024, 2, 1)),
+    ]
+    out = str(tmp_path / "statefiles")
+    paths = pds.write_state_files(iter(rows), out)
+    assert [p.split("/")[-1] for p in paths] == [
+        "sales_20240101.csv", "sales_20240102.csv", "sales_20240201.csv",
+    ]
+
+    # planner-level prune: a >= filter must drop non-matching FILES
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    rd = pds._StateFileReader(out)
+    residual = rd.pushFilters([GreaterThanOrEqual(("file_date",), date(2024, 1, 2))])
+    assert list(residual), "all filters must be returned for row-level re-apply"
+    parts = rd.partitions()
+    assert sorted(p.path.split("/")[-1] for p in parts) == [
+        "sales_20240102.csv", "sales_20240201.csv",
+    ]
+
+    # end-to-end through Spark: schema, values, filter correctness
+    pds.register_pos_sources(spark)
+    df = spark.read.format("pos_statefiles").option("path", out).load()
+    assert [f.name for f in df.schema.fields] == [
+        "sale_id", "customer_id", "total_price", "file_date",
+    ]
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == sorted(rows)
+    pruned = df.where("file_date >= DATE '2024-01-02'")
+    assert sorted(r["sale_id"] for r in pruned.collect()) == [3, 4]
+    # repr() floats round-trip exactly
+    assert {r["sale_id"]: r["total_price"] for r in df.collect()}[2] == 7.25
+
+
+def test_statefile_stream_watermark_offsets(tmp_path):
+    """The stream reader's offset is the max consumed FILENAME, not a
+    positional index (ADVICE r6): newer files never shift a committed
+    range, a replayed (start, end] reads the identical files, and a
+    BACKFILLED earlier-dated file raises instead of silently re-reading
+    one old file and skipping the new one forever."""
+    from datetime import date
+
+    import pytest
+
+    from simple_pos_kafka_pyspark_airflow_spark.sources import pydatasource as pds
+
+    out = str(tmp_path / "stream")
+    pds.write_state_files(
+        iter([(1, 10, 1.0, date(2024, 1, 1)), (2, 11, 2.0, date(2024, 1, 2))]), out
+    )
+    rd = pds._StateFileStreamReader(out)
+    o0 = rd.initialOffset()
+    o1 = rd.latestOffset()
+    assert o1 == {"last": "sales_20240102.csv", "n": 2}
+    batch1 = rd.partitions(o0, o1)
+    assert sorted(p.path.split("/")[-1] for p in batch1) == [
+        "sales_20240101.csv", "sales_20240102.csv",
+    ]
+    assert sorted(r[0] for p in batch1 for r in rd.read(p)) == [1, 2]
+
+    # append a NEWER file: only it lands in the next batch; the committed
+    # range replays identically
+    pds.write_state_files(iter([(3, 12, 3.0, date(2024, 1, 3))]), out)
+    o2 = rd.latestOffset()
+    batch2 = rd.partitions(o1, o2)
+    assert [p.path.split("/")[-1] for p in batch2] == ["sales_20240103.csv"]
+    replay = rd.partitions(o0, o1)
+    assert sorted(p.path for p in replay) == sorted(p.path for p in batch1)
+
+    # a BACKFILLED earlier-dated file breaks the append-only contract:
+    # the count-below-watermark check must raise, loudly
+    pds.write_state_files(iter([(9, 99, 9.0, date(2023, 12, 31))]), out)
+    with pytest.raises(ValueError, match="append-only"):
+        rd.partitions(o1, rd.latestOffset())
+
+
+def test_statefile_stream_drains_through_spark(spark, tmp_path):
+    """End-to-end micro-batch drain of pos_statefiles_stream under
+    Trigger.AvailableNow with a checkpoint: all rows land exactly once,
+    and a second drain over the same checkpoint reads only files that
+    arrived in between (incremental discovery, reference
+    POS_spark_dag.py:63-76 without the rescans)."""
+    from datetime import date
+
+    from simple_pos_kafka_pyspark_airflow_spark.sources import pydatasource as pds
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    pds.write_state_files(
+        iter([(1, 10, 1.0, date(2024, 1, 1)), (2, 11, 2.0, date(2024, 1, 2))]), src
+    )
+    pds.register_pos_sources(spark)
+
+    def drain():
+        q = (
+            spark.readStream.format("pos_statefiles_stream")
+            .option("path", src)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert sorted(r["sale_id"] for r in spark.read.parquet(sink).collect()) == [1, 2]
+    pds.write_state_files(iter([(3, 12, 3.0, date(2024, 1, 3))]), src)
+    drain()
+    assert sorted(r["sale_id"] for r in spark.read.parquet(sink).collect()) == [1, 2, 3]
