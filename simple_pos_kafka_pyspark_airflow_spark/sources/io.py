@@ -196,7 +196,12 @@ def write_staged(df: DataFrame, staging: str) -> None:
 
 
 def write_bucketed_table(
-    df: DataFrame, name: str, bucket_col: str, n_buckets: int = 32, sort: bool = True
+    df: DataFrame,
+    name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+    path: str | None = None,
 ) -> None:
     """Bucketed managed table: rows hash-partitioned into ``n_buckets``
     files by ``bucket_col`` at write time (and sorted within buckets).
@@ -207,10 +212,18 @@ def write_bucketed_table(
     join/aggregation on that key (verified by plan audit in
     tests/test_sources.py). The reference's per-category product files
     (``kafka_consumer.py:204``) are a hand-rolled version of exactly this.
+
+    ``path`` makes the table EXTERNAL at that location — use it when the
+    catalog is session-scoped but the filesystem outlives it (a managed
+    table whose warehouse dir survives a dead session refuses to be
+    recreated with LOCATION_ALREADY_EXISTS; an external overwrite is
+    idempotent).
     """
     writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort:
         writer = writer.sortBy(bucket_col)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(name)
 
 

@@ -378,3 +378,26 @@ def test_shard_store_join_gets_dynamic_partition_pruning(spark, sf_dir, tmp_path
     )
     plan = explain_str(fact.join(manifest, "shard"))
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_join_bucketed_zero_exchange(spark, sf_dir):
+    """The bucketed fact-to-fact join must carry NO exchange anywhere
+    below the aggregation: both scans read 8-way bucketed managed tables
+    on the join key, so the merge join consumes the write-time
+    partitioning directly — the write paid the shuffle once
+    (sources/io.write_bucketed_table), every query on the key amortizes
+    it. q_join_bucketed's final groupBy is allowed its one aggregation
+    exchange; the JOIN subtree is pinned shuffle-free here."""
+    from simple_pos_kafka_pyspark_airflow_spark.plans.queries_joins import (
+        bucketed_join_frame,
+    )
+
+    j = bucketed_join_frame(spark, sf_dir)
+    plan = explain_str(j)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+    # and the full contract query adds exactly the aggregation exchange
+    # (formatted mode names nodes bare — "Exchange (10)" — with the
+    # hashpartitioning detail in the arguments section)
+    full = explain_str(build(spark, sf_dir, "q_join_bucketed"))
+    assert full.count("- Exchange") == 1, full
