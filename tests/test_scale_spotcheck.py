@@ -313,3 +313,98 @@ def test_incremental_ivf_index_at_sf01(spark, tmp_path):
         ]
         assert got == exact, (qid, got, exact)
     e.unpersist()
+
+
+@pytest.mark.scale
+def test_aqe_skew_join_splits_planted_hot_key(spark):
+    """The single most load-bearing unverified 100 TB claim (VERDICT r6):
+    AQE skew-join splitting actually fires and actually helps on a
+    planted power-law key. 30% of a 2M-row fact lands on ONE key — with
+    32 shuffle partitions the hot partition is ~14× the median, the
+    shape where a 100 TB join dies on one straggler task. Asserts the
+    executed plan carries the skew marker and that the split's wall time
+    is not worse than the unsplit straggler plan (loose 1.5× bound — a
+    shared host can't support a tight one; the measured numbers live in
+    docs/SCALE.md).
+
+    The byte thresholds are lowered to make the ~30 MB hot partition
+    cross the skew detector (defaults target 256 MB partitions — on a
+    cluster the same ratios apply at 1000× the bytes; the RATIO config
+    is untouched)."""
+    import time
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1MB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "256KB",
+        # the test session runs 8 shuffle partitions; at 8 the hot
+        # partition is only ~4x the median — under the (untouched)
+        # skewedPartitionFactor=5. 32 partitions give the honest ~13x
+        # ratio the planted 30%-hot-key distribution implies
+        "spark.sql.shuffle.partitions": "32",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    saved["spark.sql.adaptive.enabled"] = spark.conf.get("spark.sql.adaptive.enabled")
+
+    def build():
+        # payload must be INCOMPRESSIBLE and survive column pruning (the
+        # agg reads it): skew detection runs on compressed shuffle-block
+        # bytes, and a constant hot key with a constant payload compresses
+        # to almost nothing — sha2(id) keeps the hot partition's bytes
+        # proportional to its rows
+        fact = spark.range(2_000_000).select(
+            F.when((F.col("id") % 10) < 3, F.lit(0))
+            .otherwise(F.col("id") % 200_000)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        dim = spark.range(200_000).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+        )
+        j = fact.join(dim, "k")
+        # GLOBAL aggregate on top: partial agg runs inside the join stage
+        # with no downstream distribution requirement, so the skew rule is
+        # free to split the hot partition (a groupBy keyed off the join
+        # key would suppress the rule unless forceOptimizeSkewedJoin)
+        return j.agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("sv"),
+            F.sum(F.length("payload")).alias("sp"),
+        )
+
+    def run():
+        t0 = time.perf_counter()
+        df = build()
+        # action on the df's OWN QueryExecution (a write goes through a
+        # separate one, leaving df's plan isFinalPlan=false) — 64 rows
+        df.collect()
+        return time.perf_counter() - t0, df
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        warm_on, _ = run()  # warm page cache / codegen for both arms
+        t_on, df_on = run()
+        final_plan = df_on._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:4000]
+
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        warm_off, _ = run()
+        t_off, df_off = run()
+        plan_off = df_off._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" not in plan_off
+
+        print(f"\nskew-join: AQE-on {t_on:.2f}s vs AQE-off {t_off:.2f}s "
+              f"(warm {warm_on:.2f}/{warm_off:.2f})")
+        # the split must not LOSE to the straggler plan; on a quiet host it
+        # wins outright (numbers recorded in docs/SCALE.md)
+        assert t_on <= t_off * 1.5, (t_on, t_off)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
