@@ -14,6 +14,15 @@ Four tiers, cheapest-first — the standard 100 TB dedup ladder:
 
 Everything below is built-in columnar Spark (xxhash64, transform,
 array ops) — no Python in any per-row path.
+
+Cache ownership (ADVICE r6): operators ``persist()`` frames that feed
+multiple consumers inside ONE returned plan (doc tables, signature
+tables, gram rows) and cannot unpersist them — the plan is lazy, the
+action is the caller's. The CALLER owns cleanup: after the consuming
+action materializes, ``unpersist()`` the inputs or
+``spark.catalog.clearCache()`` (what bench.py does per query; one-shot
+driver/test runs can skip it — blocks are LRU-evicted, never a
+correctness issue).
 """
 
 from __future__ import annotations
