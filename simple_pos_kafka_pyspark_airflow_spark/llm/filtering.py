@@ -296,3 +296,59 @@ def chunk_documents(
         F.size(chunk).cast("int").alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def pack_docs_contiguous(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    capacity: int = 1024,
+    n_streams: int = 32,
+) -> DataFrame:
+    """Assign WHOLE documents to fixed-capacity training bins — the
+    document-boundary-preserving packing used when examples must not
+    straddle sequences (SFT/instruction corpora, contrastive pairs).
+    The concat-then-split GPT-pretraining form, where documents DO
+    straddle block boundaries, is ``q_pack_sequences``
+    (plans/queries_llm.py) — these are the two standard packing
+    disciplines. Returns one row per document:
+    ``(id, stream, bin, n_tokens)``.
+
+    Semantics: documents are packed CONTIGUOUSLY in stable ``id_col``
+    order within ``n_streams`` independent streams (stream =
+    Knuth-multiplicative hash of the id — deterministic, no RNG, the
+    same row-local assignment as the samplers). A document lands in the
+    bin where its start offset (running token sum before it) falls, so a
+    bin may overflow by at most one document's tail — the standard
+    "greedy contiguous with overflow" packing; callers who need hard
+    caps split first with ``chunk_documents`` (whose chunks then never
+    straddle: capacity a multiple of max_tokens keeps slices aligned).
+
+    Scale shape: ONE window prefix-sum per stream — the global-cumsum
+    form would serialize the corpus through a single task, the classic
+    accidental driver-bottleneck; N independent streams keep every core
+    busy and cost one shuffle on the stream key. Packing quality is
+    unaffected at corpus scale (each stream sees a uniform sample, so
+    per-bin utilization is identical in distribution). All integer
+    arithmetic — bin ids are exactly reproducible cross-engine.
+    """
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    from pyspark.sql import Window
+
+    knuth = 2654435761
+    base = df.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col) * F.lit(knuth), F.lit(n_streams)).cast("int").alias("stream"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("stream").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        id_col,
+        "stream",
+        F.floor((cum - F.col("n_tokens")) / F.lit(capacity)).cast("long").alias("bin"),
+        "n_tokens",
+    )

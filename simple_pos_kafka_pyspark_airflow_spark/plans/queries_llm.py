@@ -1089,6 +1089,48 @@ def q_sample_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_pack_contiguous",
+    "llm",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST((doc_id * 2654435761) % 32 AS INTEGER) AS stream,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT stream, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT stream, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM c GROUP BY 1, 2
+    """,
+    notes="document-boundary-preserving packing "
+    "(llm/filtering.pack_docs_contiguous): assign WHOLE docs to "
+    "fixed-capacity training bins by per-stream token prefix-sums — the "
+    "packing discipline for SFT/instruction corpora where examples must "
+    "not straddle sequences (q_pack_sequences is the concat-then-split "
+    "pretraining twin where they do). Contiguous fill in stable id "
+    "order within 32 Knuth-hash streams; a doc lands in the bin holding "
+    "its start offset (overflow ≤ one doc tail; hard caps compose with "
+    "chunk_documents). Scale: N independent window prefix-sums, ONE "
+    "shuffle on the stream key — the global-cumsum form would serialize "
+    "the corpus through a single task. All integer arithmetic; per-bin "
+    "doc/token counts are a full value oracle",
+)
+def q_pack_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    packed = filtering.pack_docs_contiguous(d, "text", "doc_id", capacity=512, n_streams=32)
+    return packed.groupBy("stream", "bin").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("sum_tokens")
+    )
+
+
+@register(
     "q_sample_temperature",
     "llm",
     oracle="""

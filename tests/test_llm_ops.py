@@ -1610,3 +1610,50 @@ def test_minhash_defaults_agree_with_lsh_tune():
     thr = sig.parameters["jaccard_threshold"].default
     tuned_bands, tuned_rows = lsh_tune(thr, k)
     assert (bands, k // bands) == (tuned_bands, tuned_rows)
+
+
+def test_pack_docs_contiguous_fill_and_overflow_bound(spark):
+    """Planted lengths: contiguous fill in id order within a stream, a
+    straddling doc lands in the bin of its START offset (overflow ≤ its
+    tail), every doc packed exactly once, capacity<=0 raises."""
+    import pytest as _pytest
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm import filtering
+
+    # one stream (n_streams=1): lengths 6,6,6 with capacity 10 ->
+    # starts 0,6,12 -> bins 0,0,1
+    docs = [(i, " ".join(["w"] * 6)) for i in range(3)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["stream"], r["bin"], r["n_tokens"])
+        for r in filtering.pack_docs_contiguous(
+            df, capacity=10, n_streams=1
+        ).collect()
+    }
+    assert out == {0: (0, 0, 6), 1: (0, 0, 6), 2: (0, 1, 6)}
+
+    # multi-stream: every doc appears once; per-(stream,bin) token sum
+    # never exceeds capacity + (max doc in that bin - 1) tokens of
+    # overflow; bins within a stream are dense from 0
+    import random
+
+    rnd = random.Random(7)
+    docs = [(i, " ".join(["w"] * rnd.randint(1, 40))) for i in range(200)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = filtering.pack_docs_contiguous(df, capacity=64, n_streams=4).collect()
+    assert sorted(r["doc_id"] for r in rows) == list(range(200))
+    from collections import defaultdict
+
+    bins = defaultdict(list)
+    for r in rows:
+        bins[(r["stream"], r["bin"])].append(r["n_tokens"])
+    for (s, b), toks in bins.items():
+        assert sum(toks) <= 64 + max(toks) - 1, ((s, b), toks)
+    streams = defaultdict(set)
+    for s, b in bins:
+        streams[s].add(b)
+    for s, bs in streams.items():
+        assert bs == set(range(len(bs))), (s, bs)
+
+    with _pytest.raises(ValueError, match="capacity"):
+        filtering.pack_docs_contiguous(df, capacity=0)
