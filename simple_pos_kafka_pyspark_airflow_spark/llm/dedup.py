@@ -255,6 +255,13 @@ def group_overlap_minhash(
         F.min(F.xxhash64(F.col("_h0"), F.lit(i))).alias(f"_m{i}")
         for i in range(num_hashes)
     ]
+    from pyspark import StorageLevel
+
+    # persist the S-row signature table: both sides of the pair compare
+    # derive from it, and without a materialization Catalyst plans the
+    # corpus scan + shingle window + k-wide agg TWICE (caught by the
+    # single-scan plan pin in tests/test_plans.py). Caller owns cleanup
+    # per the module-header cache contract.
     sigs = (
         exploded.groupBy("_grp")
         .agg(*aggs)
@@ -262,6 +269,7 @@ def group_overlap_minhash(
             F.col("_grp").alias("_id"),
             F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("_sig"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = sigs.select(F.col("_id").alias("group_a"), F.col("_sig").alias("_sa"))
     b = sigs.select(F.col("_id").alias("group_b"), F.col("_sig").alias("_sb"))

@@ -401,3 +401,21 @@ def test_join_bucketed_zero_exchange(spark, sf_dir):
     # hashpartitioning detail in the arguments section)
     full = explain_str(build(spark, sf_dir, "q_join_bucketed"))
     assert full.count("- Exchange") == 1, full
+
+
+def test_source_overlap_sketch_single_scan_no_shingle_join(spark, sf_dir):
+    """The production overlap audit must be ONE corpus scan feeding the
+    128-wide min-agg, with the only join the S²-pair compare over the
+    tiny per-source signature table (broadcast NL, S ~ handful of rows)
+    — never a sort-merge self-join on the shingle vocabulary (that is
+    the certification-only q_source_overlap's exact arm)."""
+    import re
+
+    plan = explain_str(build(spark, sf_dir, "q_source_overlap_sketch"))
+    # the persisted signature table is shared by both join sides, so the
+    # tree prints the SAME scan node twice — count distinct node ids
+    scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scan_ids) == 1, plan
+    assert plan.count("InMemoryTableScan") >= 2, plan  # both sides reuse it
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
