@@ -1657,3 +1657,35 @@ def test_pack_docs_contiguous_fill_and_overflow_bound(spark):
 
     with _pytest.raises(ValueError, match="capacity"):
         filtering.pack_docs_contiguous(df, capacity=0)
+
+
+def test_simhash_pipeline_survives_planted_empty_docs(spark):
+    """ADVICE r6 latent, closed: zero-token documents (empty or
+    whitespace/punct-free text) must neither crash the simhash pipeline
+    nor silently distort the planted-pair contract form. simhash_df
+    drops them (no token rows survive the explode+where), so the
+    q_dedup_simhash guard — filtering trim(text) <> '' on BOTH the
+    Spark side and the oracle — keeps the one-row-per-doc invariant."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm import dedup
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, ""),            # empty
+        (3, "   \t  "),     # whitespace-only
+        (4, "alpha beta gamma delta"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # zero-token docs vanish from the signature table
+    sigs = {r["_id"] for r in dedup.simhash_df(df, "text", "doc_id").collect()}
+    assert sigs == {1, 4}
+    # the planted-pair form (what q_dedup_simhash does): union an
+    # id-shifted copy, restrict to planted pairs — exactly one row per
+    # NON-EMPTY doc, none for the empty ones, hamming 0 throughout
+    guarded = df.where("trim(text) <> ''")
+    planted = guarded.unionByName(
+        guarded.withColumn("doc_id", guarded.doc_id + 1_000_000)
+    )
+    pairs = dedup.near_dup_pairs_simhash(planted, "text", "doc_id", max_hamming=3)
+    mine = pairs.where("id_b = id_a + 1000000").collect()
+    assert sorted(r["id_a"] for r in mine) == [1, 4]
+    assert all(r["hamming"] == 0 for r in mine)
