@@ -1934,8 +1934,10 @@ def q_closure_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shingle-set intersection/union per source pair (hash-comparable "
     "integers) plus a bound bit certifying the MinHash sketch estimate "
     "(llm/dedup.group_overlap_minhash, k=128) to within 0.25 of the "
-    "exact Jaccard on every pair — measured max |err| 0.061 at sf0.01, "
-    "0.132 at sf0.1, deterministic given the seeded hashes. The sketch "
+    "exact Jaccard on every pair — measured max |err| 0.052 at sf0.01, "
+    "0.086 at sf0.1 (re-measured after the r7 union-semantics fix; "
+    "consistent with the 2σ bound of the k=128 estimator), "
+    "deterministic given the seeded hashes. The sketch "
     "is the 100 TB product (one scan, 8·k bytes per source over the "
     "exchange, S² trivial pairs); the exact path computed here for "
     "certification shuffles the shingle vocabulary and is priced "
