@@ -378,6 +378,47 @@ def q_scan_statefiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_sink_daily_overwrite",
+    "scan",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+    FROM orders GROUP BY 1
+    """,
+    notes="the reference's daily 22:00 sales re-export "
+    "(POS_spark_dag.py:438-465) as an IDEMPOTENT partitioned sink: full "
+    "export partitioned by order year, then the latest year re-exported "
+    "through dynamic partition-overwrite "
+    "(sources/io.write_partition_overwrite — only partitions present in "
+    "the frame are replaced; static overwrite would truncate the table, "
+    "the classic rerun-erases-history incident). Read-back aggregate "
+    "equals the plain orders aggregate — a rerun neither loses other "
+    "years nor duplicates the rewritten one. Partition-level no-touch "
+    "behavior is pinned file-by-file in tests/test_sources.py",
+)
+def q_sink_daily_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.io import write_partition_overwrite
+
+    path = _workdir("daily_overwrite", os.path.basename(sf_dir.rstrip("/")))
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    # full export (first run of the pipeline)
+    write_partition_overwrite(o, path, ["o_year"])
+    # the daily rerun: re-derive and re-write ONLY the latest year —
+    # dynamic mode must leave every other year's partition alone
+    last_year = o.agg(F.max("o_year")).first()[0]
+    write_partition_overwrite(o.where(F.col("o_year") == last_year), path, ["o_year"])
+    df = spark.read.parquet(path)
+    return df.groupBy("o_year").agg(
+        F.count("*").alias("n"), F.sum("o_custkey").alias("sum_cust")
+    )
+
+
 def bucketed_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The zero-exchange bucketed equi-join (plan-pinned in
     tests/test_plans.py): lineitem and orders written ONCE as managed

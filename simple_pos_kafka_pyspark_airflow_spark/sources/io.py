@@ -227,6 +227,28 @@ def write_bucketed_table(
     writer.format("parquet").saveAsTable(name)
 
 
+def write_partition_overwrite(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Idempotent partitioned re-export: overwrite ONLY the partitions
+    present in ``df``, leaving every other partition untouched — Spark's
+    dynamic partition-overwrite mode, set per-write (no session mutation).
+
+    This is the 100 TB form of the reference's daily 22:00 sales export
+    (``POS_spark_dag.py:438-465``): re-running a day replaces exactly that
+    day's partition. The default (static) overwrite would TRUNCATE the
+    whole table first — on a production lake that is the classic
+    rerun-erases-history incident; behavior pinned in
+    tests/test_sources.py.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
 def to_kafka_payload(df: DataFrame, key_col: str | None = None) -> DataFrame:
     """Encode rows as Kafka records: value = JSON of all columns (the
     reference's producer serializer, ``kafka_producer.py:25``), key = the

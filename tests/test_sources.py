@@ -634,3 +634,43 @@ def test_statefile_stream_drains_through_spark(spark, tmp_path):
     pds.write_state_files(iter([(3, 12, 3.0, date(2024, 1, 3))]), src)
     drain()
     assert sorted(r["sale_id"] for r in spark.read.parquet(sink).collect()) == [1, 2, 3]
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(spark, tmp_path):
+    """write_partition_overwrite must replace exactly the partitions
+    present in the frame: untouched partitions keep their FILES
+    (byte-identical listing), the rewritten partition is replaced (not
+    appended), and a rerun with modified rows lands only in its own
+    partition — while a static overwrite of the same slice would have
+    truncated every other partition away."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from simple_pos_kafka_pyspark_airflow_spark.sources.io import write_partition_overwrite
+
+    path = str(tmp_path / "daily")
+    base = spark.range(100).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("day")
+    )
+    write_partition_overwrite(base, path, ["day"])
+
+    def listing(day):
+        d = os.path.join(path, f"day={day}")
+        return sorted(
+            (f, os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    before = {d: listing(d) for d in range(4)}
+    # rerun day=2 with HALVED rows (a corrected daily export)
+    fixed = base.where("day = 2 AND id < 50")
+    write_partition_overwrite(fixed, path, ["day"])
+    after = {d: listing(d) for d in range(4)}
+    for d in (0, 1, 3):
+        assert after[d] == before[d], f"partition day={d} was touched"
+    assert after[2] != before[2], "rewritten partition must change"
+    got = spark.read.parquet(path)
+    assert got.where("day = 2").count() == fixed.count()  # replaced, not appended
+    assert got.where("day != 2").count() == base.where("day != 2").count()
