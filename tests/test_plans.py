@@ -419,3 +419,18 @@ def test_source_overlap_sketch_single_scan_no_shingle_join(spark, sf_dir):
     assert plan.count("InMemoryTableScan") >= 2, plan  # both sides reuse it
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_pack_contiguous_bounded_exchanges(spark, sf_dir):
+    """Boundary-preserving packing: one scan, one window (per-stream
+    prefix sum), at most two exchanges (stream hash + aggregation) —
+    and never an empty-frame global window (the serialize-the-corpus
+    shape the stream split exists to prevent)."""
+    from simple_pos_kafka_pyspark_airflow_spark.analyze import plan_summary
+
+    s = plan_summary(build(spark, sf_dir, "q_pack_contiguous"))
+    assert s["scans"] == 1 and s["windows"] == 1, s
+    assert s["exchanges"] <= 2, s
+    plan = explain_str(build(spark, sf_dir, "q_pack_contiguous"))
+    win = [ln for ln in plan.splitlines() if "Arguments" in ln and "windowspecdefinition" in ln]
+    assert any("stream" in ln for ln in win), plan

@@ -237,6 +237,16 @@ CHEAP_ORACLE_AT_SCALE = [
     "q_zorder_scan",
     "q_closure_recursive",
     "q_variant_extract",
+    # round 7: production sketch forms, boundary-preserving packing, the
+    # Python DataSource scan, the zero-exchange bucketed join and the
+    # dynamic-partition-overwrite sink — cheap oracles, 10× the files /
+    # bins / pairs at sf0.1
+    "q_source_overlap_sketch",
+    "q_approx_percentile_sketch",
+    "q_pack_contiguous",
+    "q_scan_statefiles",
+    "q_join_bucketed",
+    "q_sink_daily_overwrite",
 ]
 
 
