@@ -505,3 +505,73 @@ def test_bloom_soundness_matches_python_gram_oracle(spark, corpus_texts, probe_t
         if r["bloom_hit"] == 1
     }
     assert expected_hits <= flagged, (expected_hits, flagged)
+
+
+@given(
+    st.lists(st.integers(1, 50), min_size=1, max_size=30),
+    st.integers(4, 64),
+    st.integers(1, 4),
+)
+@SETTINGS
+def test_pack_contiguous_invariants(spark, lengths, capacity, n_streams):
+    """For ANY doc-length sequence, capacity and stream count: every doc
+    packed exactly once; within a stream, bins fill contiguously (a
+    Python replay of the per-stream prefix-sum is the oracle); per-bin
+    token sums never exceed capacity + the overflow doc's tail."""
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(lengths)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["stream"], r["bin"], r["n_tokens"])
+        for r in filtering.pack_docs_contiguous(
+            df, capacity=capacity, n_streams=n_streams
+        ).collect()
+    }
+    assert sorted(got) == list(range(len(lengths)))
+    # sequential replay per stream
+    expect = {}
+    cum = {}
+    for i, n in enumerate(lengths):
+        s = (i * 2654435761) % n_streams
+        start = cum.get(s, 0)
+        expect[i] = (s, start // capacity, n)
+        cum[s] = start + n
+    assert got == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 10**6),
+            st.integers(0, 10**4),
+            st.floats(
+                min_value=0, max_value=1e6, allow_nan=False, allow_infinity=False
+            ),
+            st.integers(0, 400),  # day offset
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda r: r[0],
+    )
+)
+@SETTINGS
+def test_statefile_roundtrip_exact(spark, rows, tmp_path_factory):
+    """Arbitrary (id, customer, double price, date) rows written through
+    the consumer's CSV state-file layout and read back via the Python
+    DataSource must round-trip EXACTLY — repr() floats recover the very
+    double, dates come from filenames, nothing lost or duplicated."""
+    from datetime import date, timedelta
+
+    from simple_pos_kafka_pyspark_airflow_spark.sources import pydatasource as pds
+
+    base = date(2020, 1, 1)
+    typed = [
+        (sid, cust, price, base + timedelta(days=off)) for sid, cust, price, off in rows
+    ]
+    out = str(tmp_path_factory.mktemp("sf_prop"))
+    pds.write_state_files(iter(typed), out)
+    pds.register_pos_sources(spark)
+    got = sorted(
+        tuple(r)
+        for r in spark.read.format("pos_statefiles").option("path", out).load().collect()
+    )
+    assert got == sorted(typed)
