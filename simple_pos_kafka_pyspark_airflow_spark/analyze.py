@@ -54,3 +54,27 @@ def plan_summary(df: DataFrame) -> dict[str, object]:
         "windows": nodes("Window"),
         "tables": sorted({s.rstrip("/").rsplit("/", 1)[-1] for s in scans}),
     }
+
+
+def observed(df: DataFrame, name: str, **metrics):
+    """Attach in-flight pipeline metrics to a plan — Spark's
+    ``Observation`` API, the production observability the reference's
+    pipelines lack entirely (their only signal is the Airflow task
+    status; reference ``POS_spark_dag.py:438-465``).
+
+    ``metrics`` are aggregate *expressions* (``F.count``, ``F.sum``,
+    ``F.count_if`` …) evaluated ON THE ROWS FLOWING THROUGH this point
+    of the plan during the NEXT action — zero extra scans, zero extra
+    jobs, collected on the driver as task-completion listeners fire.
+    This is how a 100 TB curation run reports rows-in / rows-dropped /
+    null-rates per stage without re-aggregating anything.
+
+    Returns ``(df, observation)``; read ``observation.get`` AFTER an
+    action has materialized the plan (it blocks until the metrics
+    arrive). Batch only — streaming queries report through each
+    micro-batch's ``StreamingQueryProgress.observedMetrics`` instead.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *[m.alias(k) for k, m in metrics.items()]), obs

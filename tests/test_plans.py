@@ -434,3 +434,31 @@ def test_pack_contiguous_bounded_exchanges(spark, sf_dir):
     plan = explain_str(build(spark, sf_dir, "q_pack_contiguous"))
     win = [ln for ln in plan.splitlines() if "Arguments" in ln and "windowspecdefinition" in ln]
     assert any("stream" in ln for ln in win), plan
+
+
+def test_observed_metrics_flow_with_single_action(spark):
+    """observed(): stage metrics ride the action that materializes the
+    plan — no second scan, no extra job. A gated pipeline reports
+    rows-through and a drop-side aggregate while the action computes its
+    own result (the 100 TB per-stage observability pattern)."""
+    from pyspark.sql import functions as F
+
+    from simple_pos_kafka_pyspark_airflow_spark.analyze import observed
+
+    base = spark.range(1_000).withColumn("v", F.col("id") % 7)
+    gated, gate_obs = observed(
+        base.where("id >= 100"),
+        "gate",
+        rows=F.count(F.lit(1)),
+        sum_v=F.sum("v"),
+        nulls=F.count_if(F.col("v").isNull()),
+    )
+    agged, agg_obs = observed(
+        gated.groupBy("v").count(), "post_agg", groups=F.count(F.lit(1))
+    )
+    result = {r["v"]: r["count"] for r in agged.collect()}
+    assert sum(result.values()) == 900
+    m = gate_obs.get
+    assert m["rows"] == 900 and m["nulls"] == 0
+    assert m["sum_v"] == sum(i % 7 for i in range(100, 1000))
+    assert agg_obs.get["groups"] == 7
