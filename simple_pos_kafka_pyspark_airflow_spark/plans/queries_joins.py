@@ -379,6 +379,58 @@ def q_scan_statefiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_scan_binaryfile",
+    "scan",
+    oracle="""
+    SELECT n_name,
+           CAST(length(n_name || ':' || CAST(n_nationkey AS VARCHAR)) AS BIGINT)
+             AS n_bytes,
+           CAST(1 AS INTEGER) AS content_ok
+    FROM nation
+    """,
+    notes="the multimodal INGEST EDGE: Spark's native binaryFile source "
+    "over a directory of opaque asset blobs — the path every "
+    "image/audio/video corpus takes into the engine before the "
+    "llm/multimodal decode stages (which start from an already-landed "
+    "binary column). One fixture file per nation (name:key bytes, "
+    "written once per sf_dir), scanned as (path, modificationTime, "
+    "length, content); the query verifies BOTH the metadata length and "
+    "the content bytes against the oracle's arithmetic (content_ok: "
+    "decoded payload == name:key string), proving the scan delivered "
+    "exact bytes, not just file stats. At 100 TB this source partitions "
+    "per-file like any file scan and binds maxPartitionBytes; decode "
+    "stays in mapInPandas downstream",
+)
+def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _workdir("binassets", os.path.basename(sf_dir.rstrip("/")))
+    marker = os.path.join(path, "_complete")
+    if not os.path.exists(marker):
+        for r in table(spark, sf_dir, "nation").select("n_name", "n_nationkey").collect():
+            fname = f"{r['n_name']}__{r['n_nationkey']}.bin"
+            with open(os.path.join(path, fname), "wb") as f:
+                f.write(f"{r['n_name']}:{r['n_nationkey']}".encode())
+        with open(marker, "w") as f:
+            f.write("ok")
+    df = spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(path)
+    name = F.regexp_extract(F.col("path"), r"([^/]+)__\d+\.bin$", 1)
+    key = F.regexp_extract(F.col("path"), r"__(\d+)\.bin$", 1)
+    expected = F.concat(name, F.lit(":"), key)
+    return df.select(
+        name.alias("n_name"),
+        F.length(F.col("content")).cast("long").alias("n_bytes"),
+        # non-circular: expected bytes rebuilt from the PATH alone must
+        # equal the content the scan delivered, and the source's metadata
+        # length must equal the content's true byte count
+        (
+            (F.col("content").cast("string") == expected)
+            & (F.col("length") == F.length(F.col("content")))
+        )
+        .cast("int")
+        .alias("content_ok"),
+    )
+
+
+@register(
     "q_sink_daily_overwrite",
     "scan",
     oracle="""
