@@ -91,6 +91,13 @@ HEADLINE = [
     # exact arms priced them out of an honest headline
     "q_source_overlap_sketch",
     "q_approx_percentile_sketch",
+    # round-7 families: boundary-preserving packing (per-stream window
+    # prefix sums), the zero-exchange bucketed join (first rep pays the
+    # bucket write, min-of-N tracks the join itself), and the idempotent
+    # dynamic-partition-overwrite sink
+    "q_pack_contiguous",
+    "q_join_bucketed",
+    "q_sink_daily_overwrite",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

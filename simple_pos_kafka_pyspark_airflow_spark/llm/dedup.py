@@ -182,6 +182,37 @@ def shingle_rows(
     ).select("_id", *carry, "_shingle")
 
 
+def _seeded_min_aggs(num_hashes: int) -> list[Column]:
+    """The seeded min-hash aggregate list over a ``_h0`` shingle-hash
+    column — THE hash-of-hash scheme, defined once so the per-document
+    (``minhash_signatures_df``, ``minhash_doc_table``) and per-group
+    (``group_overlap_minhash``) signature paths can never
+    de-synchronize."""
+    return [
+        F.min(F.xxhash64(F.col("_h0"), F.lit(i))).alias(f"_m{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def _sig_array(num_hashes: int) -> Column:
+    """Pack the ``_m{i}`` min-agg outputs into the signature array."""
+    return F.array(*[F.col(f"_m{i}") for i in range(num_hashes)])
+
+
+def _min_signature_by(rows: DataFrame, key_col: str, num_hashes: int) -> DataFrame:
+    """Signature table keyed by ``key_col`` over (``key_col``,
+    ``_shingle``) rows: hash each shingle string to a long ONCE (xxhash64
+    over 8 fixed bytes is several times cheaper than over a ~50-byte
+    string, and hash-of-hash is the same uniform family), min-aggregate
+    per key. Returns (``_id``, ``_sig``)."""
+    exploded = rows.select(F.col(key_col).alias("_k"), F.xxhash64("_shingle").alias("_h0"))
+    return (
+        exploded.groupBy("_k")
+        .agg(*_seeded_min_aggs(num_hashes))
+        .select(F.col("_k").alias("_id"), _sig_array(num_hashes).alias("_sig"))
+    )
+
+
 def minhash_signatures_df(
     df: DataFrame, text_col: str, id_col: str, n_shingle: int = 3, num_hashes: int = 64
 ) -> DataFrame:
@@ -199,18 +230,8 @@ def minhash_signatures_df(
     shingle text. Min over duplicate shingles equals min over the distinct
     set, so no dedup pass is needed. Returns columns (``_id``, ``_sig``).
     """
-    # hash each (multi-byte) shingle string to a long ONCE, then derive the
-    # k seeded hashes by mixing the long — xxhash64 over 8 fixed bytes is
-    # several times cheaper than over a ~50-byte string, and hash-of-hash
-    # is the same uniform family
-    exploded = shingle_rows(df, text_col, id_col, n_shingle).select(
-        "_id", F.xxhash64("_shingle").alias("_h0")
-    )
-    aggs = [F.min(F.xxhash64(F.col("_h0"), F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)]
-    return (
-        exploded.groupBy("_id")
-        .agg(*aggs)
-        .select("_id", F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("_sig"))
+    return _min_signature_by(
+        shingle_rows(df, text_col, id_col, n_shingle), "_id", num_hashes
     )
 
 
@@ -246,30 +267,19 @@ def group_overlap_minhash(
     the union-set MinHash. The synthesized id only partitions the window;
     each doc's shingle multiset is invariant to its value, so the result
     is deterministic and independent of row order."""
+    from pyspark import StorageLevel
+
     docs = df.select(
         F.col(group_col).alias("_grp"), F.col(text_col).alias("_txt")
     ).withColumn("_did", F.monotonically_increasing_id())
     rows = shingle_rows(docs, "_txt", "_did", n_shingle, carry=("_grp",))
-    exploded = rows.select("_grp", F.xxhash64("_shingle").alias("_h0"))
-    aggs = [
-        F.min(F.xxhash64(F.col("_h0"), F.lit(i))).alias(f"_m{i}")
-        for i in range(num_hashes)
-    ]
-    from pyspark import StorageLevel
-
     # persist the S-row signature table: both sides of the pair compare
     # derive from it, and without a materialization Catalyst plans the
     # corpus scan + shingle window + k-wide agg TWICE (caught by the
     # single-scan plan pin in tests/test_plans.py). Caller owns cleanup
     # per the module-header cache contract.
-    sigs = (
-        exploded.groupBy("_grp")
-        .agg(*aggs)
-        .select(
-            F.col("_grp").alias("_id"),
-            F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("_sig"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = _min_signature_by(rows, "_grp", num_hashes).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     a = sigs.select(F.col("_id").alias("group_a"), F.col("_sig").alias("_sa"))
     b = sigs.select(F.col("_id").alias("group_b"), F.col("_sig").alias("_sb"))
@@ -326,15 +336,10 @@ def minhash_doc_table(
     exploded = shingle_rows(df, text_col, id_col, n_shingle).select(
         "_id", F.xxhash64("_shingle").alias("_h0")
     )
-    aggs = [F.min(F.xxhash64(F.col("_h0"), F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)]
     return (
         exploded.groupBy("_id")
-        .agg(*aggs, F.collect_set("_h0").alias("_sh"))
-        .select(
-            "_id",
-            F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("_sig"),
-            "_sh",
-        )
+        .agg(*_seeded_min_aggs(num_hashes), F.collect_set("_h0").alias("_sh"))
+        .select("_id", _sig_array(num_hashes).alias("_sig"), "_sh")
     )
 
 

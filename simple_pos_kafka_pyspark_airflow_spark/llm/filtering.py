@@ -336,19 +336,31 @@ def pack_docs_contiguous(
         raise ValueError(f"capacity must be positive, got {capacity}")
     from pyspark.sql import Window
 
+    # overflow-free Knuth mix: reduce the id mod 2^31 BEFORE the multiply
+    # so the int64 product never exceeds 2^31·K < 2^63 — a bare id·K
+    # would wrap silently in Spark at id > ~3.47e9 (100 TB ids get there)
+    # while DuckDB errors on the overflow, splitting the engines exactly
+    # where the scale claim applies. For id < 2^31 the value equals the
+    # plain (id·K) mod N, so the established sampler arithmetic is
+    # unchanged on any realistic test data.
     knuth = 2654435761
+    stream = F.pmod(F.pmod(F.col(id_col), F.lit(2**31)) * F.lit(knuth), F.lit(n_streams))
     base = df.select(
         F.col(id_col),
-        F.pmod(F.col(id_col) * F.lit(knuth), F.lit(n_streams)).cast("int").alias("stream"),
+        stream.cast("int").alias("stream"),
         F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
     )
     w = Window.partitionBy("stream").orderBy(id_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = F.sum("n_tokens").over(w)
-    return base.select(
+    # integral `div`, not floor(double /): a double quotient is exact
+    # only below 2^53 summed tokens — div keeps the whole computation in
+    # long, matching the oracle's integer // bit-for-bit at any scale
+    return base.withColumn(
+        "_start", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    ).select(
         id_col,
         "stream",
-        F.floor((cum - F.col("n_tokens")) / F.lit(capacity)).cast("long").alias("bin"),
+        F.expr(f"_start div {int(capacity)}").cast("long").alias("bin"),
         "n_tokens",
     )

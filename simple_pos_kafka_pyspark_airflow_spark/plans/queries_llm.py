@@ -1094,7 +1094,7 @@ def q_sample_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id,
-             CAST((doc_id * 2654435761) % 32 AS INTEGER) AS stream,
+             CAST(((doc_id % 2147483648) * 2654435761) % 32 AS INTEGER) AS stream,
              CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
                   AS BIGINT) AS n_tokens
       FROM documents

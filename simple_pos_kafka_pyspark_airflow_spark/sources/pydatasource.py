@@ -229,17 +229,42 @@ class _StateFileStreamReader(DataSourceStreamReader):
         return self._offset_at(_list_state_files(self.path))
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        for off in (start, end):
+            if "index" in off or "last" not in off:
+                # the pre-watermark offset format ({"index": n}) cannot be
+                # mapped onto filenames after the fact — treating it as
+                # "nothing consumed" would silently re-read every file
+                raise ValueError(
+                    f"unrecognized state-file stream offset {off!r} (legacy "
+                    "positional format?); reset the checkpoint — the offset "
+                    'format is {"last": <max consumed filename>, "n": <count>}'
+                )
         files = _list_state_files(self.path)
         s_last, s_n = str(start.get("last", "")), int(start.get("n", 0))
         e_last = str(end.get("last", ""))
         at_or_below = [fd for fd in files if os.path.basename(fd[0]) <= s_last]
-        if len(at_or_below) != s_n:
+        if len(at_or_below) > s_n:
+            # MORE files below the watermark than were consumed = a
+            # backfill the range arithmetic would silently skip — the one
+            # genuinely unrecoverable contract violation, so it is loud
             raise ValueError(
                 f"state-file directory violated the append-only contract: "
                 f"{len(at_or_below)} files sort at-or-below the committed "
-                f"watermark {s_last!r} but {s_n} were consumed — a file was "
-                "backfilled (or deleted) behind the stream; re-ingest it "
-                "under today's date or reset the checkpoint"
+                f"watermark {s_last!r} but only {s_n} were consumed — a "
+                "file was backfilled behind the stream; re-ingest it under "
+                "today's date or reset the checkpoint"
+            )
+        if len(at_or_below) < s_n:
+            # FEWER = retention deleted already-consumed files; harmless
+            # for every future read (the range starts strictly after the
+            # watermark), so warn instead of wedging the stream
+            import warnings
+
+            warnings.warn(
+                f"{s_n - len(at_or_below)} consumed state file(s) below "
+                f"watermark {s_last!r} were deleted (retention?); stream "
+                "continues",
+                stacklevel=2,
             )
         return [
             _FilePartition(p, d)

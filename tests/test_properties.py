@@ -531,7 +531,7 @@ def test_pack_contiguous_invariants(spark, lengths, capacity, n_streams):
     expect = {}
     cum = {}
     for i, n in enumerate(lengths):
-        s = (i * 2654435761) % n_streams
+        s = ((i % 2**31) * 2654435761) % n_streams
         start = cum.get(s, 0)
         expect[i] = (s, start // capacity, n)
         cum[s] = start + n

@@ -591,9 +591,28 @@ def test_statefile_stream_watermark_offsets(tmp_path):
     replay = rd.partitions(o0, o1)
     assert sorted(p.path for p in replay) == sorted(p.path for p in batch1)
 
+    # a legacy positional offset must be rejected loudly, not treated as
+    # "nothing consumed" (which would re-read every file)
+    with pytest.raises(ValueError, match="legacy|unrecognized"):
+        rd.partitions({"index": 2}, o2)
+
+    # retention-deleting an already-CONSUMED file is harmless for every
+    # future read: warn, don't wedge the stream
+    import os as _os
+    import warnings as _warnings
+
+    _os.remove(_os.path.join(out, "sales_20240101.csv"))
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        batch3 = rd.partitions(o2, rd.latestOffset())
+    assert batch3 == []
+    assert any("deleted" in str(w.message) for w in caught)
+
     # a BACKFILLED earlier-dated file breaks the append-only contract:
     # the count-below-watermark check must raise, loudly
-    pds.write_state_files(iter([(9, 99, 9.0, date(2023, 12, 31))]), out)
+    pds.write_state_files(
+        iter([(1, 10, 1.0, date(2024, 1, 1)), (9, 99, 9.0, date(2023, 12, 31))]), out
+    )
     with pytest.raises(ValueError, match="append-only"):
         rd.partitions(o1, rd.latestOffset())
 
