@@ -462,3 +462,30 @@ def test_observed_metrics_flow_with_single_action(spark):
     assert m["rows"] == 900 and m["nulls"] == 0
     assert m["sum_v"] == sum(i % 7 for i in range(100, 1000))
     assert agg_obs.get["groups"] == 7
+
+
+def test_tpch_heavy_shapes_stay_broadcast_and_bounded(spark, sf_dir):
+    """Q9/Q17/Q18/Q20 — the classic shuffle-heavy TPC-H shapes where a
+    bad plan hides (r6 verdict). Pins, at contract scale: dims ride
+    broadcasts (zero sort-merge joins), the per-part AVG in Q17 is a
+    window (one lineitem pass, not an agg+self-join), Q18/Q20's
+    correlated EXISTS are semi-joins, and total exchange counts stay at
+    the aggregation-only minimum for each query."""
+    from simple_pos_kafka_pyspark_airflow_spark.analyze import plan_summary
+
+    expectations = {
+        "q_tpch_q9": dict(max_exchanges=2, min_broadcast=4, windows=None, semi=False),
+        "q_tpch_q17": dict(max_exchanges=2, min_broadcast=1, windows=1, semi=False),
+        "q_tpch_q18": dict(max_exchanges=2, min_broadcast=3, windows=None, semi=True),
+        "q_tpch_q20": dict(max_exchanges=4, min_broadcast=4, windows=None, semi=True),
+    }
+    for name, want in expectations.items():
+        df = build(spark, sf_dir, name)
+        s = plan_summary(df)
+        assert s["sort_merge_joins"] == 0, (name, s)
+        assert s["broadcast_joins"] >= want["min_broadcast"], (name, s)
+        assert s["exchanges"] <= want["max_exchanges"], (name, s)
+        if want["windows"] is not None:
+            assert s["windows"] == want["windows"], (name, s)
+        plan = explain_str(df)
+        assert ("LeftSemi" in plan) == want["semi"], (name, plan[:800])
