@@ -1136,3 +1136,88 @@ def dedup_clusters(
             .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
         )
     return out.withColumn("keep", (F.col(id_col) == F.col("cluster_id")).cast("boolean"))
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance (Levenshtein) near-dup, length-banded
+# ---------------------------------------------------------------------------
+
+
+def near_dup_pairs_editdist(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 8,
+    band_width: int = 64,
+    max_block: int | None = 10_000,
+) -> DataFrame:
+    """Near-duplicate pairs by exact Levenshtein distance ≤ ``max_dist``,
+    found without an all-pairs comparison: a pair within edit distance d
+    has character lengths differing by ≤ d, so docs are blocked on
+    ``floor(len / band_width)`` and each doc is emitted into ITS OWN band
+    and the next one — any pair with |Δlen| ≤ d < band_width then shares
+    at least one band key regardless of which side of a band boundary
+    each doc falls on (doc at band p emits {p, p+1}; its partner is in
+    band p−1, p, or p+1 and also emits two keys, so the pair meets at p
+    or p+1). Complete for ``max_dist < band_width`` (asserted).
+
+    Candidates carry only (id, len, text-ref) through a band-keyed
+    equi-join — shuffle is O(rows × 2), never O(n²); the |Δlen| ≤ d
+    pre-filter and the threshold form of ``levenshtein`` (early exit at
+    ``max_dist+1``) bound the verify cost. ``max_block`` drops bands
+    hotter than the cap before the self-join (the minhash ``max_bucket``
+    discipline; ``None`` = uncapped/complete).
+
+    Returns ``(id_a, id_b, dist)`` with ``id_a < id_b``. Because the
+    blocking is lossless (cap aside), the result equals the quadratic
+    definition — which is exactly what the DuckDB contract oracle runs."""
+    if max_dist >= band_width:
+        raise ValueError(
+            f"band completeness needs max_dist ({max_dist}) < band_width ({band_width})"
+        )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_txt"),
+        F.length(text_col).cast("long").alias("_len"),
+    )
+    banded = base.select(
+        "_id",
+        "_txt",
+        "_len",
+        F.explode(
+            F.array(
+                (F.col("_len") / band_width).cast("long"),
+                (F.col("_len") / band_width).cast("long") + 1,
+            )
+        ).alias("_band"),
+    )
+    if max_block is not None:
+        ok = banded.groupBy("_band").count().where(F.col("count") <= max_block).drop("count")
+        banded = banded.join(ok, "_band")
+    a = banded.select(
+        F.col("_band"),
+        F.col("_id").alias("id_a"),
+        F.col("_txt").alias("_txt_a"),
+        F.col("_len").alias("_len_a"),
+    )
+    b = banded.select(
+        F.col("_band").alias("_band_b"),
+        F.col("_id").alias("id_b"),
+        F.col("_txt").alias("_txt_b"),
+        F.col("_len").alias("_len_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (a["_band"] == b["_band_b"])
+            & (a["id_a"] < b["id_b"])
+            & (F.abs(a["_len_a"] - b["_len_b"]) <= max_dist),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dist = F.levenshtein("_txt_a", "_txt_b", max_dist)
+    return (
+        cand.withColumn("dist", dist.cast("int"))
+        .where(F.col("dist") >= 0)
+        .select("id_a", "id_b", "dist")
+    )

@@ -393,3 +393,125 @@ def unigram_logprob_scores(df, text_col: str = "text", id_col: str = "doc_id"):
         F.count("*").cast("int").alias("n_tokens"),
         F.round(F.avg("_lp"), 6).alias("mean_logprob"),
     )
+
+
+def bm25_scores(
+    df,
+    query_terms: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Okapi BM25 retrieval scores for a fixed bag of ``query_terms`` over
+    the corpus — the standard lexical ranker (Robertson/Spärck Jones),
+    with the +1 idf smoothing so scores stay positive:
+
+        idf(t)  = ln(1 + (N − df + 0.5) / (df + 0.5))
+        tfpart  = tf·(k1+1) / (tf + k1·(1 − b + b·len/avglen))
+        score   = Σ_t  idf(t) · tfpart(t, D)
+
+    Output: ``(id_col, n_terms, score)`` for every document containing at
+    least one query term (``n_terms`` = how many distinct query terms hit).
+
+    Scale shape: the token stream is filtered to the query terms BEFORE
+    the tf shuffle, so the grouped state is O(matching occurrences), not
+    O(corpus tokens); document length is a per-row projection fused with
+    the scan (no second explode); ``df`` per term and the (N, avglen)
+    stats are |terms|-row / 1-row aggregates that ride broadcasts. One
+    corpus scan computes lengths + the filtered stream; two partial-
+    aggregable shuffles (doc×term tf, per-doc sum).
+
+    Determinism: tf/df/len/N are exact integers; avglen is one division
+    of exact integers; k1/b parse to the same doubles in any IEEE engine.
+    Per-term contributions round to 4 dp, the per-doc sum of those
+    on-grid values re-rounds at the same 4 dp (the library's money-sum
+    pattern: ties sit half a grid step away), so the driver's value hash
+    matches DuckDB bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    terms = [t.lower() for t in query_terms]
+    docs = df.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_toks")
+    ).select(id_col, "_toks", F.size("_toks").cast("long").alias("_len"))
+    stats = docs.agg(
+        F.count("*").cast("long").alias("_n_docs"),
+        F.sum("_len").alias("_len_sum"),
+    )
+    toks = docs.select(
+        id_col, "_len", F.explode("_toks").alias("_tok")
+    ).where(F.col("_tok").isin(terms))
+    tf = toks.groupBy(id_col, "_tok", "_len").agg(F.count("*").cast("long").alias("_tf"))
+    dfreq = tf.groupBy("_tok").agg(F.count("*").cast("long").alias("_df"))
+    nd = F.col("_n_docs").cast("double")
+    avglen = F.col("_len_sum").cast("double") / nd
+    idf = F.log(
+        F.lit(1.0) + (nd - F.col("_df").cast("double") + F.lit(0.5)) / (F.col("_df").cast("double") + F.lit(0.5))
+    )
+    tfd = F.col("_tf").cast("double")
+    tfpart = (tfd * F.lit(k1 + 1.0)) / (
+        tfd + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("_len").cast("double") / avglen)
+    )
+    contrib = F.round(idf * tfpart, 4)
+    scored = (
+        tf.join(F.broadcast(dfreq), "_tok")
+        .join(F.broadcast(stats))
+        .select(id_col, contrib.alias("_c"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_terms"),
+        F.round(F.sum("_c"), 4).alias("score"),
+    )
+
+
+def token_entropy(df, group_col: str = "source", text_col: str = "text"):
+    """Per-group Shannon entropy (nats) of the unigram distribution plus
+    the type-token ratio — the two classic corpus-diversity signals a
+    mixture designer reads before weighting sources (low entropy ⇒
+    template/boilerplate-heavy source; low TTR ⇒ repetitive vocabulary).
+
+    Output: ``(group_col, n_tokens, n_types, entropy, ttr)``.
+
+    H = ln(T) − Σ n·ln(n) / T over per-token counts n (algebraic
+    rearrangement of −Σ p·ln p that needs no per-token division).
+
+    Scale shape: one explode into a (group, token) partial-aggregable
+    count shuffle, then a group-cardinality aggregation — vocabulary
+    never leaves the executors and no all-token state exists anywhere.
+
+    Determinism (the driver hash-compares against DuckDB): Σ n·ln(n) is
+    a float sum whose value would depend on summation order, so each
+    term is snapped to a 1e-6 grid as an INTEGER (``ROUND(n·ln n · 1e6)
+    → BIGINT``) and the sum is exact 64-bit arithmetic — order-free and
+    bit-identical across engines. Bound: the snapped sum stays inside
+    int64 for corpora up to ~10^12 total n·ln n nats (≈ a trillion-token
+    group); past that, drop the grid to 1e3 in both engines."""
+    from pyspark.sql import functions as F
+
+    counts = (
+        df.select(
+            F.col(group_col).alias("_grp"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("_tok"),
+        )
+        .groupBy("_grp", "_tok")
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    per = counts.groupBy("_grp").agg(
+        F.sum("_n").alias("_t"),
+        F.count("*").cast("long").alias("_v"),
+        F.sum(
+            F.round(F.col("_n").cast("double") * F.log(F.col("_n").cast("double")) * F.lit(1000000.0), 0).cast(
+                "long"
+            )
+        ).alias("_s"),
+    )
+    td = F.col("_t").cast("double")
+    return per.select(
+        F.col("_grp").alias(group_col),
+        F.col("_t").cast("long").alias("n_tokens"),
+        F.col("_v").alias("n_types"),
+        F.round(
+            F.log(td) - (F.col("_s").cast("double") / F.lit(1000000.0)) / td, 4
+        ).alias("entropy"),
+        F.round(F.col("_v").cast("double") / td, 4).alias("ttr"),
+    )

@@ -1,0 +1,81 @@
+"""Time-series regularization: calendar gap-fill + last-observation-
+carried-forward (LOCF).
+
+Extension beyond the reference's dataflow surface (its daily jobs only
+aggregate days that exist — reference ``airflow/dags/POS_spark_dag.py``'s
+daily summaries silently skip empty days): downstream consumers of a
+daily series (forecasting, day-over-day deltas, SLA dashboards) need a
+DENSE series, which means manufacturing the missing (key, day) rows and
+deciding their value. This module does the standard pair:
+
+- ``densify``: one row per key per calendar day of the KEY'S OWN observed
+  span (min..max day per key — never a global calendar, which would
+  fabricate rows before a key existed);
+- LOCF via ``last(value, ignorenulls=True)`` over an unbounded-preceding
+  window — the canonical forward-fill.
+
+Scale: the calendar explode is bounded by per-key span (days), not by the
+fact row count — a key observed over Y years adds ≤ 365·Y rows regardless
+of how many billion events it has, and the span aggregate that feeds it is
+partial-aggregable. The LOCF window shuffles once on the key; at 100 TB
+that is the same single hash-exchange any per-key window costs, and AQE
+splits skewed keys. No driver-side state of any kind.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def densify(df: DataFrame, key_col: str, day_col: str) -> DataFrame:
+    """One row per ``key`` per day between that key's first and last
+    observed day (inclusive): per-key span aggregate → ``sequence`` +
+    ``explode``. Input must already be one-row-per-(key, day)."""
+    spans = df.groupBy(key_col).agg(
+        F.min(day_col).alias("_d0"), F.max(day_col).alias("_d1")
+    )
+    cal = spans.select(
+        key_col, F.explode(F.sequence("_d0", "_d1")).alias(day_col)
+    )
+    return cal.join(df, [key_col, day_col], "left")
+
+
+def gapfill_locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_agg: Column,
+    value_name: str = "value",
+) -> DataFrame:
+    """Daily-aggregate ``df`` by (key, day), densify each key's span, and
+    forward-fill missing days with the last observed value.
+
+    ``value_agg`` is the per-(key, day) aggregate expression (e.g.
+    ``F.max("value")``). Order-sensitive float aggregates (``F.sum`` of
+    doubles) are the caller's determinism problem; the contract query uses
+    ``max``, which is order-free and exact.
+
+    Output: ``(key_col, day, value_name, observed)`` where ``observed``
+    is 1 for real days, 0 for manufactured ones. The first day of each
+    key's span is always observed (the span starts at an observation), so
+    LOCF never emits a leading NULL. ``day`` is emitted as a midnight
+    TIMESTAMP (not DATE): the contract comparison pipeline normalizes
+    both engines through pandas, where DATE columns round-trip
+    inconsistently (object-dtype ``date`` vs ``datetime64``) — every
+    date-grained contract output in this library is a timestamp."""
+    daily = df.groupBy(
+        F.col(key_col), F.to_date(ts_col).alias("_day")
+    ).agg(value_agg.alias("_v"))
+    dense = densify(daily, key_col, "_day")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dense.select(
+        key_col,
+        F.col("_day").cast("timestamp").alias("day"),
+        F.last("_v", ignorenulls=True).over(w).alias(value_name),
+        F.when(F.col("_v").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("observed"),
+    )

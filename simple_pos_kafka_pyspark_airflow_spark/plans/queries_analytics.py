@@ -1506,3 +1506,128 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("o_custkey").alias("n_customers"))
         .orderBy("cohort", "months_since")
     )
+
+
+@register(
+    "q_gapfill_locf",
+    "window",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, MAX(value) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    spans AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+    cal AS (
+      SELECT user_id, CAST(g AS DATE) AS day
+      FROM spans, LATERAL UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) t(g)
+    ),
+    dense AS (
+      SELECT cal.user_id, cal.day, daily.v
+      FROM cal LEFT JOIN daily ON cal.user_id = daily.user_id AND cal.day = daily.day
+    )
+    SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_max,
+           CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS observed
+    FROM dense
+    """,
+    notes="extension: calendar gap-fill + LOCF forward-fill "
+    "(operators/timeseries.gapfill_locf) — per-user daily max purchase "
+    "value densified over each user's OWN observed span (never a global "
+    "calendar) and missing days carried forward. The calendar explode is "
+    "bounded by per-key span-days, not fact rows; the fill is one per-key "
+    "window shuffle. MAX (order-free, exact) keeps the filled doubles "
+    "bit-identical; `observed` marks manufactured rows. The reference's "
+    "daily jobs silently skip empty days — this is the dense-series twin "
+    "downstream forecasting needs",
+)
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import timeseries
+
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    return timeseries.gapfill_locf(ev, "user_id", "ts", F.max("value"), "day_max")
+
+
+#: 3 unrolled power iterations — enough to demonstrate convergence
+#: behavior while keeping the oracle an explicit finite CTE chain.
+_PAGERANK_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    """Build the unrolled-iteration DuckDB oracle: the same contribution
+    snap (ROUND(r·p·1e9) → BIGINT, exact sum) per iteration, so both
+    engines step through bit-identical rank vectors. `CAST(1.0 AS DOUBLE)
+    - 0.85` forces DOUBLE subtraction: as bare literals DuckDB would
+    subtract DECIMALs exactly (0.15) and convert — a different double
+    than the Spark side's float subtraction."""
+    head = """
+    WITH e AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM e GROUP BY 1),
+    en AS (
+      SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / CAST(o.wout AS DOUBLE) AS p
+      FROM e JOIN outw o USING (src)
+    ),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)
+    """
+    steps = []
+    for i in range(_PAGERANK_ITERS):
+        steps.append(f"""
+    , s{i + 1} AS (
+      SELECT en.dst AS node,
+             CAST(SUM(CAST(ROUND(r{i}.rank * en.p * 1000000000.0, 0) AS BIGINT)) AS BIGINT) AS s
+      FROM en JOIN r{i} ON en.src = r{i}.node GROUP BY 1
+    ),
+    r{i + 1} AS (
+      SELECT nodes.node,
+             (CAST(1.0 AS DOUBLE) - 0.85) / nn.n
+             + 0.85 * (CAST(COALESCE(s{i + 1}.s, 0) AS DOUBLE) / 1000000000.0) AS rank
+      FROM nodes CROSS JOIN nn LEFT JOIN s{i + 1} ON s{i + 1}.node = nodes.node
+    )""")
+    tail = f"""
+    SELECT node, ROUND(rank, 6) AS rank FROM r{_PAGERANK_ITERS}
+    """
+    return head + "".join(steps) + tail
+
+
+@register(
+    "q_pagerank",
+    "agg",
+    oracle=_pagerank_oracle(),
+    notes="extension: weighted PageRank (operators/graph.pagerank) over the "
+    "nation trade graph projected from the fact table (customer-nation → "
+    "supplier-nation, weight = lineitem count) — the derive-graph-then-"
+    "iterate pipeline shape. The projection is the distributed cost (fact "
+    "⋈ dims, broadcast dims, one partial-aggregable shuffle); each power "
+    "iteration is one src-keyed join + dst-keyed agg with eager "
+    "localCheckpoint lineage truncation. Per-node in-sums snap to a 1e-9 "
+    "integer grid (order-free exact sums) so both engines iterate through "
+    "bit-identical rank vectors; oracle unrolls the 3 iterations as CTEs",
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            c["c_nationkey"].alias("src"), s["s_nationkey"].alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    ranks = graph.pagerank(edges, iters=_PAGERANK_ITERS)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -2317,3 +2317,127 @@ def q_curation_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_source_cap=40,
     )
     return curation.curation_drop_reasons(d, cfg)
+
+
+_BM25_TERMS = ("spark", "table", "query", "window")
+#: k1+1 computed in DOUBLE and interpolated by repr: a bare SQL literal
+#: "2.2" would be DECIMAL-parsed (exact 22/10) and convert to a DIFFERENT
+#: double than the k1+1.0 float add the Spark side performs.
+_BM25_K1P1 = repr(1.2 + 1.0)
+
+
+@register(
+    "q_text_bm25",
+    "llm",
+    oracle=rf"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dlen FROM docs),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+                     CAST(SUM(dlen) AS DOUBLE) AS lensum FROM lens),
+    toks AS (
+      SELECT doc_id, t FROM docs, LATERAL UNNEST(toks) u(t)
+      WHERE t IN ('spark', 'table', 'query', 'window')
+    ),
+    tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    contrib AS (
+      SELECT tf.doc_id,
+             ROUND(
+               LN(1.0 + (s.nd - CAST(d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+               * ((CAST(tf.tf AS DOUBLE) * {_BM25_K1P1})
+                  / (CAST(tf.tf AS DOUBLE)
+                     + 1.2 * (1.0 - 0.75 + 0.75 * CAST(l.dlen AS DOUBLE) / (s.lensum / s.nd)))),
+               4) AS c
+      FROM tf JOIN dfreq d USING (t) JOIN lens l USING (doc_id) CROSS JOIN stats s
+    )
+    SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_terms, ROUND(SUM(c), 4) AS score
+    FROM contrib GROUP BY doc_id
+    """,
+    notes="Okapi BM25 lexical ranking (llm/textops.bm25_scores) for a fixed "
+    "query-term bag — the retrieval scorer a data pipeline uses to mine "
+    "topic-relevant training documents. Token stream filtered to the query "
+    "terms BEFORE the tf shuffle (state is O(matches), not O(tokens)); "
+    "doc length fused with the scan; df and (N, avglen) broadcast. "
+    "Per-term contributions ROUND(,4) then the money-sum pattern re-rounds "
+    "the per-doc sum; the k1+1 constant is repr-interpolated into the "
+    "oracle because a bare 2.2 literal is DECIMAL in DuckDB and would "
+    "convert to a different double than the Spark-side float add",
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return textops.bm25_scores(d, _BM25_TERMS)
+
+
+@register(
+    "q_text_entropy",
+    "llm",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source AS src, t
+      FROM documents,
+           LATERAL UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                      x -> x <> '')) u(t)
+    ),
+    counts AS (SELECT src, t, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2),
+    per AS (
+      SELECT src,
+             CAST(SUM(n) AS BIGINT) AS t_total,
+             CAST(COUNT(*) AS BIGINT) AS v,
+             CAST(SUM(CAST(ROUND(CAST(n AS DOUBLE) * LN(CAST(n AS DOUBLE)) * 1000000.0,
+                                 0) AS BIGINT)) AS BIGINT) AS s
+      FROM counts GROUP BY 1
+    )
+    SELECT src AS source, t_total AS n_tokens, v AS n_types,
+           ROUND(LN(CAST(t_total AS DOUBLE))
+                 - (CAST(s AS DOUBLE) / 1000000.0) / CAST(t_total AS DOUBLE), 4) AS entropy,
+           ROUND(CAST(v AS DOUBLE) / CAST(t_total AS DOUBLE), 4) AS ttr
+    FROM per
+    """,
+    notes="per-source unigram Shannon entropy + type-token ratio "
+    "(llm/textops.token_entropy) — the corpus-diversity signals behind "
+    "mixture weighting (low entropy = boilerplate source). One explode "
+    "into a (source, token) partial-aggregable count, then a "
+    "group-cardinality agg; the order-dependent float sum Σ n·ln n is "
+    "snapped per-term to a 1e-6 integer grid so the 64-bit sum is exact "
+    "and order-free — bit-identical across engines by construction",
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return textops.token_entropy(d, "source", "text")
+
+
+@register(
+    "q_dedup_editdist",
+    "llm",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS dlen FROM documents),
+    banded AS (
+      SELECT doc_id, text, dlen, (dlen // 64) + u.b AS band
+      FROM d, LATERAL (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) u(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.text AS ta, b.text AS tb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.doc_id < b.doc_id AND abs(a.dlen - b.dlen) <= 8
+    ),
+    scored AS MATERIALIZED (
+      SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS INTEGER) AS dist FROM cand
+    )
+    SELECT id_a, id_b, dist FROM scored WHERE dist <= 8
+    """,
+    notes="exact Levenshtein near-dup (llm/dedup.near_dup_pairs_editdist): "
+    "length-band blocking (|Δlen| ≤ d ⇒ adjacent 64-char bands, each doc "
+    "emitted into {band, band+1} so every qualifying pair shares a key — "
+    "lossless for d < band width), equi-join on band, |Δlen| prefilter, "
+    "then the threshold form of levenshtein (early exit past d). Shuffle "
+    "is O(rows×2); the oracle runs the SAME banding (a DuckDB quadratic "
+    "join would evaluate the O(n²) levenshteins) and a MATERIALIZED "
+    "verify stage so the distance is computed once per candidate",
+)
+def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return dedup.near_dup_pairs_editdist(d, "text", "doc_id", max_dist=8, band_width=64)

@@ -1689,3 +1689,75 @@ def test_simhash_pipeline_survives_planted_empty_docs(spark):
     mine = pairs.where("id_b = id_a + 1000000").collect()
     assert sorted(r["id_a"] for r in mine) == [1, 4]
     assert all(r["hamming"] == 0 for r in mine)
+
+
+def test_bm25_ranks_term_dense_doc_higher(spark):
+    """A doc saturated with the query terms outscores one with a single
+    hit; docs with no hits don't appear; idf stays positive even for a
+    term present in every doc (the +1 smoothing)."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm.textops import bm25_scores
+
+    rows = [
+        (1, "spark query spark query spark table"),
+        (2, "spark is mentioned once in this much longer filler document body"),
+        (3, "nothing relevant here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bm25_scores(df, ("spark", "query", "table")).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_terms"] == 3 and got[2]["n_terms"] == 1
+    assert got[1]["score"] > got[2]["score"] > 0.0
+
+
+def test_token_entropy_uniform_beats_skewed(spark):
+    """Uniform unigram distribution maximizes entropy (= ln V); a
+    one-token source scores exactly 0; TTR is types/tokens."""
+    import math
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm.textops import token_entropy
+
+    rows = [
+        ("uni", "a b c d"),
+        ("skew", "x x x x x x x y"),
+        ("const", "z z z z"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r["source"]: r for r in token_entropy(df).collect()}
+    assert abs(got["uni"]["entropy"] - round(math.log(4), 4)) < 1e-9
+    assert got["const"]["entropy"] == 0.0
+    assert 0.0 < got["skew"]["entropy"] < got["uni"]["entropy"]
+    assert got["uni"]["ttr"] == 1.0 and got["const"]["ttr"] == 0.25
+    assert got["skew"]["n_tokens"] == 8 and got["skew"]["n_types"] == 2
+
+
+def test_editdist_banding_complete_across_band_boundary(spark):
+    """Pairs straddling a band boundary are still found (each doc emits
+    {band, band+1}), exact distances are returned, and pairs past
+    max_dist are excluded."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm.dedup import near_dup_pairs_editdist
+
+    # band_width=8: len 7 -> band 0, len 9 -> band 1 (boundary pair).
+    rows = [
+        (1, "aaaaaaa"),        # len 7
+        (2, "aaaaaaabb"),      # len 9, dist 2 from doc 1
+        (3, "aaaaaaabbcc"),    # len 11, dist 2 from doc 2, 4 from doc 1
+        (4, "zzzzzzzzzzzzzzzzzzzzzzzzzzzz"),  # far from everything
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in near_dup_pairs_editdist(
+            df, "text", "doc_id", max_dist=4, band_width=8
+        ).collect()
+    }
+    assert got == {(1, 2): 2, (2, 3): 2, (1, 3): 4}
+
+
+def test_editdist_rejects_band_width_not_covering_dist(spark):
+    import pytest as _pytest
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm.dedup import near_dup_pairs_editdist
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        near_dup_pairs_editdist(df, "text", "doc_id", max_dist=8, band_width=8)

@@ -575,3 +575,62 @@ def test_statefile_roundtrip_exact(spark, rows, tmp_path_factory):
         for r in spark.read.format("pos_statefiles").option("path", out).load().collect()
     )
     assert got == sorted(typed)
+
+
+def test_gapfill_locf_fills_gaps_with_last_observation(spark):
+    """Dense per-key calendar over each key's own span; manufactured days
+    carry the last observed value with observed=0; no leading NULLs; keys
+    never bleed into each other's spans."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from simple_pos_kafka_pyspark_airflow_spark.operators.timeseries import gapfill_locf
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 9), 10.0),
+        (1, dt.datetime(2024, 1, 1, 17), 4.0),   # same day: max -> 10.0
+        (1, dt.datetime(2024, 1, 4, 12), 7.0),   # 3-day gap before this
+        (2, dt.datetime(2024, 1, 3, 1), 99.0),   # single-day key
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["day"].date().isoformat()): (r["day_max"], r["observed"])
+        for r in gapfill_locf(df, "user_id", "ts", F.max("value"), "day_max").collect()
+    }
+    assert got == {
+        (1, "2024-01-01"): (10.0, 1),
+        (1, "2024-01-02"): (10.0, 0),
+        (1, "2024-01-03"): (10.0, 0),
+        (1, "2024-01-04"): (7.0, 1),
+        (2, "2024-01-03"): (99.0, 1),
+    }
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """The DataFrame iteration reproduces a NumPy power iteration on the
+    same normalized matrix to within the 1e-9 contribution grid; ranks of
+    a symmetric graph are symmetric; total mass stays <= 1 (dangling
+    leak only)."""
+    import numpy as np
+
+    from simple_pos_kafka_pyspark_airflow_spark.operators.graph import pagerank
+
+    #   0 <-> 1 (symmetric heavy), both -> 2, 2 back to both equally
+    edges = [(0, 1, 4), (1, 0, 4), (0, 2, 1), (1, 2, 1), (2, 0, 1), (2, 1, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=3).collect()}
+
+    n, d = 3, 0.85
+    p = np.zeros((n, n))
+    for s, t, w in edges:
+        p[s][t] = w
+    p = p / p.sum(axis=1, keepdims=True)
+    r = np.full(n, 1.0 / n)
+    for _ in range(3):
+        r = (1 - d) / n + d * (r @ p)
+    for node in range(n):
+        assert abs(got[node] - r[node]) < 1e-6, (node, got[node], r[node])
+    assert abs(got[0] - got[1]) < 1e-6  # symmetric pair
+    # grid snapping can nudge mass a few 1e-9 over exact 1
+    assert sum(got.values()) <= 1.0 + 1e-6
