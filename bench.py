@@ -98,6 +98,18 @@ HEADLINE = [
     "q_pack_contiguous",
     "q_join_bucketed",
     "q_sink_daily_overwrite",
+    # round-7 families: lexical retrieval (BM25), corpus diversity
+    # (entropy), banded edit-distance dedup, calendar gap-fill + LOCF,
+    # and the graph/sequence pipelines (PageRank power iterations,
+    # triangle join, Markov transitions) — the iterative and
+    # join-enumeration plan shapes the suite didn't yet watch
+    "q_text_bm25",
+    "q_text_entropy",
+    "q_dedup_editdist",
+    "q_gapfill_locf",
+    "q_pagerank",
+    "q_graph_triangles",
+    "q_event_transitions",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

@@ -97,3 +97,51 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def undirected_edges(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Canonicalize a directed edge list to distinct undirected pairs
+    ``(u, v)`` with ``u < v`` (self-loops dropped) — the input shape the
+    triangle counter requires. One distinct shuffle."""
+    return (
+        edges.select(
+            F.least(src_col, dst_col).alias("u"),
+            F.greatest(src_col, dst_col).alias("v"),
+        )
+        .where(F.col("u") < F.col("v"))
+        .distinct()
+    )
+
+
+def triangle_counts(und: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over an undirected edge set
+    ``(u, v)`` with ``u < v`` (from ``undirected_edges``).
+
+    Enumeration joins wedges to closing edges with the vertices ordered
+    ``a < b < c``, so each triangle is materialized exactly once:
+    E(a,b) ⋈ E(b,c) ⋈ E(a,c). Per-node counts then credit all three
+    corners via an explode. Returns ``(node, n_triangles)`` for nodes in
+    ≥1 triangle.
+
+    Scale: this is the standard distributed triangle join — two
+    equi-join shuffles keyed on vertices; the a<b<c ordering is what
+    keeps the wedge join from emitting each triangle 6×. At real graph
+    scale the classic refinement is degree-ordering (orient edges from
+    low- to high-degree so hub wedges shrink) — worth adding if the
+    graph has power-law hubs; the contract graph (nation trade) is tiny
+    and dense, where plain vertex-ordering is optimal. No floats
+    anywhere, so the DuckDB oracle matches exactly."""
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = und.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = und.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        e1.join(e2, e1["b"] == e2["b2"])
+        .join(e3, (F.col("a") == e3["a3"]) & (F.col("c") == e3["c3"]))
+        .select("a", "b", "c")
+    )
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
+    )
+    return corners.groupBy("node").agg(F.count("*").cast("long").alias("n_triangles"))

@@ -79,3 +79,49 @@ def sessionize(
         out,
         F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("int"),
     ).drop("__new")
+
+
+def event_transitions(
+    df,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str,
+):
+    """First-order Markov transition matrix over per-key event sequences:
+    order each key's events by (ts, tiebreak), pair each event with its
+    predecessor's state (``lag``), and count transitions; ``p`` is the
+    row-normalized probability (count / out-degree of the source state).
+
+    Output: ``(prev_state, next_state, n, p)`` — the sequence-statistics
+    twin of the funnel query (which asks "did A→B→C happen per user";
+    this asks "how does the population move between states").
+
+    Scale: one per-key window shuffle for the lag (same exchange any
+    sessionization pays), then a partial-aggregable count on the
+    (prev, next) pair — state-pair cardinality is |states|², tiny.
+    Determinism: ``p`` is ONE division of exact integer counts — a
+    correctly-rounded IEEE op, bit-identical across engines, shipped RAW
+    (the library never ROUNDs a quotient: Spark's HALF_UP-on-BigDecimal
+    vs DuckDB's multiply-then-round diverge exactly there)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        df.select(
+            F.col(key_col),
+            F.lag(state_col).over(w).alias("prev_state"),
+            F.col(state_col).alias("next_state"),
+        )
+        .where(F.col("prev_state").isNotNull())
+        .groupBy("prev_state", "next_state")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    outdeg = pairs.groupBy("prev_state").agg(F.sum("n").alias("_tot"))
+    return pairs.join(outdeg, "prev_state").select(
+        "prev_state",
+        "next_state",
+        "n",
+        (F.col("n").cast("double") / F.col("_tot").cast("double")).alias("p"),
+    )

@@ -1631,3 +1631,90 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = graph.pagerank(edges, iters=_PAGERANK_ITERS)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+@register(
+    "q_graph_triangles",
+    "agg",
+    oracle="""
+    WITH de AS (
+      SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+      FROM de WHERE LEAST(src, dst) < GREATEST(src, dst)
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM und e1
+      JOIN und e2 ON e1.v = e2.u
+      JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+    GROUP BY node
+    """,
+    notes="extension: per-node triangle counts (operators/graph."
+    "triangle_counts) over the undirected nation trade graph — the "
+    "clustering-structure primitive next to PageRank's centrality. "
+    "Vertex-ordered wedge enumeration (a<b<c) materializes each triangle "
+    "exactly once through two equi-join shuffles; degree-orientation is "
+    "the documented refinement for power-law graphs. Pure integer "
+    "pipeline, exact oracle match",
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .select(c["c_nationkey"].alias("src"), s["s_nationkey"].alias("dst"))
+        .distinct()
+    )
+    return graph.triangle_counts(graph.undirected_edges(edges))
+
+
+@register(
+    "q_event_transitions",
+    "window",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_state,
+             event_type AS next_state
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_state, next_state, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_state IS NOT NULL GROUP BY 1, 2
+    ),
+    outdeg AS (SELECT prev_state, CAST(SUM(n) AS BIGINT) AS tot FROM pairs GROUP BY 1)
+    SELECT pr.prev_state, pr.next_state, pr.n,
+           CAST(pr.n AS DOUBLE) / CAST(od.tot AS DOUBLE) AS p
+    FROM pairs pr JOIN outdeg od USING (prev_state)
+    """,
+    notes="extension: first-order Markov transition matrix "
+    "(operators/windows.event_transitions) — population-level state-flow "
+    "statistics over per-user event sequences (the aggregate twin of "
+    "q_funnel's per-user path test). One per-key window shuffle for the "
+    "lag, then a |states|²-cardinality count; the probability is ONE "
+    "division of exact integers shipped RAW (never ROUND a quotient — "
+    "the engines' rounding modes diverge exactly there)",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import windows as window_ops
+
+    ev = table(spark, sf_dir, "events")
+    return window_ops.event_transitions(ev, "user_id", "ts", "event_type", "event_id")

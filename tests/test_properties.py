@@ -634,3 +634,49 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert abs(got[0] - got[1]) < 1e-6  # symmetric pair
     # grid snapping can nudge mass a few 1e-9 over exact 1
     assert sum(got.values()) <= 1.0 + 1e-6
+
+
+def test_triangle_counts_k4_and_square(spark):
+    """K4: every node sits in C(3,2)=3 triangles (4 triangles total,
+    each counted once); a 4-cycle has none; directed duplicates and
+    self-loops are canonicalized away first."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators.graph import (
+        triangle_counts,
+        undirected_edges,
+    )
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]  # both directions
+    k4 += [(0, 0)]  # self-loop must be dropped
+    square = [(10, 11), (11, 12), (12, 13), (13, 10)]
+    df = spark.createDataFrame(k4 + square, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(undirected_edges(df)).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}  # square nodes absent
+
+
+def test_event_transitions_counts_and_row_normalization(spark):
+    """Transitions follow per-key (ts, tiebreak) order; counts aggregate
+    across keys; probabilities row-normalize per source state."""
+    import datetime as dt
+
+    from simple_pos_kafka_pyspark_airflow_spark.operators.windows import event_transitions
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # user 1: A -> B -> A   (same ts for the first two: event_id breaks the tie)
+        (1, 10, t(0), "A"),
+        (1, 11, t(0), "B"),
+        (1, 12, t(5), "A"),
+        # user 2: A -> C
+        (2, 20, t(0), "A"),
+        (2, 21, t(9), "C"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, event_type string")
+    got = {
+        (r["prev_state"], r["next_state"]): (r["n"], r["p"])
+        for r in event_transitions(df, "user_id", "ts", "event_type", "event_id").collect()
+    }
+    assert got == {
+        ("A", "B"): (1, 0.5),
+        ("A", "C"): (1, 0.5),
+        ("B", "A"): (1, 1.0),
+    }
