@@ -187,6 +187,7 @@ def psi_drift(
     current: DataFrame,
     group_col: str = "event_type",
     eps: float = 1e-4,
+    grid: float | None = None,
 ) -> DataFrame:
     """Population Stability Index per group between two histograms from
     ``value_histogram`` (MUST share lo/hi/n_bins — pass them explicitly
@@ -197,7 +198,14 @@ def psi_drift(
     A full-outer join on (group, bin) keeps bins that are empty on either
     side — exactly the bins where drift lives. Output: (group, psi,
     n_bins_compared); cost is group-cardinality × n_bins rows end-to-end,
-    so this runs per micro-batch without touching the corpus."""
+    so this runs per micro-batch without touching the corpus.
+
+    ``grid`` (e.g. ``1e6``): snap each (non-negative) PSI term to a 1/grid
+    integer lattice before summing — the sum becomes exact 64-bit
+    arithmetic, order-free and bit-identical across engines and cluster
+    sizes (the ``token_entropy`` determinism discipline). Default ``None``
+    keeps the plain float sum (fine for monitoring; not for
+    hash-compared cross-engine contracts)."""
     p = reference.select(
         group_col, "bin", F.col("frac").alias("_p")
     )
@@ -210,6 +218,14 @@ def psi_drift(
     pe = F.greatest(F.col("_p"), F.lit(eps))
     qe = F.greatest(F.col("_q"), F.lit(eps))
     term = (pe - qe) * F.log(pe / qe)
+    if grid is not None:
+        # Terms are ≥ 0 ((p−q) and ln(p/q) share sign), so Spark's
+        # HALF_UP and DuckDB's round-half-away agree on every snap.
+        snapped = F.round(term * F.lit(grid), 0).cast("long")
+        return joined.groupBy(group_col).agg(
+            (F.sum(snapped).cast("double") / F.lit(grid)).alias("psi"),
+            F.count("*").cast("int").alias("n_bins_compared"),
+        )
     return joined.groupBy(group_col).agg(
         F.sum(term).alias("psi"), F.count("*").cast("int").alias("n_bins_compared")
     )

@@ -1718,3 +1718,127 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return window_ops.event_transitions(ev, "user_id", "ts", "event_type", "event_id")
+
+
+@register(
+    "q_value_histogram",
+    "agg",
+    oracle="""
+    WITH edges AS (
+      SELECT MIN(value) AS lo, MAX(value) AS hi,
+             (MAX(value) - MIN(value)) / 10.0 AS width
+      FROM events
+    ),
+    binned AS (
+      SELECT e.event_type,
+             CAST(LEAST(9, GREATEST(0,
+               CAST(FLOOR((e.value - d.lo) / d.width) AS BIGINT))) AS INT) AS bin
+      FROM events e, edges d
+    ),
+    counts AS (
+      SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n
+      FROM binned GROUP BY 1, 2
+    ),
+    totals AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot FROM counts GROUP BY 1)
+    SELECT c.event_type, c.bin, c.n,
+           CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS frac
+    FROM counts c JOIN totals t USING (event_type)
+    """,
+    notes="extension: per-group fixed-width value histogram "
+    "(operators/validation.value_histogram) — the monitoring primitive "
+    "under PSI drift, promoted from pytest-only to a driver oracle. One "
+    "partial-aggregable (group, bin) shuffle to a group×bins-sized "
+    "result; out-of-range values clamp into edge bins so drifted tails "
+    "stay visible. Determinism: bin = floor of one subtraction + one "
+    "division over bit-identical doubles (correctly-rounded IEEE ops), "
+    "frac = ONE division of exact integers — no ROUND anywhere",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import validation
+
+    ev = table(spark, sf_dir, "events")
+    h = validation.value_histogram(ev, "value", "event_type", n_bins=10)
+    return h.select("event_type", "bin", "n", "frac")
+
+
+#: Reference/current split for the PSI drift contract: first half of the
+#: event month is the "reference" distribution, the rest is "live".
+_PSI_SPLIT = "2024-01-16 00:00:00"
+
+
+@register(
+    "q_psi_drift",
+    "agg",
+    oracle=f"""
+    WITH ref AS (SELECT event_type, value FROM events
+                 WHERE ts < TIMESTAMP '{_PSI_SPLIT}'),
+    cur AS (SELECT event_type, value FROM events
+            WHERE ts >= TIMESTAMP '{_PSI_SPLIT}'),
+    edges AS (
+      SELECT MIN(value) AS lo, MAX(value) AS hi,
+             (MAX(value) - MIN(value)) / 8.0 AS width
+      FROM ref
+    ),
+    hist_ref AS (
+      SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT r.event_type,
+                   CAST(LEAST(7, GREATEST(0,
+                     CAST(FLOOR((r.value - d.lo) / d.width) AS BIGINT))) AS INT) AS bin
+            FROM ref r, edges d)
+      GROUP BY 1, 2
+    ),
+    hist_cur AS (
+      SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT c.event_type,
+                   CAST(LEAST(7, GREATEST(0,
+                     CAST(FLOOR((c.value - d.lo) / d.width) AS BIGINT))) AS INT) AS bin
+            FROM cur c, edges d)
+      GROUP BY 1, 2
+    ),
+    frac_ref AS (
+      SELECT event_type, bin,
+             CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE) AS p
+      FROM hist_ref
+    ),
+    frac_cur AS (
+      SELECT event_type, bin,
+             CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE) AS q
+      FROM hist_cur
+    ),
+    joined AS (
+      SELECT COALESCE(r.event_type, c.event_type) AS event_type,
+             GREATEST(COALESCE(r.p, 0.0), 0.0001) AS pe,
+             GREATEST(COALESCE(c.q, 0.0), 0.0001) AS qe
+      FROM frac_ref r FULL OUTER JOIN frac_cur c
+        ON r.event_type = c.event_type AND r.bin = c.bin
+    )
+    SELECT event_type,
+           CAST(SUM(CAST(ROUND((pe - qe) * LN(pe / qe) * 1000000.0, 0) AS BIGINT))
+                AS DOUBLE) / 1000000.0 AS psi,
+           CAST(COUNT(*) AS INT) AS n_bins_compared
+    FROM joined GROUP BY event_type
+    """,
+    notes="extension: Population Stability Index drift per event_type "
+    "(operators/validation.psi_drift) between the month's first-half "
+    "reference slice and the second-half live slice, sharing the "
+    "REFERENCE's bin edges (the stream-monitoring discipline: live "
+    "batches are histogrammed against frozen reference edges). Cost is "
+    "group×bins rows end-to-end after two histogram shuffles. "
+    "Determinism: each non-negative PSI term is snapped to a 1e-6 "
+    "integer grid before the sum (the token_entropy discipline) — "
+    "order-free exact 64-bit arithmetic, bit-identical across engines "
+    "and cluster sizes",
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import validation
+
+    ev = table(spark, sf_dir, "events")
+    split = F.lit(_PSI_SPLIT).cast("timestamp")
+    ref = ev.where(F.col("ts") < split)
+    cur = ev.where(F.col("ts") >= split)
+    row = ref.agg(F.min("value").alias("_lo"), F.max("value").alias("_hi")).first()
+    lo, hi = float(row["_lo"]), float(row["_hi"])
+    h_ref = validation.value_histogram(ref, "value", "event_type", n_bins=8, lo=lo, hi=hi)
+    h_cur = validation.value_histogram(cur, "value", "event_type", n_bins=8, lo=lo, hi=hi)
+    psi = validation.psi_drift(h_ref, h_cur, group_col="event_type", grid=1e6)
+    return psi.select("event_type", "psi", "n_bins_compared")
