@@ -110,6 +110,9 @@ HEADLINE = [
     "q_pagerank",
     "q_graph_triangles",
     "q_event_transitions",
+    "q_text_phrase",
+    "q_sample_stratified",
+    "q_stats_corr",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

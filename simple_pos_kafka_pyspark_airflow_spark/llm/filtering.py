@@ -364,3 +364,40 @@ def pack_docs_contiguous(
         F.expr(f"_start div {int(capacity)}").cast("long").alias("bin"),
         "n_tokens",
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    k: int,
+    salt: int = 2_654_435_761,
+) -> DataFrame:
+    """Deterministic EXACT-k-per-stratum sample: rank each stratum's rows
+    by the Knuth multiplicative hash of the stable id and keep the first
+    ``k`` — the companion to ``cap_per_group`` (which caps by arrival
+    share) and ``temperature_keep_rates`` (probabilistic rates): this one
+    guarantees an exact per-stratum count, the contract an eval-set or
+    per-domain probe-set builder needs.
+
+    Output: input columns + ``sample_rank`` (1..k within the stratum).
+
+    Scale: one window shuffle keyed by the stratum; Spark plans the
+    ``row_number() <= k`` filter as WindowGroupLimit BELOW the exchange
+    (partition-local top-k first), so the shuffle carries at most
+    ``k·strata`` rows — the same pushdown the top-k queries pin. No RNG
+    state anywhere: any engine, any partitioning, any run reproduces the
+    identical sample (the multiplicative hash is the library's standard
+    reproducible-split idiom, cf. ``q_split_hash``).
+
+    Hash values stay exact: id·salt ≤ 2^63 for ids < ~3.5e9; for wider id
+    spaces pre-fold the id (``pmod(id, 2^31)``) or switch to xxhash64 and
+    drop the cross-engine oracle claim."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        (F.col(id_col) * F.lit(salt)) % F.lit(1_000_000_007), F.col(id_col)
+    )
+    return df.withColumn("sample_rank", F.row_number().over(w).cast("int")).where(
+        F.col("sample_rank") <= k
+    )

@@ -515,3 +515,65 @@ def token_entropy(df, group_col: str = "source", text_col: str = "text"):
         ).alias("entropy"),
         F.round(F.col("_v").cast("double") / td, 4).alias("ttr"),
     )
+
+
+def phrase_search(
+    df,
+    phrase: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Exact-phrase search via a positional postings self-count — the
+    inverted-index primitive BM25's bag-of-words ranking can't express
+    (``"slow hash batch"`` must match those words *adjacent and in
+    order*).
+
+    Each posting ``(doc, pos, term)`` whose term is the phrase's i-th word
+    votes for candidate start ``pos − i``; a start position where all k
+    distinct offsets voted is a match. Output: ``(id_col, n_matches,
+    first_pos)`` for documents with ≥1 occurrence, ``first_pos`` 1-based
+    in split positions.
+
+    Scale shape: the token stream is filtered to the phrase's terms BEFORE
+    any shuffle (same discipline as ``bm25_scores``), then ONE
+    partial-aggregable groupBy on (doc, start) and a per-doc rollup — no
+    k-way self-join, no join at all. Cost is O(occurrences of phrase
+    terms), not O(corpus tokens), and repeated words inside the phrase are
+    handled for free (each offset i votes independently; a start matches
+    only when all k offsets are present).
+
+    Determinism: pure integer positions — the DuckDB oracle
+    (string_split + generate_subscripts) is value-exact.
+    """
+    from pyspark.sql import functions as F
+
+    terms = [t.lower() for t in phrase]
+    k = len(terms)
+    # term → its offsets inside the phrase, inlined as a literal CASE of
+    # tiny arrays (k entries) so the whole vote expansion stays in the ONE
+    # projection fused with the scan — a per-term union would re-scan the
+    # corpus k times.
+    offmap: dict[str, list[int]] = {}
+    for i, t in enumerate(terms):
+        offmap.setdefault(t, []).append(i)
+    off_expr = F.lit(None).cast("array<int>")
+    for t, offs in offmap.items():
+        off_expr = F.when(
+            F.col("_tok") == t, F.array(*[F.lit(i) for i in offs])
+        ).otherwise(off_expr)
+    postings = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_pos", "_tok"),
+    ).where(F.col("_tok").isin(terms))
+    votes = postings.select(
+        id_col, "_pos", F.explode(off_expr).alias("_off")
+    ).select(id_col, (F.col("_pos") - F.col("_off")).alias("_start"), "_off")
+    hits = (
+        votes.groupBy(id_col, "_start")
+        .agg(F.countDistinct("_off").alias("_k"))
+        .where((F.col("_k") == k) & (F.col("_start") >= 0))
+    )
+    return hits.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_matches"),
+        (F.min("_start") + 1).cast("int").alias("first_pos"),
+    )

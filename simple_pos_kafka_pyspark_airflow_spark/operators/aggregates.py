@@ -57,3 +57,64 @@ def clean(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
     drop null rows, then exact-duplicate rows. One shuffle (the distinct);
     the na-drop is a pushed filter."""
     return df.na.drop(subset=subset).dropDuplicates()
+
+
+def grouped_corr_exact(
+    df: DataFrame,
+    group_col: str,
+    x_int,
+    y_int,
+) -> DataFrame:
+    """Per-group Pearson correlation computed from EXACT integer moments —
+    the cross-engine-deterministic alternative to ``corr()`` (whose
+    streaming float accumulation is summation-order-dependent and can
+    never be hash-compared across engines or even across cluster sizes).
+
+    ``x_int`` / ``y_int`` must be integer-valued Column expressions (cast
+    them onto a lattice first: quantities are ints; money → cents;
+    discounts → hundredths). All five moments (Σx, Σy, Σxy, Σx², Σy²) are
+    then exact int64 sums — one partial-aggregable shuffle, order-free —
+    and the final
+
+        corr = (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²) · √(n·Σy²−(Σy)²))
+
+    is a fixed tree of correctly-rounded IEEE ops (casts of exact ints,
+    two sqrts, one multiply, one divide) — bit-identical in any IEEE-754
+    engine evaluating the same tree, so the raw double ships un-ROUNDed.
+
+    Output: ``(group_col, n, sum_x, sum_y, sum_xy, corr)`` — the integer
+    moments ride along so the oracle certifies them exactly too.
+    Zero-variance groups yield NULL via NULLIF, identically in both
+    engines.
+
+    Overflow discipline: int64 holds n·Σx² for |x| ≤ 10³ out to ~10¹²
+    rows per group; past that widen the moment sums to DECIMAL(38,0) in
+    both engines (values < 2^53 still cast to double exactly)."""
+    g = (
+        df.select(
+            F.col(group_col),
+            x_int.cast("long").alias("_x"),
+            y_int.cast("long").alias("_y"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("_x").alias("sum_x"),
+            F.sum("_y").alias("sum_y"),
+            F.sum(F.col("_x") * F.col("_y")).alias("sum_xy"),
+            F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+            F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        )
+    )
+    num = (F.col("n") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y")).cast("double")
+    den = F.sqrt((F.col("n") * F.col("_sxx") - F.col("sum_x") * F.col("sum_x")).cast("double")) * F.sqrt(
+        (F.col("n") * F.col("_syy") - F.col("sum_y") * F.col("sum_y")).cast("double")
+    )
+    return g.select(
+        group_col,
+        "n",
+        "sum_x",
+        "sum_y",
+        "sum_xy",
+        (num / F.nullif(den, F.lit(0.0))).alias("corr"),
+    )

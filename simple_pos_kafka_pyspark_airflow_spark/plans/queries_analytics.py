@@ -1842,3 +1842,51 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     h_cur = validation.value_histogram(cur, "value", "event_type", n_bins=8, lo=lo, hi=hi)
     psi = validation.psi_drift(h_ref, h_cur, group_col="event_type", grid=1e6)
     return psi.select("event_type", "psi", "n_bins_compared")
+
+
+@register(
+    "q_stats_corr",
+    "agg",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sum_x,
+             CAST(SUM(y) AS BIGINT) AS sum_y,
+             CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM (
+        SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS y
+        FROM lineitem
+      )
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n, sum_x, sum_y, sum_xy,
+           CAST(n * sum_xy - sum_x * sum_y AS DOUBLE)
+             / NULLIF(SQRT(CAST(n * sxx - sum_x * sum_x AS DOUBLE))
+                      * SQRT(CAST(n * syy - sum_y * sum_y AS DOUBLE)), 0.0) AS corr
+    FROM m
+    """,
+    notes="§2.5 extension: per-group Pearson correlation from EXACT "
+    "integer moments (operators/aggregates.grouped_corr_exact) — the "
+    "deterministic alternative to corr()'s order-dependent float "
+    "accumulation. Quantity is integer-valued; discount is snapped to its "
+    "hundredths lattice; all five moments are exact int64 sums (one "
+    "partial-aggregable shuffle), and the final corr is a fixed tree of "
+    "correctly-rounded IEEE ops (two sqrts, one multiply, one divide over "
+    "exact-int casts) — bit-identical across engines AND cluster sizes, "
+    "shipped RAW with the moments alongside for exact certification",
+)
+def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import aggregates
+
+    li = table(spark, sf_dir, "lineitem")
+    return aggregates.grouped_corr_exact(
+        li,
+        "l_returnflag",
+        F.col("l_quantity"),
+        F.round(F.col("l_discount") * 100, 0),
+    )

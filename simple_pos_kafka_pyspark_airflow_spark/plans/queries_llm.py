@@ -2441,3 +2441,64 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return dedup.near_dup_pairs_editdist(d, "text", "doc_id", max_dist=8, band_width=64)
+
+
+@register(
+    "q_text_phrase",
+    "llm",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(lower(text), ' ')) AS tok,
+             generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+      FROM documents
+    ), votes AS (
+      SELECT doc_id, pos - ph.ord AS strt, ph.ord
+      FROM tok JOIN (VALUES ('slow', 0), ('hash', 1), ('batch', 2)) AS ph(term, ord)
+        ON tok.tok = ph.term
+    ), hits AS (
+      SELECT doc_id, strt FROM votes WHERE strt >= 1
+      GROUP BY doc_id, strt HAVING COUNT(DISTINCT ord) = 3
+    )
+    SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_matches,
+           CAST(MIN(strt) AS INTEGER) AS first_pos
+    FROM hits GROUP BY doc_id
+    """,
+    notes="extension: exact-phrase search (llm/textops.phrase_search) — "
+    "the positional-postings primitive bag-of-words BM25 can't express. "
+    "Postings filtered to the phrase's terms BEFORE any shuffle, each "
+    "occurrence votes for start = pos − offset, one partial-aggregable "
+    "(doc, start) groupBy counts distinct offsets — no k-way self-join. "
+    "Non-vacuous at the driver scale: 'slow hash batch' hits 5 docs / 8 "
+    "occurrences at sf0.01 (one doc matches twice, exercising n_matches)",
+)
+def q_text_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return textops.phrase_search(d, ("slow", "hash", "batch"))
+
+
+@register(
+    "q_sample_stratified",
+    "llm",
+    oracle="""
+    SELECT doc_id, source, sample_rank FROM (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY (doc_id * 2654435761) % 1000000007, doc_id
+             ) AS INTEGER) AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= 10
+    """,
+    notes="extension: deterministic EXACT-k-per-stratum sampling "
+    "(llm/filtering.stratified_sample) — the eval-set/probe-set builder "
+    "contract (exact counts, no RNG state; any engine reproduces the "
+    "identical sample via the Knuth multiplicative hash rank). The "
+    "row_number ≤ k filter plans as WindowGroupLimit below the exchange, "
+    "so the stratum shuffle carries ≤ k·strata rows at any corpus size",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return filtering.stratified_sample(d, "source", "doc_id", k=10).select(
+        "doc_id", "source", "sample_rank"
+    )

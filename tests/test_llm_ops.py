@@ -1761,3 +1761,51 @@ def test_editdist_rejects_band_width_not_covering_dist(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         near_dup_pairs_editdist(df, "text", "doc_id", max_dist=8, band_width=8)
+
+
+def test_phrase_search_counts_repeats_and_overlaps(spark):
+    """Multiple occurrences count per doc; overlapping matches of a
+    repeated-term phrase each count; docs without the full phrase (terms
+    present but not adjacent/in order) are excluded."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm.textops import phrase_search
+
+    rows = [
+        (1, "x slow hash batch y slow hash batch"),  # two occurrences
+        (2, "slow batch hash"),  # terms present, wrong order -> no match
+        (3, "SLOW Hash BATCH"),  # case-insensitive, starts at pos 1
+        (4, "nothing here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(df, ("slow", "hash", "batch")).collect()
+    }
+    assert got == {1: (2, 2), 3: (1, 1)}
+
+    # repeated-term phrase: 'a a' over 'a a a' matches at starts 1 and 2
+    df2 = spark.createDataFrame([(9, "a a a")], "doc_id long, text string")
+    got2 = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(df2, ("a", "a")).collect()
+    }
+    assert got2 == {9: (2, 1)}
+
+
+def test_stratified_sample_exact_k_and_order_invariance(spark):
+    """Exactly min(k, stratum size) rows per stratum, ranks 1..k dense,
+    and the sampled id set is invariant to input row order (no RNG)."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm.filtering import stratified_sample
+
+    rows = [(i, "big" if i < 40 else "small") for i in range(46)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_sample(df, "source", "doc_id", k=5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append((r["sample_rank"], r["doc_id"]))
+    assert sorted(r for r, _ in by_src["big"]) == [1, 2, 3, 4, 5]
+    assert sorted(r for r, _ in by_src["small"]) == [1, 2, 3, 4, 5]  # 6 rows -> 5 kept
+    shuffled = spark.createDataFrame(list(reversed(rows)), "doc_id long, source string")
+    out2 = stratified_sample(shuffled, "source", "doc_id", k=5).collect()
+    assert {(r["source"], r["doc_id"], r["sample_rank"]) for r in out2} == {
+        (r["source"], r["doc_id"], r["sample_rank"]) for r in out
+    }

@@ -680,3 +680,26 @@ def test_event_transitions_counts_and_row_normalization(spark):
         ("A", "C"): (1, 0.5),
         ("B", "A"): (1, 1.0),
     }
+
+
+def test_grouped_corr_exact_matches_numpy(spark):
+    """Exact-moment corr equals numpy's float corrcoef to 1e-12, and a
+    zero-variance group yields NULL (not a crash or inf)."""
+    import numpy as np
+
+    from simple_pos_kafka_pyspark_airflow_spark.operators.aggregates import grouped_corr_exact
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(7)
+    xs = rng.randint(1, 50, 200)
+    ys = (xs * 2 + rng.randint(-10, 10, 200)).clip(1, None)
+    rows = [("g", int(x), int(y)) for x, y in zip(xs, ys)]
+    rows += [("flat", 3, int(v)) for v in rng.randint(1, 9, 20)]  # zero x-variance
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    got = {
+        r["grp"]: r["corr"]
+        for r in grouped_corr_exact(df, "grp", F.col("x"), F.col("y")).collect()
+    }
+    expect = np.corrcoef(xs, ys)[0, 1]
+    assert abs(got["g"] - expect) < 1e-12
+    assert got["flat"] is None
