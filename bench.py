@@ -113,6 +113,8 @@ HEADLINE = [
     "q_text_phrase",
     "q_sample_stratified",
     "q_stats_corr",
+    "q_dedup_prefix",
+    "q_text_collocations",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

@@ -1221,3 +1221,99 @@ def near_dup_pairs_editdist(
         .where(F.col("dist") >= 0)
         .select("id_a", "id_b", "dist")
     )
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_posting_docs: int = 10_000,
+) -> DataFrame:
+    """ALL pairs with exact shingle-set Jaccard ≥ ``threshold`` via
+    prefix filtering (the SSJoin/PPJoin candidate scheme) — the lossless
+    alternative to caller-chosen blocking (``ngram_jaccard_pairs_blocked``
+    misses pairs that cross a block boundary; this misses nothing).
+
+    Scheme: order every document's shingles by GLOBAL rarity (document
+    frequency asc, hash asc — rarest first); a doc of set size m indexes
+    only its first ``m − ⌈t·m⌉ + 1`` shingles (its *prefix*). Prefix
+    theorem: two sets with Jaccard ≥ t must share at least one prefix
+    element under any common total order — J ≥ t forces overlap
+    I ≥ t·max(|A|,|B|) ≥ ⌈t·|A|⌉, and a set's prefix of length
+    |A| − ⌈t·|A|⌉ + 1 cannot avoid all I common elements — so joining
+    prefix postings on the shingle hash finds every qualifying pair.
+    Rarity ordering makes prefixes meet in LOW-frequency postings: the
+    candidate join's key groups are the corpus's rare shingles, not its
+    stopword grams.
+
+    Scale shape: one corpus scan into the persisted (id, set, size)
+    table; a partial-aggregable dfreq shuffle; a per-doc rank window
+    (same id-keyed exchange the set build already paid); the candidate
+    join ships only (hash, id, size) rows from the ~(1−t)·|set| prefixes.
+    ``max_posting_docs`` caps any degenerate posting group (same contract
+    as minhash's ``max_bucket``: drop + document, never O(n²) one task);
+    a size-ratio prefilter (min ≥ t·max, implied by J ≥ t) cuts
+    candidates before the exact verify, which re-joins the two set
+    columns by id and intersects once per surviving pair.
+
+    Determinism: sizes and intersections are exact ints; ``jaccard`` is
+    ONE division of exact ints — correctly-rounded IEEE, shipped RAW
+    (never ROUND a quotient across engines). Returns
+    (``id_a``, ``id_b``, ``jaccard``).
+    """
+    from fractions import Fraction
+
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    sets_df = (
+        shingle_hash_sets_df(df, text_col, id_col, n)
+        .withColumn("_sz", F.size("_sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    postings = sets_df.select("_id", "_sz", F.explode("_sh").alias("_h"))
+    dfreq = postings.groupBy("_h").agg(F.count("*").cast("long").alias("_df"))
+    w = Window.partitionBy("_id").orderBy("_df", "_h")
+    # exact rational threshold so ⌈t·m⌉ is true integer arithmetic
+    # (ceil on the float would misplace exact-boundary prefix lengths)
+    frac = Fraction(str(threshold)).limit_denominator(10**9)
+    tn, td = frac.numerator, frac.denominator
+    ceil_tm = -F.floor((F.col("_sz") * F.lit(-tn)) / F.lit(td))  # ⌈tn·m/td⌉
+    prefix = (
+        postings.join(dfreq, "_h")
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= F.col("_sz") - ceil_tm + 1)
+        .select("_h", "_id", "_sz")
+    )
+    hot = prefix.groupBy("_h").agg(F.count("*").cast("long").alias("_pc"))
+    pruned = prefix.join(hot, "_h").where(F.col("_pc") <= max_posting_docs)
+    a = pruned.select("_h", F.col("_id").alias("id_a"), F.col("_sz").alias("sz_a"))
+    b = pruned.select(
+        F.col("_h").alias("_hb"), F.col("_id").alias("id_b"), F.col("_sz").alias("sz_b")
+    )
+    cand = (
+        a.join(b, (a["_h"] == b["_hb"]) & (a["id_a"] < b["id_b"]))
+        # size-ratio bound: J ≥ t ⇒ td·min ≥ tn·max (integer cross-mult)
+        .where(
+            F.lit(td) * F.least("sz_a", "sz_b") >= F.lit(tn) * F.greatest("sz_a", "sz_b")
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = sets_df.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), F.col("_sz").alias("va_sz"))
+    vb = sets_df.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), F.col("_sz").alias("vb_sz"))
+    verified = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("_i", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("_u", F.col("va_sz") + F.col("vb_sz") - F.col("_i"))
+        # threshold cut as integer cross-multiplication: td·I ≥ tn·U
+        .where(F.lit(td) * F.col("_i") >= F.lit(tn) * F.col("_u"))
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        (F.col("_i").cast("double") / F.col("_u").cast("double")).alias("jaccard"),
+    )

@@ -577,3 +577,65 @@ def phrase_search(
         F.count("*").cast("int").alias("n_matches"),
         (F.min("_start") + 1).cast("int").alias("first_pos"),
     )
+
+
+def collocation_lift(df, text_col: str = "text", min_count: int = 5, k: int = 20):
+    """Top-k bigram collocations by pointwise lift — the corpus-phrase
+    discovery statistic (PMI's monotone argument, kept as an exact
+    rational instead of its logarithm):
+
+        lift(w1 w2) = T · c(w1 w2) / (c(w1) · c(w2))
+
+    with T = total token count. lift > 1 ⇒ the pair co-occurs more than
+    independence predicts; ranking by lift equals ranking by PMI (ln is
+    monotone) with zero libm in the plan.
+
+    Output: ``(bigram, n, lift)`` — top ``k`` by (lift desc, bigram asc)
+    among bigrams with ``n ≥ min_count`` (the classic support floor: a
+    hapax pair of two hapax words has sky-high lift and no significance).
+
+    Scale shape: the shared ``sliding_grams`` kernel feeds two
+    partial-aggregable count shuffles (unigrams, bigrams); the bigram
+    table joins the unigram table twice on the split words (shuffles
+    sized by VOCABULARY, not corpus); T is a 1-row broadcast. Top-k plans
+    as TakeOrderedAndProject — per-partition heaps, no global sort.
+
+    Determinism: counts are exact int64; lift is ONE division of exact
+    integer products — bit-identical in any IEEE engine, shipped raw.
+    Overflow: T·n and c·c stay in int64 up to ~10⁹-token corpora with
+    ~10⁹-occurrence grams; past that widen to DECIMAL(38,0) in both
+    engines."""
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(toks.alias("_toks"))
+    uni = (
+        base.select(F.explode("_toks").alias("_w"))
+        .groupBy("_w")
+        .agg(F.count("*").cast("long").alias("_c"))
+    )
+    big = (
+        base.where(F.size("_toks") >= 2)
+        .select(F.explode(sliding_grams(F.col("_toks"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("n"))
+        .where(F.col("n") >= min_count)
+    )
+    tot = uni.agg(F.sum("_c").cast("long").alias("_t"))
+    w1 = F.split(F.col("bigram"), " ").getItem(0)
+    w2 = F.split(F.col("bigram"), " ").getItem(1)
+    u1 = uni.select(F.col("_w").alias("_w1"), F.col("_c").alias("_c1"))
+    u2 = uni.select(F.col("_w").alias("_w2"), F.col("_c").alias("_c2"))
+    joined = (
+        big.withColumn("_w1", w1)
+        .withColumn("_w2", w2)
+        .join(u1, "_w1")
+        .join(u2, "_w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    lift = (F.col("_t") * F.col("n")).cast("double") / (
+        F.col("_c1") * F.col("_c2")
+    ).cast("double")
+    return (
+        joined.select("bigram", "n", lift.alias("lift"))
+        .orderBy(F.desc("lift"), F.asc("bigram"))
+        .limit(k)
+    )

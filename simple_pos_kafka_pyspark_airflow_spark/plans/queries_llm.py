@@ -2502,3 +2502,82 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filtering.stratified_sample(d, "source", "doc_id", k=10).select(
         "doc_id", "source", "sample_rank"
     )
+
+
+@register(
+    "q_dedup_prefix",
+    "llm",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                         i -> array_to_string(toks[i:i+2], ' ')))
+             END AS sh
+      FROM t
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.sh, b.sh)) AS i,
+             len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
+    FROM pairs WHERE 2 * i >= u
+    """,
+    notes="extension: prefix-filtered exact set-similarity join "
+    "(llm/dedup.jaccard_pairs_prefix, the SSJoin/PPJoin candidate "
+    "scheme) — LOSSLESS near-dup pairs, certified by an all-pairs "
+    "brute-force oracle with NO blocking clause (q_dedup_ngram's "
+    "length-band twin can miss cross-band pairs; this provably cannot). "
+    "Docs index only their rarity-ordered prefix (m − ⌈t·m⌉ + 1 "
+    "shingles), candidates meet in rare postings, threshold cuts are "
+    "integer cross-multiplications, and the jaccard ships as ONE raw "
+    "division of exact ints — bit-identical across engines",
+)
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs_prefix(d, "text", "doc_id", n=3, threshold=0.5)
+
+
+@register(
+    "q_text_collocations",
+    "llm",
+    oracle="""
+    WITH t AS (
+      SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ), uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS tt FROM uni
+    ), big AS (
+      SELECT g AS bigram, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (
+        SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                 i -> array_to_string(toks[i:i+1], ' '))) AS g
+        FROM t WHERE len(toks) >= 2
+      ) GROUP BY g
+    )
+    SELECT bigram, n, CAST(tt * n AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE) AS lift
+    FROM big
+    JOIN uni u1 ON u1.w = string_split(bigram, ' ')[1]
+    JOIN uni u2 ON u2.w = string_split(bigram, ' ')[2]
+    CROSS JOIN tot
+    WHERE n >= 5
+    ORDER BY lift DESC, bigram ASC
+    LIMIT 20
+    """,
+    notes="extension: top-k bigram collocations by pointwise lift "
+    "(llm/textops.collocation_lift) — PMI's monotone argument as an "
+    "exact rational, zero libm in the plan. Two vocabulary-sized count "
+    "shuffles off the shared sliding_grams kernel, two unigram joins, "
+    "1-row broadcast total, TakeOrderedAndProject top-k; lift is ONE "
+    "division of exact integer products, bit-identical across engines",
+)
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return textops.collocation_lift(d, "text", min_count=5, k=20)

@@ -1809,3 +1809,60 @@ def test_stratified_sample_exact_k_and_order_invariance(spark):
     assert {(r["source"], r["doc_id"], r["sample_rank"]) for r in out2} == {
         (r["source"], r["doc_id"], r["sample_rank"]) for r in out
     }
+
+
+def test_jaccard_pairs_prefix_lossless_vs_brute_force(spark):
+    """Prefix filtering is candidate-complete: output equals the python
+    brute-force all-pairs set over synthetic docs engineered to defeat
+    length-band blocking (near-identical pairs with very different
+    positions in the corpus) and to sit exactly ON the threshold."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm.dedup import jaccard_pairs_prefix
+
+    def sh(words):
+        toks = words.split()
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (0, base),
+        (1, base + " extra"),                      # high-overlap pair with 0
+        (2, "one two three four five six"),
+        (3, "seven eight nine ten eleven twelve"),
+        (4, base),                                  # exact dup of 0 (J=1)
+        (5, "alpha beta gamma delta epsilon zeta"),  # partial overlap
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs_prefix(df, "text", "doc_id", n=3, threshold=0.5).collect()
+    }
+    expect = {}
+    for i, (ia, ta) in enumerate(docs):
+        for ib, tb in docs[i + 1 :]:
+            a, b = sh(ta.lower()), sh(tb.lower())
+            j = len(a & b) / len(a | b)
+            if 2 * len(a & b) >= len(a | b):  # same integer cut as the operator
+                expect[(ia, ib)] = j
+    assert got == expect
+    assert (0, 4) in got and got[(0, 4)] == 1.0
+
+
+def test_collocation_lift_ranks_planted_pair_first(spark):
+    """A pair that ALWAYS co-occurs ranks above pairs of independent
+    words; lift equals the exact rational T·n/(c1·c2); support floor
+    drops below-min_count bigrams."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm.textops import collocation_lift
+
+    # 'hong kong' always adjacent (6×); filler words well above the floor
+    docs = [(i, "hong kong is a city and a port in a region") for i in range(6)]
+    docs += [(100 + i, "a city and a port and a region is big") for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = collocation_lift(df, "text", min_count=5, k=5).collect()
+    top = rows[0]
+    assert top["bigram"] == "hong kong" and top["n"] == 6
+    # exact rational: T tokens total, c(hong)=c(kong)=6
+    total = sum(len(t.split()) for _, t in docs)
+    assert top["lift"] == total * 6 / (6 * 6)
+    assert all(r["n"] >= 5 for r in rows)
