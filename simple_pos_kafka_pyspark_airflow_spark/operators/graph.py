@@ -127,11 +127,10 @@ def triangle_counts(und: DataFrame) -> DataFrame:
 
     Scale: this is the standard distributed triangle join — two
     equi-join shuffles keyed on vertices; the a<b<c ordering is what
-    keeps the wedge join from emitting each triangle 6×. At real graph
-    scale the classic refinement is degree-ordering (orient edges from
-    low- to high-degree so hub wedges shrink) — worth adding if the
-    graph has power-law hubs; the contract graph (nation trade) is tiny
-    and dense, where plain vertex-ordering is optimal. No floats
+    keeps the wedge join from emitting each triangle 6×. For power-law
+    graphs use ``triangle_counts_oriented`` (degree orientation bounds
+    the wedge explosion at hubs); the contract graph (nation trade) is
+    tiny and dense, where plain vertex-ordering is optimal. No floats
     anywhere, so the DuckDB oracle matches exactly."""
     e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = und.select(F.col("u").alias("b2"), F.col("v").alias("c"))
@@ -144,4 +143,56 @@ def triangle_counts(und: DataFrame) -> DataFrame:
     corners = tri.select(
         F.explode(F.array("a", "b", "c")).alias("node")
     )
+    return corners.groupBy("node").agg(F.count("*").cast("long").alias("n_triangles"))
+
+
+def triangle_counts_oriented(und: DataFrame) -> DataFrame:
+    """Degree-oriented triangle counting — identical output to
+    ``triangle_counts``, with the wedge explosion bounded for power-law
+    graphs.
+
+    Every edge is oriented from its lower- to its higher-(degree, node)
+    endpoint (the tiebroken total order makes the orientation acyclic),
+    and wedges are enumerated only at each node's OUT-neighbors. A
+    triangle has exactly one vertex whose both triangle edges point out
+    (the minimum under the total order), so each triangle is produced
+    once, then closed against the canonical undirected edge set.
+
+    Why this beats id-ordering at scale: with ``a < b < c`` the wedge
+    center is an arbitrary *id* — a hub with a mid-range id owns
+    deg²/4 wedges. Orientation caps every out-degree at O(√m) (a node
+    of degree d > √2m has all its ≥-degree neighbors summing past 2m),
+    so the wedge count is Σ outdeg² ≤ O(m^1.5) — the arboricity bound —
+    regardless of skew: a degree-10⁶ hub contributes ZERO wedges because
+    all its edges point in. Costs one extra degree aggregation + two
+    broadcast-or-shuffle joins against the (node, degree) table; worth
+    it exactly when the graph is skewed (web, social, citation graphs).
+
+    Pure integer pipeline; returns ``(node, n_triangles)`` for nodes in
+    ≥1 triangle, bit-identical to ``triangle_counts``."""
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("_d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("_d").alias("_du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("_d").alias("_dv"))
+    e = und.join(du, "u").join(dv, "v")
+    fwd = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    w1 = oriented.select(F.col("src").alias("_s"), F.col("dst").alias("_x"))
+    w2 = oriented.select(F.col("src").alias("_s2"), F.col("dst").alias("_y"))
+    # unordered out-neighbor pair, canonicalized by id so the closing
+    # lookup hits the undirected (u < v) edge table directly
+    wedges = w1.join(w2, (w1["_s"] == w2["_s2"]) & (w1["_x"] < w2["_y"])).select(
+        "_s", "_x", "_y"
+    )
+    tri = wedges.join(und, (wedges["_x"] == und["u"]) & (wedges["_y"] == und["v"]))
+    corners = tri.select(F.explode(F.array("_s", "_x", "_y")).alias("node"))
     return corners.groupBy("node").agg(F.count("*").cast("long").alias("n_triangles"))

@@ -1890,3 +1890,57 @@ def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity"),
         F.round(F.col("l_discount") * 100, 0),
     )
+
+
+@register(
+    "q_graph_triangles_oriented",
+    "agg",
+    oracle="""
+    WITH de AS (
+      SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+      FROM de WHERE LEAST(src, dst) < GREATEST(src, dst)
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM und e1
+      JOIN und e2 ON e1.v = e2.u
+      JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+    GROUP BY node
+    """,
+    notes="extension: the SAME triangle semantics as q_graph_triangles "
+    "through the degree-oriented physical strategy (operators/graph."
+    "triangle_counts_oriented) — edges oriented low→high (degree, node), "
+    "wedges enumerated only among out-neighbors, so a hub's wedge count "
+    "is ZERO instead of deg²/4 and total wedge volume is bounded by the "
+    "O(m^1.5) arboricity bound regardless of skew. The driver certifying "
+    "both against one oracle pins that the two strategies agree "
+    "bit-for-bit — the plan-swap-safety property a 100 TB engine needs "
+    "before it can pick the strategy by degree statistics",
+)
+def q_graph_triangles_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .select(c["c_nationkey"].alias("src"), s["s_nationkey"].alias("dst"))
+        .distinct()
+    )
+    return graph.triangle_counts_oriented(graph.undirected_edges(edges))

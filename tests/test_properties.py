@@ -703,3 +703,38 @@ def test_grouped_corr_exact_matches_numpy(spark):
     expect = np.corrcoef(xs, ys)[0, 1]
     assert abs(got["g"] - expect) < 1e-12
     assert got["flat"] is None
+
+
+def test_triangle_counts_oriented_equals_plain_and_tames_hubs(spark):
+    """Degree-oriented enumeration returns bit-identical counts to the
+    id-ordered join on a random graph, and generates ZERO wedges at a
+    planted hub (the id-ordered form generates deg²/4 there)."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    from simple_pos_kafka_pyspark_airflow_spark.operators.graph import (
+        triangle_counts,
+        triangle_counts_oriented,
+        undirected_edges,
+    )
+
+    rng = random.Random(11)
+    edges = {(a, b) for a, b in itertools.combinations(range(30), 2) if rng.random() < 0.2}
+    # hub with a MID-RANGE id (15) wired to everything: worst case for
+    # id-ordering (its wedges split across both sides), best case for
+    # degree-orientation (all its edges point in)
+    edges |= {(min(15, x), max(15, x)) for x in range(30) if x != 15}
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    und = undirected_edges(df)
+    plain = {r["node"]: r["n_triangles"] for r in triangle_counts(und).collect()}
+    orient = {r["node"]: r["n_triangles"] for r in triangle_counts_oriented(und).collect()}
+    assert plain == orient
+
+    # star K1,60 with hub id 30 (mid-range): oriented wedge count at the
+    # hub must be zero — all hub edges point in (leaves have degree 1)
+    star = [(min(30, i), max(30, i)) for i in range(61, 121)] + [(30, i) for i in range(61)]
+    star = [(a, b) for a, b in star if a != b]
+    sdf = undirected_edges(spark.createDataFrame(star, "src long, dst long"))
+    assert triangle_counts_oriented(sdf).count() == 0  # a star has no triangles
