@@ -965,6 +965,54 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_window_session_native",
+    "window",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, event_id, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM d
+    )
+    SELECT user_id, MIN(ts) AS window_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS window_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM s GROUP BY user_id, sess_id
+    """,
+    notes="extension (T4/T8 family, batch form of streaming/windows."
+    "session_agg): Spark's NATIVE F.session_window against the same "
+    "gaps-and-islands oracle that certifies q_sessionize — the driver pins "
+    "that the native merge operator and the lag/running-sum rewrite agree "
+    "on every session boundary (merge at ts <= prev+gap, probe-verified; "
+    "window_end = last event + gap). Native sessions are the streaming "
+    "path (state merges incrementally, watermark closes sessions); the "
+    "islands rewrite is the batch/backfill path — plan-swap safety "
+    "between them is what lets the engine pick per-workload at 100 TB",
+)
+def q_window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import windows as stream_win
+
+    ev = table(spark, sf_dir, "events")
+    out = stream_win.session_agg(
+        ev,
+        ts_col="ts",
+        gap="30 minutes",
+        keys=["user_id"],
+        aggs=[
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+    )
+    return out.select("user_id", "window_start", "window_end", "n_events", "total_value")
+
+
+@register(
     "q_json_funcs",
     "function",
     oracle="""

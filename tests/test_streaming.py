@@ -368,6 +368,55 @@ def test_session_agg_batch(spark):
     assert sorted(per_user[2]) == [1, 1]
 
 
+def test_session_agg_stream_drains_merged_sessions(spark, tmp_path):
+    """The NATIVE session-window operator on a real stream (T4/T8): a
+    watermarked file stream drained with AvailableNow must emit exactly
+    the sessions the batch form computes — merge at gap boundary, window
+    end = last event + gap. This is the streaming half of the
+    q_window_session_native plan-swap pair."""
+    src = tmp_path / "sess_events"
+    src.mkdir()
+    rows = [
+        (1, "2026-01-01 00:00:00"),
+        (1, "2026-01-01 00:20:00"),   # merges (20m < 30m gap)
+        (1, "2026-01-01 01:30:00"),   # new session (70m gap)
+        (2, "2026-01-01 00:00:00"),
+        # flush row: advances the watermark to 02:50, past every other
+        # session's end, so append mode emits them; its OWN session stays
+        # open and must be withheld — the late-data guarantee under test
+        (99, "2026-01-01 03:00:00"),
+    ]
+    with open(src / "ev.json", "w") as f:
+        for uid, ts in rows:
+            f.write(json.dumps({"user_id": uid, "ts": ts}) + "\n")
+    stream = ingest.file_json_stream(spark, str(src), "user_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = windows.session_agg(
+        stream, "ts", "30 minutes", ["user_id"], [F.count("*").alias("n")],
+        watermark="10 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], str(r["window_start"])): (str(r["window_end"]), r["n"])
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    assert got[(1, "2026-01-01 00:00:00")] == ("2026-01-01 00:50:00", 2)
+    assert got[(1, "2026-01-01 01:30:00")] == ("2026-01-01 02:00:00", 1)
+    assert got[(2, "2026-01-01 00:00:00")] == ("2026-01-01 00:30:00", 1)
+    # the watermark (02:50) has not passed 03:30, so user 99's session is
+    # still open: append mode must NOT have emitted it
+    assert not any(uid == 99 for uid, _ in got)
+
+
 def test_dedup_with_watermark_stream(spark, tmp_path):
     src = tmp_path / "dup_events"
     src.mkdir()
