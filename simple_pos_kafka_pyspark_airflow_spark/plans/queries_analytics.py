@@ -1992,3 +1992,58 @@ def q_graph_triangles_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return graph.triangle_counts_oriented(graph.undirected_edges(edges))
+
+
+@register(
+    "q_sketch_shards",
+    "agg",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+           CAST(1 AS INTEGER) AS merge_ok
+    FROM orders GROUP BY year(o_orderdate)
+    UNION ALL
+    SELECT CAST(NULL AS INTEGER) AS yr,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+           CAST(1 AS INTEGER) AS merge_ok
+    FROM orders
+    """,
+    notes="extension: MERGEABLE distinct-count sketches (Datasketches HLL "
+    "via hll_sketch_agg/hll_union_agg) — the pattern approx_count_distinct "
+    "can't express: one sketch ROW per shard (year) is materializable as "
+    "an incremental index, and the GLOBAL distinct comes from unioning "
+    "the 7 shard sketches — bytes per shard, no second corpus scan, no "
+    "distinct-key shuffle. At 100 TB this is how cross-partition "
+    "cardinality is served: maintain per-partition sketches at write "
+    "time, merge at query time. Self-certifying form (q_approx_distinct "
+    "pattern): emits the EXACT per-shard and global distinct counts plus "
+    "an in-plan |est−exact| ≤ 2%·exact bit at lgConfigK=14 (rel err "
+    "~0.8%); the exact global pass is certification-only — the sketch "
+    "union is the product path. Sketches are hash-deterministic, so the "
+    "bit is stable run-to-run",
+)
+def q_sketch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"), "o_custkey"
+    )
+    shard = o.groupBy("yr").agg(
+        F.hll_sketch_agg("o_custkey", F.lit(14)).alias("_sk"),
+        F.count_distinct("o_custkey").alias("n_exact"),
+    )
+    within = lambda est, exact: (  # noqa: E731
+        F.abs(est.cast("double") - exact.cast("double"))
+        <= F.lit(0.02) * exact.cast("double")
+    ).cast("int")
+    per_shard = shard.select(
+        "yr",
+        "n_exact",
+        within(F.hll_sketch_estimate("_sk"), F.col("n_exact")).alias("merge_ok"),
+    )
+    merged = shard.agg(F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est"))
+    g_exact = o.agg(F.count_distinct("o_custkey").alias("n_exact"))
+    glob = merged.crossJoin(g_exact).select(
+        F.lit(None).cast("int").alias("yr"),
+        "n_exact",
+        within(F.col("_est"), F.col("n_exact")).alias("merge_ok"),
+    )
+    return per_shard.unionAll(glob)

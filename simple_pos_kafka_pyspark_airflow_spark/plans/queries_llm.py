@@ -2581,3 +2581,52 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return textops.collocation_lift(d, "text", min_count=5, k=20)
+
+
+@register(
+    "q_url_parse",
+    "text",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/' || lang || '/doc/'
+               || CAST(doc_id AS VARCHAR) || '?k=' || CAST(doc_id % 7 AS VARCHAR) AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^https://([^/]+)', 1) AS host,
+           regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+           CAST(regexp_extract(url, 'k=([0-9]+)', 1) AS INTEGER) AS k_val
+    FROM u
+    """,
+    notes="extension: URL structural parsing (parse_url HOST/PATH/QUERY-"
+    "param) — the first step of every web-corpus curation pipeline "
+    "(domain-level quality priors, per-host caps, blocklist joins all key "
+    "on the parsed host). parse_url is a codegen JVM expression, no UDF; "
+    "the oracle re-derives the same fields with anchored regexes, so the "
+    "driver pins Spark's parser against an independent implementation. "
+    "URLs are synthesized deterministically from (source, lang, doc_id) "
+    "because the testdata carries no URL column — the projection under "
+    "test is the parse, not the synthesis",
+)
+def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?k="),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    u = d.select("doc_id", url.alias("_url"))
+    return u.select(
+        "doc_id",
+        F.parse_url(F.col("_url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("_url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("_url"), F.lit("QUERY"), F.lit("k"))
+        .cast("int")
+        .alias("k_val"),
+    )

@@ -738,3 +738,19 @@ def test_triangle_counts_oriented_equals_plain_and_tames_hubs(spark):
     star = [(a, b) for a, b in star if a != b]
     sdf = undirected_edges(spark.createDataFrame(star, "src long, dst long"))
     assert triangle_counts_oriented(sdf).count() == 0  # a star has no triangles
+
+
+def test_hll_shard_sketches_merge_to_global_estimate(spark):
+    """Mergeability contract behind q_sketch_shards: the union of
+    per-shard HLL sketches must estimate the GLOBAL distinct count
+    within the lgConfigK=14 error bound, even when every key appears in
+    several shards (so per-shard exact counts cannot simply be summed)."""
+    from pyspark.sql import functions as F
+
+    rows = [(k % 5, k % 700) for k in range(10_000)]  # 700 distinct, all shards overlap
+    df = spark.createDataFrame(rows, "shard int, key int")
+    sk = df.groupBy("shard").agg(F.hll_sketch_agg("key", F.lit(14)).alias("sk"))
+    est = sk.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")).collect()[0]["e"]
+    assert abs(est - 700) <= 0.02 * 700
+    naive_sum = sk.count() * 700  # what summing per-shard exacts would give
+    assert naive_sum > 700  # the overlap that makes merging non-trivial
