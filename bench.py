@@ -115,6 +115,13 @@ HEADLINE = [
     "q_stats_corr",
     "q_dedup_prefix",
     "q_text_collocations",
+    # native session-window merge (the streaming operator's batch plan)
+    # and the degree-oriented triangle strategy (wedge volume bounded by
+    # arboricity instead of id luck — the plan that survives power-law
+    # skew); per-shard HLL sketch build + union merge
+    "q_window_session_native",
+    "q_graph_triangles_oriented",
+    "q_sketch_shards",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

@@ -401,3 +401,126 @@ def stratified_sample(
     return df.withColumn("sample_rank", F.row_number().over(w).cast("int")).where(
         F.col("sample_rank") <= k
     )
+
+
+def weighted_sample_wor(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column,
+    k: int,
+    max_weight: int = 64,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, probability
+    proportional to an integer weight (sample long documents more often:
+    weight ∝ tokens — the PPS draw mixture builders need), via
+    min-stable unit hashing:
+
+    each row explodes into ``weight`` unit rows, every unit gets the
+    md5 of ``(id, unit#)``, the row's key is its MINIMUM unit digest,
+    and the sample is the ``k`` rows with the smallest keys. For the
+    first draw this is EXACT PPS: P(row i owns the global minimum) =
+    w_i/Σw (the uniform-minimum integral telescopes). Subsequent draws
+    are the successive-minima relaxation of Efraimidis–Spirakis
+    (exact under exponential keys; uniform minima deviate by O(u) at
+    the u ≈ k/Σw scale — negligible for k ≪ Σw, and the determinism is
+    the contract here, not the last decimal of inclusion probability).
+
+    Everything is integer/string: md5 hex strings ARE the uniform order
+    (lexicographic = numeric on fixed-width hex), so there is no float,
+    no libm, no RNG — any engine, any partitioning reproduces the same
+    sample, and a SQL oracle can replay it verbatim.
+
+    Scale: the explode is the cost — O(Σw) rows, bounded by
+    ``max_weight`` (weights clamp to [1, max_weight]; raise it only
+    with a reason). Map-side ``min`` collapses each row to one 16-byte
+    digest before the exchange, and the global top-k is
+    TakeOrderedAndProject — k rows per partition move, never the corpus.
+
+    Output: ``id_col``, ``weight`` (the clamped weight actually used),
+    ``sample_rank`` (1..k by ascending key, the draw order)."""
+    from pyspark.sql import Window
+
+    w = F.greatest(F.lit(1), F.least(F.lit(max_weight), weight_col)).cast("int")
+    units = df.select(F.col(id_col), w.alias("weight")).withColumn(
+        "_rep", F.explode(F.sequence(F.lit(1), F.col("weight")))
+    )
+    keyed = units.groupBy(id_col, "weight").agg(
+        F.min(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"), F.lit("#"), F.col("_rep").cast("string")
+                )
+            )
+        ).alias("_key")
+    )
+    top = keyed.orderBy("_key", id_col).limit(k)
+    rank = Window.orderBy("_key", id_col)
+    return top.select(
+        id_col, "weight", F.row_number().over(rank).cast("int").alias("sample_rank")
+    )
+
+
+def repeat_rates_fixedpoint(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    mod: int = 1000,
+    cap_milli: int = 3000,
+) -> DataFrame:
+    """Per-group REPEAT rates in exact milli-units — the upsampling half
+    of mixture construction (``temperature_keep_rates`` can only drop;
+    epoch building also needs "see the small source 2.4× per epoch"):
+    ``rate_milli = min(cap, (mod · w_max) div w_g)`` so the largest
+    group runs at exactly 1.0× and smaller groups are boosted toward
+    equal total weight, clamped at ``cap_milli`` (repeating a tiny
+    source 50× per epoch memorizes it — the cap is the product guard,
+    cf. the ≤4-epochs-of-repetition practice in data-constrained
+    scaling). Integer division end-to-end: the rates are bit-identical
+    on any engine. One partial-aggregated groupBy + a 1-row broadcast."""
+    w = df.groupBy(group_col).agg(F.sum(F.col(weight_col)).alias("_w"))
+    wmax = w.agg(F.max("_w").alias("_wmax"))
+    return (
+        w.crossJoin(F.broadcast(wmax))
+        .select(
+            group_col,
+            F.least(
+                F.lit(cap_milli), F.expr(f"({mod} * _wmax) div _w")
+            )
+            .cast("int")
+            .alias("rate_milli"),
+        )
+    )
+
+
+def repeat_epoch_copies(
+    df: DataFrame,
+    group_col: str = "source",
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    mod: int = 1000,
+    cap_milli: int = 3000,
+    salt: int = 1_597_334_677,
+) -> DataFrame:
+    """Number of copies of each document in ONE materialized epoch under
+    ``repeat_rates_fixedpoint``: ``floor(rate) `` copies always, plus one
+    more for the deterministic ``(id·salt) mod 1000 < frac(rate)`` slice
+    — so a group at rate 2.4 contributes every doc twice and a stable
+    40% of docs a third time, landing the group total within one doc of
+    ``rate × n_docs`` with zero RNG. Row-local after a broadcast join of
+    the S-row rates table; ``F.explode(F.sequence(1, n_copies))``
+    materializes the epoch when the caller wants rows instead of counts.
+
+    Output: ``id_col``, ``group_col``, ``n_copies`` (int ≥ 0; a rate
+    below 1.0 downsamples — floor 0 plus the fractional slice)."""
+    rates = repeat_rates_fixedpoint(df, group_col, weight_col, mod, cap_milli)
+    bucket = (F.col(id_col) * F.lit(salt)) % F.lit(mod)
+    return df.join(F.broadcast(rates), group_col).select(
+        id_col,
+        group_col,
+        (
+            F.expr(f"rate_milli div {mod}")
+            + (bucket < F.col("rate_milli") % F.lit(mod)).cast("int")
+        )
+        .cast("int")
+        .alias("n_copies"),
+    )

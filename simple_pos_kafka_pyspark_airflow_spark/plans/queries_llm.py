@@ -2630,3 +2630,79 @@ def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("k_val"),
     )
+
+
+@register(
+    "q_sample_weighted",
+    "sample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             CAST(greatest(1, least(64, (n_chars + 99) // 100)) AS INTEGER) AS weight
+      FROM documents
+    ), u AS (
+      SELECT doc_id, weight,
+             md5(CAST(doc_id AS VARCHAR) || '#' || CAST(r AS VARCHAR)) AS uk
+      FROM w, UNNEST(generate_series(1, weight)) AS t(r)
+    ), m AS (
+      SELECT doc_id, weight, MIN(uk) AS key FROM u GROUP BY doc_id, weight
+    )
+    SELECT doc_id, weight,
+           CAST(ROW_NUMBER() OVER (ORDER BY key, doc_id) AS INTEGER) AS sample_rank
+    FROM m ORDER BY key, doc_id LIMIT 50
+    """,
+    notes="extension: weighted sampling WITHOUT replacement, P ∝ document "
+    "length (llm/filtering.weighted_sample_wor) — the PPS draw mixture "
+    "builders use to sample long documents proportionally. Min-stable "
+    "unit hashing: explode to weight unit rows, md5(id#unit), row key = "
+    "min digest, k smallest keys win; first draw exactly P=w/Σw, "
+    "successive draws the Efraimidis–Spirakis successive-minima "
+    "relaxation. md5 hex IS the uniform order — no float, no libm, no "
+    "RNG, so DuckDB replays the identical sample and the driver "
+    "hash-verifies actual sample MEMBERSHIP, not a summary. Scale: "
+    "explode bounded by the weight clamp, map-side min collapses to one "
+    "digest per doc pre-shuffle, top-k is TakeOrderedAndProject",
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.filtering import weighted_sample_wor
+
+    d = table(spark, sf_dir, "documents")
+    return weighted_sample_wor(
+        d, "doc_id", F.expr("(n_chars + 99) div 100"), k=50, max_weight=64
+    )
+
+
+@register(
+    "q_sample_repeat",
+    "sample",
+    oracle="""
+    WITH w AS (
+      SELECT source, SUM(n_chars) AS wsum FROM documents GROUP BY source
+    ), r AS (
+      SELECT source,
+             CAST(least(3000, (1000 * (SELECT MAX(wsum) FROM w)) // wsum) AS INTEGER)
+               AS rate_milli
+      FROM w
+    )
+    SELECT d.doc_id, d.source,
+           CAST(rate_milli // 1000
+                + CASE WHEN (d.doc_id * 1597334677) % 1000 < rate_milli % 1000
+                       THEN 1 ELSE 0 END AS INTEGER) AS n_copies
+    FROM documents d JOIN r USING (source)
+    """,
+    notes="extension: per-source REPEAT rates + one materialized epoch "
+    "(llm/filtering.repeat_epoch_copies) — the upsampling half of mixture "
+    "construction that temperature_keep_rates (drop-only) can't express: "
+    "rate_milli = min(3000, (1000·w_max) div w_src) boosts small sources "
+    "toward char-weight parity, capped at 3× (the repetition guard from "
+    "data-constrained-scaling practice); n_copies = floor + deterministic "
+    "fractional slice by multiplicative id-hash. Integer division "
+    "end-to-end — rates and copy counts bit-identical across engines. "
+    "One partial-agg groupBy + 1-row max + S-row broadcast join; "
+    "explode(sequence(1, n_copies)) materializes the epoch rows",
+)
+def q_sample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.filtering import repeat_epoch_copies
+
+    d = table(spark, sf_dir, "documents")
+    return repeat_epoch_copies(d, "source", "n_chars", "doc_id")

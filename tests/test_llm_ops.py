@@ -1866,3 +1866,59 @@ def test_collocation_lift_ranks_planted_pair_first(spark):
     total = sum(len(t.split()) for _, t in docs)
     assert top["lift"] == total * 6 / (6 * 6)
     assert all(r["n"] >= 5 for r in rows)
+
+
+def test_weighted_sample_wor_replays_in_pure_python(spark):
+    """Independent oracle beyond DuckDB: the md5 min-stable sample must be
+    replayable with hashlib — same unit digests, same minima, same
+    top-k order. Also pins the weight clamp to [1, max_weight]."""
+    import hashlib
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm.filtering import weighted_sample_wor
+
+    rows = [(i, (i * 37) % 9 - 1) for i in range(200)]  # weights -1..7 (clamp hits both ends)
+    df = spark.createDataFrame(rows, "id long, w int")
+    got = [
+        (r["id"], r["weight"], r["sample_rank"])
+        for r in weighted_sample_wor(df, "id", F.col("w"), k=10, max_weight=5)
+        .orderBy("sample_rank")
+        .collect()
+    ]
+    expect = []
+    for i, w in rows:
+        w = max(1, min(5, w))
+        key = min(
+            hashlib.md5(f"{i}#{rep}".encode()).hexdigest() for rep in range(1, w + 1)
+        )
+        expect.append((key, i, w))
+    expect.sort()
+    expect = [(i, w, rank + 1) for rank, (_, i, w) in enumerate(expect[:10])]
+    assert got == expect
+
+
+def test_repeat_epoch_copies_group_totals_track_rates(spark):
+    """A group at rate r must contribute within one doc of r × n_docs
+    copies (floor + deterministic fractional slice), and the largest
+    group runs at exactly 1.0x."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm.filtering import (
+        repeat_epoch_copies,
+        repeat_rates_fixedpoint,
+    )
+
+    rows = [(i, "big" if i < 800 else "small", 100) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    rates = {
+        r["source"]: r["rate_milli"]
+        for r in repeat_rates_fixedpoint(df, "source", "n_chars").collect()
+    }
+    assert rates["big"] == 1000  # w_max group: exactly 1.0x
+    assert rates["small"] == 3000  # 4x parity boost clamped to the 3x cap
+    out = repeat_epoch_copies(df, "source", "n_chars", "doc_id")
+    totals = {
+        r["source"]: r["total"]
+        for r in out.groupBy("source").agg(F.sum("n_copies").alias("total")).collect()
+    }
+    for src, n_docs in (("big", 800), ("small", 200)):
+        want = rates[src] * n_docs / 1000
+        assert abs(totals[src] - want) <= max(1, n_docs * 0.05)  # hash slice ≈ frac rate
+    assert totals["small"] == 600  # cap is integral -> exact
