@@ -122,6 +122,9 @@ HEADLINE = [
     "q_window_session_native",
     "q_graph_triangles_oriented",
     "q_sketch_shards",
+    # md5 min-stable PPS sample: the O(sum weights) explode + string-min
+    # SortAggregate stage is a plan shape nothing else in the suite has
+    "q_sample_weighted",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

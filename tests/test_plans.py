@@ -489,3 +489,33 @@ def test_tpch_heavy_shapes_stay_broadcast_and_bounded(spark, sf_dir):
             assert s["windows"] == want["windows"], (name, s)
         plan = explain_str(df)
         assert ("LeftSemi" in plan) == want["semi"], (name, plan[:800])
+
+
+def test_weighted_sample_take_ordered_then_tiny_window(spark, sf_dir):
+    """The md5 min-stable sampler must do the global selection with
+    TakeOrderedAndProject (k rows per partition move) and collapse every
+    doc's units map-side BEFORE the exchange — the single-partition
+    row_number window only ever sees the k selected rows."""
+    plan = explain_str(build(spark, sf_dir, "q_sample_weighted"))
+    assert "TakeOrderedAndProject" in plan, plan
+    # min over md5 STRINGS is a varlen buffer -> Spark plans SortAggregate;
+    # the partial/final pair is what matters (digests collapse pre-shuffle)
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2, plan
+
+
+def test_sketch_shards_partial_sketch_before_exchange(spark, sf_dir):
+    """Per-shard HLL build must be a partial/final ObjectHashAggregate
+    pair — the shuffle carries sketch bytes per shard, never the custkey
+    column — and the certification-only exact arm is the ONLY reason a
+    second orders scan appears (documented in the query notes)."""
+    plan = explain_str(build(spark, sf_dir, "q_sketch_shards"))
+    assert plan.count("ObjectHashAggregate") >= 2, plan
+
+
+def test_session_native_single_shuffle(spark, sf_dir):
+    """Native session windows: one exchange on the grouping key, then the
+    session merge — no extra sort-based global pass."""
+    from simple_pos_kafka_pyspark_airflow_spark.analyze import plan_summary
+
+    s = plan_summary(build(spark, sf_dir, "q_window_session_native"))
+    assert s["scans"] == 1 and s["exchanges"] <= 1, s

@@ -247,6 +247,18 @@ CHEAP_ORACLE_AT_SCALE = [
     "q_scan_statefiles",
     "q_join_bucketed",
     "q_sink_daily_overwrite",
+    # round 7 batch C-E: native session merge over 10× the events (100k
+    # rows, ~20× the sessions), degree-oriented wedge enumeration, HLL
+    # shard union on 10× the orders, parse_url over 10× the docs, and
+    # the md5 min-stable weighted sample whose top-50 membership must be
+    # IDENTICAL at any scale that contains the same winning docs — all
+    # cheap oracles
+    "q_window_session_native",
+    "q_graph_triangles_oriented",
+    "q_sketch_shards",
+    "q_url_parse",
+    "q_sample_weighted",
+    "q_sample_repeat",
 ]
 
 
