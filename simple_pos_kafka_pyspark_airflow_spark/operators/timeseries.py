@@ -79,3 +79,60 @@ def gapfill_locf(
         F.last("_v", ignorenulls=True).over(w).alias(value_name),
         F.when(F.col("_v").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("observed"),
     )
+
+
+def cusum_alarms(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: Column,
+    target_num: Column,
+    target_den: Column,
+    slack: Column,
+    threshold: Column,
+) -> DataFrame:
+    """One-sided (upper) Page CUSUM per key, exactly, in two window
+    passes: the sequential change-point detector every metrics pipeline
+    wants ("did this user's spend level SHIFT, and when?") — not the
+    pointwise z-score gate (``q_anomaly_zscore``), which misses small
+    sustained shifts entirely.
+
+    The textbook recursion ``C_i = max(0, C_{i-1} + x_i − target −
+    slack)`` looks inherently sequential, but it telescopes: with
+    ``S_i = Σ_{j≤i} d_j`` (prefix sum of deviations), ``C_i = S_i −
+    min(0, min_{j≤i} S_j)`` (the 0 is the empty prefix — dropping it
+    clamps the FIRST positive run to zero) — a running sum and a
+    running min over the SAME
+    per-key window, one shuffle, both whole-stage-codegen. That is the
+    entire scale story: CUSUM over a trillion rows costs exactly one
+    exchange keyed by the monitored entity.
+
+    Exactness: ``value_col``, the rational target (``target_num /
+    target_den``), ``slack`` and ``threshold`` must all be INTEGER
+    columns on a common grid (cents, milli-units); deviations are
+    cross-multiplied — ``d_i = den·x_i − num − den·slack`` — so no
+    quotient is ever materialized and the alarm decision ``C_i >
+    den·threshold`` is bigint-exact on any engine, any row order within
+    the (total) ``order_cols`` tiebreak.
+
+    Returns the input keys + ``order_cols`` + ``c_scaled`` (the CUSUM
+    statistic in den-units) + ``alarm`` (int 0/1). Callers filter
+    ``alarm = 1`` for change points; the first alarm row per key is the
+    detected shift onset."""
+    d = target_den * value_col - target_num - target_den * slack
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = F.sum(d).over(w)
+    with_s = df.select(
+        key_col, *order_cols, target_den.alias("_den"), threshold.alias("_h"), s.alias("_s")
+    )
+    m = F.least(F.lit(0).cast("long"), F.min("_s").over(w))
+    return with_s.select(
+        key_col,
+        *order_cols,
+        (F.col("_s") - m).alias("c_scaled"),
+        ((F.col("_s") - m) > F.col("_den") * F.col("_h")).cast("int").alias("alarm"),
+    )

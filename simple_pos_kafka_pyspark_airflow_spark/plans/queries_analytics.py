@@ -2047,3 +2047,67 @@ def q_sketch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         within(F.col("_est"), F.col("n_exact")).alias("merge_ok"),
     )
     return per_shard.unionAll(glob)
+
+
+@register(
+    "q_anomaly_cusum",
+    "window",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS num,
+             COUNT(*) AS den
+      FROM events
+    ), d AS (
+      SELECT user_id, ts, event_id,
+             den * CAST(round(value * 100) AS BIGINT) - num - den * 2500 AS dev,
+             den
+      FROM events, t
+    ), s AS (
+      SELECT user_id, ts, event_id, den,
+             SUM(dev) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sv
+      FROM d
+    ), m AS (
+      SELECT user_id, ts, event_id, den, sv,
+             MIN(sv) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS mn
+      FROM s
+    )
+    SELECT user_id, ts, event_id,
+           CAST(sv - least(0, mn) AS BIGINT) AS c_scaled,
+           CAST(CASE WHEN sv - least(0, mn) > den * 20000 THEN 1 ELSE 0 END
+                AS INTEGER) AS alarm
+    FROM m
+    """,
+    notes="extension: one-sided Page CUSUM change-point detection per "
+    "user (operators/timeseries.cusum_alarms) — the sequential monitor "
+    "that catches small SUSTAINED level shifts the pointwise z-score "
+    "gate can't see. The clamped recursion max(0, C+x-k) telescopes to "
+    "prefix-sum minus running-min-including-empty-prefix — two window "
+    "functions on ONE per-key "
+    "shuffle, fully codegen. Cents grid + cross-multiplied rational "
+    "target (global mean as num/den, never divided) keep every "
+    "comparison bigint-exact across engines. Slack 25.00 (~0.5 sigma of "
+    "the value distribution), threshold 200.00 (~4 sigma) — the "
+    "textbook ARL operating point; fires on ~3% of sf0.01 rows",
+)
+def q_anomaly_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import cusum_alarms
+
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    tot = ev.agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("_num"),
+        F.count("*").alias("_den"),
+    )
+    base = ev.crossJoin(F.broadcast(tot))
+    return cusum_alarms(
+        base,
+        "user_id",
+        ["ts", "event_id"],
+        cents,
+        F.col("_num"),
+        F.col("_den"),
+        F.lit(2500).cast("long"),
+        F.lit(20000).cast("long"),
+    )

@@ -754,3 +754,39 @@ def test_hll_shard_sketches_merge_to_global_estimate(spark):
     assert abs(est - 700) <= 0.02 * 700
     naive_sum = sk.count() * 700  # what summing per-shard exacts would give
     assert naive_sum > 700  # the overlap that makes merging non-trivial
+
+
+def test_cusum_window_rewrite_equals_textbook_recursion(spark):
+    """The prefix-sum-minus-running-min form must equal the sequential
+    max(0, C + d) recursion exactly, per key, on integer deviations —
+    including runs that dip negative (the clamp) and re-alarm."""
+    from pyspark.sql import functions as F
+
+    from simple_pos_kafka_pyspark_airflow_spark.operators.timeseries import cusum_alarms
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (k, i, rng.randrange(0, 200))
+        for k in range(5)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k long, i long, x long")
+    out = cusum_alarms(
+        df,
+        "k",
+        ["i"],
+        F.col("x"),
+        F.lit(90).cast("long"),   # target 90/1
+        F.lit(1).cast("long"),
+        F.lit(10).cast("long"),   # slack
+        F.lit(400).cast("long"),  # threshold
+    )
+    got = {(r["k"], r["i"]): (r["c_scaled"], r["alarm"]) for r in out.collect()}
+    per_key = {}
+    for k, i, x in rows:
+        c = per_key.get(k, 0)
+        c = max(0, c + x - 90 - 10)
+        per_key[k] = c
+        assert got[(k, i)] == (c, int(c > 400)), (k, i)

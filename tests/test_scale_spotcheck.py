@@ -259,6 +259,9 @@ CHEAP_ORACLE_AT_SCALE = [
     "q_url_parse",
     "q_sample_weighted",
     "q_sample_repeat",
+    # CUSUM over 10× the events: 100k-row prefix sums per user, alarm
+    # decisions bigint-exact
+    "q_anomaly_cusum",
 ]
 
 
