@@ -696,3 +696,81 @@ def near_dup_pairs_embedding(
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def embed_diversity_onepass(
+    df: DataFrame,
+    group_col: str,
+    emb_col: str = "embedding",
+    dim: int = 64,
+    grid: int = 1_000_000,
+) -> DataFrame:
+    """Per-group embedding diversity — the mean pairwise cosine among a
+    group's vectors — in ONE pass, via the moment identity
+    ``Σ_{i≠j} v̂_i·v̂_j = ‖Σ v̂‖² − Σ‖v̂‖²``: the O(n²) pairwise join a
+    naive audit would run collapses to d running sums per group. At
+    100 TB this is the difference between "unmeasurable" and one
+    partial-aggregable groupBy whose shuffle carries d+2 numbers per
+    group. Low diversity (mean cosine → 1) flags a source of
+    near-identical embeddings — collapsed scrapes, templated spam, or a
+    broken encoder — BEFORE it dominates a training mixture.
+
+    Exactness discipline (the reason this function is cross-engine
+    hash-stable): each vector is L2-normalized with an EXPLICIT
+    left-associated d-term sum-of-squares chain (both engines evaluate
+    the same IEEE operation sequence — never a list-fold whose
+    accumulation order is an engine detail), the normalized coordinate
+    is snapped to an integer grid with ``floor(x/‖x‖ · grid)`` (floor,
+    never round: round-of-quotient is the documented Spark/DuckDB
+    divergence), and every moment after that is bigint arithmetic —
+    order-free, partitioning-free. ``mean_pair_cos`` ships as ONE raw
+    division of exact integers. Grid error on the statistic is
+    O(d/grid) ≈ 6e-5 at d=64 — far below any screening threshold.
+
+    Bounds: |coord| ≤ grid, so per-dim group sums need n ≤ 9e12/grid
+    rows per group and ‖S‖² ≤ d·(n·grid)² must stay under 2^63 —
+    n ≤ ~380k per group at the defaults; shard larger groups or drop
+    ``grid`` to 1e5 (error 6e-4, n ≤ ~12M).
+
+    Returns (``group_col``, ``n``, ``diversity_scaled`` [grid⁻² units],
+    ``mean_pair_cos``); groups with n < 2 report NULL mean."""
+    from functools import reduce as _reduce
+
+    xs = [F.element_at(F.col(emb_col), i + 1).cast("double") for i in range(dim)]
+    ss = _reduce(lambda a, b: a + b, (c * c for c in xs))
+    nrm = F.greatest(F.sqrt(ss), F.lit(1e-12))
+    # materialize coordinates + norm FIRST: referencing the norm chain
+    # from every coordinate expression would inline the d-term chain d
+    # times (a d²-term plan — measured as a 22 MiB task binary at d=64
+    # before this split; ~0.5 MiB after)
+    mat = df.select(
+        F.col(group_col),
+        nrm.alias("_nv"),
+        *[c.alias(f"_x{i}") for i, c in enumerate(xs)],
+    )
+    ws = [
+        F.floor(F.col(f"_x{i}") / F.col("_nv") * F.lit(float(grid))).cast("long")
+        for i in range(dim)
+    ]
+    self_ss = _reduce(lambda a, b: a + b, (w * w for w in ws))
+    rows = mat.select(
+        F.col(group_col),
+        self_ss.alias("_self"),
+        *[wc.alias(f"_w{i}") for i, wc in enumerate(ws)],
+    )
+    agged = rows.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.sum("_self").alias("_sself"),
+        *[F.sum(f"_w{i}").alias(f"_s{i}") for i in range(dim)],
+    )
+    sum_sq = _reduce(
+        lambda a, b: a + b, (F.col(f"_s{i}") * F.col(f"_s{i}") for i in range(dim))
+    )
+    div_scaled = (sum_sq - F.col("_sself")).cast("long")
+    denom = (F.col("n") * (F.col("n") - 1)).cast("double") * F.lit(float(grid) * float(grid))
+    return agged.select(
+        group_col,
+        F.col("n").cast("long").alias("n"),
+        div_scaled.alias("diversity_scaled"),
+        F.when(F.col("n") >= 2, div_scaled.cast("double") / denom).alias("mean_pair_cos"),
+    )

@@ -2706,3 +2706,69 @@ def q_sample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return repeat_epoch_copies(d, "source", "n_chars", "doc_id")
+
+
+def _diversity_oracle(dim: int = 64, grid: int = 1_000_000) -> str:
+    """Generated (deterministic) oracle for q_embed_diversity: the SAME
+    explicit left-associated chains the Spark side evaluates — a list
+    fold would hand the accumulation order to the engine, and sums of
+    doubles are order-dependent."""
+    sq = " + ".join(
+        f"CAST(embedding[{i+1}] AS DOUBLE) * CAST(embedding[{i+1}] AS DOUBLE)"
+        for i in range(dim)
+    )
+    wdefs = ",\n             ".join(
+        f"CAST(floor(CAST(embedding[{i+1}] AS DOUBLE) / nv * {float(grid)}) AS BIGINT)"
+        f" AS w{i}"
+        for i in range(dim)
+    )
+    self_ss = " + ".join(f"w{i} * w{i}" for i in range(dim))
+    sums = ",\n             ".join(f"SUM(w{i}) AS s{i}" for i in range(dim))
+    sum_sq = " + ".join(f"s{i} * s{i}" for i in range(dim))
+    return f"""
+    WITH nrm AS (
+      SELECT label, embedding, greatest(sqrt({sq}), 1e-12) AS nv
+      FROM embeddings
+    ), w AS (
+      SELECT label,
+             {wdefs}
+      FROM nrm
+    ), r AS (
+      SELECT *, {self_ss} AS self_ss FROM w
+    ), g AS (
+      SELECT label, COUNT(*) AS n, SUM(self_ss) AS sself,
+             {sums}
+      FROM r GROUP BY label
+    )
+    SELECT label, CAST(n AS BIGINT) AS n,
+           CAST(({sum_sq}) - sself AS BIGINT) AS diversity_scaled,
+           CASE WHEN n >= 2 THEN
+             CAST(({sum_sq}) - sself AS DOUBLE)
+               / (CAST(n * (n - 1) AS DOUBLE) * {float(grid) * float(grid)})
+           END AS mean_pair_cos
+    FROM g
+    """
+
+
+@register(
+    "q_embed_diversity",
+    "llm",
+    oracle=_diversity_oracle(),
+    notes="extension: per-group embedding diversity (mean pairwise "
+    "cosine) in ONE pass via the moment identity sum_{i!=j} v_i.v_j = "
+    "|sum v|^2 - sum|v|^2 (llm/simsearch.embed_diversity_onepass) — the "
+    "O(n^2) pairwise join collapses to d running sums per group; the "
+    "shuffle carries d+2 numbers per group at any corpus size. Flags "
+    "collapsed scrapes / templated spam / broken encoders before they "
+    "dominate a mixture. Exactness: explicit left-associated d-term "
+    "IEEE chains (never an engine-ordered list fold), floor-grid "
+    "snapped normalized coords (floor, never round-of-quotient), then "
+    "pure bigint moments; mean ships as one raw division. The oracle "
+    "text is GENERATED from the same (dim, grid) parameters the "
+    "builder uses, so the two sides cannot drift",
+)
+def q_embed_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.simsearch import embed_diversity_onepass
+
+    e = table(spark, sf_dir, "embeddings")
+    return embed_diversity_onepass(e, "label", "embedding", dim=64)

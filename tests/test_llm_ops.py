@@ -1922,3 +1922,36 @@ def test_repeat_epoch_copies_group_totals_track_rates(spark):
         want = rates[src] * n_docs / 1000
         assert abs(totals[src] - want) <= max(1, n_docs * 0.05)  # hash slice ≈ frac rate
     assert totals["small"] == 600  # cap is integral -> exact
+
+
+def test_embed_diversity_onepass_matches_numpy_brute_force(spark):
+    """The moment-identity diversity must match the O(n²) numpy mean
+    pairwise cosine within the floor-grid error bound O(d/grid), and a
+    group of identical vectors must report mean_pair_cos ≈ 1."""
+    import numpy as np
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm.simsearch import (
+        embed_diversity_onepass,
+    )
+
+    rng = np.random.RandomState(3)
+    groups = {"a": rng.randn(20, 64), "b": rng.randn(3, 64)}
+    groups["c"] = np.tile(rng.randn(1, 64), (5, 1))  # identical vectors
+    rows = [
+        (g, [float(x) for x in vec])
+        for g, mat in groups.items()
+        for vec in mat
+    ]
+    df = spark.createDataFrame(rows, "label string, embedding array<double>")
+    got = {
+        r["label"]: (r["n"], r["mean_pair_cos"])
+        for r in embed_diversity_onepass(df, "label", "embedding", dim=64).collect()
+    }
+    for g, mat in groups.items():
+        v = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = v @ v.T
+        n = len(mat)
+        brute = (sims.sum() - n) / (n * (n - 1))
+        assert got[g][0] == n
+        assert abs(got[g][1] - brute) < 64 / 1e6 + 1e-9, (g, got[g][1], brute)
+    assert got["c"][1] > 0.999

@@ -262,6 +262,8 @@ CHEAP_ORACLE_AT_SCALE = [
     # CUSUM over 10× the events: 100k-row prefix sums per user, alarm
     # decisions bigint-exact
     "q_anomaly_cusum",
+    # one-pass moment-identity diversity over 10× the embeddings
+    "q_embed_diversity",
 ]
 
 
