@@ -204,3 +204,86 @@ def stock_stream_tws(grouped_events: Any) -> Any:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming CUSUM (the sequential monitor from operators/timeseries)
+# ---------------------------------------------------------------------------
+
+CUSUM_STATE_SCHEMA = "c long"
+CUSUM_OUTPUT_SCHEMA = "key long, order_key long, c_scaled long, alarm int"
+
+
+def _fold_cusum(
+    prior: int, batches: Iterable[pd.DataFrame], threshold_scaled: int
+) -> tuple[int, pd.DataFrame]:
+    """The per-key CUSUM batch fold: rows carry a precomputed integer
+    ``dev`` (den·x − num − den·slack, the cross-multiplied deviation from
+    ``operators/timeseries.cusum_alarms``) and a unique integer
+    ``order_key``; the fold sorts by ``order_key`` and runs the textbook
+    ``C = max(0, C + dev)`` recursion from the prior state. Returns the
+    final C and the per-row (order_key, c_scaled, alarm) frame.
+
+    Shared shape with ``_fold_stock``: pure pandas, unit-testable without
+    a stream, and the ONLY place the recursion lives — the streaming
+    wrapper and tests call this same function."""
+    frames = [pdf for pdf in batches if len(pdf)]
+    if not frames:
+        empty = pd.DataFrame({"order_key": [], "c_scaled": [], "alarm": []})
+        return prior, empty
+    rows = pd.concat(frames).sort_values("order_key").reset_index(drop=True)
+    c = prior
+    cs = []
+    for dev in rows["dev"].astype("int64"):
+        c = max(0, c + int(dev))
+        cs.append(c)
+    return c, pd.DataFrame(
+        {
+            "order_key": rows["order_key"].astype("int64"),
+            "c_scaled": pd.Series(cs, dtype="int64"),
+            "alarm": pd.Series(
+                [1 if v > threshold_scaled else 0 for v in cs], dtype="int32"
+            ),
+        }
+    )
+
+
+def make_cusum_update(threshold_scaled: int):
+    """Build the ``applyInPandasWithState`` transform for streaming CUSUM.
+
+    Unlike the batch form (which may derive its target from the data),
+    the stream monitors against a FROZEN reference target baked into the
+    per-row ``dev`` column — the same frozen-baseline discipline as PSI
+    drift (a target that drifts with the stream would absorb exactly the
+    shift being monitored). State is ONE long per key (the current CUSUM
+    statistic): restart-safe via the checkpointed state store, O(keys)
+    total. Emits every row's statistic + alarm bit in update mode;
+    downstream alerting filters alarm = 1."""
+
+    def cusum_update(
+        key: tuple[Any, ...], batches: Iterable[pd.DataFrame], state: Any
+    ) -> Iterator[pd.DataFrame]:
+        prior = int(state.get[0]) if state.exists else 0
+        c, out = _fold_cusum(prior, batches, threshold_scaled)
+        state.update((c,))
+        out.insert(0, "key", int(key[0]))
+        yield out
+
+    return cusum_update
+
+
+def cusum_stream(grouped: Any, threshold_scaled: int) -> Any:
+    """Wire streaming CUSUM onto ``df.groupBy(<key>)`` of a stream whose
+    rows carry integer ``dev`` and ``order_key`` columns."""
+    if GroupStateTimeout is None:
+        raise ImportError(
+            "pyspark.sql.streaming.state.GroupStateTimeout is unavailable "
+            "in this pyspark build"
+        )
+    return grouped.applyInPandasWithState(
+        make_cusum_update(threshold_scaled),
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -2572,3 +2572,86 @@ def test_full_front_door_with_bloom_gate_under_streaming_drain(spark, tmp_path):
     # and the rejected docs left no index rows behind
     mh_ids = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "mh")).collect()}
     assert 2 not in mh_ids and 10 not in mh_ids
+
+
+def test_cusum_fold_incremental_equals_batch_operator(spark):
+    """Two sequential _fold_cusum calls (micro-batch split) must produce
+    the same per-row statistics as the BATCH cusum_alarms window rewrite
+    over the union with the same frozen target — state carries C across
+    the split exactly."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators.timeseries import cusum_alarms
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.state import _fold_cusum
+
+    import pandas as pd
+
+    # dev = x - 100 (target 90/1, slack 10), threshold 400 — mirrors the
+    # property test's parameters
+    xs = [150, 30, 220, 10, 300, 290, 5, 180]
+    devs = [x - 100 for x in xs]
+    b1 = pd.DataFrame({"order_key": range(4), "dev": devs[:4]})
+    b2 = pd.DataFrame({"order_key": range(4, 8), "dev": devs[4:]})
+    c1, out1 = _fold_cusum(0, [b1], 400)
+    c2, out2 = _fold_cusum(c1, [b2], 400)
+    stream_rows = pd.concat([out1, out2]).set_index("order_key")
+
+    df = spark.createDataFrame(
+        [(1, i, x) for i, x in enumerate(xs)], "k long, i long, x long"
+    )
+    batch = cusum_alarms(
+        df, "k", ["i"], F.col("x"),
+        F.lit(90).cast("long"), F.lit(1).cast("long"),
+        F.lit(10).cast("long"), F.lit(400).cast("long"),
+    ).collect()
+    for r in batch:
+        assert stream_rows.loc[r["i"], "c_scaled"] == r["c_scaled"]
+        assert stream_rows.loc[r["i"], "alarm"] == r["alarm"]
+
+
+def test_cusum_stream_carries_state_across_microbatches(spark, tmp_path):
+    """Real stream: two files drained one per micro-batch through
+    cusum_stream must emit the same statistics as the batch operator on
+    the union — the checkpointed C survives the batch boundary."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators.timeseries import cusum_alarms
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.state import cusum_stream
+
+    xs = {1: [150, 220, 300, 10, 250], 2: [50, 40, 400, 390, 20]}
+    rows = [
+        (k, i, x, x - 100)  # dev = x - target(90) - slack(10)
+        for k, seq in xs.items()
+        for i, x in enumerate(seq)
+    ]
+    src = tmp_path / "cusum_src"
+    src.mkdir()
+    df = spark.createDataFrame(rows, "key long, order_key long, x long, dev long")
+    # file 0: order_key < 3, file 1: the rest — forces cross-batch state
+    df.where("order_key < 3").coalesce(1).write.parquet(str(src / "f0"))
+    df.where("order_key >= 3").coalesce(1).write.parquet(str(src / "f1"))
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = cusum_stream(stream.groupBy("key"), threshold_scaled=400)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cusum_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cusum"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["key"], r["order_key"]): (r["c_scaled"], r["alarm"])
+        for r in spark.sql("SELECT * FROM cusum_out").collect()
+    }
+
+    batch = cusum_alarms(
+        df, "key", ["order_key"], F.col("x"),
+        F.lit(90).cast("long"), F.lit(1).cast("long"),
+        F.lit(10).cast("long"), F.lit(400).cast("long"),
+    ).collect()
+    assert len(got) == len(batch) == len(rows)
+    for r in batch:
+        assert got[(r["key"], r["order_key"])] == (r["c_scaled"], r["alarm"]), r
