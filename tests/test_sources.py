@@ -556,6 +556,76 @@ def test_statefile_batch_source_reads_and_prunes(spark, tmp_path):
     assert {r["sale_id"]: r["total_price"] for r in df.collect()}[2] == 7.25
 
 
+def test_statefile_runs_when_session_lacks_pushdown_conf(spark, sf_dir, tmp_path):
+    """VERDICT r7 item 1: the driver hands us a session WITHOUT
+    spark.sql.python.filterPushdown.enabled, and Spark 4 hard-errors when a
+    reader implements pushFilters() under that conf. The contract query must
+    run anyway: register_pos_sources flips the runtime conf on, and when the
+    conf cannot stick the source degrades to the pushdown-free reader via
+    .option('pushdown','false') with identical values."""
+    from datetime import date
+
+    from simple_pos_kafka_pyspark_airflow_spark.plans.queries_joins import (
+        q_scan_statefiles,
+    )
+    from simple_pos_kafka_pyspark_airflow_spark.sources import pydatasource as pds
+
+    key = "spark.sql.python.filterPushdown.enabled"
+    spark.conf.set(key, "false")  # simulate the driver's bare session
+    try:
+        df = q_scan_statefiles(spark, sf_dir)
+        assert df.count() > 0
+        # the query healed the session conf rather than degrading silently
+        assert spark.conf.get(key) == "true"
+
+        # degraded reader: with the conf forced off, pushdown='false' must
+        # scan without DATA_SOURCE_PUSHDOWN_DISABLED and match values
+        rows = [(1, 10, 5.5, date(2024, 1, 1)), (2, 11, 7.25, date(2024, 1, 2))]
+        out = str(tmp_path / "deg")
+        pds.write_state_files(iter(rows), out)
+        spark.conf.set(key, "false")
+        got = sorted(
+            tuple(r)
+            for r in spark.read.format("pos_statefiles")
+            .option("path", out)
+            .option("pushdown", "false")
+            .load()
+            .collect()
+        )
+        assert got == sorted(rows)
+    finally:
+        spark.conf.set(key, "true")
+
+
+def test_statefile_fixture_written_executor_side(spark, tmp_path):
+    """write_state_files_distributed lays down the same per-date layout as
+    the driver-side helper, but via repartition(file_date) +
+    foreachPartition — byte-identical files, no driver collect()."""
+    from datetime import date
+
+    from simple_pos_kafka_pyspark_airflow_spark.sources import pydatasource as pds
+
+    rows = [
+        (3, 12, 1.0, date(2024, 1, 2)),
+        (1, 10, 5.5, date(2024, 1, 1)),
+        (2, 11, 7.25, date(2024, 1, 1)),
+        (4, 13, 0.1 + 0.2, date(2024, 2, 1)),  # repr round-trip check
+    ]
+    a, b = str(tmp_path / "driver"), str(tmp_path / "dist")
+    pds.write_state_files(iter(rows), a)
+    df = spark.createDataFrame(
+        rows, "sale_id BIGINT, customer_id BIGINT, total_price DOUBLE, file_date DATE"
+    )
+    pds.write_state_files_distributed(df, b)
+    import os as _os
+
+    names = sorted(_os.listdir(a))
+    assert sorted(_os.listdir(b)) == names
+    for n in names:
+        with open(_os.path.join(a, n)) as fa, open(_os.path.join(b, n)) as fb:
+            assert fa.read() == fb.read(), n
+
+
 def test_statefile_stream_watermark_offsets(tmp_path):
     """The stream reader's offset is the max consumed FILENAME, not a
     positional index (ADVICE r6): newer files never shift a committed
