@@ -111,9 +111,21 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
     # window-min over the partkey replaces the correlated subquery: one
-    # shuffle on ps_partkey instead of re-scanning supply per part
+    # shuffle on ps_partkey instead of re-scanning supply per part.
+    # The size/type part filter restricts the PARTITION KEY set, so it
+    # commutes with the per-partkey min — semi-join it below the window
+    # (the Q17 pattern, VERDICT r7 item 4) and the window sorts only the
+    # ~1% of supply rows whose part survives, not all of Europe's supply
+    # no forced broadcast: the filtered partkey set is ~1% of part, but at
+    # SF1000 that is still millions of keys — AQE promotes to broadcast at
+    # runtime from the REAL post-filter size (VERDICT r7 item 5)
+    keep = eur_supply.join(
+        p.select("p_partkey"),
+        F.col("ps_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
     w = Window.partitionBy("ps_partkey")
-    best = eur_supply.withColumn("min_cost", F.min("ps_supplycost").over(w)).where(
+    best = keep.withColumn("min_cost", F.min("ps_supplycost").over(w)).where(
         F.col("ps_supplycost") == F.col("min_cost")
     )
     return (
@@ -212,7 +224,9 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        # part side unhinted: ECONOMY is ~1/6 of part (3M+ rows at SF100);
+        # AQE picks broadcast only when the runtime size clears the bar
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -263,7 +277,9 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     amount = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        # part side unhinted: a LIKE-filtered part is ~1-2M rows at SF100
+        # (VERDICT r7 item 5) — AQE decides from the runtime size
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -476,7 +492,10 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad = table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
         _supply(spark, sf_dir)
-        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        # part side unhinted (13% of part survives the size list — AQE
+        # decides); bad stays hinted: key-only rows off supplier, a table
+        # 100x smaller than part, so it broadcasts at any SF
+        .join(p, F.col("ps_partkey") == p.p_partkey)
         .join(F.broadcast(bad), F.col("ps_suppkey") == bad.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
@@ -498,19 +517,26 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     notes="TPC-H Q17 (small-quantity revenue; no p_container in testdata "
     "— brand-only filter): correlated AVG → per-part window average, one "
-    "lineitem shuffle on partkey instead of a rescan per row",
+    "lineitem shuffle on partkey instead of a rescan per row. The brand "
+    "semi-join runs BELOW the window (VERDICT r7 item 2): the window "
+    "partitions by the same key the filter restricts, so filtering first "
+    "is value-identical and the window sort touches only the branded "
+    "~1/25 slice instead of the whole fact table — at 100 TB that is the "
+    "difference between sorting 4 TB and sorting 100 TB",
 )
 def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3").select("p_partkey")
     li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
-    # window-avg over ALL lineitems of the part (matches the uncorrelated
-    # inner scan), then filter to the branded subset
+    # the equi-filter on the window's OWN partition key commutes with the
+    # per-part average: semi-join to the branded partkeys first, so the
+    # window runs over exactly the partitions that survive anyway
+    # brand slice is ~1/25 of part; unhinted so AQE broadcasts from the
+    # measured size instead of trusting a forced hint at any SF
+    branded = li.join(p, li.l_partkey == p.p_partkey, "left_semi")
     w = Window.partitionBy("l_partkey")
-    flagged = li.withColumn("avg_qty", F.avg("l_quantity").over(w))
-    return (
-        flagged.join(F.broadcast(p), flagged.l_partkey == p.p_partkey)
-        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    flagged = branded.withColumn("avg_qty", F.avg("l_quantity").over(w))
+    return flagged.where(F.col("l_quantity") < 0.5 * F.col("avg_qty")).agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
     )
 
 
@@ -536,7 +562,10 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    # p is the FULL part table (the disjunctive filter needs its columns
+    # post-join): never force-broadcast an unfiltered dimension — 20M rows
+    # at SF100. AQE demotes to shuffle join exactly when it must
+    j = li.join(p, li.l_partkey == p.p_partkey)
     q = F.col("l_quantity")
     cond = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & (q >= 1) & (q <= 11))
@@ -582,8 +611,9 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg((F.sum("l_quantity") * 0.5).alias("half_qty"))
     )
+    # key-only 'small%' slice (~1% of part): unhinted, AQE-decided
     supply = _supply(spark, sf_dir).join(
-        F.broadcast(parts), F.col("ps_partkey") == parts.p_partkey, "left_semi"
+        parts, F.col("ps_partkey") == parts.p_partkey, "left_semi"
     )
     qualified = (
         supply.join(

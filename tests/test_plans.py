@@ -61,6 +61,31 @@ def test_topk_uses_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def _window_above_semijoin(plan: str) -> bool:
+    """True when the (single) Window node sits ABOVE the LeftSemi join in
+    the printed tree — i.e. the semi-join filters the window's INPUT. A
+    tree prints parents before children, so textual order is depth order."""
+    w, j = plan.find("Window"), plan.find("LeftSemi")
+    return w != -1 and j != -1 and w < j
+
+
+def test_tpch_q17_filters_before_window(spark, sf_dir):
+    """VERDICT r7 item 2: the brand filter commutes with the per-partkey
+    window average, so the semi-join to branded partkeys must run BELOW
+    the window — the window sort touches the ~1/25 branded slice, never
+    the whole fact table. Regression = Window printed below the join."""
+    plan = explain_str(build(spark, sf_dir, "q_tpch_q17"), mode="simple")
+    assert _window_above_semijoin(plan), plan
+
+
+def test_tpch_q2_filters_before_window(spark, sf_dir):
+    """Same commute in Q2 (VERDICT r7 item 4): the part size/type filter
+    restricts the window's partition key set, so the min-cost window runs
+    over only the surviving partkeys' supply rows."""
+    plan = explain_str(build(spark, sf_dir, "q_tpch_q2"), mode="simple")
+    assert _window_above_semijoin(plan), plan
+
+
 def test_agg_has_partial_final_pair(spark, sf_dir):
     plan = explain_str(build(spark, sf_dir, "q_agg_sum"))
     assert plan.count("HashAggregate") >= 2, plan  # partial + final
@@ -475,7 +500,9 @@ def test_tpch_heavy_shapes_stay_broadcast_and_bounded(spark, sf_dir):
 
     expectations = {
         "q_tpch_q9": dict(max_exchanges=2, min_broadcast=4, windows=None, semi=False),
-        "q_tpch_q17": dict(max_exchanges=2, min_broadcast=1, windows=1, semi=False),
+        # r8: the brand filter now semi-joins BELOW the window (VERDICT r7
+        # item 2), so Q17 carries exactly one LeftSemi
+        "q_tpch_q17": dict(max_exchanges=2, min_broadcast=1, windows=1, semi=True),
         "q_tpch_q18": dict(max_exchanges=2, min_broadcast=3, windows=None, semi=True),
         "q_tpch_q20": dict(max_exchanges=4, min_broadcast=4, windows=None, semi=True),
     }
