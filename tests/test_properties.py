@@ -218,7 +218,7 @@ def test_cap_per_group_matches_python_oracle(spark, rows, cap):
 
 
 @given(
-    st.lists(st.text(alphabet="ab .,!X", min_size=0, max_size=40), min_size=0, max_size=6),
+    st.lists(st.text(alphabet="ab .,!X\t\n", min_size=0, max_size=40), min_size=0, max_size=6),
     st.integers(2, 3),
 )
 @SETTINGS
@@ -226,7 +226,10 @@ def test_intra_doc_span_dedup_matches_python_oracle(spark, texts, span_tokens):
     """Within-doc repetition removal must equal the brute-force python
     twin: segment into fixed token windows, keep each span's first
     occurrence in order, count spans and removed repeats — including
-    zero-token docs and remainder windows."""
+    zero-token docs and remainder windows. Alphabet includes tab/newline
+    so the regex segmentation (r8: regexp_extract_all over normalized
+    text replaced the interpreted slice-HOF) is pinned equivalent to the
+    token formulation on multi-whitespace runs, not just single spaces."""
     df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
     got = {
         r["doc_id"]: (r["text_clean"], r["n_spans"], r["n_dup_spans"])
