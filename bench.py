@@ -243,19 +243,41 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s (min of {runs})", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "contract_suite_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs": samples,
-                "failed": failed,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "contract_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs": samples,
+        "failed": failed,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(payload))
+    # The driver keeps only a ~2,000-char tail of this output, so most
+    # per-query history is unreadable after the fact (VERDICT r7 item 6).
+    # Persist the COMPLETE result to a committed per-round file as well:
+    # round number from $SPARK_GRAFT_ROUND if the driver exports it, else
+    # the next free slot after the recorded BENCH_r{N}.json rounds.
+    here = os.path.dirname(os.path.abspath(__file__))
+    bench_dir = os.path.join(here, "docs", "bench")
+    try:
+        os.makedirs(bench_dir, exist_ok=True)
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if not rnd:
+            import re
+
+            recorded = [
+                int(m.group(1))
+                for f in os.listdir(here)
+                if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+            ]
+            rnd = str((max(recorded) if recorded else 0) + 1)
+        out = os.path.join(bench_dir, f"r{int(rnd):02d}.json")
+        with open(out, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        print(f"# full results -> {out}", file=sys.stderr)
+    except OSError as exc:  # the one-line contract output must never fail
+        print(f"# could not persist full results: {exc}", file=sys.stderr)
 
 
 if __name__ == "__main__":
