@@ -715,25 +715,34 @@ def embed_diversity_onepass(
     near-identical embeddings — collapsed scrapes, templated spam, or a
     broken encoder — BEFORE it dominates a training mixture.
 
-    Exactness discipline (the reason this function is cross-engine
+    Determinism discipline (the reason this function is cross-engine
     hash-stable): each vector is L2-normalized with an EXPLICIT
     left-associated d-term sum-of-squares chain (both engines evaluate
     the same IEEE operation sequence — never a list-fold whose
     accumulation order is an engine detail), the normalized coordinate
     is snapped to an integer grid with ``floor(x/‖x‖ · grid)`` (floor,
     never round: round-of-quotient is the documented Spark/DuckDB
-    divergence), and every moment after that is bigint arithmetic —
-    order-free, partitioning-free. ``mean_pair_cos`` ships as ONE raw
-    division of exact integers. Grid error on the statistic is
-    O(d/grid) ≈ 6e-5 at d=64 — far below any screening threshold.
+    divergence), and the GROUP moments are bigint sums — order-free,
+    partitioning-free. The final squares/combination run in double with
+    a fixed operation order: every step is a correctly-rounded IEEE op
+    on identical operands, so both engines produce bit-identical
+    results even where the value itself is rounded. Grid error on the
+    statistic is O(d/grid) ≈ 6e-5 at d=64 — far below any screening
+    threshold; double rounding adds ≲1e-14 relative on top.
 
-    Bounds: |coord| ≤ grid, so per-dim group sums need n ≤ 9e12/grid
-    rows per group and ‖S‖² ≤ d·(n·grid)² must stay under 2^63 —
-    n ≤ ~380k per group at the defaults; shard larger groups or drop
-    ``grid`` to 1e5 (error 6e-4, n ≤ ~12M).
+    Overflow bounds (r8, ADVICE fix — the previous all-bigint form
+    wrapped ‖S‖² at n ≈ 3e3/grid·1e6 per group for low-diversity
+    groups, exactly the case the audit exists to flag):
 
-    Returns (``group_col``, ``n``, ``diversity_scaled`` [grid⁻² units],
-    ``mean_pair_cos``); groups with n < 2 report NULL mean."""
+    - per-dim bigint sums: |Σ w_i| ≤ n·grid < 2^63 → n ≤ 9.2e12 at
+      grid=1e6; their SQUARES happen in double (no wraparound ever).
+    - ``_sdelta`` (Σ per-row ‖ŵ‖²−grid², the floor-loss residual,
+      |per-row| ≤ 2·√d·grid+d): bigint-exact to n ≤ ~5.7e11 at the
+      defaults — the self term is reconstructed as n·grid² + _sdelta
+      in double, so no bigint ever holds n·grid².
+
+    Returns (``group_col``, ``n``, ``diversity_scaled`` [grid⁻² units,
+    double], ``mean_pair_cos``); groups with n < 2 report NULL mean."""
     from functools import reduce as _reduce
 
     xs = [F.element_at(F.col(emb_col), i + 1).cast("double") for i in range(dim)]
@@ -753,24 +762,34 @@ def embed_diversity_onepass(
         for i in range(dim)
     ]
     self_ss = _reduce(lambda a, b: a + b, (w * w for w in ws))
+    g2 = float(grid) * float(grid)  # exact in double: grid² ≤ 1e12 < 2^53
     rows = mat.select(
         F.col(group_col),
-        self_ss.alias("_self"),
+        # store the per-row self term as its RESIDUAL from grid² (the
+        # floor-snap loss, |residual| ≤ 2√d·grid+d): the bigint group sum
+        # then grows with n·grid instead of n·grid², pushing the exact
+        # bound from ~1.4e5 rows/group to ~5.7e11
+        (self_ss - F.lit(int(grid) * int(grid))).alias("_sdelta"),
         *[wc.alias(f"_w{i}") for i, wc in enumerate(ws)],
     )
     agged = rows.groupBy(group_col).agg(
         F.count("*").alias("n"),
-        F.sum("_self").alias("_sself"),
+        F.sum("_sdelta").alias("_sdelta"),
         *[F.sum(f"_w{i}").alias(f"_s{i}") for i in range(dim)],
     )
+    # squares in DOUBLE (correctly-rounded, fixed left-associated order —
+    # deterministic cross-engine) — the bigint form wrapped at tiny group
+    # sizes precisely for the near-identical groups the audit flags
     sum_sq = _reduce(
-        lambda a, b: a + b, (F.col(f"_s{i}") * F.col(f"_s{i}") for i in range(dim))
+        lambda a, b: a + b,
+        (F.col(f"_s{i}").cast("double") * F.col(f"_s{i}").cast("double") for i in range(dim)),
     )
-    div_scaled = (sum_sq - F.col("_sself")).cast("long")
-    denom = (F.col("n") * (F.col("n") - 1)).cast("double") * F.lit(float(grid) * float(grid))
+    sself = F.col("n").cast("double") * F.lit(g2) + F.col("_sdelta").cast("double")
+    div_scaled = sum_sq - sself
+    denom = (F.col("n") * (F.col("n") - 1)).cast("double") * F.lit(g2)
     return agged.select(
         group_col,
         F.col("n").cast("long").alias("n"),
         div_scaled.alias("diversity_scaled"),
-        F.when(F.col("n") >= 2, div_scaled.cast("double") / denom).alias("mean_pair_cos"),
+        F.when(F.col("n") >= 2, div_scaled / denom).alias("mean_pair_cos"),
     )

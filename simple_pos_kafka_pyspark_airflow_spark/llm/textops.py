@@ -532,7 +532,11 @@ def phrase_search(
     votes for candidate start ``pos − i``; a start position where all k
     distinct offsets voted is a match. Output: ``(id_col, n_matches,
     first_pos)`` for documents with ≥1 occurrence, ``first_pos`` 1-based
-    in split positions.
+    in TOKEN positions — positions index the shared ``tokens()`` stream
+    (split on whitespace runs, empties dropped), the same kernel every
+    other gram consumer in this module uses (ADVICE r7: the earlier raw
+    ``split(\\s+)`` positions diverged from the oracle on consecutive
+    whitespace).
 
     Scale shape: the token stream is filtered to the phrase's terms BEFORE
     any shuffle (same discipline as ``bm25_scores``), then ONE
@@ -563,7 +567,7 @@ def phrase_search(
         ).otherwise(off_expr)
     postings = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_pos", "_tok"),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("_pos", "_tok"),
     ).where(F.col("_tok").isin(terms))
     votes = postings.select(
         id_col, "_pos", F.explode(off_expr).alias("_off")

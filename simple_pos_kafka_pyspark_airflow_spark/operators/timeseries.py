@@ -115,6 +115,19 @@ def cusum_alarms(
     den·threshold`` is bigint-exact on any engine, any row order within
     the (total) ``order_cols`` tiebreak.
 
+    int64 bound (ADVICE r7): the per-key prefix sum holds up to
+    ``rows_per_key · max|den·x − num − den·slack|``, which must stay
+    under 2^63 ≈ 9.2e18. The denominator MULTIPLIES every deviation, so
+    callers must pass a REDUCED rational target — a fixed small
+    denominator (milli-units: ``num = (Σx·1000) div n``, ``den = 1000``)
+    or a gcd-reduced exact mean — never a corpus-row-count denominator:
+    with ``den = N`` the bound shrinks as 1/N and a billion-row corpus
+    overflows at ~1e6·grid rows per key. At ``den = 1e3`` and cent
+    values ≤ 1e7 the safe depth is ~9e8 rows per key; at milli-unit
+    ``den = 1e6`` it is ~9e5 — pick the coarsest den the target
+    tolerance allows (the target rounds by at most 1/den of one grid
+    unit, far inside any alarm threshold).
+
     Returns the input keys + ``order_cols`` + ``c_scaled`` (the CUSUM
     statistic in den-units) + ``alarm`` (int 0/1). Callers filter
     ``alarm = 1`` for change points; the first alarm row per key is the

@@ -2054,8 +2054,9 @@ def q_sketch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window",
     oracle="""
     WITH t AS (
-      SELECT CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS num,
-             COUNT(*) AS den
+      SELECT CAST((CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   * 1000) // COUNT(*) AS BIGINT) AS num,
+             CAST(1000 AS BIGINT) AS den
       FROM events
     ), d AS (
       SELECT user_id, ts, event_id,
@@ -2086,8 +2087,12 @@ def q_sketch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     "prefix-sum minus running-min-including-empty-prefix — two window "
     "functions on ONE per-key "
     "shuffle, fully codegen. Cents grid + cross-multiplied rational "
-    "target (global mean as num/den, never divided) keep every "
-    "comparison bigint-exact across engines. Slack 25.00 (~0.5 sigma of "
+    "target keep every comparison bigint-exact across engines; the "
+    "target is the global mean REDUCED to a fixed milli-cent rational "
+    "((sum*1000) div n over den=1000, r8 — a raw row-count denominator "
+    "multiplied every deviation by N, overflowing int64 at ~1e6*grid "
+    "rows/key on a billion-row corpus; floor-div of positive bigints "
+    "is engine-identical). Slack 25.00 (~0.5 sigma of "
     "the value distribution), threshold 200.00 (~4 sigma) — the "
     "textbook ARL operating point; fires on ~3% of sf0.01 rows",
 )
@@ -2096,9 +2101,17 @@ def q_anomaly_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
+    # fixed milli-cent rational target: num/den = floor(mean·1000)/1000.
+    # den must NOT be the row count — it multiplies every deviation, so
+    # per-key prefix sums would grow with corpus size and wrap int64
+    # (cusum_alarms docstring bound). Positive sums, so Spark's
+    # truncating `div` and DuckDB's flooring `//` agree.
     tot = ev.agg(
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias("_num"),
-        F.count("*").alias("_den"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("_sum"),
+        F.count("*").alias("_cnt"),
+    ).select(
+        F.expr("(_sum * 1000) div _cnt").alias("_num"),
+        F.lit(1000).cast("long").alias("_den"),
     )
     base = ev.crossJoin(F.broadcast(tot))
     return cusum_alarms(

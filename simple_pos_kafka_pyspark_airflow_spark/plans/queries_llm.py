@@ -2447,11 +2447,14 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_phrase",
     "llm",
     oracle="""
-    WITH tok AS (
+    WITH t AS (
       SELECT doc_id,
-             unnest(string_split(lower(text), ' ')) AS tok,
-             generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
       FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+      FROM t
     ), votes AS (
       SELECT doc_id, pos - ph.ord AS strt, ph.ord
       FROM tok JOIN (VALUES ('slow', 0), ('hash', 1), ('batch', 2)) AS ph(term, ord)
@@ -2469,8 +2472,12 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Postings filtered to the phrase's terms BEFORE any shuffle, each "
     "occurrence votes for start = pos − offset, one partial-aggregable "
     "(doc, start) groupBy counts distinct offsets — no k-way self-join. "
-    "Non-vacuous at the driver scale: 'slow hash batch' hits 5 docs / 8 "
-    "occurrences at sf0.01 (one doc matches twice, exercising n_matches)",
+    "Positions index the shared tokens() kernel on BOTH sides (r8: the "
+    "oracle's single-space string_split diverged from the engine's "
+    "regex split on consecutive whitespace — both now filter empties "
+    "from a \\s+ split, so positions agree on any text). Non-vacuous at "
+    "the driver scale: 'slow hash batch' hits 5 docs / 8 occurrences "
+    "at sf0.01 (one doc matches twice, exercising n_matches)",
 )
 def q_text_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
@@ -2723,8 +2730,13 @@ def _diversity_oracle(dim: int = 64, grid: int = 1_000_000) -> str:
         for i in range(dim)
     )
     self_ss = " + ".join(f"w{i} * w{i}" for i in range(dim))
-    sums = ",\n             ".join(f"SUM(w{i}) AS s{i}" for i in range(dim))
-    sum_sq = " + ".join(f"s{i} * s{i}" for i in range(dim))
+    # bigint group moments; squares/combination in DOUBLE with the exact
+    # operation order the Spark side uses (r8 overflow fix: the self term
+    # is carried as the residual from grid² and reconstructed in double,
+    # and per-dim sums are cast to double BEFORE squaring)
+    sums = ",\n             ".join(f"CAST(SUM(w{i}) AS BIGINT) AS s{i}" for i in range(dim))
+    sum_sq = " + ".join(f"CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE)" for i in range(dim))
+    g2 = float(grid) * float(grid)
     return f"""
     WITH nrm AS (
       SELECT label, embedding, greatest(sqrt({sq}), 1e-12) AS nv
@@ -2734,17 +2746,18 @@ def _diversity_oracle(dim: int = 64, grid: int = 1_000_000) -> str:
              {wdefs}
       FROM nrm
     ), r AS (
-      SELECT *, {self_ss} AS self_ss FROM w
+      SELECT *, ({self_ss}) - {int(grid) * int(grid)} AS sdelta FROM w
     ), g AS (
-      SELECT label, COUNT(*) AS n, SUM(self_ss) AS sself,
+      SELECT label, COUNT(*) AS n, CAST(SUM(sdelta) AS BIGINT) AS sdelta,
              {sums}
       FROM r GROUP BY label
     )
     SELECT label, CAST(n AS BIGINT) AS n,
-           CAST(({sum_sq}) - sself AS BIGINT) AS diversity_scaled,
+           ({sum_sq}) - (CAST(n AS DOUBLE) * {g2!r} + CAST(sdelta AS DOUBLE))
+             AS diversity_scaled,
            CASE WHEN n >= 2 THEN
-             CAST(({sum_sq}) - sself AS DOUBLE)
-               / (CAST(n * (n - 1) AS DOUBLE) * {float(grid) * float(grid)})
+             (({sum_sq}) - (CAST(n AS DOUBLE) * {g2!r} + CAST(sdelta AS DOUBLE)))
+               / (CAST(n * (n - 1) AS DOUBLE) * {g2!r})
            END AS mean_pair_cos
     FROM g
     """

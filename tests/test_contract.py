@@ -208,3 +208,25 @@ def test_bench_headline_names_resolve():
 
     missing = [n for n in bench.HEADLINE if n not in REGISTRY]
     assert missing == [], missing
+
+
+def test_capped_selfjoin_caps_cannot_bind_on_contract_data():
+    """ADVICE r7: q_dedup_editdist / q_dedup_prefix drop band/posting
+    groups hotter than their caps (max_block / max_posting_docs = 10k),
+    but their DuckDB oracles are uncapped — the contract stays exact only
+    while NO group can reach the cap on certified data. Any group is
+    bounded by the document count, so pin that bound for every sf the
+    driver or the scale spot-check certifies against; if testdata ever
+    grows past the cap, this goes red and the cap must be mirrored into
+    the oracle instead."""
+    import pyarrow.parquet as pq
+
+    CAP = 10_000  # max_block (near_dup_pairs_editdist), max_posting_docs
+    # (jaccard_pairs_prefix) — both default 10k in llm/dedup.py
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        n_docs = pq.read_metadata(f"/root/testdata/{sf}/documents.parquet").num_rows
+        assert n_docs < CAP, (
+            f"{sf}: {n_docs} documents ≥ cap {CAP}; a band/posting group "
+            "could now exceed the cap and silently diverge from the "
+            "uncapped oracle — mirror the cap in the oracle SQL"
+        )

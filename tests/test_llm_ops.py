@@ -1790,6 +1790,22 @@ def test_phrase_search_counts_repeats_and_overlaps(spark):
     }
     assert got2 == {9: (2, 1)}
 
+    # ADVICE r7: positions index the shared tokens() stream, so runs of
+    # spaces/tabs/newlines (and leading whitespace) neither split the
+    # phrase nor shift first_pos — adjacency is TOKEN adjacency
+    df3 = spark.createDataFrame(
+        [
+            (11, "  lead slow \t hash\nbatch"),  # tokens: lead slow hash batch
+            (12, "slow  hash   batch"),  # double/triple spaces, still adjacent
+        ],
+        "doc_id long, text string",
+    )
+    got3 = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(df3, ("slow", "hash", "batch")).collect()
+    }
+    assert got3 == {11: (1, 2), 12: (1, 1)}
+
 
 def test_stratified_sample_exact_k_and_order_invariance(spark):
     """Exactly min(k, stratum size) rows per stratum, ranks 1..k dense,
@@ -1955,3 +1971,22 @@ def test_embed_diversity_onepass_matches_numpy_brute_force(spark):
         assert got[g][0] == n
         assert abs(got[g][1] - brute) < 64 / 1e6 + 1e-9, (g, got[g][1], brute)
     assert got["c"][1] > 0.999
+
+
+def test_embed_diversity_no_int64_wraparound_on_low_diversity_group(spark):
+    """ADVICE r7 (medium): the all-bigint moment form silently wrapped
+    ‖Σŵ‖² at n ≈ 3000 identical vectors (grid=1e6) — exactly the
+    collapsed-scrape case the audit exists to flag, reporting garbage
+    diversity. With per-dim squares in double the statistic must stay
+    exactly 1.0 for 4000 identical vectors (Σŵ² = 1.6e19 > 2^63)."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm.simsearch import (
+        embed_diversity_onepass,
+    )
+
+    df = spark.createDataFrame(
+        [("g", [1.0, 0.0, 0.0, 0.0])] * 4000, "label string, embedding array<double>"
+    )
+    out = embed_diversity_onepass(df, "label", "embedding", dim=4).collect()[0]
+    assert out["n"] == 4000
+    assert out["diversity_scaled"] > 0, out  # int64 wrap went negative here
+    assert abs(out["mean_pair_cos"] - 1.0) < 1e-9, out
