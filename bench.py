@@ -125,6 +125,15 @@ HEADLINE = [
     # md5 min-stable PPS sample: the O(sum weights) explode + string-min
     # SortAggregate stage is a plan shape nothing else in the suite has
     "q_sample_weighted",
+    # round-8 families: OHLC candlesticks (min_by/max_by single-shuffle
+    # bars), equi-depth histogram (per-group ntile sort exchange),
+    # count-min-as-a-table (bounded-width sketch build + broadcast probe),
+    # and SemDeDup (quantizer + within-cell cosine self-join — the
+    # clustered O(n²) plan shape)
+    "q_ohlc",
+    "q_hist_equidepth",
+    "q_sketch_countmin",
+    "q_semdedup",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

@@ -793,3 +793,74 @@ def embed_diversity_onepass(
         div_scaled.alias("diversity_scaled"),
         F.when(F.col("n") >= 2, div_scaled / denom).alias("mean_pair_cos"),
     )
+
+
+def semdedup_prune(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    max_cell: int | None = 50_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication
+    by clustering embeddings and dropping, within each cluster, every
+    point whose cosine to a LOWER-id point of the same cluster is ≥
+    ``threshold`` — the keep-one-representative rule that removes
+    paraphrase/template duplicates exact and lexical near-dup (minhash)
+    passes cannot see.
+
+    Spark shape — why this survives 100 TB where pairwise-cosine dedup
+    cannot: the O(n²) comparison is confined to CLUSTERS. The quantizer
+    (``ivf_centroids``: deterministic seeds + Lloyd refinement) and the
+    one-pass Arrow matmul assignment (``ivf_assign``) are the exact same
+    kernels the ANN index uses, so the cluster key is also the storage
+    partition key at ingest; the within-cell self-join ships (id, cell,
+    vec) once and AQE splits any skewed cell. ``max_cell`` drops cells
+    hotter than the cap from the PAIR SEARCH (their points are all kept
+    — conservative, never wrongly dropped; the minhash ``max_bucket``
+    discipline) so a degenerate quantizer cannot own one O(n²) task.
+
+    Drop rule uses id order, not cluster-centroid distance (the paper
+    keeps the point farthest from the centroid; any deterministic
+    representative choice is valid and id order makes the contract
+    hash-stable). Returns every input id with ``kept`` ∈ {1, 0}.
+    """
+    from pyspark import StorageLevel
+
+    cents = ivf_centroids(df, n_cells, vec_col, id_col)
+    if not cents:
+        return df.select(F.col(id_col), F.lit(1).cast("int").alias("kept"))
+    assigned = (
+        ivf_assign(df, cents, vec_col, out_col="_cell")
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "_cell")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pool = assigned
+    if max_cell is not None:
+        ok = (
+            assigned.groupBy("_cell").count().where(F.col("count") <= max_cell).drop("count")
+        )
+        pool = assigned.join(ok, "_cell")
+    a = pool.select(
+        F.col("_cell"), F.col("_id").alias("_id_a"), F.col("_v").alias("_v_a")
+    )
+    b = pool.select(
+        F.col("_cell").alias("_cell_b"),
+        F.col("_id").alias("_id_b"),
+        F.col("_v").alias("_v_b"),
+    )
+    dropped = (
+        a.join(b, (a["_cell"] == b["_cell_b"]) & (a["_id_a"] < b["_id_b"]))
+        .where(cosine(F.col("_v_a"), F.col("_v_b")) >= threshold)
+        .select(F.col("_id_b").alias("_dropped"))
+        .distinct()
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(dropped, F.col(id_col) == F.col("_dropped"), "left")
+        .select(
+            id_col,
+            F.when(F.col("_dropped").isNull(), 1).otherwise(0).cast("int").alias("kept"),
+        )
+    )

@@ -118,3 +118,101 @@ def grouped_corr_exact(
         "sum_xy",
         (num / F.nullif(den, F.lit(0.0))).alias("corr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch as a relational table (mergeable frequency sketch)
+# ---------------------------------------------------------------------------
+
+#: Engine-agnostic universal-hash family: h_i(k) = ((k mod P)·A_i + B_i)
+#: mod P mod width. P is the classic 1e9+7 prime; multipliers are the
+#: public xxHash/MurmurHash diffusion constants. Everything stays under
+#: 2^63 for any bigint key ((P−1)·A_max ≈ 3.3e18), so both Spark and any
+#: SQL oracle evaluate the identical integer arithmetic.
+CMS_PRIME = 1_000_000_007
+CMS_HASHES: list[tuple[int, int]] = [
+    (2_654_435_761, 1),
+    (2_246_822_519, 2),
+    (3_266_489_917, 3),
+    (668_265_263, 4),
+]
+
+
+def _cms_bucket(key, a: int, b: int, width: int):
+    k = key % F.lit(CMS_PRIME)
+    return ((k * F.lit(a) + F.lit(b)) % F.lit(CMS_PRIME) % F.lit(width)).cast("long")
+
+
+def count_min_table(
+    df: DataFrame, key_col: str, width: int = 1024, depth: int | None = None
+) -> DataFrame:
+    """Count-min sketch built as a TABLE ``(d, bucket, c)`` — the
+    write-time-sketch / query-time-merge discipline (same as the HLL
+    shards in q_sketch_shards) for FREQUENCIES instead of cardinality:
+
+    - **build**: one partial-aggregable groupBy over (depth, bucket) —
+      the shuffle carries ≤ depth·width rows per shard regardless of
+      fact size (the exact groupBy would shuffle the key domain);
+    - **merge**: sketches of disjoint shards merge by unioning the
+      tables and summing ``c`` (counter matrices add) — no special
+      binary format, no UDAF, plain relational algebra;
+    - **estimate** (``cms_estimate``): min over the depth rows a key
+      hashes to — NEVER an underestimate (hard guarantee: every counter
+      a key touches counts at least all its occurrences); overestimates
+      are collision noise bounded by ~2·N/width per row with prob.
+      1−2^−depth.
+
+    Spark ships a ``count_min_sketch`` binary agg but no SQL merge for
+    it; the relational form is mergeable, partition-prunable, and
+    oracle-checkable with exact integer arithmetic on any engine."""
+    hashes = CMS_HASHES if depth is None else CMS_HASHES[:depth]
+    per_depth = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("int").alias("d"),
+                    _cms_bucket(F.col(key_col), a, b, width).alias("bucket"),
+                )
+                for i, (a, b) in enumerate(hashes)
+            ]
+        )
+    ).alias("_h")
+    return (
+        df.select(per_depth)
+        .select("_h.d", "_h.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame, keys: DataFrame, key_col: str, width: int = 1024,
+    depth: int | None = None,
+) -> DataFrame:
+    """Point-frequency estimates for ``keys`` against a ``count_min_table``
+    sketch (or a union-sum merge of several): probe the depth buckets per
+    key, left-join the sketch rows (missing bucket = 0), take the min.
+    The sketch side is ≤ depth·width rows — broadcast-sized by
+    construction — so the probe is a broadcast hash join at any scale.
+
+    Returns (key_col, est_n). Guarantee: est_n ≥ the key's true count."""
+    hashes = CMS_HASHES if depth is None else CMS_HASHES[:depth]
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("d"),
+                        _cms_bucket(F.col(key_col), a, b, width).alias("bucket"),
+                    )
+                    for i, (a, b) in enumerate(hashes)
+                ]
+            )
+        ).alias("_h"),
+    ).select(key_col, "_h.d", "_h.bucket")
+    return (
+        probes.join(F.broadcast(cms), ["d", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_n"))
+    )

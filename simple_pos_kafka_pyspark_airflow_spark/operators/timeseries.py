@@ -149,3 +149,53 @@ def cusum_alarms(
         (F.col("_s") - m).alias("c_scaled"),
         ((F.col("_s") - m) > F.col("_den") * F.col("_h")).cast("int").alias("alarm"),
     )
+
+
+def ohlc(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cents: Column,
+    order_key: Column,
+    bucket: str = "day",
+) -> DataFrame:
+    """Per-(key, calendar-bucket) OHLC candlestick: open / high / low /
+    close plus count and volume — the time-series summarization every
+    metrics warehouse keeps (the reference's daily job aggregates only a
+    SUM per day, ``POS_spark_dag.py:401-420``; this is the full bar).
+
+    ONE partial-aggregable groupBy: ``min_by``/``max_by`` against a
+    caller-supplied total ``order_key`` pick the first/last value of the
+    bucket, ``min``/``max``/``sum``/``count`` do the rest — every
+    aggregate has a map-side combine, so the shuffle carries six numbers
+    per (key, bucket) at any fact size, and no window/sort pass ever
+    runs (the naive first/last-over-ordered-window formulation sorts
+    every partition; min_by does not).
+
+    Exactness contract: ``value_cents`` must be an INTEGER grid column
+    (cents) — sums stay bigint-exact and order-free. ``order_key`` must
+    be a TOTAL order (ties would make open/close nondeterministic);
+    callers build it as ``epoch·10^k + unique_id``. int64 bound: volume
+    needs rows_per_bucket · max|cents| < 2^63.
+
+    Output: (key, bucket_ts, open/high/low/close/volume cents, n).
+    """
+    b = F.date_trunc(bucket, F.col(ts_col))
+    return (
+        df.select(
+            F.col(key_col),
+            b.alias("_bucket"),
+            value_cents.alias("_v"),
+            order_key.alias("_o"),
+        )
+        .groupBy(key_col, "_bucket")
+        .agg(
+            F.min_by("_v", "_o").alias("open_cents"),
+            F.max("_v").alias("high_cents"),
+            F.min("_v").alias("low_cents"),
+            F.max_by("_v", "_o").alias("close_cents"),
+            F.sum("_v").alias("volume_cents"),
+            F.count("*").alias("n"),
+        )
+        .withColumnRenamed("_bucket", "bucket_ts")
+    )

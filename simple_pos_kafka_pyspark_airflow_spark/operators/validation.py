@@ -18,7 +18,7 @@ no Python, no per-rule scans.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: reference-required sale fields (kafka_producer.py:120)
@@ -179,6 +179,41 @@ def value_histogram(
     totals = counts.groupBy(group_col).agg(F.sum("n").alias("_total"))
     return counts.join(totals, group_col).select(
         group_col, "bin", "n", (F.col("n") / F.col("_total")).alias("frac")
+    )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: Column,
+    group_col: str,
+    tiebreak_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-group EQUI-DEPTH histogram: ``n_bins`` bins of (near-)equal
+    row count with their actual value ranges — the summary
+    ``value_histogram``'s fixed-width bins cannot give on skewed data
+    (one hot bin, nine empty). Equal-depth binning IS ``ntile`` by
+    definition, so the operator is the window: ntile over (value,
+    tiebreak) per group, then a partial-aggregable (group, bin) rollup
+    to (lo, hi, n).
+
+    ``value_col`` should be an integer-grid column (cents) so lo/hi
+    hash-compare exactly; ``tiebreak_col`` totalizes the order (ties at
+    a bin boundary would otherwise split nondeterministically). Scale:
+    one per-group sort exchange (any exact quantile pays this; the
+    approx path is approx_percentile — see q_approx_percentile_sketch)
+    plus a six-numbers-per-bin rollup. Output: (group, bin 1..n_bins,
+    lo, hi, n)."""
+    w = Window.partitionBy(group_col).orderBy(value_col, F.col(tiebreak_col))
+    binned = df.select(
+        F.col(group_col),
+        value_col.alias("_v"),
+        F.ntile(n_bins).over(w).alias("bin"),
+    )
+    return binned.groupBy(group_col, "bin").agg(
+        F.min("_v").alias("lo"),
+        F.max("_v").alias("hi"),
+        F.count("*").alias("n"),
     )
 
 

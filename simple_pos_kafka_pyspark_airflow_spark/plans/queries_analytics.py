@@ -1597,6 +1597,47 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.gapfill_locf(ev, "user_id", "ts", F.max("value"), "day_max")
 
 
+@register(
+    "q_ohlc",
+    "agg",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, date_trunc('day', ts) AS bucket_ts,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+             lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+      FROM events
+    )
+    SELECT user_id, bucket_ts,
+           arg_min(cents, ord) AS open_cents,
+           MAX(cents) AS high_cents,
+           MIN(cents) AS low_cents,
+           arg_max(cents, ord) AS close_cents,
+           CAST(SUM(cents) AS BIGINT) AS volume_cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM t GROUP BY 1, 2
+    """,
+    notes="extension: per-(user, day) OHLC candlestick bars "
+    "(operators/timeseries.ohlc) — open/high/low/close + volume in ONE "
+    "partial-aggregable groupBy via min_by/max_by against a total order "
+    "key; no window, no sort pass, shuffle carries six numbers per bar "
+    "at any fact size. The order key is zero-padded "
+    "micros‖event_id text — lexicographic equals numeric order, and a "
+    "composite INTEGER key would overflow int64 (micros·10^12); cents "
+    "grid keeps every output bigint-exact",
+)
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import timeseries
+
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    ord_key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return timeseries.ohlc(ev, "user_id", "ts", cents, ord_key, "day")
+
+
 #: 3 unrolled power iterations — enough to demonstrate convergence
 #: behavior while keeping the oracle an explicit finite CTE chain.
 _PAGERANK_ITERS = 3
@@ -1807,6 +1848,41 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     h = validation.value_histogram(ev, "value", "event_type", n_bins=10)
     return h.select("event_type", "bin", "n", "frac")
+
+
+@register(
+    "q_hist_equidepth",
+    "agg",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(ntile(10) OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(round(value * 100) AS BIGINT), event_id
+             ) AS INTEGER) AS bin
+      FROM events
+    )
+    SELECT event_type, bin,
+           MIN(cents) AS lo, MAX(cents) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY 1, 2
+    """,
+    notes="extension: per-group EQUI-DEPTH histogram "
+    "(operators/validation.equidepth_histogram) — equal-count bins with "
+    "their actual value ranges, the skew-proof complement of "
+    "q_value_histogram's fixed-width bins (one hot bin + nine empty on "
+    "a power law). Equal depth IS ntile, so the plan is one per-group "
+    "sort exchange (what any exact quantile costs) + a "
+    "partial-aggregable (group,bin) rollup; event_id tiebreak "
+    "totalizes boundary ties; cents grid keeps lo/hi/n bigint-exact",
+)
+def q_hist_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import validation
+
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return validation.equidepth_histogram(ev, cents, "event_type", "event_id", n_bins=10)
 
 
 #: Reference/current split for the PSI drift contract: first half of the
@@ -2047,6 +2123,84 @@ def q_sketch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         within(F.col("_est"), F.col("n_exact")).alias("merge_ok"),
     )
     return per_shard.unionAll(glob)
+
+
+def _cms_oracle(width: int = 256) -> str:
+    """Generated oracle for q_sketch_countmin: the IDENTICAL hash family
+    and shard/merge arithmetic the Spark build runs (pure integer mod
+    chains — bit-exact on any engine)."""
+    from ..operators.aggregates import CMS_HASHES, CMS_PRIME
+
+    hrows = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(CMS_HASHES))
+    return f"""
+    WITH h(d, a, b) AS (VALUES {hrows}),
+    cms AS (
+      SELECT d,
+             ((o_custkey % {CMS_PRIME}) * a + b) % {CMS_PRIME} % {width} AS bucket,
+             COUNT(*) AS c
+      FROM orders, h
+      GROUP BY 1, 2
+    ), probes AS (
+      SELECT DISTINCT o_custkey AS k FROM orders WHERE o_custkey <= 40
+    ), est AS (
+      SELECT p.k,
+             CAST(MIN(COALESCE(cms.c, 0)) AS BIGINT) AS est_n
+      FROM probes p
+      JOIN h ON TRUE
+      LEFT JOIN cms
+        ON cms.d = h.d
+       AND cms.bucket = ((p.k % {CMS_PRIME}) * h.a + h.b) % {CMS_PRIME} % {width}
+      GROUP BY 1
+    ), exact AS (
+      SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM orders WHERE o_custkey <= 40 GROUP BY 1
+    )
+    SELECT est.k AS custkey, exact.exact_n, est.est_n,
+           CAST(est.est_n >= exact.exact_n AS INTEGER) AS never_under
+    FROM est JOIN exact USING (k)
+    """
+
+
+@register(
+    "q_sketch_countmin",
+    "agg",
+    oracle=_cms_oracle(),
+    notes="extension: count-min sketch as a RELATIONAL TABLE (d, bucket, "
+    "c) — the mergeable frequency twin of q_sketch_shards' HLL "
+    "cardinality shards (operators/aggregates.count_min_table / "
+    "cms_estimate). Build is one partial-aggregable (depth, bucket) "
+    "groupBy whose shuffle is ≤ depth·width rows at ANY fact size "
+    "(where the exact groupBy shuffles the key domain); shards merge by "
+    "union+sum (counter matrices add — no binary format, no UDAF); "
+    "estimates probe ≤ depth·width broadcast rows. width=256 vs ~1k "
+    "distinct custkeys forces real collisions, so est>exact rows "
+    "exercise the min; never_under is the sketch's HARD guarantee and "
+    "the exact_n column keeps the contract value-exact. Hash family is "
+    "a public-constant universal mod chain evaluated identically by "
+    "both engines (the oracle text is GENERATED from the same "
+    "constants)",
+)
+def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import cms_estimate, count_min_table
+
+    o = table(spark, sf_dir, "orders")
+    cms = count_min_table(o, "o_custkey", width=256)
+    probes = o.where(F.col("o_custkey") <= 40).select("o_custkey").distinct()
+    est = cms_estimate(cms, probes, "o_custkey", width=256)
+    exact = (
+        o.where(F.col("o_custkey") <= 40)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("exact_n"))
+    )
+    return (
+        est.join(exact, "o_custkey")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "exact_n",
+            "est_n",
+            (F.col("est_n") >= F.col("exact_n")).cast("int").alias("never_under"),
+        )
+    )
 
 
 @register(

@@ -206,6 +206,33 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.where(F.col("id_b") == F.col("id_a") + F.lit(1_000_000))
 
 
+@register(
+    "q_semdedup",
+    "llm",
+    oracle="""
+    SELECT vec_id, CAST(1 AS INTEGER) AS kept FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id, CAST(0 AS INTEGER) AS kept
+    FROM embeddings
+    """,
+    notes="SemDeDup (Abbas et al. 2023) — SEMANTIC dedup: cluster the "
+    "embedding space (the ANN quantizer's own ivf_centroids/ivf_assign "
+    "kernels, so the cluster key doubles as the storage partition key), "
+    "then drop within-cluster points with cosine ≥ 0.95 to a lower-id "
+    "point; O(n²) confined to cells, max_cell caps degenerate cells "
+    "conservatively (llm/simsearch.semdedup_prune). Planted-pair "
+    "oracle: testdata embeddings are mutually dissimilar (max pairwise "
+    "cosine 0.51), so union an id-shifted identical copy — a twin lands "
+    "in its original's cell by determinism of the Arrow argmax, scores "
+    "cosine 1.0, and exactly the higher id drops: every original keeps, "
+    "every twin drops, a full value-hash contract on 2N rows",
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    planted = e.unionByName(e.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000)))
+    return simsearch.semdedup_prune(planted, "embedding", "vec_id", n_cells=16)
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -926,6 +953,48 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return filtering.chunk_documents(d, "text", "doc_id", max_tokens=32)
+
+
+@register(
+    "q_python_udtf",
+    "llm",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, CAST(ceil(len(toks) / 16.0) AS INTEGER) - 1)) AS chunk_idx
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(len(toks[chunk_idx * 16 + 1 : chunk_idx * 16 + 16]) AS INTEGER) AS n_tokens,
+           array_to_string(toks[chunk_idx * 16 + 1 : chunk_idx * 16 + 16], ' ') AS chunk_text
+    FROM c
+    """,
+    notes="Spark 4 Python UDTF surface (functions/udtfs.ChunkTextUDTF): "
+    "one row in, many rows out through a LATERAL join — the table-"
+    "function member of the UDF family (scalar pandas_udf, grouped "
+    "applyInPandas, mapInPandas are covered elsewhere). Deliberately "
+    "the SAME transform as q_text_chunks at a different width, so the "
+    "oracle pins the UDTF output equal to the codegen "
+    "sequence+explode+slice hot path — the UDTF is row-path Python and "
+    "is documented as API coverage / escape hatch, never the 100 TB "
+    "plan of record",
+)
+def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.chunk_text
+        FROM _udtf_docs AS d,
+             LATERAL chunk_text_udtf(d.text, 16) AS c
+        """
+    )
 
 
 @register(

@@ -793,3 +793,43 @@ def test_cusum_window_rewrite_equals_textbook_recursion(spark):
         c = max(0, c + x - 90 - 10)
         per_key[k] = c
         assert got[(k, i)] == (c, int(c > 400)), (k, i)
+
+
+@given(
+    st.lists(st.integers(0, 500), min_size=1, max_size=60),
+    st.lists(st.integers(0, 500), min_size=0, max_size=60),
+)
+@SETTINGS
+def test_count_min_table_mergeable_and_never_under(spark, shard_a, shard_b):
+    """The relational count-min sketch must (1) merge by union+sum —
+    sketch(A) ⊎ sketch(B) row-identical to sketch(A ∪ B) for disjoint
+    row sets — and (2) never underestimate any key's true count."""
+    from collections import Counter
+
+    from simple_pos_kafka_pyspark_airflow_spark.operators.aggregates import (
+        cms_estimate,
+        count_min_table,
+    )
+
+    W = 32  # tiny width forces heavy collisions
+    df_a = spark.createDataFrame([(k,) for k in shard_a], "k long")
+    df_b = spark.createDataFrame([(k,) for k in shard_b], "k long") if shard_b else None
+    whole = spark.createDataFrame([(k,) for k in shard_a + shard_b], "k long")
+
+    merged = count_min_table(df_a, "k", width=W)
+    if df_b is not None:
+        merged = (
+            merged.unionAll(count_min_table(df_b, "k", width=W))
+            .groupBy("d", "bucket")
+            .agg(F.sum("c").alias("c"))
+        )
+    direct = count_min_table(whole, "k", width=W)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+    keys = spark.createDataFrame([(k,) for k in set(shard_a + shard_b)], "k long")
+    est = {
+        r["k"]: r["est_n"] for r in cms_estimate(direct, keys, "k", width=W).collect()
+    }
+    truth = Counter(shard_a + shard_b)
+    for k, n in truth.items():
+        assert est[k] >= n, (k, est[k], n)
