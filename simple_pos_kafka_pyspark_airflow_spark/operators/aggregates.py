@@ -216,3 +216,33 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_n"))
     )
+
+
+def grouped_median_mad(df: DataFrame, group_col: str, x_int) -> DataFrame:
+    """Per-group median + MAD (median absolute deviation) — the robust
+    location/scale pair for monitoring skewed or outlier-ridden metrics
+    (mean/stddev move with one bad row; median/MAD need half the data to
+    be wrong). Exact, not sketched: ``median`` is Spark's exact
+    percentile aggregate (sort-based), which is ORDER-FREE — the same
+    rows give the same median on any partitioning, so unlike float sums
+    the raw doubles hash-compare across engines.
+
+    ``x_int`` must be an integer-lattice expression (cents): medians of
+    an even count interpolate to lattice halves — exact in double — and
+    |x − median| stays on the half-cent lattice, so the second median is
+    exact too.
+
+    Plan: two partial-sort aggregations over the fact (exact quantiles
+    cannot one-pass; the approx path is approx_percentile) with the
+    group-cardinality median table broadcast back between them. Output:
+    (group, n, med, mad)."""
+    d = df.select(F.col(group_col), x_int.cast("long").alias("_x"))
+    med = d.groupBy(group_col).agg(
+        F.count("*").alias("n"), F.median("_x").alias("med")
+    )
+    return (
+        d.join(F.broadcast(med), group_col)
+        .groupBy(group_col, "n", "med")
+        .agg(F.median(F.abs(F.col("_x") - F.col("med"))).alias("mad"))
+        .select(group_col, "n", "med", "mad")
+    )

@@ -2125,6 +2125,38 @@ def q_sketch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_shard.unionAll(glob)
 
 
+@register(
+    "q_stats_mad",
+    "agg",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x FROM events
+    ), m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(median(x) AS DOUBLE) AS med
+      FROM d GROUP BY 1
+    )
+    SELECT d.event_type, m.n, m.med,
+           CAST(median(abs(d.x - m.med)) AS DOUBLE) AS mad
+    FROM d JOIN m USING (event_type)
+    GROUP BY 1, 2, 3
+    """,
+    notes="extension: per-group robust location/scale — exact median + "
+    "MAD (operators/aggregates.grouped_median_mad). median is the exact "
+    "sort-based percentile aggregate: ORDER-FREE, so the raw doubles "
+    "hash-compare across engines (unlike any float sum); cents lattice "
+    "keeps even-count interpolation on exact half-cents. Two "
+    "partial-sort aggregations with the group-cardinality median table "
+    "broadcast between them — the robust complement of q_stats_corr's "
+    "moment statistics",
+)
+def q_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import grouped_median_mad
+
+    ev = table(spark, sf_dir, "events")
+    return grouped_median_mad(ev, "event_type", F.round(F.col("value") * 100))
+
+
 def _cms_oracle(width: int = 256) -> str:
     """Generated oracle for q_sketch_countmin: the IDENTICAL hash family
     and shard/merge arithmetic the Spark build runs (pure integer mod

@@ -583,6 +583,95 @@ class IncrementalSpanIndex:
         overwrite_atomic(collapsed, self.path)
 
 
+class IncrementalCmsIndex:
+    """Corpus-lifetime FREQUENCY tracking at ingest: a persistent
+    count-min table (``operators/aggregates.count_min_table``) of a key
+    column — token, domain, source — appended per micro-batch. Because a
+    counter-matrix sketch merges by ADDITION, append IS merge: each batch
+    writes only its own ≤ depth·width sketch rows (kilobytes) and the
+    landed index never needs a read-modify-write; estimates groupBy-sum
+    the landed rows (bounded by depth·width·batches, and ``compact()``
+    folds them back to ≤ depth·width) and probe with ``cms_estimate``'s
+    broadcast join.
+
+    The ingest-side answer to "which sources/tokens are flooding the
+    corpus" at 100 TB: the exact groupBy alternative shuffles the key
+    domain every time someone asks; this index pays ≤ depth·width rows
+    per batch, forever, with the sketch's hard never-underestimate
+    guarantee (a flood can never hide).
+
+    Crash/replay: batch rows carry ``update_batch``'s ``batch_id``; a
+    replayed append lands byte-identical (batch, d, bucket, c) rows,
+    which every read collapses with ``dropDuplicates`` before summing —
+    so replays change nothing (the span-index discipline). ``compact()``
+    folds history into the sentinel batch −1 under the atomic snapshot
+    swap; run it only at a quiesced point, since pre-compaction batch ids
+    can no longer be distinguished afterwards.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_col: str = "key",
+        width: int = 1024,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.key_col = key_col
+        self.width = width
+
+    def _landed(self) -> DataFrame | None:
+        return _read_landed_index(self.spark, self.path)
+
+    def _merged(self) -> DataFrame | None:
+        """Replay-collapsed, batch-summed (d, bucket, c) sketch."""
+        landed = self._landed()
+        if landed is None:
+            return None
+        return (
+            landed.dropDuplicates(["_batch", "d", "bucket", "c"])
+            .groupBy("d", "bucket")
+            .agg(F.sum("c").alias("c"))
+        )
+
+    def update_batch(self, df: DataFrame, batch_id: int) -> None:
+        """Append this batch's sketch rows (≤ depth·width, keyed by
+        ``batch_id`` for replay collapse)."""
+        from ..operators.aggregates import count_min_table
+
+        sketch = count_min_table(df, self.key_col, width=self.width).withColumn(
+            "_batch", F.lit(int(batch_id)).cast("long")
+        )
+        sketch.write.mode("append").parquet(self.path)
+
+    def estimate(self, keys: DataFrame) -> DataFrame:
+        """(key, est_n) frequency estimates against the whole landed
+        history — est_n ≥ the key's true landed count, always; keys never
+        seen estimate ≥ 0 from collision noise. Empty-index → est_n 0."""
+        from ..operators.aggregates import cms_estimate
+
+        merged = self._merged()
+        if merged is None:
+            return keys.select(
+                F.col(self.key_col), F.lit(0).cast("long").alias("est_n")
+            )
+        return cms_estimate(merged, keys, self.key_col, width=self.width)
+
+    def compact(self) -> None:
+        """Fold per-batch sketch rows into one ≤ depth·width snapshot
+        under the sentinel batch −1 (atomic swap); quiesced points only —
+        replayed pre-compaction appends are indistinguishable after."""
+        from ..sources.io import overwrite_atomic
+
+        merged = self._merged()
+        if merged is None:
+            return
+        overwrite_atomic(
+            merged.withColumn("_batch", F.lit(-1).cast("long")), self.path
+        )
+
+
 class PersistentBloomGate:
     """Corpus-lifetime decontamination gate: the eval set's gram Bloom
     bitmap (``llm.bloom``) persisted beside the corpus indexes and applied

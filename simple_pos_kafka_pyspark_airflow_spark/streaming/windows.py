@@ -106,3 +106,44 @@ def _select_windowed(agged: DataFrame, window_col: str, keys: list[str]) -> Data
         *keys,
         *[F.col(c) for c in agg_names],
     )
+
+
+def ohlc_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cents: Column,
+    order_key: Column,
+    duration: str = "1 day",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming twin of ``operators/timeseries.ohlc``: OHLC candlestick
+    bars over event-time tumbling windows. Identical aggregate set
+    (min_by/max_by/min/max/sum/count — every one incrementalizable, so
+    the stream keeps six numbers of state per open (key, window) and the
+    watermark closes/evicts bars), identical exactness contract
+    (``value_cents`` integer grid, ``order_key`` a total order so
+    open/close are replay-deterministic regardless of micro-batch
+    arrival order). Batch mode computes the same plan exactly — the
+    equivalence test drains an AvailableNow stream and compares
+    bar-for-bar with the batch operator."""
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    agged = df.groupBy(F.window(F.col(ts_col), duration), F.col(key_col)).agg(
+        F.min_by(value_cents, order_key).alias("open_cents"),
+        F.max(value_cents).alias("high_cents"),
+        F.min(value_cents).alias("low_cents"),
+        F.max_by(value_cents, order_key).alias("close_cents"),
+        F.sum(value_cents).alias("volume_cents"),
+        F.count("*").alias("n"),
+    )
+    return agged.select(
+        F.col("window.start").alias("bucket_ts"),
+        key_col,
+        "open_cents",
+        "high_cents",
+        "low_cents",
+        "close_cents",
+        "volume_cents",
+        "n",
+    )

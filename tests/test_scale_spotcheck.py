@@ -264,6 +264,20 @@ CHEAP_ORACLE_AT_SCALE = [
     "q_anomaly_cusum",
     # one-pass moment-identity diversity over 10× the embeddings
     "q_embed_diversity",
+    # round 8: OHLC bars and equi-depth bins over 10× the events (10×
+    # the ties the order key must break), count-min over 10× the orders
+    # (collision structure changes with N, guarantee bit must hold),
+    # SemDeDup twins over 10× the embeddings (5000 planted pairs through
+    # the quantizer), robust median/MAD over 10× the lattice, the UDTF
+    # over 10× the docs, and the phrase/statefile queries rewritten this
+    # round
+    "q_ohlc",
+    "q_hist_equidepth",
+    "q_sketch_countmin",
+    "q_semdedup",
+    "q_stats_mad",
+    "q_python_udtf",
+    "q_text_phrase",
 ]
 
 

@@ -2655,3 +2655,103 @@ def test_cusum_stream_carries_state_across_microbatches(spark, tmp_path):
     assert len(got) == len(batch) == len(rows)
     for r in batch:
         assert got[(r["key"], r["order_key"])] == (r["c_scaled"], r["alarm"]), r
+
+
+def test_ohlc_stream_matches_batch_operator(spark, tmp_path):
+    """The streaming OHLC twin must produce bar-for-bar the batch
+    operator's output when drained AvailableNow — including open/close
+    determinism under out-of-order arrival (rows land in two files in
+    scrambled order; min_by/max_by against the total order key must not
+    care which micro-batch saw them first)."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators import timeseries
+
+    src = tmp_path / "ohlc_events"
+    src.mkdir()
+    rows = [  # (event_id, user, ts, cents) — two users, two days, ties on ts
+        (1, 1, "2026-01-01 09:00:00", 500),
+        (2, 1, "2026-01-01 09:00:00", 300),  # same ts as 1: id breaks the tie
+        (3, 1, "2026-01-01 17:00:00", 900),
+        (4, 2, "2026-01-01 12:00:00", 100),
+        (5, 1, "2026-01-02 08:00:00", 700),
+        (6, 1, "2026-01-02 18:00:00", 200),
+    ]
+    # scrambled across two files -> two different arrival orders
+    for fname, chunk in (("b1.json", rows[3:]), ("b2.json", rows[:3])):
+        with open(src / fname, "w") as f:
+            for eid, uid, ts, c in chunk:
+                f.write(json.dumps({"event_id": eid, "user_id": uid, "ts": ts, "c": c}) + "\n")
+
+    ord_key = F.col("event_id")  # unique ints: a valid total order for the test
+    cents = F.col("c").cast("long")
+
+    batch = spark.read.json(str(src), schema="event_id long, user_id long, ts string, c long").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    want = sorted(
+        map(tuple, timeseries.ohlc(batch, "user_id", "ts", cents, ord_key, "day").collect())
+    )
+
+    stream = ingest.file_json_stream(
+        spark, str(src), "event_id long, user_id long, ts string, c long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = windows.ohlc_stream(
+        stream, "user_id", "ts", cents, ord_key, "1 day", watermark="1 hour"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ohlc_bars")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ohlc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["bucket_ts"], r["open_cents"], r["high_cents"],
+         r["low_cents"], r["close_cents"], r["volume_cents"], r["n"])
+        for r in spark.sql("SELECT * FROM ohlc_bars").collect()
+    )
+    want_cmp = sorted(
+        (u, b, o, h, lo, c, v, n) for (u, b, o, h, lo, c, v, n) in want
+    )
+    assert got == want_cmp
+
+
+def test_incremental_cms_index_merge_replay_and_guarantee(spark, tmp_path):
+    """The persistent count-min index: per-batch appends must merge to the
+    sketch of the union (append IS merge for counter matrices), a
+    replayed batch append must change no estimate (batch-keyed rows
+    collapse on read), and every estimate must be >= the key's true
+    landed count (the sketch's hard guarantee). compact() preserves all
+    estimates in <= depth*width rows."""
+    from collections import Counter
+
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import IncrementalCmsIndex
+
+    path = str(tmp_path / "cms_idx")
+    idx = IncrementalCmsIndex(spark, path, key_col="k", width=32)
+
+    b1 = [5, 5, 7, 9, 9, 9]
+    b2 = [5, 11, 11, 13]
+    truth = Counter(b1 + b2)
+    keys = spark.createDataFrame([(k,) for k in truth], "k long")
+
+    # empty index: estimates are 0, not an error
+    assert {r["k"]: r["est_n"] for r in idx.estimate(keys).collect()} == {
+        k: 0 for k in truth
+    }
+
+    idx.update_batch(spark.createDataFrame([(k,) for k in b1], "k long"), batch_id=1)
+    idx.update_batch(spark.createDataFrame([(k,) for k in b2], "k long"), batch_id=2)
+    est = {r["k"]: r["est_n"] for r in idx.estimate(keys).collect()}
+    for k, n in truth.items():
+        assert est[k] >= n, (k, est[k], n)
+
+    # replay batch 2: byte-identical rows, estimates unchanged
+    idx.update_batch(spark.createDataFrame([(k,) for k in b2], "k long"), batch_id=2)
+    assert {r["k"]: r["est_n"] for r in idx.estimate(keys).collect()} == est
+
+    # compact folds to one snapshot with identical estimates
+    idx.compact()
+    assert {r["k"]: r["est_n"] for r in idx.estimate(keys).collect()} == est
+    assert spark.read.parquet(path).count() <= 4 * 32
