@@ -29,10 +29,16 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 def tokens(text: Column) -> Column:
     """Whitespace tokenization: split on runs of whitespace, drop empties.
 
-    ``split`` + ``filter`` stay in codegen; equivalent to DuckDB's
-    ``string_split`` modulo empty-string handling, which we normalize away.
+    Implemented as ``regexp_extract_all(text, '\\S+')`` — each match IS a
+    maximal non-whitespace run, so the result equals splitting on ``\\s+``
+    and dropping empty strings (leading/trailing/multiple whitespace
+    included; property-pinned in tests/test_properties.py). The earlier
+    ``split`` + ``F.filter`` form was NOT codegen: ``F.filter`` is an
+    interpreted higher-order function (CodegenFallback), and this kernel
+    sits under every gram/token consumer in the module — the r8 bench
+    caught the HOF as a measurable regression on q_text_phrase.
     """
-    return F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
+    return F.regexp_extract_all(text, F.lit(r"\S+"), 0)
 
 
 def token_count(text: Column) -> Column:

@@ -1990,3 +1990,36 @@ def test_embed_diversity_no_int64_wraparound_on_low_diversity_group(spark):
     assert out["n"] == 4000
     assert out["diversity_scaled"] > 0, out  # int64 wrap went negative here
     assert abs(out["mean_pair_cos"] - 1.0) < 1e-9, out
+
+
+def test_semdedup_prune_drops_higher_id_twin_and_respects_cell_cap(spark):
+    """SemDeDup: within-cluster cosine >= threshold drops the HIGHER id
+    only; dissimilar vectors all survive; a cell hotter than max_cell is
+    excluded from the pair search CONSERVATIVELY (all its points kept,
+    never wrongly dropped)."""
+    import numpy as np
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm.simsearch import semdedup_prune
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(6, 8)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(6)]
+    rows += [(100 + i, [float(x) for x in base[i]]) for i in range(3)]  # twins of 0..2
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["kept"]
+        for r in semdedup_prune(df, "embedding", "vec_id", n_cells=4, threshold=0.95).collect()
+    }
+    assert len(got) == 9
+    assert all(got[i] == 1 for i in range(6)), got          # originals kept
+    assert all(got[100 + i] == 0 for i in range(3)), got    # twins dropped
+
+    # cap binds: every point in one cell (identical vectors), cap below
+    # the cell size -> pair search skips the cell, everything survives
+    same = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(5)]
+    df2 = spark.createDataFrame(same, "vec_id long, embedding array<double>")
+    got2 = {
+        r["vec_id"]: r["kept"]
+        for r in semdedup_prune(df2, "embedding", "vec_id", n_cells=2, max_cell=3).collect()
+    }
+    assert got2 == {i: 1 for i in range(5)}, got2

@@ -518,6 +518,32 @@ def test_tpch_heavy_shapes_stay_broadcast_and_bounded(spark, sf_dir):
         assert ("LeftSemi" in plan) == want["semi"], (name, plan[:800])
 
 
+def test_ohlc_single_exchange_no_window(spark, sf_dir):
+    """OHLC bars must be ONE partial-aggregable groupBy: a single
+    exchange, zero window/sort operators (the first/last-over-window
+    formulation would sort every partition for the same answer), and a
+    partial/final aggregate pair carrying six numbers per bar."""
+    from simple_pos_kafka_pyspark_airflow_spark.analyze import plan_summary
+
+    df = build(spark, sf_dir, "q_ohlc")
+    s = plan_summary(df)
+    assert s["exchanges"] == 1 and s["windows"] == 0, s
+    # min_by against a STRING order key is a varlen aggregation buffer →
+    # Spark plans SortAggregate (the q_sample_weighted gotcha); the
+    # partial/final pair is what certifies map-side combine
+    plan = explain_str(df)
+    aggs = sum(plan.count(n) for n in ("HashAggregate", "ObjectHashAggregate", "SortAggregate"))
+    assert aggs >= 2, plan
+
+
+def test_countmin_probe_is_broadcast(spark, sf_dir):
+    """The CMS estimate join must broadcast the sketch side (≤ depth·width
+    rows by construction) — a shuffle join here would defeat the sketch's
+    entire point at scale."""
+    plan = explain_str(build(spark, sf_dir, "q_sketch_countmin"))
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_weighted_sample_take_ordered_then_tiny_window(spark, sf_dir):
     """The md5 min-stable sampler must do the global selection with
     TakeOrderedAndProject (k rows per partition move) and collapse every

@@ -833,3 +833,18 @@ def test_count_min_table_mergeable_and_never_under(spark, shard_a, shard_b):
     truth = Counter(shard_a + shard_b)
     for k, n in truth.items():
         assert est[k] >= n, (k, est[k], n)
+
+
+@given(st.lists(st.text(alphabet="ab X.\t\n ", min_size=0, max_size=40), min_size=1, max_size=6))
+@SETTINGS
+def test_tokens_kernel_matches_python_split(spark, texts):
+    """The shared tokens() kernel (regexp_extract_all('\\S+'), r8 — the
+    codegen replacement for the interpreted split+filter HOF) must equal
+    Python's str.split() on any whitespace shape: runs, tabs, newlines,
+    leading/trailing, empty strings."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm.textops import tokens
+
+    df = spark.createDataFrame(list(enumerate(texts)), "i long, t string")
+    got = {r["i"]: r["toks"] for r in df.select("i", tokens(F.col("t")).alias("toks")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == t.split(), (t, got[i])
