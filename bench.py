@@ -134,6 +134,9 @@ HEADLINE = [
     "q_hist_equidepth",
     "q_sketch_countmin",
     "q_semdedup",
+    # Gopher repetition scoring: per-doc dup-gram mass — two doc-keyed
+    # gram shuffles, the intra-dedup cost envelope
+    "q_text_repetition",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

@@ -649,3 +649,89 @@ def collocation_lift(df, text_col: str = "text", min_count: int = 5, k: int = 20
         .orderBy(F.desc("lift"), F.asc("bigram"))
         .limit(k)
     )
+
+
+def rrf_fuse(rankings, id_col: str = "doc_id", k: int = 60):
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of any
+    number of rankings: ``rrf(d) = Σ_i 1/(k + rank_i(d))``, the standard
+    zero-tuning way to combine heterogeneous retrieval signals (BM25 +
+    dense cosine + recency + quality priors) — rank-based, so wildly
+    different score scales need no normalization.
+
+    ``rankings``: DataFrames with (``id_col``, ``r``) where ``r`` is the
+    1-based rank; an id absent from a ranking contributes 0 (the
+    standard convention). Ranks must come from DETERMINISTIC orderings
+    (unique tiebreak), or the fusion inherits the tie.
+
+    Scale shape: full outer joins on the id — rankings are CANDIDATE
+    lists (top-k of upstream retrievers, thousands of rows), so the
+    fusion is broadcast-sized by construction; never feed it a
+    whole-corpus ranking at scale (a global rank is a global sort —
+    fine for the contract query's 5k docs, wrong at 100 TB). The RRF
+    sum is a fixed left-to-right chain of correctly-rounded divisions —
+    deterministic cross-engine."""
+    from functools import reduce as _reduce
+
+    out = None
+    for i, r in enumerate(rankings):
+        r = r.select(F.col(id_col), F.col("r").alias(f"_r{i}"))
+        out = r if out is None else out.join(r, id_col, "full")
+    terms = [
+        F.coalesce(
+            F.lit(1.0) / (F.col(f"_r{i}") + F.lit(k)).cast("double"), F.lit(0.0)
+        )
+        for i in range(len(rankings))
+    ]
+    return out.select(F.col(id_col), _reduce(lambda a, b: a + b, terms).alias("rrf"))
+
+
+def gopher_repetition(df, text_col: str = "text", id_col: str = "doc_id", ns=(2, 3)):
+    """Gopher-style repetition metrics (Rae et al. 2021, Table A1): per
+    document, the fraction of n-gram mass inside DUPLICATED n-grams —
+    ``dup{n}_frac = Σ_{g: c_g≥2} c_g·len(g) / Σ_g c_g·len(g)`` over the
+    sliding word n-grams (char-length-weighted, so long repeated
+    phrases dominate short ones). The named pretraining filter for
+    within-document repetition (docs above ~0.2 at n=2 are template/
+    spam-like); complements ``intra_doc_span_dedup`` (which EDITS) by
+    SCORING without modification.
+
+    Exactness: numerator/denominator are exact int64 sums (counts ×
+    char lengths); the fraction ships as ONE raw division — bit-
+    identical cross-engine. Docs with < n tokens have no n-grams →
+    NULL frac (emitted explicitly, not 0: "no signal" ≠ "no
+    repetition").
+
+    Scale shape per n: the sliding-gram explode is executor-side row
+    multiplication (no shuffle), then two partial-aggregable doc-keyed
+    shuffles ((doc, gram) counts → per-doc sums) — the
+    ``intra_doc_span_dedup`` cost envelope, O(corpus tokens), never
+    corpus²."""
+    toks = tokens(F.lower(F.col(text_col)))
+    out = df.select(F.col(id_col))
+    for n in ns:
+        # the >= n guard matters beyond the obvious empty result:
+        # sliding_grams on a shorter doc builds sequence(1, size-n+1)
+        # with an end BELOW the start — a DESCENDING sequence whose 0
+        # index crashes F.slice (ngram_occurrence_counts guards the
+        # same way)
+        g = df.select(F.col(id_col), toks.alias("_toks")).where(
+            F.size("_toks") >= n
+        ).select(
+            F.col(id_col), F.explode(sliding_grams(F.col("_toks"), n)).alias("_g")
+        )
+        per_gram = g.groupBy(id_col, "_g").agg(F.count("*").alias("_c"))
+        mass = F.col("_c") * F.length("_g")
+        per_doc = per_gram.groupBy(id_col).agg(
+            F.sum(F.when(F.col("_c") >= 2, mass).otherwise(F.lit(0))).alias(f"dup{n}_num"),
+            F.sum(mass).alias(f"dup{n}_den"),
+        )
+        out = out.join(per_doc, id_col, "left")
+    sel = [F.col(id_col)]
+    for n in ns:
+        num, den = F.col(f"dup{n}_num"), F.col(f"dup{n}_den")
+        sel += [
+            F.coalesce(num, F.lit(0)).alias(f"dup{n}_num"),
+            F.coalesce(den, F.lit(0)).alias(f"dup{n}_den"),
+            F.when(den > 0, num.cast("double") / den.cast("double")).alias(f"dup{n}_frac"),
+        ]
+    return out.select(*sel)

@@ -2157,6 +2157,54 @@ def q_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_median_mad(ev, "event_type", F.round(F.col("value") * 100))
 
 
+@register(
+    "q_anomaly_robust",
+    "agg",
+    oracle="""
+    WITH d AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS x
+      FROM events
+    ), m AS (
+      SELECT event_type, CAST(median(x) AS DOUBLE) AS med
+      FROM d GROUP BY 1
+    ), s AS (
+      SELECT d.event_type, CAST(median(abs(d.x - m.med)) AS DOUBLE) AS mad
+      FROM d JOIN m USING (event_type) GROUP BY 1
+    )
+    SELECT d.event_id, d.event_type,
+           CAST(CASE WHEN abs(d.x - m.med) > 3.0 * s.mad
+                THEN 1 ELSE 0 END AS INTEGER) AS outlier
+    FROM d JOIN m USING (event_type) JOIN s USING (event_type)
+    """,
+    notes="extension: robust per-group outlier gate — |x − median| > "
+    "3·MAD, the resistant alternative to q_anomaly_zscore (one outlier "
+    "inflates mean AND stddev, masking itself; median/MAD need half "
+    "the group to be wrong). Composes grouped_median_mad's exact "
+    "medians (order-free sort aggregates on the cents lattice) with a "
+    "broadcast of the group-cardinality stats table back onto the "
+    "fact; the 3·MAD comparison is a fixed double expression on exact "
+    "lattice values — deterministic both engines",
+)
+def q_anomaly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import grouped_median_mad
+
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    stats = grouped_median_mad(ev, "event_type", F.round(F.col("value") * 100))
+    return (
+        ev.select("event_id", "event_type", cents.alias("_x"))
+        .join(F.broadcast(stats.select("event_type", "med", "mad")), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            (F.abs(F.col("_x") - F.col("med")) > 3.0 * F.col("mad"))
+            .cast("int")
+            .alias("outlier"),
+        )
+    )
+
+
 def _cms_oracle(width: int = 256) -> str:
     """Generated oracle for q_sketch_countmin: the IDENTICAL hash family
     and shard/merge arithmetic the Spark build runs (pure integer mod

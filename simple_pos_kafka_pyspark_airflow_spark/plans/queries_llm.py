@@ -2442,6 +2442,147 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_text_repetition",
+    "llm",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                                           i -> array_to_string(toks[i:i+1], ' '))) AS g
+      FROM t WHERE len(toks) >= 2
+    ),
+    g3 AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+                                           i -> array_to_string(toks[i:i+2], ' '))) AS g
+      FROM t WHERE len(toks) >= 3
+    ),
+    c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+    c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+    d2 AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS BIGINT) AS dup2_num,
+             CAST(SUM(c * length(g)) AS BIGINT) AS dup2_den
+      FROM c2 GROUP BY 1
+    ),
+    d3 AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS BIGINT) AS dup3_num,
+             CAST(SUM(c * length(g)) AS BIGINT) AS dup3_den
+      FROM c3 GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(d2.dup2_num, 0) AS dup2_num,
+           COALESCE(d2.dup2_den, 0) AS dup2_den,
+           CASE WHEN d2.dup2_den > 0
+                THEN CAST(d2.dup2_num AS DOUBLE) / CAST(d2.dup2_den AS DOUBLE) END
+             AS dup2_frac,
+           COALESCE(d3.dup3_num, 0) AS dup3_num,
+           COALESCE(d3.dup3_den, 0) AS dup3_den,
+           CASE WHEN d3.dup3_den > 0
+                THEN CAST(d3.dup3_num AS DOUBLE) / CAST(d3.dup3_den AS DOUBLE) END
+             AS dup3_frac
+    FROM documents d LEFT JOIN d2 USING (doc_id) LEFT JOIN d3 USING (doc_id)
+    """,
+    notes="Gopher repetition metrics (Rae et al. 2021, Table A1; "
+    "llm/textops.gopher_repetition): per-doc char-weighted fraction of "
+    "sliding 2-/3-gram mass inside DUPLICATED grams — the named "
+    "pretraining filter for template/spam repetition; SCORES without "
+    "editing (intra_doc_span_dedup is the editing sibling). Exact "
+    "int64 num/den with the fraction as one raw division "
+    "(bit-identical); executor-side gram explode, two "
+    "partial-aggregable doc-keyed shuffles per n; docs shorter than n "
+    "tokens report NULL frac (no signal, not zero)",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return textops.gopher_repetition(d, "text", "doc_id", ns=(2, 3))
+
+
+@register(
+    "q_retrieval_fusion",
+    "llm",
+    oracle=rf"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dlen FROM docs),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+                     CAST(SUM(dlen) AS DOUBLE) AS lensum FROM lens),
+    toks AS (
+      SELECT doc_id, t FROM docs, LATERAL UNNEST(toks) u(t)
+      WHERE t IN ('spark', 'table', 'query', 'window')
+    ),
+    tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    contrib AS (
+      SELECT tf.doc_id,
+             ROUND(
+               LN(1.0 + (s.nd - CAST(d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+               * ((CAST(tf.tf AS DOUBLE) * {_BM25_K1P1})
+                  / (CAST(tf.tf AS DOUBLE)
+                     + 1.2 * (1.0 - 0.75 + 0.75 * CAST(l.dlen AS DOUBLE) / (s.lensum / s.nd)))),
+               4) AS c
+      FROM tf JOIN dfreq d USING (t) JOIN lens l USING (doc_id) CROSS JOIN stats s
+    ),
+    bm AS (SELECT doc_id, ROUND(SUM(c), 4) AS score FROM contrib GROUP BY doc_id),
+    ra AS (SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r
+           FROM bm),
+    rb AS (SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY dlen DESC, doc_id) AS BIGINT) AS r
+           FROM lens),
+    fused AS (
+      SELECT rb.doc_id,
+             COALESCE(CAST(1 AS DOUBLE) / CAST(ra.r + 60 AS DOUBLE), CAST(0 AS DOUBLE))
+             + COALESCE(CAST(1 AS DOUBLE) / CAST(rb.r + 60 AS DOUBLE), CAST(0 AS DOUBLE))
+               AS rrf
+      FROM rb LEFT JOIN ra USING (doc_id)
+    )
+    SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+    notes="reciprocal-rank fusion (Cormack et al. 2009; "
+    "llm/textops.rrf_fuse): the zero-tuning rank-based combiner of "
+    "heterogeneous retrieval signals — here the BM25 lexical ranking "
+    "(same kernel/terms as q_text_bm25) fused with a document-length "
+    "prior ranking. RRF sum is a fixed chain of correctly-rounded "
+    "divisions on exact ranks (deterministic tiebreaks on doc_id), so "
+    "the raw doubles hash-compare; absent-from-ranking contributes 0 "
+    "per the standard convention. The contract query ranks the whole "
+    "5k-doc corpus as a stand-in; production fuses CANDIDATE lists "
+    "(top-k of upstream retrievers), never a global sort at 100 TB — "
+    "documented on the operator",
+)
+def q_retrieval_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    bm = textops.bm25_scores(d, _BM25_TERMS)
+    ra = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+        .cast("long")
+        .alias("r"),
+    )
+    lens = d.select("doc_id", textops.token_count(F.col("text")).alias("_n"))
+    rb = lens.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("_n").desc(), F.col("doc_id")))
+        .cast("long")
+        .alias("r"),
+    )
+    fused = textops.rrf_fuse([ra, rb], "doc_id", k=60)
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
+
+
+@register(
     "q_text_entropy",
     "llm",
     oracle=r"""

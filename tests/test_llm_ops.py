@@ -2023,3 +2023,37 @@ def test_semdedup_prune_drops_higher_id_twin_and_respects_cell_cap(spark):
         for r in semdedup_prune(df2, "embedding", "vec_id", n_cells=2, max_cell=3).collect()
     }
     assert got2 == {i: 1 for i in range(5)}, got2
+
+
+def test_gopher_repetition_matches_python_twin(spark):
+    """dup-n-gram char fractions must equal the brute-force python twin,
+    including the all-unique doc (frac 0), the fully-repetitive doc
+    (frac 1.0 at n=2), and the too-short doc (NULL, not 0)."""
+    texts = {
+        1: "a b c d e",                  # all bigrams unique
+        2: "x y x y x y",                # every bigram duplicated
+        3: "one",                        # no bigrams at all
+        4: "p q r p q s p q",            # mixed
+    }
+    from simple_pos_kafka_pyspark_airflow_spark.llm.textops import gopher_repetition
+
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["dup2_num"], r["dup2_den"], r["dup2_frac"])
+        for r in gopher_repetition(df, ns=(2,)).collect()
+    }
+    from collections import Counter
+
+    for i, t in texts.items():
+        toks = t.split()
+        grams = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        c = Counter(grams)
+        den = sum(n * len(g) for g, n in c.items())
+        num = sum(n * len(g) for g, n in c.items() if n >= 2)
+        want_frac = num / den if den else None
+        assert got[i][0] == num and got[i][1] == den, (i, got[i])
+        if want_frac is None:
+            assert got[i][2] is None, (i, got[i])
+        else:
+            assert abs(got[i][2] - want_frac) < 1e-12, (i, got[i])
+    assert got[2][2] == 1.0 and got[1][2] == 0.0

@@ -278,6 +278,9 @@ CHEAP_ORACLE_AT_SCALE = [
     "q_stats_mad",
     "q_python_udtf",
     "q_text_phrase",
+    "q_anomaly_robust",
+    "q_text_repetition",
+    "q_retrieval_fusion",
 ]
 
 
