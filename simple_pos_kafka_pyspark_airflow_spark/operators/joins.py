@@ -179,6 +179,83 @@ def asof_join_backward(
     )
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    pick: list[str],
+) -> DataFrame:
+    """As-of NEAREST join (pandas ``merge_asof(direction='nearest')``):
+    attach to each left row the ``pick`` columns of the right row with
+    the same key whose timestamp is CLOSEST in either direction; equal
+    distance breaks BACKWARD (the earlier right row — pandas'
+    convention and the deterministic choice).
+
+    Same scale shape as ``asof_join_backward``: tagged union, then two
+    window fills over the SAME key partitioning — a forward-inclusive
+    fill is just the backward fill under the reversed (ts DESC, side)
+    order, so the plan is one exchange with two sorts, never a range
+    join or per-row probe. The matched right timestamp rides inside the
+    pick struct, so the backward/forward choice is one integer
+    comparison of microsecond distances and the picked columns stay
+    atomic (all from the single chosen row).
+
+    Determinism: among right rows sharing (key, ts) the fill takes the
+    last in sort order — give the right side unique (key, ts) (dedup
+    first) when pick values could differ at identical timestamps, same
+    contract as the backward form."""
+    from pyspark.sql import Window
+
+    lt = (
+        left.withColumn("__k", F.col(left_key))
+        .withColumn("__t", F.col(left_ts))
+        .withColumn("__side", F.lit(1))
+    )
+    rt = right.select(
+        F.col(right_key).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.struct(
+            F.col(right_ts).alias("__rt"), *[F.col(c) for c in pick]
+        ).alias("__p"),
+        F.lit(0).alias("__side"),
+    )
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    # at equal __t the right row (side 0) sorts before the left row in
+    # BOTH orders, so matches are inclusive in both directions
+    wb = (
+        Window.partitionBy("__k")
+        .orderBy(F.asc("__t"), F.asc("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("__k")
+        .orderBy(F.desc("__t"), F.asc("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.withColumn("__b", F.last("__p", ignorenulls=True).over(wb)).withColumn(
+        "__f", F.last("__p", ignorenulls=True).over(wf)
+    )
+    t_us = F.unix_micros(F.col("__t"))
+    dist_b = t_us - F.unix_micros(F.col("__b.__rt"))
+    dist_f = F.unix_micros(F.col("__f.__rt")) - t_us
+    chosen = (
+        F.when(F.col("__b").isNull(), F.col("__f"))
+        .when(F.col("__f").isNull(), F.col("__b"))
+        .when(dist_b <= dist_f, F.col("__b"))
+        .otherwise(F.col("__f"))
+    )
+    return (
+        filled.where(F.col("__side") == 1)
+        .withColumn("__c", chosen)
+        .select(
+            *left.columns, *[F.col("__c").getField(c).alias(c) for c in pick]
+        )
+    )
+
+
 def theta_filter_join(left: DataFrame, right: DataFrame, on: str, predicate: Column) -> DataFrame:
     """Equi-join + theta predicate on joined columns — the reference's
     stock-sufficiency check ``quantity > stock_level`` after a product

@@ -479,6 +479,43 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_join_asof_nearest",
+    "join",
+    oracle="""
+    SELECT e.event_id AS err_id,
+           (SELECT c.ts FROM events c
+            WHERE c.user_id = e.user_id AND c.event_type = 'click'
+            ORDER BY abs(epoch_us(c.ts) - epoch_us(e.ts)) ASC, c.ts ASC
+            LIMIT 1) AS nearest_click_ts
+    FROM events e WHERE e.event_type = 'error'
+    """,
+    notes="extension: NEAREST as-of join "
+    "(operators/joins.asof_join_nearest, pandas merge_asof "
+    "direction='nearest') — closest click in either direction per "
+    "error, equal distance breaking backward. Two window fills (the "
+    "forward fill is the backward fill under ts DESC) over ONE key "
+    "exchange — no range join, no per-row probe; the oracle's "
+    "correlated ORDER BY abs() LIMIT 1 is the semantic definition. "
+    "Output is the matched ts, so same-ts right duplicates cannot "
+    "produce ambiguity",
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("err_user"),
+        F.col("ts").alias("err_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("click_user"), F.col("ts").alias("click_ts")
+    )
+    joined = join_ops.asof_join_nearest(
+        errors, clicks, "err_user", "click_user", "err_ts", "click_ts", pick=["click_ts"]
+    )
+    return joined.select("err_id", F.col("click_ts").alias("nearest_click_ts"))
+
+
+@register(
     "q_scalar_subquery",
     "join",
     oracle="""

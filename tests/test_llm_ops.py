@@ -2057,3 +2057,41 @@ def test_gopher_repetition_matches_python_twin(spark):
         else:
             assert abs(got[i][2] - want_frac) < 1e-12, (i, got[i])
     assert got[2][2] == 1.0 and got[1][2] == 0.0
+
+
+def test_asof_nearest_direction_and_ties(spark):
+    """Nearest as-of: picks backward or forward by true distance, breaks
+    exact-distance ties BACKWARD, and handles keys with matches on only
+    one side (or none)."""
+    from datetime import datetime as dt
+
+    from simple_pos_kafka_pyspark_airflow_spark.operators.joins import asof_join_nearest
+
+    T = lambda s: dt.fromisoformat(f"2026-01-01 {s}")  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            (1, 10, T("10:00:00")),  # clicks at 09:59 and 10:02 -> backward (60s < 120s)
+            (2, 10, T("10:03:00")),  # -> forward 10:02 (60s) over 09:59 (240s)
+            (3, 10, T("10:00:30")),  # EXACT tie: 09:59+90s vs 10:02-90s -> backward
+            (4, 20, T("10:00:00")),  # only a later click -> forward
+            (5, 30, T("10:00:00")),  # no clicks at all -> NULL
+        ],
+        "err_id long, u long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, T("09:59:00")),
+            (10, T("10:02:00")),
+            (20, T("11:00:00")),
+        ],
+        "u long, cts timestamp",
+    )
+    got = {
+        r["err_id"]: r["cts"]
+        for r in asof_join_nearest(left, right, "u", "u", "ts", "cts", ["cts"]).collect()
+    }
+    assert got[1] == T("09:59:00")
+    assert got[2] == T("10:02:00")
+    assert got[3] == T("09:59:00")  # tie -> backward
+    assert got[4] == T("11:00:00")
+    assert got[5] is None

@@ -281,6 +281,7 @@ CHEAP_ORACLE_AT_SCALE = [
     "q_anomaly_robust",
     "q_text_repetition",
     "q_retrieval_fusion",
+    "q_join_asof_nearest",
 ]
 
 
