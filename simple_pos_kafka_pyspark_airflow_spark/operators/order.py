@@ -8,6 +8,7 @@ producer's "last 5 sales" display (``kafka_producer.py:151``).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def topk(df: DataFrame, k: int, *order: Column) -> DataFrame:
@@ -63,3 +64,43 @@ def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
             + F.shiftleft(F.shiftright(bi, i).bitwiseAND(F.lit(1)), 2 * i + 1)
         )
     return key
+
+
+def skyline_2d(df: DataFrame, x: Column, y: Column, partition: str | None = None) -> DataFrame:
+    """2-D skyline (Pareto front): the rows not DOMINATED by any other —
+    no other row with both metrics ≥ and at least one strictly > — the
+    curation question "which documents are best for SOME tradeoff of
+    these two qualities" answered without picking weights.
+
+    The textbook sort-scan beats the naive all-pairs O(n²) self-join:
+    rank the distinct x values descending, then a row survives iff its
+    y equals its x-group's max AND strictly exceeds the running max of
+    y over all STRICTLY greater x (dense_rank + one range-window max —
+    group boundaries, not row offsets, so duplicate x is handled
+    exactly). One sort exchange per partition key; dominance never
+    materializes a pair. Duplicated (x, y) points are mutually
+    non-dominated and all survive, matching the NOT EXISTS definition
+    the contract oracle runs.
+
+    ``x``/``y`` should be integer metrics (exact comparisons); pass
+    ``partition`` to compute one front per group (the window partitions
+    by it — same single exchange)."""
+    from pyspark.sql import Window
+
+    keys = [partition] if partition else []
+    d = df.withColumn("__x", x).withColumn("__y", y)
+    w_rank = Window.partitionBy(*keys).orderBy(F.col("__x").desc())
+    d = d.withColumn("__g", F.dense_rank().over(w_rank))
+    w_grp = Window.partitionBy(*keys, "__g")
+    w_prev = (
+        Window.partitionBy(*keys)
+        .orderBy("__g")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn("__gmax", F.max("__y").over(w_grp)).withColumn(
+        "__pmax", F.max("__y").over(w_prev)
+    )
+    return d.where(
+        (F.col("__y") == F.col("__gmax"))
+        & (F.col("__pmax").isNull() | (F.col("__y") > F.col("__pmax")))
+    ).drop("__x", "__y", "__g", "__gmax", "__pmax")

@@ -479,6 +479,53 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_skyline",
+    "window",
+    oracle=r"""
+    WITH m AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                                t -> t <> ''))) AS BIGINT) AS n_types
+      FROM documents
+    )
+    SELECT d.doc_id, d.source, d.n_tok, d.n_types
+    FROM m d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM m o
+      WHERE o.source = d.source
+        AND o.n_tok >= d.n_tok AND o.n_types >= d.n_types
+        AND (o.n_tok > d.n_tok OR o.n_types > d.n_types)
+    )
+    """,
+    notes="extension: per-source 2-D skyline / Pareto front "
+    "(operators/order.skyline_2d) — documents not dominated on (token "
+    "count, vocabulary size), the pick-without-weights curation "
+    "frontier. The operator is the textbook sort-scan: dense_rank over "
+    "x desc + one RANGE-window running max of y over strictly-greater "
+    "x — ONE sort exchange, dominance pairs never materialize; the "
+    "oracle runs the quadratic NOT EXISTS dominance definition, so the "
+    "contract certifies the rewrite against the semantics. Integer "
+    "metrics keep every comparison exact; duplicate (x,y) points are "
+    "mutually non-dominated and both survive in both formulations",
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.textops import tokens
+    from ..operators.order import skyline_2d
+
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    m = d.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_types"),
+    )
+    return skyline_2d(m, F.col("n_tok"), F.col("n_types"), partition="source")
+
+
+@register(
     "q_join_asof_nearest",
     "join",
     oracle="""

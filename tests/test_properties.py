@@ -848,3 +848,31 @@ def test_tokens_kernel_matches_python_split(spark, texts):
     got = {r["i"]: r["toks"] for r in df.select("i", tokens(F.col("t")).alias("toks")).collect()}
     for i, t in enumerate(texts):
         assert got[i] == t.split(), (t, got[i])
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6), st.sampled_from(["a", "b"])),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SETTINGS
+def test_skyline_2d_matches_dominance_bruteforce(spark, pts):
+    """The sort-scan skyline must equal the quadratic NOT-EXISTS dominance
+    definition on any point set — duplicate points, full ties on one
+    axis, single-point groups included."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators.order import skyline_2d
+
+    rows = [(i, x, y, g) for i, (x, y, g) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x long, y long, g string")
+    got = sorted(r["id"] for r in skyline_2d(df, F.col("x"), F.col("y"), "g").collect())
+    want = sorted(
+        i
+        for i, x, y, g in rows
+        if not any(
+            g2 == g and x2 >= x and y2 >= y and (x2 > x or y2 > y)
+            for _, x2, y2, g2 in rows
+        )
+    )
+    assert got == want

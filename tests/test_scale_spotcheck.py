@@ -282,6 +282,7 @@ CHEAP_ORACLE_AT_SCALE = [
     "q_text_repetition",
     "q_retrieval_fusion",
     "q_join_asof_nearest",
+    "q_skyline",
 ]
 
 
