@@ -479,6 +479,42 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_rolling_distinct",
+    "window",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT event_type, date_trunc('day', ts) AS d, user_id
+      FROM events
+    ), days AS (
+      SELECT DISTINCT event_type, d FROM pairs
+    ), contrib AS (
+      SELECT p.event_type, p.user_id, days.d AS wday
+      FROM pairs p
+      JOIN days ON days.event_type = p.event_type
+              AND days.d BETWEEN p.d AND p.d + INTERVAL 6 DAY
+    )
+    SELECT event_type, wday AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM contrib GROUP BY 1, 2
+    """,
+    notes="extension: rolling 7-day distinct users per day per event "
+    "type (operators/windows.rolling_distinct) — distinct counts don't "
+    "decompose over sliding frames, so the exact shape is "
+    "contribute-then-count: dedup the fact to (day,user) pairs FIRST "
+    "(the fact table never explodes, only active pairs × 7), then a "
+    "second distinct count per window day. The sketched form at 100 TB "
+    "is per-day HLL + hll_union_agg over trailing windows "
+    "(q_sketch_shards' discipline), documented on the operator. The "
+    "oracle phrases the same contribution set as a range join",
+)
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import rolling_distinct
+
+    ev = table(spark, sf_dir, "events")
+    return rolling_distinct(ev, "ts", "user_id", 7, group_cols=["event_type"])
+
+
+@register(
     "q_skyline",
     "window",
     oracle=r"""

@@ -2095,3 +2095,27 @@ def test_asof_nearest_direction_and_ties(spark):
     assert got[3] == T("09:59:00")  # tie -> backward
     assert got[4] == T("11:00:00")
     assert got[5] is None
+
+
+def test_rolling_distinct_matches_python_twin(spark):
+    """Rolling 7-day distinct users: windows that share users must not
+    double-count, users active on multiple days count once per window,
+    and only days WITH data emit rows."""
+    from datetime import datetime as dt
+
+    rows = [  # (user, day-of-jan)
+        (1, 1), (2, 1), (1, 2), (3, 5), (1, 9), (1, 9), (4, 20),
+    ]
+    from simple_pos_kafka_pyspark_airflow_spark.operators.windows import rolling_distinct
+
+    df = spark.createDataFrame(
+        [(u, dt(2026, 1, d)) for u, d in rows], "user_id long, ts timestamp"
+    )
+    got = {r["day"].day: r["n_distinct"] for r in rolling_distinct(df, "ts", "user_id", 7).collect()}
+    days_present = sorted({d for _, d in rows})
+    want = {}
+    for wd in days_present:
+        want[wd] = len({u for u, d in rows if wd - 6 <= d <= wd})
+    assert got == want, (got, want)
+    # spot: day 5 window covers days 1,2,5 -> users {1,2,3}; day 9 covers 5,9 -> {1,3}
+    assert got[5] == 3 and got[9] == 2 and got[20] == 1

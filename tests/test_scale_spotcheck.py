@@ -283,6 +283,7 @@ CHEAP_ORACLE_AT_SCALE = [
     "q_retrieval_fusion",
     "q_join_asof_nearest",
     "q_skyline",
+    "q_rolling_distinct",
 ]
 
 
