@@ -515,6 +515,59 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_rolling_distinct_sketch",
+    "window",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT event_type, date_trunc('day', ts) AS d, user_id
+      FROM events
+    ), days AS (
+      SELECT DISTINCT event_type, d FROM pairs
+    ), contrib AS (
+      SELECT p.event_type, p.user_id, days.d AS wday
+      FROM pairs p
+      JOIN days ON days.event_type = p.event_type
+              AND days.d BETWEEN p.d AND p.d + INTERVAL 6 DAY
+    )
+    SELECT event_type, wday AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           CAST(1 AS INTEGER) AS est_ok
+    FROM contrib GROUP BY 1, 2
+    """,
+    notes="the 100 TB form of q_rolling_distinct: per-day HLL sketches "
+    "union-merged across each trailing window "
+    "(operators/windows.rolling_distinct_sketch) — the fact is touched "
+    "once to build day sketches, then every window merges kilobyte "
+    "blobs; cost scales with DAYS where the exact form scales with "
+    "active pairs × window_days. Self-certifying exact+bound-bit "
+    "(q_sketch_shards' pattern): the exact arm rides along and est_ok "
+    "asserts |est − exact| ≤ 2% of exact in-plan (lg_k=14 → ~0.8% "
+    "expected error), so the driver hash-checks real values, not the "
+    "implementation-specific estimate",
+)
+def q_rolling_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import rolling_distinct, rolling_distinct_sketch
+
+    ev = table(spark, sf_dir, "events")
+    exact = rolling_distinct(ev, "ts", "user_id", 7, group_cols=["event_type"])
+    est = rolling_distinct_sketch(ev, "ts", "user_id", 7, group_cols=["event_type"])
+    return (
+        exact.join(est, ["event_type", "day"])
+        .select(
+            "event_type",
+            "day",
+            F.col("n_distinct").alias("n_exact"),
+            (
+                F.abs(F.col("n_est") - F.col("n_distinct").cast("double"))
+                <= F.lit(0.02) * F.col("n_distinct").cast("double")
+            )
+            .cast("int")
+            .alias("est_ok"),
+        )
+    )
+
+
+@register(
     "q_skyline",
     "window",
     oracle=r"""

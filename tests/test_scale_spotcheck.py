@@ -284,6 +284,7 @@ CHEAP_ORACLE_AT_SCALE = [
     "q_join_asof_nearest",
     "q_skyline",
     "q_rolling_distinct",
+    "q_rolling_distinct_sketch",
 ]
 
 
