@@ -524,3 +524,74 @@ def repeat_epoch_copies(
         .cast("int")
         .alias("n_copies"),
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """DSIR-style importance scores (Xie et al. 2023, arXiv:2302.03169):
+    rank a raw corpus by how much its documents look like a TARGET
+    distribution, using unigram bag likelihood ratios — the
+    data-selection step before pretraining on quality-matched data.
+
+        score(D) = Σ_w c_D(w) · ln( p_target(w) / p_proposal(w) )
+
+    with add-1-smoothed unigram models fit on the target slice
+    (``is_target`` rows) and the rest (the proposal). High score =
+    target-like.
+
+    ``n_buckets`` hashes features (``xxhash64(token) % n_buckets``) —
+    the paper's hashed-feature design, which bounds the model table to
+    ``n_buckets`` rows at ANY corpus size; ``None`` keeps raw unigrams
+    (vocabulary-sized model — the oracle-checkable form, since no
+    engine-portable string hash exists across Spark/DuckDB).
+
+    Determinism discipline (the q_text_entropy precedent): each
+    feature's log-ratio snaps to an INTEGER 1e-6 grid
+    (``CAST(ROUND(ln(...)·1e6) AS BIGINT)``) so the per-doc sum is an
+    exact bigint Σ c·lw — order-free, partition-free — and ships raw.
+    Inputs to ``ln`` are one division of exactly-representable integer
+    products (counts and totals ≪ 2^53).
+
+    Scale shape: the BM25 plan — one token explode, one (feature)
+    model aggregation whose output is vocabulary/bucket-sized and
+    BROADCASTS, one (doc, feature) count shuffle, one per-doc sum.
+    Returns (``id_col``, ``is_target`` int, ``score_e6`` bigint).
+    """
+    toks = df.select(
+        F.col(id_col),
+        is_target.cast("int").alias("_tgt"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("_w"),
+    )
+    if n_buckets is not None:
+        toks = toks.withColumn(
+            "_w", F.pmod(F.xxhash64("_w"), F.lit(n_buckets)).cast("string")
+        )
+    model = toks.groupBy("_w").agg(
+        F.sum("_tgt").cast("long").alias("_ct"),
+        F.sum(1 - F.col("_tgt")).cast("long").alias("_cp"),
+    )
+    stats = model.agg(
+        F.sum("_ct").alias("_tt"),
+        F.sum("_cp").alias("_tp"),
+        F.count("*").alias("_v"),
+    )
+    num = (F.col("_ct") + 1).cast("double") * (F.col("_tp") + F.col("_v")).cast("double")
+    den = (F.col("_cp") + 1).cast("double") * (F.col("_tt") + F.col("_v")).cast("double")
+    lw = F.round(F.log(num / den) * F.lit(1000000.0)).cast("long")
+    weighted = model.crossJoin(F.broadcast(stats)).select("_w", lw.alias("_lw"))
+    per_doc_term = toks.groupBy(id_col, "_tgt", "_w").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    scored = (
+        per_doc_term.join(F.broadcast(weighted), "_w")
+        .groupBy(id_col, "_tgt")
+        .agg(F.sum(F.col("_c") * F.col("_lw")).alias("score_e6"))
+    )
+    return df.select(F.col(id_col), is_target.cast("int").alias("is_target")).join(
+        scored.select(id_col, "score_e6"), id_col, "left"
+    ).select(id_col, "is_target", F.coalesce("score_e6", F.lit(0)).alias("score_e6"))

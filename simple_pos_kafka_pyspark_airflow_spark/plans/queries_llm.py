@@ -2925,6 +2925,75 @@ def q_sample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeat_epoch_copies(d, "source", "n_chars", "doc_id")
 
 
+@register(
+    "q_sample_importance",
+    "llm",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN source = 'src1'
+                  THEN translate(text, 'aeiou', 'xyzwv') ELSE text END AS text,
+             CAST(source = 'src1' AS INTEGER) AS is_target
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, is_target, t AS w
+      FROM corpus,
+           LATERAL UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                      x -> x <> '')) u(t)
+    ), model AS (
+      SELECT w, CAST(SUM(is_target) AS BIGINT) AS ct,
+             CAST(SUM(1 - is_target) AS BIGINT) AS cp
+      FROM tok GROUP BY 1
+    ), st AS (
+      SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cp) AS BIGINT) AS tp,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM model
+    ), wts AS (
+      SELECT w,
+             CAST(ROUND(LN((CAST(ct + 1 AS DOUBLE) * CAST(tp + v AS DOUBLE))
+                           / (CAST(cp + 1 AS DOUBLE) * CAST(tt + v AS DOUBLE)))
+                        * 1000000.0) AS BIGINT) AS lw
+      FROM model CROSS JOIN st
+    ), dt AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+    ), sc AS (
+      SELECT doc_id, CAST(SUM(c * lw) AS BIGINT) AS score_e6
+      FROM dt JOIN wts USING (w) GROUP BY 1
+    )
+    SELECT c.doc_id, c.is_target, COALESCE(sc.score_e6, 0) AS score_e6
+    FROM corpus c LEFT JOIN sc USING (doc_id)
+    """,
+    notes="DSIR-style importance scores (Xie et al. 2023; "
+    "llm/filtering.dsir_importance): rank raw documents by add-1 "
+    "unigram log-likelihood ratio against a target slice — the "
+    "data-SELECTION step before pretraining (temperature/repeat "
+    "sampling decide HOW MUCH, this decides WHICH). The synthetic docs "
+    "share one vocabulary across labels, so target drift is "
+    "MANUFACTURED per the testdata discipline: src1 text is vowel-"
+    "translated on both sides, making the ratio model non-vacuous. "
+    "Per-feature log-ratios snap to an integer 1e-6 grid (the "
+    "q_text_entropy ln discipline) so per-doc sums are exact bigints; "
+    "plan is the BM25 shape — broadcast model table, one (doc,term) "
+    "shuffle. The hashed-feature production form (n_buckets, bounding "
+    "the model at any corpus size) is Spark-side unit-tested; no "
+    "engine-portable string hash exists for an oracle",
+)
+def q_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.filtering import dsir_importance
+
+    d = table(spark, sf_dir, "documents")
+    corpus = d.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("source") == "src1", F.translate(F.col("text"), "aeiou", "xyzwv")
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dsir_importance(corpus, F.col("source") == "src1", "text", "doc_id")
+
+
 def _diversity_oracle(dim: int = 64, grid: int = 1_000_000) -> str:
     """Generated (deterministic) oracle for q_embed_diversity: the SAME
     explicit left-associated chains the Spark side evaluates — a list

@@ -2119,3 +2119,27 @@ def test_rolling_distinct_matches_python_twin(spark):
     assert got == want, (got, want)
     # spot: day 5 window covers days 1,2,5 -> users {1,2,3}; day 9 covers 5,9 -> {1,3}
     assert got[5] == 3 and got[9] == 2 and got[20] == 1
+
+
+def test_dsir_importance_hashed_features_separate_target(spark):
+    """The hashed-feature DSIR form (the paper's production design — the
+    model table is bounded at n_buckets rows at any corpus size) must
+    still rank drifted target docs above proposal docs, and every doc
+    gets a score."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm.filtering import dsir_importance
+
+    rows = []
+    for i in range(40):
+        # target half speaks a shifted vocabulary — manufactured drift
+        if i % 2 == 0:
+            rows.append((i, "zebra quartz vortex zebra quartz nymph vortex"))
+        else:
+            rows.append((i, "common words appear here again and again common"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dsir_importance(
+        df, F.col("doc_id") % 2 == 0, "text", "doc_id", n_buckets=64
+    ).collect()
+    assert len(out) == 40
+    tgt = [r["score_e6"] for r in out if r["is_target"] == 1]
+    prop = [r["score_e6"] for r in out if r["is_target"] == 0]
+    assert min(tgt) > max(prop), (min(tgt), max(prop))

@@ -285,6 +285,7 @@ CHEAP_ORACLE_AT_SCALE = [
     "q_skyline",
     "q_rolling_distinct",
     "q_rolling_distinct_sketch",
+    "q_sample_importance",
 ]
 
 
