@@ -357,3 +357,71 @@ def null_rate_drift(
     return reference.sparkSession.createDataFrame(
         rows, "column string, ref_rate double, cur_rate double, delta double"
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    group_col: str,
+    value_int: Column,
+    is_ref: Column,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic per group — the BINLESS
+    drift test: ``KS = max_x |ECDF_ref(x) − ECDF_live(x)|``, sensitive
+    to shape changes PSI's fixed bins can wash out (a shift smaller
+    than a bin, a variance change inside one bin). Values above ~1.36·
+    √((n+m)/(n·m)) reject "same distribution" at α=5%.
+
+    EXACT, no floats until the last step: collapse rows to per-(group,
+    value) ref/live counts — one partial-aggregable shuffle, state is
+    DISTINCT values per group, not rows — then running sums over the
+    value order (one per-group window sort) give the ECDF numerators,
+    and the sup-difference cross-multiplies: ``max |cum_ref·n_live −
+    cum_live·n_ref|`` over exact int64, with denominator
+    ``n_ref·n_live``. Ties are handled structurally (both ECDFs jump at
+    the same grouped value row — no tiebreak needed, no order
+    ambiguity). ``ks`` ships as ONE raw division of the exact ints.
+
+    int64 bound: ``cum·n`` needs values_per_group · rows_per_side <
+    2^63 — 9.2e18 covers any realistic monitoring slice; the output is
+    (group, n_ref, n_live, ks_num, ks_den, ks).
+
+    ``value_int`` must be an integer-lattice expression (cents) so
+    value equality — which defines the ECDF jump points — is exact."""
+    d = df.select(
+        F.col(group_col),
+        value_int.cast("long").alias("_v"),
+        is_ref.cast("int").alias("_r"),
+    )
+    per_val = d.groupBy(group_col, "_v").agg(
+        F.sum("_r").cast("long").alias("_a"),
+        F.sum(1 - F.col("_r")).cast("long").alias("_b"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    cum = per_val.select(
+        F.col(group_col),
+        F.sum("_a").over(w).alias("_ca"),
+        F.sum("_b").over(w).alias("_cb"),
+        F.sum("_a").over(w_all).alias("_na"),
+        F.sum("_b").over(w_all).alias("_nb"),
+    )
+    diff = F.abs(F.col("_ca") * F.col("_nb") - F.col("_cb") * F.col("_na"))
+    return (
+        cum.groupBy(group_col, "_na", "_nb")
+        .agg(F.max(diff).alias("ks_num"))
+        .select(
+            group_col,
+            F.col("_na").alias("n_ref"),
+            F.col("_nb").alias("n_live"),
+            "ks_num",
+            (F.col("_na") * F.col("_nb")).alias("ks_den"),
+            (
+                F.col("ks_num").cast("double")
+                / (F.col("_na") * F.col("_nb")).cast("double")
+            ).alias("ks"),
+        )
+    )

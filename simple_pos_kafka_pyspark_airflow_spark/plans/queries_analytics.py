@@ -22,6 +22,10 @@ from ..catalog import table
 from ..operators import joins as join_ops
 from .contract import register
 
+#: Reference/current split for the PSI drift contract: first half of the
+#: event month is the "reference" distribution, the rest is "live".
+_PSI_SPLIT = "2024-01-16 00:00:00"
+
 # ---------------------------------------------------------------------------
 # window breadth
 # ---------------------------------------------------------------------------
@@ -512,6 +516,60 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return rolling_distinct(ev, "ts", "user_id", 7, group_cols=["event_type"])
+
+
+@register(
+    "q_drift_ks",
+    "agg",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             CAST(ts < TIMESTAMP '{_PSI_SPLIT}' AS INTEGER) AS r
+      FROM events
+    ), pv AS (
+      SELECT event_type, v,
+             CAST(SUM(r) AS BIGINT) AS a,
+             CAST(SUM(1 - r) AS BIGINT) AS b
+      FROM d GROUP BY 1, 2
+    ), c AS (
+      SELECT event_type,
+             SUM(a) OVER (PARTITION BY event_type ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS ca,
+             SUM(b) OVER (PARTITION BY event_type ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cb,
+             SUM(a) OVER (PARTITION BY event_type) AS na,
+             SUM(b) OVER (PARTITION BY event_type) AS nb
+      FROM pv
+    )
+    SELECT event_type,
+           CAST(na AS BIGINT) AS n_ref, CAST(nb AS BIGINT) AS n_live,
+           CAST(MAX(abs(ca * nb - cb * na)) AS BIGINT) AS ks_num,
+           CAST(na * nb AS BIGINT) AS ks_den,
+           CAST(MAX(abs(ca * nb - cb * na)) AS DOUBLE) / CAST(na * nb AS DOUBLE) AS ks
+    FROM c GROUP BY event_type, na, nb
+    """,
+    notes="extension: two-sample Kolmogorov-Smirnov drift per group "
+    "(operators/validation.ks_drift) — the BINLESS complement of "
+    "q_psi_drift: sup |ECDF_ref − ECDF_live| catches shape changes "
+    "smaller than a PSI bin. Exact end-to-end: per-(group, value) "
+    "counts (state = distinct values, not rows), one per-group window "
+    "sort for the running ECDF numerators, and the sup-difference as "
+    "cross-multiplied int64 (cum_ref·n_live − cum_live·n_ref) with "
+    "ONE raw division at the end; ties are structural (both ECDFs "
+    "jump at the same grouped row). Same first-half/rest split as the "
+    "PSI contract",
+)
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.validation import ks_drift
+
+    ev = table(spark, sf_dir, "events")
+    return ks_drift(
+        ev,
+        "event_type",
+        F.round(F.col("value") * 100),
+        F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp"),
+    )
 
 
 @register(
@@ -2056,11 +2114,6 @@ def q_hist_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
     return validation.equidepth_histogram(ev, cents, "event_type", "event_id", n_bins=10)
-
-
-#: Reference/current split for the PSI drift contract: first half of the
-#: event month is the "reference" distribution, the rest is "live".
-_PSI_SPLIT = "2024-01-16 00:00:00"
 
 
 @register(

@@ -2143,3 +2143,34 @@ def test_dsir_importance_hashed_features_separate_target(spark):
     tgt = [r["score_e6"] for r in out if r["is_target"] == 1]
     prop = [r["score_e6"] for r in out if r["is_target"] == 0]
     assert min(tgt) > max(prop), (min(tgt), max(prop))
+
+
+def test_ks_drift_matches_python_twin(spark):
+    """The cross-multiplied KS statistic must equal the brute-force
+    two-sample ECDF sup-difference — including ties across samples and
+    an identical-distribution group scoring 0."""
+    rows = [  # (group, value, is_ref)
+        *[("g1", v, 1) for v in (1, 2, 2, 3, 9)],
+        *[("g1", v, 0) for v in (2, 7, 8, 9)],
+        *[("g2", v, 1) for v in (5, 5, 6)],
+        *[("g2", v, 0) for v in (5, 5, 6)],  # identical -> KS 0
+    ]
+    from simple_pos_kafka_pyspark_airflow_spark.operators.validation import ks_drift
+
+    df = spark.createDataFrame(rows, "g string, v long, r int")
+    got = {
+        r["g"]: (r["ks_num"], r["ks_den"], r["ks"])
+        for r in ks_drift(df, "g", F.col("v"), F.col("r") == 1).collect()
+    }
+    for g in ("g1", "g2"):
+        ref = sorted(v for gg, v, r in rows if gg == g and r == 1)
+        live = sorted(v for gg, v, r in rows if gg == g and r == 0)
+        xs = sorted(set(ref + live))
+        na, nb = len(ref), len(live)
+        num = max(
+            abs(sum(v <= x for v in ref) * nb - sum(v <= x for v in live) * na)
+            for x in xs
+        )
+        assert got[g][0] == num and got[g][1] == na * nb, (g, got[g])
+        assert abs(got[g][2] - num / (na * nb)) < 1e-15
+    assert got["g2"][0] == 0

@@ -286,6 +286,7 @@ CHEAP_ORACLE_AT_SCALE = [
     "q_rolling_distinct",
     "q_rolling_distinct_sketch",
     "q_sample_importance",
+    "q_drift_ks",
 ]
 
 
