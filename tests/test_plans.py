@@ -544,6 +544,30 @@ def test_countmin_probe_is_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_skyline_single_sort_exchange(spark, sf_dir):
+    """The skyline sort-scan rewrite's whole point: one exchange, the
+    three window ops (dense_rank, group max, prev-groups max) sharing it
+    — never a dominance self-join (zero joins of any kind)."""
+    from simple_pos_kafka_pyspark_airflow_spark.analyze import plan_summary
+
+    s = plan_summary(build(spark, sf_dir, "q_skyline"))
+    assert s["exchanges"] == 1, s
+    assert s["sort_merge_joins"] == 0 and s["broadcast_joins"] == 0, s
+    assert s["cartesian_products"] == 0, s
+
+
+def test_ks_drift_no_joins_two_exchanges(spark, sf_dir):
+    """KS rides per-(group, value) counts + per-group windows: one count
+    shuffle + one window exchange, zero joins — the sup-difference never
+    materializes a pair or a cross-side join."""
+    from simple_pos_kafka_pyspark_airflow_spark.analyze import plan_summary
+
+    s = plan_summary(build(spark, sf_dir, "q_drift_ks"))
+    assert s["exchanges"] <= 2, s
+    assert s["sort_merge_joins"] == 0 and s["broadcast_joins"] == 0, s
+    assert s["scans"] == 1, s
+
+
 def test_weighted_sample_take_ordered_then_tiny_window(spark, sf_dir):
     """The md5 min-stable sampler must do the global selection with
     TakeOrderedAndProject (k rows per partition move) and collapse every
