@@ -246,3 +246,65 @@ def grouped_median_mad(df: DataFrame, group_col: str, x_int) -> DataFrame:
         .agg(F.median(F.abs(F.col("_x") - F.col("med"))).alias("mad"))
         .select(group_col, "n", "med", "mad")
     )
+
+
+def grouped_skew_kurt(df: DataFrame, group_col: str, x_int) -> DataFrame:
+    """Per-group skewness and excess kurtosis from EXACT integer moments
+    — the shape-of-distribution companions to ``grouped_corr_exact``
+    (same discipline: one partial-aggregable shuffle of int64 sums,
+    order-free; ``skewness()``/``kurtosis()`` built-ins stream float
+    accumulators and can never hash-compare across engines or cluster
+    sizes).
+
+    With raw power sums S=Σx, S2..S4 (all exact int64), the n-powers
+    cancel out of the standardized moments:
+
+        B    = n·S2 − S²                        (= n²·m2, exact int64)
+        A    = n²·S3 − 3n·S·S2 + 2S³            (= n³·m3)
+        C    = n³·S4 − 4n²·S·S3 + 6n·S²·S2 − 3S⁴ (= n⁴·m4)
+        skew = A / B^(3/2)        kurt = C / B² − 3
+
+    A and C exceed int64 at realistic scales, so they are evaluated in
+    DOUBLE as FIXED left-associated trees over the exact sums — every
+    step a correctly-rounded IEEE op on identical operands, so both
+    engines produce bit-identical doubles (the q_stats_corr recipe).
+
+    ``x_int`` must be a SMALL integer lattice: the exactness of the
+    int64 power sums needs n·max|x|⁴ < 2^63 (deci-units with |x| ≤ 1e3
+    → n ≤ 9e6 per group; widen to DECIMAL(38,0) sums in both engines
+    past that). Zero-variance groups yield NULL via NULLIF. Output:
+    (group, n, sum_x..sum_x4, skew, kurt)."""
+    g = (
+        df.select(F.col(group_col), x_int.cast("long").alias("_x"))
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("_x").alias("sum_x"),
+            F.sum(F.col("_x") * F.col("_x")).alias("sum_x2"),
+            F.sum(F.col("_x") * F.col("_x") * F.col("_x")).alias("sum_x3"),
+            F.sum(F.col("_x") * F.col("_x") * F.col("_x") * F.col("_x")).alias("sum_x4"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("sum_x").cast("double")
+    s2 = F.col("sum_x2").cast("double")
+    s3 = F.col("sum_x3").cast("double")
+    s4 = F.col("sum_x4").cast("double")
+    b = (F.col("n") * F.col("sum_x2") - F.col("sum_x") * F.col("sum_x")).cast("double")
+    a = nd * nd * s3 - F.lit(3.0) * nd * sd * s2 + F.lit(2.0) * sd * sd * sd
+    c = (
+        nd * nd * nd * s4
+        - F.lit(4.0) * nd * nd * sd * s3
+        + F.lit(6.0) * nd * sd * sd * s2
+        - F.lit(3.0) * sd * sd * sd * sd
+    )
+    return g.select(
+        group_col,
+        "n",
+        "sum_x",
+        "sum_x2",
+        "sum_x3",
+        "sum_x4",
+        (a / F.nullif(b * F.sqrt(b), F.lit(0.0))).alias("skew"),
+        (c / F.nullif(b * b, F.lit(0.0)) - F.lit(3.0)).alias("kurt"),
+    )

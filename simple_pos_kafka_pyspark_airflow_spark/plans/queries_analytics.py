@@ -519,6 +519,54 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stats_skew",
+    "agg",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(round(value * 10) AS BIGINT) AS x FROM events
+    ), g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sum_x,
+             CAST(SUM(x * x) AS BIGINT) AS sum_x2,
+             CAST(SUM(x * x * x) AS BIGINT) AS sum_x3,
+             CAST(SUM(x * x * x * x) AS BIGINT) AS sum_x4
+      FROM d GROUP BY 1
+    )
+    SELECT event_type, n, sum_x, sum_x2, sum_x3, sum_x4,
+           (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(sum_x3 AS DOUBLE)
+            - CAST(3 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(sum_x AS DOUBLE) * CAST(sum_x2 AS DOUBLE)
+            + CAST(2 AS DOUBLE) * CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+           / NULLIF(CAST(n * sum_x2 - sum_x * sum_x AS DOUBLE)
+                    * sqrt(CAST(n * sum_x2 - sum_x * sum_x AS DOUBLE)), 0.0)
+             AS skew,
+           (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(sum_x4 AS DOUBLE)
+            - CAST(4 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(sum_x AS DOUBLE) * CAST(sum_x3 AS DOUBLE)
+            + CAST(6 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE) * CAST(sum_x2 AS DOUBLE)
+            - CAST(3 AS DOUBLE) * CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+           / NULLIF(CAST(n * sum_x2 - sum_x * sum_x AS DOUBLE)
+                    * CAST(n * sum_x2 - sum_x * sum_x AS DOUBLE), 0.0)
+           - CAST(3 AS DOUBLE)
+             AS kurt
+    FROM g
+    """,
+    notes="extension: per-group skewness + excess kurtosis from exact "
+    "integer power sums (operators/aggregates.grouped_skew_kurt) — the "
+    "distribution-shape monitors, order-free where the skewness()/"
+    "kurtosis() built-ins stream float state. The n-powers cancel out "
+    "of the standardized moments (skew = A/B^1.5, kurt = C/B² − 3 with "
+    "A,B,C polynomial in the exact sums), A and C evaluated as FIXED "
+    "left-associated double trees (the q_stats_corr recipe) so raw "
+    "doubles hash-compare; deci grid keeps n·x⁴ inside int64 to ~9e6 "
+    "rows/group, documented with the DECIMAL(38,0) widening path",
+)
+def q_stats_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import grouped_skew_kurt
+
+    ev = table(spark, sf_dir, "events")
+    return grouped_skew_kurt(ev, "event_type", F.round(F.col("value") * 10))
+
+
+@register(
     "q_drift_ks",
     "agg",
     oracle=f"""

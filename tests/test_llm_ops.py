@@ -2174,3 +2174,32 @@ def test_ks_drift_matches_python_twin(spark):
         assert got[g][0] == num and got[g][1] == na * nb, (g, got[g])
         assert abs(got[g][2] - num / (na * nb)) < 1e-15
     assert got["g2"][0] == 0
+
+
+def test_grouped_skew_kurt_matches_numpy(spark):
+    """Exact-moment skewness/kurtosis must match numpy's population
+    moments (m3/m2^1.5, m4/m2^2 - 3) to float precision, and a
+    zero-variance group yields NULLs."""
+    import numpy as np
+
+    from simple_pos_kafka_pyspark_airflow_spark.operators.aggregates import (
+        grouped_skew_kurt,
+    )
+
+    rng = np.random.RandomState(5)
+    a = rng.randint(-50, 500, size=200)
+    b = np.concatenate([rng.randint(0, 10, size=150), np.array([900] * 5)])  # heavy tail
+    rows = [("a", int(v)) for v in a] + [("b", int(v)) for v in b] + [("c", 7)] * 4
+    df = spark.createDataFrame(rows, "g string, x long")
+    got = {
+        r["g"]: (r["skew"], r["kurt"])
+        for r in grouped_skew_kurt(df, "g", F.col("x")).collect()
+    }
+    for g, vals in (("a", a), ("b", b)):
+        m = vals.mean()
+        m2 = ((vals - m) ** 2).mean()
+        m3 = ((vals - m) ** 3).mean()
+        m4 = ((vals - m) ** 4).mean()
+        assert abs(got[g][0] - m3 / m2**1.5) < 1e-9, (g, got[g])
+        assert abs(got[g][1] - (m4 / m2**2 - 3)) < 1e-9, (g, got[g])
+    assert got["c"] == (None, None)

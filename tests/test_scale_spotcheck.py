@@ -287,6 +287,7 @@ CHEAP_ORACLE_AT_SCALE = [
     "q_rolling_distinct_sketch",
     "q_sample_importance",
     "q_drift_ks",
+    "q_stats_skew",
 ]
 
 
