@@ -18,7 +18,17 @@ q_python_udtf oracle being q_text_chunks' oracle at a different width.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql.functions import udtf
+
+#: ASCII-whitespace tokenizer: ``\S+`` under re.ASCII matches runs not
+#: containing [ \t\n\r\f\v] ONLY — the same whitespace class Java's
+#: ``\s`` uses in the codegen twin (llm/filtering.chunk_documents) and
+#: the q_python_udtf oracle. Python's ``str.split()`` would split on ANY
+#: Unicode whitespace (NBSP, ideographic space, …) and silently diverge
+#: from the other two formulations on such documents.
+_ASCII_TOKEN = re.compile(r"\S+", re.ASCII)
 
 
 @udtf(returnType="chunk_idx int, n_tokens int, chunk_text string")
@@ -26,10 +36,15 @@ class ChunkTextUDTF:
     """Fixed-size token chunker as a table function: emits one row per
     ``max_tokens``-token window of the whitespace-tokenized input (final
     window keeps the remainder; zero-token docs emit nothing) — the same
-    contract as ``llm/filtering.chunk_documents``."""
+    contract as ``llm/filtering.chunk_documents``.
+
+    Whitespace contract: tokens are maximal runs of non-ASCII-whitespace
+    (``\\S+`` with ``re.ASCII``), matching Java ``\\s+`` semantics so all
+    three formulations (UDTF, codegen twin, SQL oracle) agree on documents
+    containing tabs, newlines, or non-breaking spaces."""
 
     def eval(self, text: str, max_tokens: int):  # noqa: D102
-        toks = text.split() if text else []
+        toks = _ASCII_TOKEN.findall(text) if text else []
         for i in range(0, len(toks), max_tokens):
             window = toks[i : i + max_tokens]
             yield i // max_tokens, len(window), " ".join(window)

@@ -138,9 +138,18 @@ CMS_HASHES: list[tuple[int, int]] = [
 ]
 
 
+def _pmod_col(expr, m: int):
+    """Nonnegative modulo ``((x % m) + m) % m`` written as the explicit
+    three-op chain (not ``F.pmod``) so generated SQL oracles can emit
+    the LITERAL SAME expression on engines that lack pmod — buckets
+    then land in [0, m) for ANY key sign on every engine, independent
+    of each engine's sign-of-dividend convention for ``%``."""
+    return ((expr % F.lit(m)) + F.lit(m)) % F.lit(m)
+
+
 def _cms_bucket(key, a: int, b: int, width: int):
-    k = key % F.lit(CMS_PRIME)
-    return ((k * F.lit(a) + F.lit(b)) % F.lit(CMS_PRIME) % F.lit(width)).cast("long")
+    k = _pmod_col(key, CMS_PRIME)
+    return _pmod_col(_pmod_col(k * F.lit(a) + F.lit(b), CMS_PRIME), width).cast("long")
 
 
 def count_min_table(
@@ -195,8 +204,24 @@ def cms_estimate(
     The sketch side is ≤ depth·width rows — broadcast-sized by
     construction — so the probe is a broadcast hash join at any scale.
 
-    Returns (key_col, est_n). Guarantee: est_n ≥ the key's true count."""
+    Returns (key_col, est_n). Guarantee: est_n ≥ the key's true count.
+
+    The never-underestimate guarantee requires the probe depth to be ≤
+    the depth the sketch was BUILT with: a deeper probe would left-join
+    no sketch rows at the extra depths and coalesce them to 0, silently
+    inverting the guarantee. The sketch carries its depth in its own
+    rows (max(d)+1), so this is validated with one 1-row aggregate over
+    the ≤ depth·width-row sketch (bounded by construction) and fails
+    fast on mismatch. An EMPTY sketch (empty corpus) is exempt: every
+    true count is 0, so estimate 0 is exact."""
     hashes = CMS_HASHES if depth is None else CMS_HASHES[:depth]
+    built = cms.agg(F.max("d").alias("_d")).first()[0]
+    if built is not None and len(hashes) > built + 1:
+        raise ValueError(
+            f"cms_estimate probe depth {len(hashes)} exceeds the sketch's "
+            f"built depth {built + 1}; absent depths would coalesce to 0 "
+            "and break the never-underestimate guarantee"
+        )
     probes = keys.select(
         F.col(key_col),
         F.explode(
@@ -259,15 +284,21 @@ def grouped_skew_kurt(df: DataFrame, group_col: str, x_int) -> DataFrame:
     With raw power sums S=Σx, S2..S4 (all exact int64), the n-powers
     cancel out of the standardized moments:
 
-        B    = n·S2 − S²                        (= n²·m2, exact int64)
+        B    = n·S2 − S²                        (= n²·m2)
         A    = n²·S3 − 3n·S·S2 + 2S³            (= n³·m3)
         C    = n³·S4 − 4n²·S·S3 + 6n·S²·S2 − 3S⁴ (= n⁴·m4)
         skew = A / B^(3/2)        kurt = C / B² − 3
 
-    A and C exceed int64 at realistic scales, so they are evaluated in
-    DOUBLE as FIXED left-associated trees over the exact sums — every
-    step a correctly-rounded IEEE op on identical operands, so both
-    engines produce bit-identical doubles (the q_stats_corr recipe).
+    A, B and C all exceed int64 at realistic scales (B = n·S2 − S² has
+    both products ~n²·x², which wraps int64 at n ≈ 3e6 per group for
+    |x| = 1e3 — smaller than the n·x⁴ bound on the sums themselves), so
+    ALL THREE are evaluated in DOUBLE as FIXED left-associated trees
+    over the exact sums — every step a correctly-rounded IEEE op on
+    identical operands, so both engines produce bit-identical doubles
+    (the q_stats_corr recipe). The trade: zero-variance detection is
+    inexact once the sums exceed 2^53 (B may round to a tiny nonzero
+    instead of exact 0); below 2^53 the double tree is exact and the
+    NULLIF guard is sharp.
 
     ``x_int`` must be a SMALL integer lattice: the exactness of the
     int64 power sums needs n·max|x|⁴ < 2^63 (deci-units with |x| ≤ 1e3
@@ -290,7 +321,7 @@ def grouped_skew_kurt(df: DataFrame, group_col: str, x_int) -> DataFrame:
     s2 = F.col("sum_x2").cast("double")
     s3 = F.col("sum_x3").cast("double")
     s4 = F.col("sum_x4").cast("double")
-    b = (F.col("n") * F.col("sum_x2") - F.col("sum_x") * F.col("sum_x")).cast("double")
+    b = nd * s2 - sd * sd
     a = nd * nd * s3 - F.lit(3.0) * nd * sd * s2 + F.lit(2.0) * sd * sd * sd
     c = (
         nd * nd * nd * s4

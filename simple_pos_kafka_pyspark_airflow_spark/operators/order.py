@@ -73,14 +73,26 @@ def skyline_2d(df: DataFrame, x: Column, y: Column, partition: str | None = None
     these two qualities" answered without picking weights.
 
     The textbook sort-scan beats the naive all-pairs O(n²) self-join:
-    rank the distinct x values descending, then a row survives iff its
+    rank the distinct x values descending, then a point survives iff its
     y equals its x-group's max AND strictly exceeds the running max of
     y over all STRICTLY greater x (dense_rank + one range-window max —
     group boundaries, not row offsets, so duplicate x is handled
-    exactly). One sort exchange per partition key; dominance never
-    materializes a pair. Duplicated (x, y) points are mutually
-    non-dominated and all survive, matching the NOT EXISTS definition
-    the contract oracle runs.
+    exactly). Dominance never materializes a pair.
+
+    The front depends only on the DISTINCT (x, y) point set, so the
+    sort-scan runs over ``distinct(keys, x, y)`` — a partial-aggregable
+    collapse that typically shrinks the window input by orders of
+    magnitude — and the surviving points semi-join back to the fact
+    (shuffle on (x, y), fully distributed; AQE broadcasts the front
+    when it is small). Duplicated (x, y) rows are mutually
+    non-dominated and all survive the semi-join, matching the NOT
+    EXISTS definition the contract oracle runs.
+
+    With ``partition=None`` the window still orders the distinct-point
+    set in ONE task — bounded by |distinct (x, y)|, not by the fact
+    size, but callers with a huge exact point domain should quantize
+    the metrics or pass ``partition``; the per-group form partitions
+    the window and has no single-task stage at all.
 
     ``x``/``y`` should be integer metrics (exact comparisons); pass
     ``partition`` to compute one front per group (the window partitions
@@ -89,18 +101,20 @@ def skyline_2d(df: DataFrame, x: Column, y: Column, partition: str | None = None
 
     keys = [partition] if partition else []
     d = df.withColumn("__x", x).withColumn("__y", y)
+    pts = d.select(*keys, "__x", "__y").distinct()
     w_rank = Window.partitionBy(*keys).orderBy(F.col("__x").desc())
-    d = d.withColumn("__g", F.dense_rank().over(w_rank))
+    pts = pts.withColumn("__g", F.dense_rank().over(w_rank))
     w_grp = Window.partitionBy(*keys, "__g")
     w_prev = (
         Window.partitionBy(*keys)
         .orderBy("__g")
         .rangeBetween(Window.unboundedPreceding, -1)
     )
-    d = d.withColumn("__gmax", F.max("__y").over(w_grp)).withColumn(
+    pts = pts.withColumn("__gmax", F.max("__y").over(w_grp)).withColumn(
         "__pmax", F.max("__y").over(w_prev)
     )
-    return d.where(
+    front = pts.where(
         (F.col("__y") == F.col("__gmax"))
         & (F.col("__pmax").isNull() | (F.col("__y") > F.col("__pmax")))
-    ).drop("__x", "__y", "__g", "__gmax", "__pmax")
+    ).select(*keys, "__x", "__y")
+    return d.join(front, [*keys, "__x", "__y"], "left_semi").drop("__x", "__y")

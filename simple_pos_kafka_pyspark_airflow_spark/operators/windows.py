@@ -201,6 +201,14 @@ def rolling_distinct_sketch(
     DAYS, full stop. Write-time sketch / query-time merge, exactly the
     q_sketch_shards discipline applied to a sliding frame.
 
+    The trailing-window merge is a RANGE join (sketches × window days),
+    so both sides are day-cardinality — bounded by calendar days ×
+    groups regardless of corpus size. The day list side carries an
+    explicit ``broadcast`` hint: the range condition forces a
+    nested-loop join, and broadcasting the provably-bounded side pins
+    it to BroadcastNestedLoopJoin (pinned in tests/test_plans.py)
+    instead of leaving a statistics-estimated cartesian on the table.
+
     Returns (``group_cols...``, day, n_est) — estimates carry HLL's
     ~1.04/√2^lg_k relative error (0.8% at lg_k=14); the contract query
     certifies them against the exact form with a bound bit."""
@@ -218,7 +226,7 @@ def rolling_distinct_sketch(
     for c in gcols:
         cond = cond & (sk[c] == days[f"__g_{c}"])
     return (
-        sk.join(days, cond)
+        sk.join(F.broadcast(days), cond)
         .groupBy(*gcols, "__wd")
         .agg(F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("n_est"))
         .select(*gcols, F.col("__wd").alias("day"), "n_est")

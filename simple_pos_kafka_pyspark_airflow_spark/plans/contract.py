@@ -87,6 +87,11 @@ def load_registry() -> dict[str, ContractQuery]:
 #: verification window (see ``certification_state``).
 _CERT_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "certified_oracles.json")
 
+#: Driver verification-window size and the slots inside it reserved for
+#: re-certifying the oldest-certified queries (see driver_ordered_registry).
+_WINDOW = 50
+_RECERT_SLOTS = 15
+
 
 def _oracle_sha(oracle: str | None) -> str:
     """Stable fingerprint of a query's oracle text (rows-only queries get a
@@ -244,6 +249,15 @@ def driver_ordered_registry() -> dict[str, ContractQuery]:
          perpetually re-verifies the stalest rows instead of converging to
          a fixed order once everything is green.  Registration order
          breaks ties within every group.
+
+    Re-certification tranche: the driver only runs the FIRST ~50 entries
+    each round, so a round that registers 50+ new queries would starve
+    group 3 and certifications would age indefinitely.  To bound staleness,
+    the front of the ordering RESERVES ``_RECERT_SLOTS`` (15) positions for
+    the oldest-certified queries after at most ``_WINDOW - _RECERT_SLOTS``
+    (35) uncertified ones — every certified query therefore re-verifies on
+    the driver every ceil(n_certified/15) ≈ 15 rounds at worst, regardless
+    of how many new queries a round adds.
     """
     reg = load_registry()
     index = {name: i for i, name in enumerate(reg)}
@@ -277,7 +291,11 @@ def driver_ordered_registry() -> dict[str, ContractQuery]:
         return (g, staleness, index[name])
 
     ordered = sorted(reg.items(), key=key)
-    return dict(ordered)
+    uncert = [kv for kv in ordered if kv[0] not in certified]
+    cert = [kv for kv in ordered if kv[0] in certified]
+    head = _WINDOW - _RECERT_SLOTS
+    spliced = uncert[:head] + cert[:_RECERT_SLOTS] + uncert[head:] + cert[_RECERT_SLOTS:]
+    return dict(spliced)
 
 
 if __name__ == "__main__":  # pragma: no cover - maintenance CLI

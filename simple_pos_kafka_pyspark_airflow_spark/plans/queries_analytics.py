@@ -536,15 +536,15 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(sum_x3 AS DOUBLE)
             - CAST(3 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(sum_x AS DOUBLE) * CAST(sum_x2 AS DOUBLE)
             + CAST(2 AS DOUBLE) * CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
-           / NULLIF(CAST(n * sum_x2 - sum_x * sum_x AS DOUBLE)
-                    * sqrt(CAST(n * sum_x2 - sum_x * sum_x AS DOUBLE)), 0.0)
+           / NULLIF((CAST(n AS DOUBLE) * CAST(sum_x2 AS DOUBLE) - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+                    * sqrt((CAST(n AS DOUBLE) * CAST(sum_x2 AS DOUBLE) - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))), 0.0)
              AS skew,
            (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(sum_x4 AS DOUBLE)
             - CAST(4 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(sum_x AS DOUBLE) * CAST(sum_x3 AS DOUBLE)
             + CAST(6 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE) * CAST(sum_x2 AS DOUBLE)
             - CAST(3 AS DOUBLE) * CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
-           / NULLIF(CAST(n * sum_x2 - sum_x * sum_x AS DOUBLE)
-                    * CAST(n * sum_x2 - sum_x * sum_x AS DOUBLE), 0.0)
+           / NULLIF((CAST(n AS DOUBLE) * CAST(sum_x2 AS DOUBLE) - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(sum_x2 AS DOUBLE) - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)), 0.0)
            - CAST(3 AS DOUBLE)
              AS kurt
     FROM g
@@ -554,10 +554,12 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distribution-shape monitors, order-free where the skewness()/"
     "kurtosis() built-ins stream float state. The n-powers cancel out "
     "of the standardized moments (skew = A/B^1.5, kurt = C/B² − 3 with "
-    "A,B,C polynomial in the exact sums), A and C evaluated as FIXED "
-    "left-associated double trees (the q_stats_corr recipe) so raw "
-    "doubles hash-compare; deci grid keeps n·x⁴ inside int64 to ~9e6 "
-    "rows/group, documented with the DECIMAL(38,0) widening path",
+    "A,B,C polynomial in the exact sums), A, B and C all evaluated as "
+    "FIXED left-associated double trees (the q_stats_corr recipe) so "
+    "raw doubles hash-compare — B in int64 would wrap at n ≈ 3e6/group "
+    "(n²·x² binds before n·x⁴); deci grid keeps the int64 SUMS exact "
+    "to ~9e6 rows/group, documented with the DECIMAL(38,0) widening "
+    "path",
 )
 def q_stats_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.aggregates import grouped_skew_kurt
@@ -2479,18 +2481,34 @@ def q_anomaly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cms_bucket_sql(key: str, a: str, b: str, width: int) -> str:
+    """SQL text of the CMS bucket hash — the LITERAL SAME nonnegative-mod
+    chain ``((x % m) + m) % m`` the Spark ``_cms_bucket`` evaluates, so
+    both engines land buckets in [0, width) for any key sign regardless
+    of their ``%`` sign-of-dividend convention."""
+    from ..operators.aggregates import CMS_PRIME
+
+    p = CMS_PRIME
+    k = f"((({key}) % {p}) + {p}) % {p}"
+    v = f"(({k}) * {a} + {b})"
+    vp = f"((({v}) % {p}) + {p}) % {p}"
+    return f"((({vp}) % {width}) + {width}) % {width}"
+
+
 def _cms_oracle(width: int = 256) -> str:
     """Generated oracle for q_sketch_countmin: the IDENTICAL hash family
-    and shard/merge arithmetic the Spark build runs (pure integer mod
-    chains — bit-exact on any engine)."""
-    from ..operators.aggregates import CMS_HASHES, CMS_PRIME
+    and shard/merge arithmetic the Spark build runs (pure integer
+    nonnegative-mod chains — bit-exact on any engine)."""
+    from ..operators.aggregates import CMS_HASHES
 
     hrows = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(CMS_HASHES))
+    build_bucket = _cms_bucket_sql("o_custkey", "a", "b", width)
+    probe_bucket = _cms_bucket_sql("p.k", "h.a", "h.b", width)
     return f"""
     WITH h(d, a, b) AS (VALUES {hrows}),
     cms AS (
       SELECT d,
-             ((o_custkey % {CMS_PRIME}) * a + b) % {CMS_PRIME} % {width} AS bucket,
+             {build_bucket} AS bucket,
              COUNT(*) AS c
       FROM orders, h
       GROUP BY 1, 2
@@ -2503,7 +2521,7 @@ def _cms_oracle(width: int = 256) -> str:
       JOIN h ON TRUE
       LEFT JOIN cms
         ON cms.d = h.d
-       AND cms.bucket = ((p.k % {CMS_PRIME}) * h.a + h.b) % {CMS_PRIME} % {width}
+       AND cms.bucket = {probe_bucket}
       GROUP BY 1
     ), exact AS (
       SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS exact_n

@@ -2203,3 +2203,33 @@ def test_grouped_skew_kurt_matches_numpy(spark):
         assert abs(got[g][0] - m3 / m2**1.5) < 1e-9, (g, got[g])
         assert abs(got[g][1] - (m4 / m2**2 - 3)) < 1e-9, (g, got[g])
     assert got["c"] == (None, None)
+
+
+def test_grouped_skew_kurt_no_int64_wrap_at_envelope_scale(spark):
+    """r8 advice regression: B = n·S2 − S² computed in int64 wraps at
+    n ≈ 3e6/group inside the documented |x| ≤ 1e3 lattice (n²·x² binds
+    before the n·x⁴ sum bound) — B must be the fixed double tree. 6M
+    rows of the exact ±1000 cycle: symmetric, so skew is EXACTLY 0.0,
+    and kurt matches the identical left-associated Python-float tree
+    over the closed-form exact sums."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators.aggregates import (
+        grouped_skew_kurt,
+    )
+
+    reps, half = 3000, 1000
+    n = reps * (2 * half + 1)  # 6,003,000 rows, each of -1000..1000 reps times
+    df = spark.range(n).select(
+        F.lit("g").alias("g"), (F.col("id") % (2 * half + 1) - half).alias("x")
+    )
+    # closed-form exact int sums (odd powers vanish by symmetry)
+    s2 = reps * 2 * sum(k * k for k in range(1, half + 1))
+    s4 = reps * 2 * sum(k**4 for k in range(1, half + 1))
+    assert n * s2 > 2**63  # the old int64 B would have wrapped here
+    assert n * (half**4) < 2**63  # ... while the SUMS stay inside the envelope
+    row = grouped_skew_kurt(df, "g", F.col("x")).collect()[0]
+    assert (row["sum_x"], row["sum_x2"], row["sum_x3"], row["sum_x4"]) == (0, s2, 0, s4)
+    nd, s2d, s4d = float(n), float(s2), float(s4)
+    b = nd * s2d - 0.0 * 0.0
+    expect_kurt = (nd * nd * nd * s4d - 4.0 * nd * nd * 0.0 * 0.0 + 6.0 * nd * 0.0 * 0.0 * s2d - 3.0 * 0.0) / (b * b) - 3.0
+    assert row["skew"] == 0.0
+    assert row["kurt"] == expect_kurt

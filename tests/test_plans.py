@@ -12,6 +12,7 @@ import contextlib
 import io
 
 import pytest
+from pyspark.sql import functions as F
 
 from simple_pos_kafka_pyspark_airflow_spark.plans import load_registry
 
@@ -544,16 +545,73 @@ def test_countmin_probe_is_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
 
 
-def test_skyline_single_sort_exchange(spark, sf_dir):
-    """The skyline sort-scan rewrite's whole point: one exchange, the
-    three window ops (dense_rank, group max, prev-groups max) sharing it
-    — never a dominance self-join (zero joins of any kind)."""
+def test_skyline_distinct_points_then_semi_join(spark, sf_dir):
+    """The skyline sort-scan runs over the DISTINCT (keys, x, y) point
+    set (one distinct-agg exchange + one window exchange shared by the
+    three window ops), and the surviving front semi-joins back to the
+    fact — never a dominance self-join (no cartesian product; exactly
+    one join, the front probe, which broadcasts here)."""
     from simple_pos_kafka_pyspark_airflow_spark.analyze import plan_summary
 
     s = plan_summary(build(spark, sf_dir, "q_skyline"))
-    assert s["exchanges"] == 1, s
-    assert s["sort_merge_joins"] == 0 and s["broadcast_joins"] == 0, s
+    assert s["exchanges"] == 2, s
+    assert s["broadcast_joins"] + s["sort_merge_joins"] == 1, s
     assert s["cartesian_products"] == 0, s
+
+
+def test_skyline_global_front_duplicated_points(spark):
+    """``partition=None`` (the global front, the r8-verdict caution):
+    the window sorts only the DISTINCT point set, and duplicated (x, y)
+    rows — mutually non-dominated — must ALL survive the semi-join back,
+    both on and off the front."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators.order import skyline_2d
+
+    rows = [
+        # front points, each duplicated
+        (1, 10, 1), (2, 10, 1), (3, 5, 5), (4, 5, 5), (5, 1, 10),
+        # dominated points, one duplicated pair
+        (6, 4, 4), (7, 4, 4), (8, 1, 1),
+    ]
+    df = spark.createDataFrame(rows, "id int, x int, y int")
+    got = sorted(
+        r["id"] for r in skyline_2d(df, F.col("x"), F.col("y")).collect()
+    )
+    assert got == [1, 2, 3, 4, 5], got
+
+
+def test_rolling_distinct_sketch_broadcasts_day_side(spark, sf_dir):
+    """The sketch form's trailing-window merge is a range join between
+    two DAY-cardinality sides; the hinted day-list side must broadcast.
+    With group_cols present (the contract query groups by event_type)
+    Catalyst extracts the group equality as hash keys and keeps the
+    window interval as a residual condition — a BroadcastHashJoin, the
+    best possible shape; without group cols it degrades to a (still
+    bounded-side) BroadcastNestedLoopJoin. Never a CartesianProduct,
+    never a shuffle join of the sketch blobs."""
+    plan = explain_str(build(spark, sf_dir, "q_rolling_distinct_sketch"))
+    assert "INTERVAL" in plan and (
+        "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    ), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_rolling_distinct_sketch_bare_range_join_broadcasts(spark):
+    """The OPERATOR with group_cols=None — pure range condition, no
+    equi keys — must still broadcast the bounded day side: a
+    BroadcastNestedLoopJoin with the hinted right side on the build
+    side, never a CartesianProduct."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators.windows import (
+        rolling_distinct_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-0%d" % (i % 9 + 1), i) for i in range(20)],
+        "d string, user_id int",
+    ).select(F.col("d").cast("timestamp").alias("ts"), "user_id")
+    plan = explain_str(rolling_distinct_sketch(df, "ts", "user_id", 7))
+    assert "BroadcastNestedLoopJoin Inner BuildRight" in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_ks_drift_no_joins_two_exchanges(spark, sf_dir):

@@ -835,6 +835,56 @@ def test_count_min_table_mergeable_and_never_under(spark, shard_a, shard_b):
         assert est[k] >= n, (k, est[k], n)
 
 
+def test_count_min_negative_keys_land_in_domain_and_never_under(spark):
+    """NEGATIVE bigint keys (r8 advice): sign-following % would hash them
+    into (−width, 0), halving effective width and breaking the documented
+    [0, width) bucket domain — the pmod chain must keep every bucket in
+    [0, width) and preserve the never-underestimate guarantee."""
+    from collections import Counter
+
+    from simple_pos_kafka_pyspark_airflow_spark.operators.aggregates import (
+        cms_estimate,
+        count_min_table,
+    )
+
+    W = 32
+    keys = [-5, -5, -5, -1_000_000_009, -1, 7, -5, -1]  # mixed signs
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    cms = count_min_table(df, "k", width=W)
+    buckets = [r["bucket"] for r in cms.collect()]
+    assert all(0 <= b < W for b in buckets), buckets
+
+    probe = spark.createDataFrame([(k,) for k in set(keys)], "k long")
+    est = {r["k"]: r["est_n"] for r in cms_estimate(cms, probe, "k", width=W).collect()}
+    truth = Counter(keys)
+    for k, n in truth.items():
+        assert est[k] >= n, (k, est[k], n)
+
+
+def test_cms_estimate_rejects_deeper_probe_than_build(spark):
+    """Probing with more hash rows than the sketch was built with would
+    left-join absent depths to 0 and silently invert the never-under
+    guarantee — cms_estimate must fail fast on the depth mismatch (and
+    still accept probes at ≤ the built depth, and an empty sketch)."""
+    import pytest
+
+    from simple_pos_kafka_pyspark_airflow_spark.operators.aggregates import (
+        cms_estimate,
+        count_min_table,
+    )
+
+    df = spark.createDataFrame([(k,) for k in [1, 2, 2, 3]], "k long")
+    probe = spark.createDataFrame([(1,), (2,)], "k long")
+    shallow = count_min_table(df, "k", width=16, depth=2)
+    with pytest.raises(ValueError, match="depth"):
+        cms_estimate(shallow, probe, "k", width=16, depth=3)
+    est = {r["k"]: r["est_n"] for r in cms_estimate(shallow, probe, "k", width=16, depth=2).collect()}
+    assert est[1] >= 1 and est[2] >= 2, est
+    empty = count_min_table(df.where(F.col("k") < 0), "k", width=16)
+    est0 = {r["k"]: r["est_n"] for r in cms_estimate(empty, probe, "k", width=16).collect()}
+    assert est0 == {1: 0, 2: 0}, est0
+
+
 @given(st.lists(st.text(alphabet="ab X.\t\n ", min_size=0, max_size=40), min_size=1, max_size=6))
 @SETTINGS
 def test_tokens_kernel_matches_python_split(spark, texts):
