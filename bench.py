@@ -137,6 +137,12 @@ HEADLINE = [
     # Gopher repetition scoring: per-doc dup-gram mass — two doc-keyed
     # gram shuffles, the intra-dedup cost envelope
     "q_text_repetition",
+    # round-9 families: exact-substring dedup (Lee et al. anchor-gram
+    # rewrite — the digest-shuffle + per-doc interval-merge plan shape)
+    # and the AUDITED curation ladder (counts=True): its delta vs
+    # q_curation_e2e prices the per-stage checkpoint+count audit
+    "q_dedup_substring",
+    "q_curation_audited",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

@@ -1325,3 +1325,159 @@ def jaccard_pairs_prefix(
         "id_b",
         (F.col("_i").cast("double") / F.col("_u").cast("double")).alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al. 2021) — the last rung of the dedup ladder
+# ---------------------------------------------------------------------------
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """EXACT-substring duplicate spans (Lee et al. 2021, arXiv:2107.06499
+    ExactSubstr): every maximal token span of length ≥ ``min_len`` whose
+    text occurs verbatim ≥ ``min_count`` times anywhere in the corpus
+    (any document, including the same one — the paper counts total
+    occurrences, which is what a suffix array sees). This is the exact
+    method the fixed-window passes (``boilerplate_span_dedup`` /
+    ``intra_doc_span_dedup``) approximate: those can only excise spans
+    aligned to their segmentation grid; this finds shared spans at ANY
+    offset and of ANY length ≥ min_len.
+
+    The published implementation is a single-node suffix array; that
+    shape does not distribute. The distributed equivalence used here is
+    the ANCHOR-GRAM identity: a span of length ≥ L is shared iff every
+    (equivalently: any) of its L-token windows is shared, so
+
+        { positions inside some shared span of length ≥ L }
+      = { positions covered by a duplicated L-gram }
+
+    exactly — no approximation. The plan:
+
+    1. one pass over token positions builds the L-gram at each position
+       inside a per-document window frame (``collect_list`` over ROWS
+       CURRENT..L−1 FOLLOWING) and immediately collapses it to a 128-bit
+       md5 digest — the gram text is TRANSIENT inside the window
+       operator, never shuffled or materialized columnar;
+    2. duplicated digests = groupBy(digest) HAVING count ≥ min_count —
+       one partial-aggregable shuffle of (digest, doc, pos) rows: the
+       shuffle is bounded by corpus TOKEN COUNT × 16 bytes, independent
+       of min_len and of how hot any gram is (occurrence-LINEAR: a
+       boilerplate gram shared by 10⁶ docs contributes 10⁶ rows, never
+       10¹² pairs — no hot-key cap needed, unlike the signature joins);
+    3. covered positions semi-join the duplicated digests, and the
+       intervals [pos, pos+L−1] merge per document with the standard
+       gaps-and-islands window (runs of covered positions are ≤ 1 apart
+       by construction, so merged spans are exactly the maximal shared
+       regions).
+
+    Exactness caveat: two DIFFERENT grams colliding under md5 would
+    merge their occurrence counts (probability ≤ n²/2¹²⁸ ≈ 0 at any
+    corpus size); the contract oracle applies the identical digesting,
+    so the formulations agree even in that event.
+
+    Returns ``(id_col, span_start, span_len)`` — token offsets, 0-based,
+    one row per maximal duplicated span. Reference parity: none (the
+    reference has no text pipeline); north-star extension.
+    """
+    from pyspark.sql import Window
+
+    L = int(min_len)
+    if L < 2:
+        raise ValueError(f"min_len must be ≥ 2, got {min_len}")
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "_tok")
+    )
+    wg = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, L - 1)
+    grams = (
+        toks.select(
+            id_col,
+            "pos",
+            F.md5(F.concat_ws(" ", F.collect_list("_tok").over(wg))).alias("_g"),
+            F.count("_tok").over(wg).alias("_n"),
+        )
+        .where(F.col("_n") == L)
+        .drop("_n")
+    )
+    dup = (
+        grams.groupBy("_g")
+        .agg(F.count("*").alias("_c"))
+        .where(F.col("_c") >= int(min_count))
+        .select("_g")
+    )
+    marks = grams.join(dup, "_g", "left_semi").select(
+        id_col, F.col("pos").alias("_s"), (F.col("pos") + L - 1).alias("_e")
+    )
+    wo = Window.partitionBy(id_col).orderBy("_s")
+    wprev = wo.rowsBetween(Window.unboundedPreceding, -1)
+    m = (
+        marks.withColumn("_pmax", F.max("_e").over(wprev))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_pmax").isNull() | (F.col("_s") > F.col("_pmax") + 1), 1
+            ).otherwise(0),
+        )
+        .withColumn("_gid", F.sum("_new").over(wo))
+    )
+    return m.groupBy(id_col, "_gid").agg(
+        F.min("_s").cast("int").alias("span_start"),
+        (F.max("_e") - F.min("_s") + 1).cast("int").alias("span_len"),
+    ).drop("_gid")
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Apply ``exact_substring_spans``: excise every duplicated span's
+    tokens from each document (the Lee et al. removal step — they note
+    removing just one copy is possible but drop all, as done here, for
+    train/test-leak symmetry). Output ``(id_col, text_clean,
+    n_removed)`` — one row per input document; untouched documents pass
+    through with ``n_removed = 0``.
+
+    Plan: the span table explodes to covered positions (output-bounded:
+    Σ span_len per doc ≤ doc length), anti-joins the token positions,
+    and survivors reassemble per document — the
+    ``boilerplate_span_dedup`` reassembly discipline (order preserved
+    via array_sort on (pos, tok) structs)."""
+    spans = exact_substring_spans(df, text_col, id_col, min_len, min_count)
+    covered = spans.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_start") + F.col("span_len") - 1)
+        ).alias("pos"),
+    )
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "_tok")
+    )
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    removed = covered.groupBy(id_col).agg(F.count("*").cast("int").alias("n_removed"))
+    clean = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("text_clean")
+    )
+    return (
+        df.select(id_col)
+        .join(clean, id_col, "left")
+        .join(removed, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        )
+    )

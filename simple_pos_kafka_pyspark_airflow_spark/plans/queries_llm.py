@@ -2188,10 +2188,7 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.corpus_mixture(d, ("source", "lang"), "text")
 
 
-@register(
-    "q_curation_e2e",
-    "llm",
-    oracle="""
+_CURATION_E2E_ORACLE = """
     WITH RECURSIVE t AS (
       SELECT doc_id, text, source,
              list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
@@ -2256,7 +2253,13 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, source, split FROM labeled
     WHERE doc_id NOT IN (SELECT doc_id FROM leaks)
-    """,
+    """
+
+
+@register(
+    "q_curation_e2e",
+    "llm",
+    oracle=_CURATION_E2E_ORACLE,
     notes="the ENTIRE batch curation ladder value-verified as one query: "
     "quality gate (length/punct/repetition; all languages admitted so "
     "the lang bit is vacuous and the oracle stays readable) → exact "
@@ -3064,3 +3067,120 @@ def q_embed_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     return embed_diversity_onepass(e, "label", "embedding", dim=64)
+
+
+@register(
+    "q_dedup_substring",
+    "llm",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+      FROM documents
+    ), corpus AS (
+      SELECT doc_id, toks FROM base
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             list_concat(list_concat(['zq0', 'zq1'], toks[1:30]), ['qz9']) AS toks
+      FROM base WHERE doc_id % 5 = 0
+    ), tp AS (
+      SELECT doc_id,
+             unnest(list_transform(toks, (t, i) -> {'pos': i - 1, 'tok': t})) AS u
+      FROM corpus
+    ), pos AS (
+      SELECT doc_id, CAST(u.pos AS INT) AS pos, u.tok AS tok FROM tp
+    ), grams AS (
+      SELECT doc_id, pos,
+             md5(string_agg(tok, ' ') OVER w) AS g,
+             COUNT(*) OVER w AS n
+      FROM pos
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 19 FOLLOWING)
+    ), lg AS (
+      SELECT doc_id, pos, g FROM grams WHERE n = 20
+    ), dup AS (
+      SELECT g FROM lg GROUP BY g HAVING COUNT(*) >= 2
+    ), marks AS (
+      SELECT doc_id, pos AS s, pos + 19 AS e
+      FROM lg WHERE g IN (SELECT g FROM dup)
+    ), seq AS (
+      SELECT doc_id, s, e,
+             MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      FROM marks
+    ), grp AS (
+      SELECT doc_id, s, e,
+             SUM(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s) AS gid
+      FROM seq
+    )
+    SELECT doc_id, CAST(MIN(s) AS INT) AS span_start,
+           CAST(MAX(e) - MIN(s) + 1 AS INT) AS span_len
+    FROM grp GROUP BY doc_id, gid
+    """,
+    notes="extension: EXACT-substring dedup spans (Lee et al. 2021, "
+    "arXiv:2107.06499 ExactSubstr — remove any >=50-token span shared "
+    "verbatim; 20 here to bind on 10-99-token docs), the exact method "
+    "the fixed-window span passes approximate. Distributed via the "
+    "anchor-gram identity (positions inside a shared >=L span == "
+    "positions covered by a duplicated L-gram — exact, no suffix "
+    "array): per-doc window builds each position's L-gram transiently "
+    "and collapses it to md5 BEFORE the shuffle, duplicated digests "
+    "come from one partial-aggregable groupBy (occurrence-LINEAR: hot "
+    "boilerplate grams cost rows, never pairs, so no hot-key cap is "
+    "needed), covered intervals merge per doc with gaps-and-islands "
+    "windows. PLANTED spans make the output non-vacuous: every doc_id "
+    "% 5 == 0 gets a +100000 twin sharing its 30-token prefix inside "
+    "unique padding, so each such pair yields spans at known offsets "
+    "(docs shorter than 20 tokens yield none, deterministically in "
+    "both engines); both engines run the IDENTICAL md5-anchor "
+    "formulation, so even a (2^-128) digest collision cannot diverge "
+    "them (llm/dedup.exact_substring_spans)",
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.dedup import exact_substring_spans
+    from ..llm.textops import tokens
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("text")
+    )
+    planted = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("zq0 zq1"),
+            F.array_join(F.slice(tokens(F.col("text")), 1, 30), " "),
+            F.lit("qz9"),
+        ).alias("text"),
+    )
+    corpus = d.unionByName(planted)
+    return exact_substring_spans(corpus, "text", "doc_id", min_len=20)
+
+
+@register(
+    "q_curation_audited",
+    "llm",
+    oracle=_CURATION_E2E_ORACLE,
+    notes="the AUDITED form of q_curation_e2e: identical ladder, identical "
+    "output (same oracle text), but counts=True — every stage "
+    "localCheckpoints eagerly and reports a row count, which is what a "
+    "production run with stage-level observability pays. Registered so "
+    "the bench prices the audit materializations SEPARATELY from the "
+    "lazy production plan (q_curation_e2e, counts=False): the delta "
+    "between the two bench entries IS the cost of per-stage auditing, "
+    "measured rather than asserted (r8 verdict task). Value-equivalence "
+    "of the two forms is itself driver-verified since both hash against "
+    "the same oracle",
+)
+def q_curation_audited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import curation
+
+    d = table(spark, sf_dir, "documents")
+    cfg = curation.CurationConfig(
+        min_tokens=3,
+        allowed_langs=("en", "de", "fr", "es", "zh", "und"),
+        per_source_cap=40,
+    )
+    out, report = curation.curate_corpus(d, cfg, counts=True)
+    assert report, "counts=True must produce a per-stage report"
+    return out.select("doc_id", "source", "split")

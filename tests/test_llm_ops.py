@@ -2233,3 +2233,75 @@ def test_grouped_skew_kurt_no_int64_wrap_at_envelope_scale(spark):
     expect_kurt = (nd * nd * nd * s4d - 4.0 * nd * nd * 0.0 * 0.0 + 6.0 * nd * 0.0 * 0.0 * s2d - 3.0 * 0.0) / (b * b) - 3.0
     assert row["skew"] == 0.0
     assert row["kurt"] == expect_kurt
+
+
+def test_exact_substring_spans_finds_offset_spans_and_merges(spark):
+    """ExactSubstr (Lee et al. 2021): a >=L-token span shared at
+    DIFFERENT offsets in two docs must be found exactly (start/len), and
+    overlapping duplicated L-grams must merge to one maximal span —
+    the cases the fixed-window approximations cannot express."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm.dedup import (
+        exact_substring_spans,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(7))  # 7-token shared block
+    rows = [
+        (1, "a0 a1 a2 " + shared + " a3 a4"),        # shared at pos 3..9
+        (2, shared + " b0 b1 b2 b3 b4 b5"),          # shared at pos 0..6
+        (3, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"),        # clean
+        (4, "d0 d1"),                                 # too short for any gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in exact_substring_spans(df, min_len=5).collect()
+    }
+    # every 5-gram inside the 7-token block is duplicated; intervals
+    # [3..7],[4..8],[5..9] (doc 1) merge to one maximal span of len 7
+    assert got == {(1, 3, 7), (2, 0, 7)}, got
+
+
+def test_exact_substring_counts_total_occurrences_like_suffix_array(spark):
+    """min_count counts TOTAL occurrences (the paper's suffix-array
+    semantics), so a span repeated twice WITHIN one doc is duplicated
+    even if no other document shares it."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm.dedup import (
+        exact_substring_spans,
+    )
+
+    block = " ".join(f"r{i}" for i in range(5))
+    df = spark.createDataFrame(
+        [(1, block + " x0 x1 " + block), (2, "y0 y1 y2 y3 y4 y5 y6")],
+        "doc_id int, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in exact_substring_spans(df, min_len=5).collect()
+    }
+    assert got == {(1, 0, 5), (1, 7, 5)}, got
+
+
+def test_exact_substring_dedup_excises_spans_preserving_order(spark):
+    """The removal step: duplicated-span tokens excised, survivors
+    rejoined in order; untouched and too-short docs pass through with
+    n_removed = 0."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm.dedup import (
+        exact_substring_dedup,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(6))
+    df = spark.createDataFrame(
+        [
+            (1, "a0 " + shared + " a1 a2"),
+            (2, shared + " b0"),
+            (3, "c0 c1 c2"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_removed"])
+        for r in exact_substring_dedup(df, min_len=6).collect()
+    }
+    assert got[1] == ("a0 a1 a2", 6), got
+    assert got[2] == ("b0", 6), got
+    assert got[3] == ("c0 c1 c2", 0), got
