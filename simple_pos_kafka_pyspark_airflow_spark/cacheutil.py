@@ -1,0 +1,75 @@
+"""Cache-lifetime discipline for long-lived sessions.
+
+Several operators ``persist()`` frames that feed multiple consumers
+inside one returned (lazy) plan — doc tables, signature tables, IVF
+assignments — and iterative operators ``localCheckpoint(eager=True)``
+per round to truncate lineage. Both leave blocks in the executor block
+manager that only session LRU would otherwise reclaim. That is fine for
+one-shot jobs (bench.py clears per query; a driver exits) but a
+long-lived service accumulates dead blocks and leans on eviction
+(docs/SCALE.md "cache ownership").
+
+Two tools, matching the two ownership shapes:
+
+- **operators that materialize internally** (iterative loops) free their
+  superseded rounds THEMSELVES as soon as the next round is
+  materialized — see ``llm.dedup.dedup_clusters``, which keeps at most
+  one round's checkpoint alive using ``persistent_rdd_ids`` diffs;
+- **operators that return lazy plans over persisted inputs** cannot know
+  when the caller's action runs, so the CALLER wraps consumption in
+  ``scoped_caches`` — everything persisted inside the block (by any
+  operator, including localCheckpoint RDDs) is unpersisted on exit.
+
+``scoped_caches`` must enclose the MATERIALIZATION (the action), not
+just the plan construction: unpersisting before the action simply makes
+the action recompute.
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+from pyspark.sql import SparkSession
+
+
+def persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    """Ids of every RDD currently persisted in this session's block
+    manager — includes DataFrame ``persist()`` plans AND the RDDs backing
+    ``localCheckpoint``. Driver-side metadata only; no job runs."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def release_caches(spark: SparkSession, ids: set[int], blocking: bool = False) -> int:
+    """Unpersist the given RDD ids (ids already gone are skipped).
+    Returns how many were released. ``blocking=False``: removal is
+    async, the correctness-safe default (blocks are re-computable)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    released = 0
+    for k in jmap.keySet().toArray():
+        if int(k) in ids:
+            jmap.get(k).unpersist(blocking)
+            released += 1
+    return released
+
+
+@contextlib.contextmanager
+def scoped_caches(spark: SparkSession, blocking: bool = False):
+    """Free every RDD persisted inside the block on exit — persist() and
+    localCheckpoint alike — leaving caches that existed before the block
+    untouched (unlike ``spark.catalog.clearCache()``, which would evict
+    a co-tenant pipeline's warm tables too):
+
+        with scoped_caches(spark):
+            out = near_dup_pairs_minhash(docs, ...)
+            result = out.collect()          # action INSIDE the block
+        # signature/doc tables are unpersisted here
+
+    Exit never raises past the user's exception (release is
+    best-effort metadata cleanup)."""
+    before = persistent_rdd_ids(spark)
+    try:
+        yield
+    finally:
+        with contextlib.suppress(Exception):
+            release_caches(spark, persistent_rdd_ids(spark) - before, blocking)

@@ -15,14 +15,17 @@ Four tiers, cheapest-first — the standard 100 TB dedup ladder:
 Everything below is built-in columnar Spark (xxhash64, transform,
 array ops) — no Python in any per-row path.
 
-Cache ownership (ADVICE r6): operators ``persist()`` frames that feed
-multiple consumers inside ONE returned plan (doc tables, signature
-tables, gram rows) and cannot unpersist them — the plan is lazy, the
-action is the caller's. The CALLER owns cleanup: after the consuming
-action materializes, ``unpersist()`` the inputs or
+Cache ownership (ADVICE r6, helper r9): operators ``persist()`` frames
+that feed multiple consumers inside ONE returned plan (doc tables,
+signature tables, gram rows) and cannot unpersist them — the plan is
+lazy, the action is the caller's. The CALLER owns cleanup: wrap the
+consuming action in ``cacheutil.scoped_caches(spark)`` (frees exactly
+what the block persisted, co-tenant caches untouched) or call
 ``spark.catalog.clearCache()`` (what bench.py does per query; one-shot
 driver/test runs can skip it — blocks are LRU-evicted, never a
-correctness issue).
+correctness issue). Iterative operators that materialize INTERNALLY
+(``dedup_clusters``) free their superseded rounds themselves and exit
+with only the returned frame's blocks live.
 """
 
 from __future__ import annotations
@@ -1088,17 +1091,33 @@ def dedup_clusters(
 
     ``pairs`` must carry ``id_a``/``id_b``; ``all_ids`` (one ``id_col``
     column) extends the output to documents in no pair.
+
+    Cache lifetime (r8 advice): each round's eager checkpoint would
+    otherwise leave the PREVIOUS round's blocks cached until session
+    LRU — O(rounds) dead RDDs in a long-lived service. Superseded
+    rounds (and, after the loop, the edge list) are unpersisted as soon
+    as the next round has materialized, so the function exits with
+    exactly ONE live checkpoint: the blocks backing the returned frame
+    (the caller frees those with ``cacheutil.scoped_caches`` around its
+    consuming action).
     """
+    from ..cacheutil import persistent_rdd_ids, release_caches
+
+    spark = pairs.sparkSession
+    pre = persistent_rdd_ids(spark)
     both = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d")).unionAll(
         pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d"))
     )
     edges = both.localCheckpoint(eager=True)
+    edge_ids = persistent_rdd_ids(spark) - pre
     if edges.isEmpty():
         # no pairs at all — the COMMON case for a streaming micro-batch
         # probing the incremental index. Skip the propagation machinery
         # entirely (each round costs a join + eager checkpoint +
         # convergence probe, ~seconds of per-batch latency for nothing):
-        # every document is its own singleton cluster.
+        # every document is its own singleton cluster. The returned plan
+        # never reads the (empty) edge checkpoint — free it now.
+        release_caches(spark, edge_ids)
         if all_ids is None:
             return pairs.select(
                 F.col("id_a").alias(id_col),
@@ -1110,32 +1129,41 @@ def dedup_clusters(
             F.col(id_col).alias("cluster_id"),
             F.lit(True).alias("keep"),
         )
+    pre_labels = persistent_rdd_ids(spark)
     labels = (
         edges.select(F.col("s").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    label_ids = persistent_rdd_ids(spark) - pre_labels
     for _ in range(max_iter):
         neighbor = (
             edges.join(labels, edges.d == labels.id)
             .select(F.col("s").alias("id"), "label")
         )
+        pre_round = persistent_rdd_ids(spark)
         new_labels = (
             labels.unionByName(neighbor)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
+        new_ids = persistent_rdd_ids(spark) - pre_round
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "id")
             .where(F.col("label") != F.col("old"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        # the convergence probe was this round's LAST read of the old
+        # labels — free its blocks before they pile up round over round
+        release_caches(spark, label_ids)
+        labels, label_ids = new_labels, new_ids
         if changed == 0:
             break
+    # the returned plan reads only the final labels; the edge list is done
+    release_caches(spark, edge_ids)
     out = labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
     if all_ids is not None:
         out = (

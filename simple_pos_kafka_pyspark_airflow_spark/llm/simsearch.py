@@ -825,6 +825,13 @@ def semdedup_prune(
     keeps the point farthest from the centroid; any deterministic
     representative choice is valid and id order makes the contract
     hash-stable). Returns every input id with ``kept`` ∈ {1, 0}.
+
+    Cache lifetime: the persisted assignment table feeds two consumers
+    inside the RETURNED lazy plan (the cell-size cap and both self-join
+    sides), so this function cannot unpersist it — the caller wraps the
+    consuming action in ``cacheutil.scoped_caches(spark)`` to free it
+    deterministically (tested in tests/test_llm_ops.py) instead of
+    riding session LRU.
     """
     from pyspark import StorageLevel
 

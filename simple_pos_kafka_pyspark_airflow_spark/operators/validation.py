@@ -396,6 +396,49 @@ def ks_drift(
         F.sum("_r").cast("long").alias("_a"),
         F.sum(1 - F.col("_r")).cast("long").alias("_b"),
     )
+    return _ks_from_per_value_counts(per_val, group_col)
+
+
+def ks_drift_counts(
+    ref_counts: DataFrame,
+    live_counts: DataFrame,
+    group_col: str,
+    value_col: str = "value",
+    n_col: str = "n",
+) -> DataFrame:
+    """``ks_drift`` over PRE-AGGREGATED per-(group, value) count tables —
+    the frozen-reference form: a monitoring reference is stored once as
+    its (group, value, n) counts (bounded by DISTINCT values, not rows)
+    and every live batch joins against it, so the reference rows are
+    never re-shuffled per batch. Exactness and output schema are
+    identical to ``ks_drift`` (pinned in tests): the full-outer join on
+    (group, value) keeps values seen on only one side — exactly the
+    ECDF jump points where drift lives — and the sup-difference runs on
+    the same exact int64 cross-multiplication."""
+    a = ref_counts.select(
+        F.col(group_col),
+        F.col(value_col).cast("long").alias("_v"),
+        F.col(n_col).cast("long").alias("_a"),
+    )
+    b = live_counts.select(
+        F.col(group_col),
+        F.col(value_col).cast("long").alias("_v"),
+        F.col(n_col).cast("long").alias("_b"),
+    )
+    per_val = a.join(b, [group_col, "_v"], "full_outer").select(
+        group_col,
+        "_v",
+        F.coalesce("_a", F.lit(0)).cast("long").alias("_a"),
+        F.coalesce("_b", F.lit(0)).cast("long").alias("_b"),
+    )
+    return _ks_from_per_value_counts(per_val, group_col)
+
+
+def _ks_from_per_value_counts(per_val: DataFrame, group_col: str) -> DataFrame:
+    """Shared KS core over (group, _v, _a, _b) per-value counts: running
+    sums over the value order give the ECDF numerators, the sup-difference
+    cross-multiplies in exact int64, and ``ks`` ships as one raw
+    division."""
     w = (
         Window.partitionBy(group_col)
         .orderBy("_v")
@@ -419,9 +462,12 @@ def ks_drift(
             F.col("_nb").alias("n_live"),
             "ks_num",
             (F.col("_na") * F.col("_nb")).alias("ks_den"),
+            # a group with either side empty has no defined KS (one ECDF
+            # does not exist): NULL, never an ANSI divide-by-zero — the
+            # monitor surfaces such groups via n_ref/n_live = 0
             (
                 F.col("ks_num").cast("double")
-                / (F.col("_na") * F.col("_nb")).cast("double")
+                / F.nullif((F.col("_na") * F.col("_nb")).cast("double"), F.lit(0.0))
             ).alias("ks"),
         )
     )

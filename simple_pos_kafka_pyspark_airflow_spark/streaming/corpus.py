@@ -787,6 +787,158 @@ class PersistentBloomGate:
         )
 
 
+class CorpusDriftMonitor:
+    """Per-micro-batch DRIFT GATE against a frozen reference — the
+    ingest-time composition of the batch drift operators (r8 verdict
+    task: drift monitoring is naturally an ingest concern; the
+    reference's closest analog is the consumer's running per-file state,
+    ``kafka_consumer.py:111-117``). Three signals per batch, one row per
+    group:
+
+    - **KS** (``operators/validation.ks_drift_counts``): exact two-sample
+      Kolmogorov–Smirnov on an integer metric (default ``n_tokens``) vs
+      the frozen reference — binless, catches shape changes;
+    - **PSI** (``operators/validation.psi_drift``): fixed-bin population
+      stability on the same metric, binned on the REFERENCE's edges
+      (lo/hi frozen with the reference — per-batch edges would make
+      batches incomparable);
+    - **trailing distinct** (the ``rolling_distinct_sketch`` discipline
+      keyed by batch instead of day): per-batch HLL sketches of
+      ``text_sha`` appended to the store; the report merges the last
+      ``window_batches`` sketches per group — a collapse in unique
+      documents (templated spam flood) shows up here before any mean
+      moves.
+
+    Scale: the frozen state is per-(group, value) counts (bounded by
+    DISTINCT metric values, not reference rows), group×n_bins histogram
+    rows, and one kB-sized sketch row per (batch, group) — every
+    per-batch job is live-batch-sized plus those bounded tables; the
+    reference corpus is read once at ``freeze()`` and never again.
+
+    Crash/replay: ``check_batch`` appends the batch's sketch rows keyed
+    by ``batch_id``; reads collapse replays with ``dropDuplicates``
+    on (_batch, group) (the CMS-index discipline — a replayed append
+    lands identical sketch bytes). Reports are derived, not state:
+    replaying a batch reproduces its report rather than corrupting
+    anything.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        group_col: str = "source",
+        value_col: str = "n_tokens",
+        distinct_col: str = "text_sha",
+        n_bins: int = 10,
+        window_batches: int = 7,
+        lg_k: int = 12,
+    ) -> None:
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.group_col = group_col
+        self.value_col = value_col
+        self.distinct_col = distinct_col
+        self.n_bins = int(n_bins)
+        self.window_batches = int(window_batches)
+        self.lg_k = int(lg_k)
+
+    # -- state paths -------------------------------------------------
+    @property
+    def _counts_path(self) -> str:
+        return f"{self.path}/ref_counts"
+
+    @property
+    def _hist_path(self) -> str:
+        return f"{self.path}/ref_hist"
+
+    @property
+    def _meta_path(self) -> str:
+        return f"{self.path}/ref_meta"
+
+    @property
+    def _sketch_path(self) -> str:
+        return f"{self.path}/sketches"
+
+    def freeze(self, reference: DataFrame) -> None:
+        """Compute and persist the reference stats (overwrite — one
+        freeze per reference release, like ``PersistentBloomGate.fit``).
+        ``reference`` must carry ``group_col`` and an integer-lattice
+        ``value_col`` (the ``corpus_ingest`` gated form qualifies)."""
+        from ..operators.validation import value_histogram
+
+        g, v = self.group_col, self.value_col
+        counts = reference.groupBy(g, F.col(v).cast("long").alias("value")).agg(
+            F.count("*").cast("long").alias("n")
+        )
+        counts.write.mode("overwrite").parquet(self._counts_path)
+        row = reference.agg(
+            F.min(F.col(v).cast("double")).alias("_lo"),
+            F.max(F.col(v).cast("double")).alias("_hi"),
+        ).first()
+        if row["_lo"] is None:
+            raise ValueError(
+                f"CorpusDriftMonitor.freeze: reference has no non-null "
+                f"{v!r} values — an empty reference cannot define edges"
+            )
+        lo, hi = float(row["_lo"]), float(row["_hi"])
+        hist = value_histogram(reference, v, g, self.n_bins, lo=lo, hi=hi)
+        hist.write.mode("overwrite").parquet(self._hist_path)
+        self.spark.createDataFrame(
+            [(lo, hi, self.n_bins)], "lo double, hi double, n_bins int"
+        ).write.mode("overwrite").parquet(self._meta_path)
+
+    def _frozen_meta(self) -> tuple[float, float]:
+        row = self.spark.read.parquet(self._meta_path).first()
+        return float(row["lo"]), float(row["hi"])
+
+    def check_batch(self, batch: DataFrame, batch_id: int) -> DataFrame:
+        """One micro-batch against the frozen reference: append the
+        batch's distinct-sketch rows, return the per-group drift report
+        ``(group, n_ref, n_live, ks, psi, uniq_trailing_est)``. Groups
+        present in only one side still report (full-outer composition):
+        a NEW group drifting in, or a frozen group going silent, is
+        drift too."""
+        from ..operators.validation import ks_drift_counts, psi_drift, value_histogram
+
+        g, v = self.group_col, self.value_col
+        live_counts = batch.groupBy(g, F.col(v).cast("long").alias("value")).agg(
+            F.count("*").cast("long").alias("n")
+        )
+        ref_counts = self.spark.read.parquet(self._counts_path)
+        ks = ks_drift_counts(ref_counts, live_counts, g).select(
+            g, "n_ref", "n_live", "ks"
+        )
+        lo, hi = self._frozen_meta()
+        live_hist = value_histogram(batch, v, g, self.n_bins, lo=lo, hi=hi)
+        ref_hist = self.spark.read.parquet(self._hist_path)
+        psi = psi_drift(ref_hist, live_hist, g).select(g, "psi")
+
+        sk = batch.groupBy(g).agg(
+            F.hll_sketch_agg(self.distinct_col, F.lit(self.lg_k)).alias("_sk")
+        ).withColumn("_batch", F.lit(int(batch_id)).cast("long"))
+        sk.write.mode("append").parquet(self._sketch_path)
+        landed = self.spark.read.parquet(self._sketch_path)
+        uniq = (
+            landed.where(
+                (F.col("_batch") > int(batch_id) - self.window_batches)
+                & (F.col("_batch") <= int(batch_id))
+            )
+            .dropDuplicates(["_batch", g])
+            .groupBy(g)
+            .agg(
+                F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias(
+                    "uniq_trailing_est"
+                )
+            )
+        )
+        return (
+            ks.join(psi, g, "full_outer")
+            .join(uniq, g, "full_outer")
+            .select(g, "n_ref", "n_live", "ks", "psi", "uniq_trailing_est")
+        )
+
+
 def ingest_corpus_batch(
     docs: DataFrame,
     batch_id: int,
@@ -798,6 +950,7 @@ def ingest_corpus_batch(
     min_tokens: int = 3,
     digest_index: IncrementalDigestIndex | None = None,
     bloom_gate: PersistentBloomGate | None = None,
+    drift_monitor: CorpusDriftMonitor | None = None,
 ) -> DataFrame:
     """The whole corpus front door for one micro-batch, composed in the
     order the batch curation ladder uses (``llm.curation.curate_corpus``)
@@ -805,6 +958,11 @@ def ingest_corpus_batch(
 
     1. quality gate + within-batch exact dedup (``corpus_ingest`` batch
        path — attaches ``quality``/``n_tokens``/``text_sha``);
+    1a. optional drift monitoring (``CorpusDriftMonitor.check_batch``
+       when ``drift_monitor`` is given): KS + PSI vs the frozen
+       reference and the trailing-batches distinct sketch, computed on
+       the gated batch and appended to ``<monitor.path>/reports`` —
+       an audit trail, never a mutation of the landed rows;
     1b. optional corpus-lifetime exact dedup
        (``IncrementalDigestIndex.dedup_batch`` when ``digest_index`` is
        given) — the cheap digest equi-join rejects byte-identical landed
@@ -832,6 +990,17 @@ def ingest_corpus_batch(
     gated = corpus_ingest(
         docs, text_col=text_col, min_quality=min_quality, min_tokens=min_tokens
     )
+    if drift_monitor is not None:
+        # monitoring taps the GATED batch (post quality gate, pre dedup):
+        # the accepted distribution is what drifts; floods are still
+        # visible because dedup hasn't collapsed them yet. The report
+        # lands beside the monitor's state — a small per-batch append —
+        # so the gate leaves an audit trail without touching the landed
+        # corpus rows.
+        report = drift_monitor.check_batch(gated, batch_id).withColumn(
+            "_batch", F.lit(int(batch_id)).cast("long")
+        )
+        report.write.mode("append").parquet(f"{drift_monitor.path}/reports")
     if bloom_gate is not None:
         # decontamination ahead of every index: a contaminated document
         # must never land index rows (the batch ladder decontaminates

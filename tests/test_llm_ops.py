@@ -2305,3 +2305,68 @@ def test_exact_substring_dedup_excises_spans_preserving_order(spark):
     assert got[1] == ("a0 a1 a2", 6), got
     assert got[2] == ("b0", 6), got
     assert got[3] == ("c0 c1 c2", 0), got
+
+
+def test_scoped_caches_frees_pipeline_blocks(spark):
+    """r8-verdict task: after a pipeline (persist-heavy SemDeDup + the
+    minhash pair search) materializes inside scoped_caches, NO cached
+    RDDs introduced by the block may remain — and caches that existed
+    before the block must survive it."""
+    from simple_pos_kafka_pyspark_airflow_spark.cacheutil import (
+        persistent_rdd_ids,
+        scoped_caches,
+    )
+    from simple_pos_kafka_pyspark_airflow_spark.llm.dedup import (
+        near_dup_pairs_minhash,
+    )
+    from simple_pos_kafka_pyspark_airflow_spark.llm.simsearch import semdedup_prune
+
+    outside = spark.createDataFrame([(1, "keepme")], "id long, t string").persist()
+    outside.count()
+    baseline = persistent_rdd_ids(spark)
+    assert baseline, "the outside cache must be visible"
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon w{i} zeta eta") for i in range(12)]
+        + [(100, "alpha beta gamma delta epsilon w1 zeta eta")],
+        "doc_id long, text string",
+    )
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 4), 1.0, float(i % 3)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    with scoped_caches(spark):
+        pairs = near_dup_pairs_minhash(docs, "text", "doc_id")
+        assert pairs.count() >= 1
+        kept = semdedup_prune(vecs, n_cells=4)
+        assert kept.count() == 20
+        assert persistent_rdd_ids(spark) - baseline, (
+            "the pipeline should have persisted something inside the block"
+        )
+    assert persistent_rdd_ids(spark) == baseline
+    outside.unpersist(True)
+
+
+def test_dedup_clusters_frees_superseded_rounds(spark):
+    """The label-propagation loop must not accumulate one cached RDD per
+    round: after the result materializes, at most the FINAL round's
+    checkpoint (the returned frame's backing blocks) may remain beyond
+    the pre-call caches."""
+    from simple_pos_kafka_pyspark_airflow_spark.cacheutil import (
+        persistent_rdd_ids,
+        release_caches,
+    )
+    from simple_pos_kafka_pyspark_airflow_spark.llm.dedup import dedup_clusters
+
+    before = persistent_rdd_ids(spark)
+    # a chain 0-1-2-...-9: diameter 9 forces many propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    out = dedup_clusters(pairs)
+    rows = {r["id_a"] if "id_a" in r else r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert set(rows.values()) == {0}
+    leftover = persistent_rdd_ids(spark) - before
+    assert len(leftover) <= 1, leftover  # only the final labels checkpoint
+    release_caches(spark, leftover)
+    assert persistent_rdd_ids(spark) == before

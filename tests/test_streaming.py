@@ -2755,3 +2755,148 @@ def test_incremental_cms_index_merge_replay_and_guarantee(spark, tmp_path):
     idx.compact()
     assert {r["k"]: r["est_n"] for r in idx.estimate(keys).collect()} == est
     assert spark.read.parquet(path).count() <= 4 * 32
+
+
+def test_ks_drift_counts_equals_flagged_form(spark):
+    """The frozen-reference KS form (pre-aggregated per-value counts)
+    must be row-identical to ks_drift over the flagged union of the
+    same data — including values present on only one side."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators.validation import (
+        ks_drift,
+        ks_drift_counts,
+    )
+
+    ref_rows = [("a", v) for v in [1, 1, 2, 3, 5, 8]] + [("b", v) for v in [2, 2, 4]]
+    live_rows = [("a", v) for v in [1, 4, 4, 9]] + [("b", v) for v in [2, 7]]
+    ref = spark.createDataFrame(ref_rows, "g string, v long")
+    live = spark.createDataFrame(live_rows, "g string, v long")
+
+    flagged = ref.withColumn("_is_ref", F.lit(1)).unionByName(
+        live.withColumn("_is_ref", F.lit(0))
+    )
+    want = {
+        r["g"]: (r["n_ref"], r["n_live"], r["ks_num"], r["ks_den"], r["ks"])
+        for r in ks_drift(flagged, "g", F.col("v"), F.col("_is_ref")).collect()
+    }
+    rc = ref.groupBy("g", F.col("v").alias("value")).agg(F.count("*").alias("n"))
+    lc = live.groupBy("g", F.col("v").alias("value")).agg(F.count("*").alias("n"))
+    got = {
+        r["g"]: (r["n_ref"], r["n_live"], r["ks_num"], r["ks_den"], r["ks"])
+        for r in ks_drift_counts(rc, lc, "g").collect()
+    }
+    assert got == want, (got, want)
+
+
+def test_corpus_drift_monitor_stream_drain_matches_batch_operators(spark, tmp_path):
+    """r8-verdict task: the ingest-time drift gate under a REAL
+    AvailableNow drain (one file per micro-batch, through
+    ingest_corpus_batch) must report exactly what the batch operators
+    compute on the same data — KS and PSI per batch vs the frozen
+    reference, and the trailing-window distinct estimate over the
+    drained batches' union."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators.validation import (
+        ks_drift,
+        psi_drift,
+        value_histogram,
+    )
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import (
+        CorpusDriftMonitor,
+        IncrementalMinhashIndex,
+        corpus_ingest,
+        ingest_corpus_batch,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+
+    def doc(i: int, n: int) -> str:
+        return " ".join(words[(i + j) % len(words)] for j in range(n))
+
+    # frozen reference: one source, token counts 4..9
+    ref = spark.createDataFrame(
+        [(i, doc(i, 4 + i % 6), "s1") for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    mon = CorpusDriftMonitor(
+        spark, str(tmp_path / "drift"), n_bins=4, window_batches=7, lg_k=12
+    )
+    gated_ref = corpus_ingest(ref, min_quality=0.0, min_tokens=1)
+    mon.freeze(gated_ref)
+
+    # two micro-batches: batch 1 in-distribution, batch 2 drifted longer
+    b1 = spark.createDataFrame(
+        [(100 + i, doc(i + 1, 4 + i % 6), "s1") for i in range(8)],
+        "doc_id long, text string, source string",
+    )
+    b2 = spark.createDataFrame(
+        [(200 + i, doc(i, 14 + i), "s1") for i in range(6)],
+        "doc_id long, text string, source string",
+    )
+    src = tmp_path / "docs"
+    src.mkdir()
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+
+    mh = IncrementalMinhashIndex(
+        spark, str(tmp_path / "mh"), num_hashes=16, bands=8, jaccard_threshold=0.9
+    )
+    sink = str(tmp_path / "landed")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, bid: ingest_corpus_batch(
+                batch, bid, mh, min_quality=0.0, min_tokens=1, drift_monitor=mon
+            )
+            .write.mode("append")
+            .parquet(sink)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    reports = spark.read.parquet(str(tmp_path / "drift" / "reports"))
+    assert reports.count() == 2  # one row per (batch, group)
+
+    # batch-operator twins on the same data (file order = batch order)
+    batches = {0: b1, 1: b2}
+    lo, hi = mon._frozen_meta()
+    for bid, bdf in batches.items():
+        gated = corpus_ingest(bdf, min_quality=0.0, min_tokens=1)
+        got = reports.where(F.col("_batch") == bid).first()
+        flagged = gated_ref.select("source", "n_tokens").withColumn(
+            "_r", F.lit(1)
+        ).unionByName(gated.select("source", "n_tokens").withColumn("_r", F.lit(0)))
+        want_ks = ks_drift(flagged, "source", F.col("n_tokens"), F.col("_r")).first()
+        assert (got["n_ref"], got["n_live"]) == (want_ks["n_ref"], want_ks["n_live"])
+        assert got["ks"] == want_ks["ks"], (bid, got["ks"], want_ks["ks"])
+        want_psi = psi_drift(
+            value_histogram(gated_ref, "n_tokens", "source", 4, lo=lo, hi=hi),
+            value_histogram(gated, "n_tokens", "source", 4, lo=lo, hi=hi),
+            "source",
+        ).first()
+        assert got["psi"] == want_psi["psi"], (bid, got["psi"], want_psi["psi"])
+
+    # trailing distinct estimate at the last batch == one-shot HLL over
+    # both batches' gated union (same lg_k, deterministic sketch bytes)
+    gated_all = corpus_ingest(
+        b1.unionByName(b2), min_quality=0.0, min_tokens=1
+    )
+    want_uniq = (
+        gated_all.groupBy("source")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("text_sha", F.lit(12))
+            ).alias("u")
+        )
+        .first()["u"]
+    )
+    last = reports.where(F.col("_batch") == 1).first()
+    assert last["uniq_trailing_est"] == want_uniq
+    # drifted batch reads as more drifted than the in-distribution one
+    r0 = reports.where(F.col("_batch") == 0).first()
+    assert last["ks"] > r0["ks"] and last["psi"] > r0["psi"]
