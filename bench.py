@@ -143,6 +143,14 @@ HEADLINE = [
     # q_curation_e2e prices the per-stage checkpoint+count audit
     "q_dedup_substring",
     "q_curation_audited",
+    # round-9 families: Bloom runtime-filter semi join (Arrow membership
+    # prefilter below the exchange), exact rolling correlation (five
+    # int64 sums sharing one ROWS frame), ordered funnel (per-step
+    # min-agg chain), duplication-aware weights (digest groupBy + join)
+    "q_join_bloom",
+    "q_rolling_corr",
+    "q_funnel_steps",
+    "q_sample_dupweight",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

@@ -595,3 +595,39 @@ def dsir_importance(
     return df.select(F.col(id_col), is_target.cast("int").alias("is_target")).join(
         scored.select(id_col, "score_e6"), id_col, "left"
     ).select(id_col, "is_target", F.coalesce("score_e6", F.lit(0)).alias("score_e6"))
+
+
+def duplication_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    canonical: bool = False,
+) -> DataFrame:
+    """Duplication-aware example weights: every document gets
+    ``weight = 1 / n_copies`` where ``n_copies`` is the size of its
+    byte-identical (or, with ``canonical=True``, normalized-form) group
+    — the soft alternative to dropping duplicates: total loss mass per
+    distinct text is constant, so boilerplate can't dominate training
+    while every copy's metadata/provenance survives (the "weight, don't
+    delete" option in dedup practice).
+
+    Plan: sha2-digest groupBy (fixed-width shuffle keys, map-side
+    combine — the exact-dedup tier's cost) then one digest equi-join
+    back. ``weight`` is ONE raw division of exact longs — correctly
+    rounded, hash-stable across engines. Output: every input row as
+    (id, n_copies, weight); Σ weight = number of distinct texts,
+    exactly.
+    """
+    from .dedup import canonical_text
+
+    key = canonical_text(F.col(text_col)) if canonical else F.col(text_col)
+    d = df.select(F.col(id_col), F.sha2(key, 256).alias("_dig"))
+    sizes = d.groupBy("_dig").agg(F.count("*").cast("long").alias("n_copies"))
+    return (
+        d.join(sizes, "_dig")
+        .select(
+            id_col,
+            "n_copies",
+            (F.lit(1.0) / F.col("n_copies").cast("double")).alias("weight"),
+        )
+    )

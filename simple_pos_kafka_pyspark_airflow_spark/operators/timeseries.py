@@ -199,3 +199,122 @@ def ohlc(
         )
         .withColumnRenamed("_bucket", "bucket_ts")
     )
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel analysis: for each prefix of ``steps``, how many
+    users completed it IN ORDER — the product-analytics staple (view →
+    click → purchase) the reference's dashboards could never express
+    beyond single-event counts.
+
+    Semantics (the standard earliest-completion rule): a user completes
+    step i at the EARLIEST event of type ``steps[i]`` that is strictly
+    after their step-i−1 completion time; greedy-earliest is optimal
+    here (taking any later step-i event can only shrink the remaining
+    window), so this is exact, not a heuristic.
+
+    Plan: one user-keyed min aggregation per step — k−1 equi-joins on
+    the user id over frames ALREADY filtered to one event type (the
+    type predicate pushes to the scan; each join's inputs are
+    per-step-completion sized, monotonically shrinking down the
+    funnel). No window over raw events, no per-user event sorting: cost
+    is O(matching events) per step, shuffled on the uniform user key.
+    k is the funnel length (2-6 in practice) — a driver-side loop over
+    STEPS, never over data.
+
+    Output: one row per step — (step_idx, step, n_users), n_users
+    non-increasing down the funnel.
+    """
+    if len(steps) < 1:
+        raise ValueError("funnel_counts needs at least one step")
+    u, t, ts = user_col, type_col, ts_col
+    cur = (
+        df.where(F.col(t) == steps[0])
+        .groupBy(u)
+        .agg(F.min(ts).alias("_t"))
+    )
+    counts = [cur]
+    for s in steps[1:]:
+        nxt = (
+            df.where(F.col(t) == s)
+            .select(u, F.col(ts).alias("_ts"))
+            .join(cur, u)
+            .where(F.col("_ts") > F.col("_t"))
+            .groupBy(u)
+            .agg(F.min("_ts").alias("_t"))
+        )
+        counts.append(nxt)
+        cur = nxt
+    spark = df.sparkSession
+    parts = [
+        c.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(i).cast("int").alias("step_idx"),
+            F.lit(steps[i]).alias("step"),
+            "n_users",
+        )
+        for i, c in enumerate(counts)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Cohort retention: group users by FIRST-SEEN day, then for every
+    later day-offset report how many of that cohort were active — the
+    "day-N retention" matrix.
+
+    Plan: dedup the fact to active (user, day) pairs (one
+    partial-aggregable shuffle — the fact never explodes), derive each
+    user's cohort day with a user-keyed min, join pairs back to cohorts
+    on the user id, and count distinct users per (cohort_day, offset).
+    Output cardinality is days² at worst — dashboard-sized at any
+    corpus size.
+
+    ``retention`` is ONE raw division of exact longs (n_active /
+    n_cohort ≤ 1) — correctly-rounded IEEE, hash-stable across engines
+    (never a float sum). Offset 0 always reports retention 1.0.
+
+    Output: (cohort_day, day_offset, n_cohort, n_active, retention).
+    """
+    u = user_col
+    day = F.date_trunc("day", F.col(ts_col))
+    pairs = df.select(F.col(u), day.alias("_day")).distinct()
+    cohorts = pairs.groupBy(u).agg(F.min("_day").alias("_cohort"))
+    sizes = cohorts.groupBy("_cohort").agg(
+        F.count("*").cast("long").alias("n_cohort")
+    )
+    joined = pairs.join(cohorts, u).select(
+        F.col("_cohort"),
+        F.datediff(F.col("_day"), F.col("_cohort")).cast("int").alias("day_offset"),
+        F.col(u),
+    )
+    if max_offset is not None:
+        joined = joined.where(F.col("day_offset") <= int(max_offset))
+    active = joined.groupBy("_cohort", "day_offset").agg(
+        F.count_distinct(u).cast("long").alias("n_active")
+    )
+    return (
+        active.join(sizes, "_cohort")
+        .select(
+            F.col("_cohort").alias("cohort_day"),
+            "day_offset",
+            "n_cohort",
+            "n_active",
+            (
+                F.col("n_active").cast("double") / F.col("n_cohort").cast("double")
+            ).alias("retention"),
+        )
+    )

@@ -231,3 +231,64 @@ def rolling_distinct_sketch(
         .agg(F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("n_est"))
         .select(*gcols, F.col("__wd").alias("day"), "n_est")
     )
+
+
+def rolling_corr_exact(
+    df: DataFrame,
+    order_col: str,
+    x_int,
+    y_int,
+    window_rows: int = 7,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Trailing-window Pearson correlation between two integer-lattice
+    series — the co-movement monitor (metric A decoupling from metric B
+    is drift no single-series test sees), exact where a float-state
+    rolling corr never hash-compares.
+
+    Same discipline as ``grouped_corr_exact``/``grouped_skew_kurt``, per
+    WINDOW instead of per group: the five running sums (Σx, Σy, Σxy,
+    Σx², Σy²) are exact int64 over a ROWS frame (N−1 PRECEDING ..
+    CURRENT — count-based, so both engines agree row-for-row even at
+    the series head, where n < N), and
+
+        corr = (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²)·√(n·Syy − Sy²))
+
+    is evaluated as FIXED double trees over those sums (B-form products
+    in DOUBLE, never int64 — the r9 ``grouped_skew_kurt`` overflow
+    lesson applied from the start). Zero-variance windows yield NULL.
+
+    One window exchange per group key; all five sums share the frame.
+    ``order_col`` must be a total order within each group (one row per
+    period — pre-aggregate first; ties would make frames ambiguous).
+
+    Output: (group_cols..., order_col, n, corr).
+    """
+    gcols = group_cols or []
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy(order_col)
+        .rowsBetween(-(int(window_rows) - 1), Window.currentRow)
+    )
+    d = df.select(
+        *gcols,
+        F.col(order_col),
+        x_int.cast("long").alias("_x"),
+        y_int.cast("long").alias("_y"),
+    )
+    n = F.count("*").over(w).cast("long")
+    sx = F.sum("_x").over(w)
+    sy = F.sum("_y").over(w)
+    sxy = F.sum(F.col("_x") * F.col("_y")).over(w)
+    sxx = F.sum(F.col("_x") * F.col("_x")).over(w)
+    syy = F.sum(F.col("_y") * F.col("_y")).over(w)
+    nd = n.cast("double")
+    num = nd * sxy.cast("double") - sx.cast("double") * sy.cast("double")
+    vx = nd * sxx.cast("double") - sx.cast("double") * sx.cast("double")
+    vy = nd * syy.cast("double") - sy.cast("double") * sy.cast("double")
+    return d.select(
+        *gcols,
+        order_col,
+        n.alias("n"),
+        (num / F.nullif(F.sqrt(vx) * F.sqrt(vy), F.lit(0.0))).alias("corr"),
+    )

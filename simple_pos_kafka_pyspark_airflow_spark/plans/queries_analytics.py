@@ -2650,3 +2650,140 @@ def q_anomaly_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2500).cast("long"),
         F.lit(20000).cast("long"),
     )
+
+
+@register(
+    "q_funnel_steps",
+    "agg",
+    oracle="""
+    WITH s0 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), s1 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t
+      WHERE e.event_type = 'click' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT CAST(0 AS INTEGER) AS step_idx, 'view' AS step,
+           CAST(COUNT(*) AS BIGINT) AS n_users FROM s0
+    UNION ALL
+    SELECT CAST(1 AS INTEGER), 'click', CAST(COUNT(*) AS BIGINT) FROM s1
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), 'purchase', CAST(COUNT(*) AS BIGINT) FROM s2
+    """,
+    notes="extension: ordered funnel as the REUSABLE OPERATOR in long format, one row per step (q_funnel is the inline wide-format signup-rooted twin) — how many "
+    "users completed each prefix IN ORDER, earliest-completion semantics "
+    "(greedy-earliest is provably optimal, so the chain of per-step "
+    "user-keyed MIN aggregations is exact, not a heuristic; "
+    "operators/timeseries.funnel_counts). Plan: one min-agg + equi-join "
+    "per step over frames pre-filtered to ONE event type (predicate "
+    "pushed to the scan, inputs shrink monotonically down the funnel); "
+    "no window over raw events, no per-user sort. The loop is over the "
+    "funnel's 3 steps, never over data",
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import funnel_counts
+
+    ev = table(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+@register(
+    "q_cohort_retention_daily",
+    "agg",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ), coh AS (
+      SELECT user_id, MIN(d) AS c FROM pairs GROUP BY 1
+    ), sizes AS (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS n_cohort FROM coh GROUP BY 1
+    ), act AS (
+      SELECT coh.c, CAST(date_diff('day', coh.c, p.d) AS INTEGER) AS day_offset,
+             CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_active
+      FROM pairs p JOIN coh ON p.user_id = coh.user_id
+      GROUP BY 1, 2
+    )
+    SELECT act.c AS cohort_day, act.day_offset, sizes.n_cohort, act.n_active,
+           CAST(act.n_active AS DOUBLE) / CAST(sizes.n_cohort AS DOUBLE) AS retention
+    FROM act JOIN sizes ON act.c = sizes.c
+    """,
+    notes="extension: cohort retention as the REUSABLE OPERATOR — day-grain on the event stream with the retention RATIO column (q_cohort_retention is the inline month-grain orders twin, counts only); users grouped by first-seen day, per-offset active share "
+    "(operators/timeseries.cohort_retention). Plan: fact collapses to "
+    "distinct (user, day) pairs ONCE (partial-aggregable), cohort is a "
+    "user-keyed min, the matrix is days² rows at any corpus size. "
+    "retention is ONE raw division of exact longs (never a float sum), "
+    "so the doubles hash-compare across engines",
+)
+def q_cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import cohort_retention
+
+    ev = table(spark, sf_dir, "events")
+    return cohort_retention(ev)
+
+
+@register(
+    "q_rolling_corr",
+    "window",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+                    THEN CAST(FLOOR(value * 100) AS BIGINT) END), 0) AS BIGINT) AS x,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(FLOOR(value * 100) AS BIGINT) END), 0) AS BIGINT) AS y
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+    ), w AS (
+      SELECT day,
+             CAST(COUNT(*) OVER win AS BIGINT) AS n,
+             SUM(x) OVER win AS sx, SUM(y) OVER win AS sy,
+             SUM(x * y) OVER win AS sxy,
+             SUM(x * x) OVER win AS sxx, SUM(y * y) OVER win AS syy
+      FROM daily
+      WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / NULLIF(
+               sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0)
+             AS corr
+    FROM w
+    """,
+    notes="extension: trailing-7-row Pearson correlation between two "
+    "integer series (daily click-cents vs purchase-cents) from EXACT "
+    "int64 window sums — the co-movement drift monitor "
+    "(operators/windows.rolling_corr_exact). Per-row cents are "
+    "FLOOR(value·100) of bit-identical doubles (never ROUND a product); "
+    "the five sums share ONE count-based ROWS frame (head windows "
+    "n<7 agree row-for-row across engines); corr's numerator/variance "
+    "products are FIXED double trees over the exact sums (the r9 "
+    "skew/kurt overflow lesson applied from the start — never int64 "
+    "n·S products), so raw doubles hash-compare. One window exchange",
+)
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import rolling_corr_exact
+
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    daily = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "click", cents)), F.lit(0)
+            ).cast("long").alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "purchase", cents)), F.lit(0)
+            ).cast("long").alias("y"),
+        )
+    )
+    return rolling_corr_exact(daily, "day", F.col("x"), F.col("y"), window_rows=7)

@@ -830,3 +830,41 @@ def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n"), F.sum("event_id").alias("sum_id"))
     )
+
+
+@register(
+    "q_join_bloom",
+    "join",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem l
+    WHERE l.l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_totalprice > 450000
+    )
+    GROUP BY 1
+    """,
+    notes="extension: semi join with an explicit Bloom RUNTIME FILTER on "
+    "the fact side (operators/joins.bloom_semi_reduce) — the row-level "
+    "runtime filtering Spark's optimizer injects for its own shuffle "
+    "joins, exposed for the regime it can't reach (build side too large "
+    "or too late-materialized to broadcast exactly, rare matches). The "
+    "RESULT is exactly the semi join — Bloom has no false negatives and "
+    "the sliver of false positives is re-verified by the real join — so "
+    "the oracle is the plain IN-subquery; what the operator changes is "
+    "COST: the fact scans once against a broadcast few-MB bitmap "
+    "(Arrow-batched numpy gather, the llm.bloom discipline) and only "
+    "survivors enter the exchange. Plan-pinned: the bloom prefilter "
+    "sits below the join (tests/test_plans.py)",
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import bloom_semi_reduce
+
+    li = table(spark, sf_dir, "lineitem")
+    keys = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+    reduced = bloom_semi_reduce(li, keys, "l_orderkey", "o_orderkey")
+    return reduced.groupBy("l_orderkey").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+    )

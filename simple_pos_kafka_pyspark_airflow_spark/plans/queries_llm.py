@@ -3184,3 +3184,40 @@ def q_curation_audited(spark: SparkSession, sf_dir: str) -> DataFrame:
     out, report = curation.curate_corpus(d, cfg, counts=True)
     assert report, "counts=True must produce a per-stage report"
     return out.select("doc_id", "source", "split")
+
+
+@register(
+    "q_sample_dupweight",
+    "llm",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    ), sizes AS (
+      SELECT text, CAST(COUNT(*) AS BIGINT) AS n_copies FROM corpus GROUP BY 1
+    )
+    SELECT c.doc_id, s.n_copies,
+           CAST(1 AS DOUBLE) / CAST(s.n_copies AS DOUBLE) AS weight
+    FROM corpus c JOIN sizes s ON c.text = s.text
+    """,
+    notes="extension: duplication-aware example weights — weight = "
+    "1/n_copies per byte-identical group (llm/filtering."
+    "duplication_weights), the 'weight, don't delete' alternative to "
+    "exact dedup: total loss mass per distinct text is constant, "
+    "provenance survives. PLANTED copies (doc_id % 10 twins) make "
+    "n_copies = 2 groups real on this corpus. Plan: sha2-digest groupBy "
+    "(fixed-width shuffle keys) + one digest equi-join back — the "
+    "exact-dedup tier's cost; the oracle groups by raw text, an "
+    "identical partition of the corpus (digest collisions ~2^-256). "
+    "weight is ONE raw division of exact longs — hash-stable",
+)
+def q_sample_dupweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.filtering import duplication_weights
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(planted)
+    return duplication_weights(corpus)

@@ -2370,3 +2370,134 @@ def test_dedup_clusters_frees_superseded_rounds(spark):
     assert len(leftover) <= 1, leftover  # only the final labels checkpoint
     release_caches(spark, leftover)
     assert persistent_rdd_ids(spark) == before
+
+
+def test_funnel_counts_order_matters(spark):
+    """A user whose step-2 event precedes step 1 must NOT count for the
+    prefix — the funnel is ordered, earliest-completion semantics."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators.timeseries import (
+        funnel_counts,
+    )
+
+    rows = [
+        # u1: proper view -> click -> purchase
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 11:00:00"),
+        (1, "purchase", "2024-01-01 12:00:00"),
+        # u2: click BEFORE view — completes step 0 only
+        (2, "click", "2024-01-02 09:00:00"),
+        (2, "view", "2024-01-02 10:00:00"),
+        # u3: view then click, no purchase
+        (3, "view", "2024-01-03 08:00:00"),
+        (3, "click", "2024-01-03 09:00:00"),
+        # u4: purchase only — no step at all
+        (4, "purchase", "2024-01-04 08:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts string").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(df, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {"view": 3, "click": 2, "purchase": 1}, got
+
+
+def test_cohort_retention_offsets_and_ratio(spark):
+    """Cohort day = first-seen day; offsets count distinct active users;
+    offset 0 retention is exactly 1.0."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators.timeseries import (
+        cohort_retention,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-02 10:00:00"),
+        (1, "2024-01-02 11:00:00"),  # same day twice — still one pair
+        (2, "2024-01-01 09:00:00"),
+        (3, "2024-01-02 09:00:00"), (3, "2024-01-04 09:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    got = {
+        (r["cohort_day"].day, r["day_offset"]): (r["n_cohort"], r["n_active"], r["retention"])
+        for r in cohort_retention(df).collect()
+    }
+    assert got[(1, 0)] == (2, 2, 1.0)
+    assert got[(1, 1)] == (2, 1, 0.5)
+    assert got[(2, 0)] == (1, 1, 1.0)
+    assert got[(2, 2)] == (1, 1, 1.0)
+    assert set(got) == {(1, 0), (1, 1), (2, 0), (2, 2)}
+
+
+def test_rolling_corr_exact_matches_numpy(spark):
+    """Window corr must equal numpy's Pearson r on every trailing slice
+    (float tolerance), with NULL on the zero-variance head window."""
+    import numpy as np
+
+    from simple_pos_kafka_pyspark_airflow_spark.operators.windows import (
+        rolling_corr_exact,
+    )
+
+    rng = np.random.RandomState(11)
+    x = rng.randint(-100, 100, size=20)
+    y = (x * 2 + rng.randint(-30, 30, size=20)).astype(int)
+    rows = [(i, int(x[i]), int(y[i])) for i in range(20)]
+    df = spark.createDataFrame(rows, "i int, x long, y long")
+    got = {
+        r["i"]: (r["n"], r["corr"])
+        for r in rolling_corr_exact(df, "i", F.col("x"), F.col("y"), 5).collect()
+    }
+    for i in range(20):
+        lo = max(0, i - 4)
+        xs, ys = x[lo : i + 1].astype(float), y[lo : i + 1].astype(float)
+        n, want = len(xs), None
+        if np.std(xs) > 0 and np.std(ys) > 0:
+            want = float(np.corrcoef(xs, ys)[0, 1])
+        assert got[i][0] == n
+        if want is None:
+            assert got[i][1] is None
+        else:
+            assert abs(got[i][1] - want) < 1e-9, (i, got[i][1], want)
+
+
+def test_bloom_semi_reduce_equals_exact_semi_join(spark):
+    """The Bloom runtime filter must never lose a match (no false
+    negatives): result row-identical to the exact semi join, including
+    keys absent from the build side and negative keys."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators.joins import (
+        bloom_semi_reduce,
+    )
+
+    fact = spark.createDataFrame(
+        [(i % 500 - 100, i) for i in range(4000)], "k long, payload long"
+    )
+    keys = spark.createDataFrame([(v,) for v in (-100, -1, 7, 123, 399, 9999)], "k long")
+    got = sorted(
+        (r["k"], r["payload"]) for r in bloom_semi_reduce(fact, keys, "k").collect()
+    )
+    want = sorted(
+        (r["k"], r["payload"]) for r in fact.join(keys, "k", "left_semi").collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_duplication_weights_mass_conservation(spark):
+    """weight = 1/n_copies per identical-text group; Σ weight == number
+    of distinct texts exactly; canonical=True folds case/whitespace
+    variants into one group."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm.filtering import (
+        duplication_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa bb"), (3, "cc"), (4, "AA   bb"), (5, "dd")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_copies"], r["weight"]) for r in duplication_weights(df).collect()}
+    assert got[1] == (2, 0.5) and got[2] == (2, 0.5)
+    assert got[3] == (1, 1.0) and got[4] == (1, 1.0) and got[5] == (1, 1.0)
+    assert sum(w for _, w in got.values()) == 4.0
+
+    canon = {r["doc_id"]: r["n_copies"] for r in duplication_weights(df, canonical=True).collect()}
+    assert canon[1] == canon[2] == canon[4] == 3

