@@ -23,6 +23,14 @@ Two tools, matching the two ownership shapes:
 ``scoped_caches`` must enclose the MATERIALIZATION (the action), not
 just the plan construction: unpersisting before the action simply makes
 the action recompute.
+
+One asymmetry to respect: a ``persist()``-backed frame re-computes
+transparently after release (blocks are an optimization), but a
+``localCheckpoint``-backed frame CANNOT — its lineage was truncated at
+checkpoint time (Spark logs a WARN at release), so re-collecting such a
+frame after its blocks are freed raises instead of recomputing. Consume
+iterative operators' results INSIDE the block (or re-build the plan),
+never re-materialize them after release.
 """
 
 from __future__ import annotations

@@ -339,3 +339,105 @@ def grouped_skew_kurt(df: DataFrame, group_col: str, x_int) -> DataFrame:
         (a / F.nullif(b * F.sqrt(b), F.lit(0.0))).alias("skew"),
         (c / F.nullif(b * b, F.lit(0.0)) - F.lit(3.0)).alias("kurt"),
     )
+
+
+def grouped_gini(df: DataFrame, group_col: str, x_int) -> DataFrame:
+    """Per-group Gini coefficient of a non-negative integer metric — the
+    inequality audit for corpus BALANCE questions ("is one domain's byte
+    mass dominating this source?") that means/medians can't answer: G=0
+    is perfect equality, G→1 is one-member dominance.
+
+    Exact sorted-rank identity (no pair enumeration):
+
+        G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)
+
+    with x_(i) the ascending sort and i its 1-based rank. Everything up
+    to the final quotient is exact int64 (one row_number window + one
+    partial-aggregable agg share the group exchange), and ``gini`` ships
+    as ONE raw division — correctly-rounded IEEE on identical operands,
+    hash-stable across engines. Ties are rank-order-free: tied values
+    contribute the same Σ i·x over any permutation of their ranks
+    (i-weights over equal x sum identically), so no tiebreak is needed
+    for determinism.
+
+    int64 bound: n·Σx < 2^63 — at 1e6 rows/group that allows Σx ≈ 9e12
+    (e.g. 9 GB of per-doc byte counts per group); widen to
+    DECIMAL(38,0) in both engines past that. All-zero groups (Σx = 0)
+    yield NULL. Output: (group, n, sum_x, gini)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy("_x")
+    d = (
+        df.select(F.col(group_col), x_int.cast("long").alias("_x"))
+        .withColumn("_i", F.row_number().over(w).cast("long"))
+    )
+    g = d.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_x").alias("sum_x"),
+        F.sum(F.col("_i") * F.col("_x")).alias("_ix"),
+    )
+    num = F.lit(2) * F.col("_ix") - (F.col("n") + F.lit(1)) * F.col("sum_x")
+    den = F.col("n") * F.col("sum_x")
+    return g.select(
+        group_col,
+        "n",
+        "sum_x",
+        (num.cast("double") / F.nullif(den.cast("double"), F.lit(0.0))).alias("gini"),
+    )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    variant_col: str,
+    converted_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Two-proportion z-test between exactly two variants — the A/B
+    readout (is B's conversion rate different from A's?) computed from
+    EXACT integer counts with a fixed-order IEEE tail:
+
+        z = (p_a − p_b) / √( p̂·(1−p̂)·(1/n_a + 1/n_b) ),  p̂ pooled
+
+    |z| > 1.96 rejects "same rate" at α=5% (two-sided). One
+    partial-aggregable shuffle builds (n, conv) per variant (rows carry
+    a 0/1 ``converted_col``); the per-group pivot joins two
+    variant-cardinality tables. Every division and the sqrt are
+    correctly-rounded IEEE ops evaluated in the SAME left-associated
+    order both engines can express, so the raw doubles hash-compare
+    (the q_stats_corr recipe). Degenerate splits (either n = 0, or
+    pooled p̂ ∈ {0, 1} making the variance 0) yield NULL via NULLIF.
+
+    ``variant_col`` must hold exactly two values per group — validate
+    upstream; extra variants silently pivot away. Output: (group_cols…,
+    n_a, conv_a, n_b, conv_b, z)."""
+    gcols = group_cols or []
+    variants = (
+        df.select(variant_col).distinct().orderBy(variant_col).limit(2).collect()
+    )
+    if len(variants) < 2:
+        raise ValueError("two_proportion_ztest needs two variants")
+    va, vb = variants[0][0], variants[1][0]
+    agg = df.groupBy(*gcols, variant_col).agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum(F.col(converted_col).cast("long")).cast("long").alias("_c"),
+    )
+    a = agg.where(F.col(variant_col) == va).select(
+        *gcols, F.col("_n").alias("n_a"), F.col("_c").alias("conv_a")
+    )
+    b = agg.where(F.col(variant_col) == vb).select(
+        *gcols, F.col("_n").alias("n_b"), F.col("_c").alias("conv_b")
+    )
+    j = a.join(b, gcols) if gcols else a.crossJoin(b)
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ca, cb = F.col("conv_a").cast("double"), F.col("conv_b").cast("double")
+    pa, pb = ca / na, cb / nb
+    pool = (ca + cb) / (na + nb)
+    var = pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    return j.select(
+        *gcols,
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        ((pa - pb) / F.nullif(F.sqrt(var), F.lit(0.0))).alias("z"),
+    )

@@ -2787,3 +2787,98 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rolling_corr_exact(daily, "day", F.col("x"), F.col("y"), window_rows=7)
+
+
+@register(
+    "q_corpus_gini",
+    "agg",
+    oracle="""
+    WITH d AS (
+      SELECT source, CAST(length(text) AS BIGINT) AS x FROM documents
+    ), r AS (
+      SELECT source, x,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY x) AS BIGINT) AS i
+      FROM d
+    ), g AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sum_x,
+             CAST(SUM(i * x) AS BIGINT) AS ix
+      FROM r GROUP BY 1
+    )
+    SELECT source, n, sum_x,
+           CAST(2 * ix - (n + 1) * sum_x AS DOUBLE)
+           / NULLIF(CAST(n * sum_x AS DOUBLE), 0.0) AS gini
+    FROM g
+    """,
+    notes="extension: per-source Gini coefficient of document byte sizes "
+    "— the corpus-balance inequality audit (G=0 equal shares, G→1 one "
+    "doc dominates) means/medians can't answer "
+    "(operators/aggregates.grouped_gini). Exact sorted-rank identity "
+    "G = (2·Σi·x − (n+1)·Σx)/(n·Σx): one row_number window + one "
+    "partial-aggregable agg sharing the group exchange, everything "
+    "int64-exact until ONE raw division; rank ties are order-free "
+    "(Σi·x over equal x is permutation-invariant), so no tiebreak "
+    "needed. int64 bound n·Σx < 2^63 documented on the operator",
+)
+def q_corpus_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import grouped_gini
+
+    d = table(spark, sf_dir, "documents")
+    return grouped_gini(d, "source", F.length(F.col("text")))
+
+
+@register(
+    "q_ab_ztest",
+    "agg",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS conv
+      FROM events GROUP BY 1
+    ), v AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS variant, conv
+      FROM u
+    ), agg AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT) AS c
+      FROM v GROUP BY 1
+    ), wide AS (
+      SELECT
+        (SELECT n FROM agg WHERE variant = 'a') AS n_a,
+        (SELECT c FROM agg WHERE variant = 'a') AS conv_a,
+        (SELECT n FROM agg WHERE variant = 'b') AS n_b,
+        (SELECT c FROM agg WHERE variant = 'b') AS conv_b
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+            - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+           / NULLIF(sqrt(
+               (((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+                 / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                * (1.0 - (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+                         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))))
+               * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))
+             ), 0.0) AS z
+    FROM wide
+    """,
+    notes="extension: two-proportion z-test between two variants from "
+    "EXACT integer counts (operators/aggregates.two_proportion_ztest) — "
+    "the A/B readout; variant = user_id parity (a deterministic "
+    "synthetic split on this data), conversion = any purchase. One "
+    "user-keyed agg + one variant-keyed agg; z's divisions and sqrt are "
+    "correctly-rounded IEEE in the SAME left-associated tree both "
+    "engines evaluate (pool·(1−pool) first, then the 1/n sum), so the "
+    "raw double hash-compares. Degenerate splits yield NULL via NULLIF",
+)
+def q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import two_proportion_ztest
+
+    ev = table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("conv")
+    )
+    per_user = users.select(
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("variant"),
+        F.col("conv").alias("converted"),
+    )
+    return two_proportion_ztest(per_user, "variant", "converted")

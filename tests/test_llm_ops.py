@@ -2501,3 +2501,55 @@ def test_duplication_weights_mass_conservation(spark):
 
     canon = {r["doc_id"]: r["n_copies"] for r in duplication_weights(df, canonical=True).collect()}
     assert canon[1] == canon[2] == canon[4] == 3
+
+
+def test_grouped_gini_known_values(spark):
+    """Gini of equal shares is 0; a one-member-takes-all group approaches
+    (n−1)/n; permuted tied values give identical results (rank-order
+    freedom); all-zero groups yield NULL."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators.aggregates import (
+        grouped_gini,
+    )
+
+    rows = (
+        [("eq", 5)] * 4
+        + [("dom", 0), ("dom", 0), ("dom", 0), ("dom", 100)]
+        + [("zero", 0), ("zero", 0)]
+        + [("mix", 1), ("mix", 2), ("mix", 3), ("mix", 4)]
+    )
+    df = spark.createDataFrame(rows, "g string, x long")
+    got = {r["g"]: r["gini"] for r in grouped_gini(df, "g", F.col("x")).collect()}
+    assert got["eq"] == 0.0
+    assert got["dom"] == 0.75  # (n-1)/n with one taker, n=4
+    assert got["zero"] is None
+    # mix: G = (2*(1*1+2*2+3*3+4*4) - 5*10) / (4*10) = (60-50)/40 = 0.25
+    assert got["mix"] == 0.25
+
+
+def test_two_proportion_ztest_matches_closed_form(spark):
+    """z must equal the hand-computed pooled two-proportion statistic;
+    a rate-equal split gives z = 0; an all-converted pool gives NULL
+    (zero pooled variance)."""
+    import math
+
+    from simple_pos_kafka_pyspark_airflow_spark.operators.aggregates import (
+        two_proportion_ztest,
+    )
+
+    rows = [("a", 1)] * 30 + [("a", 0)] * 70 + [("b", 1)] * 50 + [("b", 0)] * 50
+    df = spark.createDataFrame(rows, "variant string, converted long")
+    row = two_proportion_ztest(df, "variant", "converted").first()
+    assert (row["n_a"], row["conv_a"], row["n_b"], row["conv_b"]) == (100, 30, 100, 50)
+    pool = 80 / 200
+    want = (0.3 - 0.5) / math.sqrt((pool * (1 - pool)) * (1 / 100 + 1 / 100))
+    assert abs(row["z"] - want) < 1e-12
+
+    even = spark.createDataFrame(
+        [("a", 1), ("a", 0), ("b", 1), ("b", 0)], "variant string, converted long"
+    )
+    assert two_proportion_ztest(even, "variant", "converted").first()["z"] == 0.0
+
+    allconv = spark.createDataFrame(
+        [("a", 1), ("b", 1)], "variant string, converted long"
+    )
+    assert two_proportion_ztest(allconv, "variant", "converted").first()["z"] is None
