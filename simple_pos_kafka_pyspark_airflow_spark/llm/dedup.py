@@ -1413,6 +1413,27 @@ def exact_substring_spans(
     one row per maximal duplicated span. Reference parity: none (the
     reference has no text pipeline); north-star extension.
     """
+    grams = anchor_gram_rows(df, text_col, id_col, min_len)
+    dup = (
+        grams.groupBy("_g")
+        .agg(F.count("*").alias("_c"))
+        .where(F.col("_c") >= int(min_count))
+        .select("_g")
+    )
+    marks = grams.join(dup, "_g", "left_semi")
+    return covered_spans(marks, id_col, min_len)
+
+
+def anchor_gram_rows(
+    df: DataFrame, text_col: str, id_col: str, min_len: int
+) -> DataFrame:
+    """(id, pos, _g) — the md5 digest of the L-token gram at every token
+    position (docs shorter than L emit nothing). The gram text is
+    materialized transiently inside the per-doc window and digested
+    BEFORE anything shuffles; shared by the batch operator
+    (``exact_substring_spans``) and the ingest-time index
+    (``streaming.corpus.IncrementalSubstringIndex``), so the two can
+    never disagree on what a gram is."""
     from pyspark.sql import Window
 
     L = int(min_len)
@@ -1422,7 +1443,7 @@ def exact_substring_spans(
         F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "_tok")
     )
     wg = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, L - 1)
-    grams = (
+    return (
         toks.select(
             id_col,
             "pos",
@@ -1432,19 +1453,23 @@ def exact_substring_spans(
         .where(F.col("_n") == L)
         .drop("_n")
     )
-    dup = (
-        grams.groupBy("_g")
-        .agg(F.count("*").alias("_c"))
-        .where(F.col("_c") >= int(min_count))
-        .select("_g")
-    )
-    marks = grams.join(dup, "_g", "left_semi").select(
+
+
+def covered_spans(marks: DataFrame, id_col: str, min_len: int) -> DataFrame:
+    """Merge duplicated-gram positions ``(id, pos)`` into maximal spans
+    ``(id, span_start, span_len)`` — gaps-and-islands per document over
+    the [pos, pos+L−1] intervals (runs of covered positions are ≤ 1
+    apart, so merged spans are exactly the maximal shared regions)."""
+    from pyspark.sql import Window
+
+    L = int(min_len)
+    iv = marks.select(
         id_col, F.col("pos").alias("_s"), (F.col("pos") + L - 1).alias("_e")
     )
     wo = Window.partitionBy(id_col).orderBy("_s")
     wprev = wo.rowsBetween(Window.unboundedPreceding, -1)
     m = (
-        marks.withColumn("_pmax", F.max("_e").over(wprev))
+        iv.withColumn("_pmax", F.max("_e").over(wprev))
         .withColumn(
             "_new",
             F.when(
@@ -1479,6 +1504,18 @@ def exact_substring_dedup(
     ``boilerplate_span_dedup`` reassembly discipline (order preserved
     via array_sort on (pos, tok) structs)."""
     spans = exact_substring_spans(df, text_col, id_col, min_len, min_count)
+    return excise_spans(df, spans, text_col, id_col)
+
+
+def excise_spans(
+    df: DataFrame, spans: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Remove the given token spans ``(id, span_start, span_len)`` from
+    each document: explode spans to covered positions (output-bounded:
+    Σ span_len per doc ≤ doc length), anti-join the token positions,
+    reassemble survivors in order. Shared by the batch dedup and the
+    ingest-time index. Output: (id, text_clean, n_removed), every input
+    row present."""
     covered = spans.select(
         F.col(id_col),
         F.explode(

@@ -583,6 +583,121 @@ class IncrementalSpanIndex:
         overwrite_atomic(collapsed, self.path)
 
 
+class IncrementalSubstringIndex:
+    """Exact-substring (ExactSubstr, Lee et al. 2021) dedup at ingest,
+    incrementally: a persistent (anchor-gram digest → occurrence count)
+    index accumulated per micro-batch, so a ≥L-token span shared with
+    ANYTHING already landed — at any offset — is excised from the batch
+    before it lands. The streaming half of
+    ``llm.dedup.exact_substring_spans`` (which needs the whole corpus in
+    one frame), and the any-offset upgrade of ``IncrementalSpanIndex``
+    (whose fixed segmentation grid misses spans that straddle segment
+    boundaries).
+
+    Per batch (``clean_batch(docs, batch_id)``):
+
+    1. anchor-gram digests at every token position
+       (``llm.dedup.anchor_gram_rows`` — identical gram definition to
+       the batch operator, so the two passes can never disagree);
+    2. combined occurrence count per digest = this batch's count + the
+       landed history's; digests at ``>= min_count`` are duplicated;
+    3. covered positions merge to maximal spans per doc
+       (``covered_spans``) and the spans are excised
+       (``excise_spans``) — the same removal the batch form applies;
+    4. the batch's per-digest counts append to the index keyed by
+       ``batch_id``.
+
+    Replay discipline is ``IncrementalSpanIndex``'s, because counting
+    is threshold-sensitive: the history probe skips rows tagged with
+    the CURRENT batch id (a replayed batch must not count its own
+    landed grams against itself) and collapses
+    ``dropDuplicates([_g, _batch])`` so replays of earlier batches
+    contribute once — a replayed batch sees exactly the history its
+    first run saw.
+
+    Scale: the index shuffles 16-byte digests with map-side partial
+    aggregation, one row per token position per batch — the anchor-gram
+    bound (docs/SCALE.md dedup tier 12): independent of L, occurrence-
+    linear, no hot-key cap needed. Index rows accumulate one row per
+    DISTINCT batch gram; ``compact()`` folds them to one row per
+    distinct digest under the sentinel batch −1.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        min_len: int = 50,
+        min_count: int = 2,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.text_col = text_col
+        self.id_col = id_col
+        self.min_len = int(min_len)
+        self.min_count = int(min_count)
+
+    def _landed(self) -> DataFrame | None:
+        return _read_landed_index(self.spark, self.path)
+
+    def clean_batch(self, docs: DataFrame, batch_id: int) -> DataFrame:
+        """Return the batch with corpus-lifetime duplicated ≥L-token
+        spans excised (``text_clean`` + ``n_removed`` per doc), and
+        record the batch's gram counts in the index."""
+        from pyspark import StorageLevel
+
+        grams = dedup_ops.anchor_gram_rows(
+            docs, self.text_col, self.id_col, self.min_len
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+        batch_counts = grams.groupBy("_g").agg(F.count("*").alias("_n"))
+        landed = self._landed()
+        if landed is not None:
+            history = (
+                landed.where(F.col("_batch") != F.lit(batch_id))
+                .dropDuplicates(["_g", "_batch"])
+                .groupBy("_g")
+                .agg(F.sum("_n").alias("_n"))
+            )
+            combined = (
+                batch_counts.unionByName(history)
+                .groupBy("_g")
+                .agg(F.sum("_n").alias("_n"))
+            )
+        else:
+            combined = batch_counts
+        dup = combined.where(F.col("_n") >= self.min_count).select("_g")
+        marks = grams.join(F.broadcast(dup), "_g", "left_semi")
+        spans = dedup_ops.covered_spans(marks, self.id_col, self.min_len)
+        out = dedup_ops.excise_spans(
+            docs, spans, self.text_col, self.id_col
+        ).localCheckpoint(eager=True)
+        batch_counts.withColumn("_batch", F.lit(batch_id).cast("long")).write.mode(
+            "append"
+        ).parquet(self.path)
+        grams.unpersist()
+        return out
+
+    def compact(self) -> None:
+        """Fold per-batch gram rows to one row per distinct digest under
+        the sentinel batch −1 (atomic snapshot swap); quiesced points
+        only — pre-compaction replays lose self-exclusion after."""
+        from ..sources.io import overwrite_atomic
+
+        landed = self._landed()
+        if landed is None:
+            return
+        collapsed = (
+            landed.dropDuplicates(["_g", "_batch"])
+            .groupBy("_g")
+            .agg(F.sum("_n").alias("_n"))
+            .withColumn("_batch", F.lit(-1).cast("long"))
+        )
+        overwrite_atomic(collapsed, self.path)
+
+
 class IncrementalCmsIndex:
     """Corpus-lifetime FREQUENCY tracking at ingest: a persistent
     count-min table (``operators/aggregates.count_min_table``) of a key

@@ -2900,3 +2900,46 @@ def test_corpus_drift_monitor_stream_drain_matches_batch_operators(spark, tmp_pa
     # drifted batch reads as more drifted than the in-distribution one
     r0 = reports.where(F.col("_batch") == 0).first()
     assert last["ks"] > r0["ks"] and last["psi"] > r0["psi"]
+
+
+def test_incremental_substring_index_cross_batch_excision(spark, tmp_path):
+    """ExactSubstr at ingest: batch 2's copy of a ≥L-token span already
+    landed in batch 1 is excised AT ANY OFFSET (the case the fixed-grid
+    span index misses); within-batch duplicated spans are excised on
+    first sight; replaying a batch reproduces its original decisions
+    (self-exclusion); compact preserves probe results."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import (
+        IncrementalSubstringIndex,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(6))
+    path = str(tmp_path / "substr")
+    idx = IncrementalSubstringIndex(spark, path, min_len=6)
+
+    b1 = spark.createDataFrame(
+        [(1, "a0 a1 " + shared + " a2"), (2, "b0 b1 b2 b3 b4 b5 b6")],
+        "doc_id long, text string",
+    )
+    out1 = {r["doc_id"]: (r["text_clean"], r["n_removed"]) for r in idx.clean_batch(b1, 0).collect()}
+    # batch 1: the span appears ONCE corpus-wide — nothing excised yet
+    assert out1[1] == ("a0 a1 " + shared + " a2", 0)
+    assert out1[2][1] == 0
+
+    # batch 2: same span at a DIFFERENT offset → excised against history
+    b2 = spark.createDataFrame(
+        [(10, shared + " c0 c1"), (11, "d0 d1 d2 d3 d4 d5")],
+        "doc_id long, text string",
+    )
+    out2 = {r["doc_id"]: (r["text_clean"], r["n_removed"]) for r in idx.clean_batch(b2, 1).collect()}
+    assert out2[10] == ("c0 c1", 6), out2
+    assert out2[11][1] == 0
+
+    # replay batch 2: self-exclusion → identical decisions
+    replay = {r["doc_id"]: (r["text_clean"], r["n_removed"]) for r in idx.clean_batch(b2, 1).collect()}
+    assert replay == out2
+
+    # compact, then a fresh batch still sees the accumulated history
+    idx.compact()
+    b3 = spark.createDataFrame([(20, "e0 " + shared)], "doc_id long, text string")
+    out3 = {r["doc_id"]: (r["text_clean"], r["n_removed"]) for r in idx.clean_batch(b3, 2).collect()}
+    assert out3[20] == ("e0", 6), out3
