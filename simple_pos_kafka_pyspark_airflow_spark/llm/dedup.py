@@ -1413,7 +1413,15 @@ def exact_substring_spans(
     one row per maximal duplicated span. Reference parity: none (the
     reference has no text pipeline); north-star extension.
     """
-    grams = anchor_gram_rows(df, text_col, id_col, min_len)
+    from pyspark import StorageLevel
+
+    # the gram table feeds two consumers (the duplicate-count branch and
+    # the marks semi-join): persist so tokenize+window+md5 runs once, not
+    # twice (the minhash/span doc-table discipline; caller frees via
+    # cacheutil.scoped_caches)
+    grams = anchor_gram_rows(df, text_col, id_col, min_len).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     dup = (
         grams.groupBy("_g")
         .agg(F.count("*").alias("_c"))
