@@ -49,6 +49,39 @@ def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def dup_groups_keep_best(
+    df: DataFrame, text_col: str, id_col: str, score
+) -> DataFrame:
+    """Exact-dup resolution keeping the HIGHEST-``score`` copy per group
+    (tie → lowest id) — the curation-practice refinement of
+    ``exact_dup_groups``'s min-id rule: when duplicates differ in
+    metadata quality, recency, or source trust, the kept copy should be
+    the best one, not the accidentally-lowest id.
+
+    ``score`` must be an integer-lattice expression (cross-engine exact
+    comparisons). One ``max_by`` over a (score, −id) struct per digest
+    group — same single fixed-width-digest shuffle as exact dedup, the
+    text never moves — plus one digest equi-join back. Output: every
+    input row as (id, n_copies, keep ∈ {1,0}); exactly one keep per
+    group."""
+    d = df.select(
+        F.col(id_col),
+        F.sha2(F.col(text_col), 256).alias("_dig"),
+        score.cast("long").alias("_s"),
+    )
+    keep = d.groupBy("_dig").agg(
+        F.max_by(
+            F.col(id_col), F.struct(F.col("_s"), (-F.col(id_col)).alias("_ni"))
+        ).alias("_keep_id"),
+        F.count("*").cast("long").alias("n_copies"),
+    )
+    return d.join(keep, "_dig").select(
+        id_col,
+        "n_copies",
+        (F.col(id_col) == F.col("_keep_id")).cast("int").alias("keep"),
+    )
+
+
 def token_bag_key(text: Column) -> Column:
     """Order-insensitive content key: sorted whitespace tokens re-joined.
     Catches shuffled/duplicated-with-reordering documents that exact dedup

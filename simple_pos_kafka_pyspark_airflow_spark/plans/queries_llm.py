@@ -3221,3 +3221,44 @@ def q_sample_dupweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = d.unionByName(planted)
     return duplication_weights(corpus)
+
+
+@register(
+    "q_dedup_keepbest",
+    "llm",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    ), scored AS (
+      SELECT doc_id, text, (doc_id * 2654435761) % 1000 AS s FROM corpus
+    ), r AS (
+      SELECT doc_id, text, s,
+             CAST(COUNT(*) OVER (PARTITION BY text) AS BIGINT) AS n_copies,
+             ROW_NUMBER() OVER (PARTITION BY text ORDER BY s DESC, doc_id) AS rn
+      FROM scored
+    )
+    SELECT doc_id, n_copies, CAST(rn = 1 AS INTEGER) AS keep FROM r
+    """,
+    notes="extension: exact-dup resolution keeping the HIGHEST-score copy "
+    "per group, tie to lowest id (llm/dedup.dup_groups_keep_best) — the "
+    "curation refinement of min-id exact dedup when duplicates differ in "
+    "quality/recency/trust. One max_by over a (score, −id) struct per "
+    "sha2-digest group (text never shuffles) + one digest join back; the "
+    "oracle phrases the same choice as a row_number over (score DESC, "
+    "id). Score is a deterministic integer hash spread ((id·2654435761) "
+    "% 1000 — the Knuth multiplier already used by q_curation's split) "
+    "so kept copies differ from the min-id rule on this corpus; PLANTED "
+    "doc_id % 10 twins make 2-copy groups real",
+)
+def q_dedup_keepbest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.dedup import dup_groups_keep_best
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(planted)
+    score = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000)
+    return dup_groups_keep_best(corpus, "text", "doc_id", score)

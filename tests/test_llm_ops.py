@@ -2553,3 +2553,27 @@ def test_two_proportion_ztest_matches_closed_form(spark):
         [("a", 1), ("b", 1)], "variant string, converted long"
     )
     assert two_proportion_ztest(allconv, "variant", "converted").first()["z"] is None
+
+
+def test_dup_groups_keep_best_prefers_score_then_low_id(spark):
+    """Keep-best dedup: highest score wins, ties break to LOWEST id,
+    singletons keep themselves, exactly one keep per group."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm.dedup import (
+        dup_groups_keep_best,
+    )
+
+    rows = [
+        (1, "dup", 5), (2, "dup", 9), (3, "dup", 9),  # 2 wins (tie 2 vs 3)
+        (4, "solo", 0),
+        (5, "pair", 7), (6, "pair", 3),               # 5 wins on score
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, s long")
+    got = {
+        r["doc_id"]: (r["n_copies"], r["keep"])
+        for r in dup_groups_keep_best(df, "text", "doc_id", F.col("s")).collect()
+    }
+    assert got == {
+        1: (3, 0), 2: (3, 1), 3: (3, 0),
+        4: (1, 1),
+        5: (2, 1), 6: (2, 0),
+    }, got
