@@ -441,3 +441,38 @@ def two_proportion_ztest(
         "conv_b",
         ((pa - pb) / F.nullif(F.sqrt(var), F.lit(0.0))).alias("z"),
     )
+
+
+def salted_count_distinct(
+    df: DataFrame, key_col: str, value_col: str, salt_buckets: int = 32
+) -> DataFrame:
+    """EXACT per-key distinct count via salt-partitioned two-phase
+    aggregation — the hot-key fix for ``count_distinct``: a plain
+    distinct count funnels every one of a hot key's values through ONE
+    reducer task (distinct state cannot map-side-combine the way sums
+    do), so a power-law key serializes its whole value set. Salting by
+    a hash of the VALUE splits that state ``salt_buckets`` ways while
+    staying exact — distinct values land in exactly one salt bucket
+    (the salt is a function of the value), so per-bucket distinct
+    counts are disjoint and SUM to the true distinct count. Two
+    partial-aggregable shuffles, the first keyed (key, salt) — the hot
+    key's work now spreads across ``salt_buckets`` tasks.
+
+    The salt uses the engine-agnostic CMS hash chain (pure integer mod
+    arithmetic), so an oracle can evaluate the identical bucketing —
+    though it doesn't need to: bucketing cancels out of the output,
+    which equals plain COUNT(DISTINCT) by construction.
+
+    Output: (key, n_distinct). AQE's skew handling does NOT cover this
+    case (it splits shuffle partitions, not a single key's aggregation
+    state); salting is the standard rewrite."""
+    a, b = CMS_HASHES[0]
+    salt = _cms_bucket(F.xxhash64(F.col(value_col)), a, b, int(salt_buckets))
+    partial = (
+        df.select(F.col(key_col), F.col(value_col), salt.alias("_salt"))
+        .groupBy(key_col, "_salt")
+        .agg(F.count_distinct(value_col).cast("long").alias("_nd"))
+    )
+    return partial.groupBy(key_col).agg(
+        F.sum("_nd").cast("long").alias("n_distinct")
+    )

@@ -2882,3 +2882,28 @@ def q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("conv").alias("converted"),
     )
     return two_proportion_ztest(per_user, "variant", "converted")
+
+
+@register(
+    "q_salted_distinct",
+    "agg",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY 1
+    """,
+    notes="extension: exact per-key distinct count via salt-partitioned "
+    "two-phase aggregation (operators/aggregates.salted_count_distinct) "
+    "— the hot-key rewrite: plain count_distinct funnels a hot key's "
+    "whole value set through one reducer (distinct state can't map-side "
+    "combine), salting by a hash OF THE VALUE splits that state "
+    "salt_buckets ways while staying EXACT (distinct values land in "
+    "exactly one bucket, so bucket counts are disjoint and sum to the "
+    "truth — which is why the oracle is plain COUNT(DISTINCT): the "
+    "bucketing cancels out). AQE skew handling doesn't cover single-key "
+    "aggregation state; this is the standard rewrite",
+)
+def q_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import salted_count_distinct
+
+    ev = table(spark, sf_dir, "events")
+    return salted_count_distinct(ev, "event_type", "user_id")

@@ -2577,3 +2577,21 @@ def test_dup_groups_keep_best_prefers_score_then_low_id(spark):
         4: (1, 1),
         5: (2, 1), 6: (2, 0),
     }, got
+
+
+def test_salted_count_distinct_exact_and_plan_splits_state(spark):
+    """Salted two-phase distinct must equal plain count_distinct exactly
+    (bucketing cancels out), and the plan must carry TWO aggregation
+    exchanges — the first keyed (key, salt), which is what spreads a hot
+    key's distinct state across tasks."""
+    from simple_pos_kafka_pyspark_airflow_spark.analyze import plan_summary
+    from simple_pos_kafka_pyspark_airflow_spark.operators.aggregates import (
+        salted_count_distinct,
+    )
+
+    rows = [("hot", i % 137) for i in range(3000)] + [("cold", i) for i in range(7)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {r["k"]: r["n_distinct"] for r in salted_count_distinct(df, "k", "v").collect()}
+    assert got == {"hot": 137, "cold": 7}, got
+    s = plan_summary(salted_count_distinct(df, "k", "v"))
+    assert s["exchanges"] == 3, s
