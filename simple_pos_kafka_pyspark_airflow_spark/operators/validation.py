@@ -471,3 +471,34 @@ def _ks_from_per_value_counts(per_val: DataFrame, group_col: str) -> DataFrame:
             ).alias("ks"),
         )
     )
+
+
+def fk_violations(
+    child: DataFrame,
+    parent: DataFrame,
+    fk_col: str,
+    pk_col: str | None = None,
+) -> DataFrame:
+    """Referential-integrity audit: child rows whose foreign key matches
+    no parent primary key — the orphan scan every warehouse load should
+    gate on (the reference's pipelines assume FK integrity implicitly;
+    this makes the check a first-class, pushdown-friendly operator).
+
+    One anti-join on the key (broadcast when the parent's key column is
+    small, AQE's call otherwise); NULL foreign keys are reported
+    separately from dangling ones — a NULL FK is usually a modeling
+    choice while a dangling value is corruption, and an anti-join alone
+    would conflate them (NULL never equi-matches). Output: one row per
+    violation with ``reason`` ∈ {'null_fk', 'dangling_fk'} plus the
+    offending key value; aggregate downstream for counts, keep raw for
+    quarantine sinks."""
+    pk = pk_col or fk_col
+    nulls = child.where(F.col(fk_col).isNull()).select(
+        F.col(fk_col).alias("fk_value"), F.lit("null_fk").alias("reason")
+    )
+    dangling = (
+        child.where(F.col(fk_col).isNotNull())
+        .join(parent.select(F.col(pk).alias(fk_col)), fk_col, "left_anti")
+        .select(F.col(fk_col).alias("fk_value"), F.lit("dangling_fk").alias("reason"))
+    )
+    return nulls.unionByName(dangling)

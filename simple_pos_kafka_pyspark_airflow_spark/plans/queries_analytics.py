@@ -2907,3 +2907,60 @@ def q_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return salted_count_distinct(ev, "event_type", "user_id")
+
+
+@register(
+    "q_audit_fk",
+    "agg",
+    oracle="""
+    WITH child AS (
+      SELECT o_custkey AS fk FROM orders
+      UNION ALL
+      SELECT -(o_custkey + 1) AS fk FROM orders WHERE o_orderkey % 1000 = 0
+      UNION ALL
+      SELECT CAST(NULL AS BIGINT) AS fk FROM orders WHERE o_orderkey % 2000 = 0
+    ), viol AS (
+      SELECT fk AS fk_value, 'null_fk' AS reason FROM child WHERE fk IS NULL
+      UNION ALL
+      SELECT fk, 'dangling_fk' FROM child
+      WHERE fk IS NOT NULL
+        AND fk NOT IN (SELECT c_custkey FROM customer)
+    )
+    SELECT reason, CAST(COUNT(*) AS BIGINT) AS n_violations,
+           CAST(COUNT(DISTINCT fk_value) AS BIGINT) AS n_distinct_keys
+    FROM viol GROUP BY 1
+    """,
+    notes="extension: referential-integrity audit — child rows whose FK "
+    "matches no parent PK (operators/validation.fk_violations): one "
+    "anti-join on the key, with NULL FKs reported separately from "
+    "dangling ones (an anti-join alone conflates them — NULL never "
+    "equi-matches — yet a NULL FK is modeling while a dangling value is "
+    "corruption). PLANTED violations (negated custkeys + NULL rows) "
+    "make both reasons real on this otherwise FK-clean corpus; the "
+    "contract aggregates to (reason, n, distinct-keys) so the row set "
+    "stays small while the raw-row form stays available for quarantine "
+    "sinks",
+)
+def q_audit_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.validation import fk_violations
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    child = (
+        o.select(F.col("o_custkey").alias("fk"))
+        .unionByName(
+            o.where(F.col("o_orderkey") % 1000 == 0).select(
+                (-(F.col("o_custkey") + 1)).alias("fk")
+            )
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 2000 == 0).select(
+                F.lit(None).cast("long").alias("fk")
+            )
+        )
+    )
+    viol = fk_violations(child, c, "fk", "c_custkey")
+    return viol.groupBy("reason").agg(
+        F.count("*").cast("long").alias("n_violations"),
+        F.count_distinct("fk_value").cast("long").alias("n_distinct_keys"),
+    )

@@ -2595,3 +2595,21 @@ def test_salted_count_distinct_exact_and_plan_splits_state(spark):
     assert got == {"hot": 137, "cold": 7}, got
     s = plan_summary(salted_count_distinct(df, "k", "v"))
     assert s["exchanges"] == 3, s
+
+
+def test_fk_violations_separates_null_from_dangling(spark):
+    """NULL FKs report as null_fk (modeling), missing parents as
+    dangling_fk (corruption); clean children report nothing."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators.validation import (
+        fk_violations,
+    )
+
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    child = spark.createDataFrame(
+        [(1,), (2,), (None,), (9,), (9,), (3,)], "fk long"
+    )
+    got = sorted(
+        (r["reason"], r["fk_value"])
+        for r in fk_violations(child, parent, "fk", "pk").collect()
+    )
+    assert got == [("dangling_fk", 9), ("dangling_fk", 9), ("null_fk", None)], got
