@@ -669,3 +669,43 @@ def test_bloom_join_prefilter_below_join(spark, sf_dir):
     # in the fact-side subtree, i.e. before the first join node top-down
     join_pos = plan.index("LeftSemi")
     assert "ArrowEvalPython" in plan[:join_pos] or plan.index("ArrowEvalPython") > 0
+
+
+def test_corpus_gini_single_exchange(spark, sf_dir):
+    """Gini's sort-rank identity must share ONE group exchange between
+    the row_number window and the moment aggregation — never a second
+    shuffle or any join."""
+    from simple_pos_kafka_pyspark_airflow_spark.analyze import plan_summary
+
+    s = plan_summary(build(spark, sf_dir, "q_corpus_gini"))
+    assert s["exchanges"] == 1 and s["windows"] == 1, s
+    assert s["broadcast_joins"] + s["sort_merge_joins"] == 0, s
+
+
+def test_rolling_corr_two_exchanges_one_window(spark, sf_dir):
+    """Daily aggregation + ONE window frame shared by all five sums:
+    two exchanges, one window, one scan, no joins."""
+    from simple_pos_kafka_pyspark_airflow_spark.analyze import plan_summary
+
+    s = plan_summary(build(spark, sf_dir, "q_rolling_corr"))
+    assert s["exchanges"] == 2 and s["windows"] == 1 and s["scans"] == 1, s
+    assert s["broadcast_joins"] + s["sort_merge_joins"] == 0, s
+
+
+def test_funnel_pushes_step_type_filters(spark, sf_dir):
+    """Every funnel step scans a type-filtered slice: the event_type
+    equality predicates must reach the parquet scans as pushed filters
+    (no full-fact scan per step)."""
+    plan = explain_str(build(spark, sf_dir, "q_funnel_steps"))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln and "event_type" in ln]
+    assert len(pushed) >= 3, plan
+
+
+def test_audit_fk_anti_join_no_cartesian(spark, sf_dir):
+    """The orphan scan is one anti-join per violation class — never a
+    cartesian, and the parent side carries only its key column."""
+    plan = explain_str(build(spark, sf_dir, "q_audit_fk"))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln and "customer" in ln]
+    assert not reads or all("c_name" not in ln for ln in reads), plan
