@@ -735,3 +735,70 @@ def gopher_repetition(df, text_col: str = "text", id_col: str = "doc_id", ns=(2,
             F.when(den > 0, num.cast("double") / den.cast("double")).alias(f"dup{n}_frac"),
         ]
     return out.select(*sel)
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_support: int = 2,
+    max_doc_items: int = 200,
+) -> DataFrame:
+    """Frequent token CO-OCCURRENCE pairs (2-itemsets, the A-priori
+    shape): unordered token pairs appearing together — at ANY distance —
+    in ≥ ``min_support`` documents, with their lift against independent
+    occurrence. Complements ``collocation_lift`` (ADJACENT bigrams):
+    co-occurrence sees topical association ("spark" with "shuffle"
+    three sentences apart) that adjacency misses.
+
+    A-priori pruning keeps this off the quadratic cliff: a pair can be
+    frequent only if BOTH tokens are frequent (downward closure), so
+
+    1. per-doc DISTINCT tokens (presence, not counts — one row per
+       (doc, token));
+    2. token document-frequencies; tokens under ``min_support`` are
+       pruned BEFORE any pair forms (on Zipfian text this removes the
+       long tail — most of the vocabulary);
+    3. docs carrying more than ``max_doc_items`` frequent tokens are
+       excluded from pair forming (C(k,2) per doc — the cap bounds the
+       worst document at C(cap,2); the standard degenerate-doc guard,
+       same family as minhash's max_bucket);
+    4. pairs form by a doc-keyed self-join (tok_a < tok_b orders the
+       pair canonically) and count distinct docs ≥ min_support.
+
+    Lift = n_docs·df(a,b) / (df(a)·df(b)) — ONE division of exact ints,
+    hash-stable. Output: (tok_a, tok_b, n_pair_docs, lift).
+    """
+    toks = df.select(
+        F.col(id_col).alias("_d"),
+        F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("_t"),
+    )
+    n_docs = df.select(id_col).distinct().count()
+    dfreq = toks.groupBy("_t").agg(F.count("*").cast("long").alias("_df"))
+    frequent = dfreq.where(F.col("_df") >= int(min_support))
+    ft = toks.join(frequent, "_t").select("_d", "_t", "_df")
+    sizes = ft.groupBy("_d").agg(F.count("*").alias("_k"))
+    pool = ft.join(
+        sizes.where(F.col("_k") <= int(max_doc_items)).select("_d"), "_d"
+    )
+    a = pool.select(
+        F.col("_d"), F.col("_t").alias("tok_a"), F.col("_df").alias("_dfa")
+    )
+    b = pool.select(
+        F.col("_d").alias("_db"), F.col("_t").alias("tok_b"), F.col("_df").alias("_dfb")
+    )
+    pairs = (
+        a.join(b, (a["_d"] == b["_db"]) & (a["tok_a"] < b["tok_b"]))
+        .groupBy("tok_a", "tok_b", "_dfa", "_dfb")
+        .agg(F.count("*").cast("long").alias("n_pair_docs"))
+        .where(F.col("n_pair_docs") >= int(min_support))
+    )
+    return pairs.select(
+        "tok_a",
+        "tok_b",
+        "n_pair_docs",
+        (
+            (F.lit(int(n_docs)) * F.col("n_pair_docs")).cast("double")
+            / (F.col("_dfa") * F.col("_dfb")).cast("double")
+        ).alias("lift"),
+    )

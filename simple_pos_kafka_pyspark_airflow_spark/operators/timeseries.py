@@ -318,3 +318,67 @@ def cohort_retention(
             ).alias("retention"),
         )
     )
+
+
+def changepoint_cusum(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    x_int,
+) -> DataFrame:
+    """Offline single-changepoint detection per group — the binary-
+    segmentation step: the split k maximizing the centered cumulative-sum
+    deviation
+
+        D_k = |n·S_k − k·S_n|        (= n·k·|mean(x_1..k) − mean(x)|)
+
+    over the ``order_col`` sequence, EXACT in int64 (the ``ks_drift``
+    discipline applied to time): one per-group window sort gives the
+    prefix sums S_k, the group totals ride the same exchange, and the
+    argmax ships with its statistic — no floats anywhere except the
+    final normalized score (one raw division). The online/streaming
+    complement is ``cusum_alarms`` (Page's test against a target); this
+    is the retrospective "WHERE did the level shift" question.
+
+    Ties on D_k break to the EARLIEST order value (deterministic,
+    oracle-comparable). int64 bound: n·|S_k| < 2^63. Output: (group, n,
+    split_at = order value of the last pre-split row, d_max, score =
+    D_max/n as a double).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    d = df.select(F.col(group_col), F.col(order_col), x_int.cast("long").alias("_x"))
+    cum = d.select(
+        group_col,
+        order_col,
+        F.sum("_x").over(w).alias("_sk"),
+        F.row_number().over(Window.partitionBy(group_col).orderBy(order_col)).cast("long").alias("_k"),
+        F.sum("_x").over(w_all).alias("_sn"),
+        F.count("*").over(w_all).cast("long").alias("n"),
+    )
+    scored = cum.select(
+        group_col,
+        order_col,
+        "n",
+        F.abs(F.col("n") * F.col("_sk") - F.col("_k") * F.col("_sn")).alias("_d"),
+    )
+    w_pick = Window.partitionBy(group_col).orderBy(
+        F.col("_d").desc(), F.col(order_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w_pick))
+        .where(F.col("_rn") == 1)
+        .select(
+            group_col,
+            "n",
+            F.col(order_col).alias("split_at"),
+            F.col("_d").alias("d_max"),
+            (F.col("_d").cast("double") / F.col("n").cast("double")).alias("score"),
+        )
+    )

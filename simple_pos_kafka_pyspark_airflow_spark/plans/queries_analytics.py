@@ -2964,3 +2964,63 @@ def q_audit_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_violations"),
         F.count_distinct("fk_value").cast("long").alias("n_distinct_keys"),
     )
+
+
+@register(
+    "q_changepoint",
+    "window",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+               + CASE WHEN date_trunc('day', ts) >= TIMESTAMP '2024-01-15'
+                      THEN 500000 ELSE 0 END AS x
+      FROM events GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, day,
+             SUM(x) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sk,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS k,
+             SUM(x) OVER (PARTITION BY event_type) AS sn,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM daily
+    ), scored AS (
+      SELECT event_type, day, n, ABS(n * sk - k * sn) AS d,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ABS(n * sk - k * sn) DESC, day ASC) AS rn
+      FROM cum
+    )
+    SELECT event_type, n, day AS split_at, CAST(d AS BIGINT) AS d_max,
+           CAST(d AS DOUBLE) / CAST(n AS DOUBLE) AS score
+    FROM scored WHERE rn = 1
+    """,
+    notes="extension: offline single-changepoint detection per group — "
+    "the binary-segmentation step: argmax_k |n·S_k − k·S_n| over the "
+    "day-ordered series, EXACT int64 (the ks_drift discipline applied "
+    "to time; operators/timeseries.changepoint_cusum). A PLANTED level "
+    "shift (+500000 cents/day from 2024-01-15) gives the detector a true "
+    "answer to find; the online complement is q_anomaly_cusum (Page's "
+    "test). One window exchange; ties break to the earliest day; score "
+    "is one raw division of exact ints",
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import changepoint_cusum
+
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("long")).cast("long").alias("_base"))
+        .select(
+            "event_type",
+            "day",
+            (
+                F.col("_base")
+                + F.when(
+                    F.col("day") >= F.lit("2024-01-15").cast("timestamp"), 500000
+                ).otherwise(0)
+            ).alias("x"),
+        )
+    )
+    return changepoint_cusum(daily, "event_type", "day", F.col("x"))

@@ -3262,3 +3262,53 @@ def q_dedup_keepbest(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.unionByName(planted)
     score = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000)
     return dup_groups_keep_best(corpus, "text", "doc_id", score)
+
+
+@register(
+    "q_text_cooccur",
+    "llm",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS d,
+             unnest(list_distinct(list_filter(
+               regexp_split_to_array(lower(text), '\s+'), t -> t <> ''))) AS t
+      FROM documents
+    ), dfreq AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS dfr FROM toks GROUP BY 1
+    ), freq AS (
+      SELECT * FROM dfreq WHERE dfr >= 50
+    ), ft AS (
+      SELECT toks.d, toks.t, freq.dfr FROM toks JOIN freq ON toks.t = freq.t
+    ), sizes AS (
+      SELECT d, COUNT(*) AS k FROM ft GROUP BY 1
+    ), pool AS (
+      SELECT ft.d, ft.t, ft.dfr FROM ft JOIN sizes ON ft.d = sizes.d
+      WHERE sizes.k <= 200
+    ), pairs AS (
+      SELECT a.t AS tok_a, b.t AS tok_b, a.dfr AS dfa, b.dfr AS dfb,
+             CAST(COUNT(*) AS BIGINT) AS n_pair_docs
+      FROM pool a JOIN pool b ON a.d = b.d AND a.t < b.t
+      GROUP BY 1, 2, 3, 4
+      HAVING COUNT(*) >= 50
+    )
+    SELECT tok_a, tok_b, n_pair_docs,
+           CAST((SELECT COUNT(DISTINCT doc_id) FROM documents) * n_pair_docs AS DOUBLE)
+           / CAST(dfa * dfb AS DOUBLE) AS lift
+    FROM pairs
+    """,
+    notes="extension: frequent token CO-OCCURRENCE 2-itemsets (A-priori "
+    "shape) — unordered pairs together at ANY distance in >= min_support "
+    "docs, with lift vs independence (llm/textops.cooccurrence_pairs); "
+    "complements q_text_collocations' ADJACENT bigrams (topical "
+    "association vs phrasing). Downward closure prunes infrequent "
+    "tokens BEFORE any pair forms (the Zipf tail never enters the "
+    "self-join) and max_doc_items caps the per-doc C(k,2) blowup (the "
+    "minhash max_bucket discipline). Lift is ONE division of exact "
+    "int64 products; min_support=50 on this shared-vocabulary corpus "
+    "keeps the pair set vocabulary²-bounded",
+)
+def q_text_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.textops import cooccurrence_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return cooccurrence_pairs(d, min_support=50, max_doc_items=200)

@@ -2613,3 +2613,52 @@ def test_fk_violations_separates_null_from_dangling(spark):
         for r in fk_violations(child, parent, "fk", "pk").collect()
     )
     assert got == [("dangling_fk", 9), ("dangling_fk", 9), ("null_fk", None)], got
+
+
+def test_changepoint_cusum_finds_planted_shift(spark):
+    """argmax |n·S_k − k·S_n| must land on the last pre-shift row for a
+    clean level shift; constant series have d_max = 0 with the earliest
+    row as the (degenerate) tie winner."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators.timeseries import (
+        changepoint_cusum,
+    )
+
+    rows = [("g", i, 10 if i < 12 else 60) for i in range(20)]
+    rows += [("flat", i, 7) for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, t int, x long")
+    got = {
+        r["g"]: (r["split_at"], r["d_max"])
+        for r in changepoint_cusum(df, "g", "t", F.col("x")).collect()
+    }
+    assert got["g"][0] == 11, got  # last pre-shift index
+    assert got["flat"] == (0, 0), got
+
+
+def test_cooccurrence_pairs_apriori_semantics(spark):
+    """Pairs count DOCUMENT co-membership at any distance; infrequent
+    tokens are pruned before pairing (downward closure); the per-doc
+    item cap excludes degenerate docs from pair forming; lift matches
+    the exact ratio."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm.textops import (
+        cooccurrence_pairs,
+    )
+
+    rows = [
+        (1, "aa xx bb"),          # aa..bb non-adjacent
+        (2, "bb yy aa"),          # order flipped
+        (3, "aa bb"),
+        (4, "aa zz"),             # zz appears once -> pruned
+        (5, " ".join(f"w{i}" for i in range(10)) + " aa bb"),  # capped out
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["tok_a"], r["tok_b"]): (r["n_pair_docs"], r["lift"])
+        for r in cooccurrence_pairs(df, min_support=3, max_doc_items=5).collect()
+    }
+    # doc 5 exceeds the 5-item cap only if its frequent-token count > 5:
+    # w* tokens are singletons (pruned), so doc 5 carries just {aa, bb}
+    # and DOES pair; (aa, bb) in docs 1,2,3,5 -> 4 >= 3
+    assert set(got) == {("aa", "bb")}, got
+    n_docs, dfa, dfb = 5, 5, 4  # aa in docs 1-5? aa in 1,2,3,4,5; bb in 1,2,3,5
+    assert got[("aa", "bb")][0] == 4
+    assert got[("aa", "bb")][1] == n_docs * 4 / (dfa * dfb)
