@@ -3312,3 +3312,37 @@ def q_text_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return cooccurrence_pairs(d, min_support=50, max_doc_items=200)
+
+
+@register(
+    "q_embed_gram",
+    "llm",
+    oracle="""
+    WITH comp AS (
+      SELECT vec_id,
+             unnest(list_transform(embedding,
+               (v, k) -> {'k': k - 1, 'q': CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)})) AS u
+      FROM embeddings
+    ), c AS (
+      SELECT vec_id, CAST(u.k AS INTEGER) AS k, u.q FROM comp
+    )
+    SELECT a.k AS i, b.k AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS gram
+    FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.k <= b.k
+    GROUP BY 1, 2
+    """,
+    notes="extension: exact Gram matrix Σ x·xᵀ over the embedding column "
+    "(llm/simsearch.gram_matrix_exact) — the one-pass PCA/whitening/"
+    "covariance sufficient statistic. Floor-grid int64 components make "
+    "the sums EXACT (order-free, hash-stable — a float Gram never "
+    "hash-compares); per-Arrow-batch einsum reduces each partition to a "
+    "d×d partial so the exchange carries O(partitions·d²) rows, never "
+    "per-vector data (the oracle's explode-pairs formulation ships "
+    "rows·d²/2 — fine for DuckDB at 500×64, exactly what the Spark plan "
+    "avoids). int64 bound n·(|v|·grid)² documented with the grid/"
+    "DECIMAL widening paths",
+)
+def q_embed_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.simsearch import gram_matrix_exact
+
+    e = table(spark, sf_dir, "embeddings")
+    return gram_matrix_exact(e, "embedding")

@@ -2662,3 +2662,30 @@ def test_cooccurrence_pairs_apriori_semantics(spark):
     n_docs, dfa, dfb = 5, 5, 4  # aa in docs 1-5? aa in 1,2,3,4,5; bb in 1,2,3,5
     assert got[("aa", "bb")][0] == 4
     assert got[("aa", "bb")][1] == n_docs * 4 / (dfa * dfb)
+
+
+def test_gram_matrix_exact_matches_numpy_and_partition_invariant(spark):
+    """The partial-matrix reduce must equal numpy's Q^T Q on the floored
+    int lattice EXACTLY, and be invariant to partitioning (order-free
+    int64 sums — the whole point vs a float Gram)."""
+    import numpy as np
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm.simsearch import (
+        gram_matrix_exact,
+    )
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(40, 5).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    q = np.floor(vecs.astype("float64") * 1_000_000).astype("int64")
+    want = q.T @ q
+    for parts in (1, 7):
+        got = {
+            (r["i"], r["j"]): r["gram"]
+            for r in gram_matrix_exact(df.repartition(parts)).collect()
+        }
+        assert len(got) == 15  # upper triangle of 5x5
+        for (i, j), v in got.items():
+            assert v == want[i, j], (i, j, v, want[i, j])
