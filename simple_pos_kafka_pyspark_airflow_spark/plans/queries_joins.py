@@ -868,3 +868,50 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_items"),
         F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
     )
+
+
+@register(
+    "q_scan_jdbc_live",
+    "scan",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey % 100 = 0
+    GROUP BY 1
+    """,
+    notes="S3/S6 EXECUTED (r9): a real JDBC round-trip inside the driver "
+    "gate — an orders slice is WRITTEN through write_jdbc and READ back "
+    "through read_jdbc against embedded Derby (the RDBMS Spark ships for "
+    "its Hive metastore), then aggregated; the oracle aggregates the "
+    "same slice from parquet, so the database round-trip must preserve "
+    "every row and value. Supersedes r6-r8's plan-construction-only "
+    "JDBC status (the container has no Postgres, but Derby's embedded "
+    "driver is on every Spark classpath); a real cluster points the "
+    "same builders at a networked RDBMS URL — Derby embedded is "
+    "same-JVM, documented as the harness form "
+    "(tests/test_sources.py live JDBC suite: partitioned read, "
+    "per-partition predicates, filter pushdown into the source)",
+)
+def q_scan_jdbc_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.io import read_jdbc, write_jdbc
+
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    url = f"jdbc:derby:{tempfile.mkdtemp()}/jdbc_live;create=true"
+    write_jdbc(o, url, "orders_slice", mode="overwrite")
+    back = read_jdbc(
+        spark,
+        url,
+        "orders_slice",
+        extra_options={"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+    )
+    return back.groupBy(F.col("o_orderstatus")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    )

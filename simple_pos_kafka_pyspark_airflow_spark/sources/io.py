@@ -309,8 +309,14 @@ def read_jdbc(
     Spark's real ``jdbc(predicates=...)`` path (NOT as reader options,
     which the source would silently ignore). Filters still push down
     (Spark renders them into each partition's WHERE clause). Requires
-    the vendor driver jar on the classpath at runtime; plan construction —
-    which is all the test container can exercise — does not."""
+    the vendor driver jar on the classpath at runtime. Executed live in
+    this repo against embedded Derby (on every Spark classpath —
+    tests/test_sources.py and q_scan_jdbc_live cover round-trip,
+    partitioned read, predicates, and filter pushdown); production
+    deployments point the same builder at a networked RDBMS URL. Derby
+    gotcha mirrored in the tests: unquoted identifiers fold to
+    UPPERCASE, so hand-written ``predicates`` must quote columns Spark
+    wrote case-sensitively."""
     if predicates:
         props = {"fetchsize": str(fetchsize), **(extra_options or {})}
         if user is not None:

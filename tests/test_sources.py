@@ -763,3 +763,104 @@ def test_dynamic_partition_overwrite_touches_only_written_partitions(spark, tmp_
     got = spark.read.parquet(path)
     assert got.where("day = 2").count() == fixed.count()  # replaced, not appended
     assert got.where("day != 2").count() == base.where("day != 2").count()
+
+
+# ---------------------------------------------------------------------------
+# LIVE JDBC round-trips — embedded Derby (ships with Spark for the Hive
+# metastore), so the S3/S6 JDBC paths EXECUTE in this container instead of
+# stopping at plan construction. Derby embedded is same-JVM (fine under
+# local[*]; a real cluster points the same builders at a networked RDBMS).
+# ---------------------------------------------------------------------------
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def _derby_url(tmp_path, name="db"):
+    return f"jdbc:derby:{tmp_path}/{name};create=true"
+
+
+def test_jdbc_write_read_roundtrip_live(spark, tmp_path):
+    """write_jdbc → read_jdbc against a real (embedded Derby) database:
+    rows, types, and values must survive; append mode appends."""
+    from simple_pos_kafka_pyspark_airflow_spark.sources import io as sio
+
+    url = _derby_url(tmp_path)
+    df = spark.createDataFrame(
+        [(1, 10.5, "a"), (2, 20.25, "b"), (3, -1.0, None)],
+        "id long, v double, s string",
+    )
+    sio.write_jdbc(df, url, "t_round", mode="overwrite")
+    back = sio.read_jdbc(
+        spark, url, "t_round", extra_options={"driver": DERBY_DRIVER}
+    )
+    got = sorted((r["ID"] if "ID" in r else r["id"], r[1], r[2]) for r in back.collect())
+    assert [g[0] for g in got] == [1, 2, 3]
+    assert got[0][1] == 10.5 and got[2][2] is None
+
+    # append doubles the rows
+    sio.write_jdbc(df, url, "t_round", mode="append")
+    assert sio.read_jdbc(
+        spark, url, "t_round", extra_options={"driver": DERBY_DRIVER}
+    ).count() == 6
+
+
+def test_jdbc_partitioned_read_live(spark, tmp_path):
+    """The partition_column/bounds quartet must produce a multi-partition
+    executor-parallel scan with the SAME rows as the single-connection
+    read."""
+    from simple_pos_kafka_pyspark_airflow_spark.sources import io as sio
+
+    url = _derby_url(tmp_path)
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    sio.write_jdbc(df, url, "t_part", mode="overwrite")
+    part = sio.read_jdbc(
+        spark, url, "t_part",
+        partition_column="id", lower_bound=0, upper_bound=100, num_partitions=4,
+        extra_options={"driver": DERBY_DRIVER},
+    )
+    assert part.rdd.getNumPartitions() == 4
+    assert part.count() == 100
+    assert part.agg(F.sum("v")).first()[0] == 2 * sum(range(100))
+
+
+def test_jdbc_predicates_read_live(spark, tmp_path):
+    """predicates= routes through Spark's real per-partition WHERE path:
+    the union of predicate slices must equal the table."""
+    from simple_pos_kafka_pyspark_airflow_spark.sources import io as sio
+
+    url = _derby_url(tmp_path)
+    df = spark.range(0, 40).select(F.col("id"), (F.col("id") % 4).alias("b"))
+    sio.write_jdbc(df, url, "t_pred", mode="overwrite")
+    # Spark writes case-sensitive quoted identifiers; Derby folds
+    # unquoted ones to uppercase — predicates must quote the column
+    preds = [f'"b" = {i}' for i in range(4)]
+    got = sio.read_jdbc(
+        spark, url, "t_pred", predicates=preds,
+        extra_options={"driver": DERBY_DRIVER},
+    )
+    assert got.rdd.getNumPartitions() == 4
+    assert got.count() == 40
+
+
+def test_jdbc_filter_pushdown_live(spark, tmp_path):
+    """Catalyst must render the filter into the JDBC source (PushedFilters
+    on the JDBC scan) — at scale the database prunes, not Spark."""
+    import contextlib
+    import io as _io
+
+    from simple_pos_kafka_pyspark_airflow_spark.sources import io as sio
+
+    url = _derby_url(tmp_path)
+    df = spark.range(0, 50).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    sio.write_jdbc(df, url, "t_push", mode="overwrite")
+    scan = sio.read_jdbc(
+        spark, url, "t_push", extra_options={"driver": DERBY_DRIVER}
+    ).where(F.col("id") >= 40)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scan.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "ID" in plan.upper(), plan
+    assert scan.count() == 10
