@@ -151,6 +151,13 @@ HEADLINE = [
     "q_rolling_corr",
     "q_funnel_steps",
     "q_sample_dupweight",
+    # round-9 second wave: the mapInPandas matrix-reduce shape (Gram),
+    # the window-argmax changepoint, the A-priori pair self-join, and
+    # the live Derby JDBC round-trip (prices the write+boot+read cost)
+    "q_embed_gram",
+    "q_changepoint",
+    "q_text_cooccur",
+    "q_scan_jdbc_live",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×
