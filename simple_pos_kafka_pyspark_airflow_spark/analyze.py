@@ -78,3 +78,50 @@ def observed(df: DataFrame, name: str, **metrics):
 
     obs = Observation(name)
     return df.observe(obs, *[m.alias(k) for k, m in metrics.items()]), obs
+
+
+def file_range_stats(spark, path: str, cols: list[str]):
+    """Per-file min/max ranges for the given columns — the data-skipping
+    audit: parquet prunes row groups by footer min/max statistics, so the
+    FRACTION OF FILES a point/range predicate can skip is a direct
+    function of how tightly these ranges cluster. Run it before and
+    after a layout change (``operators.order.zorder_key`` +
+    ``sortWithinPartitions``) to MEASURE the pruning win instead of
+    asserting it.
+
+    One scan using ``input_file_name()`` + a partial-aggregable groupBy
+    (files × cols result rows). Returns (file, then min_/max_ per col);
+    ``range_overlap_score`` condenses it to one number per column: the
+    average number of files whose range covers a random in-range point —
+    1.0 = perfectly disjoint (ideal pruning), n_files = every file
+    covers everything (no pruning possible).
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return (
+        df.withColumn("_file", F.input_file_name())
+        .groupBy("_file")
+        .agg(*aggs)
+    )
+
+
+def range_overlap_score(stats, col: str) -> float:
+    """Average file-range overlap for ``col`` from ``file_range_stats``
+    output: E[#files whose [min,max] covers a point drawn uniformly from
+    the global range] = Σ width_f / global_width. 1.0 is perfectly
+    clustered (disjoint ranges — a point predicate reads ONE file);
+    n_files means no file can ever be skipped. Driver-side over the
+    files×1 stats rows (bounded)."""
+    rows = stats.select(f"min_{col}", f"max_{col}").collect()
+    if not rows:
+        return 0.0
+    lo = min(float(r[0]) for r in rows)
+    hi = max(float(r[1]) for r in rows)
+    if hi <= lo:
+        return float(len(rows))
+    return sum((float(r[1]) - float(r[0])) for r in rows) / (hi - lo)

@@ -864,3 +864,40 @@ def test_jdbc_filter_pushdown_live(spark, tmp_path):
     plan = buf.getvalue()
     assert "PushedFilters" in plan and "ID" in plan.upper(), plan
     assert scan.count() == 10
+
+
+def test_zorder_layout_measurably_tightens_file_ranges(spark, tmp_path):
+    """The Z-order story, MEASURED: after sortWithinPartitions on the
+    Morton key, per-file min/max ranges for BOTH dimensions must tighten
+    — range_overlap_score drops toward 1.0 on both columns, while the
+    unsorted layout's files each span ~the whole domain."""
+    from simple_pos_kafka_pyspark_airflow_spark.analyze import (
+        file_range_stats,
+        range_overlap_score,
+    )
+    from simple_pos_kafka_pyspark_airflow_spark.operators.order import zorder_key
+
+    n = 40_000
+    df = spark.range(n).select(
+        (F.col("id") % 200).alias("x"),
+        ((F.col("id") * 7919) % 200).alias("y"),
+    )
+    shuffled = df.repartition(8)
+    base = str(tmp_path / "plain")
+    shuffled.write.parquet(base)
+    zpath = str(tmp_path / "zorder")
+    (
+        shuffled.withColumn("_z", zorder_key(F.col("x"), F.col("y"), bits=8))
+        .repartitionByRange(8, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.parquet(zpath)
+    )
+    plain = file_range_stats(spark, base, ["x", "y"])
+    zed = file_range_stats(spark, zpath, ["x", "y"])
+    for c in ("x", "y"):
+        before = range_overlap_score(plain, c)
+        after = range_overlap_score(zed, c)
+        assert after < before * 0.6, (c, before, after)
+    # rows survive the relayout
+    assert spark.read.parquet(zpath).count() == n
