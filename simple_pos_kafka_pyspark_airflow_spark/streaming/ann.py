@@ -173,6 +173,51 @@ class IncrementalIvfIndex:
             )
         assigned.write.mode("append").partitionBy("cell").parquet(self.path)
 
+    def occupancy_drift(self, df: DataFrame, eps: float = 1e-4) -> DataFrame:
+        """PSI between the LANDED index's cell-occupancy distribution and
+        a batch's assignments — the embedding-side ingest alarm
+        (`CorpusDriftMonitor`'s discipline applied at the ANN front
+        door): an encoder swap or upstream dataset shift moves vectors
+        to different cells long before probe recall visibly degrades,
+        and the quantizer is FROZEN (fit once), so occupancy is a stable
+        reference. Both sides are n_cells-row histograms — the landed
+        side reads ONLY the `cell` partition column (directory values,
+        no vector bytes), the batch side is one Arrow assignment pass —
+        so this runs per micro-batch at any index size. Rule of thumb
+        per `psi_drift`: < 0.1 stable, > 0.25 investigate the encoder.
+
+        Returns (psi, n_bins_compared); raises if the index is empty or
+        unfit (no reference to drift against)."""
+        from ..operators.validation import psi_drift
+
+        cents = self._centroids()
+        if cents is None or not fs_dir_has_data(self.spark, self.path):
+            raise ValueError(
+                "occupancy_drift needs a fitted, non-empty index — ingest "
+                "at least one batch first"
+            )
+
+        def occupancy(cells: DataFrame) -> DataFrame:
+            counts = cells.groupBy("cell").agg(F.count("*").alias("n"))
+            total = counts.agg(F.sum("n").alias("_t"))
+            return counts.crossJoin(F.broadcast(total)).select(
+                F.lit("cells").alias("_g"),
+                F.col("cell").alias("bin"),
+                (F.col("n").cast("double") / F.col("_t").cast("double")).alias("frac"),
+            )
+
+        landed = occupancy(self.spark.read.parquet(self.path).select("cell"))
+        batch = occupancy(
+            simsearch.ivf_assign(
+                df.select(self.vec_col),
+                cents,
+                self.vec_col,
+                out_col="cell",
+                n_assign=self.n_assign,
+            ).select("cell")
+        )
+        return psi_drift(landed, batch, "_g", eps=eps).select("psi", "n_bins_compared")
+
     # -- query -------------------------------------------------------------
 
     def probe(

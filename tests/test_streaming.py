@@ -2943,3 +2943,37 @@ def test_incremental_substring_index_cross_batch_excision(spark, tmp_path):
     b3 = spark.createDataFrame([(20, "e0 " + shared)], "doc_id long, text string")
     out3 = {r["doc_id"]: (r["text_clean"], r["n_removed"]) for r in idx.clean_batch(b3, 2).collect()}
     assert out3[20] == ("e0", 6), out3
+
+
+def test_ivf_occupancy_drift_flags_shifted_embeddings(spark, tmp_path):
+    """The ANN front door's drift alarm: a batch drawn from the ingest
+    distribution reads a small PSI against the landed occupancy; a batch
+    from a SHIFTED encoder (constant offset) concentrates in different
+    cells and reads large; an unfit/empty index refuses."""
+    import numpy as np
+    import pytest as _pytest
+
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.ann import (
+        IncrementalIvfIndex,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(400, 8)
+
+    def frame(mat, start):
+        rows = [(start + i, [float(x) for x in mat[i]]) for i in range(len(mat))]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    idx = IncrementalIvfIndex(spark, str(tmp_path / "ivf"), n_cells=8)
+    with _pytest.raises(ValueError, match="fitted"):
+        idx.occupancy_drift(frame(base[:50], 0))
+    idx.fit(frame(base, 0))
+    idx.ingest_batch(frame(base, 0))
+
+    same = idx.occupancy_drift(frame(rng.randn(200, 8), 1000)).first()
+    shifted = idx.occupancy_drift(
+        frame(rng.randn(200, 8) * 0.1 + np.array([5.0] * 8), 2000)
+    ).first()
+    assert shifted["psi"] > 0.25, (same["psi"], shifted["psi"])
+    assert shifted["psi"] > 5 * same["psi"]
+    assert same["n_bins_compared"] <= 8 * 2
