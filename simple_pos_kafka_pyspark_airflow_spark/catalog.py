@@ -146,3 +146,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Load several tables at once: ``t = tables(spark, sf, 'orders', ...)``."""
     return {n: table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> list[str]:
+    """Register the star-schema tables as session temp views so the whole
+    engine is usable from PURE SQL (``spark.sql("SELECT … FROM
+    lineitem")``) — the surface a reference user writing SQL against
+    Postgres would reach for first. Uses ``table()`` under the hood, so
+    views inherit the same explicit schemas, timestamp normalization,
+    and pushdown behavior as the DataFrame path (a view is a named plan,
+    not a copy). Defaults to every known table; returns the registered
+    names. Idempotent — re-registration replaces."""
+    targets = list(names) if names else list(TABLE_NAMES)
+    for name in targets:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return targets

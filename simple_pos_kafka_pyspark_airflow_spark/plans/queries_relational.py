@@ -667,3 +667,38 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.datediff("o_orderdate", "prev_date").cast("int").alias("gap_days"),
     )
+
+
+@register(
+    "q_sql_surface",
+    "scan",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+    notes="extension: the PURE-SQL surface — catalog.register_views "
+    "publishes every table as a temp view and the whole query is one "
+    "spark.sql() string (the entry point a reference user writing SQL "
+    "against Postgres reaches for first). Views are named plans over "
+    "table(), so schemas/timestamp normalization/pushdown are identical "
+    "to the DataFrame path; Catalyst plans the SQL text and the "
+    "DataFrame API into the same physical shapes",
+)
+def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment,
+               CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+        GROUP BY 1
+        """
+    )
