@@ -476,3 +476,44 @@ def salted_count_distinct(
     return partial.groupBy(key_col).agg(
         F.sum("_nd").cast("long").alias("n_distinct")
     )
+
+
+def cms_join_size(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
+    """Equi-join SIZE estimate from two count-min tables — the AMS/CMS
+    inner-product estimator: |A ⋈ B| on a key = Σ_k f_A(k)·f_B(k), and
+    each sketch depth's Σ_bucket a[b]·b[b] OVERESTIMATES that sum
+    (collision mass is non-negative), so the min over depths is ≥ the
+    true join size, always — the same hard one-sided guarantee as
+    ``cms_estimate``, lifted from point frequencies to the full join.
+
+    Why it matters at 100 TB: join-size estimation is what decides
+    broadcast-vs-shuffle and staging capacity BEFORE running the join;
+    the exact answer costs the join itself, while this costs one
+    equi-join of two ≤ depth·width-row tables (kilobytes — both sides
+    broadcast-trivial) over sketches the ingest indexes already
+    maintain (``IncrementalCmsIndex``). Both sketches must share width
+    and depth (the hash family is module-constant); mismatched depths
+    fail fast like ``cms_estimate``.
+
+    Output: one row, (est_join_size,). Exact int64: bucket products
+    need Σ a[b]·b[b] < 2^63 — n_A·n_B/width per depth, fine to ~10⁹×10⁹
+    rows at width 1024; widen to DECIMAL(38,0) past that."""
+    da = cms_a.agg(F.max("d")).first()[0]
+    db = cms_b.agg(F.max("d")).first()[0]
+    if da != db:
+        raise ValueError(
+            f"cms_join_size: sketch depths differ ({da} vs {db}) — the "
+            "per-depth inner products would not be comparable"
+        )
+    b = cms_b.select(
+        F.col("d").alias("_d"), F.col("bucket").alias("_bucket"), F.col("c").alias("_c")
+    )
+    per_depth = (
+        cms_a.join(
+            F.broadcast(b),
+            (cms_a["d"] == b["_d"]) & (cms_a["bucket"] == b["_bucket"]),
+        )
+        .groupBy("d")
+        .agg(F.sum(F.col("c") * F.col("_c")).alias("_ip"))
+    )
+    return per_depth.agg(F.min("_ip").cast("long").alias("est_join_size"))

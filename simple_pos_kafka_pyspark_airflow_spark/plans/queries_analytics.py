@@ -3024,3 +3024,74 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return changepoint_cusum(daily, "event_type", "day", F.col("x"))
+
+
+def _join_size_oracle(width: int = 65536) -> str:
+    """Generated oracle for q_join_size_sketch: the identical CMS builds
+    (shared pmod hash chain), per-depth inner products, min over depths,
+    plus the exact join size and the one-sided-guarantee bit."""
+    from ..operators.aggregates import CMS_HASHES
+
+    hrows = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(CMS_HASHES))
+    ba = _cms_bucket_sql("o_orderkey", "a", "b", width)
+    bb = _cms_bucket_sql("l_orderkey", "a", "b", width)
+    return f"""
+    WITH h(d, a, b) AS (VALUES {hrows}),
+    cms_a AS (
+      SELECT d, {ba} AS bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders, h GROUP BY 1, 2
+    ), cms_b AS (
+      SELECT d, {bb} AS bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem, h GROUP BY 1, 2
+    ), per_depth AS (
+      SELECT cms_a.d, SUM(cms_a.c * cms_b.c) AS ip
+      FROM cms_a JOIN cms_b ON cms_a.d = cms_b.d AND cms_a.bucket = cms_b.bucket
+      GROUP BY 1
+    ), est AS (
+      SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM per_depth
+    ), exact AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_size
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    )
+    SELECT est.est_join_size, exact.exact_join_size,
+           CAST(est.est_join_size >= exact.exact_join_size AS INTEGER) AS never_under
+    FROM est, exact
+    """
+
+
+@register(
+    "q_join_size_sketch",
+    "agg",
+    oracle=_join_size_oracle(),
+    notes="extension: equi-join SIZE estimation from two count-min tables "
+    "(operators/aggregates.cms_join_size) — the AMS/CMS inner-product "
+    "estimator: per-depth Σ_bucket a[b]·b[b] each OVERESTIMATE "
+    "Σ_k f_A(k)·f_B(k) (collision mass is non-negative), min over "
+    "depths keeps the hard ≥-truth guarantee. This is what prices "
+    "broadcast-vs-shuffle and staging BEFORE running a join, at the "
+    "cost of joining two ≤ depth·width-row sketch tables the ingest "
+    "indexes (IncrementalCmsIndex) already maintain. Exact+bound "
+    "self-certification: the exact join size rides along and "
+    "never_under is asserted in-plan; oracle text GENERATED from the "
+    "same hash constants. Width sizing: the collision term ADDS "
+    "~n_A·n_B/width per depth, so width must dwarf the key "
+    "cardinality for a tight estimate — 65536 here puts the expected "
+    "overshoot at ~20% of the true 60k (1024 would drown it 14×)",
+)
+def q_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import cms_join_size, count_min_table
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    est = cms_join_size(
+        count_min_table(o, "o_orderkey", width=65536),
+        count_min_table(li, "l_orderkey", width=65536),
+    )
+    exact = o.join(
+        li.select(F.col("l_orderkey").alias("o_orderkey")), "o_orderkey"
+    ).agg(F.count("*").cast("long").alias("exact_join_size"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_join_size",
+        "exact_join_size",
+        (F.col("est_join_size") >= F.col("exact_join_size")).cast("int").alias("never_under"),
+    )

@@ -926,3 +926,35 @@ def test_skyline_2d_matches_dominance_bruteforce(spark, pts):
         )
     )
     assert got == want
+
+
+def test_cms_join_size_never_under_and_tight_when_wide(spark):
+    """The inner-product estimate must be ≥ the true join size at ANY
+    width (one-sided guarantee), equal it when the width dwarfs the key
+    cardinality, and refuse mismatched depths."""
+    import pytest
+
+    from simple_pos_kafka_pyspark_airflow_spark.operators.aggregates import (
+        cms_join_size,
+        count_min_table,
+    )
+
+    a = spark.createDataFrame([(k % 20,) for k in range(200)], "k long")
+    b = spark.createDataFrame([(k % 30,) for k in range(90)], "k long")
+    truth = a.join(b, "k").count()
+
+    tight = cms_join_size(
+        count_min_table(a, "k", width=4096), count_min_table(b, "k", width=4096)
+    ).first()["est_join_size"]
+    assert tight == truth, (tight, truth)
+
+    noisy = cms_join_size(
+        count_min_table(a, "k", width=8), count_min_table(b, "k", width=8)
+    ).first()["est_join_size"]
+    assert noisy >= truth
+
+    with pytest.raises(ValueError, match="depth"):
+        cms_join_size(
+            count_min_table(a, "k", width=8, depth=2),
+            count_min_table(b, "k", width=8, depth=3),
+        )
