@@ -709,3 +709,12 @@ def test_audit_fk_anti_join_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln and "customer" in ln]
     assert not reads or all("c_name" not in ln for ln in reads), plan
+
+
+def test_join_size_sketch_joins_sketches_not_facts(spark, sf_dir):
+    """The estimator's whole point: the per-depth inner product joins two
+    ≤ depth·width-row SKETCH tables (broadcast), and the only fact-sized
+    join in the plan is the certification-only exact arm."""
+    plan = explain_str(build(spark, sf_dir, "q_join_size_sketch"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
