@@ -2325,6 +2325,9 @@ def test_scoped_caches_frees_pipeline_blocks(spark):
     outside.count()
     baseline = persistent_rdd_ids(spark)
     assert baseline, "the outside cache must be visible"
+    # ids other tests persisted may be released asynchronously while this
+    # test runs (blocking=False unpersists elsewhere) — the invariant to
+    # pin is "no NEW ids survive the block", never baseline equality
 
     docs = spark.createDataFrame(
         [(i, f"alpha beta gamma delta epsilon w{i} zeta eta") for i in range(12)]
@@ -2343,7 +2346,9 @@ def test_scoped_caches_frees_pipeline_blocks(spark):
         assert persistent_rdd_ids(spark) - baseline, (
             "the pipeline should have persisted something inside the block"
         )
-    assert persistent_rdd_ids(spark) == baseline
+    after = persistent_rdd_ids(spark)
+    assert after - baseline == set(), after - baseline
+    assert baseline & after, "the pre-existing outside cache must survive"
     outside.unpersist(True)
 
 
@@ -2369,7 +2374,7 @@ def test_dedup_clusters_frees_superseded_rounds(spark):
     leftover = persistent_rdd_ids(spark) - before
     assert len(leftover) <= 1, leftover  # only the final labels checkpoint
     release_caches(spark, leftover)
-    assert persistent_rdd_ids(spark) == before
+    assert persistent_rdd_ids(spark) - before == set()
 
 
 def test_funnel_counts_order_matters(spark):
