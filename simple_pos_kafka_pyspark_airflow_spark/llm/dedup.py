@@ -59,8 +59,9 @@ def dup_groups_keep_best(
     the best one, not the accidentally-lowest id.
 
     ``score`` must be an integer-lattice expression (cross-engine exact
-    comparisons). One ``max_by`` over a (score, −id) struct per digest
-    group — same single fixed-width-digest shuffle as exact dedup, the
+    comparisons), and ids must be > Long.MIN_VALUE (the tiebreak negates
+    the id; every real id scheme qualifies). One ``max_by`` over a
+    (score, −id) struct per digest group — same single fixed-width-digest shuffle as exact dedup, the
     text never moves — plus one digest equi-join back. Output: every
     input row as (id, n_copies, keep ∈ {1,0}); exactly one keep per
     group."""

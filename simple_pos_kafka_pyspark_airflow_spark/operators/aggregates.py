@@ -360,8 +360,9 @@ def grouped_gini(df: DataFrame, group_col: str, x_int) -> DataFrame:
     (i-weights over equal x sum identically), so no tiebreak is needed
     for determinism.
 
-    int64 bound: n·Σx < 2^63 — at 1e6 rows/group that allows Σx ≈ 9e12
-    (e.g. 9 GB of per-doc byte counts per group); widen to
+    int64 bound: the largest intermediate is 2·Σi·x ≤ 2·n·Σx, so the
+    envelope is n·Σx < 2^62 — at 1e6 rows/group that allows Σx ≈ 4.6e12
+    (e.g. 4 GB of per-doc byte counts per group); widen to
     DECIMAL(38,0) in both engines past that. All-zero groups (Σx = 0)
     yield NULL. Output: (group, n, sum_x, gini)."""
     from pyspark.sql import Window
@@ -495,9 +496,11 @@ def cms_join_size(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
     and depth (the hash family is module-constant); mismatched depths
     fail fast like ``cms_estimate``.
 
-    Output: one row, (est_join_size,). Exact int64: bucket products
-    need Σ a[b]·b[b] < 2^63 — n_A·n_B/width per depth, fine to ~10⁹×10⁹
-    rows at width 1024; widen to DECIMAL(38,0) past that."""
+    Output: one row, (est_join_size,). Exact int64: the per-depth sum
+    Σ a[b]·b[b] is ≤ n_A·n_B (the degenerate one-hot-bucket worst case;
+    expected truth + n_A·n_B/width under hashing), so the hard envelope
+    is n_A·n_B < 2^63 — ~3e9 × 3e9 rows; widen to DECIMAL(38,0) past
+    that."""
     da = cms_a.agg(F.max("d")).first()[0]
     db = cms_b.agg(F.max("d")).first()[0]
     if da != db:

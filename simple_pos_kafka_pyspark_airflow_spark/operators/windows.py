@@ -262,6 +262,11 @@ def rolling_corr_exact(
     ``order_col`` must be a total order within each group (one row per
     period — pre-aggregate first; ties would make frames ambiguous).
 
+    int64 bound: the per-row cross products are the binding term —
+    window_rows · max|x|·max|y| < 2^63 (daily cent sums of ~10⁵ events
+    at ~10³ cents each hold to window 7 with ~100× headroom; widen the
+    five sums to DECIMAL(38,0) in both engines past that).
+
     Output: (group_cols..., order_col, n, corr).
     """
     gcols = group_cols or []
