@@ -291,36 +291,80 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
-def resize_assets(assets: DataFrame, max_bytes: int = 1024) -> DataFrame:
-    """'Resize' pass: emit a bounded-size payload per asset plus updated
+def resize_bmp(payload: bytes, target_w: int) -> bytes:
+    """REAL nearest-neighbor downsample of a 24-bit BMP to ``target_w``
+    columns (height scales proportionally, min 1) — a genuine image
+    resize with no codec libraries, built on the same struct parser the
+    decode/perceptual-hash paths use. Upsampling requests return the
+    payload unchanged (a thumbnail pass must never inflate). Raises
+    ValueError on non-BMP input (callers route those to the stub path)."""
+    px = _bmp_pixels(payload)  # (h, w, 3) float64, top-down
+    h, w = px.shape[0], px.shape[1]
+    tw = int(target_w)
+    if tw <= 0:
+        raise ValueError(f"target_w must be positive, got {target_w}")
+    if tw >= w:
+        return payload
+    th = max(1, (h * tw) // w)
+    rows = (np.arange(th) * h) // th
+    cols = (np.arange(tw) * w) // tw
+    small = px[np.ix_(rows, cols)].astype(np.uint8)
+    return encode_bmp(tw, th, small.tobytes())
+
+
+def resize_assets(
+    assets: DataFrame, max_bytes: int = 1024, target_w: int | None = None
+) -> DataFrame:
+    """Resize pass: emit a bounded-size payload per asset plus updated
     metadata — the Spark shape of an image-resize stage (map-only, binary
     in / binary out, metadata struct rewritten).
 
-    The transform itself is a STUB (truncate + marker suffix; production:
-    PIL thumbnail / ffmpeg scale). What is real and load-bearing: the
-    mapInPandas batch iteration over binary columns, the output schema
-    matching ``ASSET_SCHEMA``, and the no-shuffle plan.
+    With ``target_w`` set, ``image/bmp`` payloads go through a REAL
+    nearest-neighbor downsample (``resize_bmp`` — actual pixel
+    resampling on the parsed array, r9) with width/height metadata
+    updated from the re-encoded image; every other mime — and corrupt
+    BMPs — takes the documented STUB path (truncate + byte cap;
+    production: PIL thumbnail / ffmpeg scale). Load-bearing either way:
+    the mapInPandas batch iteration over binary columns, the output
+    schema matching ``ASSET_SCHEMA``, and the no-shuffle plan.
     """
+
+    def one(payload, mime, meta):
+        if (
+            target_w is not None
+            and payload is not None
+            and (mime or "") == "image/bmp"
+        ):
+            try:
+                small = resize_bmp(bytes(payload), target_w)
+                d = decode_bmp(small)
+                return small, {
+                    "width": d["width"],
+                    "height": d["height"],
+                    "duration_ms": meta.get("duration_ms") if meta else None,
+                }
+            except ValueError:
+                pass  # corrupt BMP → stub path below
+        p = payload[:max_bytes] if payload is not None and len(payload) > max_bytes else payload
+        return p, {
+            # `is not None`, not truthiness: width 0 is a KNOWN
+            # zero, which a falsy check would erase into NULL
+            "width": min(meta["width"], max_bytes)
+            if meta and meta.get("width") is not None
+            else None,
+            "height": meta.get("height") if meta else None,
+            "duration_ms": meta.get("duration_ms") if meta else None,
+        }
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = pdf.copy()
-            out["payload"] = [
-                (p[:max_bytes] if p is not None and len(p) > max_bytes else p)
-                for p in pdf["payload"]
+            results = [
+                one(p, mi, me)
+                for p, mi, me in zip(pdf["payload"], pdf["mime"], pdf["meta"])
             ]
-            out["meta"] = [
-                {
-                    # `is not None`, not truthiness: width 0 is a KNOWN
-                    # zero, which a falsy check would erase into NULL
-                    "width": min(m["width"], max_bytes)
-                    if m and m.get("width") is not None
-                    else None,
-                    "height": m.get("height") if m else None,
-                    "duration_ms": m.get("duration_ms") if m else None,
-                }
-                for m in pdf["meta"]
-            ]
+            out["payload"] = [r[0] for r in results]
+            out["meta"] = [r[1] for r in results]
             yield out
 
     return assets.mapInPandas(batches, schema=ASSET_SCHEMA)

@@ -2694,3 +2694,44 @@ def test_gram_matrix_exact_matches_numpy_and_partition_invariant(spark):
         assert len(got) == 15  # upper triangle of 5x5
         for (i, j), v in got.items():
             assert v == want[i, j], (i, j, v, want[i, j])
+
+
+def test_resize_bmp_real_nearest_neighbor_downsample(spark):
+    """r9 stub upgrade: image/bmp payloads resize through REAL pixel
+    resampling — output parses as a valid BMP at the target geometry
+    with channel means close to the original; upsampling is a no-op;
+    non-BMP mimes keep the stub truncate path."""
+    import numpy as np
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        resize_assets,
+        resize_bmp,
+    )
+
+    rng = np.random.RandomState(2)
+    px = rng.randint(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    bmp = encode_bmp(24, 16, px.tobytes())
+
+    small = resize_bmp(bmp, 6)
+    d = decode_bmp(small)
+    assert (d["width"], d["height"]) == (6, 4)
+    for ch in ("mean_b", "mean_g", "mean_r"):
+        assert abs(d[ch] - decode_bmp(bmp)[ch]) < 30  # sampled means stay close
+    assert resize_bmp(bmp, 100) == bmp  # never upscale
+
+    rows = [
+        (1, "image", "image/bmp", bytearray(bmp), {"width": 24, "height": 16, "duration_ms": None}),
+        (2, "audio", "audio/wav", bytearray(b"\x00" * 5000), {"width": None, "height": None, "duration_ms": 7}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "asset_id long, modality string, mime string, payload binary, "
+        "meta struct<width:int,height:int,duration_ms:int>",
+    )
+    got = {r["asset_id"]: r for r in resize_assets(df, max_bytes=1024, target_w=6).collect()}
+    assert (got[1]["meta"]["width"], got[1]["meta"]["height"]) == (6, 4)
+    assert decode_bmp(bytes(got[1]["payload"]))["width"] == 6
+    assert len(got[2]["payload"]) == 1024  # stub path: byte cap
+    assert got[2]["meta"]["duration_ms"] == 7
