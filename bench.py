@@ -158,6 +158,10 @@ HEADLINE = [
     "q_changepoint",
     "q_text_cooccur",
     "q_scan_jdbc_live",
+    # kilobyte sketch join + its exact certification arm, and the
+    # pure-SQL surface (view registration + spark.sql text)
+    "q_join_size_sketch",
+    "q_sql_surface",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×
