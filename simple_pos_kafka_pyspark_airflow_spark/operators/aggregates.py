@@ -520,3 +520,65 @@ def cms_join_size(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
         .agg(F.sum(F.col("c") * F.col("_c")).alias("_ip"))
     )
     return per_depth.agg(F.min("_ip").cast("long").alias("est_join_size"))
+
+
+def decayed_sum_dyadic(
+    df: DataFrame,
+    group_col: str,
+    value_int,
+    age_col,
+    half_life: int,
+    max_age: int | None = None,
+) -> DataFrame:
+    """Exponentially time-decayed sum with EXACT arithmetic — the
+    recency-weighted popularity/engagement score (each value counts
+    half as much per ``half_life`` age units), in the DYADIC form that
+    makes it cross-engine exact where the textbook ``Σ v·exp(−λt)``
+    never is (libm exp differs in last ulps AND float sums are
+    order-dependent):
+
+        k        = age / half_life      (integer division — the decay
+                                         staircase, halving per bucket)
+        score    = Σ v · 2^(k_max − k)  (exact int64)  /  2^k_max
+
+    Every weight is a power of two, so the scaled sum is pure integer
+    arithmetic (order-free, partial-aggregable — one groupBy shuffle)
+    and the final normalization is ONE exact division by a power of two
+    — every intermediate a correctly-rounded IEEE op on identical
+    operands. The staircase (per-bucket halving instead of continuous
+    decay) is the documented trade for exactness; choose ``half_life``
+    at the granularity the ranking needs.
+
+    ``max_age`` (default: 16·half_life) CLAMPS k — ancient rows decay
+    to the floor bucket instead of overflowing the scale factor; it
+    also bounds the int64 envelope: Σ|v| · 2^(k_max) < 2^63, i.e.
+    Σ|v| < 2^(63 − max_age/half_life) — at the default k_max=16 that
+    is Σ|v| < 1.4e14; size ``max_age`` to the data's ACTUAL age span
+    (a 30-day window at half_life 7 needs k_max=4, leaving 2^59 of
+    value headroom). Output: (group, n, scaled_sum, score)."""
+    k_max = int((max_age if max_age is not None else 16 * half_life) // half_life)
+    if not 0 <= k_max <= 52:
+        raise ValueError(
+            f"max_age/half_life must land in [0, 52] ({k_max}) — larger "
+            "scale factors leave no int64 headroom for the values"
+        )
+    k = F.least(
+        F.lit(k_max), F.greatest(F.lit(0), (age_col / F.lit(int(half_life))).cast("long"))
+    )
+    # weight = 2^(k_max − k) via a literal power table (shiftleft takes a
+    # Python int, not a Column; pow() would route through libm) — pure
+    # exact integer arithmetic end to end
+    powers = F.array(*[F.lit(1 << i).cast("long") for i in range(k_max + 1)])
+    scaled = value_int.cast("long") * F.element_at(
+        powers, (F.lit(k_max) - k + 1).cast("int")
+    )
+    g = df.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(scaled).alias("scaled_sum"),
+    )
+    return g.select(
+        group_col,
+        "n",
+        "scaled_sum",
+        (F.col("scaled_sum").cast("double") / F.lit(float(2 ** k_max))).alias("score"),
+    )

@@ -3095,3 +3095,52 @@ def q_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_join_size",
         (F.col("est_join_size") >= F.col("exact_join_size")).cast("int").alias("never_under"),
     )
+
+
+@register(
+    "q_decay_score",
+    "agg",
+    oracle="""
+    WITH anchor AS (
+      SELECT MAX(date_trunc('day', ts)) AS a FROM events
+    ), d AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 100) AS BIGINT) AS v,
+             LEAST(4, GREATEST(0,
+               CAST(date_diff('day', date_trunc('day', ts), anchor.a) AS BIGINT) // 7
+             )) AS k
+      FROM events, anchor
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v * CAST(POWER(2, 4 - k) AS BIGINT)) AS BIGINT) AS scaled_sum,
+           CAST(SUM(v * CAST(POWER(2, 4 - k) AS BIGINT)) AS DOUBLE)
+             / CAST(POWER(2, 4) AS DOUBLE) AS score
+    FROM d GROUP BY 1
+    """,
+    notes="extension: exponentially time-decayed engagement score in the "
+    "EXACT dyadic form (operators/aggregates.decayed_sum_dyadic) — "
+    "halve per 7-day bucket against the corpus max-day anchor: every "
+    "weight is a power of two, so the scaled sum is pure int64 "
+    "(order-free, one partial-aggregable shuffle where Σ v·exp(−λt) is "
+    "libm- and order-dependent) and the score is ONE exact division by "
+    "2^k_max. The staircase is the documented trade for exactness; the "
+    "30-day event span at half_life 7 sizes k_max=4 (max_age=28), "
+    "leaving 2^59 of value headroom (the operator docs carry the "
+    "envelope formula). DuckDB integer division is '//' (plain '/' "
+    "yields DOUBLE), matching the Spark cast-truncation; POWER(2, int) "
+    "is exact in both engines at these sizes",
+)
+def q_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import decayed_sum_dyadic
+
+    ev = table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.date_trunc("day", F.col("ts"))).alias("_a"))
+    d = ev.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+        F.datediff(F.col("_a"), F.date_trunc("day", F.col("ts"))).alias("age"),
+    )
+    return decayed_sum_dyadic(
+        d, "event_type", F.col("v"), F.col("age"), half_life=7, max_age=28
+    )

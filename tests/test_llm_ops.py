@@ -2735,3 +2735,23 @@ def test_resize_bmp_real_nearest_neighbor_downsample(spark):
     assert decode_bmp(bytes(got[1]["payload"]))["width"] == 6
     assert len(got[2]["payload"]) == 1024  # stub path: byte cap
     assert got[2]["meta"]["duration_ms"] == 7
+
+
+def test_decayed_sum_dyadic_staircase_and_envelope(spark):
+    """Dyadic decay: weight halves per half_life bucket exactly (python
+    replay), ages clamp to [0, k_max], and an out-of-range k_max is
+    refused."""
+    import pytest as _pytest
+
+    from simple_pos_kafka_pyspark_airflow_spark.operators.aggregates import (
+        decayed_sum_dyadic,
+    )
+
+    rows = [("g", 100, 0), ("g", 100, 7), ("g", 100, 14), ("g", 100, 999)]
+    df = spark.createDataFrame(rows, "g string, v long, age long")
+    r = decayed_sum_dyadic(df, "g", F.col("v"), F.col("age"), 7, max_age=14).first()
+    # k_max = 2: weights 4, 2, 1, 1(clamped) on scale 4
+    assert r["scaled_sum"] == 100 * 4 + 100 * 2 + 100 * 1 + 100 * 1
+    assert r["score"] == r["scaled_sum"] / 4.0
+    with _pytest.raises(ValueError, match="52"):
+        decayed_sum_dyadic(df, "g", F.col("v"), F.col("age"), 1, max_age=60)
