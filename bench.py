@@ -309,7 +309,11 @@ def main() -> None:
                 if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
             ]
             rnd = str((max(recorded) if recorded else 0) + 1)
-        out = os.path.join(bench_dir, f"r{int(rnd):02d}.json")
+        # a smoke run at a non-default SF must not overwrite the round's
+        # driver-scale record (bit us in r9: an sf0.01 smoke clobbered
+        # r09.json) — off-scale runs land in a suffixed sibling instead
+        suffix = "" if abs(payload.get("sf", 0.1) - 0.1) < 1e-9 else f"_sf{payload['sf']}"
+        out = os.path.join(bench_dir, f"r{int(rnd):02d}{suffix}.json")
         with open(out, "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)
         print(f"# full results -> {out}", file=sys.stderr)
