@@ -116,8 +116,11 @@ def range_overlap_score(stats, col: str) -> float:
     the global range] = Σ width_f / global_width. 1.0 is perfectly
     clustered (disjoint ranges — a point predicate reads ONE file);
     n_files means no file can ever be skipped. Driver-side over the
-    files×1 stats rows (bounded)."""
+    files×1 stats rows (bounded). Files whose column is entirely NULL
+    (min/max both NULL in the footer) carry no range and are excluded
+    from the score — they are always prunable for a non-null predicate."""
     rows = stats.select(f"min_{col}", f"max_{col}").collect()
+    rows = [r for r in rows if r[0] is not None and r[1] is not None]
     if not rows:
         return 0.0
     lo = min(float(r[0]) for r in rows)

@@ -111,7 +111,11 @@ def bloom_bitmap(
     nbytes = chunk_bits >> 3
     for row in pos.groupBy("chunk").applyInPandas(pack, "chunk int, bits binary").collect():
         c = int(row["chunk"])
-        bitmap[c * nbytes : (c + 1) * nbytes] = np.frombuffer(row["bits"], np.uint8)
+        # the last chunk may be shorter when m_bits is not a multiple of
+        # _CHUNK_BITS — trim the packed buffer to the remaining slice
+        start = c * nbytes
+        end = min(start + nbytes, bitmap.size)
+        bitmap[start:end] = np.frombuffer(row["bits"], np.uint8)[: end - start]
     return bitmap
 
 

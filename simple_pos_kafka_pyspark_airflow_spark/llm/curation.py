@@ -26,12 +26,17 @@ reported stage is eagerly ``localCheckpoint``-ed before its count, so
 the run costs O(stages) materializations — a naive count-per-stage on
 one lineage would recompute every upstream stage per count, O(stages²)
 scans of the corpus — and the count actions can never observe a
-recomputation-divergent stage. With ``counts=False`` the per-stage
-materializations are skipped; note that the near-dup component stage
-(``dedup.dedup_clusters``) is inherently iterative and still runs its
-label-propagation rounds eagerly at build time (checkpointed labels,
-one convergence probe per round) on either path — everything else stays
-one lazy lineage.
+recomputation-divergent stage. With ``counts=False`` the audit counts
+and the raw-input checkpoint are skipped, but the MULTI-CONSUMER hubs
+(``gated``, ``exact``, ``split``) still materialize exactly once: the
+final action is one job whose concurrent stages all probe those frames,
+so leaving them lazy (or merely persist()-ed — blocks don't exist until
+the racing stages have each already computed them) duplicates whole-
+stage compute; r9/r10 measured the fully-lazy form SLOWER than the
+audited form. Single-consumer stages (``near``, ``capped``, the final
+anti-join) stay lazy. The near-dup component stage
+(``dedup.dedup_clusters``) is inherently iterative and runs its
+label-propagation rounds eagerly at build time on either path.
 """
 
 from __future__ import annotations
@@ -106,6 +111,23 @@ def curate_corpus(
             report.append((stage, df.count()))
         return df
 
+    def hub(df: DataFrame) -> DataFrame:
+        """Materialize a MULTI-CONSUMER stage boundary exactly once on the
+        counts=False path (note() already checkpointed it on the audited
+        path). A persist() is NOT enough here: the final action is one
+        job whose concurrent stages (e.g. the decontamination join's two
+        gram sides plus the anti-join's left) all probe the hub before
+        any block exists, so each racing stage recomputes the full
+        upstream chain — measured r9/r10 as the lazy form benching SLOWER
+        than the audited form (8.9 vs 7.7s at sf0.1). The checkpoint also
+        truncates lineage, keeping Catalyst's per-action analysis of the
+        composed ladder bounded. At cluster scale the same boundary is a
+        reliable ``checkpoint()``/table write — a frame with >1 consumer
+        must materialize exactly once either way."""
+        if not counts:
+            df = df.localCheckpoint(eager=True)
+        return df
+
     t, i = cfg.text_col, cfg.id_col
     docs = note("raw", docs)
 
@@ -123,6 +145,10 @@ def curate_corpus(
         .select(*docs.columns),
     )
 
+    # gated feeds TWO consumers (the exact-dup group build and the semi
+    # join's left side) — a multi-consumer hub: materialize once
+    gated = hub(gated)
+
     # 2. exact dedup — keep each byte-identical group's min id
     exact_keep = dedup_ops.exact_dup_groups(gated, t, i).select(
         F.col("keep_id").alias(i)
@@ -131,13 +157,8 @@ def curate_corpus(
 
     # exact survivors feed three consumers (the minhash doc table, the
     # near-dedup anti-join's left side, and through it every later
-    # stage); with counts=True the note() checkpoint already cut the
-    # lineage, otherwise persist so the gate+dedup prefix runs once, not
-    # once per consumer
-    if not counts:
-        from pyspark import StorageLevel
-
-        exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
+    # stage) — hub
+    exact = hub(exact)
 
     # 3. near-dup — LSH pairs → connected components → keep the min-id
     #    representative of every component
@@ -159,11 +180,8 @@ def curate_corpus(
     # 5. split assignment — no data movement
     split = capped.withColumn("split", split_col(i, cfg))
     # split feeds the decontamination join twice (train∪val side, test
-    # side) and the final anti-join — same persist rationale as `exact`
-    if not counts:
-        from pyspark import StorageLevel
-
-        split = split.persist(StorageLevel.MEMORY_AND_DISK)
+    # side) and the final anti-join — hub
+    split = hub(split)
 
     # 6. decontamination — drop train/val docs sharing any exact n-gram
     #    with the held-out test split

@@ -503,6 +503,15 @@ def cms_join_size(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
     that."""
     da = cms_a.agg(F.max("d")).first()[0]
     db = cms_b.agg(F.max("d")).first()[0]
+    if da is None or db is None:
+        # an EMPTY sketch (no rows) means its side has no keys at all, so
+        # the true join size is exactly 0 — mirror cms_estimate's
+        # documented empty-sketch exemption instead of a misleading
+        # depth-mismatch error (empty-vs-nonempty) or a NULL row (both
+        # empty)
+        return cms_a.sparkSession.range(1).select(
+            F.lit(0).cast("long").alias("est_join_size")
+        )
     if da != db:
         raise ValueError(
             f"cms_join_size: sketch depths differ ({da} vs {db}) — the "
@@ -562,9 +571,17 @@ def decayed_sum_dyadic(
             f"max_age/half_life must land in [0, 52] ({k_max}) — larger "
             "scale factors leave no int64 headroom for the values"
         )
-    k = F.least(
-        F.lit(k_max), F.greatest(F.lit(0), (age_col / F.lit(int(half_life))).cast("long"))
-    )
+    # k = clamp(age // half_life, 0, k_max) WITHOUT any division: Spark's
+    # `/` is double division, whose truncation can disagree with true
+    # integer `//` for ages beyond 2^53. Since k is clamped to ≤ 52
+    # buckets anyway, count threshold crossings instead — k equals the
+    # number of i in [1, k_max] with age ≥ i·half_life, a sum of ≤ 52
+    # exact long comparisons (codegen-friendly, order-free). Negative
+    # ages land in bucket 0 automatically.
+    age_l = age_col.cast("long")
+    k = F.lit(0).cast("long")
+    for i in range(1, k_max + 1):
+        k = k + (age_l >= F.lit(int(i * half_life))).cast("long")
     # weight = 2^(k_max − k) via a literal power table (shiftleft takes a
     # Python int, not a Column; pow() would route through libm) — pure
     # exact integer arithmetic end to end

@@ -310,7 +310,11 @@ def bloom_key_bitmap(
     nbytes = chunk_bits >> 3
     for row in pos.groupBy("chunk").applyInPandas(pack, "chunk int, bits binary").collect():
         c = int(row["chunk"])
-        bitmap[c * nbytes : (c + 1) * nbytes] = np.frombuffer(row["bits"], np.uint8)
+        # the last chunk may be shorter when m_bits is not a multiple of
+        # _CHUNK_BITS — trim the packed buffer to the remaining slice
+        start = c * nbytes
+        end = min(start + nbytes, bitmap.size)
+        bitmap[start:end] = np.frombuffer(row["bits"], np.uint8)[: end - start]
     return bitmap
 
 
@@ -346,6 +350,18 @@ def bloom_semi_reduce(
     from ..llm.bloom import _position_array
 
     kk = keys_key or fact_key
+    # xxhash64 is TYPE-sensitive (an int and a bigint holding the same
+    # value hash differently), so mismatched key types would set bitmap
+    # bits the probe side never looks at — Bloom FALSE NEGATIVES that
+    # silently drop true matches. Fail fast instead.
+    ft, kt = fact.schema[fact_key].dataType, keys.schema[kk].dataType
+    if ft != kt:
+        raise ValueError(
+            f"bloom_semi_reduce: key types differ ({ft.simpleString()} vs "
+            f"{kt.simpleString()}) — xxhash64 is type-sensitive, so the "
+            "Bloom stage would produce false negatives; cast both key "
+            "columns to a common type first"
+        )
     bitmap = bloom_key_bitmap(keys, kk, m_bits=m_bits, n_hashes=n_hashes)
     mb = int(bitmap.size) << 3
     spark = fact.sparkSession

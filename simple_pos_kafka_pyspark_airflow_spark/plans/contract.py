@@ -90,7 +90,7 @@ _CERT_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "certified
 #: Driver verification-window size and the slots inside it reserved for
 #: re-certifying the oldest-certified queries (see driver_ordered_registry).
 _WINDOW = 50
-_RECERT_SLOTS = 15
+_RECERT_SLOTS = 25
 
 
 def _oracle_sha(oracle: str | None) -> str:
@@ -253,10 +253,10 @@ def driver_ordered_registry() -> dict[str, ContractQuery]:
     Re-certification tranche: the driver only runs the FIRST ~50 entries
     each round, so a round that registers 50+ new queries would starve
     group 3 and certifications would age indefinitely.  To bound staleness,
-    the front of the ordering RESERVES ``_RECERT_SLOTS`` (15) positions for
+    the front of the ordering RESERVES ``_RECERT_SLOTS`` (25) positions for
     the oldest-certified queries after at most ``_WINDOW - _RECERT_SLOTS``
-    (35) uncertified ones — every certified query therefore re-verifies on
-    the driver every ceil(n_certified/15) ≈ 15 rounds at worst, regardless
+    (25) uncertified ones — every certified query therefore re-verifies on
+    the driver every ceil(n_certified/25) ≈ 10 rounds at worst, regardless
     of how many new queries a round adds.
     """
     reg = load_registry()

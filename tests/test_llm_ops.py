@@ -2487,6 +2487,70 @@ def test_bloom_semi_reduce_equals_exact_semi_join(spark):
     assert got == want and len(got) > 0
 
 
+def test_bloom_semi_reduce_rejects_mismatched_key_types(spark):
+    """xxhash64 is type-sensitive, so int-vs-bigint keys would produce
+    Bloom FALSE NEGATIVES (bits set from one width, probed at another) —
+    the operator must fail fast instead of silently dropping matches."""
+    import pytest
+
+    from simple_pos_kafka_pyspark_airflow_spark.operators.joins import (
+        bloom_semi_reduce,
+    )
+
+    fact = spark.createDataFrame([(1, 10), (2, 20)], "k long, payload long")
+    keys = spark.createDataFrame([(1,), (2,)], "k int")
+    with pytest.raises(ValueError, match="type"):
+        bloom_semi_reduce(fact, keys, "k")
+
+
+def test_bloom_key_bitmap_partial_final_chunk(spark):
+    """m_bits above _CHUNK_BITS but not a multiple of it leaves a SHORT
+    final chunk — the packed 128 KiB buffer must be trimmed on assignment
+    (previously a numpy shape-mismatch ValueError). Correctness is pinned
+    by the exactness of the full semi join at that geometry."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm.bloom import _CHUNK_BITS
+    from simple_pos_kafka_pyspark_airflow_spark.operators.joins import (
+        bloom_key_bitmap,
+        bloom_semi_reduce,
+    )
+
+    m_bits = _CHUNK_BITS + (_CHUNK_BITS // 2)  # 1.5 chunks, multiple of 8
+    fact = spark.createDataFrame(
+        [(i % 700, i) for i in range(4000)], "k long, payload long"
+    )
+    keys = spark.createDataFrame([(v,) for v in range(0, 2000, 3)], "k long")
+    bm = bloom_key_bitmap(keys, "k", m_bits=m_bits)
+    assert bm.size == m_bits >> 3 and int(bm.sum()) > 0
+    got = sorted(
+        (r["k"], r["payload"])
+        for r in bloom_semi_reduce(fact, keys, "k", m_bits=m_bits).collect()
+    )
+    want = sorted(
+        (r["k"], r["payload"]) for r in fact.join(keys, "k", "left_semi").collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_cms_join_size_empty_sketch_is_zero(spark):
+    """An empty sketch means its side has NO keys, so the true join size
+    is 0 — empty-vs-nonempty and empty-vs-empty must both return a single
+    est_join_size=0 row, not a depth-mismatch error or a NULL."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators.aggregates import (
+        cms_join_size,
+        count_min_table,
+    )
+
+    nonempty = count_min_table(
+        spark.createDataFrame([(1,), (2,), (2,)], "k long"), "k", width=64
+    )
+    empty = count_min_table(
+        spark.createDataFrame([], "k long"), "k", width=64
+    )
+    for a, b in ((empty, nonempty), (nonempty, empty), (empty, empty)):
+        rows = cms_join_size(a, b).collect()
+        assert len(rows) == 1 and rows[0]["est_join_size"] == 0
+
+
 def test_duplication_weights_mass_conservation(spark):
     """weight = 1/n_copies per identical-text group; Σ weight == number
     of distinct texts exactly; canonical=True folds case/whitespace
@@ -2755,3 +2819,16 @@ def test_decayed_sum_dyadic_staircase_and_envelope(spark):
     assert r["score"] == r["scaled_sum"] / 4.0
     with _pytest.raises(ValueError, match="52"):
         decayed_sum_dyadic(df, "g", F.col("v"), F.col("age"), 1, max_age=60)
+
+    # bucketing must be TRUE integer division even past 2^53: with
+    # h = 2^53+1 and age = 3h−1, the true bucket is 2 (one unit short of
+    # 3h), but float(age) rounds UP past 3h, so double division truncates
+    # to bucket 3 — off by one decay halving. Negative ages pin bucket 0.
+    h = (1 << 53) + 1
+    edge = spark.createDataFrame(
+        [("e", 8, 3 * h - 1), ("e", 8, -5)], "g string, v long, age long"
+    )
+    r2 = decayed_sum_dyadic(edge, "g", F.col("v"), F.col("age"), h, max_age=4 * h).first()
+    # k_max=4: big age → k=2 (weight 4, NOT the double path's k=3 weight
+    # 2); negative age → k=0 (weight 16)
+    assert r2["scaled_sum"] == 8 * 4 + 8 * 16

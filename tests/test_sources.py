@@ -901,3 +901,33 @@ def test_zorder_layout_measurably_tightens_file_ranges(spark, tmp_path):
         assert after < before * 0.6, (c, before, after)
     # rows survive the relayout
     assert spark.read.parquet(zpath).count() == n
+
+
+def test_range_overlap_score_skips_all_null_files(spark, tmp_path):
+    """A file whose column is entirely NULL has NULL min/max footer stats
+    — it carries no range and must be EXCLUDED from the overlap score
+    (such files always prune for non-null predicates), not crash the
+    driver-side fold with a TypeError."""
+    from simple_pos_kafka_pyspark_airflow_spark.analyze import (
+        file_range_stats,
+        range_overlap_score,
+    )
+
+    path = str(tmp_path / "mixed")
+    # two files: one with real x values, one all-NULL
+    spark.createDataFrame([(i, i) for i in range(100)], "id long, x long").coalesce(
+        1
+    ).write.parquet(path)
+    spark.createDataFrame(
+        [(i, None) for i in range(100, 120)], "id long, x long"
+    ).coalesce(1).write.mode("append").parquet(path)
+    stats = file_range_stats(spark, path, ["x"])
+    # only the non-null file contributes: one file spanning the global
+    # range → perfectly clustered score 1.0
+    assert range_overlap_score(stats, "x") == 1.0
+    # all files all-NULL → no measurable ranges at all
+    nulls = str(tmp_path / "allnull")
+    spark.createDataFrame(
+        [(i, None) for i in range(50)], "id long, x long"
+    ).write.parquet(nulls)
+    assert range_overlap_score(file_range_stats(spark, nulls, ["x"]), "x") == 0.0
