@@ -164,6 +164,10 @@ HEADLINE = [
     # pure-SQL surface (view registration + spark.sql text)
     "q_join_size_sketch",
     "q_sql_surface",
+    # round-10: real BPE token counts (distinct-word Arrow encode +
+    # broadcast join back) and the packing query rewired onto them
+    "q_bpe_encode",
+    "q_pack_bpe",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

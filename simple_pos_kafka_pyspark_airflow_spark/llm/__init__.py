@@ -11,6 +11,8 @@ row-at-a-time Python.
                   shuffles; eval-set bitmap broadcast + Arrow gather)
 - ``simsearch``   embedding cosine top-k: brute force + LSH-bucketed + IVF
 - ``textops``     tokenization, language-ID, quality scores, fingerprints
+- ``tokenize``    real BPE: distributed train (vocab-sized merge rounds)
+                  + frozen-merge-table encode (distinct-word Zipf cache)
 - ``filtering``   corpus quality-gate cascade + fixed-size token chunking
 - ``curation``    the composed end-to-end ladder: gate → exact dedup →
                   near-dup components → domain cap → split → decontaminate

@@ -1,0 +1,307 @@
+"""Byte-pair-encoding tokenizer — distributed train + encode.
+
+Public-knowledge BPE (Sennrich, Haddow & Birch 2016, "Neural Machine
+Translation of Rare Words with Subword Units"; the GPT-2 tokenizer is
+the same algorithm byte-level). Two halves, both Spark-first:
+
+**Training** (``bpe_train``) operates on the WORD-FREQUENCY table, never
+the corpus: the state is ``(symbols[], count)`` with one row per
+DISTINCT word, so a 100 TB corpus collapses to a vocabulary-sized frame
+(Zipf: tens of millions of rows at web scale — a few GB) after one
+corpus-sized groupBy. Each merge round is then
+
+  1. pair count: explode each word's adjacent symbol pairs, groupBy
+     (left, right), sum the word counts — a VOCABULARY-sized shuffle
+     (rows ≤ Σ per-word symbol count), partial-aggregable;
+  2. argmax: one driver-side row (max count, lexicographic tiebreak —
+     deterministic, unlike the reference implementation's dict order);
+  3. merge apply: rewrite the symbol arrays of the words that contain
+     the chosen pair (Arrow-batched pandas UDF over the pair-containing
+     subset; everything else passes through untouched);
+  4. ``localCheckpoint`` to truncate the iterative lineage (the same
+     discipline as ``dedup.dedup_clusters`` — Catalyst re-analysis of an
+     unbounded loop plan costs more than the data at small rounds).
+
+The corpus itself is touched exactly ONCE (the initial word count);
+everything after is O(n_merges) vocabulary-sized rounds. This is the
+published distributed formulation (the Sennrich reference trains on a
+word-count dict in memory; the DataFrame form is the same algebra).
+
+**Encoding** (``bpe_encode_words`` / ``bpe_token_stats``) applies a
+FROZEN merge table: greedy lowest-rank-first merging per word. Scale
+discipline: encode DISTINCT words once (vocabulary-sized Arrow-batched
+work with the rank table broadcast) and join the results back to word
+occurrences — the Zipf cache that makes per-word Python cost irrelevant
+at corpus scale. The greedy loop merges the FIRST occurrence of the
+lowest-rank pair per step; this is provably identical to the reference
+implementation's all-occurrences-per-step form (a pair created by a
+merge can only have a HIGHER rank than the pair just merged — ranks are
+training order — so remaining occurrences of the current lowest-rank
+pair stay minimal) and is the exact step a SQL oracle can replay
+(see q_bpe_encode's recursive CTE).
+
+Python twins (``bpe_train_python``, ``bpe_encode_python``) define the
+semantics; the distributed forms are pinned equal in tests.
+
+No counterpart in the reference repo (its pipeline never tokenizes);
+this closes the engine's last gap to a real training-data pipeline —
+every token count before this module was whitespace or the
+``textops.bpe_ish_token_count`` regex estimate.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Python twins — the semantic ground truth (pure, deterministic)
+# ---------------------------------------------------------------------------
+
+
+def _pair_counts(vocab: dict[tuple[str, ...], int]) -> dict[tuple[str, str], int]:
+    counts: dict[tuple[str, str], int] = {}
+    for syms, c in vocab.items():
+        for j in range(len(syms) - 1):
+            p = (syms[j], syms[j + 1])
+            counts[p] = counts.get(p, 0) + c
+    return counts
+
+
+def _merge_word(syms: tuple[str, ...], a: str, b: str) -> tuple[str, ...]:
+    """All non-overlapping occurrences of (a, b), left to right — the
+    Sennrich training apply step."""
+    out: list[str] = []
+    j = 0
+    n = len(syms)
+    while j < n:
+        if j + 1 < n and syms[j] == a and syms[j + 1] == b:
+            out.append(a + b)
+            j += 2
+        else:
+            out.append(syms[j])
+            j += 1
+    return tuple(out)
+
+
+def bpe_train_python(
+    word_counts: dict[str, int], n_merges: int, min_count: int = 2
+) -> list[tuple[str, str]]:
+    """Classic BPE training on a word-frequency dict. Deterministic: the
+    merged pair is the max-count one, ties broken lexicographically on
+    (left, right) — the reference implementation's dict-order tie is not
+    reproducible across runs/engines, this is. Stops early when the best
+    pair's count drops below ``min_count``."""
+    vocab = {tuple(w): c for w, c in word_counts.items() if w}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts = _pair_counts(vocab)
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < min_count:
+            break
+        merges.append((a, b))
+        vocab = {
+            (_merge_word(s, a, b) if a in s else s): cnt for s, cnt in vocab.items()
+        }
+    return merges
+
+
+def bpe_ranks(merges: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
+    """Merge list → rank lookup (training order = merge priority)."""
+    return {pair: i for i, pair in enumerate(merges)}
+
+
+def bpe_encode_python(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy BPE encode of one word: repeatedly merge the FIRST
+    occurrence of the lowest-rank adjacent pair until no pair is in the
+    table. Equivalent to the all-occurrences form (see module doc) and
+    step-identical to the q_bpe_encode oracle's recursive CTE."""
+    t = list(word)
+    while len(t) > 1:
+        best_rank = None
+        best_j = -1
+        for j in range(len(t) - 1):
+            r = ranks.get((t[j], t[j + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_j = r, j
+        if best_rank is None:
+            break
+        t[best_j : best_j + 2] = [t[best_j] + t[best_j + 1]]
+    return t
+
+
+# ---------------------------------------------------------------------------
+# Distributed training
+# ---------------------------------------------------------------------------
+
+
+def word_count_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, count) over the lowercased whitespace-split corpus — the
+    one corpus-sized pass of BPE training (partial-aggregable groupBy;
+    output is vocabulary-sized)."""
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("count"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 50,
+    min_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Distributed BPE training; returns the merge list (training order).
+
+    One corpus-sized groupBy builds the word-frequency table; each merge
+    round is a vocabulary-sized pair-count shuffle + a 1-row driver
+    argmax + an Arrow-batched merge apply on the affected words only.
+    Deterministic and pinned equal to ``bpe_train_python`` in tests
+    (tests/test_tokenize.py).
+
+    Driver materialization per round: exactly one (count, left, right)
+    row — never a vocabulary."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    vocab = word_count_table(docs, text_col).select(
+        # split('x','') yields chars in Spark; filter guards locales where
+        # a trailing empty string appears
+        F.array_compact(F.split("word", "")).alias("syms"),
+        "count",
+    )
+    vocab = vocab.localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_row = (
+            vocab.where(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("syms", 1, F.size("syms") - 1).alias("l"),
+                        F.slice("syms", 2, F.size("syms") - 1).alias("r"),
+                    )
+                ).alias("p"),
+                "count",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("count").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not pair_row or pair_row[0]["c"] < min_count:
+            break
+        a, b = pair_row[0]["l"], pair_row[0]["r"]
+        merges.append((a, b))
+
+        def _mk(a: str, b: str):
+            @F.pandas_udf(ArrayType(StringType()))
+            def apply_merge(col: pd.Series) -> pd.Series:
+                return col.map(lambda s: list(_merge_word(tuple(s), a, b)))
+
+            return apply_merge
+
+        apply_merge = _mk(a, b)
+
+        # only words containing BOTH symbols can contain the pair — the
+        # cheap codegen prefilter keeps the Arrow hop off untouched rows
+        hit = F.array_contains("syms", a) & F.array_contains("syms", b)
+        vocab = vocab.select(
+            F.when(hit, apply_merge("syms")).otherwise(F.col("syms")).alias("syms"),
+            "count",
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+# ---------------------------------------------------------------------------
+# Distributed encoding
+# ---------------------------------------------------------------------------
+
+
+def bpe_encode_words(
+    words: DataFrame, merges: list[tuple[str, str]], word_col: str = "word"
+) -> DataFrame:
+    """word table → + ``tokens array<string>``, ``n_tokens int``. The
+    rank table is closure-captured (broadcast with the task — kilobytes
+    for real vocabularies); the encode is an Arrow-batched pandas UDF.
+    Callers pass DISTINCT words and join back (``bpe_token_stats``)."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    ranks = bpe_ranks(merges)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def enc(col: pd.Series) -> pd.Series:
+        return col.map(lambda w: bpe_encode_python(w, ranks))
+
+    return words.withColumn("tokens", enc(word_col)).withColumn(
+        "n_tokens", F.size("tokens").cast("int")
+    )
+
+
+def bpe_token_stats(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document REAL token counts under a frozen merge table:
+    ``(id_col, n_words, n_tokens)``.
+
+    Plan: occurrences = explode(lowercase whitespace split) — the only
+    corpus-sized frame; DISTINCT words encode once (vocabulary-sized
+    Arrow work); one word-keyed join back (the distinct side is
+    vocabulary-sized, broadcastable for real corpora); one id groupBy.
+    At 100 TB this is the shape that works: per-word Python runs
+    |vocab| times, not |corpus| times."""
+    occ = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+        ).alias("word"),
+    )
+    encoded = bpe_encode_words(occ.select("word").distinct(), merges).select(
+        "word", "n_tokens"
+    )
+    return (
+        occ.join(F.broadcast(encoded), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frozen merge table for the contract query
+# ---------------------------------------------------------------------------
+
+#: Seed word frequencies for the FROZEN contract merge table — a fixed,
+#: corpus-independent artifact (what a real deployment would load from a
+#: tokenizer release). Words are the synthetic corpus vocabulary
+#: (TESTDATA.md) with hand-fixed Zipf-ish counts so the trained merges
+#: actually bind on the documents table (non-vacuous contract query);
+#: training is the pure-python twin at import (microseconds).
+_SEED_WORD_COUNTS: dict[str, int] = {
+    "the": 90, "a": 80, "table": 60, "value": 55, "scan": 50, "row": 48,
+    "fast": 45, "part": 42, "agg": 40, "window": 38, "batch": 36,
+    "slow": 34, "key": 32, "data": 30, "join": 28, "small": 26,
+    "line": 24, "order": 22, "query": 20, "column": 19, "spark": 18,
+    "merge": 17, "sort": 16, "group": 15, "stream": 14, "filter": 13,
+    "customer": 12, "big": 11, "vector": 10, "hash": 9, "of": 8,
+}
+
+#: 48 merges is enough to fuse the common short words whole while leaving
+#: rarer words multi-token — a realistic mix of 1..4 tokens per word.
+FROZEN_MERGES: list[tuple[str, str]] = bpe_train_python(
+    _SEED_WORD_COUNTS, n_merges=48, min_count=2
+)

@@ -3346,3 +3346,155 @@ def q_embed_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     return gram_matrix_exact(e, "embedding")
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer (llm/tokenize.py) — real token counts under a frozen
+# merge table. The oracle replays greedy BPE EXACTLY in DuckDB: the
+# frozen merges are rendered as a literal rank table and a recursive CTE
+# merges the first occurrence of the lowest-rank adjacent pair per step
+# over the DISTINCT words (the same distinct-word cache the Spark plan
+# uses), then joins back to word occurrences. The engine's first-
+# occurrence step is provably identical to the reference all-occurrence
+# form (see llm/tokenize.py module doc).
+# ---------------------------------------------------------------------------
+
+
+def _bpe_merge_values() -> str:
+    from ..llm.tokenize import FROZEN_MERGES
+
+    return ", ".join(
+        f"('{l}', '{r}', {i})" for i, (l, r) in enumerate(FROZEN_MERGES)
+    )
+
+
+_BPE_ENCODE_CTE = """
+WITH RECURSIVE
+m(l, r, rk) AS (VALUES {merges}),
+ml AS (SELECT list(struct_pack(l := l, r := r, rk := rk)) AS ms FROM m),
+dw AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+  FROM documents
+),
+words AS (SELECT DISTINCT w FROM dw),
+init AS (
+  SELECT w, 0 AS step,
+         list_transform(range(1, length(w) + 1), i -> w[i]) AS t
+  FROM words
+),
+enc(w, step, t) AS (
+  SELECT * FROM init
+  UNION ALL
+  SELECT w, step + 1,
+         t[1:best[2]-1] || [t[best[2]] || t[best[2]+1]] || t[best[2]+2:]
+  FROM (
+    SELECT w, step, t,
+      list_min(list_filter(
+        list_transform(range(1, len(t)), j -> [
+          list_min(list_transform(
+            list_filter(ms, x -> x.l = t[j] AND x.r = t[j+1]),
+            x -> x.rk)), j
+        ]),
+        p -> p[1] IS NOT NULL)) AS best
+    FROM enc, ml
+  ) s
+  WHERE best IS NOT NULL
+),
+final AS (
+  SELECT w, len(t) AS n_tok FROM (
+    SELECT w, t, ROW_NUMBER() OVER (PARTITION BY w ORDER BY step DESC) AS rn
+    FROM enc
+  ) WHERE rn = 1
+),
+doc_tokens AS (
+  SELECT dw.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(f.n_tok) AS BIGINT) AS n_tokens
+  FROM dw JOIN final f ON dw.w = f.w
+  GROUP BY dw.doc_id
+)
+"""
+
+
+@register(
+    "q_bpe_encode",
+    "llm",
+    oracle=_BPE_ENCODE_CTE.format(merges=_bpe_merge_values())
+    + "SELECT doc_id, n_words, n_tokens FROM doc_tokens",
+    notes="REAL BPE token counts (Sennrich 2016 / GPT-2-style greedy "
+    "merge) under the frozen 48-merge table llm/tokenize.FROZEN_MERGES — "
+    "closes the r9 gap where every token count was whitespace or a regex "
+    "estimate. Engine plan: one corpus-sized explode, DISTINCT words "
+    "encode once via an Arrow-batched pandas UDF with the rank table "
+    "broadcast (the Zipf cache: |vocab| Python calls, not |corpus|), one "
+    "broadcast join back, one id groupBy. Oracle: the merge table as a "
+    "literal rank relation + a recursive CTE replaying the identical "
+    "greedy step per distinct word. Training itself is driver-loop "
+    "iterative (non-SQL); its distributed form is pinned equal to the "
+    "python twin in tests/test_tokenize.py",
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import tokenize
+
+    d = table(spark, sf_dir, "documents")
+    return tokenize.bpe_token_stats(d, tokenize.FROZEN_MERGES)
+
+
+@register(
+    "q_pack_bpe",
+    "llm",
+    oracle=_BPE_ENCODE_CTE.format(merges=_bpe_merge_values())
+    + """,
+    t AS (
+      SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+             CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                  WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM doc_tokens
+    ), p AS (
+      SELECT doc_id, split, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY split ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+      FROM t
+    )
+    SELECT doc_id, split, n_tokens,
+           CAST(prefix // 2048 AS INTEGER) AS pack_id,
+           CAST(prefix % 2048 AS INTEGER) AS pack_offset
+    FROM p
+    """,
+    notes="q_pack_sequences rewired to REAL BPE token counts (the r9 "
+    "verdict's 'wire real token counts into a packing query'): identical "
+    "concat-then-split prefix-sum packing, identical deterministic split "
+    "shards, but the budget arithmetic runs on the frozen-merge-table "
+    "tokenization instead of whitespace counts — pack boundaries now "
+    "land where a real trainer's would. Same scale story as "
+    "q_pack_sequences (per-shard window, no global sort) plus "
+    "q_bpe_encode's distinct-word encode",
+)
+def q_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..llm import tokenize
+
+    d = table(spark, sf_dir, "documents")
+    stats = tokenize.bpe_token_stats(d, tokenize.FROZEN_MERGES).select(
+        "doc_id", F.col("n_tokens").cast("int").alias("n_tokens")
+    )
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % 100
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    t = stats.withColumn("split", split)
+    w = (
+        Window.partitionBy("split")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return t.select(
+        "doc_id",
+        "split",
+        "n_tokens",
+        F.floor(prefix / 2048).cast("int").alias("pack_id"),
+        (prefix % 2048).cast("int").alias("pack_offset"),
+    )

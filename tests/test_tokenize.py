@@ -1,0 +1,127 @@
+"""BPE tokenizer: distributed train/encode pinned to the python twins.
+
+The twins (bpe_train_python / bpe_encode_python) are the semantic ground
+truth; these tests pin (a) the distributed training loop equal to the
+twin merge-for-merge, (b) the first-occurrence encode equal to the
+published all-occurrences-per-step form, (c) lossless detokenization,
+and (d) the per-doc stats operator equal to a from-scratch python
+recount.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_pos_kafka_pyspark_airflow_spark.llm import tokenize as tk
+
+
+def _reference_encode(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """The published (GPT-2-style) encode: per step pick the lowest-rank
+    pair present, then merge ALL its non-overlapping occurrences left to
+    right. The module's first-occurrence step must agree exactly."""
+    t = list(word)
+    while len(t) > 1:
+        pairs = {(t[j], t[j + 1]) for j in range(len(t) - 1)}
+        ranked = [p for p in pairs if p in ranks]
+        if not ranked:
+            break
+        a, b = min(ranked, key=lambda p: ranks[p])
+        out, j = [], 0
+        while j < len(t):
+            if j + 1 < len(t) and t[j] == a and t[j + 1] == b:
+                out.append(a + b)
+                j += 2
+            else:
+                out.append(t[j])
+                j += 1
+        t = out
+    return t
+
+
+def test_train_python_known_sequence():
+    """Hand-checkable corpus: 'ab' dominates, then merges chain."""
+    merges = tk.bpe_train_python({"abab": 10, "abc": 5, "xy": 1}, n_merges=10)
+    # (a,b) count 25 first; then (ab,ab) 10; then (ab,c) 5; xy count 1 < min_count
+    assert merges[:3] == [("a", "b"), ("ab", "ab"), ("ab", "c")]
+    assert ("x", "y") not in merges
+
+
+def test_train_python_tiebreak_lexicographic():
+    """Equal counts must break ties on the lexicographically smallest
+    pair — deterministic across engines, unlike dict order."""
+    merges = tk.bpe_train_python({"zw": 3, "ab": 3}, n_merges=1)
+    assert merges == [("a", "b")]
+
+
+def test_encode_first_occurrence_equals_reference_form():
+    """Property: for random words over the trained alphabet, the
+    module's first-occurrence greedy step produces EXACTLY the published
+    all-occurrences tokenization (the rank argument in the module doc)."""
+    ranks = tk.bpe_ranks(tk.FROZEN_MERGES)
+    rng = random.Random(42)
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    for _ in range(300):
+        w = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 14)))
+        assert tk.bpe_encode_python(w, ranks) == _reference_encode(w, ranks), w
+
+
+def test_encode_detokenizes_losslessly_and_handles_unknowns():
+    ranks = tk.bpe_ranks(tk.FROZEN_MERGES)
+    for w in ("table", "customer", "xyzzy", "a", "ßü√"):
+        toks = tk.bpe_encode_python(w, ranks)
+        assert "".join(toks) == w
+    # chars absent from every merge stay single-symbol tokens
+    assert tk.bpe_encode_python("zzz", ranks) == ["z", "z", "z"]
+
+
+def test_frozen_merges_are_reproducible():
+    assert tk.FROZEN_MERGES == tk.bpe_train_python(
+        tk._SEED_WORD_COUNTS, n_merges=48, min_count=2
+    )
+    assert len(tk.FROZEN_MERGES) == 48
+
+
+def test_distributed_train_equals_python_twin(spark):
+    """Merge-for-merge equality on the real sf0.001 corpus — the
+    distributed pair-count/argmax/apply loop IS the twin's algebra."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wc = {r["word"]: r["count"] for r in tk.word_count_table(docs).collect()}
+    assert tk.bpe_train(docs, n_merges=12) == tk.bpe_train_python(wc, 12)
+
+
+def test_distributed_train_min_count_stop(spark):
+    """Every pair unique => best count 1 < min_count 2 => no merges."""
+    docs = spark.createDataFrame([("abc",), ("xyz",)], ["text"])
+    assert tk.bpe_train(docs, n_merges=5) == []
+
+
+def test_token_stats_equals_python_recount(spark):
+    docs = spark.createDataFrame(
+        [(1, "the table Table"), (2, "customer of the big TABLE"), (3, "zz")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in tk.bpe_token_stats(docs, tk.FROZEN_MERGES).collect()
+    }
+    ranks = tk.bpe_ranks(tk.FROZEN_MERGES)
+    for doc_id, text in [(1, "the table Table"), (2, "customer of the big TABLE"), (3, "zz")]:
+        words = text.lower().split()
+        want = (len(words), sum(len(tk.bpe_encode_python(w, ranks)) for w in words))
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+
+
+def test_encode_words_returns_token_arrays(spark):
+    out = {
+        r["word"]: r["tokens"]
+        for r in tk.bpe_encode_words(
+            spark.createDataFrame([("table",), ("spark",)], ["word"]),
+            tk.FROZEN_MERGES,
+        ).collect()
+    }
+    ranks = tk.bpe_ranks(tk.FROZEN_MERGES)
+    assert out["table"] == tk.bpe_encode_python("table", ranks)
+    assert out["spark"] == tk.bpe_encode_python("spark", ranks)
