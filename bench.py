@@ -165,9 +165,11 @@ HEADLINE = [
     "q_join_size_sketch",
     "q_sql_surface",
     # round-10: real BPE token counts (distinct-word Arrow encode +
-    # broadcast join back) and the packing query rewired onto them
+    # broadcast join back), the packing query rewired onto them, and the
+    # third sketch leg (KLL quantiles: per-shard build + union merge)
     "q_bpe_encode",
     "q_pack_bpe",
+    "q_sketch_quantile",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

@@ -3144,3 +3144,139 @@ def q_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decayed_sum_dyadic(
         d, "event_type", F.col("v"), F.col("age"), half_life=7, max_age=28
     )
+
+
+@register(
+    "q_sketch_quantile",
+    "agg",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(year(l_shipdate) AS INTEGER) AS yr,
+             CAST(l_quantity AS BIGINT) AS x
+      FROM lineitem
+    ), c AS (
+      SELECT yr, x, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY 1, 2
+    ), cum AS (
+      SELECT yr, x, cnt,
+             SUM(cnt) OVER (PARTITION BY yr ORDER BY x) AS cum
+      FROM c
+    ), n AS (
+      SELECT yr, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY 1
+    ), shard AS (
+      SELECT cum.yr, MAX(n.n) AS n,
+             MIN(CASE WHEN cum * 4 >= 1 * n.n THEN x END) AS q25,
+             MIN(CASE WHEN cum * 2 >= 1 * n.n THEN x END) AS q50,
+             MIN(CASE WHEN cum * 4 >= 3 * n.n THEN x END) AS q75,
+             MIN(CASE WHEN cum * 20 >= 19 * n.n THEN x END) AS q95
+      FROM cum JOIN n USING (yr) GROUP BY cum.yr
+    ), gc AS (
+      SELECT x, CAST(SUM(cnt) AS BIGINT) AS cnt FROM c GROUP BY 1
+    ), gcum AS (
+      SELECT x, cnt, SUM(cnt) OVER (ORDER BY x) AS cum FROM gc
+    ), gn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM gc)
+    SELECT yr, n, q25, q50, q75, q95,
+           CAST(1 AS INTEGER) AS rank_ok, CAST(1 AS INTEGER) AS n_ok
+    FROM shard
+    UNION ALL
+    SELECT CAST(NULL AS INTEGER), gn.n,
+           MIN(CASE WHEN cum * 4 >= 1 * gn.n THEN x END),
+           MIN(CASE WHEN cum * 2 >= 1 * gn.n THEN x END),
+           MIN(CASE WHEN cum * 4 >= 3 * gn.n THEN x END),
+           MIN(CASE WHEN cum * 20 >= 19 * gn.n THEN x END),
+           CAST(1 AS INTEGER), CAST(1 AS INTEGER)
+    FROM gcum, gn GROUP BY gn.n
+    """,
+    notes="extension: MERGEABLE quantile sketches (Datasketches KLL via "
+    "Spark 4's kll_sketch_agg_bigint) — the third sketch leg next to HLL "
+    "cardinality (q_sketch_shards) and CMS frequency (q_sketch_countmin): "
+    "per-shipyear ~3 KB sketch rows, global quantiles from "
+    "kll_merge_agg_bigint over the shard rows — kilobytes move, the fact "
+    "is scanned once. Self-certifying (q_sketch_shards discipline): the "
+    "hash-checked outputs are EXACT ceil-rank quantiles (min x with "
+    "cum·den ≥ num·n — pure integer threshold, engine-agnostic, no "
+    "percentile_disc dialect dependence) computed from a 50-distinct-"
+    "value cum table; rank_ok asserts in-plan that each sketch quantile "
+    "estimate's EXACT rank interval (exclusive, inclusive] sits within "
+    "5% normalized rank of the target "
+    "(KLL k=200 guarantees ~1.65% at 99% conf; the sketch is "
+    "coin-flip randomized so raw estimates are never hashed), and n_ok "
+    "asserts kll_sketch_get_n — exact through any merge tree — equals "
+    "the true shard/global count. The GLOBAL row certifies the MERGE "
+    "path: its sketch is the union of the 7 shard sketches, never a "
+    "direct second scan",
+)
+def q_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import kll_merge_shards, kll_sketch_table
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").cast("int").alias("yr"),
+        F.col("l_quantity").cast("long").alias("x"),
+    )
+    ranks = [(1, 4, "q25"), (1, 2, "q50"), (3, 4, "q75"), (19, 20, "q95")]
+
+    def arm(vals: DataFrame, sketch: DataFrame, keys: list[str]) -> DataFrame:
+        """Exact ceil-rank quantiles + sketch certification bits.
+        vals: (*keys, x); sketch: (*keys, kll, n).
+
+        The cert arm folds the per-shard cum table into a MAP column
+        (bounded: l_quantity has ≤ 50 distinct values; certification-only
+        — the product path is the sketch) so the sketch estimate's exact
+        rank bounds come from one element_at, no joins back. The bit is
+        two-sided on DISCRETE data: the sketch may legitimately return a
+        value v with p anywhere in (rank_exclusive(v), rank_inclusive(v)]
+        ± the KLL ε, so it asserts
+        (cum(v)−cnt(v))/n − ε ≤ p ≤ cum(v)/n + ε."""
+        c = vals.groupBy(*keys, "x").agg(F.count("*").cast("long").alias("cnt"))
+        w = Window.partitionBy(*keys).orderBy("x") if keys else Window.orderBy("x")
+        cum = c.withColumn("cum", F.sum("cnt").over(w))
+        cumn = cum.join(sketch.select(*keys, "n"), keys) if keys else cum.crossJoin(
+            sketch.select("n")
+        )
+        # exact quantile q_p = MIN(x : cum·den ≥ num·n) — pure integer
+        # threshold, engine-agnostic (no percentile_disc dialect)
+        q = cumn.groupBy(*keys).agg(
+            F.max("n").alias("n"),
+            *[
+                F.min(
+                    F.when(F.col("cum") * den >= num * F.col("n"), F.col("x"))
+                ).alias(name)
+                for num, den, name in ranks
+            ],
+            F.map_from_entries(
+                F.collect_list(F.struct("x", F.struct("cum", "cnt")))
+            ).alias("_m"),
+        )
+        out = q.join(sketch.select(*keys, "kll"), keys) if keys else q.crossJoin(
+            sketch.select("kll")
+        )
+        eps = 0.05
+        nd = F.col("n").cast("double")
+        bits = []
+        for num, den, name in ranks:
+            p = num / den
+            est = F.expr(f"kll_sketch_get_quantile_bigint(kll, CAST({p} AS DOUBLE))")
+            e = F.element_at("_m", est)
+            bits.append(
+                ((e["cum"] - e["cnt"]).cast("double") / nd - F.lit(eps) <= F.lit(p))
+                & (F.lit(p) <= e["cum"].cast("double") / nd + F.lit(eps))
+            )
+        rank_ok = bits[0]
+        for b in bits[1:]:
+            rank_ok = rank_ok & b
+        return out.select(
+            *keys,
+            "n",
+            *[name for _, _, name in ranks],
+            rank_ok.cast("int").alias("rank_ok"),
+            (F.expr("kll_sketch_get_n_bigint(kll)") == F.col("n"))
+            .cast("int")
+            .alias("n_ok"),
+        )
+
+    sk = kll_sketch_table(li, "yr", "x", k=200)
+    per_shard = arm(li, sk, ["yr"])
+    merged = kll_merge_shards(sk)
+    glob = arm(li.select("x"), merged, []).select(
+        F.lit(None).cast("int").alias("yr"), "*"
+    )
+    return per_shard.unionAll(glob.select(per_shard.columns))

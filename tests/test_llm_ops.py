@@ -2832,3 +2832,49 @@ def test_decayed_sum_dyadic_staircase_and_envelope(spark):
     # k_max=4: big age → k=2 (weight 4, NOT the double path's k=3 weight
     # 2); negative age → k=0 (weight 16)
     assert r2["scaled_sum"] == 8 * 4 + 8 * 16
+
+
+def test_kll_sketch_mergeability_and_rank_error(spark):
+    """KLL quantile sketch properties: (a) get_n is EXACT through any
+    merge tree (deterministic, unlike the quantile estimates); (b) the
+    merged sketch's quantile estimates land within the documented
+    normalized-rank error of the exact quantiles, for two DIFFERENT
+    shardings of the same skewed data (merge associativity in effect)."""
+    from pyspark.sql import functions as F
+
+    from simple_pos_kafka_pyspark_airflow_spark.operators.aggregates import (
+        kll_merge_shards,
+        kll_sketch_table,
+    )
+
+    # skewed longs: x = floor(1/u^0.5)-ish via integer hashing, domain ~1..1000
+    n = 50_000
+    df = spark.range(n).select(
+        (F.col("id") % 16).alias("shard_a"),
+        (F.col("id") % 7).alias("shard_b"),
+        (F.pmod(F.xxhash64("id"), F.lit(1000)) + 1).alias("x"),
+    )
+    exact = sorted(r["x"] for r in df.select("x").collect())
+
+    for shard_col in ("shard_a", "shard_b"):
+        sk = kll_sketch_table(df, shard_col, "x", k=200)
+        merged = kll_merge_shards(sk)
+        row = merged.select(
+            F.expr("kll_sketch_get_n_bigint(kll)").alias("sk_n"),
+            "n",
+            *[
+                F.expr(
+                    f"kll_sketch_get_quantile_bigint(kll, CAST({p} AS DOUBLE))"
+                ).alias(f"q_{i}")
+                for i, p in enumerate((0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+            ],
+        ).first()
+        assert row["sk_n"] == row["n"] == n  # exact through the merge
+        for i, p in enumerate((0.1, 0.25, 0.5, 0.75, 0.9, 0.99)):
+            est = row[f"q_{i}"]
+            # exact inclusive/exclusive rank of the estimate
+            import bisect
+
+            inc = bisect.bisect_right(exact, est) / n
+            exc = bisect.bisect_left(exact, est) / n
+            assert exc - 0.05 <= p <= inc + 0.05, (shard_col, p, est, exc, inc)
