@@ -170,6 +170,9 @@ HEADLINE = [
     "q_bpe_encode",
     "q_pack_bpe",
     "q_sketch_quantile",
+    # round-10: the explicit hot-key salted equi-join (dim replicated x8,
+    # fact salted, exchange on key+salt)
+    "q_join_salted",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

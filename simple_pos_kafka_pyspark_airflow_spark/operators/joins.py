@@ -384,3 +384,47 @@ def bloom_semi_reduce(
     )
     right = keys.select(F.col(kk).alias(fact_key)).distinct()
     return survivors.join(right, fact_key, "left_semi")
+
+
+def salted_equi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+    salt_on=None,
+) -> DataFrame:
+    """Hot-key equi-join rewrite — EXACT by construction: replicate the
+    dim side across ``n_salts`` salt values, salt each fact row, join on
+    ``(on, salt)``, drop the salt. Every fact row meets exactly the one
+    dim replica carrying its salt, so the result is row-identical to the
+    plain join (inner/left supported); what changes is the SHUFFLE KEY —
+    a hot join key's rows spread across ``n_salts`` reducer tasks
+    instead of funneling through one.
+
+    When to reach for it (and not AQE): AQE's skew-join splits oversized
+    shuffle partitions at runtime, but it cannot reach (a) stream-static
+    joins (no runtime re-plan inside a microbatch), (b) pre-bucketed SMJ
+    plans whose zero-exchange co-location an AQE split would forfeit
+    (q_join_bucketed), or (c) plans where the skew is known AHEAD of
+    time and paying dim replication ×n_salts beats a mid-query replan.
+    If the dim side fits a broadcast, broadcast instead — salting is for
+    the medium dim × skewed giant fact regime.
+
+    ``salt_on``: expression the fact salt hashes (default: the join key
+    XOR'd row content via xxhash64 over all fact columns — deterministic,
+    retry-safe; pass a finer column, e.g. a line number, when fact rows
+    can be fully identical and must still spread). Cost model: dim
+    shuffles ×n_salts (size dim·n_salts against the hot key's row count);
+    the fact shuffle is unchanged in volume, only better distributed."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_equi_join supports inner/left, got {how!r}")
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    salt_src = salt_on if salt_on is not None else F.xxhash64(*fact.columns)
+    f = fact.withColumn("_salt", F.pmod(salt_src, F.lit(n_salts)).cast("int"))
+    d = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i).cast("int") for i in range(n_salts)]))
+    )
+    out = f.join(d, [on, "_salt"], how)
+    return out.drop("_salt")

@@ -915,3 +915,42 @@ def q_scan_jdbc_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.sum("cents").cast("long").alias("cents"),
     )
+
+
+@register(
+    "q_join_salted",
+    "join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+    notes="extension: the explicit hot-key SALTED equi-join "
+    "(operators/joins.salted_equi_join) — dim replicated across 8 salts, "
+    "fact rows salted by xxhash64, join on (key, salt), salt dropped. "
+    "EXACT by construction (each fact row meets exactly its own salt's "
+    "dim replica), so the oracle is the plain join; what changes is the "
+    "shuffle key — a hot key's rows spread across 8 reducer tasks. "
+    "Covers the regimes AQE skew-join cannot reach: stream-static joins, "
+    "pre-bucketed zero-exchange SMJ plans, and ahead-of-time-known skew. "
+    "Plan-pinned (exchange on key+salt, no broadcast of the replicated "
+    "dim) and hot-key-equality-tested in tests",
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import salted_equi_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    j = salted_equi_join(li, o, "okey", n_salts=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
