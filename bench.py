@@ -171,8 +171,10 @@ HEADLINE = [
     "q_pack_bpe",
     "q_sketch_quantile",
     # round-10: the explicit hot-key salted equi-join (dim replicated x8,
-    # fact salted, exchange on key+salt)
+    # fact salted, exchange on key+salt) and PQ retrieval (codebook train
+    # + code-column ADC scan + exact re-rank)
     "q_join_salted",
+    "q_embed_pq",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

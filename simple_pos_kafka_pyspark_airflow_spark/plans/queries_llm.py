@@ -3498,3 +3498,41 @@ def q_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(prefix / 2048).cast("int").alias("pack_id"),
         (prefix % 2048).cast("int").alias("pack_offset"),
     )
+
+
+@register(
+    "q_embed_pq",
+    "llm",
+    oracle="""
+    SELECT vec_id AS query_id, vec_id,
+           CAST(1.0 AS DOUBLE) AS score, CAST(1 AS INTEGER) AS rn
+    FROM embeddings WHERE vec_id % 50 = 0
+    UNION ALL
+    SELECT vec_id AS query_id, vec_id + 1000000 AS vec_id,
+           CAST(1.0 AS DOUBLE) AS score, CAST(2 AS INTEGER) AS rn
+    FROM embeddings WHERE vec_id % 50 = 0
+    """,
+    notes="Product Quantization retrieval (Jégou et al. 2011; "
+    "llm/simsearch.pq_train/pq_encode/pq_topk_batch) — the compression "
+    "tier below int8 for a 100 TB vector store: m=8 subspace codebooks "
+    "(ks=16, trained by deterministic hash-seeded k-means), codes of 8 "
+    "small ints per vector (~32x lighter than fp32), per-query ADC "
+    "lookup-table scoring that reads ONLY the code column, exact cosine "
+    "re-rank of the top-50 ADC candidates. Planted-twin oracle "
+    "(q_semdedup's pattern): corpus = embeddings ∪ id-shifted identical "
+    "copy; every 50th original queries the index — its self and its twin "
+    "share the IDENTICAL code (maximal ADC, certainly in the rerank "
+    "buffer) and re-rank to exactly (rank1=self, rank2=twin, cosine "
+    "1.0), while the nearest organic vector sits at ≤0.51 cosine "
+    "(measured corpus property). A full value-hash contract on 2 rows "
+    "per query; organic recall-vs-int8 behavior is pinned in tests",
+)
+def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    planted = e.unionByName(e.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000)))
+    codebooks = simsearch.pq_train(e, m=8, ks=16)
+    enc = simsearch.pq_encode(planted, codebooks)
+    queries = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return simsearch.pq_topk_batch(enc, codebooks, queries, k=2, rerank=50)
