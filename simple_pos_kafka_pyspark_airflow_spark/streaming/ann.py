@@ -48,8 +48,13 @@ star (SURVEY.md §2.11) to the streaming half of the ANN story.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# pd is module-level on purpose: pandas_udf resolves the (stringified,
+# via __future__ annotations) type hints against this module's globals
+# (the operators.joins convention).
 
 from ..llm import simsearch
 from ..sources.io import (
@@ -71,6 +76,9 @@ class IncrementalIvfIndex:
         vec_col: str = "embedding",
         id_col: str = "vec_id",
         store_quantized: bool = False,
+        store_pq: bool = False,
+        pq_m: int = 8,
+        pq_ks: int = 16,
     ) -> None:
         """``store_quantized=True`` stores each vector as (scale, int8
         codes) instead of float32 — the index shrinks ~4× and so does
@@ -78,16 +86,33 @@ class IncrementalIvfIndex:
         100 TB. Probes score the dequantized form (per-element error ≤
         scale/2); pass ``rescore_from`` to ``probe`` to re-rank an
         over-fetched candidate set against the exact corpus vectors.
+
+        ``store_pq=True`` is the tier BELOW int8 (Jégou et al. 2011,
+        ``llm.simsearch.pq_train``): each vector stores as ``pq_m`` small
+        ints (~32× lighter than fp32 at m=8/d=64), the per-subspace
+        codebooks are trained in ``fit`` and persisted next to the
+        centroids (same atomic-swap discipline — every batch and every
+        probe, across restarts, reads the SAME codebooks), and probes
+        rank candidates by ADC lookup tables. PQ scores are rank-only
+        approximations, so PQ probes REQUIRE ``rescore_from`` — the
+        exact re-rank is part of the published pipeline, not optional.
+
         Readers auto-detect the layout from the index schema, so one
         index never mixes forms with another's flag."""
+        if store_quantized and store_pq:
+            raise ValueError("store_quantized and store_pq are mutually exclusive tiers")
         self.spark = spark
         self.path = path.rstrip("/")
         self.centroid_path = self.path + "_centroids"
+        self.pq_path = self.path + "_pq_codebooks"
         self.n_cells = n_cells
         self.n_assign = n_assign
         self.vec_col = vec_col
         self.id_col = id_col
         self.store_quantized = store_quantized
+        self.store_pq = store_pq
+        self.pq_m = pq_m
+        self.pq_ks = pq_ks
 
     # -- quantizer ---------------------------------------------------------
 
@@ -114,6 +139,24 @@ class IncrementalIvfIndex:
         ]
         cdf = self.spark.createDataFrame(rows, "cell INT, pos INT, value DOUBLE")
         overwrite_atomic(cdf.coalesce(1), self.centroid_path)
+        if self.store_pq:
+            cbs = simsearch.pq_train(
+                df.select(self.id_col, self.vec_col),
+                m=self.pq_m,
+                ks=self.pq_ks,
+                vec_col=self.vec_col,
+                id_col=self.id_col,
+            )
+            cb_rows = [
+                (int(s), int(c), int(p), float(v))
+                for s, book in enumerate(cbs)
+                for c, word in enumerate(book)
+                for p, v in enumerate(word)
+            ]
+            cb_df = self.spark.createDataFrame(
+                cb_rows, "s INT, c INT, pos INT, value DOUBLE"
+            )
+            overwrite_atomic(cb_df.coalesce(1), self.pq_path)
         return cents
 
     def _centroids(self) -> list[list[float]] | None:
@@ -131,6 +174,26 @@ class IncrementalIvfIndex:
             )
         return [[by[c][p] for p in range(len(by[c]))] for c in sorted(by)]
 
+    def _pq_codebooks(self) -> list[list[list[float]]] | None:
+        """The persisted PQ codebooks, or None when never fit with
+        ``store_pq`` (same discovery discipline as ``_centroids``)."""
+        if not fs_dir_has_data(self.spark, self.pq_path):
+            return None
+        by: dict[tuple[int, int], dict[int, float]] = {}
+        for r in self.spark.read.parquet(self.pq_path).collect():
+            by.setdefault((r["s"], r["c"]), {})[r["pos"]] = r["value"]
+        n_s = max(k[0] for k in by) + 1
+        n_c = max(k[1] for k in by) + 1
+        if sorted(by) != [(s, c) for s in range(n_s) for c in range(n_c)]:
+            raise ValueError(f"corrupt PQ codebook table at {self.pq_path}")
+        return [
+            [
+                [by[(s, c)][p] for p in range(len(by[(s, c)]))]
+                for c in range(n_c)
+            ]
+            for s in range(n_s)
+        ]
+
     # -- ingest ------------------------------------------------------------
 
     def ingest_batch(self, df: DataFrame) -> None:
@@ -140,19 +203,24 @@ class IncrementalIvfIndex:
         assignment nor, worse, bootstrap the quantizer from nothing."""
         if df.isEmpty():
             return
+        my_layout = (
+            "pq" if self.store_pq else "int8" if self.store_quantized else "float"
+        )
         if fs_dir_has_data(self.spark, self.path):
-            stored_quantized = "q_codes" in self.spark.read.parquet(self.path).columns
-            if stored_quantized != self.store_quantized:
-                # Appending the other layout would not fail loudly: probes
+            cols = self.spark.read.parquet(self.path).columns
+            stored = "pq" if "pq_code" in cols else "int8" if "q_codes" in cols else "float"
+            if stored != my_layout:
+                # Appending another layout would not fail loudly: probes
                 # auto-detect the layout from the schema, so the minority
                 # layout's rows read as nulls and silently vanish from
                 # results. Refuse at ingest instead.
                 raise ValueError(
-                    f"index at {self.path} stores "
-                    f"{'quantized (q_scale, q_codes)' if stored_quantized else f'float {self.vec_col!r}'} "
-                    f"rows but this writer has store_quantized={self.store_quantized}; "
-                    "reopen with the matching flag (or compact() to a new path) — "
-                    "mixing layouts makes one layout's vectors invisible to probes"
+                    f"index at {self.path} stores {stored} rows but this "
+                    f"writer would append {my_layout} (store_quantized="
+                    f"{self.store_quantized}, store_pq={self.store_pq}); "
+                    "reopen with the matching flags (or compact() to a new "
+                    "path) — mixing layouts makes one layout's vectors "
+                    "invisible to probes"
                 )
         cents = self._centroids()
         if cents is None:
@@ -170,6 +238,17 @@ class IncrementalIvfIndex:
             # dispatches per batch; the numpy pass is bit-identical
             assigned = simsearch.quantize_embeddings_arrow(assigned, self.vec_col).select(
                 self.id_col, "cell", "q_scale", "q_codes"
+            )
+        elif self.store_pq:
+            cbs = self._pq_codebooks()
+            if cbs is None:
+                raise ValueError(
+                    f"no PQ codebooks at {self.pq_path}: fit() this store_pq "
+                    "index before ingesting (the quantizer fallback fit "
+                    "covers them only when fit runs through this writer)"
+                )
+            assigned = simsearch.pq_encode(assigned, cbs, vec_col=self.vec_col).select(
+                self.id_col, "cell", "pq_code"
             )
         assigned.write.mode("append").partitionBy("cell").parquet(self.path)
 
@@ -263,13 +342,49 @@ class IncrementalIvfIndex:
             .where(F.col("cell").isin(cells))
             .dropDuplicates([self.id_col])
         )
+        qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+        if "pq_code" in idx.columns:
+            # PQ tier: rank candidates by ADC — the per-subspace lookup
+            # tables are literal arrays, so scoring is pure JVM
+            # element_at gathers over the m-int code column (no vector
+            # bytes read, no Python). ADC is a rank-only approximation:
+            # the exact re-rank is mandatory, per the published pipeline.
+            if rescore_from is None:
+                raise ValueError(
+                    "a PQ index probe requires rescore_from: ADC scores "
+                    "order candidates but are not cosines — the exact "
+                    "re-rank is part of the IVF-PQ pipeline, not optional"
+                )
+            cbs = self._pq_codebooks()
+            if cbs is None:
+                raise ValueError(f"no PQ codebooks at {self.pq_path}")
+            cb = np.array(cbs, dtype="float64")  # (m, ks, dsub)
+            m, _, dsub = cb.shape
+            tables = [q_hat[s * dsub : (s + 1) * dsub] @ cb[s].T for s in range(m)]
+            adc = None
+            for s in range(m):
+                t_arr = F.array(*[F.lit(float(v)) for v in tables[s]])
+                term = F.element_at(
+                    t_arr, (F.element_at("pq_code", s + 1) + 1).cast("int")
+                )
+                adc = term if adc is None else adc + term
+            cand_ids = (
+                idx.select(self.id_col, adc.alias("_adc"))
+                .orderBy(F.col("_adc").desc(), F.col(self.id_col))
+                .limit(overfetch * k)
+                .select(self.id_col)
+            )
+            exact = rescore_from.join(F.broadcast(cand_ids), self.id_col).select(
+                F.col(self.id_col),
+                F.round(simsearch.cosine(F.col(self.vec_col), qcol), 6).alias("score"),
+            )
+            return exact.orderBy(F.col("score").desc(), F.col(self.id_col)).limit(k)
         quantized = "q_codes" in idx.columns
         vec = (
             simsearch.dequantize_embedding(F.col("q_codes"), F.col("q_scale"))
             if quantized
             else F.col(self.vec_col)
         )
-        qcol = F.array(*[F.lit(float(x)) for x in query_vec])
         scored = idx.select(
             F.col(self.id_col),
             F.round(simsearch.cosine(vec, qcol), 6).alias("score"),
@@ -292,6 +407,8 @@ class IncrementalIvfIndex:
         queries: list[tuple[int, list[float]]],
         k: int = 10,
         nprobe: int = 4,
+        rescore_from: DataFrame | None = None,
+        overfetch: int = 4,
     ) -> DataFrame:
         """Many probes in ONE index pass — the bulk-decontamination shape.
 
@@ -335,19 +452,84 @@ class IncrementalIvfIndex:
             .join(F.broadcast(pair_df), "cell")
             .dropDuplicates(["query_id", self.id_col])
         )
-        quantized = "q_codes" in idx.columns
-        vec = (
-            simsearch.dequantize_embedding(F.col("q_codes"), F.col("q_scale"))
-            if quantized
-            else F.col(self.vec_col)
-        )
-        scored = idx.join(F.broadcast(qvec_df), "query_id").select(
-            "query_id",
-            F.col(self.id_col),
-            F.round(simsearch.cosine(vec, F.col("query_vec")), 6).alias("score"),
-        )
         from pyspark.sql.window import Window
 
+        if "pq_code" in idx.columns:
+            # PQ tier, batched: per-query ADC tables stacked into one
+            # (nq, m, ks) closure-broadcast array; each (query, code) row
+            # scores through one Arrow gather. Exact re-rank mandatory.
+            if rescore_from is None:
+                raise ValueError(
+                    "a PQ index probe_batch requires rescore_from: ADC "
+                    "scores order candidates but are not cosines"
+                )
+            cbs = self._pq_codebooks()
+            if cbs is None:
+                raise ValueError(f"no PQ codebooks at {self.pq_path}")
+            cb = np.array(cbs, dtype="float64")
+            m, _, dsub = cb.shape
+            qid_list = [int(qid) for qid, _ in queries]
+            qmat = np.stack([np.asarray(qv, dtype="float64") for _, qv in queries])
+            qm_hat = qmat / np.maximum(
+                np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12
+            )
+            tables = np.stack(
+                [qm_hat[:, s * dsub : (s + 1) * dsub] @ cb[s].T for s in range(m)],
+                axis=1,
+            )  # (nq, m, ks)
+            qi_map = {qid: i for i, qid in enumerate(qid_list)}
+            qi_df = self.spark.createDataFrame(
+                list(qi_map.items()), "query_id long, _qi int"
+            )
+
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("double")
+            def adc(qi: pd.Series, code: pd.Series) -> pd.Series:
+                if qi.empty:
+                    return pd.Series([], dtype="float64")
+                q_idx = qi.to_numpy().astype("int64")
+                codes = np.stack(code.to_numpy()).astype("int64")
+                out = np.zeros(len(q_idx), dtype="float64")
+                for s in range(m):
+                    out += tables[q_idx, s, codes[:, s]]
+                return pd.Series(out)
+
+            ranked = (
+                idx.join(F.broadcast(qi_df), "query_id")
+                .select("query_id", self.id_col, adc("_qi", "pq_code").alias("_adc"))
+            )
+            wa = Window.partitionBy("query_id").orderBy(
+                F.col("_adc").desc(), F.col(self.id_col)
+            )
+            cand = (
+                ranked.withColumn("_rn", F.row_number().over(wa))
+                .where(F.col("_rn") <= overfetch * k)
+                .select("query_id", self.id_col)
+            )
+            scored = (
+                cand.join(rescore_from.select(self.id_col, self.vec_col), self.id_col)
+                .join(F.broadcast(qvec_df), "query_id")
+                .select(
+                    "query_id",
+                    F.col(self.id_col),
+                    F.round(
+                        simsearch.cosine(F.col(self.vec_col), F.col("query_vec")), 6
+                    ).alias("score"),
+                )
+            )
+        else:
+            quantized = "q_codes" in idx.columns
+            vec = (
+                simsearch.dequantize_embedding(F.col("q_codes"), F.col("q_scale"))
+                if quantized
+                else F.col(self.vec_col)
+            )
+            scored = idx.join(F.broadcast(qvec_df), "query_id").select(
+                "query_id",
+                F.col(self.id_col),
+                F.round(simsearch.cosine(vec, F.col("query_vec")), 6).alias("score"),
+            )
         w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(self.id_col))
         return (
             scored.withColumn("rn", F.row_number().over(w).cast("int"))

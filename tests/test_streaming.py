@@ -2977,3 +2977,79 @@ def test_ivf_occupancy_drift_flags_shifted_embeddings(spark, tmp_path):
     assert shifted["psi"] > 0.25, (same["psi"], shifted["psi"])
     assert shifted["psi"] > 5 * same["psi"]
     assert same["n_bins_compared"] <= 8 * 2
+
+
+def test_incremental_ivf_pq_index_tier(spark, tmp_path):
+    """store_pq=True: (a) the PQ index on disk is far smaller than BOTH
+    the float and int8 tiers; (b) codebooks persist — a fresh index
+    object (restart) probes identically; (c) PQ probes REQUIRE
+    rescore_from and then return high-recall exact-scored results, with
+    the planted self-query at rank 1 / cosine 1.0; (d) probe_batch
+    matches per-query probes; (e) layout mixing refuses at ingest."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm import simsearch
+    from simple_pos_kafka_pyspark_airflow_spark.sources.io import dir_bytes
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.ann import IncrementalIvfIndex
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    fpath, qpath, ppath = (
+        str(tmp_path / "ivf_f"), str(tmp_path / "ivf_i8"), str(tmp_path / "ivf_pq"),
+    )
+    fidx = IncrementalIvfIndex(spark, fpath, n_cells=4)
+    qidx = IncrementalIvfIndex(spark, qpath, n_cells=4, store_quantized=True)
+    pidx = IncrementalIvfIndex(spark, ppath, n_cells=4, store_pq=True, pq_m=8, pq_ks=16)
+    for idx in (fidx, qidx, pidx):
+        idx.fit(e)
+        idx.ingest_batch(e)
+    assert dir_bytes(spark, ppath) < dir_bytes(spark, qpath) < dir_bytes(spark, fpath)
+
+    q = [float(x) for x in e.where(F.col("vec_id") == 5).first()["embedding"]]
+    # ADC is rank-only: a PQ probe without the exact re-rank must refuse
+    with pytest.raises(ValueError, match="rescore_from"):
+        pidx.probe(q, k=10, nprobe=4)
+
+    exact = [(r["vec_id"], r["score"]) for r in simsearch.cosine_topk(e, q, k=10).collect()]
+    got = [
+        (r["vec_id"], r["score"])
+        for r in pidx.probe(q, k=10, nprobe=4, rescore_from=e, overfetch=15).collect()
+    ]
+    # self-query: rank 1 is the vector itself at exactly 1.0
+    assert got[0] == (5, 1.0)
+    # scores of common ids are the exact cosines; recall >= 9/10 on the
+    # near-isotropic worst-case corpus at overfetch 15 (150 candidates)
+    assert len({i for i, _ in got} & {i for i, _ in exact}) >= 9, (got, exact)
+    assert all(s == dict(exact)[i] for i, s in got if i in dict(exact))
+
+    # restart: a FRESH object reads the persisted codebooks bit-for-bit
+    again = IncrementalIvfIndex(spark, ppath, n_cells=4, store_pq=True)
+    assert again._pq_codebooks() == pidx._pq_codebooks()
+    got2 = [
+        (r["vec_id"], r["score"])
+        for r in again.probe(q, k=10, nprobe=4, rescore_from=e, overfetch=15).collect()
+    ]
+    assert got2 == got
+
+    # probe_batch: equals per-query probes, and refuses without rescore
+    queries = [(5, q), (7, [float(x) for x in e.where(F.col("vec_id") == 7).first()["embedding"]])]
+    with pytest.raises(ValueError, match="rescore_from"):
+        pidx.probe_batch(queries, k=5, nprobe=4)
+    batch = pidx.probe_batch(queries, k=5, nprobe=4, rescore_from=e, overfetch=15)
+    by_q = {}
+    for r in batch.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rn"], r["vec_id"], r["score"]))
+    for qid, qv in queries:
+        single = [
+            (i + 1, r["vec_id"], r["score"])
+            for i, r in enumerate(
+                pidx.probe(qv, k=5, nprobe=4, rescore_from=e, overfetch=15).collect()
+            )
+        ]
+        assert sorted(by_q[qid]) == single, qid
+
+    # layout mixing: float writer on the PQ index refuses before append
+    n_before = spark.read.parquet(ppath).count()
+    with pytest.raises(ValueError, match="layout"):
+        IncrementalIvfIndex(spark, ppath, n_cells=4).ingest_batch(e)
+    assert spark.read.parquet(ppath).count() == n_before
+    # and the two quantized tiers are mutually exclusive at construction
+    with pytest.raises(ValueError, match="exclusive"):
+        IncrementalIvfIndex(spark, ppath, store_quantized=True, store_pq=True)
