@@ -790,3 +790,14 @@ def test_salted_join_rejects_bad_args(spark):
         salted_equi_join(df, df, "k", how="right")
     with pytest.raises(ValueError, match="n_salts"):
         salted_equi_join(df, df, "k", n_salts=0)
+
+
+def test_pq_topk_batch_bounded_shuffle_and_code_only_scan(spark, sf_dir):
+    """q_embed_pq: BOTH windows (ADC candidate cut, exact-re-rank top-k)
+    must ride the rank-limit pushdown — WindowGroupLimit Partial below
+    each exchange — so neither the corpus×queries ADC set nor the
+    candidate set shuffles unbounded; the query/candidate sides arrive
+    by broadcast."""
+    plan = explain_str(build(spark, sf_dir, "q_embed_pq"))
+    assert plan.count("WindowGroupLimit") >= 4, plan  # 2 windows × partial+final
+    assert "BroadcastExchange" in plan, plan
