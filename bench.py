@@ -175,6 +175,10 @@ HEADLINE = [
     # + code-column ADC scan + exact re-rank)
     "q_join_salted",
     "q_embed_pq",
+    # round-10 second wave: band-blocked two-table fuzzy join (the
+    # entity-resolution shape) and the BPE-token compression rollup
+    "q_join_fuzzy",
+    "q_bpe_compression",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

@@ -1588,3 +1588,73 @@ def excise_spans(
             F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
         )
     )
+
+
+def fuzzy_join_editdist(
+    left: DataFrame,
+    right: DataFrame,
+    l_text: str,
+    r_text: str,
+    l_id: str = "l_id",
+    r_id: str = "r_id",
+    max_dist: int = 2,
+    band_width: int = 64,
+    max_block: int | None = 10_000,
+) -> DataFrame:
+    """TWO-TABLE fuzzy equi-join by exact Levenshtein distance ≤
+    ``max_dist`` — the entity-resolution shape (scraped titles ↔
+    canonical titles, OCR'd names ↔ a registry) that
+    ``near_dup_pairs_editdist`` covers only for self-joins.
+
+    Same lossless length-band blocking, two-sided: a pair within edit
+    distance d has |Δlen| ≤ d, and with each side emitting its row into
+    length-bands {p, p+1} any such pair shares a band key for
+    ``max_dist < band_width`` (p−1/p/p+1 case analysis as the self-join
+    kernel documents). Shuffle carries each side twice, never the cross
+    product; the |Δlen| pre-filter and the THRESHOLD form of
+    ``levenshtein`` (early exit past max_dist) bound verify cost;
+    ``max_block`` caps degenerate bands (None = lossless/complete,
+    which is what the contract oracle's quadratic join certifies).
+
+    Returns (l_id, r_id, dist)."""
+    if max_dist >= band_width:
+        raise ValueError(
+            f"band completeness needs max_dist ({max_dist}) < band_width ({band_width})"
+        )
+
+    def banded(df: DataFrame, text: str, idc: str, side: str) -> DataFrame:
+        ln = F.length(text).cast("long")
+        return df.select(
+            F.col(idc).alias(f"_id_{side}"),
+            F.col(text).alias(f"_txt_{side}"),
+            ln.alias(f"_len_{side}"),
+            F.explode(
+                F.array((ln / band_width).cast("long"), (ln / band_width).cast("long") + 1)
+            ).alias(f"_band_{side}"),
+        )
+
+    a = banded(left, l_text, l_id, "a")
+    b = banded(right, r_text, r_id, "b")
+    if max_block is not None:
+        ok_a = a.groupBy("_band_a").count().where(F.col("count") <= max_block).drop("count")
+        a = a.join(ok_a, "_band_a")
+        ok_b = (
+            b.groupBy("_band_b").count().where(F.col("count") <= max_block)
+            .drop("count")
+        )
+        b = b.join(ok_b, "_band_b")
+    cand = a.join(
+        b,
+        (a["_band_a"] == b["_band_b"])
+        & (F.abs(a["_len_a"] - b["_len_b"]) <= max_dist),
+    ).dropDuplicates(["_id_a", "_id_b"])
+    dist = F.levenshtein("_txt_a", "_txt_b", max_dist)
+    return (
+        cand.withColumn("dist", dist.cast("int"))
+        .where(F.col("dist") >= 0)
+        .select(
+            F.col("_id_a").alias(l_id),
+            F.col("_id_b").alias(r_id),
+            "dist",
+        )
+    )

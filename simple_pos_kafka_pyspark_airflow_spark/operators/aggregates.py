@@ -655,3 +655,45 @@ def kll_rank_of(kll_col, value: int):
     ``kll_quantile_of`` + an exact rank table instead
     (q_sketch_quantile's cert arm)."""
     return F.expr(f"kll_sketch_get_rank_bigint({kll_col}, {int(value)}L)")
+
+
+def grouped_winsorize(
+    df: DataFrame,
+    group_col: str,
+    x_long,
+    lo: tuple[int, int] = (1, 20),
+    hi: tuple[int, int] = (19, 20),
+) -> DataFrame:
+    """Per-group WINSORIZATION: clamp an integer-valued column to its
+    group's [lo, hi] ceil-rank quantiles — the standard heavy-tail
+    containment before means/regressions (a mean over a power-law column
+    is otherwise owned by its top rows). ``lo``/``hi`` are exact
+    rationals (num, den), e.g. (1, 20) = the 5th percentile.
+
+    Exact and engine-agnostic: per-(group, value) counts → one window
+    cumsum → threshold quantile q_p = MIN(x : cum·den ≥ num·n) (pure
+    integer comparison, no percentile dialect) → the kilobyte-per-group
+    quantile table broadcasts back over the fact. State scales with
+    DISTINCT values per group, not rows; for value domains too wide for
+    the exact cum table at 100 TB, the same clamp runs off
+    ``kll_sketch_table`` quantile estimates (the KLL rank guarantee
+    bounds how much tail mass a clamp can misplace).
+
+    Returns the input rows + ``x_w`` (clamped), ``q_lo``, ``q_hi``."""
+    d = df.withColumn("_x", x_long.cast("long"))
+    c = d.groupBy(group_col, "_x").agg(F.count("*").cast("long").alias("_cnt"))
+    w = Window.partitionBy(group_col).orderBy("_x")
+    cum = c.withColumn("_cum", F.sum("_cnt").over(w))
+    n = c.groupBy(group_col).agg(F.sum("_cnt").cast("long").alias("_n"))
+    cumn = cum.join(n, group_col)
+    q = cumn.groupBy(group_col).agg(
+        F.min(
+            F.when(F.col("_cum") * lo[1] >= lo[0] * F.col("_n"), F.col("_x"))
+        ).alias("q_lo"),
+        F.min(
+            F.when(F.col("_cum") * hi[1] >= hi[0] * F.col("_n"), F.col("_x"))
+        ).alias("q_hi"),
+    )
+    return d.join(F.broadcast(q), group_col).withColumn(
+        "x_w", F.greatest(F.col("q_lo"), F.least(F.col("q_hi"), F.col("_x")))
+    ).drop("_x")

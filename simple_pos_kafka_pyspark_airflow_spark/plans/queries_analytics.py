@@ -3280,3 +3280,66 @@ def q_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("yr"), "*"
     )
     return per_shard.unionAll(glob.select(per_shard.columns))
+
+
+@register(
+    "q_winsorize",
+    "agg",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x FROM events
+    ), c AS (
+      SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, x, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY x) AS cum
+      FROM c
+    ), n AS (
+      SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY 1
+    ), q AS (
+      SELECT cum.event_type,
+             MIN(CASE WHEN cum * 20 >= 1 * n.n THEN x END) AS q_lo,
+             MIN(CASE WHEN cum * 20 >= 19 * n.n THEN x END) AS q_hi
+      FROM cum JOIN n USING (event_type) GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(q.q_lo) AS q_lo, MAX(q.q_hi) AS q_hi,
+           CAST(SUM(CASE WHEN d.x < q.q_lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_lo,
+           CAST(SUM(CASE WHEN d.x > q.q_hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_hi,
+           CAST(SUM(GREATEST(q.q_lo, LEAST(q.q_hi, d.x))) AS BIGINT) AS sum_w
+    FROM d JOIN q USING (event_type)
+    GROUP BY d.event_type
+    """,
+    notes="extension: per-group WINSORIZATION at the exact 5th/95th "
+    "ceil-rank percentiles (operators/aggregates.grouped_winsorize) — "
+    "heavy-tail containment before any mean/regression (a power-law "
+    "column's mean is otherwise owned by its top rows). Exact end to "
+    "end: per-(group, value) counts (state = distinct cents values, not "
+    "rows) → one window cumsum → integer threshold quantiles (cum·den ≥ "
+    "num·n — no percentile dialect) → kilobyte quantile table broadcast "
+    "back over the fact; clamp and clamped-sum are pure int64. The "
+    "KLL sketch (q_sketch_quantile) replaces the exact cum table when "
+    "the value domain outgrows it at 100 TB",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import grouped_winsorize
+
+    ev = table(spark, sf_dir, "events")
+    w = grouped_winsorize(
+        ev.select("event_type", F.round(F.col("value") * 100).cast("long").alias("x")),
+        "event_type",
+        F.col("x"),
+        lo=(1, 20),
+        hi=(19, 20),
+    )
+    return w.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("q_lo").alias("q_lo"),
+        F.max("q_hi").alias("q_hi"),
+        F.sum((F.col("x") < F.col("q_lo")).cast("long")).alias("n_clamped_lo"),
+        F.sum((F.col("x") > F.col("q_hi")).cast("long")).alias("n_clamped_hi"),
+        F.sum("x_w").cast("long").alias("sum_w"),
+    )

@@ -3536,3 +3536,155 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return simsearch.pq_topk_batch(enc, codebooks, queries, k=2, rerank=50)
+
+
+@register(
+    "q_bpe_pairs",
+    "llm",
+    oracle=r"""
+    WITH w AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY w
+    ), p AS (
+      SELECT w[i] AS l, w[i+1] AS r, cnt
+      FROM w, unnest(range(1, length(w))) AS t(i)
+    ), agg AS (
+      SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS c FROM p GROUP BY l, r
+    )
+    SELECT l, r, c FROM agg ORDER BY c DESC, l, r LIMIT 10
+    """,
+    notes="the BPE TRAINING kernel certified relationally: round-0 "
+    "adjacent-symbol (character) pair counts weighted by word frequency — "
+    "exactly the aggregation bpe_train runs each merge round, including "
+    "the deterministic (count desc, l, r) argmax order whose top row IS "
+    "the first merge. The engine plan is the training loop's own: "
+    "corpus-sized word-count groupBy, then the vocabulary-sized "
+    "arrays_zip pair explode + partial-aggregable groupBy. Top-10 with "
+    "full tiebreak = the driver argmax certified 10 deep. The loop's "
+    "later rounds depend on merge state (iterative, non-SQL); they are "
+    "pinned merge-for-merge against the python twin in "
+    "tests/test_tokenize.py",
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import tokenize
+
+    d = table(spark, sf_dir, "documents")
+    wc = tokenize.word_count_table(d, "text")
+    syms = wc.select(F.array_compact(F.split("word", "")).alias("syms"), "count")
+    pairs = (
+        syms.where(F.size("syms") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("syms", 1, F.size("syms") - 1).alias("l"),
+                    F.slice("syms", 2, F.size("syms") - 1).alias("r"),
+                )
+            ).alias("p"),
+            "count",
+        )
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("count").cast("long").alias("c"))
+    )
+    return pairs.orderBy(F.desc("c"), F.asc("l"), F.asc("r")).limit(10)
+
+
+@register(
+    "q_bpe_compression",
+    "llm",
+    oracle=_BPE_ENCODE_CTE.format(merges=_bpe_merge_values())
+    + """,
+    chars AS (
+      SELECT doc_id, source,
+             CAST(length(replace(lower(text), ' ', '')) AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT c.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(c.n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(t.n_words) AS BIGINT) AS n_words,
+           CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens,
+           ROUND(SUM(c.n_chars) * 1.0 / SUM(t.n_tokens), 6) AS chars_per_token
+    FROM chars c JOIN doc_tokens t USING (doc_id)
+    GROUP BY c.source
+    """,
+    notes="tokenizer-aware corpus quality/mixture signal: per-source "
+    "compression under the REAL frozen merge table — chars-per-token is "
+    "the standard 'is this actually natural text' detector (binary junk, "
+    "wrong-language, or boilerplate tokenizes near 1 char/token; clean "
+    "text sits several times higher) and the honest token-budget "
+    "denominator for mixture planning (q_corpus_mixture's whitespace "
+    "counts overstate budget ~2-4x). Engine: q_bpe_encode's "
+    "distinct-word encode + one source rollup; one raw division rounded "
+    "at 6dp per the float rules (numerator/denominator are exact int64 "
+    "sums)",
+)
+def q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import tokenize
+
+    d = table(spark, sf_dir, "documents")
+    stats = tokenize.bpe_token_stats(d, tokenize.FROZEN_MERGES)
+    chars = d.select(
+        "doc_id",
+        "source",
+        F.length(F.replace(F.lower("text"), F.lit(" "), F.lit(""))).cast("long").alias(
+            "n_chars"
+        ),
+    )
+    return (
+        chars.join(stats, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_tokens").cast("double"), 6
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+@register(
+    "q_join_fuzzy",
+    "llm",
+    oracle="""
+    WITH l AS (
+      SELECT doc_id, substr(lower(text), 1, 30) AS s FROM documents
+    ), r AS (
+      SELECT doc_id + 1000000 AS rid,
+             substr(s, 1, 5) || 'x' || substr(s, 7) AS s
+      FROM (SELECT doc_id, substr(lower(text), 1, 30) AS s FROM documents)
+    )
+    SELECT l.doc_id AS l_id, r.rid AS r_id,
+           CAST(levenshtein(l.s, r.s) AS INTEGER) AS dist
+    FROM l, r WHERE levenshtein(l.s, r.s) <= 2
+    """,
+    notes="extension: TWO-TABLE fuzzy equi-join by exact Levenshtein "
+    "distance (llm/dedup.fuzzy_join_editdist) — the entity-resolution "
+    "shape (scraped titles ↔ canonical registry) the self-join dedup "
+    "kernel can't express. Lossless two-sided length-band blocking "
+    "(each side emits bands {p, p+1}; any |Δlen| ≤ d pair shares a key "
+    "for d < band_width), |Δlen| prefilter, threshold levenshtein — "
+    "shuffle carries each side twice, never the cross product the "
+    "oracle's quadratic join materializes. Probe corpus: 30-char "
+    "lowercase prefixes joined to a copy with the 6th char replaced — "
+    "500 planted dist-1 matches plus the organic same-prefix "
+    "cross-matches, all value-hashed",
+)
+def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.dedup import fuzzy_join_editdist
+
+    d = table(spark, sf_dir, "documents")
+    l = d.select("doc_id", F.lower(F.col("text")).substr(1, 30).alias("s"))
+    r = l.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("rid"),
+        F.concat(
+            F.col("s").substr(1, 5), F.lit("x"), F.col("s").substr(7, 24)
+        ).alias("s"),
+    )
+    return fuzzy_join_editdist(
+        l, r, "s", "s", l_id="doc_id", r_id="rid", max_dist=2, max_block=None
+    ).select(F.col("doc_id").alias("l_id"), F.col("rid").alias("r_id"), "dist")

@@ -2941,3 +2941,71 @@ def test_pq_recall_vs_int8_and_compression(spark):
     ).collect()
     for r in twin:
         assert r["pq_code"] == codes[r["vec_id"] - 777]
+
+
+def test_fuzzy_join_editdist_equals_quadratic(spark):
+    """Two-table fuzzy join: band-blocked result must equal the
+    quadratic definition, including pairs whose lengths straddle a band
+    boundary (the {p, p+1} two-sided emission argument)."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm.dedup import fuzzy_join_editdist
+
+    # strings sized around the band_width=8 boundary: lengths 7, 8, 9
+    left = spark.createDataFrame(
+        [(1, "abcdefg"), (2, "abcdefgh"), (3, "xxxxxxxxx"), (4, "zz")],
+        "lid long, s string",
+    )
+    right = spark.createDataFrame(
+        [(10, "abcdefgx"), (11, "abcdefghi"), (12, "xxxxxxxx"), (13, "qqqqqqqq")],
+        "rid long, t string",
+    )
+    got = sorted(
+        (r["lid"], r["rid"], r["dist"])
+        for r in fuzzy_join_editdist(
+            left, right, "s", "t", l_id="lid", r_id="rid",
+            max_dist=2, band_width=8, max_block=None,
+        ).collect()
+    )
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    want = sorted(
+        (lrow[0], rrow[0], lev(lrow[1], rrow[1]))
+        for lrow, rrow in itertools.product(
+            [(1, "abcdefg"), (2, "abcdefgh"), (3, "xxxxxxxxx"), (4, "zz")],
+            [(10, "abcdefgx"), (11, "abcdefghi"), (12, "xxxxxxxx"), (13, "qqqqqqqq")],
+        )
+        if lev(lrow[1], rrow[1]) <= 2
+    )
+    assert got == want and len(got) >= 4, (got, want)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="band completeness"):
+        fuzzy_join_editdist(left, right, "s", "t", max_dist=8, band_width=8)
+
+
+def test_grouped_winsorize_known_values(spark):
+    """Hand-checked clamp: 20 values 1..20 in one group — p5 ceil-rank is
+    x=1 (cum 1 ≥ ceil(20/20)), p95 is x=19 (cum 19 ≥ ceil(19·20/20)), so
+    exactly one row clamps high, none low; an all-equal group clamps
+    nothing and q_lo = q_hi = the value."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators.aggregates import (
+        grouped_winsorize,
+    )
+
+    rows = [("a", v) for v in range(1, 21)] + [("b", 7)] * 5
+    df = spark.createDataFrame(rows, "g string, x long")
+    out = grouped_winsorize(df, "g", F.col("x"))
+    a = {r["x"]: (r["q_lo"], r["q_hi"], r["x_w"]) for r in out.where("g = 'a'").collect()}
+    assert a[1] == (1, 19, 1)       # at the low quantile, not below
+    assert a[20] == (1, 19, 19)     # clamped down to q_hi
+    assert a[19] == (1, 19, 19)
+    b = {r["x_w"] for r in out.where("g = 'b'").collect()}
+    assert b == {7}
