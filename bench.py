@@ -179,6 +179,8 @@ HEADLINE = [
     # entity-resolution shape) and the BPE-token compression rollup
     "q_join_fuzzy",
     "q_bpe_compression",
+    # sparse doc-doc tf-cosine retrieval (inverted-index join)
+    "q_text_cosine",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

@@ -12,7 +12,7 @@ mapInPandas-free projection pass fused with the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Tiny per-language function-word lists for the n-gram/stopword language
@@ -801,4 +801,87 @@ def cooccurrence_pairs(
             (F.lit(int(n_docs)) * F.col("n_pair_docs")).cast("double")
             / (F.col("_dfa") * F.col("_dfb")).cast("double")
         ).alias("lift"),
+    )
+
+
+def tf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    q_id_col: str = "query_id",
+    k: int = 5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """SPARSE lexical retrieval: top-k corpus documents per query doc by
+    TERM-FREQUENCY cosine, via an INVERTED-INDEX join — the sparse leg
+    of the similarity family (dense exact/LSH/IVF/PQ live in
+    ``simsearch``; ``bm25_scores`` ranks against one fixed term bag,
+    this ranks doc-against-doc).
+
+    Plan: postings (doc, term, tf) both sides; the join is keyed by
+    TERM, so only documents SHARING a term ever meet — the whole point
+    of an inverted index: cost follows posting-list sizes, not
+    |corpus|×|queries|. ``max_df`` drops terms present in more than
+    that many corpus docs BEFORE the join (the stopword lever — a
+    universal term's posting list is the corpus, and it contributes
+    near-zero discrimination; this is the hot-key cap of this operator,
+    same role as minhash's max_bucket).
+
+    Exactness discipline (the grouped_corr recipe): tf values are
+    integers, so dots and squared norms are EXACT int64 sums
+    (order-free, partial-aggregable); cosine is then one fixed tree of
+    correctly-rounded IEEE ops over exact ints — bit-identical on any
+    engine, shipped raw. Top-k per query by (score desc, id) rides the
+    WindowGroupLimit pushdown. Self-matches are excluded.
+
+    Returns (query_id, id_col, dot, score, rn)."""
+
+    def postings(df: DataFrame, idc: str, out_id: str) -> DataFrame:
+        return (
+            df.select(F.col(idc).alias(out_id), F.explode(tokens(F.lower(F.col(text_col)))).alias("_t"))
+            .groupBy(out_id, "_t")
+            .agg(F.count("*").cast("long").alias("_tf"))
+        )
+
+    cp = postings(corpus, id_col, "_cid")
+    qp = postings(queries, q_id_col, "_qid")
+    if max_df is not None:
+        keep = (
+            cp.groupBy("_t").agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= int(max_df))
+            .select("_t")
+        )
+        cp = cp.join(keep, "_t")
+        qp = qp.join(keep, "_t")
+    cn = cp.groupBy("_cid").agg(F.sum(F.col("_tf") * F.col("_tf")).alias("_cn2"))
+    qn = qp.groupBy("_qid").agg(F.sum(F.col("_tf") * F.col("_tf")).alias("_qn2"))
+    dots = (
+        qp.select("_qid", "_t", F.col("_tf").alias("_tfq"))
+        .join(cp.select("_cid", "_t", F.col("_tf").alias("_tfc")), "_t")
+        .where(F.col("_qid") != F.col("_cid"))
+        .groupBy("_qid", "_cid")
+        .agg(F.sum(F.col("_tfq") * F.col("_tfc")).alias("dot"))
+    )
+    scored = (
+        dots.join(F.broadcast(qn), "_qid")
+        .join(cn, "_cid")
+        .select(
+            F.col("_qid").alias(q_id_col),
+            F.col("_cid").alias(id_col),
+            "dot",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("_qn2").cast("double"))
+                    * F.sqrt(F.col("_cn2").cast("double"))
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= k)
+        .select(q_id_col, id_col, "dot", "score", "rn")
     )

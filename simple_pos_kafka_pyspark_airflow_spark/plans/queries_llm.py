@@ -3688,3 +3688,59 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_join_editdist(
         l, r, "s", "s", l_id="doc_id", r_id="rid", max_dist=2, max_block=None
     ).select(F.col("doc_id").alias("l_id"), F.col("rid").alias("r_id"), "dist")
+
+
+@register(
+    "q_text_cosine",
+    "llm",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY 1, 2
+    ), qs AS (
+      SELECT doc_id AS qid FROM documents WHERE doc_id % 50 = 0
+    ), qp AS (
+      SELECT qs.qid, tf.w, tf.tf FROM tf JOIN qs ON tf.doc_id = qs.qid
+    ), n2 AS (
+      SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2 FROM tf GROUP BY 1
+    ), dots AS (
+      SELECT qp.qid, tf.doc_id AS did, CAST(SUM(qp.tf * tf.tf) AS BIGINT) AS dot
+      FROM qp JOIN tf USING (w) WHERE tf.doc_id <> qp.qid
+      GROUP BY 1, 2
+    ), s AS (
+      SELECT dots.qid AS query_id, dots.did AS doc_id, dots.dot,
+             CAST(dots.dot AS DOUBLE)
+               / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS score
+      FROM dots JOIN n2 q ON q.doc_id = dots.qid JOIN n2 c ON c.doc_id = dots.did
+    )
+    SELECT query_id, doc_id, dot, score, CAST(rn AS INTEGER) AS rn FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+      FROM s
+    ) WHERE rn <= 5
+    """,
+    notes="extension: SPARSE doc-against-doc lexical retrieval — top-5 by "
+    "term-frequency cosine via an INVERTED-INDEX join "
+    "(llm/textops.tf_cosine_topk): postings joined by TERM, so only "
+    "documents sharing a term ever meet (cost follows posting lists, "
+    "never |corpus|x|queries|); max_df caps stopword posting lists at "
+    "scale (unused here — the synthetic 31-word vocabulary would drop "
+    "everything; documented precondition). Exactness per the "
+    "grouped_corr recipe: integer tf -> exact int64 dots and squared "
+    "norms, cosine as one fixed tree of correctly-rounded IEEE ops over "
+    "exact ints, shipped RAW (bit-identical cross-engine); WindowGroupLimit "
+    "bounds the per-query top-k shuffle. Completes the similarity "
+    "family's sparse leg beside dense exact/LSH/IVF/PQ and the "
+    "fixed-bag BM25",
+)
+def q_text_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    queries = d.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return textops.tf_cosine_topk(d, queries, k=5).select(
+        "query_id", "doc_id", "dot", "score", "rn"
+    )

@@ -3009,3 +3009,63 @@ def test_grouped_winsorize_known_values(spark):
     assert a[19] == (1, 19, 19)
     b = {r["x_w"] for r in out.where("g = 'b'").collect()}
     assert b == {7}
+
+
+def test_tf_cosine_topk_numpy_twin_and_max_df(spark):
+    """tf-cosine retrieval equals a dense numpy recount on a toy corpus;
+    max_df drops only the universal stopword's postings — results then
+    equal the recount over the PRUNED vocabulary (the cap is a stated
+    semantics change, not silent truncation)."""
+    import math
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm.textops import tf_cosine_topk
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ate the fish"),
+        (3, "the dog sat on the log"),
+        (4, "quantum flux capacitor the"),
+    ]
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    queries = spark.createDataFrame([(1, docs[0][1])], "query_id long, text string")
+
+    def dense_topk(max_df=None):
+        from collections import Counter
+
+        tfs = {i: Counter(t.lower().split()) for i, t in docs}
+        if max_df is not None:
+            dfreq = Counter(w for c in tfs.values() for w in c)
+            for c in tfs.values():
+                for w in [w for w in c if dfreq[w] > max_df]:
+                    del c[w]
+        q = tfs[1]
+        out = []
+        for i, c in tfs.items():
+            if i == 1:
+                continue
+            dot = sum(q[w] * c[w] for w in q)
+            if dot == 0:
+                continue
+            score = dot / (
+                math.sqrt(sum(v * v for v in q.values()))
+                * math.sqrt(sum(v * v for v in c.values()))
+            )
+            out.append((i, dot, score))
+        out.sort(key=lambda r: (-r[2], r[0]))
+        return out
+
+    for max_df in (None, 3):
+        got = [
+            (r["doc_id"], r["dot"], r["score"])
+            for r in tf_cosine_topk(corpus, queries, k=5, max_df=max_df)
+            .orderBy("rn")
+            .collect()
+        ]
+        want = dense_topk(max_df)
+        assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want], (max_df, got, want)
+        for g, w in zip(got, want):
+            assert abs(g[2] - w[2]) < 1e-12
+    # with max_df=3 the universal 'the' is pruned: doc 4 shares nothing
+    # with the query anymore and must vanish from the results
+    pruned_ids = {r["doc_id"] for r in tf_cosine_topk(corpus, queries, k=5, max_df=3).collect()}
+    assert 4 not in pruned_ids and {2, 3} <= pruned_ids
