@@ -1134,3 +1134,122 @@ def ingest_corpus_batch(
         .join(cleaned.select(id_col, "text_clean", "n_dropped"), id_col)
         .withColumnRenamed("text_clean", text_col)
     )
+
+
+class TokenizerFertilityMonitor:
+    """Per-micro-batch TOKENIZER drift gate: fertility (BPE tokens per
+    word under a FROZEN merge table) of each batch vs a frozen
+    reference — the tokenizer-side complement of ``CorpusDriftMonitor``.
+    Fertility is the canonical 'the corpus moved out from under the
+    tokenizer' signal: a domain/language/encoding shift makes the frozen
+    merges stop applying, so tokens-per-word jumps long before
+    downstream training metrics notice (and a fertility DROP flags
+    templated floods of already-fused words).
+
+    Frozen state: the merge table itself (rank, l, r — persisted at
+    ``freeze`` so every batch and restart tokenizes identically; the
+    IncrementalIvfIndex centroid discipline) plus one
+    (group, n_words, n_tokens) row per group — kilobytes. Per batch:
+    one ``bpe_token_stats`` pass (distinct-word Arrow encode, the Zipf
+    cache) and a broadcast join against the frozen rows.
+
+    The alarm bit is EXACT integer arithmetic — drift iff
+    |f_batch − f_ref| > tol·f_ref, cross-multiplied to
+    ``|nt_b·nw_r − nt_r·nw_b|·den > num·nt_r·nw_b`` so no float ratio
+    ever decides it (the dyadic-decay discipline). ``tol`` is a
+    rational (num, den), default 1/10 = ±10%."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        group_col: str = "source",
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        tol: tuple[int, int] = (1, 10),
+    ) -> None:
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.group_col = group_col
+        self.text_col = text_col
+        self.id_col = id_col
+        self.tol = (int(tol[0]), int(tol[1]))
+
+    @property
+    def _merges_path(self) -> str:
+        return f"{self.path}/merges"
+
+    @property
+    def _ref_path(self) -> str:
+        return f"{self.path}/ref_fertility"
+
+    def freeze(self, reference: DataFrame, merges: list[tuple[str, str]]) -> None:
+        """Persist the merge table and the reference's per-group token
+        stats (overwrite — one freeze per tokenizer/reference release)."""
+        if not merges:
+            raise ValueError("freeze needs a non-empty merge table")
+        mdf = self.spark.createDataFrame(
+            [(i, l, r) for i, (l, r) in enumerate(merges)], "rank INT, l STRING, r STRING"
+        )
+        mdf.coalesce(1).write.mode("overwrite").parquet(self._merges_path)
+        self._group_stats(reference).write.mode("overwrite").parquet(self._ref_path)
+
+    def _merges(self) -> list[tuple[str, str]]:
+        rows = self.spark.read.parquet(self._merges_path).collect()
+        return [(r["l"], r["r"]) for r in sorted(rows, key=lambda r: r["rank"])]
+
+    def _group_stats(self, df: DataFrame) -> DataFrame:
+        from ..llm.tokenize import bpe_token_stats
+        from ..sources.io import fs_dir_has_data
+
+        merges = self._merges() if fs_dir_has_data(self.spark, self._merges_path) else None
+        if merges is None:
+            raise ValueError(f"no frozen merge table at {self._merges_path}: freeze() first")
+        stats = bpe_token_stats(df, merges, self.text_col, self.id_col)
+        docs = df.select(self.id_col, self.group_col)
+        return (
+            stats.join(docs, self.id_col)
+            .groupBy(self.group_col)
+            .agg(
+                F.sum("n_words").cast("long").alias("n_words"),
+                F.sum("n_tokens").cast("long").alias("n_tokens"),
+            )
+        )
+
+    def check_batch(self, batch: DataFrame) -> DataFrame:
+        """(group, n_words, n_tokens, fertility, ref_fertility, drifted)
+        — one row per group present in the batch; groups absent from the
+        reference report drifted=1 (an unseen source IS the alarm)."""
+        from ..sources.io import fs_dir_has_data
+
+        if not fs_dir_has_data(self.spark, self._ref_path):
+            raise ValueError(f"no frozen reference at {self._ref_path}: freeze() first")
+        # freeze() persists the merge table before the reference stats,
+        # so a present ref table implies a present merge table
+        b = self._group_stats(batch)
+        ref = self.spark.read.parquet(self._ref_path).select(
+            self.group_col,
+            F.col("n_words").alias("_rw"),
+            F.col("n_tokens").alias("_rt"),
+        )
+        num, den = self.tol
+        joined = b.join(F.broadcast(ref), self.group_col, "left")
+        # |nt_b·nw_r − nt_r·nw_b|·den > num·nt_r·nw_b  (exact int64)
+        diff = F.abs(
+            F.col("n_tokens") * F.col("_rw") - F.col("_rt") * F.col("n_words")
+        )
+        drifted = F.when(F.col("_rw").isNull(), F.lit(True)).otherwise(
+            diff * den > num * F.col("_rt") * F.col("n_words")
+        )
+        return joined.select(
+            self.group_col,
+            "n_words",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("n_words").cast("double")).alias(
+                "fertility"
+            ),
+            (F.col("_rt").cast("double") / F.col("_rw").cast("double")).alias(
+                "ref_fertility"
+            ),
+            drifted.cast("int").alias("drifted"),
+        )

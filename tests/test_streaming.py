@@ -3053,3 +3053,52 @@ def test_incremental_ivf_pq_index_tier(spark, tmp_path):
     # and the two quantized tiers are mutually exclusive at construction
     with pytest.raises(ValueError, match="exclusive"):
         IncrementalIvfIndex(spark, ppath, store_quantized=True, store_pq=True)
+
+
+def test_tokenizer_fertility_monitor(spark, tmp_path):
+    """Fertility drift gate: an in-distribution batch doesn't flag; a
+    vowel-rotated batch (the frozen merges stop applying -> fertility
+    jumps) flags; an unseen source flags by construction; a restart
+    reads the persisted merge table and reproduces the report."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm import tokenize as tk
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import (
+        TokenizerFertilityMonitor,
+    )
+
+    ref = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    mon = TokenizerFertilityMonitor(spark, str(tmp_path / "fert"))
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="freeze"):
+        mon.check_batch(ref)
+    mon.freeze(ref, tk.FROZEN_MERGES)
+
+    # in-distribution: the reference itself re-checked — zero drift rows
+    calm = mon.check_batch(ref)
+    assert calm.where("drifted = 1").count() == 0
+    assert calm.count() > 0
+
+    # manufactured drift (the documented recipe — the synthetic corpus
+    # shares one vocabulary, so REAL linguistic drift must be injected):
+    # vowel rotation breaks every frozen merge, fertility jumps
+    shifted = ref.withColumn("text", F.translate("text", "aeiou", "xyzwv"))
+    loud = mon.check_batch(shifted)
+    flagged = {r["source"] for r in loud.where("drifted = 1").collect()}
+    assert flagged == {r["source"] for r in loud.collect()}  # every group flags
+    row = loud.first()
+    assert row["fertility"] > row["ref_fertility"]
+
+    # unseen source flags by construction
+    new_src = ref.limit(5).withColumn("source", F.lit("brand_new_src"))
+    assert mon.check_batch(new_src).where(
+        "source = 'brand_new_src' AND drifted = 1"
+    ).count() == 1
+
+    # restart: a fresh monitor object reproduces the calm report
+    again = TokenizerFertilityMonitor(spark, str(tmp_path / "fert"))
+    calm2 = again.check_batch(ref)
+    a = {(r["source"], r["n_tokens"], r["drifted"]) for r in calm.collect()}
+    b = {(r["source"], r["n_tokens"], r["drifted"]) for r in calm2.collect()}
+    assert a == b
