@@ -179,8 +179,10 @@ HEADLINE = [
     # entity-resolution shape) and the BPE-token compression rollup
     "q_join_fuzzy",
     "q_bpe_compression",
-    # sparse doc-doc tf-cosine retrieval (inverted-index join)
+    # sparse doc-doc tf-cosine retrieval (inverted-index join) and the
+    # two-table Jaccard set-similarity join (union-order prefix filter)
     "q_text_cosine",
+    "q_join_jaccard",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

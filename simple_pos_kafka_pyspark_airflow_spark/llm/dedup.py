@@ -1658,3 +1658,94 @@ def fuzzy_join_editdist(
             "dist",
         )
     )
+
+
+def fuzzy_join_jaccard(
+    left: DataFrame,
+    right: DataFrame,
+    l_text: str,
+    r_text: str,
+    l_id: str = "l_id",
+    r_id: str = "r_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_posting_docs: int = 10_000,
+) -> DataFrame:
+    """TWO-TABLE set-similarity join: all (left, right) pairs with exact
+    shingle-set Jaccard ≥ ``threshold`` — the Jaccard leg of the fuzzy
+    entity-resolution family (``fuzzy_join_editdist`` is the character
+    leg; ``jaccard_pairs_prefix`` covers only self-joins).
+
+    Same SSJoin prefix-filter scheme, with the one two-table subtlety
+    done right: the prefix theorem requires a COMMON total order over
+    shingles, so document frequency is computed over the UNION of both
+    sides' postings (a per-side order would let a qualifying pair's
+    prefixes miss each other). Each side indexes its first
+    ``m − ⌈t·m⌉ + 1`` rarest shingles; L-prefix postings equi-join
+    R-prefix postings on the shingle hash; the size-ratio bound
+    (td·min ≥ tn·max) cuts candidates before the exact verify re-joins
+    the full sets. ``max_posting_docs`` caps degenerate postings (the
+    shared-gram stopword guard), counted per side.
+
+    Exact ints throughout; jaccard is one division of exact ints,
+    shipped raw. Returns (l_id, r_id, jaccard)."""
+    from fractions import Fraction
+
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    ls = (
+        shingle_hash_sets_df(left, l_text, l_id, n)
+        .withColumn("_sz", F.size("_sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rs = (
+        shingle_hash_sets_df(right, r_text, r_id, n)
+        .withColumn("_sz", F.size("_sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    lp = ls.select(F.lit(0).alias("_side"), "_id", "_sz", F.explode("_sh").alias("_h"))
+    rp = rs.select(F.lit(1).alias("_side"), "_id", "_sz", F.explode("_sh").alias("_h"))
+    allp = lp.unionByName(rp)
+    # COMMON rarity order: dfreq over BOTH sides' postings
+    dfreq = allp.groupBy("_h").agg(F.count("*").cast("long").alias("_df"))
+    frac = Fraction(str(threshold)).limit_denominator(10**9)
+    tn, td = frac.numerator, frac.denominator
+    ceil_tm = -F.floor((F.col("_sz") * F.lit(-tn)) / F.lit(td))
+    w = Window.partitionBy("_side", "_id").orderBy("_df", "_h")
+    prefix = (
+        allp.join(dfreq, "_h")
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= F.col("_sz") - ceil_tm + 1)
+        .select("_side", "_h", "_id", "_sz")
+    )
+    hot = prefix.groupBy("_side", "_h").agg(F.count("*").cast("long").alias("_pc"))
+    pruned = prefix.join(hot, ["_side", "_h"]).where(F.col("_pc") <= max_posting_docs)
+    a = pruned.where(F.col("_side") == 0).select(
+        "_h", F.col("_id").alias("_la"), F.col("_sz").alias("_sza")
+    )
+    b = pruned.where(F.col("_side") == 1).select(
+        F.col("_h").alias("_hb"), F.col("_id").alias("_rb"), F.col("_sz").alias("_szb")
+    )
+    cand = (
+        a.join(b, a["_h"] == b["_hb"])
+        .where(
+            F.lit(td) * F.least("_sza", "_szb") >= F.lit(tn) * F.greatest("_sza", "_szb")
+        )
+        .select("_la", "_rb")
+        .distinct()
+    )
+    va = ls.select(F.col("_id").alias("_la"), F.col("_sh").alias("_sha"), F.col("_sz").alias("_na"))
+    vb = rs.select(F.col("_id").alias("_rb"), F.col("_sh").alias("_shb"), F.col("_sz").alias("_nb"))
+    verified = (
+        cand.join(va, "_la")
+        .join(vb, "_rb")
+        .withColumn("_i", F.size(F.array_intersect("_sha", "_shb")))
+        .withColumn("_u", F.col("_na") + F.col("_nb") - F.col("_i"))
+        .where(F.lit(td) * F.col("_i") >= F.lit(tn) * F.col("_u"))
+    )
+    return verified.select(
+        F.col("_la").alias(l_id),
+        F.col("_rb").alias(r_id),
+        (F.col("_i").cast("double") / F.col("_u").cast("double")).alias("jaccard"),
+    )

@@ -3744,3 +3744,63 @@ def q_text_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.tf_cosine_topk(d, queries, k=5).select(
         "query_id", "doc_id", "dot", "score", "rn"
     )
+
+
+@register(
+    "q_join_jaccard",
+    "llm",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ), l AS (
+      SELECT doc_id AS lid,
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                         i -> array_to_string(toks[i:i+2], ' ')))
+             END AS sh
+      FROM base
+    ), r AS (
+      SELECT doc_id + 1000000 AS rid,
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks || ['zqx'], ' ')]
+                  ELSE list_distinct(list_transform(generate_series(1, len(toks) - 1),
+                         i -> array_to_string((toks || ['zqx'])[i:i+2], ' ')))
+             END AS sh
+      FROM base
+    ), pairs AS (
+      SELECT l.lid AS l_id, r.rid AS r_id,
+             len(list_intersect(l.sh, r.sh)) AS i,
+             len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)) AS u
+      FROM l, r
+    )
+    SELECT l_id, r_id, CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
+    FROM pairs WHERE i * 10 >= u * 8
+    """,
+    notes="extension: TWO-TABLE set-similarity join — all (left, right) "
+    "pairs with exact 3-gram shingle Jaccard ≥ 0.8 "
+    "(llm/dedup.fuzzy_join_jaccard), the Jaccard leg of the fuzzy "
+    "entity-resolution family beside the Levenshtein leg. SSJoin prefix "
+    "filtering with the two-table subtlety done right: the rarity order "
+    "is document frequency over the UNION of both sides' postings (a "
+    "per-side order would let qualifying pairs' prefixes miss each "
+    "other); size-ratio integer bound before the exact verify; "
+    "max_posting_docs caps stopword grams per side. Probe corpus: "
+    "documents joined to a copy with one appended word — each twin pair "
+    "shares all but the final shingle (J = (s)/(s+1) ≥ 0.8 on all but "
+    "the shortest docs) plus whatever organic cross-pairs qualify; the "
+    "oracle is the quadratic definition, jaccard one exact-int division "
+    "shipped raw",
+)
+def q_join_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.dedup import fuzzy_join_jaccard
+
+    d = table(spark, sf_dir, "documents")
+    l = d.select("doc_id", "text")
+    r = d.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("rid"),
+        F.concat(F.col("text"), F.lit(" zqx")).alias("text"),
+    )
+    return fuzzy_join_jaccard(
+        l, r, "text", "text", l_id="doc_id", r_id="rid", n=3, threshold=0.8
+    ).select(F.col("doc_id").alias("l_id"), F.col("rid").alias("r_id"), "jaccard")

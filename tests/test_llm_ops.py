@@ -3069,3 +3069,50 @@ def test_tf_cosine_topk_numpy_twin_and_max_df(spark):
     # with the query anymore and must vanish from the results
     pruned_ids = {r["doc_id"] for r in tf_cosine_topk(corpus, queries, k=5, max_df=3).collect()}
     assert 4 not in pruned_ids and {2, 3} <= pruned_ids
+
+
+def test_fuzzy_join_jaccard_equals_quadratic(spark):
+    """Two-table Jaccard join equals the brute-force definition on a toy
+    corpus with qualifying, borderline, and disqualified pairs, and with
+    set sizes straddling the size-ratio bound."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm.dedup import fuzzy_join_jaccard
+
+    L = [
+        (1, "a b c d e f g h"),
+        (2, "p q r s t u v w"),
+        (3, "x y z"),
+    ]
+    R = [
+        (10, "a b c d e f g h i"),      # near-twin of 1
+        (11, "p q r s t u v w"),        # exact twin of 2
+        (12, "completely different words here now"),
+        (13, "x y z"),                  # exact twin of 3 (single-shingle set)
+    ]
+    left = spark.createDataFrame(L, "lid long, s string")
+    right = spark.createDataFrame(R, "rid long, t string")
+
+    def shingles(text, n=3):
+        toks = text.lower().split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    def want(th):
+        out = []
+        for lid, s in L:
+            for rid, t in R:
+                a, b = shingles(s), shingles(t)
+                j = len(a & b) / len(a | b)
+                if j >= th:
+                    out.append((lid, rid, round(j, 9)))
+        return sorted(out)
+
+    for th in (0.5, 0.8):
+        got = sorted(
+            (r["lid"], r["rid"], round(r["jaccard"], 9))
+            for r in fuzzy_join_jaccard(
+                left, right, "s", "t", l_id="lid", r_id="rid", threshold=th
+            ).collect()
+        )
+        assert got == want(th), (th, got, want(th))
+    assert len(want(0.5)) >= 3  # non-vacuous: twins + near-twin qualify
