@@ -183,6 +183,8 @@ HEADLINE = [
     # two-table Jaccard set-similarity join (union-order prefix filter)
     "q_text_cosine",
     "q_join_jaccard",
+    # order-aware bigram fluency (two vocab-sized shuffles + joins back)
+    "q_text_logprob2",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

@@ -885,3 +885,77 @@ def tf_cosine_topk(
         .where(F.col("rn") <= k)
         .select(q_id_col, id_col, "dot", "score", "rn")
     )
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Model-free fluency scoring, ORDER-AWARE: each document's mean
+    bigram log-probability under the corpus's own distribution with
+    stupid backoff (Brants et al. 2007) — the n-gram upgrade of
+    ``unigram_logprob_scores`` that a bag-of-words score cannot match:
+    shuffled prose keeps its unigram score but craters here, because
+    the signal is P(w_i | w_{i-1}), not P(w_i).
+
+        lp_i = ln( c(w_{i-1} w_i) / c(w_{i-1}) )          bigram seen
+             = ln( backoff · c(w_i) / N )                  otherwise
+
+    Output (id_col, n_bigrams, mean_logprob); single-token and empty
+    documents produce no row (no bigram positions).
+
+    Scale shape mirrors the unigram op: one partial-aggregable bigram
+    count shuffle + one unigram count shuffle build the tables (both
+    vocabulary-sized — bigram vocab is the larger but still Zipf-tailed);
+    the per-position join back is keyed by the bigram with the unigram
+    backoff columns joined alongside; broadcast when the tables fit,
+    AQE skew-join otherwise. Same cross-engine float discipline: exact
+    integer counts, one division per term, ln is libm-level and the
+    mean is order-dependent — ROUND(mean, 6)."""
+    lower = F.lower(F.col(text_col))
+    toks = df.select(F.col(id_col), tokens(lower).alias("_ts")).where(
+        F.size("_ts") >= 2
+    )
+    big = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice("_ts", 1, F.size("_ts") - 1).alias("w1"),
+                F.slice("_ts", 2, F.size("_ts") - 1).alias("w2"),
+            )
+        ).alias("_b"),
+    ).select(id_col, F.col("_b.w1").alias("_w1"), F.col("_b.w2").alias("_w2"))
+    uni = (
+        df.select(F.explode(tokens(lower)).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count("*").cast("long").alias("_cu"))
+    )
+    total = uni.agg(F.sum("_cu").alias("_n"))
+    bi = big.groupBy("_w1", "_w2").agg(F.count("*").cast("long").alias("_cb"))
+    scored = (
+        big.join(F.broadcast(bi), ["_w1", "_w2"], "left")
+        .join(F.broadcast(uni.select(F.col("_w").alias("_w1"), F.col("_cu").alias("_c1"))), "_w1")
+        .join(F.broadcast(uni.select(F.col("_w").alias("_w2"), F.col("_cu").alias("_c2"))), "_w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.when(
+                F.col("_cb").isNotNull(),
+                F.log(F.col("_cb").cast("double") / F.col("_c1").cast("double")),
+            )
+            .otherwise(
+                F.log(
+                    F.lit(float(backoff))
+                    * F.col("_c2").cast("double")
+                    / F.col("_n").cast("double")
+                )
+            )
+            .alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_bigrams"),
+        F.round(F.avg("_lp"), 6).alias("mean_logprob"),
+    )

@@ -3804,3 +3804,50 @@ def q_join_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_join_jaccard(
         l, r, "text", "text", l_id="doc_id", r_id="rid", n=3, threshold=0.8
     ).select(F.col("doc_id").alias("l_id"), F.col("rid").alias("r_id"), "jaccard")
+
+
+@register(
+    "q_text_logprob2",
+    "llm",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+      FROM documents
+    ), uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cu FROM (
+        SELECT unnest(ts) AS w FROM toks
+      ) GROUP BY w
+    ), n AS (SELECT CAST(SUM(cu) AS BIGINT) AS total FROM uni),
+    pos AS (
+      SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+      FROM toks, unnest(range(1, len(ts))) AS t(i)
+      WHERE len(ts) >= 2
+    ), bi AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM pos GROUP BY w1, w2
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+           ROUND(AVG(CASE
+             WHEN bi.cb IS NOT NULL
+               THEN ln(CAST(bi.cb AS DOUBLE) / CAST(u1.cu AS DOUBLE))
+             ELSE ln(0.4 * CAST(u2.cu AS DOUBLE)
+                     / CAST((SELECT total FROM n) AS DOUBLE))
+           END), 6) AS mean_logprob
+    FROM pos p
+    LEFT JOIN bi ON bi.w1 = p.w1 AND bi.w2 = p.w2
+    JOIN uni u1 ON u1.w = p.w1
+    JOIN uni u2 ON u2.w = p.w2
+    GROUP BY p.doc_id
+    """,
+    notes="ORDER-AWARE fluency scoring (llm/textops.bigram_logprob_scores): "
+    "per-doc mean bigram log-prob under the corpus's own distribution "
+    "with stupid backoff (Brants et al. 2007, factor 0.4 to the unigram) "
+    "— the n-gram upgrade of q_text_logprob that shuffled prose cannot "
+    "fake (bag-of-words scores survive shuffling, P(w|prev) does not). "
+    "Two vocabulary-sized count shuffles, broadcast joins back, per-doc "
+    "mean; same ln/order 6-dp rounding discipline. Single-token docs "
+    "emit no row (no bigram positions)",
+)
+def q_text_logprob2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return textops.bigram_logprob_scores(d, "text", "doc_id")

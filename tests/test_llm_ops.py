@@ -3116,3 +3116,26 @@ def test_fuzzy_join_jaccard_equals_quadratic(spark):
         )
         assert got == want(th), (th, got, want(th))
     assert len(want(0.5)) >= 3  # non-vacuous: twins + near-twin qualify
+
+
+def test_bigram_logprob_order_awareness(spark):
+    """The whole point of the bigram score: SHUFFLED prose keeps its
+    unigram score but drops here. Corpus: many repeats of one sentence
+    (so its bigrams are high-probability) + one doc with the same words
+    reversed — same bag, broken bigrams, strictly lower score. Backoff
+    terms apply to the reversed doc's unseen bigrams."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm.textops import (
+        bigram_logprob_scores,
+        unigram_logprob_scores,
+    )
+
+    sent = "the cat sat on the mat"
+    docs = [(i, sent) for i in range(10)] + [(99, " ".join(sent.split()[::-1]))]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bg = {r["doc_id"]: r["mean_logprob"] for r in bigram_logprob_scores(df).collect()}
+    ug = {r["doc_id"]: r["mean_logprob"] for r in unigram_logprob_scores(df).collect()}
+    assert ug[99] == ug[0]          # bag-of-words can't tell them apart
+    assert bg[99] < bg[0] - 0.5     # order-aware score craters
+    # single-token docs emit no row
+    one = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    assert bigram_logprob_scores(one).count() == 0
