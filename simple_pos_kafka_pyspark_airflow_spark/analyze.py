@@ -128,3 +128,30 @@ def range_overlap_score(stats, col: str) -> float:
     if hi <= lo:
         return float(len(rows))
     return sum((float(r[1]) - float(r[0])) for r in rows) / (hi - lo)
+
+
+def codec_audit(
+    df,
+    path: str,
+    codecs: tuple[str, ...] = ("snappy", "zstd", "gzip", "none"),
+) -> list[tuple[str, int]]:
+    """MEASURE parquet size under each compression codec — the storage
+    sibling of ``file_range_stats``: at 100 TB the codec choice is a
+    30-50% storage/scan-I/O decision that should be measured on a real
+    sample of the actual tables, not asserted from folklore (zstd
+    usually wins on text-heavy corpora, snappy on already-high-entropy
+    columns like embeddings/digests — but 'usually' is what this
+    audits). Writes one copy per codec under ``path/<codec>`` and
+    returns ``[(codec, bytes)]`` sorted smallest first.
+
+    Run it on a REPRESENTATIVE SAMPLE (a few hundred MB), never the
+    corpus: compression ratios are stable under sampling, and the audit
+    is a driver-side decision input, not a pipeline stage."""
+    from .sources.io import dir_bytes
+
+    out = []
+    for codec in codecs:
+        p = f"{path.rstrip('/')}/{codec}"
+        df.write.mode("overwrite").option("compression", codec).parquet(p)
+        out.append((codec, int(dir_bytes(df.sparkSession, p))))
+    return sorted(out, key=lambda kv: kv[1])
