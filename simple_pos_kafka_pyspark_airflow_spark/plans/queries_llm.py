@@ -3665,14 +3665,17 @@ def q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     notes="extension: TWO-TABLE fuzzy equi-join by exact Levenshtein "
     "distance (llm/dedup.fuzzy_join_editdist) — the entity-resolution "
     "shape (scraped titles ↔ canonical registry) the self-join dedup "
-    "kernel can't express. Lossless two-sided length-band blocking "
-    "(each side emits bands {p, p+1}; any |Δlen| ≤ d pair shares a key "
-    "for d < band_width), |Δlen| prefilter, threshold levenshtein — "
-    "shuffle carries each side twice, never the cross product the "
-    "oracle's quadratic join materializes. Probe corpus: 30-char "
-    "lowercase prefixes joined to a copy with the 6th char replaced — "
-    "500 planted dist-1 matches plus the organic same-prefix "
-    "cross-matches, all value-hashed",
+    "kernel can't express. EDJoin-style rare-q-gram PREFIX candidates "
+    "(q·d+1 rarest grams per side under a union-wide rarity order — "
+    "lossless by the two-sided prefix theorem; one edit kills ≤ q "
+    "distinct grams) — length banding alone degrades to the quadratic "
+    "join on same-length corpora like this probe (measured 54 s at "
+    "sf0.1 banded; grams restore the blocking); short strings route "
+    "through a |Δlen|-keyed band path, the union is complete. Probe "
+    "corpus: 30-char lowercase prefixes joined to a copy with the 6th "
+    "char replaced — 500 planted dist-1 matches plus the organic "
+    "same-prefix cross-matches, all value-hashed vs the quadratic "
+    "oracle",
 )
 def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.dedup import fuzzy_join_editdist
@@ -3686,7 +3689,7 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
     )
     return fuzzy_join_editdist(
-        l, r, "s", "s", l_id="doc_id", r_id="rid", max_dist=2, max_block=None
+        l, r, "s", "s", l_id="doc_id", r_id="rid", max_dist=2, max_posting_docs=None
     ).select(F.col("doc_id").alias("l_id"), F.col("rid").alias("r_id"), "dist")
 
 

@@ -2944,28 +2944,14 @@ def test_pq_recall_vs_int8_and_compression(spark):
 
 
 def test_fuzzy_join_editdist_equals_quadratic(spark):
-    """Two-table fuzzy join: band-blocked result must equal the
-    quadratic definition, including pairs whose lengths straddle a band
-    boundary (the {p, p+1} two-sided emission argument)."""
-    from simple_pos_kafka_pyspark_airflow_spark.llm.dedup import fuzzy_join_editdist
-
-    # strings sized around the band_width=8 boundary: lengths 7, 8, 9
-    left = spark.createDataFrame(
-        [(1, "abcdefg"), (2, "abcdefgh"), (3, "xxxxxxxxx"), (4, "zz")],
-        "lid long, s string",
-    )
-    right = spark.createDataFrame(
-        [(10, "abcdefgx"), (11, "abcdefghi"), (12, "xxxxxxxx"), (13, "qqqqqqqq")],
-        "rid long, t string",
-    )
-    got = sorted(
-        (r["lid"], r["rid"], r["dist"])
-        for r in fuzzy_join_editdist(
-            left, right, "s", "t", l_id="lid", r_id="rid",
-            max_dist=2, band_width=8, max_block=None,
-        ).collect()
-    )
+    """Two-table fuzzy join: the gram-prefix + short-band union must
+    equal the quadratic definition, across BOTH regimes (strings below
+    q·(d+1) ride the |Δlen| band path, longer ones the rare-gram
+    prefixes) and across the regime boundary, including same-length
+    corpora (the case plain length banding degrades to quadratic on)."""
     import itertools
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm.dedup import fuzzy_join_editdist
 
     def lev(a, b):
         dp = list(range(len(b) + 1))
@@ -2975,20 +2961,35 @@ def test_fuzzy_join_editdist_equals_quadratic(spark):
                 prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
         return dp[len(b)]
 
-    want = sorted(
-        (lrow[0], rrow[0], lev(lrow[1], rrow[1]))
-        for lrow, rrow in itertools.product(
-            [(1, "abcdefg"), (2, "abcdefgh"), (3, "xxxxxxxxx"), (4, "zz")],
-            [(10, "abcdefgx"), (11, "abcdefghi"), (12, "xxxxxxxx"), (13, "qqqqqqqq")],
-        )
-        if lev(lrow[1], rrow[1]) <= 2
+    L = [
+        (1, "abcdefg"), (2, "abcdefgh"), (3, "xxxxxxxxx"), (4, "zz"),
+        (5, "the quick brown fox jumps"), (6, "zq"), (7, "abcdefghij"),
+    ]
+    R = [
+        (10, "abcdefgx"), (11, "abcdefghi"), (12, "xxxxxxxx"),
+        (13, "qqqqqqqq"), (14, "the quick brown fox jumpy"),
+        (15, "zz"), (16, "abcdefghijkl"),
+    ]
+    left = spark.createDataFrame(L, "lid long, s string")
+    right = spark.createDataFrame(R, "rid long, t string")
+    got = sorted(
+        (r["lid"], r["rid"], r["dist"])
+        for r in fuzzy_join_editdist(
+            left, right, "s", "t", l_id="lid", r_id="rid",
+            max_dist=2, max_posting_docs=None,
+        ).collect()
     )
-    assert got == want and len(got) >= 4, (got, want)
+    want = sorted(
+        (lr[0], rr[0], lev(lr[1], rr[1]))
+        for lr, rr in itertools.product(L, R)
+        if lev(lr[1], rr[1]) <= 2
+    )
+    assert got == want and len(got) >= 6, (got, want)
 
     import pytest
 
-    with pytest.raises(ValueError, match="band completeness"):
-        fuzzy_join_editdist(left, right, "s", "t", max_dist=8, band_width=8)
+    with pytest.raises(ValueError, match="max_dist"):
+        fuzzy_join_editdist(left, right, "s", "t", max_dist=-1)
 
 
 def test_grouped_winsorize_known_values(spark):
