@@ -184,7 +184,9 @@ HEADLINE = [
     "q_text_cosine",
     "q_join_jaccard",
     # order-aware bigram fluency (two vocab-sized shuffles + joins back)
+    # and the token-ID encode (same plan as q_bpe_encode + the id map)
     "q_text_logprob2",
+    "q_bpe_ids",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

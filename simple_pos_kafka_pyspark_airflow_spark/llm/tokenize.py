@@ -305,3 +305,85 @@ _SEED_WORD_COUNTS: dict[str, int] = {
 FROZEN_MERGES: list[tuple[str, str]] = bpe_train_python(
     _SEED_WORD_COUNTS, n_merges=48, min_count=2
 )
+
+
+def bpe_vocab(
+    merges: list[tuple[str, str]], base_chars: str
+) -> dict[str, int]:
+    """Token-string → token-id mapping, GPT-2 style: base characters
+    first (sorted), then each merge's output token in TRAINING ORDER.
+    Two merges can produce the same string (('a','bc') and ('ab','c'));
+    the first occurrence keeps the id — the mapping is on strings, as a
+    released tokenizer's vocab file is. Characters outside the base
+    alphabet encode to the UNK id −1 (callers decide the policy)."""
+    vocab: dict[str, int] = {}
+    for ch in sorted(set(base_chars)):
+        vocab.setdefault(ch, len(vocab))
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab))
+    return vocab
+
+
+def bpe_token_ids(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document TOKEN-ID statistics under a frozen (merges, vocab)
+    pair: ``(id_col, n_tokens, sum_ids, n_unk)`` — the certified witness
+    that the engine produces the trainer's ACTUAL input (ids, not just
+    counts): sum_ids pins the id of every token through the distinct-
+    word cache, n_unk counts tokens outside the released vocabulary.
+
+    Same plan as ``bpe_token_stats`` (the Zipf distinct-word encode +
+    broadcast join back) with the id mapping applied inside the same
+    Arrow pass — no extra shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = bpe_ranks(merges)
+
+    @pandas_udf("struct<n_tok: int, sum_ids: long, n_unk: int>")
+    def enc(col: pd.Series) -> pd.DataFrame:
+        rows = []
+        for w in col:
+            toks = bpe_encode_python(w, ranks)
+            ids = [vocab.get(t, -1) for t in toks]
+            rows.append(
+                (
+                    len(toks),
+                    sum(i for i in ids if i >= 0),
+                    sum(1 for i in ids if i < 0),
+                )
+            )
+        return pd.DataFrame(rows, columns=["n_tok", "sum_ids", "n_unk"])
+
+    occ = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+        ).alias("word"),
+    )
+    encoded = (
+        occ.select("word")
+        .distinct()
+        .withColumn("_e", enc("word"))
+        .select("word", "_e.n_tok", "_e.sum_ids", "_e.n_unk")
+    )
+    return (
+        occ.join(F.broadcast(encoded), "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("sum_ids").cast("long").alias("sum_ids"),
+            F.sum("n_unk").cast("long").alias("n_unk"),
+        )
+    )
+
+
+#: Frozen vocab for the contract queries: the seed corpus's alphabet +
+#: the 48 frozen merges (ids 0..25+47 — 26 letters, then merge outputs).
+FROZEN_VOCAB: dict[str, int] = bpe_vocab(
+    FROZEN_MERGES, base_chars="abcdefghijklmnopqrstuvwxyz"
+)

@@ -3854,3 +3854,90 @@ def q_join_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_logprob2(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return textops.bigram_logprob_scores(d, "text", "doc_id")
+
+
+def _bpe_vocab_values() -> str:
+    from ..llm.tokenize import FROZEN_VOCAB
+
+    return ", ".join(f"('{t}', {i})" for t, i in FROZEN_VOCAB.items())
+
+
+@register(
+    "q_bpe_ids",
+    "llm",
+    oracle="""
+    WITH RECURSIVE
+    m(l, r, rk) AS (VALUES {merges}),
+    ml AS (SELECT list(struct_pack(l := l, r := r, rk := rk)) AS ms FROM m),
+    voc(tok, id) AS (VALUES {vocab}),
+    vl AS (SELECT list(struct_pack(tok := tok, id := id)) AS vs FROM voc),
+    dw AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+      FROM documents
+    ),
+    words AS (SELECT DISTINCT w FROM dw),
+    init AS (
+      SELECT w, 0 AS step,
+             list_transform(range(1, length(w) + 1), i -> w[i]) AS t
+      FROM words
+    ),
+    enc(w, step, t) AS (
+      SELECT * FROM init
+      UNION ALL
+      SELECT w, step + 1,
+             t[1:best[2]-1] || [t[best[2]] || t[best[2]+1]] || t[best[2]+2:]
+      FROM (
+        SELECT w, step, t,
+          list_min(list_filter(
+            list_transform(range(1, len(t)), j -> [
+              list_min(list_transform(
+                list_filter(ms, x -> x.l = t[j] AND x.r = t[j+1]),
+                x -> x.rk)), j
+            ]),
+            p -> p[1] IS NOT NULL)) AS best
+        FROM enc, ml
+      ) s
+      WHERE best IS NOT NULL
+    ),
+    final AS (
+      SELECT w, t FROM (
+        SELECT w, t, ROW_NUMBER() OVER (PARTITION BY w ORDER BY step DESC) AS rn
+        FROM enc
+      ) WHERE rn = 1
+    ),
+    wstats AS (
+      SELECT w,
+             len(t) AS n_tok,
+             COALESCE(list_sum(list_transform(t, x ->
+               coalesce(list_min(list_transform(
+                 list_filter(vs, v -> v.tok = x), v -> v.id)), 0))), 0) AS sum_ids,
+             len(list_filter(t, x ->
+               len(list_filter(vs, v -> v.tok = x)) = 0)) AS n_unk
+      FROM final, vl
+    )
+    SELECT dw.doc_id,
+           CAST(SUM(ws.n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(ws.sum_ids) AS BIGINT) AS sum_ids,
+           CAST(SUM(ws.n_unk) AS BIGINT) AS n_unk
+    FROM dw JOIN wstats ws ON dw.w = ws.w
+    GROUP BY dw.doc_id
+    """.format(merges=_bpe_merge_values(), vocab=_bpe_vocab_values()),
+    notes="the trainer's ACTUAL input certified: per-doc token-ID "
+    "statistics under the frozen (merges, vocab) pair — GPT-2-style "
+    "vocab (base alphabet then merge outputs in training order, "
+    "first-occurrence-wins on duplicate strings), sum-of-ids pins every "
+    "token's id through the distinct-word cache, n_unk counts tokens "
+    "outside the released vocabulary (UNK policy is the caller's). "
+    "Same plan as q_bpe_encode with the id map applied inside the same "
+    "Arrow pass (llm/tokenize.bpe_token_ids / bpe_vocab); the oracle "
+    "replays encode via the recursive CTE and the vocab as a literal "
+    "struct list",
+)
+def q_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import tokenize
+
+    d = table(spark, sf_dir, "documents")
+    return tokenize.bpe_token_ids(
+        d, tokenize.FROZEN_MERGES, tokenize.FROZEN_VOCAB
+    )

@@ -125,3 +125,37 @@ def test_encode_words_returns_token_arrays(spark):
     ranks = tk.bpe_ranks(tk.FROZEN_MERGES)
     assert out["table"] == tk.bpe_encode_python("table", ranks)
     assert out["spark"] == tk.bpe_encode_python("spark", ranks)
+
+
+def test_vocab_and_token_ids(spark):
+    """Vocab ids: base alphabet first (a=0..z=25), then merge outputs in
+    training order; duplicate merge strings keep the first id; unknown
+    chars map to unk (-1) and are counted, never summed; the Spark stats
+    equal a from-scratch python recount."""
+    ranks = tk.bpe_ranks(tk.FROZEN_MERGES)
+    v = tk.FROZEN_VOCAB
+    assert v["a"] == 0 and v["z"] == 25
+    assert all(v[a + b] >= 26 for a, b in tk.FROZEN_MERGES)
+    # duplicate-string merges collapse to one id
+    dup = tk.bpe_vocab([("a", "bc"), ("ab", "c")], base_chars="abc")
+    assert len(dup) == 4  # a, b, c, abc (once)
+
+    docs = spark.createDataFrame(
+        [(1, "the table 9to5"), (2, "zz qq")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["sum_ids"], r["n_unk"])
+        for r in tk.bpe_token_ids(docs, tk.FROZEN_MERGES, v).collect()
+    }
+    for doc_id, text in [(1, "the table 9to5"), (2, "zz qq")]:
+        n_tok = sum_ids = n_unk = 0
+        for w in text.lower().split():
+            for t in tk.bpe_encode_python(w, ranks):
+                i = v.get(t, -1)
+                n_tok += 1
+                if i < 0:
+                    n_unk += 1
+                else:
+                    sum_ids += i
+        assert got[doc_id] == (n_tok, sum_ids, n_unk), doc_id
+    assert got[1][2] == 2  # '9' and '5' are outside the alphabet
