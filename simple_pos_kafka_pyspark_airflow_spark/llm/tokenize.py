@@ -159,23 +159,39 @@ def bpe_train(
     n_merges: int = 50,
     min_count: int = 2,
 ) -> list[tuple[str, str]]:
-    """Distributed BPE training; returns the merge list (training order).
+    """Distributed BPE training over a document corpus; returns the
+    merge list (training order). One corpus-sized groupBy builds the
+    word-frequency table, then delegates to ``bpe_train_from_counts`` —
+    which is also the RETRAIN path from a maintained word-count index
+    (``streaming.corpus.IncrementalWordCountIndex``): the corpus is
+    never rescanned for a retrain."""
+    return bpe_train_from_counts(
+        word_count_table(docs, text_col), n_merges=n_merges, min_count=min_count
+    )
 
-    One corpus-sized groupBy builds the word-frequency table; each merge
-    round is a vocabulary-sized pair-count shuffle + a 1-row driver
-    argmax + an Arrow-batched merge apply on the affected words only.
-    Deterministic and pinned equal to ``bpe_train_python`` in tests
-    (tests/test_tokenize.py).
+
+def bpe_train_from_counts(
+    word_counts: DataFrame,
+    n_merges: int = 50,
+    min_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Distributed BPE training from a ``(word, count)`` table; returns
+    the merge list (training order).
+
+    Each merge round is a vocabulary-sized pair-count shuffle + a 1-row
+    driver argmax + an Arrow-batched merge apply on the affected words
+    only. Deterministic and pinned equal to ``bpe_train_python`` in
+    tests (tests/test_tokenize.py).
 
     Driver materialization per round: exactly one (count, left, right)
     row — never a vocabulary."""
     from pyspark.sql.types import ArrayType, StringType
 
-    vocab = word_count_table(docs, text_col).select(
+    vocab = word_counts.select(
         # split('x','') yields chars in Spark; filter guards locales where
         # a trailing empty string appears
         F.array_compact(F.split("word", "")).alias("syms"),
-        "count",
+        F.col("count"),
     )
     vocab = vocab.localCheckpoint(eager=True)
 

@@ -787,6 +787,77 @@ class IncrementalCmsIndex:
         )
 
 
+class IncrementalWordCountIndex:
+    """Corpus-lifetime WORD-FREQUENCY table at ingest — the tokenizer's
+    feedstock maintained incrementally: BPE retraining
+    (``llm.tokenize.bpe_train_from_counts``) runs off this index's
+    merged counts WITHOUT rescanning the corpus (training is
+    vocabulary-sized after the word count; the word count is the one
+    corpus-sized pass, and this index pays it per batch at ingest
+    instead of per retrain over history). Also the exact companion to
+    ``IncrementalCmsIndex``'s estimates when the vocabulary fits —
+    Zipf makes it a few GB even at web scale.
+
+    Counts merge by ADDITION, so append IS merge (the CMS-index
+    discipline): each batch writes its own (word, count) rows keyed by
+    ``batch_id``; reads collapse replays with ``dropDuplicates`` on
+    (_batch, word) and groupBy-sum; ``compact()`` folds history into
+    the sentinel batch −1 under the atomic snapshot swap (quiesced
+    points only)."""
+
+    def __init__(self, spark: SparkSession, path: str, text_col: str = "text") -> None:
+        self.spark = spark
+        self.path = path
+        self.text_col = text_col
+
+    def _landed(self) -> DataFrame | None:
+        return _read_landed_index(self.spark, self.path)
+
+    def update_batch(self, df: DataFrame, batch_id: int) -> None:
+        """Append this batch's (word, count) rows (vocabulary-of-batch
+        sized, keyed by ``batch_id`` for replay collapse)."""
+        from ..llm.tokenize import word_count_table
+
+        wc = word_count_table(df, self.text_col).withColumn(
+            "_batch", F.lit(int(batch_id)).cast("long")
+        )
+        wc.write.mode("append").parquet(self.path)
+
+    def counts(self) -> DataFrame | None:
+        """Replay-collapsed, batch-summed (word, count) over the whole
+        landed history; None when nothing has landed."""
+        landed = self._landed()
+        if landed is None:
+            return None
+        return (
+            landed.dropDuplicates(["_batch", "word"])
+            .groupBy("word")
+            .agg(F.sum("count").cast("long").alias("count"))
+        )
+
+    def train(self, n_merges: int = 50, min_count: int = 2) -> list[tuple[str, str]]:
+        """Retrain the BPE merge table from the landed counts — identical
+        to training on the full landed corpus (word counts are sufficient
+        statistics for BPE), no corpus rescan. Raises on an empty index
+        (an empty vocabulary must not define a tokenizer release)."""
+        from ..llm.tokenize import bpe_train_from_counts
+
+        wc = self.counts()
+        if wc is None:
+            raise ValueError(f"no landed word counts at {self.path}: ingest first")
+        return bpe_train_from_counts(wc, n_merges=n_merges, min_count=min_count)
+
+    def compact(self) -> None:
+        """Fold per-batch rows into one vocabulary-sized snapshot under
+        the sentinel batch −1 (atomic swap); quiesced points only."""
+        from ..sources.io import overwrite_atomic
+
+        wc = self.counts()
+        if wc is None:
+            return
+        overwrite_atomic(wc.withColumn("_batch", F.lit(-1).cast("long")), self.path)
+
+
 class PersistentBloomGate:
     """Corpus-lifetime decontamination gate: the eval set's gram Bloom
     bitmap (``llm.bloom``) persisted beside the corpus indexes and applied

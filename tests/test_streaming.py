@@ -3102,3 +3102,43 @@ def test_tokenizer_fertility_monitor(spark, tmp_path):
     a = {(r["source"], r["n_tokens"], r["drifted"]) for r in calm.collect()}
     b = {(r["source"], r["n_tokens"], r["drifted"]) for r in calm2.collect()}
     assert a == b
+
+
+def test_incremental_wordcount_index_retrains_bpe(spark, tmp_path):
+    """Word counts are sufficient statistics for BPE: training from the
+    index's merged counts after two ingested batches must equal training
+    directly on the unioned corpus; a replayed batch changes nothing;
+    compact folds to one row per word and preserves the merges."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm import tokenize as tk
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import (
+        IncrementalWordCountIndex,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    b1 = docs.where("doc_id % 2 = 0")
+    b2 = docs.where("doc_id % 2 = 1")
+    idx = IncrementalWordCountIndex(spark, str(tmp_path / "wc"))
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="ingest"):
+        idx.train()
+    idx.update_batch(b1, batch_id=1)
+    idx.update_batch(b2, batch_id=2)
+
+    direct = tk.bpe_train(docs, n_merges=12)
+    assert idx.train(n_merges=12) == direct
+
+    # replay of batch 2: identical rows land again, reads collapse them
+    idx.update_batch(b2, batch_id=2)
+    wc = {r["word"]: r["count"] for r in idx.counts().collect()}
+    truth = {
+        r["word"]: r["count"] for r in tk.word_count_table(docs).collect()
+    }
+    assert wc == truth
+    assert idx.train(n_merges=12) == direct
+
+    # compact: one row per word, same counts and merges
+    idx.compact()
+    landed = spark.read.parquet(str(tmp_path / "wc"))
+    assert landed.count() == len(truth)
+    assert idx.train(n_merges=12) == direct
