@@ -1099,6 +1099,7 @@ def dedup_clusters(
     all_ids: DataFrame | None = None,
     id_col: str = "doc_id",
     max_iter: int = 20,
+    max_driver_edges: int | None = 1_000_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs: every document gets a
     ``cluster_id`` (the minimum id reachable through the pair graph;
@@ -1125,6 +1126,20 @@ def dedup_clusters(
 
     ``pairs`` must carry ``id_a``/``id_b``; ``all_ids`` (one ``id_col``
     column) extends the output to documents in no pair.
+
+    SMALL-GRAPH FAST PATH (``max_driver_edges``, default 1M): near-dup
+    edge lists are tiny relative to the corpus (pairs exist only where
+    documents actually collide — 5000 docs with planted dups yield a few
+    hundred edges), yet every propagation round costs a join + an eager
+    checkpoint + a convergence probe, ~1s of fixed latency each. When
+    the materialized edge count is within the bound, the edges collect
+    to the driver (hard-bounded: 1M (id,id) rows ≈ 16 MB) and a
+    path-compressed union-find labels the components in microseconds —
+    EXACTLY the propagation fixpoint (each component's min id), returned
+    as one small createDataFrame. Beyond the bound the distributed loop
+    runs unchanged; ``max_driver_edges=0``/``None`` forces it. This is
+    the standard hybrid: the driver path is the bounded-size special
+    case, never the scale path (pinned equal in tests).
 
     Cache lifetime (r8 advice): each round's eager checkpoint would
     otherwise leave the PREVIOUS round's blocks cached until session
@@ -1163,6 +1178,53 @@ def dedup_clusters(
             F.col(id_col).alias("cluster_id"),
             F.lit(True).alias("keep"),
         )
+    if max_driver_edges:
+        n_edges = edges.count()
+        if n_edges <= max_driver_edges:
+            rows = edges.collect()  # hard-bounded by max_driver_edges
+            release_caches(spark, edge_ids)
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in rows:
+                ra, rb = find(r["s"]), find(r["d"])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            nodes = {r["s"] for r in rows} | {r["d"] for r in rows}
+            label_rows = [(n, find(n)) for n in sorted(nodes)]
+            from pyspark.sql.types import StructField, StructType
+
+            id_type = edges.schema["s"].dataType
+            labels_df = spark.createDataFrame(
+                label_rows,
+                StructType(
+                    [
+                        StructField("id", id_type, False),
+                        StructField("label", id_type, False),
+                    ]
+                ),
+            )
+            out = labels_df.select(
+                F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+            )
+            if all_ids is not None:
+                out = (
+                    all_ids.select(id_col)
+                    .join(out, id_col, "left")
+                    .withColumn(
+                        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+                    )
+                )
+            return out.withColumn(
+                "keep", (F.col(id_col) == F.col("cluster_id")).cast("boolean")
+            )
     pre_labels = persistent_rdd_ids(spark)
     labels = (
         edges.select(F.col("s").alias("id"))

@@ -2365,10 +2365,12 @@ def test_dedup_clusters_frees_superseded_rounds(spark):
 
     before = persistent_rdd_ids(spark)
     # a chain 0-1-2-...-9: diameter 9 forces many propagation rounds
+    # (max_driver_edges=0 forces the DISTRIBUTED path this test audits —
+    # the small graph would otherwise take the driver union-find)
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(9)], "id_a long, id_b long"
     )
-    out = dedup_clusters(pairs)
+    out = dedup_clusters(pairs, max_driver_edges=0)
     rows = {r["id_a"] if "id_a" in r else r["doc_id"]: r["cluster_id"] for r in out.collect()}
     assert set(rows.values()) == {0}
     leftover = persistent_rdd_ids(spark) - before
@@ -3140,3 +3142,40 @@ def test_bigram_logprob_order_awareness(spark):
     # single-token docs emit no row
     one = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
     assert bigram_logprob_scores(one).count() == 0
+
+
+def test_dedup_clusters_fast_path_equals_distributed(spark):
+    """The driver union-find fast path must produce EXACTLY the
+    distributed propagation's labels — components keyed by min id —
+    including chains, merged components (union order independence),
+    singletons via all_ids, and string ids (lexicographic min)."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm.dedup import dedup_clusters
+
+    # chain + a triangle merging two pre-existing components + isolates
+    edges = (
+        [(i, i + 1) for i in range(9)]
+        + [(20, 21), (22, 23), (21, 22)]
+        + [(30, 31)]
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    ids = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    fast = sorted(
+        (r["doc_id"], r["cluster_id"], r["keep"])
+        for r in dedup_clusters(pairs, all_ids=ids).collect()
+    )
+    dist = sorted(
+        (r["doc_id"], r["cluster_id"], r["keep"])
+        for r in dedup_clusters(pairs, all_ids=ids, max_driver_edges=0).collect()
+    )
+    assert fast == dist and len(fast) == 40
+    by = dict((d, c) for d, c, _ in fast)
+    assert by[9] == 0 and by[23] == 20 and by[31] == 30 and by[35] == 35
+
+    # string ids: min is lexicographic on both paths
+    sp = spark.createDataFrame([("b", "a"), ("c", "b")], "id_a string, id_b string")
+    f = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(sp).collect()}
+    d = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(sp, max_driver_edges=0).collect()
+    }
+    assert f == d == {"a": "a", "b": "a", "c": "a"}
