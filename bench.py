@@ -187,6 +187,8 @@ HEADLINE = [
     # and the token-ID encode (same plan as q_bpe_encode + the id map)
     "q_text_logprob2",
     "q_bpe_ids",
+    # forward as-of join (single-shuffle tagged union, mirrored fill)
+    "q_join_asof_fwd",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

@@ -184,6 +184,53 @@ def asof_join_backward(
     )
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    pick: list[str],
+) -> DataFrame:
+    """As-of (forward) join: attach to each left row the ``pick`` columns
+    of the *earliest* right row with the same key and
+    ``right_ts >= left_ts`` — the mirror of ``asof_join_backward`` for
+    "what happened NEXT" questions (next fill after an order, next
+    deploy after an alert).
+
+    Same single-shuffle tagged-union shape, mirrored: left rows sort
+    BEFORE right rows at equal timestamps (side 0 vs 1), and
+    ``first(ignorenulls)`` fills over [current row, unbounded following]
+    — so an equal-timestamp right row matches (inclusive), and the fill
+    picks the earliest following right row atomically through one
+    struct (the anti-tearing discipline the backward docstring
+    explains). Rows with no following right row get nulls."""
+    lt = (
+        left.withColumn("__k", F.col(left_key))
+        .withColumn("__t", F.col(left_ts))
+        .withColumn("__side", F.lit(0))
+    )
+    rt = right.select(
+        F.col(right_key).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.struct(*[F.col(c) for c in pick]).alias("__pick"),
+        F.lit(1).alias("__side"),
+    )
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = u.withColumn("__pick", F.first("__pick", ignorenulls=True).over(w))
+    return filled.where(F.col("__side") == 0).select(
+        *left.columns, *[F.col("__pick").getField(c).alias(c) for c in pick]
+    )
+
+
 def asof_join_nearest(
     left: DataFrame,
     right: DataFrame,

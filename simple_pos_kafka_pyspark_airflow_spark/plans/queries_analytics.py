@@ -3343,3 +3343,38 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("x") > F.col("q_hi")).cast("long")).alias("n_clamped_hi"),
         F.sum("x_w").cast("long").alias("sum_w"),
     )
+
+
+@register(
+    "q_join_asof_fwd",
+    "join",
+    oracle="""
+    SELECT e.event_id AS err_id,
+           (SELECT MIN(c.ts) FROM events c
+            WHERE c.user_id = e.user_id AND c.event_type = 'click' AND c.ts >= e.ts)
+               AS next_click_ts
+    FROM events e WHERE e.event_type = 'error'
+    """,
+    notes="extension: FORWARD as-of join (operators/joins.asof_join_forward) "
+    "— earliest click at-or-after each error, per user: the 'what "
+    "happened next' mirror of q_join_asof's backward form (next fill "
+    "after an order, next deploy after an alert). Same single-shuffle "
+    "tagged-union + per-key window shape, mirrored to "
+    "first(ignorenulls) over [current, following] with left rows "
+    "sorting before right at equal timestamps (inclusive match); the "
+    "oracle's correlated MIN is the semantic definition",
+)
+def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("err_user"),
+        F.col("ts").alias("err_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("click_user"), F.col("ts").alias("click_ts")
+    )
+    joined = join_ops.asof_join_forward(
+        errors, clicks, "err_user", "click_user", "err_ts", "click_ts", pick=["click_ts"]
+    )
+    return joined.select("err_id", F.col("click_ts").alias("next_click_ts"))

@@ -1064,6 +1064,34 @@ def test_asof_join_picks_latest_row_atomically(spark):
     assert row["price"] is None  # latest row's NULL, not t=1's stale 5.0
 
 
+def test_asof_join_forward_earliest_following_row(spark):
+    """Forward as-of: EARLIEST right row at-or-after each left ts per
+    key — equal timestamps match (inclusive), the pick is atomic (a
+    NULL in the earliest following row is never forward-filled from a
+    later one), and a left row with no following right row gets nulls."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators.joins import (
+        asof_join_forward,
+    )
+
+    right = spark.createDataFrame(
+        [(1, 5, None, 50), (1, 8, 9.0, 80), (2, 1, 1.0, 10)],
+        "k long, t long, price double, qty long",
+    )
+    left = spark.createDataFrame(
+        [(1, 5), (1, 6), (1, 9), (2, 0)], "k long, t long"
+    )
+    got = {
+        (r["k"], r["t"]): (r["price"], r["qty"])
+        for r in asof_join_forward(
+            left, right, "k", "k", "t", "t", ["price", "qty"]
+        ).collect()
+    }
+    assert got[(1, 5)] == (None, 50)   # inclusive equal-ts match, atomic NULL
+    assert got[(1, 6)] == (9.0, 80)    # next row forward
+    assert got[(1, 9)] == (None, None)  # nothing follows
+    assert got[(2, 0)] == (1.0, 10)
+
+
 def test_range_join_left_no_spurious_bucket_duplicates(spark):
     """how='left': a left row matching in one of its bucket copies emits
     only its matches; an unmatched left row (including NULL-ts) emits
