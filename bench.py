@@ -188,7 +188,9 @@ HEADLINE = [
     "q_text_logprob2",
     "q_bpe_ids",
     # forward as-of join (single-shuffle tagged union, mirrored fill)
+    # and the exact-proportion stratified split (per-group rank window)
     "q_join_asof_fwd",
+    "q_split_stratified",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

@@ -631,3 +631,44 @@ def duplication_weights(
             (F.lit(1.0) / F.col("n_copies").cast("double")).alias("weight"),
         )
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test split with EXACT per-group
+    proportions — the stratified upgrade of the global hash split
+    (``curation.split_col``): a global ``(id·KNUTH) mod 100`` gives each
+    SOURCE only expected-value proportions, so small domains can land
+    90/10/0 by luck and the eval set stops representing them; here every
+    group contributes exactly ⌈p·n_g⌉-bounded counts.
+
+    Mechanics: md5-rank within each group (the ``cap_per_group``
+    ordering — deterministic, id-keyed, engine-agnostic), then integer
+    threshold buckets: row r of n (1-based) is train iff
+    ``r·100 ≤ train_pct·n``, val iff ``r·100 ≤ (train_pct+val_pct)·n``
+    — pure integer cross-multiplication, no float rounding to disagree
+    across engines. Per-group counts are exact floors:
+    ``n_train = ⌊train_pct·n/100⌋`` per group, guaranteed.
+
+    One window per group (same shuffle cap_per_group already pays);
+    at 100 TB the rank window is per-group-bounded, never global.
+    Returns the input rows + ``split``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    n = Window.partitionBy(group_col)
+    r = F.row_number().over(w).cast("long")
+    cnt = F.count("*").over(n).cast("long")
+    split = (
+        F.when(r * 100 <= int(train_pct) * cnt, "train")
+        .when(r * 100 <= int(train_pct + val_pct) * cnt, "val")
+        .otherwise("test")
+    )
+    return df.withColumn("split", split)

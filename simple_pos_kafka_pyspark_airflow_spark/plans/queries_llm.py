@@ -3941,3 +3941,38 @@ def q_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenize.bpe_token_ids(
         d, tokenize.FROZEN_MERGES, tokenize.FROZEN_VOCAB
     )
+
+
+@register(
+    "q_split_stratified",
+    "llm",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN r * 100 <= 80 * n THEN 'train'
+                WHEN r * 100 <= 90 * n THEN 'val'
+                ELSE 'test' END AS split
+    FROM ranked
+    """,
+    notes="extension: STRATIFIED deterministic split with exact per-group "
+    "proportions (llm/filtering.stratified_split) — the global hash "
+    "split (q_split_hash) gives small sources only expected-value "
+    "proportions (a 30-doc domain can land 90/10/0 by luck and vanish "
+    "from eval); md5-rank within each source + integer threshold "
+    "buckets (r·100 ≤ p·n — cross-multiplied, no float rounding) "
+    "guarantee every source contributes ⌊p·n⌋ docs to each split. One "
+    "per-group rank window (the cap_per_group shuffle), never a global "
+    "sort",
+)
+def q_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return filtering.stratified_split(d, "source", "doc_id").select(
+        "doc_id", "source", "split"
+    )

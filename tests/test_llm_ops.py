@@ -3207,3 +3207,33 @@ def test_dedup_clusters_fast_path_equals_distributed(spark):
         for r in dedup_clusters(sp, max_driver_edges=0).collect()
     }
     assert f == d == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_stratified_split_exact_proportions(spark):
+    """Every group's split counts are exact integer floors of the
+    requested percentages — including a group SMALLER than a bucket
+    (3 docs at 80/10: 2 train, 0 val, 1 test), which a global hash
+    split only hits in expectation; rerun is deterministic."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm.filtering import stratified_split
+
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_split(df, "source", "doc_id")
+    counts = {
+        (r["source"], r["split"]): r["n"]
+        for r in out.groupBy("source", "split").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts[("big", "train")] == 80
+    assert counts[("big", "val")] == 10
+    assert counts[("big", "test")] == 10
+    # small group: r*100 <= 80*3 -> r <= 2 train; r*100 <= 90*3 -> r <= 2 (no val); rest test
+    assert counts[("small", "train")] == 2
+    assert ("small", "val") not in counts
+    assert counts[("small", "test")] == 1
+    # determinism: identical assignment on rerun
+    a = sorted((r["doc_id"], r["split"]) for r in out.collect())
+    b = sorted(
+        (r["doc_id"], r["split"])
+        for r in stratified_split(df, "source", "doc_id").collect()
+    )
+    assert a == b
