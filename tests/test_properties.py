@@ -958,3 +958,107 @@ def test_cms_join_size_never_under_and_tight_when_wide(spark):
             count_min_table(a, "k", width=8, depth=2),
             count_min_table(b, "k", width=8, depth=3),
         )
+
+
+@given(
+    st.lists(st.text(alphabet="abc", min_size=0, max_size=14), min_size=1, max_size=6),
+    st.lists(st.text(alphabet="abc", min_size=0, max_size=14), min_size=1, max_size=6),
+)
+@SETTINGS
+def test_fuzzy_join_editdist_property(spark, ls, rs):
+    """Gram-prefix + short-band fuzzy join equals the quadratic
+    Levenshtein definition on adversarial tiny-alphabet strings (heavy
+    gram collisions, lengths straddling the short/gram regime cut)."""
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    left = spark.createDataFrame(list(enumerate(ls)), "lid long, s string")
+    right = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(rs)], "rid long, t string"
+    )
+    got = sorted(
+        (r["lid"], r["rid"], r["dist"])
+        for r in dedup.fuzzy_join_editdist(
+            left, right, "s", "t", l_id="lid", r_id="rid",
+            max_dist=2, max_posting_docs=None,
+        ).collect()
+    )
+    want = sorted(
+        (i, 100 + j, lev(a, b))
+        for i, a in enumerate(ls)
+        for j, b in enumerate(rs)
+        if lev(a, b) <= 2
+    )
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["g1", "g2"]), st.integers(-50, 50)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SETTINGS
+def test_grouped_winsorize_property(spark, rows):
+    """Winsorize invariants on arbitrary integer groups: q_lo ≤ q_hi are
+    group members; every clamped value lies in [q_lo, q_hi]; unclamped
+    values pass through; the clamp equals the python replay of the
+    ceil-rank definition."""
+    import math
+
+    from simple_pos_kafka_pyspark_airflow_spark.operators.aggregates import (
+        grouped_winsorize,
+    )
+
+    df = spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(rows)], "g string, x long, rid long"
+    )
+    out = grouped_winsorize(df, "g", F.col("x")).collect()
+    by_g: dict = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+
+    def q(vals, num, den):
+        vals = sorted(vals)
+        thr = math.ceil(num * len(vals) / den)
+        return vals[thr - 1]
+
+    for r in out:
+        vals = by_g[r["g"]]
+        lo, hi = q(vals, 1, 20), q(vals, 19, 20)
+        assert (r["q_lo"], r["q_hi"]) == (lo, hi)
+        assert r["x_w"] == max(lo, min(hi, r["x"]))
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["s1", "s2", "s3"]), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[1],
+    )
+)
+@SETTINGS
+def test_stratified_split_property(spark, rows):
+    """Per-group split counts are exact integer floors for ANY group
+    sizes: n_train = floor(.8n), n_train+n_val = floor(.9n)."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm.filtering import stratified_split
+
+    df = spark.createDataFrame(
+        [(i, g) for g, i in rows], "doc_id long, source string"
+    )
+    out = stratified_split(df, "source", "doc_id").collect()
+    by_g: dict = {}
+    for r in out:
+        by_g.setdefault(r["source"], []).append(r["split"])
+    for g, splits in by_g.items():
+        n = len(splits)
+        assert splits.count("train") == (80 * n) // 100
+        assert splits.count("train") + splits.count("val") == (90 * n) // 100
