@@ -191,6 +191,8 @@ HEADLINE = [
     # and the exact-proportion stratified split (per-group rank window)
     "q_join_asof_fwd",
     "q_split_stratified",
+    # DECIMAL(38,2) exact money sums (the beyond-int64 widening path)
+    "q_agg_decimal",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

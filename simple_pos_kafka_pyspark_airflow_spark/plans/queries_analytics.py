@@ -3378,3 +3378,39 @@ def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
         errors, clicks, "err_user", "click_user", "err_ts", "click_ts", pick=["click_ts"]
     )
     return joined.select("err_id", F.col("click_ts").alias("next_click_ts"))
+
+
+@register(
+    "q_agg_decimal",
+    "agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(38,2)))
+                AS VARCHAR) AS sum_price,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(38,2))
+                    * CAST(l_quantity AS BIGINT)) AS VARCHAR) AS sum_weighted
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    notes="the DECIMAL WIDENING path the int64-cents discipline keeps "
+    "citing, exercised for real: money summed as DECIMAL(38,2) — exact "
+    "decimal arithmetic, order-free, immune to both float "
+    "summation-order and the int64 envelope (cents hold ~9.2e16; a "
+    "100 TB fact's global money sum can exceed it, DECIMAL(38) holds "
+    "1e36). Values ship as canonical strings: a decimal's cross-engine "
+    "binary representation is not hash-comparable, its digits are. "
+    "Spark sums decimals with exact partial aggregation (no codegen "
+    "loss — the aggregate stays whole-stage); per-row DECIMAL(12,2) "
+    "cast of the double is exact (2-decimal values within 1e10)",
+)
+def q_agg_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)").cast("decimal(38,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(price).cast("decimal(38,2)").cast("string").alias("sum_price"),
+        F.sum(price * F.col("l_quantity").cast("long"))
+        .cast("decimal(38,2)")
+        .cast("string")
+        .alias("sum_weighted"),
+    )
