@@ -1042,6 +1042,11 @@ def pq_encode(
     fetch."""
     from pyspark.sql.functions import pandas_udf
 
+    if not codebooks:
+        raise ValueError(
+            "pq_encode needs trained codebooks (pq_train returned [] — "
+            "empty training corpus?)"
+        )
     cb = np.array(codebooks, dtype="float64")  # (m, ks, dsub)
     m, ks, dsub = cb.shape
     cb_sq = (cb**2).sum(axis=2)  # (m, ks)
@@ -1091,6 +1096,10 @@ def pq_topk_batch(
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.window import Window
 
+    if not codebooks:
+        raise ValueError(
+            "pq_topk_batch needs trained codebooks (pq_train returned [])"
+        )
     cb = np.array(codebooks, dtype="float64")  # (m, ks, dsub)
     m, ks, dsub = cb.shape
     qrows = queries.select(q_id_col, q_vec_col).collect()

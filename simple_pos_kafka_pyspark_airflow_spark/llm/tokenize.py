@@ -188,9 +188,10 @@ def bpe_train_from_counts(
     from pyspark.sql.types import ArrayType, StringType
 
     vocab = word_counts.select(
-        # split('x','') yields chars in Spark; filter guards locales where
-        # a trailing empty string appears
-        F.array_compact(F.split("word", "")).alias("syms"),
+        # split('x','') yields exactly the chars in Spark 4 (verified; no
+        # trailing empty element); array_remove guards the empty-string
+        # edge anyway — array_compact would only strip NULLs, not ''
+        F.array_remove(F.split("word", ""), "").alias("syms"),
         F.col("count"),
     )
     vocab = vocab.localCheckpoint(eager=True)

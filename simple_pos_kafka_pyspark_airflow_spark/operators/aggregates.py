@@ -679,9 +679,17 @@ def grouped_winsorize(
     ``kll_sketch_table`` quantile estimates (the KLL rank guarantee
     bounds how much tail mass a clamp can misplace).
 
+    NULL values take no part in the quantiles (they would otherwise
+    sort below every real value and drag q_lo to garbage) and pass
+    through with ``x_w`` NULL — the aggregate-exclusion convention.
+
     Returns the input rows + ``x_w`` (clamped), ``q_lo``, ``q_hi``."""
     d = df.withColumn("_x", x_long.cast("long"))
-    c = d.groupBy(group_col, "_x").agg(F.count("*").cast("long").alias("_cnt"))
+    c = (
+        d.where(F.col("_x").isNotNull())
+        .groupBy(group_col, "_x")
+        .agg(F.count("*").cast("long").alias("_cnt"))
+    )
     w = Window.partitionBy(group_col).orderBy("_x")
     cum = c.withColumn("_cum", F.sum("_cnt").over(w))
     n = c.groupBy(group_col).agg(F.sum("_cnt").cast("long").alias("_n"))
@@ -694,6 +702,16 @@ def grouped_winsorize(
             F.when(F.col("_cum") * hi[1] >= hi[0] * F.col("_n"), F.col("_x"))
         ).alias("q_hi"),
     )
-    return d.join(F.broadcast(q), group_col).withColumn(
-        "x_w", F.greatest(F.col("q_lo"), F.least(F.col("q_hi"), F.col("_x")))
-    ).drop("_x")
+    # left join: a group whose values are ALL NULL has no quantile row
+    # and must still pass its rows through (x_w/q_lo/q_hi all NULL).
+    # The clamp needs an explicit NULL gate: Spark's greatest/least SKIP
+    # nulls (least(q_hi, NULL) = q_hi), which would silently clamp a
+    # NULL value to a quantile instead of propagating it.
+    clamp = F.when(
+        F.col("_x").isNull(), F.lit(None).cast("long")
+    ).otherwise(F.greatest(F.col("q_lo"), F.least(F.col("q_hi"), F.col("_x"))))
+    return (
+        d.join(F.broadcast(q), group_col, "left")
+        .withColumn("x_w", clamp)
+        .drop("_x")
+    )

@@ -3237,3 +3237,25 @@ def test_stratified_split_exact_proportions(spark):
         for r in stratified_split(df, "source", "doc_id").collect()
     )
     assert a == b
+
+
+def test_grouped_winsorize_null_handling(spark):
+    """NULLs take no part in the quantiles and pass through with x_w
+    NULL; an all-NULL group keeps its rows (NULL quantiles) instead of
+    vanishing through the clamp join."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators.aggregates import (
+        grouped_winsorize,
+    )
+
+    rows = [("a", v) for v in range(1, 21)] + [("a", None), ("nul", None), ("nul", None)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    out = grouped_winsorize(df, "g", F.col("x")).collect()
+    assert len(out) == 23  # nothing dropped
+    a_null = [r for r in out if r["g"] == "a" and r["x"] is None]
+    assert len(a_null) == 1 and a_null[0]["x_w"] is None
+    # the NULL did not shift group a's quantiles (same as the known-values test)
+    assert {(r["q_lo"], r["q_hi"]) for r in out if r["g"] == "a"} == {(1, 19)}
+    nul = [r for r in out if r["g"] == "nul"]
+    assert len(nul) == 2 and all(
+        r["x_w"] is None and r["q_lo"] is None and r["q_hi"] is None for r in nul
+    )
