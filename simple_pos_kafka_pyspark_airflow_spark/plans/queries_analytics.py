@@ -3414,3 +3414,39 @@ def q_agg_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("sum_weighted"),
     )
+
+
+@register(
+    "q_agg_mode",
+    "agg",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(user_id % 100 AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(arg_max(v, n * 1000 - v) AS BIGINT) AS mode_v,
+           CAST(MAX(n) AS BIGINT) AS mode_n
+    FROM c GROUP BY event_type
+    """,
+    notes="extension: exact per-group MODE with deterministic ties "
+    "(highest count, then smallest value — ties are the whole point: "
+    "Spark's own `mode()` is tie-nondeterministic and would never "
+    "hash-compare). Two partial-aggregable shuffles: (group, value) "
+    "counts, then one per-group arg_max over the SCALAR composite key "
+    "n*1000 - v (exact while v < 1000 — the domain here is mod 100; "
+    "wider domains use a struct max_by on Spark and a scaled key sized "
+    "to the domain). State scales with distinct values per group, not "
+    "rows. The profiling companion of q_stats_mad's median and "
+    "q_value_histogram's bins",
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", (F.col("user_id") % 100).cast("long").alias("v")
+    ).agg(F.count("*").cast("long").alias("n"))
+    return c.groupBy("event_type").agg(
+        F.max_by("v", F.col("n") * 1000 - F.col("v")).cast("long").alias("mode_v"),
+        F.max("n").cast("long").alias("mode_n"),
+    )
