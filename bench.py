@@ -193,6 +193,17 @@ HEADLINE = [
     "q_split_stratified",
     # DECIMAL(38,2) exact money sums (the beyond-int64 widening path)
     "q_agg_decimal",
+    # exact grouped mode (two partial-aggregable shuffles, composite-key
+    # argmax) and the OLS/Welch exact-moment statistics pair
+    "q_agg_mode",
+    "q_stats_linreg",
+    "q_ab_ttest",
+    # linear-interpolation gap fill (densify + two ignorenulls window
+    # passes) and depth-3 path mining (one window, |types|^3 count state)
+    "q_gapfill_interp",
+    "q_seq_paths",
+    # integer-grid NDCG@10 (two WindowGroupLimit-truncated rankings)
+    "q_retrieval_ndcg",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

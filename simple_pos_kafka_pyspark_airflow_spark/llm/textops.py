@@ -959,3 +959,93 @@ def bigram_logprob_scores(
         F.count("*").cast("int").alias("n_bigrams"),
         F.round(F.avg("_lp"), 6).alias("mean_logprob"),
     )
+
+
+#: Integer-grid NDCG position weights: W[p] = floor(1e9 / log2(p+1)) for
+#: ranks p = 1..10, precomputed ONCE as literals so both engines evaluate
+#: pure int64 arithmetic — per-engine log2/pow calls are not guaranteed
+#: correctly rounded, and a one-ulp disagreement inside a SUM would break
+#: hash certification. Scaling by 1e9 keeps the grid fine enough that the
+#: floor never reorders two real DCG values (gains are ≤ 15 per position).
+NDCG_WEIGHTS_10: tuple[int, ...] = (
+    1_000_000_000,
+    630_929_753,
+    500_000_000,
+    430_676_558,
+    386_852_807,
+    356_207_187,
+    333_333_333,
+    315_464_876,
+    301_029_995,
+    289_064_826,
+)
+
+
+def ndcg_at_k(
+    df,
+    query_col: str,
+    doc_col: str,
+    rel_col,
+    score_col,
+    k: int = 10,
+):
+    """Per-query NDCG@k (Järvelin & Kekäläinen 2002) on the INTEGER grid —
+    the retrieval-evaluation companion of ``rrf_fuse`` (which combines
+    rankings; this grades one). The metric every retrieval-augmented
+    training pipeline tracks per release.
+
+        DCG@k  = Σ_{p=1..k} (2^rel(p) − 1) · W[p]
+        nDCG@k = DCG@k / IDCG@k   (IDCG = DCG of the rel-sorted ideal)
+
+    with W the precomputed ``NDCG_WEIGHTS_10`` literals: gains are exact
+    int64 (rel is a small graded integer; 2^rel−1 ≤ 15 at rel ≤ 3; 10
+    positions × 15 × 1e9 ≪ 2^63), both DCG sums are order-free integer
+    aggregations, and the final ratio is ONE IEEE division of two exact
+    integers — bit-identical across engines. Ties are total-ordered by
+    ``doc_col`` on BOTH the run ranking (score DESC, doc) and the ideal
+    ranking (rel DESC, doc), so the metric is deterministic even on
+    degenerate score distributions.
+
+    Physical shape: two row_number windows over the SAME per-query
+    shuffle partitioning (one sort each), each truncated to k rows
+    map-side by WindowGroupLimit, then a per-query integer aggregate and
+    a broadcast-sized join of the two k-row-per-query frames. Queries
+    with no relevant docs at all (IDCG = 0) yield NULL ndcg via NULLIF,
+    identically in both engines.
+
+    Output: ``(query, dcg_scaled, idcg_scaled, ndcg)``."""
+    if k > len(NDCG_WEIGHTS_10):
+        raise ValueError(f"k={k} exceeds the precomputed weight grid ({len(NDCG_WEIGHTS_10)})")
+    wts = F.array(*[F.lit(w) for w in NDCG_WEIGHTS_10[:k]])
+    base = df.select(
+        F.col(query_col).alias("query"),
+        F.col(doc_col).alias("_doc"),
+        rel_col.cast("long").alias("_rel"),
+        score_col.alias("_score"),
+    )
+    gain = (F.pow(F.lit(2.0), F.col("_rel").cast("double")).cast("long") - 1) * F.element_at(
+        wts, F.col("_p")
+    )
+    run_w = Window.partitionBy("query").orderBy(F.col("_score").desc(), F.col("_doc"))
+    dcg = (
+        base.withColumn("_p", F.row_number().over(run_w))
+        .where(F.col("_p") <= k)
+        .groupBy("query")
+        .agg(F.sum(gain).cast("long").alias("dcg_scaled"))
+    )
+    ideal_w = Window.partitionBy("query").orderBy(F.col("_rel").desc(), F.col("_doc"))
+    idcg = (
+        base.withColumn("_p", F.row_number().over(ideal_w))
+        .where(F.col("_p") <= k)
+        .groupBy("query")
+        .agg(F.sum(gain).cast("long").alias("idcg_scaled"))
+    )
+    return dcg.join(idcg, "query").select(
+        "query",
+        "dcg_scaled",
+        "idcg_scaled",
+        (
+            F.col("dcg_scaled").cast("double")
+            / F.nullif(F.col("idcg_scaled").cast("double"), F.lit(0.0))
+        ).alias("ndcg"),
+    )

@@ -715,3 +715,142 @@ def grouped_winsorize(
         .withColumn("x_w", clamp)
         .drop("_x")
     )
+
+
+def grouped_linreg_exact(
+    df: DataFrame,
+    group_col: str,
+    x_int,
+    y_int,
+) -> DataFrame:
+    """Per-group ordinary-least-squares fit (slope, intercept, R²) from
+    EXACT integer moments — the deterministic alternative to Spark's
+    ``regr_slope``/``regr_intercept``/``regr_r2``, whose streaming float
+    accumulation is summation-order-dependent and can never be
+    hash-compared across engines or cluster sizes. The regression twin of
+    ``grouped_corr_exact`` (same moment shuffle, same fixed-IEEE-tree
+    finish).
+
+    ``x_int``/``y_int`` must be integer-valued Column expressions (snap
+    to a lattice first). One partial-aggregable shuffle produces the five
+    exact int64 moments; the cross-moment products (``n·Σxy − Σx·Σy``
+    etc.) are widened through DECIMAL(38,0) — exact out to 38 digits, so
+    ``n·Σy²`` survives group sizes the pure-int64 q_stats_corr recipe
+    cannot (the q_agg_decimal widening discipline, applied mid-plan; the
+    oracle's HUGEINT is its 128-bit twin) — then cast once to double:
+
+        slope     = Sxy⋆ / Sxx⋆          (⋆ = n·Σ·· − Σ·Σ·, exact)
+        intercept = (Σy − slope·Σx) / n
+        r2        = Sxy⋆² / (Sxx⋆ · Syy⋆)
+
+    each a fixed tree of correctly-rounded IEEE ops over exact integers —
+    bit-identical in any IEEE-754 engine, shipped raw. Zero-variance-x
+    groups yield NULL slope/intercept/r2 via NULLIF identically in both
+    engines.
+
+    Output: ``(group_col, n, sum_x, sum_y, sum_xy, slope, intercept,
+    r2)`` — integer moments ride along for exact certification."""
+    g = (
+        df.select(
+            F.col(group_col),
+            x_int.cast("long").alias("_x"),
+            y_int.cast("long").alias("_y"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("_x").alias("sum_x"),
+            F.sum("_y").alias("sum_y"),
+            F.sum(F.col("_x") * F.col("_y")).alias("sum_xy"),
+            F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+            F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        )
+    )
+    dec = "decimal(38,0)"
+    nd = F.col("n").cast(dec)
+    sxy_star = nd * F.col("sum_xy").cast(dec) - F.col("sum_x").cast(dec) * F.col("sum_y").cast(dec)
+    sxx_star = nd * F.col("_sxx").cast(dec) - F.col("sum_x").cast(dec) * F.col("sum_x").cast(dec)
+    syy_star = nd * F.col("_syy").cast(dec) - F.col("sum_y").cast(dec) * F.col("sum_y").cast(dec)
+    slope = sxy_star.cast("double") / F.nullif(sxx_star.cast("double"), F.lit(0.0))
+    intercept = (F.col("sum_y").cast("double") - slope * F.col("sum_x").cast("double")) / F.col(
+        "n"
+    ).cast("double")
+    r2 = (sxy_star.cast("double") * sxy_star.cast("double")) / F.nullif(
+        sxx_star.cast("double") * syy_star.cast("double"), F.lit(0.0)
+    )
+    return g.select(
+        group_col,
+        "n",
+        "sum_x",
+        "sum_y",
+        "sum_xy",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
+def welch_ttest_exact(
+    df: DataFrame,
+    cohort_col: str,
+    cohort_a: str,
+    cohort_b: str,
+    x_int,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t statistic from EXACT integer
+    moments — the MEANS companion of ``two_proportion_ztest`` (which
+    compares rates). Standard public formulation (Welch 1947):
+
+        t  = (m_a − m_b) / √(v_a/n_a + v_b/n_b)
+        df = (v_a/n_a + v_b/n_b)² /
+             ((v_a/n_a)²/(n_a−1) + (v_b/n_b)²/(n_b−1))
+
+    with m = Σx/n and the unbiased sample variance
+    v = (n·Σx² − (Σx)²)/(n·(n−1)).
+
+    ``x_int`` must be an integer-valued Column (lattice-snapped). The
+    whole job is ONE conditional-aggregation pass over the fact (no join,
+    no second scan): per-cohort n/Σx/Σx² accumulate as exact int64 sums —
+    partial-aggregable, order-free — and every float above is a fixed
+    tree of IEEE ops over those exact integers, bit-identical across
+    engines and cluster sizes, shipped raw. Degenerate inputs (either
+    cohort with n ≤ 1, or both variances zero) yield NULL t/df via NULLIF
+    identically in both engines.
+
+    Output: one row ``(n_a, n_b, sum_a, sum_b, t_stat, welch_df)`` —
+    exact integers alongside the statistics for certification."""
+    is_a = F.col(cohort_col) == F.lit(cohort_a)
+    is_b = F.col(cohort_col) == F.lit(cohort_b)
+    x = x_int.cast("long")
+    g = df.where(is_a | is_b).agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(is_b, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(is_a, x).otherwise(F.lit(0))).cast("long").alias("sum_a"),
+        F.sum(F.when(is_b, x).otherwise(F.lit(0))).cast("long").alias("sum_b"),
+        F.sum(F.when(is_a, x * x).otherwise(F.lit(0))).cast("long").alias("_ssa"),
+        F.sum(F.when(is_b, x * x).otherwise(F.lit(0))).cast("long").alias("_ssb"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    va = (F.col("n_a") * F.col("_ssa") - F.col("sum_a") * F.col("sum_a")).cast("double") / F.nullif(
+        (F.col("n_a") * (F.col("n_a") - 1)).cast("double"), F.lit(0.0)
+    )
+    vb = (F.col("n_b") * F.col("_ssb") - F.col("sum_b") * F.col("sum_b")).cast("double") / F.nullif(
+        (F.col("n_b") * (F.col("n_b") - 1)).cast("double"), F.lit(0.0)
+    )
+    se2 = va / na + vb / nb
+    t = (F.col("sum_a").cast("double") / na - F.col("sum_b").cast("double") / nb) / F.nullif(
+        F.sqrt(se2), F.lit(0.0)
+    )
+    wdf = (se2 * se2) / F.nullif(
+        (va / na) * (va / na) / F.nullif(na - F.lit(1.0), F.lit(0.0))
+        + (vb / nb) * (vb / nb) / F.nullif(nb - F.lit(1.0), F.lit(0.0)),
+        F.lit(0.0),
+    )
+    return g.select(
+        "n_a",
+        "n_b",
+        "sum_a",
+        "sum_b",
+        t.alias("t_stat"),
+        wdf.alias("welch_df"),
+    )

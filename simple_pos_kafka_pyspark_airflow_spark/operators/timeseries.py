@@ -382,3 +382,108 @@ def changepoint_cusum(
             (F.col("_d").cast("double") / F.col("n").cast("double")).alias("score"),
         )
     )
+
+
+def gapfill_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_agg_int: Column,
+    value_name: str = "value",
+) -> DataFrame:
+    """Daily-aggregate ``df`` by (key, day), densify each key's span, and
+    LINEARLY INTERPOLATE missing days between their observed neighbors —
+    the straight-line companion of ``gapfill_locf`` (which carries the
+    last value flat). LOCF is right for state-like series (stock on
+    hand); interpolation is right for flow-like series (a meter read on
+    Mon and Thu implies Tue/Wed trended between them).
+
+    ``value_agg_int`` must produce an INTEGER-lattice aggregate (e.g.
+    cents via ``F.max(F.round(value*100)).cast("long")``): with integer
+    neighbor values and integer day offsets, the interpolated value
+
+        v = prev_v + (day − prev_d)·(next_v − prev_v) / (next_d − prev_d)
+
+    is ONE fixed tree of IEEE ops over exact int64 terms — bit-identical
+    across engines — and observed rows bypass the tree entirely (their
+    exact value ships). Both span endpoints are observations (densify
+    never extends past them), so every manufactured row has BOTH
+    neighbors: no extrapolation case exists, and the denominator is ≥ 2.
+
+    Scale: identical shape to ``gapfill_locf`` — the calendar explode is
+    bounded by per-key span-days, the neighbor lookup is two
+    ignorenulls-window passes over ONE per-key shuffle (Catalyst
+    evaluates all four window columns in a single Window node pair
+    sharing the sort). Output: ``(key, day TIMESTAMP, value_name DOUBLE,
+    observed)``."""
+    daily = df.groupBy(F.col(key_col), F.to_date(ts_col).alias("_day")).agg(
+        value_agg_int.alias("_v")
+    )
+    dense = densify(daily, key_col, "_day")
+    back = (
+        Window.partitionBy(key_col)
+        .orderBy("_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(key_col)
+        .orderBy("_day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    pv = F.last("_v", ignorenulls=True).over(back)
+    pd = F.last(F.when(F.col("_v").isNotNull(), F.col("_day")), ignorenulls=True).over(back)
+    nv = F.first("_v", ignorenulls=True).over(fwd)
+    nd = F.first(F.when(F.col("_v").isNotNull(), F.col("_day")), ignorenulls=True).over(fwd)
+    dd = F.datediff(F.col("_day"), pd).cast("long")
+    dn = F.datediff(nd, pd).cast("long")
+    interp = F.when(F.col("_v").isNotNull(), F.col("_v").cast("double")).otherwise(
+        pv.cast("double") + (dd * (nv - pv)).cast("double") / dn.cast("double")
+    )
+    return dense.select(
+        key_col,
+        F.col("_day").cast("timestamp").alias("day"),
+        interp.alias(value_name),
+        F.when(F.col("_v").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("observed"),
+    )
+
+
+def top_event_paths(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    uniq_col: str,
+    depth: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` most frequent length-``depth`` CONSECUTIVE event-type
+    paths across all keys — sequence mining's workhorse query ("what do
+    users do in their next two steps after a signup?"), the n-step
+    generalization of a Markov transition matrix (q_event_transitions is
+    the depth=2 bigram form).
+
+    Physical shape: ONE per-key window shuffle ordered by
+    ``(ts, uniq)`` (the unique column makes simultaneous events
+    deterministic — timestamps alone would be a nondeterministic sort),
+    ``depth−1`` LEAD columns evaluated in the SAME Window node (no extra
+    exchange per step), then a partial-aggregable path count and a
+    global top-k with (count DESC, path ASC) total order. Paths that
+    would run past a key's last event (any NULL lead) are dropped, not
+    padded — each key with m events contributes exactly
+    ``max(m−depth+1, 0)`` paths.
+
+    Scale: the window state is O(depth) per row (bounded lookahead, not
+    a full-partition buffer); path cardinality is ≤ |types|^depth —
+    tiny — so the count shuffle is map-side-combined to near nothing.
+    No driver state; the top-k is a single-partition sort of the
+    aggregated (not raw) rows."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, uniq_col)
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, depth)
+    ]
+    paths = df.select(
+        F.concat_ws(">", *steps).alias("path"),
+        steps[-1].isNotNull().alias("_complete"),
+    ).where(F.col("_complete"))
+    counts = paths.groupBy("path").agg(F.count("*").cast("long").alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("path")).limit(k)

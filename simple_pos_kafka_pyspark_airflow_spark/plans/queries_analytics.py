@@ -3450,3 +3450,213 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("v", F.col("n") * 1000 - F.col("v")).cast("long").alias("mode_v"),
         F.max("n").cast("long").alias("mode_n"),
     )
+
+
+@register(
+    "q_stats_linreg",
+    "agg",
+    oracle="""
+    WITH m AS (
+      SELECT l_linestatus,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sum_x,
+             CAST(SUM(y) AS BIGINT) AS sum_y,
+             CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM (
+        SELECT l_linestatus,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
+        FROM lineitem
+      )
+      GROUP BY l_linestatus
+    ),
+    s AS (
+      SELECT *,
+             CAST(n AS HUGEINT) * sum_xy - CAST(sum_x AS HUGEINT) * sum_y AS sxy_star,
+             CAST(n AS HUGEINT) * sxx - CAST(sum_x AS HUGEINT) * sum_x AS sxx_star,
+             CAST(n AS HUGEINT) * syy - CAST(sum_y AS HUGEINT) * sum_y AS syy_star
+      FROM m
+    )
+    SELECT l_linestatus, n, sum_x, sum_y, sum_xy,
+           CAST(sxy_star AS DOUBLE) / NULLIF(CAST(sxx_star AS DOUBLE), 0.0) AS slope,
+           (CAST(sum_y AS DOUBLE)
+              - (CAST(sxy_star AS DOUBLE) / NULLIF(CAST(sxx_star AS DOUBLE), 0.0))
+                * CAST(sum_x AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+           (CAST(sxy_star AS DOUBLE) * CAST(sxy_star AS DOUBLE))
+             / NULLIF(CAST(sxx_star AS DOUBLE) * CAST(syy_star AS DOUBLE), 0.0) AS r2
+    FROM s
+    """,
+    notes="extension: per-group OLS regression (slope/intercept/R² of "
+    "whole-dollar price on quantity) from EXACT integer moments "
+    "(operators/aggregates.grouped_linreg_exact) — the deterministic "
+    "alternative to regr_slope/regr_intercept/regr_r2's order-dependent "
+    "float accumulation. One partial-aggregable shuffle for five int64 "
+    "moments; the cross-moment products are widened through Spark "
+    "DECIMAL(38,0) / DuckDB HUGEINT (the q_agg_decimal discipline "
+    "mid-plan — n·Σy² here reaches ~1e21, past int64) and cast ONCE to "
+    "double for a fixed IEEE finish. Trend estimation over drift metrics "
+    "is this exact shape at 100 TB: state is 6 numbers per group",
+)
+def q_stats_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import aggregates
+
+    li = table(spark, sf_dir, "lineitem")
+    return aggregates.grouped_linreg_exact(
+        li, "l_linestatus", F.col("l_quantity"), F.floor(F.col("l_extendedprice"))
+    )
+
+
+@register(
+    "q_ab_ttest",
+    "agg",
+    oracle="""
+    WITH g AS (
+      SELECT
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN x ELSE 0 END) AS BIGINT) AS sum_a,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN x ELSE 0 END) AS BIGINT) AS sum_b,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN x * x ELSE 0 END) AS BIGINT) AS ssa,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN x * x ELSE 0 END) AS BIGINT) AS ssb
+      FROM (SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS x FROM events)
+      WHERE event_type IN ('purchase', 'click')
+    ),
+    v AS (
+      SELECT *,
+        CAST(n_a * ssa - sum_a * sum_a AS DOUBLE)
+          / NULLIF(CAST(n_a * (n_a - 1) AS DOUBLE), 0.0) AS va,
+        CAST(n_b * ssb - sum_b * sum_b AS DOUBLE)
+          / NULLIF(CAST(n_b * (n_b - 1) AS DOUBLE), 0.0) AS vb
+      FROM g
+    ),
+    s AS (SELECT *, va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE) AS se2 FROM v)
+    SELECT n_a, n_b, sum_a, sum_b,
+           (CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / NULLIF(SQRT(se2), 0.0) AS t_stat,
+           (se2 * se2) / NULLIF(
+             (va / CAST(n_a AS DOUBLE)) * (va / CAST(n_a AS DOUBLE))
+               / NULLIF(CAST(n_a AS DOUBLE) - 1.0, 0.0)
+             + (vb / CAST(n_b AS DOUBLE)) * (vb / CAST(n_b AS DOUBLE))
+               / NULLIF(CAST(n_b AS DOUBLE) - 1.0, 0.0), 0.0) AS welch_df
+    FROM s
+    """,
+    notes="extension: Welch's unequal-variance two-sample t statistic + "
+    "Welch-Satterthwaite df (operators/aggregates.welch_ttest_exact) — "
+    "the MEANS companion of q_ab_ztest's proportion test: does mean "
+    "purchase value differ from mean click value? ONE conditional-"
+    "aggregation pass over the fact (no join, no per-cohort scans): "
+    "per-cohort n/Σx/Σx² as exact int64 sums on the cents lattice "
+    "(FLOOR(value·100) of the identical IEEE product), then a fixed IEEE "
+    "tree for t and df, shipped raw. The n·Σx² product stays in int64 "
+    "out to ~2e5 rows/cohort at this lattice; wider cohorts widen "
+    "through DECIMAL(38,0)/HUGEINT exactly as q_stats_linreg does",
+)
+def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import aggregates
+
+    ev = table(spark, sf_dir, "events")
+    return aggregates.welch_ttest_exact(
+        ev, "event_type", "purchase", "click", F.floor(F.col("value") * 100)
+    )
+
+
+@register(
+    "q_gapfill_interp",
+    "window",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    spans AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+    cal AS (
+      SELECT user_id, CAST(g AS DATE) AS day
+      FROM spans, LATERAL UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) t(g)
+    ),
+    dense AS (
+      SELECT cal.user_id, cal.day, daily.v
+      FROM cal LEFT JOIN daily ON cal.user_id = daily.user_id AND cal.day = daily.day
+    ),
+    nb AS (
+      SELECT user_id, day, v,
+        last_value(v IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        first_value(v IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM dense
+    )
+    SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+           CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                ELSE CAST(pv AS DOUBLE)
+                     + CAST(date_diff('day', pd, day) * (nv - pv) AS DOUBLE)
+                       / CAST(date_diff('day', pd, nd) AS DOUBLE)
+           END AS cents_interp,
+           CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS observed
+    FROM nb
+    """,
+    notes="extension: calendar gap-fill + LINEAR INTERPOLATION "
+    "(operators/timeseries.gapfill_interpolate) — the straight-line twin "
+    "of q_gapfill_locf for flow-like series: manufactured days trend "
+    "between their observed neighbors instead of carrying flat. Values "
+    "snap to the cents lattice first, so the interpolation is one fixed "
+    "IEEE tree over exact int64 terms (neighbor cents × integer day "
+    "offsets) — bit-identical across engines; observed rows bypass the "
+    "tree and ship exact. Span endpoints are observations, so every gap "
+    "is interior: no extrapolation branch exists. Same scale shape as "
+    "LOCF — explode bounded by span-days, neighbors from two ignorenulls "
+    "passes over ONE per-key window shuffle",
+)
+def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import timeseries
+
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    return timeseries.gapfill_interpolate(
+        ev, "user_id", "ts", F.max(F.round(F.col("value") * 100)).cast("long"), "cents_interp"
+    )
+
+
+@register(
+    "q_seq_paths",
+    "window",
+    oracle="""
+    WITH steps AS (
+      SELECT event_type AS s0,
+             lead(event_type, 1) OVER w AS s1,
+             lead(event_type, 2) OVER w AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT s0 || '>' || s1 || '>' || s2 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM steps WHERE s2 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path
+    LIMIT 20
+    """,
+    notes="extension: top-20 most frequent 3-step consecutive event-type "
+    "paths (operators/timeseries.top_event_paths) — sequence mining's "
+    "workhorse, the depth-3 generalization of q_event_transitions' "
+    "Markov bigrams. ONE per-user window shuffle with a deterministic "
+    "(ts, event_id) total order; both LEAD columns evaluate in the same "
+    "Window node with O(depth) lookahead state; path cardinality is "
+    "≤ |types|³ so the count shuffle map-combines to near nothing and "
+    "the top-k sorts aggregated rows only. (n DESC, path) total order "
+    "makes the LIMIT deterministic",
+)
+def q_seq_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import timeseries
+
+    ev = table(spark, sf_dir, "events")
+    return timeseries.top_event_paths(ev, "user_id", "ts", "event_type", "event_id", depth=3, k=20)

@@ -3976,3 +3976,66 @@ def q_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filtering.stratified_split(d, "source", "doc_id").select(
         "doc_id", "source", "split"
     )
+
+
+@register(
+    "q_retrieval_ndcg",
+    "llm",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(user_id % 16 AS BIGINT) AS query,
+             event_id AS doc,
+             CAST(event_id % 4 AS BIGINT) AS rel,
+             value AS score
+      FROM events
+    ),
+    run AS (
+      SELECT query, rel,
+             row_number() OVER (PARTITION BY query ORDER BY score DESC, doc) AS p
+      FROM base
+    ),
+    ideal AS (
+      SELECT query, rel,
+             row_number() OVER (PARTITION BY query ORDER BY rel DESC, doc) AS p
+      FROM base
+    ),
+    w AS (SELECT [1000000000, 630929753, 500000000, 430676558, 386852807,
+                  356207187, 333333333, 315464876, 301029995, 289064826] AS wt),
+    dcg AS (
+      SELECT query,
+             CAST(SUM((CAST(POWER(2, rel) AS BIGINT) - 1) * wt[p]) AS BIGINT)
+               AS dcg_scaled
+      FROM run, w WHERE p <= 10 GROUP BY query
+    ),
+    idcg AS (
+      SELECT query,
+             CAST(SUM((CAST(POWER(2, rel) AS BIGINT) - 1) * wt[p]) AS BIGINT)
+               AS idcg_scaled
+      FROM ideal, w WHERE p <= 10 GROUP BY query
+    )
+    SELECT dcg.query, dcg_scaled, idcg_scaled,
+           CAST(dcg_scaled AS DOUBLE)
+             / NULLIF(CAST(idcg_scaled AS DOUBLE), 0.0) AS ndcg
+    FROM dcg JOIN idcg ON dcg.query = idcg.query
+    """,
+    notes="extension: per-query NDCG@10 retrieval evaluation "
+    "(llm/textops.ndcg_at_k) — the grading companion of "
+    "q_retrieval_fusion's RRF: a graded-relevance ranking metric on the "
+    "INTEGER grid. Position discounts are the precomputed "
+    "floor(1e9/log2(p+1)) literals (NDCG_WEIGHTS_10) — per-engine log2 "
+    "is not correctly-rounded-guaranteed, a 1-ulp disagreement inside "
+    "SUM would break certification — so both DCG sums are exact int64 "
+    "aggregations and nDCG is ONE IEEE division. Run and ideal rankings "
+    "are total-ordered by (score DESC, doc) / (rel DESC, doc); "
+    "WindowGroupLimit truncates both to k=10 per query map-side. Events "
+    "stand in as a deterministic qrels fixture: query = user_id mod 16, "
+    "graded rel = event_id mod 4, score = value",
+)
+def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 16).cast("long").alias("q"),
+        F.col("event_id").alias("d"),
+        (F.col("event_id") % 4).alias("r"),
+        F.col("value").alias("s"),
+    )
+    return textops.ndcg_at_k(ev, "q", "d", F.col("r"), F.col("s"), k=10)

@@ -1062,3 +1062,130 @@ def test_stratified_split_property(spark, rows):
         n = len(splits)
         assert splits.count("train") == (80 * n) // 100
         assert splits.count("train") + splits.count("val") == (90 * n) // 100
+
+
+def test_grouped_linreg_exact_matches_numpy(spark):
+    """Exact-moment OLS equals numpy polyfit to 1e-9, R² equals corr², and
+    a zero-x-variance group yields NULL slope/intercept/r2."""
+    import numpy as np
+
+    from simple_pos_kafka_pyspark_airflow_spark.operators.aggregates import grouped_linreg_exact
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(11)
+    xs = rng.randint(1, 50, 300)
+    ys = xs * 3 + rng.randint(-20, 20, 300)
+    rows = [("g", int(x), int(y)) for x, y in zip(xs, ys)]
+    rows += [("flat", 5, int(v)) for v in rng.randint(1, 9, 20)]
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    got = {
+        r["grp"]: r
+        for r in grouped_linreg_exact(df, "grp", F.col("x"), F.col("y")).collect()
+    }
+    slope, intercept = np.polyfit(xs.astype(float), ys.astype(float), 1)
+    assert abs(got["g"]["slope"] - slope) < 1e-9
+    assert abs(got["g"]["intercept"] - intercept) < 1e-9
+    r = np.corrcoef(xs, ys)[0, 1]
+    assert abs(got["g"]["r2"] - r * r) < 1e-9
+    assert got["flat"]["slope"] is None
+    assert got["flat"]["intercept"] is None
+    assert got["flat"]["r2"] is None
+
+
+def test_welch_ttest_matches_reference_formula(spark):
+    """Welch t and df equal the textbook formulas computed in plain
+    Python; a single-row cohort (undefined variance) yields NULL both."""
+    import numpy as np
+
+    from simple_pos_kafka_pyspark_airflow_spark.operators.aggregates import welch_ttest_exact
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(3)
+    a = rng.randint(50, 150, 80)
+    b = rng.randint(40, 120, 60)
+    rows = [("A", int(v)) for v in a] + [("B", int(v)) for v in b]
+    df = spark.createDataFrame(rows, "cohort string, x long")
+    row = welch_ttest_exact(df, "cohort", "A", "B", F.col("x")).collect()[0]
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / len(a) + vb / len(b)
+    t = (a.mean() - b.mean()) / se2**0.5
+    wdf = se2**2 / ((va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1))
+    assert abs(row["t_stat"] - t) < 1e-9
+    assert abs(row["welch_df"] - wdf) < 1e-9
+    tiny = spark.createDataFrame([("A", 7), ("B", 3), ("B", 9)], "cohort string, x long")
+    row2 = welch_ttest_exact(tiny, "cohort", "A", "B", F.col("x")).collect()[0]
+    assert row2["t_stat"] is None and row2["welch_df"] is None
+
+
+def test_gapfill_interpolate_trends_between_neighbors(spark):
+    """A 3-day interior gap interpolates on the straight line between its
+    observed neighbors; observed rows ship their exact value."""
+    import datetime as dt
+
+    from simple_pos_kafka_pyspark_airflow_spark.operators.timeseries import gapfill_interpolate
+    from pyspark.sql import functions as F
+
+    def ts(day):
+        return dt.datetime(2024, 1, day, 12, 0, 0)
+
+    df = spark.createDataFrame(
+        [(1, ts(1), 100), (1, ts(4), 400), (2, ts(2), 7)],
+        "user_id int, ts timestamp, cents long",
+    )
+    out = {
+        (r["user_id"], r["day"].day): (r["v"], r["observed"])
+        for r in gapfill_interpolate(
+            df, "user_id", "ts", F.max("cents").cast("long"), "v"
+        ).collect()
+    }
+    assert out[(1, 1)] == (100.0, 1)
+    assert out[(1, 2)] == (200.0, 0)
+    assert out[(1, 3)] == (300.0, 0)
+    assert out[(1, 4)] == (400.0, 1)
+    assert out[(2, 2)] == (7.0, 1)
+    assert len(out) == 5
+
+
+def test_top_event_paths_counts_consecutive_triples(spark):
+    """Each key with m events yields exactly max(m-2, 0) depth-3 paths;
+    ties in the top-k break on path text ascending."""
+    import datetime as dt
+
+    from simple_pos_kafka_pyspark_airflow_spark.operators.timeseries import top_event_paths
+
+    rows = []
+    for i, t in enumerate(["a", "b", "c", "b", "c"]):  # key 1: abc, bcb, cbc
+        rows.append((1, dt.datetime(2024, 1, 1, 0, i), t, i))
+    rows.append((2, dt.datetime(2024, 1, 1), "a", 10))  # too short: no paths
+    rows.append((2, dt.datetime(2024, 1, 2), "b", 11))
+    df = spark.createDataFrame(rows, "k int, ts timestamp, et string, eid long")
+    got = [(r["path"], r["n"]) for r in top_event_paths(df, "k", "ts", "et", "eid").collect()]
+    assert got == [("a>b>c", 1), ("b>c>b", 1), ("c>b>c", 1)]
+
+
+def test_ndcg_at_k_hand_ranked(spark):
+    """Perfect score ordering gives nDCG 1.0 exactly (same integer grid
+    top and bottom); an inverted ordering gives the hand-computed ratio;
+    a query with all-zero relevance yields NULL."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm.textops import NDCG_WEIGHTS_10, ndcg_at_k
+    from pyspark.sql import functions as F
+
+    # q1: scores rank docs exactly by relevance (3,2,1,0) -> perfect.
+    # q2: scores rank docs in REVERSE relevance order.
+    # q3: all rel 0 -> IDCG 0 -> NULL.
+    rows = []
+    for d, rel in enumerate([3, 2, 1, 0]):
+        rows.append(("q1", d, rel, 100.0 - d))
+        rows.append(("q2", d, rel, float(d)))
+    for d in range(3):
+        rows.append(("q3", d, 0, float(d)))
+    df = spark.createDataFrame(rows, "q string, d long, r long, s double")
+    got = {r["query"]: r for r in ndcg_at_k(df, "q", "d", F.col("r"), F.col("s")).collect()}
+    assert got["q1"]["ndcg"] == 1.0
+    w = NDCG_WEIGHTS_10
+    ideal = 7 * w[0] + 3 * w[1] + 1 * w[2]
+    inv = 0 * w[0] + 1 * w[1] + 3 * w[2] + 7 * w[3]
+    assert got["q2"]["dcg_scaled"] == inv
+    assert got["q2"]["idcg_scaled"] == ideal
+    assert got["q2"]["ndcg"] == inv / ideal
+    assert got["q3"]["ndcg"] is None
