@@ -204,6 +204,8 @@ HEADLINE = [
     "q_seq_paths",
     # integer-grid NDCG@10 (two WindowGroupLimit-truncated rankings)
     "q_retrieval_ndcg",
+    # exact weighted median (distinct-value cumsum, cross-multiplied gate)
+    "q_stats_wmedian",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

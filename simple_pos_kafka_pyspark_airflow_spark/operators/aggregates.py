@@ -854,3 +854,55 @@ def welch_ttest_exact(
         t.alias("t_stat"),
         wdf.alias("welch_df"),
     )
+
+
+def grouped_weighted_median(
+    df: DataFrame,
+    group_col: str,
+    x_int,
+    weight_int,
+) -> DataFrame:
+    """Exact per-group WEIGHTED lower median: the smallest x whose
+    cumulative weight reaches half the group's total weight — the
+    importance-aware centre every duplicate-weighted corpus statistic
+    needs (a doc that survives dedup carrying weight 10⁶ should move the
+    'typical length' like the million docs it stands for; the unweighted
+    median, q_stats_mad, treats it as one row).
+
+    ``x_int``/``weight_int`` must be integer-valued Columns (weights > 0
+    are the caller's contract; zero-weight rows are harmless — they never
+    flip the threshold). The decision ``2·cum ≥ total`` is integer
+    cross-multiplied — no float ratio ever decides, so there is no
+    rounding boundary to disagree across engines.
+
+    Physical shape (the grouped_winsorize recipe): collapse to per-
+    (group, x) weight sums FIRST — one partial-aggregable shuffle whose
+    state is the group's distinct-value count, never its row count —
+    then one per-group window cumsum over the value order and a MIN over
+    the qualifying prefix. At 100 TB the window input is the collapsed
+    distinct-value table (bounded by the value lattice), not the fact.
+
+    Output: ``(group_col, total_w, wmedian)``; total_w rides along for
+    exact certification."""
+    c = (
+        df.select(
+            F.col(group_col),
+            x_int.cast("long").alias("_x"),
+            weight_int.cast("long").alias("_w"),
+        )
+        .groupBy(group_col, "_x")
+        .agg(F.sum("_w").alias("_wsum"))
+    )
+    w = Window.partitionBy(group_col).orderBy("_x")
+    cum = c.withColumn("_cum", F.sum("_wsum").over(w))
+    tot = c.groupBy(group_col).agg(F.sum("_wsum").cast("long").alias("total_w"))
+    return (
+        cum.join(F.broadcast(tot), group_col)
+        .groupBy(group_col, "total_w")
+        .agg(
+            F.min(
+                F.when(F.col("_cum") * 2 >= F.col("total_w"), F.col("_x"))
+            ).alias("wmedian")
+        )
+        .select(group_col, "total_w", "wmedian")
+    )

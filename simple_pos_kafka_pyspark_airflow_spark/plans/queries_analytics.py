@@ -3660,3 +3660,43 @@ def q_seq_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return timeseries.top_event_paths(ev, "user_id", "ts", "event_type", "event_id", depth=3, k=20)
+
+
+@register(
+    "q_stats_wmedian",
+    "agg",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+             CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)) AS BIGINT) AS wsum
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT l_returnflag, x, wsum,
+             SUM(wsum) OVER (PARTITION BY l_returnflag ORDER BY x) AS cw
+      FROM c
+    ),
+    tot AS (SELECT l_returnflag, CAST(SUM(wsum) AS BIGINT) AS total_w FROM c GROUP BY 1)
+    SELECT cum.l_returnflag, total_w,
+           CAST(MIN(CASE WHEN cw * 2 >= total_w THEN x END) AS BIGINT) AS wmedian
+    FROM cum JOIN tot ON cum.l_returnflag = tot.l_returnflag
+    GROUP BY cum.l_returnflag, total_w
+    """,
+    notes="extension: exact REVENUE-WEIGHTED median order quantity per "
+    "returnflag (operators/aggregates.grouped_weighted_median) — the "
+    "importance-aware centre q_sample_dupweight's duplicate counts feed "
+    "in a corpus pipeline (a doc carrying weight 10⁶ moves the typical-"
+    "length statistic like the million rows it stands for; the unweighted "
+    "median treats it as one). The 2·cum ≥ total decision is integer "
+    "cross-multiplied — no float ratio decides. Collapses to per-(group, "
+    "value) weight sums FIRST (partial-aggregable; window input is the "
+    "distinct-value lattice, never the fact), one window cumsum, one "
+    "broadcast totals join",
+)
+def q_stats_wmedian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import aggregates
+
+    li = table(spark, sf_dir, "lineitem")
+    return aggregates.grouped_weighted_median(
+        li, "l_returnflag", F.col("l_quantity"), F.floor(F.col("l_extendedprice"))
+    )

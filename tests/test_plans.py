@@ -801,3 +801,42 @@ def test_pq_topk_batch_bounded_shuffle_and_code_only_scan(spark, sf_dir):
     plan = explain_str(build(spark, sf_dir, "q_embed_pq"))
     assert plan.count("WindowGroupLimit") >= 4, plan  # 2 windows × partial+final
     assert "BroadcastExchange" in plan, plan
+
+
+def _node_count(plan: str, node: str) -> int:
+    """Count PHYSICAL NODE lines '(n) <node>' in formatted explain —
+    the details section repeats every node name, so a raw substring
+    count double-reports."""
+    import re
+
+    return len(re.findall(r"\(\d+\) " + node + r"\b", plan))
+
+
+def test_ndcg_pushes_window_group_limit(spark, sf_dir):
+    """Both NDCG rankings filter row_number() <= k immediately, so Spark
+    must plan WindowGroupLimit (partial below the exchange, final above)
+    for BOTH the run and the ideal window — per-query top-k never ships
+    whole partitions. Two Window nodes, no more."""
+    plan = explain_str(build(spark, sf_dir, "q_retrieval_ndcg"))
+    assert _node_count(plan, "WindowGroupLimit") == 4, plan
+    assert _node_count(plan, "Window") == 2, plan
+
+
+def test_exact_moment_stats_are_single_exchange(spark, sf_dir):
+    """grouped_linreg_exact and welch_ttest_exact are ONE
+    partial-aggregable shuffle each: exactly one Exchange in the plan,
+    with partial aggregation below it (map-side combine). A second
+    exchange would mean the moments recompute or the finish re-shuffles."""
+    for q in ("q_stats_linreg", "q_ab_ttest"):
+        plan = explain_str(build(spark, sf_dir, q))
+        assert _node_count(plan, "Exchange") == 1, (q, plan)
+        assert "partial_" in plan, (q, plan)
+
+
+def test_gapfill_interp_single_window_node(spark, sf_dir):
+    """All four neighbor columns (prev/next value and day) share one
+    partitioning and ordering, so Catalyst must evaluate them in a
+    SINGLE Window node (two frames, one sort) — a second Window node
+    would mean a redundant per-key sort."""
+    plan = explain_str(build(spark, sf_dir, "q_gapfill_interp"))
+    assert _node_count(plan, "Window") == 1, plan

@@ -1189,3 +1189,27 @@ def test_ndcg_at_k_hand_ranked(spark):
     assert got["q2"]["idcg_scaled"] == ideal
     assert got["q2"]["ndcg"] == inv / ideal
     assert got["q3"]["ndcg"] is None
+
+
+def test_grouped_weighted_median_known_and_degenerate(spark):
+    """Weighted median: a heavy value dominates regardless of row counts;
+    equal unit weights reduce to the ordinary lower median; a single-value
+    group returns that value."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators.aggregates import (
+        grouped_weighted_median,
+    )
+    from pyspark.sql import functions as F
+
+    rows = (
+        # g1: x=1 w=1, x=2 w=1, x=100 w=10 -> total 12, median where cum*2>=12 -> 100
+        [("g1", 1, 1), ("g1", 2, 1), ("g1", 100, 10)]
+        # g2: unit weights over 1..4 -> cum at 2 is 2, 2*2>=4 -> lower median 2
+        + [("g2", x, 1) for x in (1, 2, 3, 4)]
+        + [("g3", 7, 3)]
+    )
+    df = spark.createDataFrame(rows, "g string, x long, w long")
+    got = {
+        r["g"]: (r["total_w"], r["wmedian"])
+        for r in grouped_weighted_median(df, "g", F.col("x"), F.col("w")).collect()
+    }
+    assert got == {"g1": (12, 100), "g2": (4, 2), "g3": (3, 7)}
