@@ -206,6 +206,10 @@ HEADLINE = [
     "q_retrieval_ndcg",
     # exact weighted median (distinct-value cumsum, cross-multiplied gate)
     "q_stats_wmedian",
+    # k-anonymity gate (class groupBy -> one summary row) and the
+    # manifest-sized compaction planner (global cumsum + integer DIV)
+    "q_privacy_kanon",
+    "q_compaction_plan",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

@@ -155,3 +155,59 @@ def codec_audit(
         df.write.mode("overwrite").option("compression", codec).parquet(p)
         out.append((codec, int(dir_bytes(df.sparkSession, p))))
     return sorted(out, key=lambda kv: kv[1])
+
+
+def compaction_plan(manifest: DataFrame, file_col: str, bytes_col: str, target_bytes: int):
+    """Bin small files into compaction groups of ~``target_bytes`` each —
+    the maintenance pass that fixes the small-files problem
+    (``q_shard_manifest`` prevents it at write time; this repairs tables
+    that already have it: a 100 TB table with 10 MB files pays task
+    overhead per file and loses row-group-level skipping).
+
+    Deterministic next-fit-by-size: order files (bytes DESC, path ASC —
+    the path tiebreak makes equal-sized files stable), take the running
+    cumulative size, and assign each file to bucket
+    ``floor(cum_before / target)``. Pure relational form — one window
+    cumsum + integer division — so the plan is reproducible and
+    oracle-certifiable; bucket totals are bounded by
+    ``target + max_file_bytes`` (a file never splits), which each output
+    row self-certifies with the ``within_bound`` bit.
+
+    Scale note: the window is a GLOBAL cumsum (single-partition sort) —
+    correct here because the input is the FILE MANIFEST (metadata: one
+    row per file, ~10⁵-10⁶ rows for a 100 TB table), never the data.
+    The same op over a data-sized frame would be wrong; that is what
+    the per-key windows elsewhere are for.
+
+    Output: ``(bucket, n_files, total_bytes, within_bound)``."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.orderBy(F.col("_b").desc(), F.col("_f"))
+    cum = manifest.select(
+        F.col(file_col).alias("_f"),
+        F.col(bytes_col).cast("long").alias("_b"),
+    ).withColumn(
+        "_start", F.sum("_b").over(w) - F.col("_b")
+    )
+    # `div` is true integer division — `/` is double division whose
+    # truncation can misassign a file sitting within half-ulp of a
+    # bucket boundary once cumulative bytes exceed 2^53.
+    buckets = (
+        cum.withColumn("bucket", F.expr(f"_start div {int(target_bytes)}").cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("_b").cast("long").alias("total_bytes"),
+        )
+    )
+    mx = manifest.agg(F.max(F.col(bytes_col).cast("long")).alias("_mx"))
+    return buckets.crossJoin(F.broadcast(mx)).select(
+        "bucket",
+        "n_files",
+        "total_bytes",
+        F.when(F.col("total_bytes") <= F.lit(int(target_bytes)) + F.col("_mx"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("within_bound"),
+    )

@@ -502,3 +502,44 @@ def fk_violations(
         .select(F.col(fk_col).alias("fk_value"), F.lit("dangling_fk").alias("reason"))
     )
     return nulls.unionByName(dangling)
+
+
+def k_anonymity_audit(df: DataFrame, qid_cols: list[str], k: int = 5) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination (Sweeney
+    2002): every row whose QID equivalence class has fewer than ``k``
+    members is a re-identification risk — the structural-privacy
+    companion of the pattern-level PII scan (``q_text_redact``), and the
+    gate a training-data release runs before shipping event/metadata
+    tables.
+
+    One partial-aggregable groupBy builds the equivalence classes (state
+    = distinct QID combinations, not rows), then a single global
+    aggregate folds them to one exact-integer summary row:
+
+    - ``n_classes``      — distinct QID combinations observed
+    - ``n_risky_classes``— classes with size < k
+    - ``rows_at_risk``   — total rows inside risky classes
+    - ``min_class_size`` — the worst class (1 = someone is unique)
+    - ``k_anonymous``    — 1 iff min_class_size ≥ k (the release gate)
+
+    All counts are exact int64; no float ever appears, so the audit is
+    bit-identical across engines and cluster sizes. At 100 TB the
+    second aggregate's input is the class table — bounded by QID
+    cardinality — and the summary shape means the operator never ships
+    the (potentially sensitive) risky classes themselves; drill-down is
+    a deliberate second query."""
+    classes = df.groupBy(*[F.col(c) for c in qid_cols]).agg(
+        F.count("*").cast("long").alias("class_size")
+    )
+    risky = F.col("class_size") < k
+    return classes.agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum(F.when(risky, 1).otherwise(0)).cast("long").alias("n_risky_classes"),
+        F.sum(F.when(risky, F.col("class_size")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.min("class_size").cast("long").alias("min_class_size"),
+        F.when(F.min("class_size") >= k, F.lit(1)).otherwise(F.lit(0))
+        .cast("int")
+        .alias("k_anonymous"),
+    )

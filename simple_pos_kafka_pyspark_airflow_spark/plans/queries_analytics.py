@@ -3700,3 +3700,44 @@ def q_stats_wmedian(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.grouped_weighted_median(
         li, "l_returnflag", F.col("l_quantity"), F.floor(F.col("l_extendedprice"))
     )
+
+
+@register(
+    "q_privacy_kanon",
+    "agg",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(FLOOR(value / 50) AS BIGINT) AS band,
+             CAST(COUNT(*) AS BIGINT) AS class_size
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_risky_classes,
+           CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+           CAST(CASE WHEN MIN(class_size) >= 5 THEN 1 ELSE 0 END AS INTEGER)
+             AS k_anonymous
+    FROM c
+    """,
+    notes="extension: k-anonymity release gate (Sweeney 2002; operators/"
+    "validation.k_anonymity_audit) over the quasi-identifier combination "
+    "(event_type, day, value band of 50) — rows whose QID class has "
+    "fewer than k=5 members are re-identification risks; the structural-"
+    "privacy companion of q_text_redact's pattern-level PII scan. One "
+    "partial-aggregable class groupBy (state = distinct QID combos) "
+    "folded to ONE exact-int summary row — the audit never ships the "
+    "sensitive classes themselves, and no float appears anywhere. "
+    "FLOOR(value/50) is the identical IEEE division on both engines",
+)
+def q_privacy_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import validation
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.floor(F.col("value") / 50).cast("long").alias("band"),
+    )
+    return validation.k_anonymity_audit(ev, ["event_type", "d", "band"], k=5)

@@ -4039,3 +4039,50 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("s"),
     )
     return textops.ndcg_at_k(ev, "q", "d", F.col("r"), F.col("s"), k=10)
+
+
+@register(
+    "q_compaction_plan",
+    "llm",
+    oracle="""
+    WITH m AS (
+      SELECT source || '/' || lang AS f, CAST(SUM(n_chars) AS BIGINT) AS b
+      FROM documents GROUP BY 1
+    ),
+    c AS (
+      SELECT f, b, SUM(b) OVER (ORDER BY b DESC, f) - b AS strt
+      FROM m
+    ),
+    bk AS (
+      SELECT CAST(strt // 20000 AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_files,
+             CAST(SUM(b) AS BIGINT) AS total_bytes
+      FROM c GROUP BY 1
+    )
+    SELECT bucket, n_files, total_bytes,
+           CAST(CASE WHEN total_bytes <= 20000 + (SELECT MAX(b) FROM m)
+                     THEN 1 ELSE 0 END AS INTEGER) AS within_bound
+    FROM bk
+    """,
+    notes="extension: small-files compaction planner (analyze."
+    "compaction_plan) — q_shard_manifest prevents the small-files "
+    "problem at write time; this repairs tables that already have it. "
+    "Deterministic next-fit-by-size: (bytes DESC, path) order, running "
+    "cumsum, bucket = cum_before DIV target (true integer division — "
+    "double '/' truncation can misassign at 2^53-scale cumulative "
+    "bytes). Each row self-certifies total ≤ target + max_file (a file "
+    "never splits). The global cumsum window is CORRECT here because "
+    "the input is the file manifest (one metadata row per file), never "
+    "the data — documents' (source, lang) byte sums stand in as the "
+    "manifest fixture",
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import analyze
+
+    d = table(spark, sf_dir, "documents")
+    manifest = d.groupBy("source", "lang").agg(
+        F.sum("n_chars").cast("long").alias("bytes")
+    ).select(
+        F.concat_ws("/", "source", "lang").alias("file"), "bytes"
+    )
+    return analyze.compaction_plan(manifest, "file", "bytes", target_bytes=20000)

@@ -1213,3 +1213,36 @@ def test_grouped_weighted_median_known_and_degenerate(spark):
         for r in grouped_weighted_median(df, "g", F.col("x"), F.col("w")).collect()
     }
     assert got == {"g1": (12, 100), "g2": (4, 2), "g3": (3, 7)}
+
+
+def test_k_anonymity_audit_counts_risky_classes(spark):
+    """Classes below k are counted with their row totals; a unique row
+    drives min_class_size to 1 and fails the gate; a uniformly large
+    table passes."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators.validation import k_anonymity_audit
+
+    rows = [("a", 1)] * 6 + [("a", 2)] * 3 + [("b", 1)] * 1
+    df = spark.createDataFrame(rows, "q1 string, q2 int")
+    r = k_anonymity_audit(df, ["q1", "q2"], k=5).collect()[0]
+    assert (r["n_classes"], r["n_risky_classes"], r["rows_at_risk"]) == (3, 2, 4)
+    assert r["min_class_size"] == 1 and r["k_anonymous"] == 0
+    ok = spark.createDataFrame([("a", 1)] * 7 + [("b", 2)] * 5, "q1 string, q2 int")
+    r2 = k_anonymity_audit(ok, ["q1", "q2"], k=5).collect()[0]
+    assert r2["k_anonymous"] == 1 and r2["n_risky_classes"] == 0
+
+
+def test_compaction_plan_bins_and_bound(spark):
+    """Files bin by cumulative start DIV target in (bytes DESC, path)
+    order; every bucket total is within target + max_file; totals are
+    conserved; an oversized single file gets its own bucket and still
+    satisfies the bound."""
+    from simple_pos_kafka_pyspark_airflow_spark.analyze import compaction_plan
+
+    rows = [("big", 250), ("m1", 90), ("m2", 90), ("s1", 40), ("s2", 40), ("s3", 10)]
+    df = spark.createDataFrame(rows, "f string, b long")
+    out = {r["bucket"]: r for r in compaction_plan(df, "f", "b", 100).collect()}
+    # order: big(start 0), m1(250), m2(340), s1(430), s2(470), s3(510)
+    # buckets: 0,2,3,4,4,5
+    assert {b: out[b]["n_files"] for b in sorted(out)} == {0: 1, 2: 1, 3: 1, 4: 2, 5: 1}
+    assert sum(r["total_bytes"] for r in out.values()) == 520
+    assert all(r["within_bound"] == 1 for r in out.values())
