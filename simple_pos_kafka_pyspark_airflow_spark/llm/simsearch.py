@@ -1154,3 +1154,137 @@ def pq_topk_batch(
         .where(F.col("rn") <= k)
         .select(q_id_col, id_col, "score", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA projection (driver-side eigh on the d x d Gram sufficient statistic)
+# ---------------------------------------------------------------------------
+
+
+def pca_fit(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    grid: int = 1_000_000,
+) -> dict:
+    """Fit a k-component PCA from the EXACT integer-lattice sufficient
+    statistics — the dimensionality-reduction step every 100 TB
+    embedding store eventually wants (cheaper ANN, whitening before
+    clustering, storage 64→k floats).
+
+    Distributed part: ONE pass building (a) ``gram_matrix_exact``'s d×d
+    Σx·xᵀ and (b) the per-dimension component sums, both exact int64 on
+    the floor(v·grid) lattice — each partition reduces to O(d²) partial
+    rows, partials SUM (order-free), and the driver receives d·(d+3)/2
+    integers total, NEVER vector data. Driver part: covariance
+    C = (G/g² − n·μμᵀ)/n, then ``numpy.linalg.eigh`` on the d×d
+    symmetric matrix — O(d³) on ≤ a few thousand dims is microseconds,
+    and eigendecomposition is not distributable at useful d anyway
+    (the published big-data PCA recipe — e.g. Spark MLlib's own
+    RowMatrix.computePrincipalComponents — is exactly this shape:
+    distribute the Gram, decompose on the driver).
+
+    Determinism: the lattice makes the sufficient statistics
+    bit-identical across cluster sizes; eigh on identical input is
+    identical on one driver. Eigenvector SIGN is fixed by convention
+    (largest-|entry| coordinate made positive) so refits don't flip
+    components.
+
+    Returns ``{"components": (k, d) ndarray, "mean": (d,) ndarray,
+    "explained_var": (k,) ndarray, "explained_ratio": (k,) ndarray,
+    "n": int}``."""
+    g = int(grid)
+
+    def partials(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            mat = np.floor(
+                np.stack(pdf[vec_col].to_numpy()).astype("float64") * g
+            ).astype("int64")
+            gram = np.einsum("ni,nj->ij", mat, mat)
+            iu, ju = np.triu_indices(gram.shape[1])
+            sums = mat.sum(axis=0)
+            d = gram.shape[1]
+            yield pd.DataFrame(
+                {
+                    # j = -1 rows carry the per-dim sums; j = -2 the count
+                    "i": np.concatenate([iu, np.arange(d), [0]]).astype("int32"),
+                    "j": np.concatenate(
+                        [ju, np.full(d, -1), [-2]]
+                    ).astype("int32"),
+                    "g": np.concatenate([gram[iu, ju], sums, [len(mat)]]),
+                }
+            )
+
+    agg = (
+        df.select(vec_col)
+        .mapInPandas(partials, "i int, j int, g long")
+        .groupBy("i", "j")
+        .agg(F.sum("g").cast("long").alias("s"))
+        .collect()
+    )
+    n = 0
+    sums: dict[int, int] = {}
+    tri: dict[tuple[int, int], int] = {}
+    for r in agg:
+        if r["j"] == -2:
+            n = r["s"]
+        elif r["j"] == -1:
+            sums[r["i"]] = r["s"]
+        else:
+            tri[(r["i"], r["j"])] = r["s"]
+    d = max(sums) + 1
+    G = np.zeros((d, d), dtype="float64")
+    for (i, j), v in tri.items():
+        G[i, j] = G[j, i] = v
+    mu_l = np.array([sums[i] for i in range(d)], dtype="float64")  # lattice units
+    mean = mu_l / (n * g)
+    cov = (G - np.outer(mu_l, mu_l) / n) / (n * g * g)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comp = evecs[:, order].T  # (k, d)
+    # deterministic sign: the largest-|entry| coordinate is positive
+    for row in comp:
+        j = int(np.argmax(np.abs(row)))
+        if row[j] < 0:
+            row *= -1.0
+    ev = evals[order]
+    total = float(evals.sum())
+    return {
+        "components": comp,
+        "mean": mean,
+        "explained_var": ev,
+        "explained_ratio": ev / total if total > 0 else ev * 0.0,
+        "n": int(n),
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "projected",
+) -> DataFrame:
+    """Project vectors onto a fitted PCA basis: ``(x − μ) Wᵀ`` per Arrow
+    batch — the model (k×d floats, kilobytes) closes over the UDF and
+    broadcasts with the task binary; the projection is one numpy matmul
+    per batch, map-only, no shuffle. Output: (id_col, out_col
+    array<float>)."""
+    comp = np.ascontiguousarray(model["components"], dtype="float64")
+    mean = np.ascontiguousarray(model["mean"], dtype="float64")
+
+    def proj(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            out = (mat - mean) @ comp.T
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], out_col: list(out.astype("float32"))}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        proj, f"{id_col} long, {out_col} array<float>"
+    )

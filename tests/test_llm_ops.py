@@ -3259,3 +3259,55 @@ def test_grouped_winsorize_null_handling(spark):
     assert len(nul) == 2 and all(
         r["x_w"] is None and r["q_lo"] is None and r["q_hi"] is None for r in nul
     )
+
+
+def test_pca_fit_matches_numpy(spark):
+    """pca_fit's eigenvalues/components agree with numpy PCA over the
+    collected data (the lattice snap costs ~1e-6); the sign convention
+    makes refits reproducible; projection empirically decorrelates."""
+    import numpy as np
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm.simsearch import pca_fit, pca_project
+
+    rng = np.random.RandomState(5)
+    # anisotropic 8-dim cloud: two dominant directions
+    base = rng.randn(400, 8) * np.array([5.0, 3.0, 1, 1, 0.5, 0.5, 0.2, 0.1])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(len(base))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    m = pca_fit(df, k=3, vec_col="embedding")
+    # reference: numpy covariance (float32 round-trip matches the data)
+    data = np.stack([np.array(r, dtype="float32").astype("float64") for r in base])
+    cov = np.cov(data.T, bias=True)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1][:3]
+    assert np.allclose(m["explained_var"], evals, rtol=1e-4)
+    # components match numpy's up to the (fixed) sign: |dot| ~ 1
+    vecs = np.linalg.eigh(cov)[1][:, ::-1][:, :3].T
+    dots = np.abs(np.einsum("ij,ij->i", m["components"], vecs))
+    assert np.all(dots > 0.9999), dots
+    # sign convention: largest-|entry| coordinate is positive
+    for row in m["components"]:
+        assert row[int(np.argmax(np.abs(row)))] > 0
+    # projection: per-component variance equals the eigenvalue, mean ~ 0
+    proj = pca_project(df, m).toPandas()
+    P = np.stack(proj["projected"].to_numpy()).astype("float64")
+    assert np.allclose(P.mean(axis=0), 0.0, atol=1e-3)
+    assert np.allclose(P.var(axis=0), m["explained_var"], rtol=1e-3)
+
+
+def test_pca_project_on_testdata_embeddings(spark, sf_dir):
+    """End-to-end on the synthetic embeddings table: 64 -> 8 dims, output
+    schema and row conservation, and the top component explains the most
+    variance (ratios are sorted descending and sum <= 1)."""
+    import numpy as np
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm.simsearch import pca_fit, pca_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    m = pca_fit(emb, k=8)
+    assert m["components"].shape == (8, 64) and m["n"] == emb.count()
+    r = m["explained_ratio"]
+    assert np.all(np.diff(r) <= 1e-12) and 0 < r.sum() <= 1.0 + 1e-9
+    out = pca_project(emb, m)
+    assert out.columns == ["vec_id", "projected"]
+    assert out.count() == m["n"]
+    assert len(out.first()["projected"]) == 8
