@@ -210,6 +210,8 @@ HEADLINE = [
     # manifest-sized compaction planner (global cumsum + integer DIV)
     "q_privacy_kanon",
     "q_compaction_plan",
+    # Cramer-determinant two-feature OLS (nine moments, one shuffle)
+    "q_stats_linreg2",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

@@ -906,3 +906,84 @@ def grouped_weighted_median(
         )
         .select(group_col, "total_w", "wmedian")
     )
+
+
+def grouped_linreg2_exact(
+    df: DataFrame,
+    group_col: str,
+    x1_int,
+    x2_int,
+    y_int,
+) -> DataFrame:
+    """Per-group TWO-FEATURE least squares (y ~ b0 + b1·x1 + b2·x2) with
+    the normal equations solved by CRAMER'S RULE over exact integer
+    determinants — multiple regression with zero float accumulation
+    anywhere: the 3×3 normal matrix and its three column-replaced
+    variants are polynomial in the nine exact int64 moments, every
+    determinant is evaluated in DECIMAL(38,0) (oracle: HUGEINT) — exact
+    out to 38 digits — and each coefficient is ONE IEEE division of two
+    exactly-cast integers, bit-identical across engines and cluster
+    sizes. (The textbook alternative — distributed QR / gradient — is
+    iterative float; for a handful of features the Cramer form is the
+    only hash-certifiable one, and the one-shuffle moment pass is the
+    same cost.)
+
+    ``x1_int``/``x2_int``/``y_int`` must be integer-valued Columns on
+    caller-chosen lattices. One partial-aggregable shuffle computes the
+    nine moments; everything after is per-group scalar arithmetic.
+
+    Overflow bound: determinant terms are triple products of moments —
+    with per-group rows n and lattice bounds |x|≤X, the largest term is
+    ~n³·X⁴ and must stay under 10³⁸; the lineitem fixture peaks ~10²⁷.
+    Collinear features (det M = 0) yield NULL coefficients via NULLIF,
+    identically in both engines.
+
+    Output: ``(group, n, det_m_str, b0, b1, b2)`` — det M rides along as
+    a canonical digit STRING so the oracle certifies the exact integer
+    algebra, not just the rounded quotients."""
+    g = (
+        df.select(
+            F.col(group_col),
+            x1_int.cast("long").alias("_x1"),
+            x2_int.cast("long").alias("_x2"),
+            y_int.cast("long").alias("_y"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("_x1").alias("_s1"),
+            F.sum("_x2").alias("_s2"),
+            F.sum("_y").alias("_sy"),
+            F.sum(F.col("_x1") * F.col("_x1")).alias("_s11"),
+            F.sum(F.col("_x1") * F.col("_x2")).alias("_s12"),
+            F.sum(F.col("_x2") * F.col("_x2")).alias("_s22"),
+            F.sum(F.col("_x1") * F.col("_y")).alias("_s1y"),
+            F.sum(F.col("_x2") * F.col("_y")).alias("_s2y"),
+        )
+    )
+    dec = "decimal(38,0)"
+    n_, s1, s2, sy, s11, s12, s22, s1y, s2y = [
+        F.col(c).cast(dec)
+        for c in ("n", "_s1", "_s2", "_sy", "_s11", "_s12", "_s22", "_s1y", "_s2y")
+    ]
+    det_m = n_ * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (
+        s1 * s12 - s11 * s2
+    )
+    det_b0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (
+        s1y * s12 - s11 * s2y
+    )
+    det_b1 = n_ * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (
+        s1 * s2y - s1y * s2
+    )
+    det_b2 = n_ * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (
+        s1 * s12 - s11 * s2
+    )
+    den = F.nullif(det_m.cast("double"), F.lit(0.0))
+    return g.select(
+        group_col,
+        "n",
+        det_m.cast("string").alias("det_m_str"),
+        (det_b0.cast("double") / den).alias("b0"),
+        (det_b1.cast("double") / den).alias("b1"),
+        (det_b2.cast("double") / den).alias("b2"),
+    )

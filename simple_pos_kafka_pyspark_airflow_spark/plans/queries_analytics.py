@@ -3741,3 +3741,71 @@ def q_privacy_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") / 50).cast("long").alias("band"),
     )
     return validation.k_anonymity_audit(ev, ["event_type", "d", "band"], k=5)
+
+
+@register(
+    "q_stats_linreg2",
+    "agg",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x1) AS HUGEINT) AS s1,
+             CAST(SUM(x2) AS HUGEINT) AS s2,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x1 * x1) AS HUGEINT) AS s11,
+             CAST(SUM(x1 * x2) AS HUGEINT) AS s12,
+             CAST(SUM(x2 * x2) AS HUGEINT) AS s22,
+             CAST(SUM(x1 * y) AS HUGEINT) AS s1y,
+             CAST(SUM(x2 * y) AS HUGEINT) AS s2y
+      FROM (
+        SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS x1,
+               CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS x2,
+               CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
+        FROM lineitem
+      )
+      GROUP BY l_returnflag
+    ),
+    d AS (
+      SELECT l_returnflag, n,
+             n  * (s11 * s22 - s12 * s12) - s1 * (s1  * s22 - s12 * s2)
+                + s2 * (s1  * s12 - s11 * s2)  AS det_m,
+             sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+                + s2 * (s1y * s12 - s11 * s2y) AS det_b0,
+             n  * (s1y * s22 - s12 * s2y) - sy * (s1  * s22 - s12 * s2)
+                + s2 * (s1  * s2y - s1y * s2)  AS det_b1,
+             n  * (s11 * s2y - s1y * s12) - s1 * (s1  * s2y - s1y * s2)
+                + sy * (s1  * s12 - s11 * s2)  AS det_b2
+      FROM m
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           CAST(det_m AS VARCHAR) AS det_m_str,
+           CAST(det_b0 AS DOUBLE) / NULLIF(CAST(det_m AS DOUBLE), 0.0) AS b0,
+           CAST(det_b1 AS DOUBLE) / NULLIF(CAST(det_m AS DOUBLE), 0.0) AS b1,
+           CAST(det_b2 AS DOUBLE) / NULLIF(CAST(det_m AS DOUBLE), 0.0) AS b2
+    FROM d
+    """,
+    notes="extension: TWO-FEATURE least squares (price ~ quantity + "
+    "discount) via Cramer's rule over exact integer determinants "
+    "(operators/aggregates.grouped_linreg2_exact) — multiple regression "
+    "with ZERO float accumulation: nine exact int64 moments from one "
+    "partial-aggregable shuffle, 3×3 determinants evaluated in "
+    "DECIMAL(38,0)/HUGEINT (terms peak ~1e27 here; bound n³·X⁴ < 1e38 "
+    "documented), coefficients as single IEEE divisions. det M ships as "
+    "a canonical digit string so the oracle certifies the exact integer "
+    "algebra itself, not just rounded quotients. The iterative "
+    "QR/gradient alternatives are float-order-dependent and could never "
+    "hash-compare",
+)
+def q_stats_linreg2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import aggregates
+
+    li = table(spark, sf_dir, "lineitem")
+    return aggregates.grouped_linreg2_exact(
+        li,
+        "l_returnflag",
+        F.col("l_quantity"),
+        F.round(F.col("l_discount") * 100, 0),
+        F.floor(F.col("l_extendedprice")),
+    )

@@ -1246,3 +1246,122 @@ def test_compaction_plan_bins_and_bound(spark):
     assert {b: out[b]["n_files"] for b in sorted(out)} == {0: 1, 2: 1, 3: 1, 4: 2, 5: 1}
     assert sum(r["total_bytes"] for r in out.values()) == 520
     assert all(r["within_bound"] == 1 for r in out.values())
+
+
+def test_grouped_linreg2_exact_matches_numpy(spark):
+    """Cramer-determinant two-feature OLS equals numpy lstsq to 1e-9;
+    collinear features yield NULL coefficients (det M = 0), never a
+    crash or a garbage division."""
+    import numpy as np
+
+    from simple_pos_kafka_pyspark_airflow_spark.operators.aggregates import (
+        grouped_linreg2_exact,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(13)
+    x1 = rng.randint(1, 50, 250)
+    x2 = rng.randint(0, 11, 250)
+    y = 7 + 3 * x1 - 2 * x2 + rng.randint(-5, 6, 250)
+    rows = [("g", int(a), int(b), int(c)) for a, b, c in zip(x1, x2, y)]
+    rows += [("coll", int(a), int(2 * a), int(a + 1)) for a in x1[:40]]
+    df = spark.createDataFrame(rows, "grp string, x1 long, x2 long, y long")
+    got = {
+        r["grp"]: r
+        for r in grouped_linreg2_exact(
+            df, "grp", F.col("x1"), F.col("x2"), F.col("y")
+        ).collect()
+    }
+    A = np.column_stack([np.ones(len(x1)), x1, x2]).astype("float64")
+    beta = np.linalg.lstsq(A, y.astype("float64"), rcond=None)[0]
+    assert abs(got["g"]["b0"] - beta[0]) < 1e-9
+    assert abs(got["g"]["b1"] - beta[1]) < 1e-9
+    assert abs(got["g"]["b2"] - beta[2]) < 1e-9
+    assert int(got["g"]["det_m_str"]) > 0
+    assert got["coll"]["b0"] is None and got["coll"]["b1"] is None
+    assert int(got["coll"]["det_m_str"]) == 0
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(1, 20)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SETTINGS
+def test_weighted_median_properties(spark, pairs):
+    """(a) Unit weights reduce the weighted median to the ordinary lower
+    median; (b) the weighted median is a python-oracle match on arbitrary
+    positive weights; (c) scaling all weights by a constant leaves it
+    unchanged."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators.aggregates import (
+        grouped_weighted_median,
+    )
+    from pyspark.sql import functions as F
+
+    def py_wmedian(ps):
+        tot = sum(w for _, w in ps)
+        cum = 0
+        for x, w in sorted(ps):
+            cum += w
+            if 2 * cum >= tot:
+                return x
+
+    df = spark.createDataFrame([("g", x, w) for x, w in pairs], "g string, x long, w long")
+    got = grouped_weighted_median(df, "g", F.col("x"), F.col("w")).collect()[0]
+    assert got["wmedian"] == py_wmedian(pairs)
+    unit = spark.createDataFrame([("g", x, 1) for x, _ in pairs], "g string, x long, w long")
+    gu = grouped_weighted_median(unit, "g", F.col("x"), F.lit(1)).collect()[0]
+    assert gu["wmedian"] == py_wmedian([(x, 1) for x, _ in pairs])
+    scaled = spark.createDataFrame(
+        [("g", x, 7 * w) for x, w in pairs], "g string, x long, w long"
+    )
+    gs = grouped_weighted_median(scaled, "g", F.col("x"), F.col("w")).collect()[0]
+    assert gs["wmedian"] == got["wmedian"]
+
+
+@given(
+    st.lists(st.integers(1, 500), min_size=1, max_size=25),
+    st.integers(50, 300),
+)
+@SETTINGS
+def test_compaction_plan_properties(spark, sizes, target):
+    """Conservation (every byte lands in exactly one bucket), the
+    target+max bound on every bucket, and bucket-id contiguity from 0."""
+    from simple_pos_kafka_pyspark_airflow_spark.analyze import compaction_plan
+
+    rows = [(f"f{i:03d}", b) for i, b in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "f string, b long")
+    out = compaction_plan(df, "f", "b", target).collect()
+    assert sum(r["total_bytes"] for r in out) == sum(sizes)
+    assert sum(r["n_files"] for r in out) == len(sizes)
+    assert all(r["within_bound"] == 1 for r in out)
+    ids = sorted(r["bucket"] for r in out)
+    assert ids[0] == 0 and ids == sorted(set(ids))
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[1],
+    )
+)
+@SETTINGS
+def test_ndcg_bounds_and_perfect_ranking(spark, docs):
+    """nDCG ∈ (0, 1] whenever any relevance is positive (NULL otherwise),
+    and ranking BY relevance itself always achieves exactly 1.0."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm.textops import ndcg_at_k
+    from pyspark.sql import functions as F
+
+    rows = [("q", d, rel, float(rel)) for rel, d in docs]
+    df = spark.createDataFrame(rows, "q string, d long, r long, s double")
+    got = ndcg_at_k(df, "q", "d", F.col("r"), F.col("s")).collect()[0]
+    if all(rel == 0 for rel, _ in docs):
+        assert got["ndcg"] is None
+    else:
+        # score == rel ranks the run like the ideal, except ties broken by
+        # doc id on the SAME key both sides -> identical order -> ndcg 1
+        assert got["ndcg"] == 1.0
