@@ -531,15 +531,24 @@ def k_anonymity_audit(df: DataFrame, qid_cols: list[str], k: int = 5) -> DataFra
     classes = df.groupBy(*[F.col(c) for c in qid_cols]).agg(
         F.count("*").cast("long").alias("class_size")
     )
-    risky = F.col("class_size") < k
+    return k_anonymity_summary(classes, "class_size", k)
+
+
+def k_anonymity_summary(classes: DataFrame, size_col: str, k: int) -> DataFrame:
+    """Fold a pre-built equivalence-class table ``(..., size_col)`` to the
+    one-row k-anonymity summary — shared by the batch operator above and
+    the ingest-time ``streaming.corpus.IncrementalQidIndex`` (which
+    maintains the class counts incrementally), so the streaming audit is
+    pinned to EXACTLY this aggregation."""
+    risky = F.col(size_col) < k
     return classes.agg(
         F.count("*").cast("long").alias("n_classes"),
         F.sum(F.when(risky, 1).otherwise(0)).cast("long").alias("n_risky_classes"),
-        F.sum(F.when(risky, F.col("class_size")).otherwise(F.lit(0)))
+        F.sum(F.when(risky, F.col(size_col)).otherwise(F.lit(0)))
         .cast("long")
         .alias("rows_at_risk"),
-        F.min("class_size").cast("long").alias("min_class_size"),
-        F.when(F.min("class_size") >= k, F.lit(1)).otherwise(F.lit(0))
+        F.min(size_col).cast("long").alias("min_class_size"),
+        F.when(F.min(size_col) >= k, F.lit(1)).otherwise(F.lit(0))
         .cast("int")
         .alias("k_anonymous"),
     )

@@ -1324,3 +1324,89 @@ class TokenizerFertilityMonitor:
             ),
             drifted.cast("int").alias("drifted"),
         )
+
+
+class IncrementalQidIndex:
+    """Corpus-lifetime k-ANONYMITY class counts at ingest — the
+    structural-privacy gate (``operators.validation.k_anonymity_audit``)
+    maintained incrementally, so the release audit never rescans landed
+    history: each micro-batch pays one batch-sized class count, and
+    ``audit(k)`` answers from the merged class table.
+
+    Why ingest-time matters for THIS gate: k-anonymity is
+    anti-monotone under union — a batch that is k-anonymous on its own
+    can still push a LANDED class over the risk threshold or leave a
+    new class under it, so the only correct audit is over the merged
+    counts, which is exactly what this index keeps. (A per-batch-only
+    audit is the classic leak: 4 uniques in 4 batches look fine four
+    times and ship a size-4 class at k=5.)
+
+    Counts merge by ADDITION, so append IS merge (the
+    ``IncrementalWordCountIndex`` discipline): each batch appends its
+    own (qid..., n) rows keyed by ``batch_id``; reads collapse replays
+    with ``dropDuplicates`` on (_batch, qid...) and groupBy-sum;
+    ``compact()`` folds history into the sentinel batch −1 under the
+    atomic snapshot swap (quiesced points only). State is bounded by
+    QID-combination cardinality, never corpus rows.
+
+    ``audit(k)`` returns the identical one-row summary as the batch
+    operator (both call ``validation.k_anonymity_summary``), which the
+    tests pin equal to running the batch audit over the union of all
+    ingested batches."""
+
+    def __init__(self, spark: SparkSession, path: str, qid_cols: list[str]) -> None:
+        self.spark = spark
+        self.path = path
+        self.qid_cols = list(qid_cols)
+
+    def _landed(self) -> DataFrame | None:
+        return _read_landed_index(self.spark, self.path)
+
+    def update_batch(self, df: DataFrame, batch_id: int) -> None:
+        """Append this batch's (qid..., n) class counts (batch-class
+        sized, keyed by ``batch_id`` for replay collapse)."""
+        counts = (
+            df.groupBy(*[F.col(c) for c in self.qid_cols])
+            .agg(F.count("*").cast("long").alias("n"))
+            .withColumn("_batch", F.lit(int(batch_id)).cast("long"))
+        )
+        counts.write.mode("append").parquet(self.path)
+
+    def classes(self) -> DataFrame | None:
+        """Replay-collapsed, batch-summed class table over the landed
+        history; None when nothing has landed."""
+        landed = self._landed()
+        if landed is None:
+            return None
+        return (
+            landed.dropDuplicates(["_batch", *self.qid_cols])
+            .groupBy(*self.qid_cols)
+            .agg(F.sum("n").cast("long").alias("class_size"))
+        )
+
+    def audit(self, k: int = 5) -> DataFrame:
+        """The one-row release-gate summary over everything landed —
+        bit-identical to ``k_anonymity_audit`` over the union of the
+        ingested batches. Raises on an empty index (an empty table must
+        not certify a release)."""
+        from ..operators.validation import k_anonymity_summary
+
+        cls = self.classes()
+        if cls is None:
+            raise ValueError(f"no landed class counts at {self.path}: ingest first")
+        return k_anonymity_summary(cls, "class_size", k)
+
+    def compact(self) -> None:
+        """Fold per-batch rows into one class-table snapshot under the
+        sentinel batch −1 (atomic swap); quiesced points only."""
+        from ..sources.io import overwrite_atomic
+
+        cls = self.classes()
+        if cls is None:
+            return
+        overwrite_atomic(
+            cls.withColumnRenamed("class_size", "n").withColumn(
+                "_batch", F.lit(-1).cast("long")
+            ),
+            self.path,
+        )

@@ -3142,3 +3142,59 @@ def test_incremental_wordcount_index_retrains_bpe(spark, tmp_path):
     landed = spark.read.parquet(str(tmp_path / "wc"))
     assert landed.count() == len(truth)
     assert idx.train(n_merges=12) == direct
+
+
+def test_incremental_qid_index_matches_batch_audit(spark, tmp_path):
+    """The ingest-time k-anonymity audit equals the batch operator over
+    the union of ingested batches (k-anonymity is anti-monotone under
+    union — per-batch audits CANNOT certify the merged table, which is
+    why the index exists); a replayed batch changes nothing; compact
+    folds to one row per class and preserves the audit; the gate flips
+    when a later batch lands a unique QID row."""
+    import pytest as _pt
+
+    from simple_pos_kafka_pyspark_airflow_spark.operators.validation import (
+        k_anonymity_audit,
+    )
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import (
+        IncrementalQidIndex,
+    )
+
+    # two batches that are each k=3-anonymous alone, but whose union has
+    # a size-4 class at ("b", 2): the per-batch leak scenario
+    b1 = spark.createDataFrame([("a", 1)] * 3 + [("b", 2)] * 3, "q1 string, q2 int")
+    b2 = spark.createDataFrame([("a", 1)] * 3 + [("b", 2)] * 1 + [("c", 3)] * 3,
+                               "q1 string, q2 int")
+    idx = IncrementalQidIndex(spark, str(tmp_path / "qid"), ["q1", "q2"])
+    with _pt.raises(ValueError, match="ingest"):
+        idx.audit()
+    idx.update_batch(b1, batch_id=1)
+    idx.update_batch(b2, batch_id=2)
+
+    def row(df):
+        r = df.collect()[0]
+        return tuple(r[c] for c in ("n_classes", "n_risky_classes", "rows_at_risk",
+                                    "min_class_size", "k_anonymous"))
+
+    union = b1.unionAll(b2)
+    for k in (3, 5):
+        assert row(idx.audit(k=k)) == row(k_anonymity_audit(union, ["q1", "q2"], k=k))
+    # merged classes: (a,1)=6, (b,2)=4, (c,3)=3 — min 3, so the gate
+    # passes at k=3 and fails at k=4 (even though each BATCH was fine)
+    assert row(idx.audit(k=3))[4] == 1
+    assert row(idx.audit(k=4))[4] == 0
+
+    # replay of batch 2 collapses: audit unchanged
+    idx.update_batch(b2, batch_id=2)
+    assert row(idx.audit(k=3)) == row(k_anonymity_audit(union, ["q1", "q2"], k=3))
+
+    # compact: one landed row per class, audit preserved
+    idx.compact()
+    landed = spark.read.parquet(str(tmp_path / "qid"))
+    assert landed.count() == 3
+    assert row(idx.audit(k=3)) == row(k_anonymity_audit(union, ["q1", "q2"], k=3))
+
+    # a unique row lands later: the k=3 gate flips to failing
+    idx.update_batch(spark.createDataFrame([("z", 9)], "q1 string, q2 int"), batch_id=3)
+    r = idx.audit(k=3).collect()[0]
+    assert r["k_anonymous"] == 0 and r["min_class_size"] == 1
