@@ -212,6 +212,8 @@ HEADLINE = [
     "q_compaction_plan",
     # Cramer-determinant two-feature OLS (nine moments, one shuffle)
     "q_stats_linreg2",
+    # dup-weighted corpus stats composition (digest canon -> wmedian)
+    "q_corpus_wlength",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

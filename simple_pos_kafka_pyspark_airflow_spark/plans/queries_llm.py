@@ -4086,3 +4086,56 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("/", "source", "lang").alias("file"), "bytes"
     )
     return analyze.compaction_plan(manifest, "file", "bytes", target_bytes=20000)
+
+
+@register(
+    "q_corpus_wlength",
+    "llm",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text, lang, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text, lang, n_chars
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    canon AS (
+      SELECT lang, text, CAST(COUNT(*) AS BIGINT) AS w,
+             CAST(MIN(n_chars) AS BIGINT) AS x
+      FROM corpus GROUP BY 1, 2
+    ),
+    c AS (SELECT lang, x, CAST(SUM(w) AS BIGINT) AS wsum FROM canon GROUP BY 1, 2),
+    cum AS (
+      SELECT lang, x, wsum,
+             SUM(wsum) OVER (PARTITION BY lang ORDER BY x) AS cw
+      FROM c
+    ),
+    tot AS (SELECT lang, CAST(SUM(wsum) AS BIGINT) AS total_w FROM c GROUP BY 1)
+    SELECT cum.lang, total_w,
+           CAST(MIN(CASE WHEN cw * 2 >= total_w THEN x END) AS BIGINT) AS wmedian
+    FROM cum JOIN tot ON cum.lang = tot.lang
+    GROUP BY cum.lang, total_w
+    """,
+    notes="extension COMPOSITION: per-lang duplication-weighted median "
+    "doc length — the q_sample_dupweight 'weight, don't delete' "
+    "discipline feeding q_stats_wmedian's operator: statistics computed "
+    "on the DEDUPED canonical table (one row per distinct text, weight "
+    "= multiplicity) equal statistics over the raw duplicated corpus, "
+    "without storing the duplicates. Planted copies (doc_id % 10 twins) "
+    "make multiplicity ≥ 2 real. Plan: one digest groupBy (canonical "
+    "table, fixed-width keys) then the weighted-median ladder over the "
+    "distinct-length lattice; at 100 TB the stats pass costs the "
+    "canonical table's size, not the corpus's",
+)
+def q_corpus_wlength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import grouped_weighted_median
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    planted = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "n_chars"
+    )
+    corpus = d.unionByName(planted)
+    canon = corpus.groupBy("lang", F.sha2(F.col("text"), 256).alias("_digest")).agg(
+        F.count("*").cast("long").alias("w"),
+        F.min("n_chars").cast("long").alias("x"),
+    )
+    return grouped_weighted_median(canon, "lang", F.col("x"), F.col("w"))

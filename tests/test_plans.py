@@ -827,7 +827,7 @@ def test_exact_moment_stats_are_single_exchange(spark, sf_dir):
     partial-aggregable shuffle each: exactly one Exchange in the plan,
     with partial aggregation below it (map-side combine). A second
     exchange would mean the moments recompute or the finish re-shuffles."""
-    for q in ("q_stats_linreg", "q_ab_ttest"):
+    for q in ("q_stats_linreg", "q_ab_ttest", "q_stats_linreg2"):
         plan = explain_str(build(spark, sf_dir, q))
         assert _node_count(plan, "Exchange") == 1, (q, plan)
         assert "partial_" in plan, (q, plan)
