@@ -1017,10 +1017,12 @@ def ndcg_at_k(
     if k > len(NDCG_WEIGHTS_10):
         raise ValueError(f"k={k} exceeds the precomputed weight grid ({len(NDCG_WEIGHTS_10)})")
     wts = F.array(*[F.lit(w) for w in NDCG_WEIGHTS_10[:k]])
+    # NULL relevance = unjudged = gain 0 (the TREC convention); a raw
+    # NULL would poison the int64 DCG sum into NULL for the whole query
     base = df.select(
         F.col(query_col).alias("query"),
         F.col(doc_col).alias("_doc"),
-        rel_col.cast("long").alias("_rel"),
+        F.coalesce(rel_col.cast("long"), F.lit(0)).alias("_rel"),
         score_col.alias("_score"),
     )
     gain = (F.pow(F.lit(2.0), F.col("_rel").cast("double")).cast("long") - 1) * F.element_at(

@@ -882,6 +882,12 @@ def grouped_weighted_median(
     the qualifying prefix. At 100 TB the window input is the collapsed
     distinct-value table (bounded by the value lattice), not the fact.
 
+    NULL discipline: rows with NULL value or NULL weight are DROPPED
+    before anything else (the standard ignore-nulls median semantics) —
+    NULL must never reach the value ordering, where Spark (NULLS FIRST
+    on ASC) and SQL oracles (DuckDB: NULLS LAST) would silently cumsum
+    in different orders.
+
     Output: ``(group_col, total_w, wmedian)``; total_w rides along for
     exact certification."""
     c = (
@@ -890,6 +896,7 @@ def grouped_weighted_median(
             x_int.cast("long").alias("_x"),
             weight_int.cast("long").alias("_w"),
         )
+        .where(F.col("_x").isNotNull() & F.col("_w").isNotNull())
         .groupBy(group_col, "_x")
         .agg(F.sum("_w").alias("_wsum"))
     )

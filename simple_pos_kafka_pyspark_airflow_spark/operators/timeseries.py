@@ -481,9 +481,16 @@ def top_event_paths(
     steps = [F.col(type_col)] + [
         F.lead(type_col, i).over(w) for i in range(1, depth)
     ]
+    # every step must be non-null: a NULL type row would otherwise be
+    # silently SKIPPED by concat_ws, promoting a 2-step fragment into a
+    # counted "3-step" path (and a null LAST lead alone can't prove the
+    # middle ones non-null when the type column itself is nullable)
+    complete = steps[0].isNotNull()
+    for s in steps[1:]:
+        complete = complete & s.isNotNull()
     paths = df.select(
         F.concat_ws(">", *steps).alias("path"),
-        steps[-1].isNotNull().alias("_complete"),
+        complete.alias("_complete"),
     ).where(F.col("_complete"))
     counts = paths.groupBy("path").agg(F.count("*").cast("long").alias("n"))
     return counts.orderBy(F.col("n").desc(), F.col("path")).limit(k)

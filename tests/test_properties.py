@@ -1365,3 +1365,51 @@ def test_ndcg_bounds_and_perfect_ranking(spark, docs):
         # score == rel ranks the run like the ideal, except ties broken by
         # doc id on the SAME key both sides -> identical order -> ndcg 1
         assert got["ndcg"] == 1.0
+
+
+def test_new_operators_null_discipline(spark):
+    """NULL hardening on the r10 wave: weighted median drops NULL
+    values/weights (NULL must never reach the cross-engine value
+    ordering); path mining never promotes a NULL-containing fragment
+    into a counted path; NDCG treats NULL relevance as unjudged
+    (gain 0) instead of poisoning the query's integer sum."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm.textops import ndcg_at_k
+    from simple_pos_kafka_pyspark_airflow_spark.operators.aggregates import (
+        grouped_weighted_median,
+    )
+    from simple_pos_kafka_pyspark_airflow_spark.operators.timeseries import top_event_paths
+
+    wm = spark.createDataFrame(
+        [("g", 1, 1), ("g", None, 100), ("g", 3, None), ("g", 5, 1)],
+        "g string, x long, w long",
+    )
+    r = grouped_weighted_median(wm, "g", F.col("x"), F.col("w")).collect()[0]
+    assert (r["total_w"], r["wmedian"]) == (2, 1)  # only (1,1) and (5,1) count
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, t0, "a", 0), (1, dt.datetime(2024, 1, 2), None, 1),
+         (1, dt.datetime(2024, 1, 3), "b", 2), (1, dt.datetime(2024, 1, 4), "c", 3),
+         (1, dt.datetime(2024, 1, 5), "d", 4)],
+        "k int, ts timestamp, et string, eid long",
+    )
+    got = {r["path"] for r in top_event_paths(ev, "k", "ts", "et", "eid").collect()}
+    # windows touching the NULL row ('a,NULL,b' and 'NULL,b,c') are out
+    assert got == {"b>c>d"}
+
+    nd = spark.createDataFrame(
+        [("q", 1, 3, 9.0), ("q", 2, None, 8.0), ("q", 3, 1, 7.0)],
+        "q string, d long, r long, s double",
+    )
+    row = ndcg_at_k(nd, "q", "d", F.col("r"), F.col("s")).collect()[0]
+    # run: rel (3, unjudged->0, 1); ideal: (3, 1, 0) — the sums stay
+    # integer (no NULL poisoning) and the metric is the exact ratio
+    from simple_pos_kafka_pyspark_airflow_spark.llm.textops import NDCG_WEIGHTS_10 as W
+
+    assert row["dcg_scaled"] == 7 * W[0] + 0 * W[1] + 1 * W[2]
+    assert row["idcg_scaled"] == 7 * W[0] + 1 * W[1]
+    assert row["ndcg"] == row["dcg_scaled"] / row["idcg_scaled"]
