@@ -187,6 +187,10 @@ def compaction_plan(manifest: DataFrame, file_col: str, bytes_col: str, target_b
     cum = manifest.select(
         F.col(file_col).alias("_f"),
         F.col(bytes_col).cast("long").alias("_b"),
+    ).where(
+        # a NULL size would skip the cumsum but land in a NULL bucket;
+        # a file of unknown size cannot be planned into a group
+        F.col("_b").isNotNull()
     ).withColumn(
         "_start", F.sum("_b").over(w) - F.col("_b")
     )

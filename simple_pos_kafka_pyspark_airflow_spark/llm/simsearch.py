@@ -1197,6 +1197,7 @@ def pca_fit(
 
     def partials(it):
         for pdf in it:
+            pdf = pdf[pdf[vec_col].notna()]
             if pdf.empty:
                 continue
             mat = np.floor(
@@ -1277,6 +1278,7 @@ def pca_project(
 
     def proj(it):
         for pdf in it:
+            pdf = pdf[pdf[vec_col].notna()]
             if pdf.empty:
                 continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")

@@ -96,6 +96,9 @@ def grouped_corr_exact(
             x_int.cast("long").alias("_x"),
             y_int.cast("long").alias("_y"),
         )
+        # pairwise-complete: a NULL in either coordinate would count in n
+        # but vanish from the sums, silently corrupting every moment
+        .where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
         .groupBy(group_col)
         .agg(
             F.count("*").cast("long").alias("n"),
@@ -756,6 +759,9 @@ def grouped_linreg_exact(
             x_int.cast("long").alias("_x"),
             y_int.cast("long").alias("_y"),
         )
+        # pairwise-complete: a NULL in either coordinate would count in n
+        # but vanish from the sums, silently corrupting every moment
+        .where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
         .groupBy(group_col)
         .agg(
             F.count("*").cast("long").alias("n"),
@@ -822,7 +828,9 @@ def welch_ttest_exact(
     is_a = F.col(cohort_col) == F.lit(cohort_a)
     is_b = F.col(cohort_col) == F.lit(cohort_b)
     x = x_int.cast("long")
-    g = df.where(is_a | is_b).agg(
+    # NULL x rows are excluded up front: they would inflate n_a/n_b while
+    # contributing nothing to the sums, corrupting mean and variance
+    g = df.where((is_a | is_b) & x.isNotNull()).agg(
         F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),
         F.sum(F.when(is_b, 1).otherwise(0)).cast("long").alias("n_b"),
         F.sum(F.when(is_a, x).otherwise(F.lit(0))).cast("long").alias("sum_a"),
@@ -954,6 +962,13 @@ def grouped_linreg2_exact(
             x1_int.cast("long").alias("_x1"),
             x2_int.cast("long").alias("_x2"),
             y_int.cast("long").alias("_y"),
+        )
+        # listwise-complete: a NULL in any coordinate would count in n
+        # but vanish from the sums, silently corrupting every moment
+        .where(
+            F.col("_x1").isNotNull()
+            & F.col("_x2").isNotNull()
+            & F.col("_y").isNotNull()
         )
         .groupBy(group_col)
         .agg(
