@@ -214,6 +214,8 @@ HEADLINE = [
     "q_stats_linreg2",
     # dup-weighted corpus stats composition (digest canon -> wmedian)
     "q_corpus_wlength",
+    # binary-relevance retrieval eval (one window, integer ranks)
+    "q_retrieval_mrr",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

@@ -1051,3 +1051,59 @@ def ndcg_at_k(
             / F.nullif(F.col("idcg_scaled").cast("double"), F.lit(0.0))
         ).alias("ndcg"),
     )
+
+
+def retrieval_metrics_at_k(
+    df,
+    query_col: str,
+    doc_col: str,
+    rel_col,
+    score_col,
+    k: int = 10,
+):
+    """Per-query MRR and recall@k — the binary-relevance companions of
+    ``ndcg_at_k`` (graded): together the three are the standard
+    retrieval-eval report. Relevance is binarized as ``rel > 0`` (NULL =
+    unjudged = not relevant, the TREC convention shared with NDCG).
+
+    Both metrics are exact integer ratios, so certification needs no
+    float discipline at all beyond two final IEEE divisions:
+
+        first_rel_rank — rank of the first relevant doc in the run
+                         ordering (score DESC, doc ASC total order)
+        mrr            = 1 / first_rel_rank      (NULL if none)
+        hits_at_k      — relevant docs at rank ≤ k
+        n_rel          — total relevant docs for the query
+        recall_at_k    = hits_at_k / n_rel       (NULL if n_rel = 0)
+
+    Physical shape: ONE row_number window per query (same shuffle as the
+    NDCG run ranking), then a single per-query aggregate — min-of-rank
+    and two conditional counts are all partial-aggregable; nothing about
+    the query's full ranking ships anywhere. Queries with no relevant
+    docs yield NULL metrics via NULLIF, identically in both engines."""
+    base = df.select(
+        F.col(query_col).alias("query"),
+        F.col(doc_col).alias("_doc"),
+        (F.coalesce(rel_col.cast("long"), F.lit(0)) > 0).alias("_rel"),
+        score_col.alias("_score"),
+    )
+    w = Window.partitionBy("query").orderBy(F.col("_score").desc(), F.col("_doc"))
+    ranked = base.withColumn("_p", F.row_number().over(w))
+    agg = ranked.groupBy("query").agg(
+        F.min(F.when(F.col("_rel"), F.col("_p"))).cast("long").alias("first_rel_rank"),
+        F.sum(F.when(F.col("_rel") & (F.col("_p") <= k), 1).otherwise(0))
+        .cast("long")
+        .alias("hits_at_k"),
+        F.sum(F.when(F.col("_rel"), 1).otherwise(0)).cast("long").alias("n_rel"),
+    )
+    return agg.select(
+        "query",
+        "first_rel_rank",
+        "hits_at_k",
+        "n_rel",
+        (F.lit(1.0) / F.col("first_rel_rank").cast("double")).alias("mrr"),
+        (
+            F.col("hits_at_k").cast("double")
+            / F.nullif(F.col("n_rel").cast("double"), F.lit(0.0))
+        ).alias("recall_at_k"),
+    )

@@ -4139,3 +4139,51 @@ def q_corpus_wlength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("long").alias("x"),
     )
     return grouped_weighted_median(canon, "lang", F.col("x"), F.col("w"))
+
+
+@register(
+    "q_retrieval_mrr",
+    "llm",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(user_id % 16 AS BIGINT) AS query,
+             event_id AS doc,
+             (event_id % 4 > 0) AS rel,
+             value AS score
+      FROM events
+    ),
+    ranked AS (
+      SELECT query, rel,
+             row_number() OVER (PARTITION BY query ORDER BY score DESC, doc) AS p
+      FROM base
+    ),
+    agg AS (
+      SELECT query,
+             CAST(MIN(CASE WHEN rel THEN p END) AS BIGINT) AS first_rel_rank,
+             CAST(SUM(CASE WHEN rel AND p <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hits_at_k,
+             CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
+      FROM ranked GROUP BY query
+    )
+    SELECT query, first_rel_rank, hits_at_k, n_rel,
+           1.0 / CAST(first_rel_rank AS DOUBLE) AS mrr,
+           CAST(hits_at_k AS DOUBLE) / NULLIF(CAST(n_rel AS DOUBLE), 0.0)
+             AS recall_at_k
+    FROM agg
+    """,
+    notes="extension: per-query MRR + recall@10 (llm/textops."
+    "retrieval_metrics_at_k) — the binary-relevance companions of "
+    "q_retrieval_ndcg's graded metric; together the standard retrieval-"
+    "eval report. Exact integer ranks and counts (min-of-rank + two "
+    "conditional sums over ONE row_number window, all partial-"
+    "aggregable), two final IEEE divisions; no-relevant queries NULL "
+    "via NULLIF. Same deterministic qrels fixture as NDCG",
+)
+def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 16).cast("long").alias("q"),
+        F.col("event_id").alias("d"),
+        (F.col("event_id") % 4).alias("r"),
+        F.col("value").alias("s"),
+    )
+    return textops.retrieval_metrics_at_k(ev, "q", "d", F.col("r"), F.col("s"), k=10)

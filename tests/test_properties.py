@@ -1413,3 +1413,29 @@ def test_new_operators_null_discipline(spark):
     assert row["dcg_scaled"] == 7 * W[0] + 0 * W[1] + 1 * W[2]
     assert row["idcg_scaled"] == 7 * W[0] + 1 * W[1]
     assert row["ndcg"] == row["dcg_scaled"] / row["idcg_scaled"]
+
+
+def test_retrieval_metrics_at_k_hand_ranked(spark):
+    """MRR = 1/first-relevant-rank under the (score DESC, doc) order;
+    recall@k counts only top-k hits; a query with no relevant docs gets
+    NULL metrics; NULL relevance = not relevant."""
+    from pyspark.sql import functions as F
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm.textops import retrieval_metrics_at_k
+
+    rows = [
+        # q1: ranks 1..4 = rel (0, 1, 0, 1): first at 2, hits 2, n_rel 2
+        ("q1", 1, 0, 9.0), ("q1", 2, 1, 8.0), ("q1", 3, None, 7.0), ("q1", 4, 2, 6.0),
+        # q2: nothing relevant
+        ("q2", 1, 0, 5.0), ("q2", 2, None, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "q string, d long, r long, s double")
+    got = {
+        r["query"]: r
+        for r in retrieval_metrics_at_k(df, "q", "d", F.col("r"), F.col("s"), k=2).collect()
+    }
+    r1 = got["q1"]
+    assert (r1["first_rel_rank"], r1["hits_at_k"], r1["n_rel"]) == (2, 1, 2)
+    assert r1["mrr"] == 0.5 and r1["recall_at_k"] == 0.5
+    r2 = got["q2"]
+    assert r2["first_rel_rank"] is None and r2["mrr"] is None and r2["recall_at_k"] is None
