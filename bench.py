@@ -216,6 +216,8 @@ HEADLINE = [
     "q_corpus_wlength",
     # binary-relevance retrieval eval (one window, integer ranks)
     "q_retrieval_mrr",
+    # exact Spearman (4 rank-window sorts + widened moment shuffle)
+    "q_stats_spearman",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

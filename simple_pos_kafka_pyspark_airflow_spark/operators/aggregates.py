@@ -1009,3 +1009,68 @@ def grouped_linreg2_exact(
         (det_b1.cast("double") / den).alias("b1"),
         (det_b2.cast("double") / den).alias("b2"),
     )
+
+
+def grouped_spearman_exact(
+    df: DataFrame,
+    group_col: str,
+    x_int,
+    y_int,
+) -> DataFrame:
+    """Per-group SPEARMAN rank correlation, exact — the robust
+    (outlier-immune, monotone-invariant) companion of
+    ``grouped_corr_exact``: Pearson over average ranks, with ties
+    handled by the standard mid-rank convention.
+
+    Exactness trick: the average rank of a tied run is fractional, but
+    DOUBLED average ranks are integers — ``2·avgrank = 2·rank() +
+    (tie_count − 1)`` with ``rank()`` the SQL gap-rank and tie_count the
+    size of the value's tie group, both integer window functions. The
+    constant factor 2 cancels in the correlation, so Pearson over the
+    doubled ranks IS Spearman, computed entirely on the int64 lattice:
+    one moment shuffle, cross-moment products widened through
+    DECIMAL(38,0)/HUGEINT (doubled ranks reach 2n, so n·Σr² ~ 4n⁴
+    exceeds int64 past ~40k rows/group — the widening is mandatory
+    here, not an edge case), fixed IEEE finish shipped raw.
+
+    Physical shape: two rank windows per variable over the SAME group
+    partitioning (each variable's order differs, so 4 sorts of the
+    group's rows — rank state is O(1) per row), then the single moment
+    shuffle. Rows with NULL in either coordinate are dropped first
+    (pairwise-complete, the family discipline; mid-rank over a NULL
+    would be engine-dependent).
+
+    Output: ``(group, n, sum_rx, sum_ry, sum_rxy, spearman)`` with the
+    doubled-rank moments riding along for exact certification.
+    Zero-variance (all-tied) sides yield NULL via NULLIF."""
+    base = df.select(
+        F.col(group_col),
+        x_int.cast("long").alias("_x"),
+        y_int.cast("long").alias("_y"),
+    ).where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    wx = Window.partitionBy(group_col).orderBy("_x")
+    wy = Window.partitionBy(group_col).orderBy("_y")
+    tx = Window.partitionBy(group_col, "_x")
+    ty = Window.partitionBy(group_col, "_y")
+    ranked = base.select(
+        group_col,
+        (F.rank().over(wx) * 2 + F.count("*").over(tx) - 1).alias("_rx"),
+        (F.rank().over(wy) * 2 + F.count("*").over(ty) - 1).alias("_ry"),
+    )
+    g = ranked.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_rx").alias("sum_rx"),
+        F.sum("_ry").alias("sum_ry"),
+        F.sum(F.col("_rx") * F.col("_ry")).alias("sum_rxy"),
+        F.sum(F.col("_rx") * F.col("_rx")).alias("_sxx"),
+        F.sum(F.col("_ry") * F.col("_ry")).alias("_syy"),
+    )
+    dec = "decimal(38,0)"
+    nd = F.col("n").cast(dec)
+    num = nd * F.col("sum_rxy").cast(dec) - F.col("sum_rx").cast(dec) * F.col("sum_ry").cast(dec)
+    dxx = nd * F.col("_sxx").cast(dec) - F.col("sum_rx").cast(dec) * F.col("sum_rx").cast(dec)
+    dyy = nd * F.col("_syy").cast(dec) - F.col("sum_ry").cast(dec) * F.col("sum_ry").cast(dec)
+    rho = num.cast("double") / F.nullif(
+        F.sqrt(dxx.cast("double")) * F.sqrt(dyy.cast("double")), F.lit(0.0)
+    )
+    return g.select(group_col, "n", "sum_rx", "sum_ry", "sum_rxy", rho.alias("spearman"))

@@ -3809,3 +3809,62 @@ def q_stats_linreg2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_discount") * 100, 0),
         F.floor(F.col("l_extendedprice")),
     )
+
+
+@register(
+    "q_stats_spearman",
+    "agg",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT l_returnflag,
+             rank() OVER (PARTITION BY l_returnflag ORDER BY x) * 2
+               + COUNT(*) OVER (PARTITION BY l_returnflag, x) - 1 AS rx,
+             rank() OVER (PARTITION BY l_returnflag ORDER BY y) * 2
+               + COUNT(*) OVER (PARTITION BY l_returnflag, y) - 1 AS ry
+      FROM base
+    ),
+    m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rx) AS BIGINT) AS sum_rx,
+             CAST(SUM(ry) AS BIGINT) AS sum_ry,
+             CAST(SUM(rx * ry) AS BIGINT) AS sum_rxy,
+             CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+             CAST(SUM(ry * ry) AS BIGINT) AS syy
+      FROM ranked GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n, sum_rx, sum_ry, sum_rxy,
+           CAST(CAST(n AS HUGEINT) * sum_rxy
+                  - CAST(sum_rx AS HUGEINT) * sum_ry AS DOUBLE)
+             / NULLIF(
+                 SQRT(CAST(CAST(n AS HUGEINT) * sxx
+                             - CAST(sum_rx AS HUGEINT) * sum_rx AS DOUBLE))
+                 * SQRT(CAST(CAST(n AS HUGEINT) * syy
+                               - CAST(sum_ry AS HUGEINT) * sum_ry AS DOUBLE)),
+                 0.0) AS spearman
+    FROM m
+    """,
+    notes="extension: exact SPEARMAN rank correlation (price vs quantity "
+    "per returnflag; operators/aggregates.grouped_spearman_exact) — the "
+    "robust, monotone-invariant companion of q_stats_corr, exact via the "
+    "doubled-mid-rank trick: 2·avgrank = 2·rank() + tie_count − 1 is an "
+    "INTEGER even under ties (the /2 cancels in the correlation), so "
+    "Spearman is Pearson on an int64 rank lattice. Doubled ranks reach "
+    "2n, so the cross-moment products are widened through DECIMAL(38,0)/"
+    "HUGEINT (mandatory here — n·Σr² ~ 4n⁴ passes int64 at ~40k rows/"
+    "group). Four rank-window sorts over one group partitioning + one "
+    "moment shuffle",
+)
+def q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import aggregates
+
+    li = table(spark, sf_dir, "lineitem")
+    return aggregates.grouped_spearman_exact(
+        li, "l_returnflag", F.col("l_quantity"), F.floor(F.col("l_extendedprice"))
+    )

@@ -1439,3 +1439,46 @@ def test_retrieval_metrics_at_k_hand_ranked(spark):
     assert r1["mrr"] == 0.5 and r1["recall_at_k"] == 0.5
     r2 = got["q2"]
     assert r2["first_rel_rank"] is None and r2["mrr"] is None and r2["recall_at_k"] is None
+
+
+def test_grouped_spearman_matches_scipy_formula(spark):
+    """Exact doubled-mid-rank Spearman equals the textbook Pearson-on-
+    average-ranks (computed in numpy with scipy-style tie handling) to
+    1e-12; an all-tied side yields NULL; a perfect monotone relation
+    scores exactly 1.0."""
+    import numpy as np
+
+    from simple_pos_kafka_pyspark_airflow_spark.operators.aggregates import (
+        grouped_spearman_exact,
+    )
+    from pyspark.sql import functions as F
+
+    def avg_ranks(v):
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(len(v), dtype="float64")
+        sv = np.array(v)[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + 1 + j) / 2.0
+            i = j
+        return ranks
+
+    rng = np.random.RandomState(17)
+    x = rng.randint(1, 20, 200)  # heavy ties
+    y = x * 3 + rng.randint(-8, 9, 200)
+    rows = [("g", int(a), int(b)) for a, b in zip(x, y)]
+    rows += [("mono", i, i * i) for i in range(1, 30)]  # perfect monotone
+    rows += [("flat", 4, int(v)) for v in rng.randint(1, 9, 15)]  # x all tied
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    got = {
+        r["grp"]: r["spearman"]
+        for r in grouped_spearman_exact(df, "grp", F.col("x"), F.col("y")).collect()
+    }
+    rx, ry = avg_ranks(x), avg_ranks(y)
+    expect = np.corrcoef(rx, ry)[0, 1]
+    assert abs(got["g"] - expect) < 1e-12
+    assert got["mono"] == 1.0
+    assert got["flat"] is None
