@@ -218,6 +218,8 @@ HEADLINE = [
     "q_retrieval_mrr",
     # exact Spearman (4 rank-window sorts + widened moment shuffle)
     "q_stats_spearman",
+    # null-safe equi-join (hash-planned <=>, planted NULL buckets)
+    "q_join_nullsafe",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

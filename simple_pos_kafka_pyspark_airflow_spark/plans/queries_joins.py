@@ -954,3 +954,59 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.sum("cents").cast("long").alias("cents"),
     )
+
+
+@register(
+    "q_join_nullsafe",
+    "join",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE CAST(o_custkey % 50 AS BIGINT) END AS k
+      FROM orders
+    ),
+    r AS (
+      SELECT CASE WHEN g % 5 = 0 THEN NULL ELSE g END AS k,
+             CAST(g * 10 AS BIGINT) AS payload
+      FROM (SELECT CAST(UNNEST(generate_series(0, 49)) AS BIGINT) AS g)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_matches,
+           CAST(SUM(COALESCE(payload, -1)) AS BIGINT) AS sum_payload
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+    notes="§2.6 extension: NULL-SAFE equi-join (Spark `<=>` / SQL IS NOT "
+    "DISTINCT FROM) — the join form where NULL keys MATCH each other "
+    "instead of vanishing, the semantics CDC/dimension pipelines need "
+    "when 'unknown' is itself a key value. Planted NULLs on both sides "
+    "(orderkey%7 rows and every 5th dim key) make the NULL-bucket rows "
+    "real: the summary counts them explicitly. Catalyst plans `<=>` as "
+    "a HASH join (Coalesce-wrapped keys), not a nested loop — at scale "
+    "beware the NULL bucket becoming THE hot key: pair with "
+    "q_join_salted's rewrite when unknowns dominate. Summary-shaped "
+    "output (counts + payload checksum) keeps the contract row stable",
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    left = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None).cast("long"))
+        .otherwise((F.col("o_custkey") % 50).cast("long"))
+        .alias("k"),
+    )
+    right = spark.range(0, 50).select(
+        F.when(F.col("id") % 5 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("id"))
+        .alias("k"),
+        (F.col("id") * 10).cast("long").alias("payload"),
+    )
+    j = left.join(right, left["k"].eqNullSafe(right["k"]), "inner")
+    return j.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.when(left["k"].isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_matches"),
+        F.sum(F.coalesce(F.col("payload"), F.lit(-1))).cast("long").alias("sum_payload"),
+    )

@@ -840,3 +840,12 @@ def test_gapfill_interp_single_window_node(spark, sf_dir):
     would mean a redundant per-key sort."""
     plan = explain_str(build(spark, sf_dir, "q_gapfill_interp"))
     assert _node_count(plan, "Window") == 1, plan
+
+
+def test_nullsafe_join_is_hash_join(spark, sf_dir):
+    """`<=>` must plan as a HASH join (Catalyst treats EqualNullSafe as
+    an equi-key) — a nested-loop fallback would be a 100 TB outage for
+    what is semantically an equi-join."""
+    plan = explain_str(build(spark, sf_dir, "q_join_nullsafe"))
+    assert _node_count(plan, "BroadcastHashJoin") + _node_count(plan, "SortMergeJoin") >= 1, plan
+    assert _node_count(plan, "BroadcastNestedLoopJoin") == 0, plan
