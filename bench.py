@@ -220,6 +220,8 @@ HEADLINE = [
     "q_stats_spearman",
     # null-safe equi-join (hash-planned <=>, planted NULL buckets)
     "q_join_nullsafe",
+    # ratio-to-report (unordered whole-partition window, no sort)
+    "q_window_ratio",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

@@ -3868,3 +3868,50 @@ def q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.grouped_spearman_exact(
         li, "l_returnflag", F.col("l_quantity"), F.floor(F.col("l_extendedprice"))
     )
+
+
+@register(
+    "q_window_ratio",
+    "window",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderpriority,
+             CAST(o_orderkey AS BIGINT) AS o_orderkey,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 199 = 0
+    )
+    SELECT o_orderpriority, o_orderkey, cents,
+           CAST(SUM(cents) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+             AS group_cents,
+           CAST(cents AS DOUBLE)
+             / CAST(SUM(cents) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+             AS share
+    FROM d
+    """,
+    notes="§2.8 extension: RATIO-TO-REPORT — each row's share of its "
+    "partition's total, the unordered whole-partition window aggregate "
+    "(every ranking/running query here is ORDERED; this is the other "
+    "window frame shape). Cents lattice keeps the partition sum exact "
+    "int64; share is one IEEE division of exact ints, shipped raw. The "
+    "windowed total costs ONE per-key shuffle and no sort (no ORDER BY "
+    "=> no in-partition ordering pass); the groupBy+join alternative "
+    "costs the same exchange plus a join — the window form is strictly "
+    "better. Sampled (every 199th order) to keep the contract row set "
+    "bounded",
+)
+def q_window_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 199 == 0)
+    d = o.select(
+        "o_orderpriority",
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("o_orderpriority")
+    total = F.sum("cents").over(w)
+    return d.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "cents",
+        total.cast("long").alias("group_cents"),
+        (F.col("cents").cast("double") / total.cast("double")).alias("share"),
+    )
