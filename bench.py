@@ -222,6 +222,8 @@ HEADLINE = [
     "q_join_nullsafe",
     # ratio-to-report (unordered whole-partition window, no sort)
     "q_window_ratio",
+    # Mann-Whitney U (value-lattice mid-ranks, no global row sort)
+    "q_ab_utest",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

@@ -1074,3 +1074,77 @@ def grouped_spearman_exact(
         F.sqrt(dxx.cast("double")) * F.sqrt(dyy.cast("double")), F.lit(0.0)
     )
     return g.select(group_col, "n", "sum_rx", "sum_ry", "sum_rxy", rho.alias("spearman"))
+
+
+def mannwhitney_utest_exact(
+    df: DataFrame,
+    cohort_col: str,
+    cohort_a: str,
+    cohort_b: str,
+    x_int,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) two-sample test with the
+    normal approximation and tie correction — the NONPARAMETRIC
+    companion of ``welch_ttest_exact``: compares distributions by rank,
+    immune to outliers and monotone transforms, the standard A/B test
+    when values are skewed (latencies, spend).
+
+    Distributed WITHOUT a global row sort: a rank window over all rows
+    with no partition key is a single-partition sort — the classic
+    anti-pattern. Instead mid-ranks come from the VALUE-COUNT lattice
+    (the grouped_weighted_median shape): one partial-aggregable
+    groupBy(value) whose state is the distinct-value count, then a
+    window over THAT bounded table. Doubled mid-ranks are integers
+    (``2r(v) = 2·cum_before(v) + cnt(v) + 1``), so the rank sum, U, and
+    the tie-correction term ``T = Σ(t³ − t)`` are all exact int64:
+
+        2U_A = Σ_v cntA(v)·2r(v) − n_a(n_a + 1)
+        z    = (2U_A − n_a·n_b) / √(n_a·n_b·X / (3·n(n−1)))
+        X    = (n+1)·n·(n−1) − T            (exact int64)
+
+    with the z finish ONE fixed IEEE tree over exact integers —
+    bit-identical across engines. No continuity correction (documented;
+    both engines would need the identical branch and large-sample use
+    doesn't want it). int64 bound: X ~ n³ holds to n ≈ 2×10⁶ pooled
+    rows; beyond that widen X through DECIMAL(38,0)/HUGEINT (the
+    q_stats_linreg discipline). Degenerate inputs (either cohort empty,
+    or ALL values tied → zero variance) yield NULL z via NULLIF.
+
+    Output: one row ``(n_a, n_b, u2_a, tie_cubes, z_stat)`` — the exact
+    integers ride along for certification."""
+    is_a = F.col(cohort_col) == F.lit(cohort_a)
+    is_b = F.col(cohort_col) == F.lit(cohort_b)
+    x = x_int.cast("long")
+    d = df.where((is_a | is_b) & x.isNotNull()).select(
+        F.when(is_a, 1).otherwise(0).alias("_a"), x.alias("_x")
+    )
+    c = d.groupBy("_x").agg(
+        F.sum("_a").cast("long").alias("_ca"),
+        F.count("*").cast("long").alias("_cnt"),
+    )
+    w = (
+        Window.orderBy("_x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r2 = 2 * F.coalesce(F.sum("_cnt").over(w), F.lit(0)) + F.col("_cnt") + 1
+    g = c.select("_ca", "_cnt", r2.alias("_r2")).agg(
+        F.sum("_ca").cast("long").alias("n_a"),
+        F.sum(F.col("_cnt") - F.col("_ca")).cast("long").alias("n_b"),
+        F.sum(F.col("_ca") * F.col("_r2")).cast("long").alias("_ra2"),
+        F.sum(F.col("_cnt") * F.col("_cnt") * F.col("_cnt") - F.col("_cnt"))
+        .cast("long")
+        .alias("tie_cubes"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    u2 = (F.col("_ra2") - F.col("n_a") * (F.col("n_a") + 1)).alias("u2_a")
+    xterm = ((n + 1) * n * (n - 1) - F.col("tie_cubes")).cast("double")
+    den = F.sqrt(
+        F.col("n_a").cast("double")
+        * F.col("n_b").cast("double")
+        * xterm
+        / F.nullif((3 * n * (n - 1)).cast("double"), F.lit(0.0))
+    )
+    z = (F.col("_ra2") - F.col("n_a") * (F.col("n_a") + 1) - F.col("n_a") * F.col("n_b")).cast(
+        "double"
+    ) / F.nullif(den, F.lit(0.0))
+    return g.select("n_a", "n_b", u2, "tie_cubes", z.alias("z_stat"))

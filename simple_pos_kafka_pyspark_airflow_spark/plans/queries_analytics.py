@@ -3915,3 +3915,61 @@ def q_window_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.cast("long").alias("group_cents"),
         (F.col("cents").cast("double") / total.cast("double")).alias("share"),
     )
+
+
+@register(
+    "q_ab_utest",
+    "agg",
+    oracle="""
+    WITH d AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a,
+             CAST(FLOOR(value * 100) AS BIGINT) AS x
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    c AS (
+      SELECT x, CAST(SUM(a) AS BIGINT) AS ca, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM d GROUP BY x
+    ),
+    r AS (
+      SELECT ca, cnt,
+             2 * COALESCE(SUM(cnt) OVER (
+                   ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) + cnt + 1 AS r2
+      FROM c
+    ),
+    g AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+             CAST(SUM(cnt - ca) AS BIGINT) AS n_b,
+             CAST(SUM(ca * r2) AS BIGINT) AS ra2,
+             CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_cubes
+      FROM r
+    )
+    SELECT n_a, n_b,
+           CAST(ra2 - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+           tie_cubes,
+           CAST(ra2 - n_a * (n_a + 1) - n_a * n_b AS DOUBLE)
+             / NULLIF(
+                 SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                      * CAST((n_a + n_b + 1) * (n_a + n_b) * (n_a + n_b - 1)
+                             - tie_cubes AS DOUBLE)
+                      / CAST(3 * (n_a + n_b) * (n_a + n_b - 1) AS DOUBLE)),
+                 0.0) AS z_stat
+    FROM g
+    """,
+    notes="extension: Mann-Whitney U / Wilcoxon rank-sum (purchase vs "
+    "click value; operators/aggregates.mannwhitney_utest_exact) — the "
+    "NONPARAMETRIC companion of q_ab_ttest, the A/B test for skewed "
+    "metrics. Distributed WITHOUT a global row sort: mid-ranks come "
+    "from the VALUE-COUNT lattice (doubled mid-ranks are integers: "
+    "2r = 2·cum_before + cnt + 1), so rank sum, U, and the tie term "
+    "Σ(t³−t) are exact int64 and z is one fixed IEEE tree. The window "
+    "runs over the distinct-value table, never the fact; X ~ n³ holds "
+    "int64 to ~2e6 pooled rows, then widens per the linreg discipline",
+)
+def q_ab_utest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import aggregates
+
+    ev = table(spark, sf_dir, "events")
+    return aggregates.mannwhitney_utest_exact(
+        ev, "event_type", "purchase", "click", F.floor(F.col("value") * 100)
+    )

@@ -1482,3 +1482,53 @@ def test_grouped_spearman_matches_scipy_formula(spark):
     assert abs(got["g"] - expect) < 1e-12
     assert got["mono"] == 1.0
     assert got["flat"] is None
+
+
+def test_mannwhitney_matches_direct_rank_computation(spark):
+    """The lattice-derived U and tie-corrected z equal an independent
+    direct-rank computation (numpy mid-ranks over raw rows — a different
+    algorithm than the operator's value-count window); an empty cohort
+    and an all-tied pool yield NULL z."""
+    import numpy as np
+
+    from simple_pos_kafka_pyspark_airflow_spark.operators.aggregates import (
+        mannwhitney_utest_exact,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(23)
+    a = rng.randint(10, 60, 70)   # heavy ties on a small lattice
+    b = rng.randint(25, 80, 55)
+    rows = [("A", int(v)) for v in a] + [("B", int(v)) for v in b]
+    df = spark.createDataFrame(rows, "cohort string, x long")
+    got = mannwhitney_utest_exact(df, "cohort", "A", "B", F.col("x")).collect()[0]
+
+    pooled = np.concatenate([a, b]).astype("float64")
+    order = np.argsort(pooled, kind="stable")
+    ranks = np.empty(len(pooled))
+    sp = pooled[order]
+    i = 0
+    while i < len(sp):
+        j = i
+        while j < len(sp) and sp[j] == sp[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0
+        i = j
+    na, nb = len(a), len(b)
+    ra = ranks[:na].sum()
+    u = ra - na * (na + 1) / 2.0
+    _, counts = np.unique(pooled, return_counts=True)
+    T = float((counts**3 - counts).sum())
+    n = na + nb
+    var = na * nb / 12.0 * ((n + 1) - T / (n * (n - 1)))
+    z = (u - na * nb / 2.0) / var**0.5
+    assert got["u2_a"] == int(round(2 * u))
+    assert got["tie_cubes"] == int(T)
+    assert abs(got["z_stat"] - z) < 1e-9
+
+    empty = spark.createDataFrame([("B", 1), ("B", 5)], "cohort string, x long")
+    r2 = mannwhitney_utest_exact(empty, "cohort", "A", "B", F.col("x")).collect()[0]
+    assert r2["z_stat"] is None
+    tied = spark.createDataFrame([("A", 7)] * 4 + [("B", 7)] * 3, "cohort string, x long")
+    r3 = mannwhitney_utest_exact(tied, "cohort", "A", "B", F.col("x")).collect()[0]
+    assert r3["z_stat"] is None  # zero variance: X = (t^3 - t) exhausts n^3 - n
