@@ -224,6 +224,8 @@ HEADLINE = [
     "q_window_ratio",
     # Mann-Whitney U (value-lattice mid-ranks, no global row sort)
     "q_ab_utest",
+    # Benford first-digit audit (9-row digit groupBy, literal shares)
+    "q_audit_benford",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

@@ -552,3 +552,67 @@ def k_anonymity_summary(classes: DataFrame, size_col: str, k: int) -> DataFrame:
         .cast("int")
         .alias("k_anonymous"),
     )
+
+
+#: Benford first-digit expected shares, scaled by 1e9 and floored to
+#: integer LITERALS — floor(1e9·log10(1 + 1/d)) for d = 1..9, precomputed
+#: once (per-engine log10 is last-ulp libm; the literal grid is the same
+#: discipline as textops.NDCG_WEIGHTS_10).
+BENFORD_SHARES_E9: tuple[int, ...] = (
+    301_029_995,
+    176_091_259,
+    124_938_736,
+    96_910_013,
+    79_181_246,
+    66_946_789,
+    57_991_946,
+    51_152_522,
+    45_757_490,
+)
+
+
+def benford_audit(df: DataFrame, amount_cents) -> DataFrame:
+    """Benford's-law first-digit audit of a money column — the classic
+    fabricated-numbers detector (naturally-occurring multiplicative
+    amounts follow P(d) = log10(1 + 1/d); invented ones cluster on 1s,
+    5s and round numbers), run as a data-quality gate over any amount
+    column before it feeds revenue aggregates.
+
+    ``amount_cents`` must be an integer-lattice Column (cents). The
+    first significant digit is taken from the INTEGER'S DECIMAL STRING
+    (``substring(cast(x as string), 1, 1)``) — exact on every engine,
+    where the arithmetic route (``x / 10^floor(log10 x)``) can misbucket
+    a value sitting one ulp under a power of ten differently per libm.
+    Zero and NULL amounts are excluded (they have no first digit);
+    negatives audit by magnitude.
+
+    One partial-aggregable digit groupBy (9 rows of state), a broadcast
+    total, and per-digit deviation against the precomputed
+    ``BENFORD_SHARES_E9`` literal grid — ``dev_e9 = n_d·1e9/n − share``
+    as ONE fixed IEEE tree per row (no cross-row float sum: the 9 rows
+    ship individually, the consumer picks its own distance). Output:
+    ``(digit, n_d, n, expected_e9, dev_e9)``."""
+    cents = F.abs(amount_cents.cast("long"))
+    d = (
+        df.select(cents.alias("_c"))
+        .where(F.col("_c").isNotNull() & (F.col("_c") > 0))
+        .select(F.substring(F.col("_c").cast("string"), 1, 1).cast("int").alias("digit"))
+    )
+    counts = d.groupBy("digit").agg(F.count("*").cast("long").alias("n_d"))
+    tot = counts.agg(F.sum("n_d").cast("long").alias("n"))
+    expected = F.element_at(
+        F.array(*[F.lit(s) for s in BENFORD_SHARES_E9]), F.col("digit")
+    ).cast("long")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_d",
+            "n",
+            expected.alias("expected_e9"),
+            (
+                F.col("n_d").cast("double") * F.lit(1_000_000_000.0) / F.col("n").cast("double")
+                - expected.cast("double")
+            ).alias("dev_e9"),
+        )
+    )

@@ -3973,3 +3973,40 @@ def q_ab_utest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.mannwhitney_utest_exact(
         ev, "event_type", "purchase", "click", F.floor(F.col("value") * 100)
     )
+
+
+@register(
+    "q_audit_benford",
+    "agg",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substring(CAST(CAST(abs(round(o_totalprice * 100, 0)) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders
+      WHERE CAST(abs(round(o_totalprice * 100, 0)) AS BIGINT) > 0
+    ),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_d FROM d GROUP BY digit),
+    t AS (SELECT CAST(SUM(n_d) AS BIGINT) AS n FROM c),
+    w AS (SELECT [301029995, 176091259, 124938736, 96910013, 79181246,
+                  66946789, 57991946, 51152522, 45757490] AS s)
+    SELECT digit, n_d, n,
+           CAST(s[digit] AS BIGINT) AS expected_e9,
+           CAST(n_d AS DOUBLE) * 1000000000.0 / CAST(n AS DOUBLE)
+             - CAST(s[digit] AS DOUBLE) AS dev_e9
+    FROM c, t, w
+    """,
+    notes="extension: Benford first-digit audit of order amounts "
+    "(operators/validation.benford_audit) — the classic fabricated-"
+    "numbers detector as a data-quality gate. First digit from the "
+    "integer's DECIMAL STRING (exact on every engine; the arithmetic "
+    "log10 route can misbucket one-ulp-under-a-power values differently "
+    "per libm); expected shares are precomputed floor(1e9·log10(1+1/d)) "
+    "literals (the NDCG grid discipline); per-digit deviation is one "
+    "fixed IEEE tree per row with NO cross-row float sum. Digit groupBy "
+    "carries 9 rows of state at any fact size",
+)
+def q_audit_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import validation
+
+    o = table(spark, sf_dir, "orders")
+    return validation.benford_audit(o, F.round(F.col("o_totalprice") * 100, 0))

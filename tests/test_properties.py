@@ -1532,3 +1532,25 @@ def test_mannwhitney_matches_direct_rank_computation(spark):
     tied = spark.createDataFrame([("A", 7)] * 4 + [("B", 7)] * 3, "cohort string, x long")
     r3 = mannwhitney_utest_exact(tied, "cohort", "A", "B", F.col("x")).collect()[0]
     assert r3["z_stat"] is None  # zero variance: X = (t^3 - t) exhausts n^3 - n
+
+
+def test_benford_audit_digits_and_exclusions(spark):
+    """First digits come from the decimal string (127 -> 1, 905 -> 9);
+    zeros, NULLs are excluded; negatives audit by magnitude; counts are
+    conserved and deviations use the literal share grid."""
+    from pyspark.sql import functions as F
+
+    from simple_pos_kafka_pyspark_airflow_spark.operators.validation import (
+        BENFORD_SHARES_E9,
+        benford_audit,
+    )
+
+    df = spark.createDataFrame(
+        [(127,), (905,), (1,), (19999,), (-305,), (0,), (None,)], "c long"
+    )
+    rows = {r["digit"]: r for r in benford_audit(df, F.col("c")).collect()}
+    assert {d: rows[d]["n_d"] for d in sorted(rows)} == {1: 3, 3: 1, 9: 1}
+    assert all(r["n"] == 5 for r in rows.values())
+    r1 = rows[1]
+    assert r1["expected_e9"] == BENFORD_SHARES_E9[0]
+    assert r1["dev_e9"] == 3.0 * 1e9 / 5.0 - float(BENFORD_SHARES_E9[0])
