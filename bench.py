@@ -226,6 +226,8 @@ HEADLINE = [
     "q_ab_utest",
     # Benford first-digit audit (9-row digit groupBy, literal shares)
     "q_audit_benford",
+    # CUPED adjustment (per-unit agg + one conditional-agg pass)
+    "q_ab_cuped",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

@@ -4010,3 +4010,81 @@ def q_audit_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = table(spark, sf_dir, "orders")
     return validation.benford_audit(o, F.round(F.col("o_totalprice") * 100, 0))
+
+
+@register(
+    "q_ab_cuped",
+    "agg",
+    oracle="""
+    WITH unit AS (
+      SELECT user_id, CAST(user_id % 2 AS VARCHAR) AS cohort,
+             CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                       THEN CAST(FLOOR(value * 100) AS BIGINT) END), 0) AS BIGINT)
+               AS x,
+             CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                       THEN CAST(FLOOR(value * 100) AS BIGINT) END), 0) AS BIGINT)
+               AS y
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN cohort = '0' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN cohort = '1' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(x) AS BIGINT) AS sum_x,
+             CAST(SUM(y) AS BIGINT) AS sum_y,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(CASE WHEN cohort = '0' THEN x ELSE 0 END) AS BIGINT) AS sxa,
+             CAST(SUM(CASE WHEN cohort = '1' THEN x ELSE 0 END) AS BIGINT) AS sxb,
+             CAST(SUM(CASE WHEN cohort = '0' THEN y ELSE 0 END) AS BIGINT) AS sya,
+             CAST(SUM(CASE WHEN cohort = '1' THEN y ELSE 0 END) AS BIGINT) AS syb
+      FROM unit
+    ),
+    t AS (
+      SELECT *,
+             CAST(n * sxy - sum_x * sum_y AS DOUBLE)
+               / NULLIF(CAST(n * sxx - sum_x * sum_x AS DOUBLE), 0.0) AS theta,
+             CAST(sum_x AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x
+      FROM g
+    ),
+    m AS (
+      SELECT *,
+             CAST(sya AS DOUBLE) / NULLIF(CAST(n_a AS DOUBLE), 0.0)
+               - theta * (CAST(sxa AS DOUBLE) / NULLIF(CAST(n_a AS DOUBLE), 0.0)
+                          - mean_x) AS adj_mean_a,
+             CAST(syb AS DOUBLE) / NULLIF(CAST(n_b AS DOUBLE), 0.0)
+               - theta * (CAST(sxb AS DOUBLE) / NULLIF(CAST(n_b AS DOUBLE), 0.0)
+                          - mean_x) AS adj_mean_b
+      FROM t
+    )
+    SELECT n, n_a, n_b, sum_x, sum_y, theta, adj_mean_a, adj_mean_b,
+           adj_mean_a - adj_mean_b AS adj_diff
+    FROM m
+    """,
+    notes="extension: CUPED variance reduction (Deng-Xu-Kohavi-Walker "
+    "2013; operators/aggregates.cuped_adjust_exact) — the "
+    "experimentation-platform technique completing the A/B family: "
+    "per-user pre-period purchase cents (first half-month) as the "
+    "covariate, experiment-period cents as the metric, cohort = "
+    "user_id parity; θ = cov/var from POOLED exact int64 moments, "
+    "adjusted cohort means as one fixed IEEE tree. One per-unit "
+    "aggregation + ONE conditional-aggregation pass (no joins); zero "
+    "covariate variance ⇒ NULL adjusted means via NULLIF, never a "
+    "silent fallback to raw means",
+)
+def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import aggregates
+
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    unit = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(F.col("ts") < split, cents)), F.lit(0))
+        .cast("long")
+        .alias("x"),
+        F.coalesce(F.sum(F.when(F.col("ts") >= split, cents)), F.lit(0))
+        .cast("long")
+        .alias("y"),
+    ).select((F.col("user_id") % 2).cast("string").alias("cohort"), "x", "y")
+    return aggregates.cuped_adjust_exact(unit, "cohort", "0", "1", F.col("x"), F.col("y"))

@@ -1554,3 +1554,42 @@ def test_benford_audit_digits_and_exclusions(spark):
     r1 = rows[1]
     assert r1["expected_e9"] == BENFORD_SHARES_E9[0]
     assert r1["dev_e9"] == 3.0 * 1e9 / 5.0 - float(BENFORD_SHARES_E9[0])
+
+
+def test_cuped_adjust_matches_formula_and_reduces_variance(spark):
+    """theta and adjusted means equal the numpy textbook computation; with
+    a covariate proportional to the metric's noise, the adjusted
+    between-cohort difference moves toward the TRUE effect; zero
+    covariate variance yields NULL (never a silent raw-mean fallback)."""
+    import numpy as np
+
+    from simple_pos_kafka_pyspark_airflow_spark.operators.aggregates import (
+        cuped_adjust_exact,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(29)
+    n = 400
+    x = rng.randint(50, 500, n)                      # pre-period covariate
+    noise = x * 2 + rng.randint(-20, 21, n)          # correlated noise
+    cohort = np.array(["a", "b"])[rng.randint(0, 2, n)]
+    true_effect = 37
+    y = noise + np.where(cohort == "a", true_effect, 0)
+    rows = [(str(c), int(a), int(b)) for c, a, b in zip(cohort, x, y)]
+    df = spark.createDataFrame(rows, "cohort string, x long, y long")
+    got = cuped_adjust_exact(df, "cohort", "a", "b", F.col("x"), F.col("y")).collect()[0]
+
+    theta = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    assert abs(got["theta"] - theta) < 1e-9
+    ma = y[cohort == "a"].mean() - theta * (x[cohort == "a"].mean() - x.mean())
+    mb = y[cohort == "b"].mean() - theta * (x[cohort == "b"].mean() - x.mean())
+    assert abs(got["adj_mean_a"] - ma) < 1e-9
+    assert abs(got["adj_mean_b"] - mb) < 1e-9
+    raw_diff = y[cohort == "a"].mean() - y[cohort == "b"].mean()
+    assert abs(got["adj_diff"] - true_effect) <= abs(raw_diff - true_effect) + 1e-9
+
+    flat = spark.createDataFrame(
+        [("a", 5, 10), ("a", 5, 12), ("b", 5, 20)], "cohort string, x long, y long"
+    )
+    r = cuped_adjust_exact(flat, "cohort", "a", "b", F.col("x"), F.col("y")).collect()[0]
+    assert r["theta"] is None and r["adj_mean_a"] is None and r["adj_diff"] is None
