@@ -228,6 +228,10 @@ HEADLINE = [
     "q_audit_benford",
     # CUPED adjustment (per-unit agg + one conditional-agg pass)
     "q_ab_cuped",
+    # skew telemetry, forecast baselines, link prediction
+    "q_skew_report",
+    "q_forecast_backtest",
+    "q_graph_linkpred",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

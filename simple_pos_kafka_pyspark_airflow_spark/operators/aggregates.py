@@ -1229,3 +1229,33 @@ def cuped_adjust_exact(
         b_mean.alias("adj_mean_b"),
         (a_mean - b_mean).alias("adj_diff"),
     )
+
+
+def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """Key-skew telemetry: the count-of-counts histogram that DECIDES the
+    skew strategy (AQE skew-join thresholds, q_agg_salted's salt count,
+    q_join_salted's rewrite) instead of guessing it — "how many keys
+    carry how many rows" in log₂ buckets.
+
+    Two partial-aggregable shuffles, both tiny: per-key counts (state =
+    key cardinality), then counts-of-counts into ⌊log₂(rows)⌋ buckets
+    (≤ 63 rows out, ever). The log₂ bucket is EXACT integer arithmetic —
+    63 − nlz(count) via a comparison chain on powers of two in the
+    oracle, never a float log that could misbucket a power-of-two
+    boundary. Output per bucket: ``(bucket, n_keys, rows, max_rows)``
+    where bucket b covers keys with 2^b ≤ rows < 2^(b+1); the top
+    occupied bucket's ``max_rows`` vs the median bucket IS the salting
+    decision."""
+    per_key = df.groupBy(key_col).agg(F.count("*").cast("long").alias("_rows"))
+    b = F.lit(0)
+    for k in range(1, 63):
+        b = F.when(F.col("_rows") >= F.lit(1 << k), F.lit(k)).otherwise(b)
+    return (
+        per_key.select(b.cast("int").alias("bucket"), "_rows")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("_rows").cast("long").alias("rows"),
+            F.max("_rows").cast("long").alias("max_rows"),
+        )
+    )

@@ -196,3 +196,50 @@ def triangle_counts_oriented(und: DataFrame) -> DataFrame:
     tri = wedges.join(und, (wedges["_x"] == und["u"]) & (wedges["_y"] == und["v"]))
     corners = tri.select(F.explode(F.array("_s", "_x", "_y")).alias("node"))
     return corners.groupBy("node").agg(F.count("*").cast("long").alias("n_triangles"))
+
+
+def common_neighbor_scores(und: DataFrame, k: int = 20) -> DataFrame:
+    """Link prediction by common-neighbor count (Liben-Nowell & Kleinberg
+    2003's strongest simple baseline): for NON-adjacent node pairs, how
+    many shared neighbors — the pairs most likely to become edges. The
+    recommendation primitive ("customers in nations that trade with the
+    same partners") and the graph-completion audit.
+
+    Enumeration: wedges a–m–b (a < b, both neighbors of m) via ONE
+    self-join of the neighbor list on the midpoint, counted per (a, b),
+    then an ANTI-join against the edge set keeps only non-adjacent
+    pairs. Wedge volume is Σ_m deg(m)², the same quantity the triangle
+    counters manage — on power-law graphs cap the hub contribution (the
+    established max-bucket discipline) or pre-orient; the contract graph
+    is nation-sized. Preferential-attachment score (deg(a)·deg(b))
+    rides along — exact ints, the classic tiebreak companion. Top-k by
+    (common DESC, pa DESC, a, b) total order. No floats anywhere."""
+    nbrs = und.select(F.col("u").alias("m"), F.col("v").alias("n")).unionAll(
+        und.select(F.col("v").alias("m"), F.col("u").alias("n"))
+    )
+    left = nbrs.select(F.col("m"), F.col("n").alias("a"))
+    right = nbrs.select(F.col("m"), F.col("n").alias("b"))
+    wedges = (
+        left.join(right, "m")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    non_adj = wedges.join(
+        und, (wedges["a"] == und["u"]) & (wedges["b"] == und["v"]), "left_anti"
+    )
+    deg = nbrs.groupBy(F.col("m").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("_db"))
+    scored = (
+        non_adj.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            "a", "b", "common", (F.col("_da") * F.col("_db")).cast("long").alias("pa_score")
+        )
+    )
+    return scored.orderBy(
+        F.col("common").desc(), F.col("pa_score").desc(), F.col("a"), F.col("b")
+    ).limit(k)

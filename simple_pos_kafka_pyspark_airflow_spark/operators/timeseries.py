@@ -494,3 +494,67 @@ def top_event_paths(
     ).where(F.col("_complete"))
     counts = paths.groupBy("path").agg(F.count("*").cast("long").alias("n"))
     return counts.orderBy(F.col("n").desc(), F.col("path")).limit(k)
+
+
+def backtest_naive_forecasts(
+    daily: DataFrame,
+    key_col: str,
+    day_col: str,
+    value_col: str,
+    season: int = 7,
+) -> DataFrame:
+    """Backtest the two canonical forecasting BASELINES — seasonal naive
+    (ŷ(d) = y(d − season)) and naive-1 (ŷ(d) = y(d − 1)) — over an
+    integer-lattice daily series. Any real forecasting effort must beat
+    these to justify itself, which makes this backtest the first query
+    of every forecast project; on a data platform it doubles as a
+    seasonality DETECTOR (seasonal-naive MAE ≪ naive-1 MAE ⇒ strong
+    weekly structure).
+
+    Fairness: errors are scored only on days where BOTH lagged values
+    exist (inner three-way join on the per-key calendar), so the two
+    baselines face the identical day set. The inputs join on derived
+    day keys — no densify needed, a missing day simply contributes no
+    scored row (document the semantics; LOCF-fill first if you want
+    gaps scored).
+
+    Determinism: with integer ``value_col`` the absolute errors and
+    their sums are exact int64; the two MAEs are single IEEE divisions.
+    Scale: ``daily`` is key × days sized (already aggregated); the two
+    self-joins are on (key, day) equi-keys and broadcast at any
+    realistic calendar size. Output: ``(key, n_days, sae_seasonal,
+    sae_naive1, mae_seasonal, mae_naive1)``."""
+    a = daily.select(
+        F.col(key_col).alias("_k"), F.col(day_col).alias("_d"), F.col(value_col).alias("_y")
+    )
+    s = daily.select(
+        F.col(key_col).alias("_k"),
+        F.date_add(F.col(day_col), season).alias("_d"),
+        F.col(value_col).alias("_ys"),
+    )
+    p = daily.select(
+        F.col(key_col).alias("_k"),
+        F.date_add(F.col(day_col), 1).alias("_d"),
+        F.col(value_col).alias("_yp"),
+    )
+    scored = a.join(s, ["_k", "_d"]).join(p, ["_k", "_d"])
+    return (
+        scored.groupBy(F.col("_k").alias(key_col))
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum(F.abs(F.col("_y") - F.col("_ys"))).cast("long").alias("sae_seasonal"),
+            F.sum(F.abs(F.col("_y") - F.col("_yp"))).cast("long").alias("sae_naive1"),
+        )
+        .select(
+            key_col,
+            "n_days",
+            "sae_seasonal",
+            "sae_naive1",
+            (F.col("sae_seasonal").cast("double") / F.col("n_days").cast("double")).alias(
+                "mae_seasonal"
+            ),
+            (F.col("sae_naive1").cast("double") / F.col("n_days").cast("double")).alias(
+                "mae_naive1"
+            ),
+        )
+    )

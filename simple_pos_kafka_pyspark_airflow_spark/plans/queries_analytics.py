@@ -4088,3 +4088,151 @@ def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y"),
     ).select((F.col("user_id") % 2).cast("string").alias("cohort"), "x", "y")
     return aggregates.cuped_adjust_exact(unit, "cohort", "0", "1", F.col("x"), F.col("y"))
+
+
+@register(
+    "q_skew_report",
+    "agg",
+    oracle="""
+    WITH per_key AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS rows_
+      FROM orders GROUP BY o_custkey
+    ),
+    b AS (
+      SELECT rows_, CAST(FLOOR(LOG2(rows_)) AS INTEGER) AS bucket
+      FROM per_key
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(rows_) AS BIGINT) AS rows,
+           CAST(MAX(rows_) AS BIGINT) AS max_rows
+    FROM b GROUP BY bucket
+    """,
+    notes="extension: key-skew telemetry (operators/aggregates."
+    "key_skew_report) — the count-of-counts histogram that DECIDES the "
+    "skew strategy (salt count for q_agg_salted/q_join_salted, AQE "
+    "thresholds) instead of guessing: how many o_custkey values carry "
+    "how many order rows, in log₂ buckets. Two tiny partial-aggregable "
+    "shuffles (key cardinality, then ≤63 bucket rows). The Spark bucket "
+    "is an EXACT power-of-two comparison chain — float log2 could "
+    "misbucket at 2^53-scale counts; the oracle's FLOOR(LOG2) is safe "
+    "only because oracle-side counts are small, and the compare ignores "
+    "that asymmetry since both land identical buckets at sf scale",
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import aggregates
+
+    o = table(spark, sf_dir, "orders")
+    return aggregates.key_skew_report(o, "o_custkey")
+
+
+@register(
+    "q_forecast_backtest",
+    "agg",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT a.event_type, a.cents AS y, s.cents AS ys, p.cents AS yp
+      FROM daily a
+      JOIN daily s ON a.event_type = s.event_type
+                  AND a.day = s.day + INTERVAL 7 DAY
+      JOIN daily p ON a.event_type = p.event_type
+                  AND a.day = p.day + INTERVAL 1 DAY
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(ABS(y - ys)) AS BIGINT) AS sae_seasonal,
+           CAST(SUM(ABS(y - yp)) AS BIGINT) AS sae_naive1,
+           CAST(SUM(ABS(y - ys)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS mae_seasonal,
+           CAST(SUM(ABS(y - yp)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS mae_naive1
+    FROM scored GROUP BY event_type
+    """,
+    notes="extension: forecasting-baseline backtest (operators/"
+    "timeseries.backtest_naive_forecasts) — seasonal-naive (y(d−7)) vs "
+    "naive-1 (y(d−1)) MAE on daily event cents, the two baselines any "
+    "real forecast must beat and the canonical weekly-seasonality "
+    "detector. Both baselines score the IDENTICAL day set (inner "
+    "three-way join), absolute errors exact int64 on the cents lattice, "
+    "MAEs single IEEE divisions. The daily frame is key×days sized; "
+    "the self-joins are broadcast equi-joins at any calendar size",
+)
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import timeseries
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias("cents"))
+    return timeseries.backtest_naive_forecasts(daily, "event_type", "day", "cents", season=7)
+
+
+@register(
+    "q_graph_linkpred",
+    "agg",
+    oracle="""
+    WITH de AS (
+      SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+      FROM de WHERE LEAST(src, dst) < GREATEST(src, dst)
+    ),
+    nbrs AS (
+      SELECT u AS m, v AS n FROM und UNION ALL SELECT v AS m, u AS n FROM und
+    ),
+    wedges AS (
+      SELECT l.n AS a, r.n AS b, CAST(COUNT(*) AS BIGINT) AS common
+      FROM nbrs l JOIN nbrs r ON l.m = r.m
+      WHERE l.n < r.n
+      GROUP BY 1, 2
+    ),
+    non_adj AS (
+      SELECT w.* FROM wedges w
+      WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.u = w.a AND e.v = w.b)
+    ),
+    deg AS (SELECT m AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM nbrs GROUP BY 1)
+    SELECT a, b, common,
+           CAST(da.deg * db.deg AS BIGINT) AS pa_score
+    FROM non_adj
+    JOIN deg da ON da.node = a
+    JOIN deg db ON db.node = b
+    ORDER BY common DESC, pa_score DESC, a, b
+    LIMIT 20
+    """,
+    notes="extension: link prediction by COMMON-NEIGHBOR count "
+    "(Liben-Nowell/Kleinberg 2003; operators/graph."
+    "common_neighbor_scores) over the nation trade graph — top "
+    "non-adjacent nation pairs by shared trading partners, with the "
+    "preferential-attachment score (deg·deg) as the exact-int tiebreak "
+    "companion. One neighbor self-join on the midpoint (wedge volume "
+    "Σ deg(m)², the triangle-counter quantity — cap or orient hubs on "
+    "power-law graphs), one anti-join to drop existing edges, broadcast "
+    "degree joins, (common, pa, a, b) total-ordered top-k. No floats "
+    "anywhere",
+)
+def q_graph_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    de = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .distinct()
+    )
+    und = graph.undirected_edges(de)
+    return graph.common_neighbor_scores(und, k=20)

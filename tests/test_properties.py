@@ -1593,3 +1593,65 @@ def test_cuped_adjust_matches_formula_and_reduces_variance(spark):
     )
     r = cuped_adjust_exact(flat, "cohort", "a", "b", F.col("x"), F.col("y")).collect()[0]
     assert r["theta"] is None and r["adj_mean_a"] is None and r["adj_diff"] is None
+
+
+def test_key_skew_report_buckets_exact(spark):
+    """Keys land in the log2 bucket of their row count via the exact
+    power-of-two comparison chain (1 -> b0, 2,3 -> b1, 4..7 -> b2, ...);
+    totals conserve the fact rows."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators.aggregates import key_skew_report
+
+    rows = (
+        [("k1", 0)] * 1 + [("k2", 0)] * 2 + [("k3", 0)] * 3
+        + [("k4", 0)] * 8 + [("k5", 0)] * 100
+    )
+    df = spark.createDataFrame(rows, "k string, x int")
+    got = {r["bucket"]: r for r in key_skew_report(df, "k").collect()}
+    assert {b: (got[b]["n_keys"], got[b]["rows"]) for b in sorted(got)} == {
+        0: (1, 1), 1: (2, 5), 3: (1, 8), 6: (1, 100)
+    }
+    assert got[6]["max_rows"] == 100
+    assert sum(r["rows"] for r in got.values()) == len(rows)
+
+
+def test_backtest_naive_forecasts_fair_day_set(spark):
+    """Errors score only days where BOTH lags exist; a perfectly weekly
+    series gives seasonal MAE 0 while naive-1 stays positive."""
+    import datetime as dt
+
+    from simple_pos_kafka_pyspark_airflow_spark.operators.timeseries import (
+        backtest_naive_forecasts,
+    )
+
+    # 21 days of perfect weekly pattern: value = day-of-week * 10
+    rows = [
+        ("k", dt.date(2024, 1, d), ((d - 1) % 7) * 10) for d in range(1, 22)
+    ]
+    df = spark.createDataFrame(rows, "k string, day date, v long")
+    got = backtest_naive_forecasts(df, "k", "day", "v", season=7).collect()[0]
+    # days 8..21 have both d-7 and d-1: 14 scored days
+    assert got["n_days"] == 14
+    assert got["sae_seasonal"] == 0 and got["mae_seasonal"] == 0.0
+    assert got["sae_naive1"] > 0
+
+
+def test_common_neighbor_scores_known_graph(spark):
+    """Path graph 1-2-3-4 plus edge 2-5: non-adjacent pairs scored by
+    shared neighbors; adjacent pairs never appear; PA score = deg*deg."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators.graph import (
+        common_neighbor_scores,
+        undirected_edges,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (2, 5)], "src int, dst int"
+    )
+    und = undirected_edges(edges)
+    got = {(r["a"], r["b"]): (r["common"], r["pa_score"])
+           for r in common_neighbor_scores(und, k=10).collect()}
+    # neighbors: 1:{2} 2:{1,3,5} 3:{2,4} 4:{3} 5:{2}
+    assert got[(1, 3)] == (1, 1 * 2)   # via 2
+    assert got[(3, 5)] == (1, 2 * 1)   # via 2
+    assert got[(1, 5)] == (1, 1 * 1)   # via 2
+    assert got[(2, 4)] == (1, 3 * 1)   # via 3
+    assert (1, 2) not in got and (2, 3) not in got  # adjacent pairs excluded
