@@ -232,6 +232,8 @@ HEADLINE = [
     "q_skew_report",
     "q_forecast_backtest",
     "q_graph_linkpred",
+    # l-diversity (the second privacy gate)
+    "q_privacy_ldiv",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

@@ -616,3 +616,39 @@ def benford_audit(df: DataFrame, amount_cents) -> DataFrame:
             ).alias("dev_e9"),
         )
     )
+
+
+def l_diversity_audit(
+    df: DataFrame, qid_cols: list[str], sensitive_col: str, l: int = 3
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the attack
+    k-anonymity misses: a QID class can be large (k-anonymous) yet have
+    every member sharing ONE sensitive value, so membership alone
+    discloses the attribute. Each class must carry ≥ l DISTINCT
+    sensitive values.
+
+    One exact groupBy(QID) with ``count_distinct(sensitive)`` (state =
+    distinct sensitive values per class — bounded by the sensitive
+    domain, the same envelope as the class count), folded to the same
+    never-ship-the-classes one-row summary as ``k_anonymity_audit``:
+
+    ``(n_classes, n_low_diversity, rows_at_risk, min_diversity,
+    l_diverse)`` — all exact int64, gate bit 1 iff every class has ≥ l
+    distinct sensitive values. Run it WITH the k-audit: the two gates
+    bound different attacks and a release needs both."""
+    classes = df.groupBy(*[F.col(c) for c in qid_cols]).agg(
+        F.count("*").cast("long").alias("class_size"),
+        F.count_distinct(F.col(sensitive_col)).cast("long").alias("n_sensitive"),
+    )
+    low = F.col("n_sensitive") < l
+    return classes.agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum(F.when(low, 1).otherwise(0)).cast("long").alias("n_low_diversity"),
+        F.sum(F.when(low, F.col("class_size")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.min("n_sensitive").cast("long").alias("min_diversity"),
+        F.when(F.min("n_sensitive") >= l, F.lit(1)).otherwise(F.lit(0))
+        .cast("int")
+        .alias("l_diverse"),
+    )

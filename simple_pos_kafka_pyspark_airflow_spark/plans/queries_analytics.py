@@ -4236,3 +4236,44 @@ def q_graph_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     und = graph.undirected_edges(de)
     return graph.common_neighbor_scores(und, k=20)
+
+
+@register(
+    "q_privacy_ldiv",
+    "agg",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS class_size,
+             CAST(COUNT(DISTINCT CAST(user_id % 20 AS BIGINT)) AS BIGINT)
+               AS n_sensitive
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_diversity,
+           CAST(SUM(CASE WHEN n_sensitive < 3 THEN class_size ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST(MIN(n_sensitive) AS BIGINT) AS min_diversity,
+           CAST(CASE WHEN MIN(n_sensitive) >= 3 THEN 1 ELSE 0 END AS INTEGER)
+             AS l_diverse
+    FROM c
+    """,
+    notes="extension: l-diversity audit (Machanavajjhala 2007; operators/"
+    "validation.l_diversity_audit) — the attack k-anonymity misses: a "
+    "large class whose members all share ONE sensitive value discloses "
+    "it by membership alone; every (event_type, day) class must carry "
+    "≥ 3 distinct sensitive buckets (user cohort stands in). One exact "
+    "groupBy with count_distinct per class, folded to the same never-"
+    "ship-the-classes summary row as q_privacy_kanon; a release gate "
+    "runs BOTH — they bound different attacks",
+)
+def q_privacy_ldiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import validation
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        (F.col("user_id") % 20).cast("long").alias("sens"),
+    )
+    return validation.l_diversity_audit(ev, ["event_type", "d"], "sens", l=3)

@@ -1655,3 +1655,25 @@ def test_common_neighbor_scores_known_graph(spark):
     assert got[(1, 5)] == (1, 1 * 1)   # via 2
     assert got[(2, 4)] == (1, 3 * 1)   # via 3
     assert (1, 2) not in got and (2, 3) not in got  # adjacent pairs excluded
+
+
+def test_l_diversity_audit_catches_homogeneous_class(spark):
+    """A class that is large (k-anonymous) but sensitive-homogeneous
+    fails l-diversity; a diverse table passes; rows_at_risk counts the
+    homogeneous class's full size."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators.validation import (
+        l_diversity_audit,
+    )
+
+    # class A: 6 rows, all sensitive=X (k-anonymous at k=5, yet exposed)
+    # class B: 4 rows over 3 sensitive values
+    rows = [("A", "X")] * 6 + [("B", "X"), ("B", "Y"), ("B", "Z"), ("B", "Y")]
+    df = spark.createDataFrame(rows, "q string, s string")
+    r = l_diversity_audit(df, ["q"], "s", l=3).collect()[0]
+    assert (r["n_classes"], r["n_low_diversity"], r["rows_at_risk"]) == (2, 1, 6)
+    assert r["min_diversity"] == 1 and r["l_diverse"] == 0
+    ok = spark.createDataFrame(
+        [("A", s) for s in "XYZ"] + [("B", s) for s in "XYZW"], "q string, s string"
+    )
+    r2 = l_diversity_audit(ok, ["q"], "s", l=3).collect()[0]
+    assert r2["l_diverse"] == 1 and r2["n_low_diversity"] == 0
