@@ -234,6 +234,8 @@ HEADLINE = [
     "q_graph_linkpred",
     # l-diversity (the second privacy gate)
     "q_privacy_ldiv",
+    # decile gains/lift (global ntile over units, 10-row finish)
+    "q_eval_lift",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

@@ -4277,3 +4277,95 @@ def q_privacy_ldiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 20).cast("long").alias("sens"),
     )
     return validation.l_diversity_audit(ev, ["event_type", "d"], "sens", l=3)
+
+
+@register(
+    "q_eval_lift",
+    "agg",
+    oracle="""
+    WITH unit AS (
+      SELECT user_id,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+                       THEN CAST(FLOOR(value * 100) AS BIGINT) END), 0) AS BIGINT)
+               AS score,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS responded
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT score, responded,
+             ntile(10) OVER (ORDER BY score DESC, user_id) AS decile
+      FROM unit
+    ),
+    d AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(responded) AS BIGINT) AS responders
+      FROM ranked GROUP BY decile
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot_n,
+                 CAST(SUM(responders) AS BIGINT) AS tot_r FROM d),
+    c AS (
+      SELECT decile, n, responders,
+             SUM(n) OVER (ORDER BY decile) AS cum_n,
+             SUM(responders) OVER (ORDER BY decile) AS cum_r
+      FROM d
+    )
+    SELECT decile, n, responders,
+           CAST(responders AS DOUBLE) / CAST(n AS DOUBLE) AS response_rate,
+           (CAST(cum_r AS DOUBLE) / CAST(cum_n AS DOUBLE))
+             / NULLIF(CAST(tot_r AS DOUBLE) / CAST(tot_n AS DOUBLE), 0.0)
+             AS cum_lift
+    FROM c, t
+    """,
+    notes="extension: decile GAINS/LIFT table — the model-evaluation "
+    "classic (rank units by score, split into ntile(10) deciles with a "
+    "total-order tiebreak, per-decile response rate and cumulative lift "
+    "vs the base rate). Click spend stands in as the score, purchase as "
+    "the response. Counts exact int64; rate and lift are fixed IEEE "
+    "trees over exact ints; ntile assignment is engine-identical under "
+    "the (score DESC, user_id) total order (extras to the first "
+    "deciles, standard SQL). One per-unit agg, then a GLOBAL ntile — a "
+    "single-partition sort of the unit table, fine to ~1e8 units; "
+    "beyond that derive decile cutoffs from the score lattice (the "
+    "q_stats_wmedian cumulative-count recipe) and accept that ties "
+    "straddling a boundary land whole, trading ntile's exact equal "
+    "sizes — then two 10-row aggregates",
+)
+def q_eval_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    unit = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(F.col("event_type") == "click", cents)), F.lit(0))
+        .cast("long")
+        .alias("score"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("responded"),
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("user_id"))
+    ranked = unit.select("score", "responded", F.ntile(10).over(w).alias("decile"))
+    d = ranked.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("responded").cast("long").alias("responders"),
+    )
+    t = d.agg(
+        F.sum("n").cast("long").alias("tot_n"), F.sum("responders").cast("long").alias("tot_r")
+    )
+    cw = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = d.select(
+        "decile",
+        "n",
+        "responders",
+        F.sum("n").over(cw).alias("cum_n"),
+        F.sum("responders").over(cw).alias("cum_r"),
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "decile",
+        "n",
+        "responders",
+        (F.col("responders").cast("double") / F.col("n").cast("double")).alias("response_rate"),
+        (
+            (F.col("cum_r").cast("double") / F.col("cum_n").cast("double"))
+            / F.nullif(F.col("tot_r").cast("double") / F.col("tot_n").cast("double"), F.lit(0.0))
+        ).alias("cum_lift"),
+    )
