@@ -236,6 +236,9 @@ HEADLINE = [
     "q_privacy_ldiv",
     # decile gains/lift (global ntile over units, 10-row finish)
     "q_eval_lift",
+    # the two POS retail classics: RFM segments + basket rules
+    "q_seg_rfm",
+    "q_basket_rules",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

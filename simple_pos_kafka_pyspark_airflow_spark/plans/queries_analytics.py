@@ -4369,3 +4369,149 @@ def q_eval_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.col("tot_r").cast("double") / F.col("tot_n").cast("double"), F.lit(0.0))
         ).alias("cum_lift"),
     )
+
+
+@register(
+    "q_seg_rfm",
+    "agg",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                            (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders))
+                  AS BIGINT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT ntile(5) OVER (ORDER BY recency_days ASC, o_custkey) AS r,
+             ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+             ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m
+      FROM cust
+    )
+    SELECT CAST(r AS INTEGER) AS r, CAST(f AS INTEGER) AS f,
+           CAST(m AS INTEGER) AS m,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY r, f, m
+    """,
+    notes="extension: RFM customer segmentation — THE retail analytics "
+    "the reference's POS warehouse exists to feed: per-customer recency "
+    "(days since last order vs the corpus max date), frequency (orders), "
+    "monetary (cents), each quintile-scored by ntile(5) under a total "
+    "order (best = 1 on every axis: recent ASC, frequent DESC, big-"
+    "spender DESC), aggregated to ≤125 segment cells. All integers; the "
+    "global ntiles are single-partition sorts of the CUSTOMER table "
+    "(fine to ~1e8; the q_eval_lift lattice-cutoff recipe past that). "
+    "The scalar max-date subquery broadcasts",
+)
+def q_seg_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    mx = o.agg(F.max(F.to_date("o_orderdate")).alias("_mx"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("_last"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("_mx"), F.col("_last")).cast("long").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    r = F.ntile(5).over(Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey")))
+    f = F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), F.col("o_custkey")))
+    m = F.ntile(5).over(Window.orderBy(F.col("monetary_cents").desc(), F.col("o_custkey")))
+    scored = cust.select(r.alias("r"), f.alias("f"), m.alias("m"))
+    return scored.groupBy("r", "f", "m").agg(
+        F.count("*").cast("long").alias("n_customers")
+    )
+
+
+@register(
+    "q_basket_rules",
+    "agg",
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM basket),
+    item AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_item FROM basket GROUP BY 1),
+    pair AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM basket a
+      JOIN basket b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, n_pair,
+           ia.n_item AS n_a, ib.n_item AS n_b,
+           CAST(n_pair AS DOUBLE) / CAST(ia.n_item AS DOUBLE) AS conf_ab,
+           CAST(n_pair AS DOUBLE) / CAST(ib.n_item AS DOUBLE) AS conf_ba,
+           CAST(n_pair AS DOUBLE) * CAST(n_baskets AS DOUBLE)
+             / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)) AS lift
+    FROM pair
+    JOIN item ia ON ia.p_brand = brand_a
+    JOIN item ib ON ib.p_brand = brand_b
+    CROSS JOIN n
+    ORDER BY n_pair DESC, brand_a, brand_b
+    LIMIT 20
+    """,
+    notes="extension: market-basket ASSOCIATION RULES — the other classic "
+    "retail analytic the reference's POS data exists for: brand pairs "
+    "co-purchased in one order, with support, both confidences, and "
+    "lift. The pair join is keyed on the ORDER (baskets are ~4 items, "
+    "pairs ≤ 6/order — never the brand cross product); per-item counts "
+    "broadcast back; lift/confidence are fixed IEEE trees over exact "
+    "int64 counts. The text twin (q_text_cooccur) mines token pairs "
+    "with A-priori pruning — same algebra, different corpus. Top-20 by "
+    "(support DESC, pair) total order",
+)
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    basket = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = basket.select(F.count_distinct("l_orderkey").cast("long").alias("n_baskets"))
+    item = basket.groupBy("p_brand").agg(F.count("*").cast("long").alias("n_item"))
+    a = basket.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = basket.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    pair = (
+        a.join(b, "l_orderkey")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("long").alias("n_pair"))
+    )
+    ia = item.select(F.col("p_brand").alias("brand_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("p_brand").alias("brand_b"), F.col("n_item").alias("n_b"))
+    scored = (
+        pair.join(F.broadcast(ia), "brand_a")
+        .join(F.broadcast(ib), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            (F.col("n_pair").cast("double") / F.col("n_a").cast("double")).alias("conf_ab"),
+            (F.col("n_pair").cast("double") / F.col("n_b").cast("double")).alias("conf_ba"),
+            (
+                F.col("n_pair").cast("double")
+                * F.col("n_baskets").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.col("n_pair").desc(), "brand_a", "brand_b").limit(20)
