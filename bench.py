@@ -239,6 +239,8 @@ HEADLINE = [
     # the two POS retail classics: RFM segments + basket rules
     "q_seg_rfm",
     "q_basket_rules",
+    # Pareto/ABC revenue concentration (cross-multiplied thresholds)
+    "q_seg_abc",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

@@ -4515,3 +4515,65 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("n_pair").desc(), "brand_a", "brand_b").limit(20)
+
+
+@register(
+    "q_seg_abc",
+    "agg",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM cust),
+    ranked AS (
+      SELECT cents,
+             SUM(cents) OVER (ORDER BY cents DESC, o_custkey) AS cum
+      FROM cust
+    ),
+    classed AS (
+      SELECT cents,
+             CASE WHEN cum * 100 <= 80 * total THEN 'A'
+                  WHEN cum * 100 <= 95 * total THEN 'B'
+                  ELSE 'C' END AS cls
+      FROM ranked, t
+    )
+    SELECT cls,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM classed GROUP BY cls
+    """,
+    notes="extension: Pareto / ABC analysis — the 80/15/5 revenue-"
+    "concentration classification every inventory/CRM team runs: "
+    "customers sorted by revenue, class A while cumulative revenue ≤ "
+    "80% of total, B to 95%, C after. The thresholds are INTEGER "
+    "CROSS-MULTIPLIED (cum·100 ≤ 80·total on exact cents — no float "
+    "share ever decides a boundary customer). Global cumsum = customer-"
+    "table sort (the q_eval_lift envelope); 3-row output. "
+    "int64 bound: cum·100 needs total < 9.2e16 cents ≈ $920 T",
+)
+def q_seg_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    t = cust.agg(F.sum("cents").cast("long").alias("total"))
+    w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = cust.select("cents", F.sum("cents").over(w).alias("cum"))
+    classed = ranked.crossJoin(F.broadcast(t)).select(
+        "cents",
+        F.when(F.col("cum") * 100 <= 80 * F.col("total"), F.lit("A"))
+        .when(F.col("cum") * 100 <= 95 * F.col("total"), F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("cls"),
+    )
+    return classed.groupBy("cls").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
