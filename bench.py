@@ -241,6 +241,8 @@ HEADLINE = [
     "q_basket_rules",
     # Pareto/ABC revenue concentration (cross-multiplied thresholds)
     "q_seg_abc",
+    # repurchase cadence (per-customer lag -> segment median ladder)
+    "q_repurchase_interval",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

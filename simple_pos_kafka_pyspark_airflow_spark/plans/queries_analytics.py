@@ -4577,3 +4577,70 @@ def q_seg_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_customers"),
         F.sum("cents").cast("long").alias("revenue_cents"),
     )
+
+
+@register(
+    "q_repurchase_interval",
+    "agg",
+    oracle="""
+    WITH gaps AS (
+      SELECT c.c_mktsegment,
+             CAST(date_diff('day',
+                    lag(CAST(o.o_orderdate AS DATE)) OVER (
+                      PARTITION BY o.o_custkey
+                      ORDER BY CAST(o.o_orderdate AS DATE), o.o_orderkey),
+                    CAST(o.o_orderdate AS DATE)) AS BIGINT) AS gap_days
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS (SELECT c_mktsegment, gap_days FROM gaps WHERE gap_days IS NOT NULL),
+    cnt AS (
+      SELECT c_mktsegment, gap_days, CAST(COUNT(*) AS BIGINT) AS n
+      FROM g GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT c_mktsegment, gap_days, n,
+             SUM(n) OVER (PARTITION BY c_mktsegment ORDER BY gap_days) AS cw
+      FROM cnt
+    ),
+    tot AS (SELECT c_mktsegment, CAST(SUM(n) AS BIGINT) AS n_gaps FROM cnt GROUP BY 1)
+    SELECT cum.c_mktsegment, n_gaps,
+           CAST(MIN(CASE WHEN cw * 2 >= n_gaps THEN gap_days END) AS BIGINT)
+             AS median_gap_days
+    FROM cum JOIN tot ON cum.c_mktsegment = tot.c_mktsegment
+    GROUP BY cum.c_mktsegment, n_gaps
+    """,
+    notes="extension: REPURCHASE CADENCE per market segment — the retail "
+    "retention metric: per-customer consecutive order gaps (lag over a "
+    "(date, orderkey) total order — same-day double orders need the "
+    "tiebreak), then the exact lower median gap per segment via the "
+    "q_stats_wmedian cumulative-count ladder (integer day lattice, "
+    "cross-multiplied threshold). One per-customer window shuffle + one "
+    "segment-value count shuffle; first orders (no predecessor) are "
+    "excluded, not zero-filled",
+)
+def q_repurchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import grouped_weighted_median
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.to_date("o_orderdate"), F.col("o_orderkey")
+    )
+    gaps = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_mktsegment",
+            F.datediff(
+                F.to_date("o_orderdate"), F.lag(F.to_date("o_orderdate")).over(w)
+            )
+            .cast("long")
+            .alias("gap_days"),
+        )
+        .where(F.col("gap_days").isNotNull())
+    )
+    med = grouped_weighted_median(gaps, "c_mktsegment", F.col("gap_days"), F.lit(1))
+    return med.select(
+        "c_mktsegment",
+        F.col("total_w").alias("n_gaps"),
+        F.col("wmedian").alias("median_gap_days"),
+    )
