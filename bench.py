@@ -243,6 +243,8 @@ HEADLINE = [
     "q_seg_abc",
     # repurchase cadence (per-customer lag -> segment median ladder)
     "q_repurchase_interval",
+    # cohort LTV curve (cents by integer month-age, cumsum over cells)
+    "q_cohort_clv",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

@@ -4644,3 +4644,75 @@ def q_repurchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_w").alias("n_gaps"),
         F.col("wmedian").alias("median_gap_days"),
     )
+
+
+@register(
+    "q_cohort_clv",
+    "agg",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(date_trunc('month', CAST(o_orderdate AS DATE))) AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ),
+    spend AS (
+      SELECT f.cohort_month,
+             CAST((EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE))
+                     - EXTRACT(YEAR FROM f.cohort_month)) * 12
+                  + (EXTRACT(MONTH FROM CAST(o.o_orderdate AS DATE))
+                     - EXTRACT(MONTH FROM f.cohort_month)) AS BIGINT)
+               AS month_age,
+             CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    ),
+    m AS (
+      SELECT CAST(cohort_month AS TIMESTAMP) AS cohort_month, month_age,
+             CAST(SUM(cents) AS BIGINT) AS rev_cents
+      FROM spend GROUP BY 1, 2
+    )
+    SELECT cohort_month, month_age, rev_cents,
+           CAST(SUM(rev_cents) OVER (
+             PARTITION BY cohort_month ORDER BY month_age) AS BIGINT)
+             AS cum_rev_cents
+    FROM m
+    WHERE month_age <= 24
+    """,
+    notes="extension: cohort LIFETIME-VALUE curve — the MONEY twin of "
+    "q_cohort_retention (which counts actives): customers bucketed by "
+    "first-order month, revenue accumulated by integer month-age, "
+    "cumulative per cohort — the curve CAC payback is read from. Exact "
+    "cents throughout; month_age is pure integer calendar arithmetic "
+    "(year·12 + month deltas — identical on both engines, no interval "
+    "division); the cumsum window runs over (cohorts × ages) aggregated "
+    "rows, never facts. Truncated at 24 ages for a bounded contract "
+    "row set",
+)
+def q_cohort_clv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.trunc(F.to_date("o_orderdate"), "month")).alias("_cm")
+    )
+    spend = o.join(firsts, "o_custkey").select(
+        F.col("_cm"),
+        (
+            (F.year(F.to_date("o_orderdate")) - F.year("_cm")) * 12
+            + (F.month(F.to_date("o_orderdate")) - F.month("_cm"))
+        )
+        .cast("long")
+        .alias("month_age"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    m = spend.groupBy(
+        F.col("_cm").cast("timestamp").alias("cohort_month"), "month_age"
+    ).agg(F.sum("cents").cast("long").alias("rev_cents"))
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return m.where(F.col("month_age") <= 24).select(
+        "cohort_month",
+        "month_age",
+        "rev_cents",
+        F.sum("rev_cents").over(w).cast("long").alias("cum_rev_cents"),
+    )
