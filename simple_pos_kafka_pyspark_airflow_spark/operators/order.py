@@ -66,6 +66,145 @@ def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
     return key
 
 
+def distributed_total_rank(
+    df: DataFrame,
+    x: Column,
+    key: Column,
+    descending: bool = False,
+    n_buckets: int = 2048,
+    prefix: str = "",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact global rank + running sum under the total order
+    ``(x ASC|DESC, key ASC)`` with NO single-partition sort of the data.
+
+    This is the scale-safe form of ``row_number()/ntile()/SUM() OVER
+    (ORDER BY ...)`` — the unpartitioned-window analytics (RFM quintiles,
+    decile lift, ABC/Pareto cumsum) that are fine to ~1e8 rows as one
+    global sort and a wall at 100 TB. The classic range-partitioned
+    prefix-sum (the TeraSort layout, applied to ranking):
+
+      1. bucket each row by fixed-width value range (monotone in ``x`` —
+         double math, so no overflow; equal values always share a
+         bucket);
+      2. per-(bucket, value) counts and value sums — ONE partial-
+         aggregable shuffle whose output is the value lattice, not the
+         fact;
+      3. exclusive prefix over the ≤ ``n_buckets+1`` bucket totals (the
+         only ordered-window stage left, bounded by the bucket count
+         regardless of data size) and, within each bucket, an exclusive
+         prefix over the lattice partitioned BY bucket — fully parallel;
+      4. join the per-value base back to the fact on the value (shuffle
+         on ``x``) and break ties with ``row_number`` partitioned by the
+         value over ``key`` — the same exchange the join just made.
+
+    rank = rows strictly before this row's value + tie rank; running
+    sum = value-sum strictly before + tie rank × own value (exact:
+    ties share the value). Pinned row-identical to the window forms in
+    tests/test_rank_scale.py, including boundary-straddling ties.
+
+    ``x`` must be integer-valued (exact comparisons; |x| < 2^62 so the
+    DESC negation cannot overflow) and ``key`` a unique tiebreak (unique
+    per group when ``group_cols`` is set).
+    Output: input columns + ``{prefix}rank`` (1-based long),
+    ``{prefix}cum`` (running sum of x, long), ``{prefix}n_total``,
+    ``{prefix}x_total``. With ``group_cols`` every stage partitions by
+    the group — ranks restart per group (the melt trick: stack several
+    independent global-rank problems as groups and rank them all in ONE
+    pass, q_seg_rfm style) and even the bucket-totals prefix window is
+    group-partitioned, so NO single-partition stage remains at all. No
+    counterpart in the reference repo (its state-file rewrites sort
+    kilobytes; SURVEY §2.6 / §2.11)."""
+    from pyspark.sql import Window
+
+    g = list(group_cols or [])
+    o = (-x).cast("long") if descending else x.cast("long")
+    d = df.withColumn("__o", o).withColumn("__x", x.cast("long"))
+    bounds = d.groupBy(*g).agg(
+        F.min("__o").cast("double").alias("__lo"),
+        F.max("__o").cast("double").alias("__hi"),
+    )
+    width = F.greatest(
+        (F.col("__hi") - F.col("__lo") + F.lit(1.0)) / F.lit(float(n_buckets)),
+        F.lit(1.0),
+    )
+    joined = d.join(F.broadcast(bounds), on=g) if g else d.crossJoin(F.broadcast(bounds))
+    bucketed = joined.withColumn(
+        "__b",
+        F.floor((F.col("__o").cast("double") - F.col("__lo")) / width).cast("long"),
+    )
+    lat = (
+        bucketed.groupBy(*g, "__b", "__o")
+        .agg(F.count("*").cast("long").alias("__n"), F.sum("__x").alias("__sx"))
+    )
+    wb = (
+        Window.partitionBy(*g).orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+        if g
+        else Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bt = (
+        lat.groupBy(*g, "__b")
+        .agg(F.sum("__n").alias("__tn"), F.sum("__sx").alias("__tsx"))
+        .select(
+            *g,
+            "__b",
+            F.coalesce(F.sum("__tn").over(wb), F.lit(0)).alias("__bn0"),
+            F.coalesce(F.sum("__tsx").over(wb), F.lit(0)).alias("__bsx0"),
+        )
+    )
+    wl = (
+        Window.partitionBy(*g, "__b")
+        .orderBy("__o")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = (
+        lat.join(F.broadcast(bt), [*g, "__b"])
+        .select(
+            *g,
+            "__o",
+            (F.col("__bn0") + F.coalesce(F.sum("__n").over(wl), F.lit(0))).alias(
+                "__base_n"
+            ),
+            (F.col("__bsx0") + F.coalesce(F.sum("__sx").over(wl), F.lit(0))).alias(
+                "__base_sx"
+            ),
+        )
+    )
+    tot = lat.groupBy(*g).agg(
+        F.sum("__n").cast("long").alias(f"{prefix}n_total"),
+        F.sum("__sx").cast("long").alias(f"{prefix}x_total"),
+    )
+    wt = Window.partitionBy(*g, "__o").orderBy(key.asc())
+    out = (
+        d.join(base, [*g, "__o"])
+        .withColumn("__rt", F.row_number().over(wt).cast("long"))
+        .withColumn(f"{prefix}rank", (F.col("__base_n") + F.col("__rt")).cast("long"))
+        .withColumn(
+            f"{prefix}cum",
+            (F.col("__base_sx") + F.col("__rt") * F.col("__x")).cast("long"),
+        )
+    )
+    out = out.join(F.broadcast(tot), on=g) if g else out.crossJoin(F.broadcast(tot))
+    return out.drop("__o", "__x", "__base_n", "__base_sx", "__rt")
+
+
+def ntile_from_rank(rank: Column, n_total: Column, n: int) -> Column:
+    """SQL ``ntile(n)`` from a 1-based rank and the row count — the pure
+    expression half of the scale-safe ntile (``distributed_total_rank``
+    supplies the rank without a global sort). Standard semantics: the
+    first ``N % n`` tiles get ``N/n + 1`` rows, the rest ``N/n``;
+    all-integer, engine-identical. The ``greatest(q, 1)`` guard keeps the
+    unreachable small-N branch from dividing by zero."""
+    q = F.floor(n_total / n).cast("long")
+    r = (n_total % n).cast("long")
+    big = r * (q + 1)
+    return (
+        F.when(rank <= big, F.floor((rank - 1) / (q + 1)) + 1)
+        .otherwise(r + F.floor((rank - big - 1) / F.greatest(q, F.lit(1))) + 1)
+        .cast("int")
+    )
+
+
 def skyline_2d(df: DataFrame, x: Column, y: Column, partition: str | None = None) -> DataFrame:
     """2-D skyline (Pareto front): the rows not DOMINATED by any other —
     no other row with both metrics ≥ and at least one strictly > — the

@@ -4324,14 +4324,15 @@ def q_privacy_ldiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the response. Counts exact int64; rate and lift are fixed IEEE "
     "trees over exact ints; ntile assignment is engine-identical under "
     "the (score DESC, user_id) total order (extras to the first "
-    "deciles, standard SQL). One per-unit agg, then a GLOBAL ntile — a "
-    "single-partition sort of the unit table, fine to ~1e8 units; "
-    "beyond that derive decile cutoffs from the score lattice (the "
-    "q_stats_wmedian cumulative-count recipe) and accept that ties "
-    "straddling a boundary land whole, trading ntile's exact equal "
-    "sizes — then two 10-row aggregates",
+    "deciles, standard SQL). One per-unit agg, then the SCALE-SAFE "
+    "ntile: distributed_total_rank (range-bucketed prefix sums — no "
+    "single-partition sort anywhere) + the pure ntile_from_rank "
+    "expression, pinned row-identical to window ntile in "
+    "tests/test_rank_scale.py — then two 10-row aggregates",
 )
 def q_eval_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.order import distributed_total_rank, ntile_from_rank
+
     ev = table(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100).cast("long")
     unit = ev.groupBy("user_id").agg(
@@ -4342,8 +4343,13 @@ def q_eval_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("responded"),
     )
-    w = Window.orderBy(F.col("score").desc(), F.col("user_id"))
-    ranked = unit.select("score", "responded", F.ntile(10).over(w).alias("decile"))
+    ranked = distributed_total_rank(
+        unit, F.col("score"), F.col("user_id"), descending=True
+    ).select(
+        "score",
+        "responded",
+        ntile_from_rank(F.col("rank"), F.col("n_total"), 10).alias("decile"),
+    )
     d = ranked.groupBy("decile").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("responded").cast("long").alias("responders"),
@@ -4401,12 +4407,16 @@ def q_eval_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(days since last order vs the corpus max date), frequency (orders), "
     "monetary (cents), each quintile-scored by ntile(5) under a total "
     "order (best = 1 on every axis: recent ASC, frequent DESC, big-"
-    "spender DESC), aggregated to ≤125 segment cells. All integers; the "
-    "global ntiles are single-partition sorts of the CUSTOMER table "
-    "(fine to ~1e8; the q_eval_lift lattice-cutoff recipe past that). "
+    "spender DESC), aggregated to ≤125 segment cells. All integers; "
+    "each quintile runs the SCALE-SAFE distributed_total_rank + "
+    "ntile_from_rank path (range-bucketed prefix sums — no single-"
+    "partition sort of the customer table; pinned row-identical to "
+    "window ntile in tests/test_rank_scale.py). "
     "The scalar max-date subquery broadcasts",
 )
 def q_seg_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.order import distributed_total_rank, ntile_from_rank
+
     o = table(spark, sf_dir, "orders")
     mx = o.agg(F.max(F.to_date("o_orderdate")).alias("_mx"))
     cust = (
@@ -4426,10 +4436,38 @@ def q_seg_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     )
-    r = F.ntile(5).over(Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey")))
-    f = F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), F.col("o_custkey")))
-    m = F.ntile(5).over(Window.orderBy(F.col("monetary_cents").desc(), F.col("o_custkey")))
-    scored = cust.select(r.alias("r"), f.alias("f"), m.alias("m"))
+    # checkpoint the per-customer frame ONCE (the rank pass scans its
+    # input three times: bounds, lattice, tie-rank join), then MELT the
+    # three dimensions into one long frame and rank them in a SINGLE
+    # grouped pass — descending axes ride as negated values (identical
+    # total order), and group_cols partitions every stage by dimension,
+    # so the whole RFM scoring is one bounded set of fact-sized shuffles
+    # with no single-partition stage anywhere
+    cust = cust.localCheckpoint(eager=True)
+    melt = cust.select(
+        "o_custkey",
+        F.explode(
+            F.array(
+                F.struct(F.lit("r").alias("dim"), F.col("recency_days").alias("x")),
+                F.struct(F.lit("f").alias("dim"), (-F.col("frequency")).alias("x")),
+                F.struct(
+                    F.lit("m").alias("dim"), (-F.col("monetary_cents")).alias("x")
+                ),
+            )
+        ).alias("e"),
+    ).select("o_custkey", "e.dim", "e.x")
+    ranked = distributed_total_rank(
+        melt, F.col("x"), F.col("o_custkey"), group_cols=["dim"]
+    ).select(
+        "o_custkey",
+        "dim",
+        ntile_from_rank(F.col("rank"), F.col("n_total"), 5).alias("t"),
+    )
+    scored = ranked.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("dim") == "r", F.col("t"))).alias("r"),
+        F.max(F.when(F.col("dim") == "f", F.col("t"))).alias("f"),
+        F.max(F.when(F.col("dim") == "m", F.col("t"))).alias("m"),
+    )
     return scored.groupBy("r", "f", "m").agg(
         F.count("*").cast("long").alias("n_customers")
     )
@@ -4550,26 +4588,29 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customers sorted by revenue, class A while cumulative revenue ≤ "
     "80% of total, B to 95%, C after. The thresholds are INTEGER "
     "CROSS-MULTIPLIED (cum·100 ≤ 80·total on exact cents — no float "
-    "share ever decides a boundary customer). Global cumsum = customer-"
-    "table sort (the q_eval_lift envelope); 3-row output. "
-    "int64 bound: cum·100 needs total < 9.2e16 cents ≈ $920 T",
+    "share ever decides a boundary customer). The global cumsum runs "
+    "the SCALE-SAFE distributed_total_rank path (range-bucketed prefix "
+    "sums — no single-partition sort of the customer table; pinned "
+    "row-identical to the window cumsum in tests/test_rank_scale.py); "
+    "3-row output. int64 bound: cum·100 needs total < 9.2e16 cents "
+    "≈ $920 T",
 )
 def q_seg_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.order import distributed_total_rank
+
     o = table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
         .cast("long")
         .alias("cents")
     )
-    t = cust.agg(F.sum("cents").cast("long").alias("total"))
-    w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    ranked = distributed_total_rank(
+        cust, F.col("cents"), F.col("o_custkey"), descending=True
     )
-    ranked = cust.select("cents", F.sum("cents").over(w).alias("cum"))
-    classed = ranked.crossJoin(F.broadcast(t)).select(
+    classed = ranked.select(
         "cents",
-        F.when(F.col("cum") * 100 <= 80 * F.col("total"), F.lit("A"))
-        .when(F.col("cum") * 100 <= 95 * F.col("total"), F.lit("B"))
+        F.when(F.col("cum") * 100 <= 80 * F.col("x_total"), F.lit("A"))
+        .when(F.col("cum") * 100 <= 95 * F.col("x_total"), F.lit("B"))
         .otherwise(F.lit("C"))
         .alias("cls"),
     )

@@ -159,3 +159,102 @@ def test_vocab_and_token_ids(spark):
                     sum_ids += i
         assert got[doc_id] == (n_tok, sum_ids, n_unk), doc_id
     assert got[1][2] == 2  # '9' and '5' are outside the alphabet
+
+
+# ---------------------------------------------------------------------------
+# Batched training (r11): provably-sequential-equal merge batches
+# ---------------------------------------------------------------------------
+
+
+def test_select_batch_rejects_boostable_pair():
+    """The counter-example that shows symbol-disjointness ALONE is not
+    sequential-safe: merging (a,b) turns every 'x a b' into an (x, ab)
+    occurrence — count 95, overtaking the disjoint (c,d) at 90. The
+    selection must keep (c,d) OUT of the batch (the guard sees the
+    interacting (x,a)=95 and 90 is not > 2*95), and sequential replay
+    confirms: the true second merge is (x, ab)."""
+    wc = {"ab": 100, "xab": 95, "cd": 90}
+    rows = [("a", "b", 195), ("x", "a", 95), ("c", "d", 90)]
+    batch = tk._select_merge_batch(rows, window_full=True, max_batch=8, min_count=2)
+    assert batch == [("a", "b")]
+    seq = tk.bpe_train_python(wc, n_merges=2)
+    assert seq == [("a", "b"), ("x", "ab")]
+    assert tk.bpe_train_python_batched(wc, n_merges=2, max_batch=8) == seq
+
+
+def test_select_batch_accepts_dominating_disjoint_pairs():
+    rows = [("a", "b", 100), ("c", "d", 20)]
+    batch = tk._select_merge_batch(rows, window_full=True, max_batch=8, min_count=2)
+    assert batch == [("a", "b"), ("c", "d")]
+    wc = {"ab": 100, "cd": 20}
+    assert tk.bpe_train_python_batched(wc, 2) == tk.bpe_train_python(wc, 2)
+
+
+def test_batched_python_twin_equals_sequential_fuzz():
+    """Randomized vocabularies over a tight alphabet (maximal pair
+    interaction): the batched trainer must be merge-for-merge identical
+    to the sequential argmax for every (max_batch, topk_window)."""
+    rng = random.Random(1234)
+    for trial in range(200):
+        n_words = rng.randint(1, 12)
+        wc = {}
+        for _ in range(n_words):
+            w = "".join(rng.choice("abcd") for _ in range(rng.randint(1, 6)))
+            wc[w] = wc.get(w, 0) + rng.randint(1, 50)
+        n_merges = rng.randint(1, 10)
+        seq = tk.bpe_train_python(wc, n_merges)
+        for max_batch, topk in ((2, 64), (4, 8), (8, 3), (8, 64)):
+            got = tk.bpe_train_python_batched(
+                wc, n_merges, max_batch=max_batch, topk_window=topk
+            )
+            assert got == seq, (trial, wc, max_batch, topk, got, seq)
+
+
+def test_distributed_batched_equals_sequential_modes(spark):
+    """Spark batched (default max_batch=8) == Spark strict one-per-round
+    (max_batch=1) == python sequential, on a corpus engineered with both
+    dominating-disjoint and boostable-interacting pairs."""
+    docs = spark.createDataFrame(
+        [("ab ab ab xab cd cd ef ef ef ef",), ("xab xab cd ab ef gh gh",)],
+        ["text"],
+    )
+    wc = {r["word"]: r["count"] for r in tk.word_count_table(docs).collect()}
+    seq = tk.bpe_train_python(wc, 10)
+    assert tk.bpe_train(docs, n_merges=10) == seq
+    got_strict = tk.bpe_train_from_counts(
+        tk.word_count_table(docs), n_merges=10, max_batch=1
+    )
+    assert got_strict == seq
+
+
+def test_fast_mode_batches_and_stays_valid():
+    """exact_order=False (parallel-BPE compromise): big round-count
+    reduction on a Zipf corpus, merges stay a valid BPE table (lossless
+    encode), compression within a few % of sequential."""
+    rng = random.Random(7)
+    letters = "etaoinshrdlcu"
+    words = set()
+    while len(words) < 400:
+        words.add(
+            "".join(rng.choice(letters) for _ in range(max(1, int(rng.gauss(5, 2)))))
+        )
+    wc = {w: max(1, 10000 // (i + 1)) for i, w in enumerate(sorted(words))}
+    n = 150
+    seq = tk.bpe_train_python(wc, n)
+    fast = tk.bpe_train_python_batched(
+        wc, n, max_batch=16, topk_window=128, exact_order=False
+    )
+    assert len(fast) == len(seq) == n
+
+    def total_tokens(merges):
+        ranks = tk.bpe_ranks(merges)
+        return sum(len(tk.bpe_encode_python(w, ranks)) * c for w, c in wc.items())
+
+    t_seq, t_fast = total_tokens(seq), total_tokens(fast)
+    # tight 13-letter alphabet = worst case for order deviation; the
+    # 5000-word natural-frequency measurement in docs/SCALE.md is ~1%
+    assert t_fast <= t_seq * 1.10, (t_fast, t_seq)
+    # lossless under the fast table
+    ranks = tk.bpe_ranks(fast)
+    for w in list(wc)[:50]:
+        assert "".join(tk.bpe_encode_python(w, ranks)) == w
