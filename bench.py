@@ -420,6 +420,35 @@ def main() -> None:
         # r09.json) — off-scale runs land in a suffixed sibling instead
         suffix = "" if abs(payload.get("sf", 0.1) - 0.1) < 1e-9 else f"_sf{payload['sf']}"
         out = os.path.join(bench_dir, f"r{int(rnd):02d}{suffix}.json")
+        # Per-query SCALING SLOPES (r11, VERDICT item 5): when this is the
+        # driver-scale (sf0.1) record and the same round has an sf0.01
+        # sibling, record slope = t(sf0.1)/t(sf0.01) per query. Data grows
+        # 10× between those SFs, so a healthy plan's slope is ≤ ~10 (and
+        # usually far less while fixed overhead dominates); slopes well
+        # past the data ratio are the local signal closest to "breaks at
+        # 100×" — exactly how the r9 q_curation_e2e superlinearity was
+        # found. Sub-0.5s sf0.01 timings are skipped (overhead-dominated
+        # numerators make slopes meaningless). Outlier rule: see
+        # docs/SCALE.md "Scaling slopes".
+        if not suffix:
+            sib = os.path.join(bench_dir, f"r{int(rnd):02d}_sf0.01.json")
+            try:
+                with open(sib) as f:
+                    small = json.load(f)
+                small_q = small.get("queries", {})
+                slopes = {
+                    q: round(t / small_q[q], 2)
+                    for q, t in timings.items()
+                    if isinstance(small_q.get(q), (int, float))
+                    and small_q[q] >= 0.5
+                    and q not in failed
+                }
+                payload["slopes"] = slopes
+                payload["slope_outliers"] = sorted(
+                    q for q, s in slopes.items() if s > 12.0
+                )
+            except (OSError, ValueError):
+                pass
         with open(out, "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)
         print(f"# full results -> {out}", file=sys.stderr)

@@ -3198,3 +3198,191 @@ def test_incremental_qid_index_matches_batch_audit(spark, tmp_path):
     idx.update_batch(spark.createDataFrame([("z", 9)], "q1 string, q2 int"), batch_id=3)
     r = idx.audit(k=3).collect()[0]
     assert r["k_anonymous"] == 0 and r["min_class_size"] == 1
+
+
+# ---------------------------------------------------------------------------
+# the FULL loop in one artifact (r11): ingest → id/stock state → 9-topic
+# CDC → membership tiers, stream result pinned to a from-scratch batch replay
+# ---------------------------------------------------------------------------
+
+
+def test_pos_full_loop_ingest_state_cdc_tiers(spark, tmp_path):
+    """The reference's entire topology as ONE test: raw ID-LESS sale
+    events (the producer shape) → dense monotonic id state (T2) →
+    per-product running stock state (T3) → all NINE topic shapes drained
+    through Trigger.AvailableNow CDC streams (T5/T6) → the hourly ETL's
+    membership-tier computation over the warehouse — and the final
+    warehouse + tiers asserted equal to a from-scratch BATCH replay of
+    the same events (the q_upsert_semantics / q_case_tiers algebra on
+    plain frames). kafka_producer.py + kafka_consumer.py +
+    POS_spark_dag.py, one artifact."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from simple_pos_kafka_pyspark_airflow_spark.operators.relational import (
+        membership_tiers,
+    )
+    from simple_pos_kafka_pyspark_airflow_spark.streaming import pipeline
+
+    # ---- stage 1: id-less raw sales; seeds for the stock state --------
+    raw_sales = [  # (event_key, customer_id, product_id, quantity, price)
+        (11, 1, 10, 2, 5000.0),
+        (12, 1, 10, 1, 2000.0),
+        (13, 2, 20, 1, 500.0),
+        (14, 2, 10, 1, 100.0),
+    ]
+    src1 = tmp_path / "raw_sales"
+    src1.mkdir()
+    with open(src1 / "s.json", "w") as f:
+        for seed in [(10, 50.0), (20, 30.0)]:  # product stock seeds
+            f.write(
+                json.dumps(
+                    {"event_key": None, "customer_id": None, "product_id": seed[0],
+                     "quantity": 0, "price": None, "initial_stock": seed[1]}
+                ) + "\n"
+            )
+        for ek, cid, pid, qty, price in raw_sales:
+            f.write(
+                json.dumps(
+                    {"event_key": ek, "customer_id": cid, "product_id": pid,
+                     "quantity": qty, "price": price, "initial_stock": None}
+                ) + "\n"
+            )
+    raw_schema = (
+        "event_key long, customer_id long, product_id long, quantity int, "
+        "price double, initial_stock double"
+    )
+
+    # T2: dense id assignment under the single reference tracker key
+    ids_q = (
+        ingest.file_json_stream(spark, str(src1), raw_schema)
+        .where(F.col("event_key").isNotNull())
+        .select(F.lit("__global__").alias("k"), "event_key")
+        .groupBy("k")
+        .applyInPandasWithState(
+            state.assign_ids,
+            outputStructType=state.SEQ_OUTPUT_SCHEMA,
+            stateStructType=state.SEQ_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.format("memory")
+        .queryName("loop_ids")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_ids"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    # T3: running stock (seeds + decrements) on the same raw stream
+    stock_q = (
+        state.stock_stream(
+            ingest.file_json_stream(spark, str(src1), raw_schema)
+            .select("product_id", F.col("quantity").cast("double").alias("quantity"), "initial_stock")
+            .groupBy("product_id")
+        )
+        .writeStream.format("memory")
+        .queryName("loop_stock")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_stock"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    ids_q.awaitTermination(120)
+    stock_q.awaitTermination(120)
+    assigned = {
+        r["event_key"]: r["assigned_id"]
+        for r in spark.sql("SELECT * FROM loop_ids").collect()
+    }
+    assert assigned == {11: 1, 12: 2, 13: 3, 14: 4}  # dense, seq-ordered
+    stock = {
+        r["product_id"]: r["stock_level"]
+        for r in spark.sql("SELECT * FROM loop_stock").collect()
+    }
+    assert stock == {10: 46.0, 20: 29.0}
+
+    # ---- stage 2: all NINE topic shapes into the CDC warehouse --------
+    # sales carry the STATE-assigned ids; products carry the STATE stock
+    ev = [
+        ("customers_add", {"customer_id": 1, "name": "Ann", "level": ""}),
+        ("customers_add", {"customer_id": 2, "name": "Bob", "level": ""}),
+        ("customers_add", {"customer_id": 3, "name": "Cat", "level": ""}),
+        ("customers_edit", {"customer_id": 3, "name": "Cathy", "level": ""}),
+        ("customers_add", {"customer_id": 4, "name": "Dan", "level": ""}),
+        ("customers_remove", {"customer_id": 4}),
+        *[
+            ("sales_add",
+             {"sale_id": assigned[ek], "customer_id": cid, "quantity": qty, "price": price})
+            for ek, cid, pid, qty, price in raw_sales
+        ],
+        # Bob's sale edited up to Gold spend, Bob's other sale removed
+        ("sales_edit", {"sale_id": 3, "customer_id": 2, "quantity": 1, "price": 60000.0}),
+        ("sales_remove", {"sale_id": 4}),
+        ("products_add", {"product_id": 10, "category": "Drinks", "stock_level": int(stock[10])}),
+        ("products_add", {"product_id": 20, "category": "Food", "stock_level": int(stock[20])}),
+        ("products_edit", {"product_id": 20, "category": "Snacks", "stock_level": int(stock[20])}),
+        ("products_remove", {"product_id": 999}),  # delete of absent key: no-op
+    ]
+    src2 = tmp_path / "topics"
+    src2.mkdir()
+    with open(src2 / "all.json", "w") as f:
+        for seq, (topic, payload) in enumerate(ev):
+            f.write(
+                json.dumps(
+                    {"topic": topic, "value": json.dumps({**payload, "seq": seq}), "seq": seq}
+                ) + "\n"
+            )
+    assert len({t for t, _ in ev}) == 9  # every topic shape exercised
+    raw = ingest.file_json_stream(
+        spark, str(src2), "topic string, value string, seq long"
+    )
+    sinks = pipeline.build_sinks(spark, str(tmp_path / "wh"))
+    for q in pipeline.start_pipeline(raw, sinks, str(tmp_path / "ck_cdc")):
+        q.awaitTermination(120)
+
+    # ---- stage 3: tiers over the warehouse ----------------------------
+    sales = sinks["sales"].read().withColumn(
+        "total_price", F.col("quantity") * F.col("price")
+    )
+    tiers = membership_tiers(
+        sinks["customers"].read(), sales, "customer_id", "customer_id", "total_price"
+    )
+    got = {
+        r["name"]: (r["membership_level"], r["lifetime_spend"])
+        for r in tiers.collect()
+    }
+
+    # ---- batch replay oracle: same events, plain-frame CDC + tiers ----
+    def replay(prefix):
+        snap = {}
+        for seq, (topic, payload) in enumerate(ev):
+            if not topic.startswith(prefix):
+                continue
+            pk = payload[next(iter(payload))]  # first field is the pk
+            if topic.endswith("_remove"):
+                snap.pop(pk, None)
+            else:
+                snap[pk] = payload
+        return snap
+
+    want_sales = replay("sales_")
+    want_customers = replay("customers_")
+    want_products = replay("products_")
+    assert {
+        r["sale_id"]: (r["quantity"], r["price"])
+        for r in sinks["sales"].read().collect()
+    } == {k: (v["quantity"], v["price"]) for k, v in want_sales.items()}
+    assert {
+        r["product_id"]: (r["category"], r["stock_level"])
+        for r in sinks["products"].read().collect()
+    } == {k: (v["category"], v["stock_level"]) for k, v in want_products.items()}
+    assert {r["customer_id"]: r["name"] for r in sinks["customers"].read().collect()} == {
+        k: v["name"] for k, v in want_customers.items()
+    }
+    spend = {}
+    for v in want_sales.values():
+        spend[v["customer_id"]] = spend.get(v["customer_id"], 0.0) + v["quantity"] * v["price"]
+    def tier(s):
+        return "Gold" if s >= 50000 else ("Silver" if s >= 10000 else "Bronze")
+    want_tiers = {
+        v["name"]: (tier(spend.get(k, 0.0)), spend.get(k, 0.0))
+        for k, v in want_customers.items()
+    }
+    assert got == want_tiers
