@@ -245,6 +245,12 @@ HEADLINE = [
     "q_repurchase_interval",
     # cohort LTV curve (cents by integer month-age, cumsum over cells)
     "q_cohort_clv",
+    # r11: URL-canonicalization dedup (regex chain + canonical groupBy),
+    # free-text PII gate (regexp_count/replace projection + 5-row summary),
+    # and the scale-safe global-rank primitive's own row
+    "q_dedup_url",
+    "q_text_pii",
+    "q_rank_distributed",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

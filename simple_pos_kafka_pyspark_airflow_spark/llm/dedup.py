@@ -1860,3 +1860,38 @@ def fuzzy_join_jaccard(
         F.col("_rb").alias(r_id),
         (F.col("_i").cast("double") / F.col("_u").cast("double")).alias("jaccard"),
     )
+
+
+def canonical_url(url) -> "Column":
+    """URL canonicalization for crawl dedup (r11) — the first dedup step
+    every web-scale corpus runs BEFORE any content hashing (CommonCrawl
+    and its derivatives dedup by canonical URL at ingest; it is ~free
+    and removes the bulk of re-crawl duplicates without touching text):
+
+      1. strip the fragment (``#...`` never reaches the server);
+      2. strip tracking params (``utm_*``, ``ref``, ``fbclid``) wherever
+         they sit in the query string, preserving real params and their
+         order, then tidy the separators left behind;
+      3. lowercase the scheme+authority (host names are
+         case-insensitive; paths are NOT touched — they are
+         case-sensitive by spec);
+      4. strip trailing slashes from the path.
+
+    Pure ``regexp_replace``/``regexp_extract`` — whole-stage codegen,
+    no UDF, embarrassingly parallel; the exact same algebra is
+    expressible in any SQL engine (q_dedup_url's DuckDB oracle replays
+    it with RE2 syntax). Not a full RFC 3986 normalizer (no percent-
+    encoding case-folding, no dot-segment removal, no default-port
+    strip) — those are rare in crawl data and each is one more regex in
+    the same chain when needed."""
+    u = F.regexp_replace(url, r"#.*$", "")
+    u = F.regexp_replace(
+        u, r"([?&])(?:utm_[A-Za-z0-9_]+|ref|fbclid)=[^&]*", r"$1"
+    )
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"[?&]$", "")
+    auth = F.regexp_extract(u, r"^(https?://[^/?]+)", 1)
+    tail = u.substr(F.length(auth) + F.lit(1), F.length(u))
+    u = F.concat(F.lower(auth), tail)
+    return F.regexp_replace(u, r"/+$", "")

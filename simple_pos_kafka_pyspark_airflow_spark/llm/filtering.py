@@ -672,3 +672,28 @@ def stratified_split(
         .otherwise("test")
     )
     return df.withColumn("split", split)
+
+
+#: PII detection patterns (r11): deliberately simple, RE2-compatible
+#: classes (no lookarounds) so the SAME pattern runs in Spark (Java
+#: regex) and any RE2 oracle engine. Production deployments swap in
+#: their compliance team's patterns — the plan shape doesn't change.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b555-[0-9]{4}\b"
+
+
+def pii_counts(text) -> dict[str, "Column"]:
+    """Per-row PII hit counts + the redacted text — the release gate's
+    text-side complement to the k-anonymity/l-diversity audits (those
+    gate quasi-identifier COLUMNS; this gates free-text leakage).
+    All codegen (`regexp_count`/`regexp_replace`), no UDF; counts are
+    exact ints so a gate summary hash-compares across engines.
+    Callers aggregate — the per-doc frame never needs to ship."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+    )
+    return {
+        "n_emails": F.regexp_count(text, F.lit(PII_EMAIL_RE)).cast("long"),
+        "n_phones": F.regexp_count(text, F.lit(PII_PHONE_RE)).cast("long"),
+        "redacted": redacted,
+    }

@@ -4757,3 +4757,51 @@ def q_cohort_clv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev_cents",
         F.sum("rev_cents").over(w).cast("long").alias("cum_rev_cents"),
     )
+
+
+@register(
+    "q_rank_distributed",
+    "window",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ), r AS (
+      SELECT o_custkey, cents,
+             CAST(row_number() OVER (ORDER BY cents DESC, o_custkey) AS BIGINT)
+               AS rnk,
+             CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey) AS BIGINT)
+               AS cum
+      FROM cust
+    )
+    SELECT o_custkey, cents, rnk, cum FROM r WHERE rnk <= 200
+    """,
+    notes="extension (r11): the scale-safe global-rank operator's own "
+    "contract row — distributed_total_rank (range-bucketed prefix sums, "
+    "no single-partition sort) must reproduce row_number + running-sum "
+    "window semantics EXACTLY under the (cents DESC, custkey) total "
+    "order, top-200 by rank for bounded output. This is the primitive "
+    "q_seg_rfm/q_seg_abc/q_eval_lift now ride; certifying it directly "
+    "pins the machinery, not just its three consumers. The oracle's "
+    "RANGE default frame equals ROWS because the order is total",
+)
+def q_rank_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.order import distributed_total_rank
+
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    ranked = distributed_total_rank(
+        cust, F.col("cents"), F.col("o_custkey"), descending=True
+    )
+    return ranked.where(F.col("rank") <= 200).select(
+        "o_custkey",
+        "cents",
+        F.col("rank").alias("rnk"),
+        F.col("cum").alias("cum"),
+    )

@@ -4187,3 +4187,175 @@ def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("s"),
     )
     return textops.retrieval_metrics_at_k(ev, "q", "d", F.col("r"), F.col("s"), k=10)
+
+
+@register(
+    "q_dedup_url",
+    "llm",
+    oracle=r"""
+    WITH u AS (
+      SELECT doc_id,
+        'https://' ||
+        CASE WHEN doc_id % 4 = 0 THEN upper(source || '.example.com')
+             ELSE source || '.example.com' END ||
+        '/item/' || CAST(doc_id % 37 AS VARCHAR) ||
+        CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END ||
+        CASE WHEN doc_id % 4 = 2
+               THEN '?utm_source=feed&id=' || CAST(doc_id % 37 AS VARCHAR)
+             WHEN doc_id % 4 = 3
+               THEN '?id=' || CAST(doc_id % 37 AS VARCHAR) || '&utm_campaign=x'
+             ELSE '' END ||
+        CASE WHEN doc_id % 4 = 3 THEN '#frag' ELSE '' END AS raw_url
+      FROM documents
+    ), t AS (
+      SELECT doc_id, raw_url,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(raw_url, '#.*$', ''),
+                '([?&])(?:utm_[A-Za-z0-9_]+|ref|fbclid)=[^&]*', '\1', 'g'),
+              '&&+', '&', 'g'),
+            '\?&', '?'),
+          '[?&]$', '') AS t4
+      FROM u
+    ), c AS (
+      SELECT doc_id, raw_url,
+        regexp_replace(
+          lower(regexp_extract(t4, '^(https?://[^/?]+)', 1)) ||
+            substr(t4, length(regexp_extract(t4, '^(https?://[^/?]+)', 1)) + 1),
+          '/+$', '') AS canonical_url
+      FROM t
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT raw_url) AS BIGINT) AS n_raw_variants,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc
+    FROM c GROUP BY canonical_url
+    """,
+    notes="extension (r11): URL-canonicalization dedup — the first step "
+    "of every web-crawl pipeline (dedup by canonical URL is ~free and "
+    "removes the bulk of re-crawl duplicates before any content "
+    "hashing). The documents table carries no URL, so the query PLANTS "
+    "deterministic variants in-plan (host-case noise, trailing slash, "
+    "utm/ref tracking params, fragments — each from doc_id arithmetic "
+    "both engines replay) and the canonicalizer must collapse them: "
+    "strip fragment, strip tracking params preserving real ones, "
+    "lowercase scheme+authority only, strip trailing slash. Pure regex "
+    "chain — codegen, no UDF, one groupBy shuffle on the canonical key; "
+    "at 100 TB this runs at ingest as a projection + the dedup-exact "
+    "groupBy. llm/dedup.canonical_url",
+)
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 37).cast("string")
+    v = F.col("doc_id") % 4
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    raw = F.concat(
+        F.lit("https://"),
+        F.when(v == 0, F.upper(host)).otherwise(host),
+        F.lit("/item/"),
+        k,
+        F.when(v == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(v == 2, F.concat(F.lit("?utm_source=feed&id="), k))
+        .when(v == 3, F.concat(F.lit("?id="), k, F.lit("&utm_campaign=x")))
+        .otherwise(F.lit("")),
+        F.when(v == 3, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    urls = d.select(F.col("doc_id"), raw.alias("raw_url"))
+    return (
+        urls.withColumn("canonical_url", dedup.canonical_url(F.col("raw_url")))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.countDistinct("raw_url").cast("long").alias("n_raw_variants"),
+            F.min("doc_id").cast("long").alias("keep_doc"),
+        )
+    )
+
+
+@register(
+    "q_text_pii",
+    "llm",
+    oracle=r"""
+    WITH p AS (
+      SELECT source,
+        text ||
+        CASE WHEN doc_id % 5 = 0
+               THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+             ELSE '' END ||
+        CASE WHEN doc_id % 7 = 0
+               THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+             ELSE '' END AS t
+      FROM documents
+    ), c AS (
+      SELECT source,
+        CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(t, '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+        CAST(length(t) - length(
+          regexp_replace(
+            regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b555-[0-9]{4}\b', '<PHONE>', 'g')) AS BIGINT) AS chars_redacted
+      FROM p
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+           CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+           CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+           CAST(SUM(chars_redacted) AS BIGINT) AS chars_redacted
+    FROM c GROUP BY source
+    """,
+    notes="extension (r11): free-text PII gate — the text-side "
+    "complement of the k-anonymity/l-diversity column audits: count and "
+    "redact emails/phones before release. The synthetic corpus carries "
+    "no PII, so the query PLANTS deterministic emails (doc_id%5) and "
+    "555-prefixed phones (doc_id%7) in-plan — both engines replay the "
+    "construction — then the detector must find exactly those. "
+    "RE2-compatible patterns (no lookarounds) run identically as Java "
+    "regex and DuckDB RE2; counts and redaction-length deltas are exact "
+    "ints. All codegen (regexp_count/regexp_replace), one source-keyed "
+    "groupBy — at 100 TB this is a map-side projection + 5-row summary. "
+    "llm/filtering.pii_counts",
+)
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" today"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    cols = filtering.pii_counts(planted)
+    per = d.select(
+        "source",
+        cols["n_emails"].alias("n_emails"),
+        cols["n_phones"].alias("n_phones"),
+        (F.length(planted) - F.length(cols["redacted"])).cast("long").alias(
+            "chars_redacted"
+        ),
+    )
+    return per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_emails") + F.col("n_phones") > 0, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("docs_with_pii"),
+        F.sum("n_emails").cast("long").alias("n_emails"),
+        F.sum("n_phones").cast("long").alias("n_phones"),
+        F.sum("chars_redacted").cast("long").alias("chars_redacted"),
+    )

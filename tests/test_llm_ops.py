@@ -3311,3 +3311,61 @@ def test_pca_project_on_testdata_embeddings(spark, sf_dir):
     assert out.columns == ["vec_id", "projected"]
     assert out.count() == m["n"]
     assert len(out.first()["projected"]) == 8
+
+
+# ---------------------------------------------------------------------------
+# r11: URL canonicalization + PII gate edge cases
+# ---------------------------------------------------------------------------
+
+
+def test_canonical_url_edge_cases(spark):
+    from simple_pos_kafka_pyspark_airflow_spark.llm.dedup import canonical_url
+
+    cases = {
+        # host case folds, path case preserved
+        "https://EXAMPLE.com/Path/X": "https://example.com/Path/X",
+        # fragment stripped
+        "https://a.com/p#frag": "https://a.com/p",
+        # tracking params stripped wherever they sit; real params survive in order
+        "https://a.com/p?utm_source=x&id=7": "https://a.com/p?id=7",
+        "https://a.com/p?id=7&utm_campaign=y": "https://a.com/p?id=7",
+        "https://a.com/p?a=1&ref=z&b=2": "https://a.com/p?a=1&b=2",
+        # all-tracking query vanishes entirely
+        "https://a.com/p?utm_a=1&fbclid=2": "https://a.com/p",
+        # trailing slashes stripped (root too)
+        "https://a.com/p/": "https://a.com/p",
+        "https://a.com/": "https://a.com",
+        # utm value containing no '=' boundary issues
+        "http://B.com:8080/q?utm_x=a+b&k=v#z": "http://b.com:8080/q?k=v",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], ["u"])
+    got = {r["u"]: r["c"] for r in df.select("u", canonical_url(F.col("u")).alias("c")).collect()}
+    for raw, want in cases.items():
+        assert got[raw] == want, (raw, got[raw], want)
+
+
+def test_pii_counts_and_redaction(spark):
+    from simple_pos_kafka_pyspark_airflow_spark.llm.filtering import pii_counts
+
+    rows = [
+        ("mail me at ann.b+x@Example.co.uk thanks", 1, 0),
+        ("call 555-0199 or 555-0200 now", 0, 2),
+        ("no pii here 5550199 a@b c@d.e", 1, 0),  # a@b lacks TLD; c@d.e has 1-char TLD -> no
+        ("both: z9@m.io and 555-1234", 1, 1),
+        ("", 0, 0),
+    ]
+    # row 3: 'c@d.e' TLD is 1 char -> pattern requires {2,} so only... wait
+    # 'a@b' no dot; 'c@d.e' -> [A-Za-z]{2,} fails on 'e' -> 0 emails? But
+    # '5550199' must not match the \b555-[0-9]{4}\b phone form either.
+    df = spark.createDataFrame([(t,) for t, _, _ in rows], ["t"])
+    cols = pii_counts(F.col("t"))
+    got = df.select(
+        "t", cols["n_emails"].alias("e"), cols["n_phones"].alias("p"), cols["redacted"].alias("r")
+    ).collect()
+    by_text = {r["t"]: r for r in got}
+    for t, e, p in rows:
+        if t == "no pii here 5550199 a@b c@d.e":
+            assert by_text[t]["e"] == 0 and by_text[t]["p"] == 0, by_text[t]
+            continue
+        assert (by_text[t]["e"], by_text[t]["p"]) == (e, p), (t, by_text[t])
+    assert by_text["both: z9@m.io and 555-1234"]["r"] == "both: <EMAIL> and <PHONE>"
