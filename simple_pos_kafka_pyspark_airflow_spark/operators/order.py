@@ -84,12 +84,14 @@ def distributed_total_rank(
     global sort and a wall at 100 TB. The classic range-partitioned
     prefix-sum (the TeraSort layout, applied to ranking):
 
-      1. bucket each row by fixed-width value range (monotone in ``x`` —
-         double math, so no overflow; equal values always share a
-         bucket);
-      2. per-(bucket, value) counts and value sums — ONE partial-
-         aggregable shuffle whose output is the value lattice, not the
-         fact;
+      1. collapse to per-value counts and value sums — ONE partial-
+         aggregable fact shuffle whose output is the value lattice, not
+         the fact (bounds, buckets, and totals all derive from the
+         lattice, so the fact is scanned exactly twice: here and the
+         final join-back);
+      2. bucket each lattice value by fixed-width range (monotone in
+         ``x`` — double math, so no overflow; equal values always share
+         a bucket);
       3. exclusive prefix over the ≤ ``n_buckets+1`` bucket totals (the
          only ordered-window stage left, bounded by the bucket count
          regardless of data size) and, within each bucket, an exclusive
@@ -120,7 +122,14 @@ def distributed_total_rank(
     g = list(group_cols or [])
     o = (-x).cast("long") if descending else x.cast("long")
     d = df.withColumn("__o", o).withColumn("__x", x.cast("long"))
-    bounds = d.groupBy(*g).agg(
+    # collapse to the value lattice FIRST (one partial-aggregable fact
+    # shuffle); bounds/buckets/totals then derive from the lattice, so
+    # the fact is scanned exactly twice (here + the final join-back),
+    # not three times
+    lat0 = d.groupBy(*g, "__o").agg(
+        F.count("*").cast("long").alias("__n"), F.sum("__x").alias("__sx")
+    )
+    bounds = lat0.groupBy(*g).agg(
         F.min("__o").cast("double").alias("__lo"),
         F.max("__o").cast("double").alias("__hi"),
     )
@@ -128,14 +137,14 @@ def distributed_total_rank(
         (F.col("__hi") - F.col("__lo") + F.lit(1.0)) / F.lit(float(n_buckets)),
         F.lit(1.0),
     )
-    joined = d.join(F.broadcast(bounds), on=g) if g else d.crossJoin(F.broadcast(bounds))
-    bucketed = joined.withColumn(
+    joined = (
+        lat0.join(F.broadcast(bounds), on=g)
+        if g
+        else lat0.crossJoin(F.broadcast(bounds))
+    )
+    lat = joined.withColumn(
         "__b",
         F.floor((F.col("__o").cast("double") - F.col("__lo")) / width).cast("long"),
-    )
-    lat = (
-        bucketed.groupBy(*g, "__b", "__o")
-        .agg(F.count("*").cast("long").alias("__n"), F.sum("__x").alias("__sx"))
     )
     wb = (
         Window.partitionBy(*g).orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
@@ -170,7 +179,7 @@ def distributed_total_rank(
             ),
         )
     )
-    tot = lat.groupBy(*g).agg(
+    tot = lat0.groupBy(*g).agg(
         F.sum("__n").cast("long").alias(f"{prefix}n_total"),
         F.sum("__sx").cast("long").alias(f"{prefix}x_total"),
     )
