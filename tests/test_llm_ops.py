@@ -3369,3 +3369,30 @@ def test_pii_counts_and_redaction(spark):
             continue
         assert (by_text[t]["e"], by_text[t]["p"]) == (e, p), (t, by_text[t])
     assert by_text["both: z9@m.io and 555-1234"]["r"] == "both: <EMAIL> and <PHONE>"
+
+
+def test_canonical_url_is_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) over randomized URLs —
+    a canonicalizer that isn't a fixpoint silently splits dedup groups
+    between a raw-ingested and a re-ingested crawl."""
+    import random
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm.dedup import canonical_url
+
+    rng = random.Random(99)
+    hosts = ["A.com", "b.Example.org", "WWW.X.io:8080"]
+    paths = ["", "/", "/p", "/P/q/", "/a/b//"]
+    queries = ["", "?id=1", "?utm_x=1", "?id=1&utm_y=2&b=3", "?ref=z", "?utm_a=1&utm_b=2"]
+    frags = ["", "#f", "#utm_x=1"]
+    urls = list({
+        f"http{'s' if rng.random() < 0.5 else ''}://{rng.choice(hosts)}"
+        f"{rng.choice(paths)}{rng.choice(queries)}{rng.choice(frags)}"
+        for _ in range(120)
+    })
+    df = spark.createDataFrame([(u,) for u in urls], ["u"])
+    out = df.select(
+        canonical_url(F.col("u")).alias("c1"),
+        canonical_url(canonical_url(F.col("u"))).alias("c2"),
+    ).collect()
+    for r in out:
+        assert r["c1"] == r["c2"], r

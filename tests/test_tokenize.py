@@ -258,3 +258,23 @@ def test_fast_mode_batches_and_stays_valid():
     ranks = tk.bpe_ranks(fast)
     for w in list(wc)[:50]:
         assert "".join(tk.bpe_encode_python(w, ranks)) == w
+
+
+def test_distributed_fast_mode_matches_python_fast_twin(spark):
+    """exact_order=False on the Spark trainer must equal the python fast
+    twin exactly (same selection code path, same window semantics) —
+    the production batched mode is pinned, not just the exact default."""
+    docs = spark.createDataFrame(
+        [("ab ab ab xab cd cd ef ef ef ef gh gh ij ij",),
+         ("xab xab cd ab ef gh kl kl kl mn mn op",)],
+        ["text"],
+    )
+    wc = {r["word"]: r["count"] for r in tk.word_count_table(docs).collect()}
+    want = tk.bpe_train_python_batched(
+        wc, 12, max_batch=8, topk_window=64, exact_order=False
+    )
+    got = tk.bpe_train_from_counts(
+        tk.word_count_table(docs), n_merges=12, max_batch=8, topk_window=64,
+        exact_order=False,
+    )
+    assert got == want
