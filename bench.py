@@ -251,6 +251,10 @@ HEADLINE = [
     "q_dedup_url",
     "q_text_pii",
     "q_rank_distributed",
+    # r11 second wave: broadcast linear quality gate (vocab-filtered
+    # token join) and the fixed-bin calibration table
+    "q_text_classify",
+    "q_eval_calibration",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

@@ -697,3 +697,71 @@ def pii_counts(text) -> dict[str, "Column"]:
         "n_phones": F.regexp_count(text, F.lit(PII_PHONE_RE)).cast("long"),
         "redacted": redacted,
     }
+
+
+#: Frozen linear quality model (r11): integer word weights + bias on the
+#: synthetic corpus vocabulary — what a released fasttext-style quality
+#: classifier's top features look like after integer quantization (real
+#: deployments broadcast ~10^6 hashed-feature weights the same way; the
+#: plan does not change). Integer weights keep every score exact.
+QUALITY_WEIGHTS: dict[str, int] = {
+    "table": 5, "query": 4, "join": 4, "window": 3, "agg": 3,
+    "stream": 3, "spark": 2, "merge": 2, "sort": 2, "group": 2,
+    "slow": -3, "small": -2, "a": -4, "the": -1, "of": -2,
+}
+QUALITY_BIAS = -2
+
+
+def classify_quality(
+    docs: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: dict[str, int] | None = None,
+    bias: int | None = None,
+    threshold: int = 0,
+) -> "DataFrame":
+    """Linear document quality classifier — the production shape of the
+    fasttext-style quality gate every curated corpus runs (CCNet,
+    Gopher, LLaMA all score with a linear model over token features):
+    ``score = bias + Σ weight(token)``, keep when ``score ≥ threshold``.
+
+    Plan: explode tokens (the only corpus-sized frame), inner-join the
+    BROADCAST weight table (absent tokens contribute 0 — the join drops
+    them, which IS the +0), one id-keyed groupBy. No UDF anywhere and
+    the model rides the broadcast, so scoring 100 TB is one shuffle of
+    the matched-token frame (vocabulary-filtered — far smaller than the
+    corpus). Integer weights ⇒ exact int64 scores ⇒ the gate decision
+    hash-compares across engines (q_text_classify).
+
+    Output: ``(id_col, score, keep)``; keep is int 0/1."""
+    w = weights if weights is not None else QUALITY_WEIGHTS
+    b = bias if bias is not None else QUALITY_BIAS
+    spark = docs.sparkSession
+    wtab = spark.createDataFrame(
+        [(k, v) for k, v in sorted(w.items())], "word string, weight int"
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+        ).alias("word"),
+    )
+    scored = (
+        toks.join(F.broadcast(wtab), "word")
+        .groupBy(id_col)
+        .agg(F.sum("weight").cast("long").alias("_s"))
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            (F.coalesce(F.col("_s"), F.lit(0)) + F.lit(b)).cast("long").alias("score"),
+            F.when(
+                F.coalesce(F.col("_s"), F.lit(0)) + F.lit(b) >= threshold, 1
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("keep"),
+        )
+    )

@@ -4805,3 +4805,67 @@ def q_rank_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").alias("rnk"),
         F.col("cum").alias("cum"),
     )
+
+
+@register(
+    "q_eval_calibration",
+    "agg",
+    oracle="""
+    WITH unit AS (
+      SELECT user_id,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+                    THEN CAST(floor(value * 100) AS BIGINT) END), 0) AS BIGINT)
+               AS score,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS responded
+      FROM events GROUP BY user_id
+    ),
+    m AS (SELECT CAST(MAX(score) AS BIGINT) AS mx FROM unit)
+    SELECT CAST((score * 10) // (mx + 1) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(responded) AS BIGINT) AS responders,
+           CAST(SUM(responded) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS response_rate,
+           CAST(SUM(score) AS BIGINT) AS sum_score
+    FROM unit, m
+    GROUP BY bucket
+    """,
+    notes="extension (r11): CALIBRATION / reliability table — the "
+    "companion of q_eval_lift's rank-deciles: fixed-width SCORE bins "
+    "(integer cross-engine division, buckets 0..9 by score·10 div "
+    "(max+1)) with per-bin volume and observed response rate — how a "
+    "monotone score maps to outcome probability, the curve every "
+    "threshold decision reads. Exact int64 counts/scores; the rate is "
+    "one division over exact ints (bit-identical per IEEE). Two "
+    "shuffles (per-unit agg + 10-bin agg), max broadcasts; no sort, no "
+    "window — shape-invariant to 100 TB",
+)
+def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    unit = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(F.col("event_type") == "click", cents)), F.lit(0))
+        .cast("long")
+        .alias("score"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("responded"),
+    )
+    m = unit.agg(F.max("score").cast("long").alias("mx"))
+    return (
+        unit.crossJoin(F.broadcast(m))
+        .select(
+            F.expr("(score * 10) div (mx + 1)").cast("long").alias("bucket"),
+            "responded",
+            "score",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("responded").cast("long").alias("responders"),
+            (
+                F.sum("responded").cast("double") / F.count("*").cast("double")
+            ).alias("response_rate"),
+            F.sum("score").cast("long").alias("sum_score"),
+        )
+    )

@@ -4359,3 +4359,64 @@ def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_phones").cast("long").alias("n_phones"),
         F.sum("chars_redacted").cast("long").alias("chars_redacted"),
     )
+
+
+@register(
+    "q_text_classify",
+    "llm",
+    oracle="""
+    WITH w(word, weight) AS (VALUES
+      ('table', 5), ('query', 4), ('join', 4), ('window', 3), ('agg', 3),
+      ('stream', 3), ('spark', 2), ('merge', 2), ('sort', 2), ('group', 2),
+      ('slow', -3), ('small', -2), ('a', -4), ('the', -1), ('of', -2)
+    ),
+    toks AS (
+      SELECT doc_id, source, unnest(list_filter(string_split(lower(text), ' '),
+                                                x -> x <> '')) AS word
+      FROM documents
+    ),
+    scored AS (
+      SELECT t.doc_id, CAST(SUM(w.weight) AS BIGINT) AS s
+      FROM toks t JOIN w ON t.word = w.word
+      GROUP BY t.doc_id
+    ),
+    gated AS (
+      SELECT d.source,
+             COALESCE(s.s, 0) - 2 AS score,
+             CASE WHEN COALESCE(s.s, 0) - 2 >= 0 THEN 1 ELSE 0 END AS keep
+      FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+           CAST(SUM(score) AS BIGINT) AS sum_score,
+           CAST(MIN(score) AS BIGINT) AS min_score,
+           CAST(MAX(score) AS BIGINT) AS max_score
+    FROM gated GROUP BY source
+    """,
+    notes="extension (r11): linear QUALITY CLASSIFIER gate — the "
+    "production shape of fasttext-style corpus filtering (CCNet/Gopher/"
+    "LLaMA all gate on a linear model over token features): integer "
+    "word weights broadcast as a table, token explode + inner join "
+    "(absent tokens ARE the +0), one id groupBy, integer threshold. "
+    "Exact int64 scores so the keep decision hash-compares; the 5-row "
+    "per-source summary is the release artifact. At 100 TB the shuffled "
+    "frame is vocabulary-FILTERED tokens, far smaller than the corpus; "
+    "a 10^6-feature hashed model broadcasts the same way. "
+    "llm/filtering.classify_quality",
+)
+def q_text_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    gated = filtering.classify_quality(d, threshold=0)
+    return (
+        d.select("doc_id", "source")
+        .join(gated, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_kept"),
+            F.sum("score").cast("long").alias("sum_score"),
+            F.min("score").cast("long").alias("min_score"),
+            F.max("score").cast("long").alias("max_score"),
+        )
+    )
