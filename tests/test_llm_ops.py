@@ -3396,3 +3396,31 @@ def test_canonical_url_is_idempotent(spark):
     ).collect()
     for r in out:
         assert r["c1"] == r["c2"], r
+
+
+def test_classify_quality_scores_and_gate(spark):
+    from simple_pos_kafka_pyspark_airflow_spark.llm.filtering import (
+        QUALITY_BIAS,
+        QUALITY_WEIGHTS,
+        classify_quality,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "table query JOIN window"),       # 5+4+4+3 + bias
+            (2, "slow small a a"),                # -3-2-4-4 + bias
+            (3, "zzz qqq unknownword"),           # bias only (no matches)
+            (4, ""),                              # empty text -> bias
+            (5, "the the the table"),             # -1*3 + 5 + bias
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: (r["score"], r["keep"]) for r in classify_quality(docs).collect()}
+    b = QUALITY_BIAS
+    assert got[1] == (16 + b, 1)
+    assert got[2] == (-13 + b, 0)
+    assert got[3] == (b, 1 if b >= 0 else 0)
+    assert got[4] == (b, 1 if b >= 0 else 0)
+    assert got[5] == (2 + b, 1 if 2 + b >= 0 else 0)
+    # repeated tokens weight each occurrence (it's a sum, not a set)
+    assert got[5][0] == QUALITY_WEIGHTS["the"] * 3 + QUALITY_WEIGHTS["table"] + b

@@ -459,3 +459,54 @@ def test_aqe_skew_join_splits_planted_hot_key(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_rank_operator_large_n_spotcheck(spark):
+    """distributed_total_rank at 300k rows / 4k buckets: full-frame
+    equality against the window form is itself a single-partition sort,
+    so compare a deterministic SAMPLE of keys plus the aggregate
+    invariants (rank is a permutation of 1..N; cum hits x_total at the
+    max rank). Guards bucket-boundary arithmetic at row counts the unit
+    pins never reach."""
+    from pyspark.sql import Window
+
+    from simple_pos_kafka_pyspark_airflow_spark.operators.order import (
+        distributed_total_rank,
+    )
+
+    n = 300_000
+    df = spark.range(n).select(
+        F.col("id").cast("int").alias("key"),
+        ((F.col("id") * 2654435761) % 100_003).cast("long").alias("x"),
+    )
+    got = distributed_total_rank(df, F.col("x"), F.col("key"), n_buckets=4096)
+    got.persist()
+    try:
+        agg = got.agg(
+            F.count("*").alias("n"),
+            F.min("rank").alias("rmin"),
+            F.max("rank").alias("rmax"),
+            F.countDistinct("rank").alias("rdist"),
+            F.max(F.when(F.col("rank") == n, F.col("cum"))).alias("cum_at_max"),
+            F.first("x_total").alias("xt"),
+        ).collect()[0]
+        assert (agg["n"], agg["rmin"], agg["rmax"], agg["rdist"]) == (n, 1, n, n)
+        assert agg["cum_at_max"] == agg["xt"]
+        # sampled exact comparison vs the window form on 500 keys
+        sample_keys = [i * 601 for i in range(500)]
+        w = Window.orderBy(F.col("x").asc(), F.col("key").asc())
+        wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        expect = {
+            r["key"]: (r["rn"], r["cs"])
+            for r in df.select(
+                "key",
+                F.row_number().over(w).cast("long").alias("rn"),
+                F.sum("x").over(wr).cast("long").alias("cs"),
+            )
+            .where(F.col("key").isin(sample_keys))
+            .collect()
+        }
+        for r in got.where(F.col("key").isin(sample_keys)).collect():
+            assert (r["rank"], r["cum"]) == expect[r["key"]], r
+    finally:
+        got.unpersist()
