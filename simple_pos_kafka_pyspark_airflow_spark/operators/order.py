@@ -120,6 +120,17 @@ def distributed_total_rank(
     from pyspark.sql import Window
 
     g = list(group_cols or [])
+    reserved = {
+        "__o", "__x", "__b", "__n", "__sx", "__lo", "__hi", "__tn", "__tsx",
+        "__bn0", "__bsx0", "__base_n", "__base_sx", "__rt",
+        f"{prefix}rank", f"{prefix}cum", f"{prefix}n_total", f"{prefix}x_total",
+    }
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"distributed_total_rank: input columns collide with internal/"
+            f"output names {sorted(clash)}; rename them or set prefix="
+        )
     o = (-x).cast("long") if descending else x.cast("long")
     d = df.withColumn("__o", o).withColumn("__x", x.cast("long"))
     # collapse to the value lattice FIRST (one partial-aggregable fact
