@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from . import textops
 from .textops import LANG_MARKERS, predicted_lang_from_tokens, punct_ratio, tokens
 
 
@@ -674,28 +675,33 @@ def stratified_split(
     return df.withColumn("split", split)
 
 
-#: PII detection patterns (r11): deliberately simple, RE2-compatible
-#: classes (no lookarounds) so the SAME pattern runs in Spark (Java
-#: regex) and any RE2 oracle engine. Production deployments swap in
-#: their compliance team's patterns — the plan shape doesn't change.
-PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+#: PII detection patterns (r11): the email class is EXACTLY
+#: textops.REDACTION_PATTERNS' email pattern (one definition of "email"
+#: across scrub and audit — a count computed with a different regex than
+#: the scrub would certify the wrong thing); the phone class is narrower
+#: than the redaction pass's digit-run pattern because a COUNT needs
+#: precision where a scrub wants recall. RE2-compatible (no lookarounds)
+#: so the same strings run as Java regex and DuckDB RE2.
+PII_EMAIL_RE = textops.REDACTION_PATTERNS[0][0]
 PII_PHONE_RE = r"\b555-[0-9]{4}\b"
+PII_COUNT_PATTERNS: tuple[tuple[str, str], ...] = (
+    (PII_EMAIL_RE, "<EMAIL>"),
+    (PII_PHONE_RE, "<PHONE>"),
+)
 
 
 def pii_counts(text) -> dict[str, "Column"]:
-    """Per-row PII hit counts + the redacted text — the release gate's
-    text-side complement to the k-anonymity/l-diversity audits (those
-    gate quasi-identifier COLUMNS; this gates free-text leakage).
-    All codegen (`regexp_count`/`regexp_replace`), no UDF; counts are
-    exact ints so a gate summary hash-compares across engines.
-    Callers aggregate — the per-doc frame never needs to ship."""
-    redacted = F.regexp_replace(
-        F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
-    )
+    """Per-row PII hit counts + the redacted text — the AUDIT companion
+    of ``textops.redact`` (q_text_redact scrubs; this counts what was
+    scrubbed and feeds the release-gate summary), and the text-side
+    complement to the k-anonymity/l-diversity column audits.
+    All codegen (`regexp_count` + the shared redact chain), no UDF;
+    counts are exact ints so the gate summary hash-compares across
+    engines. Callers aggregate — the per-doc frame never ships."""
     return {
         "n_emails": F.regexp_count(text, F.lit(PII_EMAIL_RE)).cast("long"),
         "n_phones": F.regexp_count(text, F.lit(PII_PHONE_RE)).cast("long"),
-        "redacted": redacted,
+        "redacted": textops.redact(text, PII_COUNT_PATTERNS),
     }
 
 
