@@ -255,6 +255,8 @@ HEADLINE = [
     # token join) and the fixed-bin calibration table
     "q_text_classify",
     "q_eval_calibration",
+    # exact ROC AUC on the rank ladder (no global sort)
+    "q_eval_auc",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

@@ -4869,3 +4869,96 @@ def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("score").cast("long").alias("sum_score"),
         )
     )
+
+
+@register(
+    "q_eval_auc",
+    "agg",
+    oracle="""
+    WITH unit AS (
+      SELECT user_id,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+                    THEN CAST(floor(value * 100) AS BIGINT) END), 0) AS BIGINT)
+               AS score,
+             CAST(CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                    THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS BIGINT)
+               AS responded
+      FROM events GROUP BY user_id
+    ),
+    lat AS (
+      SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(responded) AS BIGINT) AS p
+      FROM unit GROUP BY score
+    ),
+    cum AS (
+      SELECT n, p,
+             COALESCE(SUM(n) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM lat
+    ),
+    t AS (
+      SELECT CAST(SUM(p * (2 * below + n + 1)) AS BIGINT) AS r2,
+             CAST(SUM(p) AS BIGINT) AS n_pos,
+             CAST(SUM(n) - SUM(p) AS BIGINT) AS n_neg
+      FROM cum
+    )
+    SELECT n_pos, n_neg,
+           CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+           CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+             / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+    FROM t
+    """,
+    notes="extension (r11): exact ROC AUC — the third leg of the "
+    "model-eval family beside q_eval_lift (rank deciles) and "
+    "q_eval_calibration (reliability bins); the positive class is the "
+    "above-median heavy purchaser (>=14 purchase events, splits every "
+    "SF - EVERY synthetic user purchases at least once). AUC is the Mann-Whitney U "
+    "statistic normalized: midrank sum over positives computed on the "
+    "SCORE LATTICE (2R1 = Σ p·(2·below + n + 1) — all integer, ties "
+    "exact by construction), below-counts from distributed_total_rank "
+    "(no single-partition sort; the oracle's window runs on the "
+    "lattice, not units). u2 = 2·U1 certifies the integer core; auc is "
+    "ONE division over exact ints — bit-identical per IEEE. "
+    "sklearn-pinned in tests/test_plans.py",
+)
+def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.order import distributed_total_rank
+
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    unit = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(F.col("event_type") == "click", cents)), F.lit(0))
+        .cast("long")
+        .alias("score"),
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 14,
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("responded"),
+    )
+    ranked = distributed_total_rank(unit, F.col("score"), F.col("user_id"))
+    lat = ranked.groupBy("score").agg(
+        (F.min("rank") - 1).alias("below"),
+        F.count("*").cast("long").alias("n"),
+        F.sum("responded").cast("long").alias("p"),
+    )
+    t = lat.agg(
+        F.sum(F.col("p") * (2 * F.col("below") + F.col("n") + 1))
+        .cast("long")
+        .alias("r2"),
+        F.sum("p").cast("long").alias("n_pos"),
+        (F.sum("n") - F.sum("p")).cast("long").alias("n_neg"),
+    )
+    return t.select(
+        "n_pos",
+        "n_neg",
+        (F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1))
+        .cast("long")
+        .alias("u2"),
+        (
+            (F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc"),
+    )

@@ -849,3 +849,45 @@ def test_nullsafe_join_is_hash_join(spark, sf_dir):
     plan = explain_str(build(spark, sf_dir, "q_join_nullsafe"))
     assert _node_count(plan, "BroadcastHashJoin") + _node_count(plan, "SortMergeJoin") >= 1, plan
     assert _node_count(plan, "BroadcastNestedLoopJoin") == 0, plan
+
+
+def test_eval_auc_equals_pairwise_reference(spark):
+    """q_eval_auc's midrank algebra pinned to the DEFINITION of AUC:
+    P(score_pos > score_neg) + 0.5·P(tie), computed by brute pairwise
+    comparison on the sf0.001 units (15 users — O(n²) is fine here)."""
+    from simple_pos_kafka_pyspark_airflow_spark.plans import load_registry
+
+    sf = "/root/testdata/sf0.001"
+    reg = load_registry()
+    got = reg["q_eval_auc"].build(spark, sf).collect()[0]
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    unit = (
+        ev.groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "click",
+                        F.floor(F.col("value") * 100).cast("long"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("score"),
+            F.when(
+                F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 14,
+                1,
+            )
+            .otherwise(0)
+            .alias("y"),
+        )
+        .collect()
+    )
+    pos = [r["score"] for r in unit if r["y"] == 1]
+    neg = [r["score"] for r in unit if r["y"] == 0]
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    assert pos and neg, "degenerate split — pick a different threshold"
+    # u2 = 2*U1 = sum over pairs of (2 if pos>neg, 1 if tie, 0)
+    u2 = sum(2 if p > n else (1 if p == n else 0) for p in pos for n in neg)
+    assert got["u2"] == u2
+    assert got["auc"] == u2 / (2 * len(pos) * len(neg))
