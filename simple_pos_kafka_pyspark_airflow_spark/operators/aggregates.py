@@ -1259,3 +1259,69 @@ def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
             F.max("_rows").cast("long").alias("max_rows"),
         )
     )
+
+
+def auc_exact(
+    df: DataFrame,
+    score,
+    label,
+    key,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact ROC AUC (optionally per group) via the Mann-Whitney midrank
+    identity, with NO single-partition sort at any size (r11).
+
+    ``AUC = P(score⁺ > score⁻) + ½·P(tie)`` equals ``U₁/(n₁·n₀)`` where
+    ``U₁ = R₁ − n₁(n₁+1)/2`` and ``R₁`` is the midrank sum of the
+    positives. Computed all-integer on the SCORE LATTICE: per distinct
+    score, ``below`` (rows strictly under it, from
+    ``order.distributed_total_rank`` — range-bucketed prefix sums, never
+    a global sort), ``n`` and positives ``p``; then
+    ``2·R₁ = Σ p·(2·below + n + 1)`` — ties exact by construction, no
+    float ever decides. The final ``auc`` is ONE division over exact
+    int64s (bit-identical across engines per IEEE); ``u2 = 2·U₁`` ships
+    beside it as the integer certificate.
+
+    ``score`` must be integer-valued, ``label`` 0/1 integer, ``key`` a
+    unique row id (tiebreak only — never affects the statistic).
+    Output: ``(*group_cols, n_pos, n_neg, u2, auc)``; ``auc`` is NULL
+    for a degenerate group (one class absent) rather than an error.
+
+    This is the model-eval twin of ``mannwhitney_utest_exact`` (same U
+    core; that one ships the z-statistic, this one the probability
+    form)."""
+    from .order import distributed_total_rank
+
+    g = list(group_cols or [])
+    unit = df.select(
+        *g,
+        score.cast("long").alias("__s"),
+        label.cast("long").alias("__y"),
+        key.alias("__k"),
+    )
+    ranked = distributed_total_rank(
+        unit, F.col("__s"), F.col("__k"), group_cols=g or None
+    )
+    lat = ranked.groupBy(*g, "__s").agg(
+        (F.min("rank") - 1).alias("__below"),
+        F.count("*").cast("long").alias("__n"),
+        F.sum("__y").cast("long").alias("__p"),
+    )
+    t = lat.groupBy(*g).agg(
+        F.sum(F.col("__p") * (2 * F.col("__below") + F.col("__n") + 1))
+        .cast("long")
+        .alias("__r2"),
+        F.sum("__p").cast("long").alias("n_pos"),
+        (F.sum("__n") - F.sum("__p")).cast("long").alias("n_neg"),
+    )
+    u2 = (F.col("__r2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("long")
+    return t.select(
+        *g,
+        "n_pos",
+        "n_neg",
+        u2.alias("u2"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            u2.cast("double") / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+        ).alias("auc"),
+    )

@@ -4919,10 +4919,11 @@ def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(no single-partition sort; the oracle's window runs on the "
     "lattice, not units). u2 = 2·U1 certifies the integer core; auc is "
     "ONE division over exact ints — bit-identical per IEEE. "
-    "sklearn-pinned in tests/test_plans.py",
+    "operators/aggregates.auc_exact (grouped form available); pairwise-"
+    "definition pytest in tests/test_plans.py",
 )
 def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.order import distributed_total_rank
+    from ..operators.aggregates import auc_exact
 
     ev = table(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100).cast("long")
@@ -4938,27 +4939,4 @@ def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("responded"),
     )
-    ranked = distributed_total_rank(unit, F.col("score"), F.col("user_id"))
-    lat = ranked.groupBy("score").agg(
-        (F.min("rank") - 1).alias("below"),
-        F.count("*").cast("long").alias("n"),
-        F.sum("responded").cast("long").alias("p"),
-    )
-    t = lat.agg(
-        F.sum(F.col("p") * (2 * F.col("below") + F.col("n") + 1))
-        .cast("long")
-        .alias("r2"),
-        F.sum("p").cast("long").alias("n_pos"),
-        (F.sum("n") - F.sum("p")).cast("long").alias("n_neg"),
-    )
-    return t.select(
-        "n_pos",
-        "n_neg",
-        (F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1))
-        .cast("long")
-        .alias("u2"),
-        (
-            (F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
-            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
-        ).alias("auc"),
-    )
+    return auc_exact(unit, F.col("score"), F.col("responded"), F.col("user_id"))

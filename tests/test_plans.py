@@ -891,3 +891,32 @@ def test_eval_auc_equals_pairwise_reference(spark):
     u2 = sum(2 if p > n else (1 if p == n else 0) for p in pos for n in neg)
     assert got["u2"] == u2
     assert got["auc"] == u2 / (2 * len(pos) * len(neg))
+
+
+def test_auc_exact_grouped_and_degenerate(spark):
+    """auc_exact per group: pairwise-definition equality per group; a
+    one-class group yields NULL auc (not an error) with its counts."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators.aggregates import auc_exact
+
+    rows = []
+    # group A: informative scores with ties; group B: all positive
+    a = [(10, 1), (9, 1), (9, 0), (5, 0), (5, 1), (2, 0), (2, 0), (1, 1)]
+    for i, (s, y) in enumerate(a):
+        rows.append(("A", i, s, y))
+    for i, (s, y) in enumerate([(3, 1), (7, 1)]):
+        rows.append(("B", 100 + i, s, y))
+    df = spark.createDataFrame(rows, "g string, id int, s long, y int")
+    got = {
+        r["g"]: r
+        for r in auc_exact(
+            df, F.col("s"), F.col("y"), F.col("id"), group_cols=["g"]
+        ).collect()
+    }
+    pos = [s for s, y in a if y == 1]
+    neg = [s for s, y in a if y == 0]
+    u2 = sum(2 if p > n else (1 if p == n else 0) for p in pos for n in neg)
+    assert got["A"]["n_pos"] == len(pos) and got["A"]["n_neg"] == len(neg)
+    assert got["A"]["u2"] == u2
+    assert got["A"]["auc"] == u2 / (2 * len(pos) * len(neg))
+    assert got["B"]["n_pos"] == 2 and got["B"]["n_neg"] == 0
+    assert got["B"]["auc"] is None
