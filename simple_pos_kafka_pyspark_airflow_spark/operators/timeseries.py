@@ -558,3 +558,54 @@ def backtest_naive_forecasts(
             ),
         )
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view", "signup"),
+) -> DataFrame:
+    """Last-touch revenue attribution (r11, registered as a contract
+    query next round): every conversion event credits its revenue to the
+    MOST RECENT preceding touch event of the same user — the standard
+    marketing-attribution baseline (first-touch is the same plan with
+    ``first`` over an unbounded-following frame; multi-touch splits are
+    a transform of the same carried column).
+
+    Plan: ONE per-user window ordered by the (ts, id) total order (the
+    id tiebreak makes simultaneous events deterministic) carrying
+    ``last(touch_type, ignorenulls=True)`` over [unbounded preceding,
+    current row); conversions with no preceding touch land in the
+    ``'direct'`` bucket rather than dropping (unattributed revenue must
+    stay visible — silently dropping it overstates every channel).
+    Revenue on the exact cents grid. One hash exchange on the user key
+    — the same single shuffle any per-key window costs; the output is
+    |touch_types|+1 rows.
+
+    Output: ``(touch, n_conversions, attributed_cents)``."""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col(type_col).isin(*touch_types), F.col(type_col)
+    )
+    carried = F.last(touch, ignorenulls=True).over(w)
+    conv = (
+        events.withColumn("__touch", carried)
+        .where(F.col(type_col) == conversion_type)
+        .select(
+            F.coalesce(F.col("__touch"), F.lit("direct")).alias("touch"),
+            F.floor(F.col(value_col) * 100).cast("long").alias("__cents"),
+        )
+    )
+    return conv.groupBy("touch").agg(
+        F.count("*").cast("long").alias("n_conversions"),
+        F.sum("__cents").cast("long").alias("attributed_cents"),
+    )

@@ -920,3 +920,41 @@ def test_auc_exact_grouped_and_degenerate(spark):
     assert got["A"]["auc"] == u2 / (2 * len(pos) * len(neg))
     assert got["B"]["n_pos"] == 2 and got["B"]["n_neg"] == 0
     assert got["B"]["auc"] is None
+
+
+def test_last_touch_attribution_hand_sequence(spark):
+    """Hand-built user journeys: conversions credit the latest preceding
+    touch; a conversion before any touch lands in 'direct'; later touches
+    don't steal earlier conversions; ties break by event id."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators.timeseries import (
+        last_touch_attribution,
+    )
+
+    rows = [
+        # user 1: click -> purchase(10) -> view -> purchase(5)
+        (1, "2024-01-01 00:00:00", 1, "click", 0.0),
+        (2, "2024-01-01 00:01:00", 1, "purchase", 10.0),
+        (3, "2024-01-01 00:02:00", 1, "view", 0.0),
+        (4, "2024-01-01 00:03:00", 1, "purchase", 5.0),
+        # user 2: purchase with NO preceding touch -> direct
+        (5, "2024-01-01 00:00:00", 2, "purchase", 7.0),
+        (6, "2024-01-01 00:01:00", 2, "signup", 0.0),
+        # user 3: same-ts touch and purchase — id order decides (touch first)
+        (7, "2024-01-01 00:00:00", 3, "click", 0.0),
+        (8, "2024-01-01 00:00:00", 3, "purchase", 3.0),
+        # error events are never touches
+        (9, "2024-01-01 00:00:00", 4, "error", 0.0),
+        (10, "2024-01-01 00:01:00", 4, "purchase", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["touch"]: (r["n_conversions"], r["attributed_cents"])
+        for r in last_touch_attribution(df).collect()
+    }
+    assert got == {
+        "click": (2, 1300),   # user1 p1 (1000) + user3 p (300)
+        "view": (1, 500),     # user1 p2
+        "direct": (2, 900),   # user2 (700) + user4 (200, error not a touch)
+    }
