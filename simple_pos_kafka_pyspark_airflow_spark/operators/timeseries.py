@@ -569,13 +569,15 @@ def last_touch_attribution(
     value_col: str = "value",
     conversion_type: str = "purchase",
     touch_types: tuple[str, ...] = ("click", "view", "signup"),
+    model: str = "last",
 ) -> DataFrame:
     """Last-touch revenue attribution (r11, registered as a contract
     query next round): every conversion event credits its revenue to the
-    MOST RECENT preceding touch event of the same user — the standard
-    marketing-attribution baseline (first-touch is the same plan with
-    ``first`` over an unbounded-following frame; multi-touch splits are
-    a transform of the same carried column).
+    MOST RECENT preceding touch event of the same user (``model='last'``,
+    the standard marketing-attribution baseline) or the EARLIEST one
+    (``model='first'`` — same plan, ``first(ignorenulls)`` over the same
+    frame); multi-touch splits are a transform of the same carried
+    column.
 
     Plan: ONE per-user window ordered by the (ts, id) total order (the
     id tiebreak makes simultaneous events deterministic) carrying
@@ -588,6 +590,8 @@ def last_touch_attribution(
     |touch_types|+1 rows.
 
     Output: ``(touch, n_conversions, attributed_cents)``."""
+    if model not in ("last", "first"):
+        raise ValueError(f"model must be 'last' or 'first', got {model!r}")
     w = (
         Window.partitionBy(user_col)
         .orderBy(F.col(ts_col), F.col(id_col))
@@ -596,7 +600,12 @@ def last_touch_attribution(
     touch = F.when(
         F.col(type_col).isin(*touch_types), F.col(type_col)
     )
-    carried = F.last(touch, ignorenulls=True).over(w)
+    # first-touch = the EARLIEST preceding touch: same frame, first()
+    carried = (
+        F.last(touch, ignorenulls=True).over(w)
+        if model == "last"
+        else F.first(touch, ignorenulls=True).over(w)
+    )
     conv = (
         events.withColumn("__touch", carried)
         .where(F.col(type_col) == conversion_type)

@@ -958,3 +958,25 @@ def test_last_touch_attribution_hand_sequence(spark):
         "view": (1, 500),     # user1 p2
         "direct": (2, 900),   # user2 (700) + user4 (200, error not a touch)
     }
+
+
+def test_first_touch_attribution(spark):
+    from simple_pos_kafka_pyspark_airflow_spark.operators.timeseries import (
+        last_touch_attribution,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "signup", 0.0),
+        (2, "2024-01-01 00:01:00", 1, "click", 0.0),
+        (3, "2024-01-01 00:02:00", 1, "purchase", 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    last = {r["touch"]: r["attributed_cents"] for r in last_touch_attribution(df).collect()}
+    first = {
+        r["touch"]: r["attributed_cents"]
+        for r in last_touch_attribution(df, model="first").collect()
+    }
+    assert last == {"click": 1000}
+    assert first == {"signup": 1000}
