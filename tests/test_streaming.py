@@ -3337,6 +3337,21 @@ def test_pos_full_loop_ingest_state_cdc_tiers(spark, tmp_path):
     for q in pipeline.start_pipeline(raw, sinks, str(tmp_path / "ck_cdc")):
         q.awaitTermination(120)
 
+    # exactly-once: a SECOND AvailableNow drain over the same checkpoint
+    # (the reference's next hourly tick with no new events) must be a
+    # no-op — the warehouse is unchanged, not double-applied
+    before = {
+        name: sorted(map(tuple, sinks[name].read().collect()))
+        for name in ("sales", "products", "customers")
+    }
+    raw_again = ingest.file_json_stream(
+        spark, str(src2), "topic string, value string, seq long"
+    )
+    for q in pipeline.start_pipeline(raw_again, sinks, str(tmp_path / "ck_cdc")):
+        q.awaitTermination(120)
+    for name, rows_before in before.items():
+        assert sorted(map(tuple, sinks[name].read().collect())) == rows_before, name
+
     # ---- stage 3: tiers over the warehouse ----------------------------
     sales = sinks["sales"].read().withColumn(
         "total_price", F.col("quantity") * F.col("price")
