@@ -1677,3 +1677,37 @@ def test_l_diversity_audit_catches_homogeneous_class(spark):
     )
     r2 = l_diversity_audit(ok, ["q"], "s", l=3).collect()[0]
     assert r2["l_diverse"] == 1 and r2["n_low_diversity"] == 0
+
+
+# (key, x) frames with heavy value collisions and negatives — the rank
+# operator's hard cases (tie groups straddling bucket boundaries)
+rank_rows_strategy = st.lists(
+    st.integers(-7, 7),  # tiny value domain forces ties
+    min_size=1,
+    max_size=40,
+).map(lambda xs: [(i, x) for i, x in enumerate(xs)])
+
+
+@given(rank_rows_strategy, st.booleans(), st.integers(1, 9))
+@SETTINGS
+def test_distributed_rank_matches_python_oracle(spark, rows, desc, n_buckets):
+    """distributed_total_rank == a plain-Python sort, for every bucket
+    count (1 bucket = everything in one range; 9 buckets on a 15-value
+    domain = near-one-value-per-bucket) and both directions."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators.order import (
+        distributed_total_rank,
+    )
+
+    order = sorted(rows, key=lambda kv: ((-kv[1]) if desc else kv[1], kv[0]))
+    want = {}
+    cum = 0
+    for rank0, (k, x) in enumerate(order):
+        cum += x
+        want[k] = (rank0 + 1, cum)
+    df = spark.createDataFrame(rows, "key int, x long")
+    got = distributed_total_rank(
+        df, F.col("x"), F.col("key"), descending=desc, n_buckets=n_buckets
+    ).collect()
+    assert len(got) == len(rows)
+    for r in got:
+        assert (r["rank"], r["cum"]) == want[r["key"]], (r, desc, n_buckets)
