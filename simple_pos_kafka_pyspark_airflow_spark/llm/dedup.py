@@ -278,6 +278,7 @@ def group_overlap_minhash(
     text_col: str = "text",
     n_shingle: int = 3,
     num_hashes: int = 64,
+    eager_cache: bool = True,
 ) -> DataFrame:
     """Pairwise corpus-overlap estimate between GROUPS (sources, domains,
     snapshots): MinHash of each group's union-of-shingles set, compared
@@ -318,6 +319,18 @@ def group_overlap_minhash(
     sigs = _min_signature_by(rows, "_grp", num_hashes).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # Eager fill (r12, bench adjudication): computing the corpus scan +
+    # k-wide min-agg in its OWN job before the pair compare keeps the
+    # cache-fill out of the join stages — when both crossJoin sides race
+    # to materialize the same uncached partitions, tasks block on the
+    # BlockManager's compute-or-wait lock and a loaded host amplifies the
+    # stall superlinearly (the r11 driver sweep priced this family 2-4×
+    # over the same-code committed record). count() does the identical
+    # work the first consumer would; total work is unchanged, variance
+    # shrinks. eager_cache=False restores a fully lazy plan for callers
+    # composing without executing.
+    if eager_cache:
+        sigs.count()
     a = sigs.select(F.col("_id").alias("group_a"), F.col("_sig").alias("_sa"))
     b = sigs.select(F.col("_id").alias("group_b"), F.col("_sig").alias("_sb"))
     agree = F.aggregate(
@@ -1362,6 +1375,7 @@ def jaccard_pairs_prefix(
     n: int = 3,
     threshold: float = 0.5,
     max_posting_docs: int = 10_000,
+    eager_cache: bool = True,
 ) -> DataFrame:
     """ALL pairs with exact shingle-set Jaccard ≥ ``threshold`` via
     prefix filtering (the SSJoin/PPJoin candidate scheme) — the lossless
@@ -1405,6 +1419,16 @@ def jaccard_pairs_prefix(
         .withColumn("_sz", F.size("_sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Eager fill (r12, bench adjudication): the set table feeds FOUR plan
+    # branches (postings→dfreq, postings→prefix, verify side a, verify
+    # side b) inside one action — racing tasks block on the cache's
+    # compute-or-wait lock while the first fills it, and a loaded host
+    # amplifies that stall (the r11 driver sweep: 8.2s flat vs 2.2s
+    # committed at calibration drift only 1.29). Filling the cache in a
+    # dedicated job first does the same work once, sequenced; see
+    # group_overlap_minhash for the full argument.
+    if eager_cache:
+        sets_df.count()
     postings = sets_df.select("_id", "_sz", F.explode("_sh").alias("_h"))
     dfreq = postings.groupBy("_h").agg(F.count("*").cast("long").alias("_df"))
     w = Window.partitionBy("_id").orderBy("_df", "_h")
@@ -1883,15 +1907,22 @@ def canonical_url(url) -> "Column":
     it with RE2 syntax). Not a full RFC 3986 normalizer (no percent-
     encoding case-folding, no dot-segment removal, no default-port
     strip) — those are rare in crawl data and each is one more regex in
-    the same chain when needed."""
+    the same chain when needed.
+
+    Scheme match and tracking-param names are CASE-INSENSITIVE (r12,
+    ADVICE): real crawls carry ``HTTP://HOST/x`` and ``UTM_SOURCE=`` —
+    a case-sensitive scheme match silently skipped the host lowering
+    (contradicting rule 3) and uppercase tracking params survived the
+    strip, splitting dedup groups. ``(?i:...)`` is shared Java-regex /
+    RE2 syntax, so the DuckDB oracle replays it verbatim."""
     u = F.regexp_replace(url, r"#.*$", "")
     u = F.regexp_replace(
-        u, r"([?&])(?:utm_[A-Za-z0-9_]+|ref|fbclid)=[^&]*", r"$1"
+        u, r"([?&])(?i:utm_[A-Za-z0-9_]+|ref|fbclid)=[^&]*", r"$1"
     )
     u = F.regexp_replace(u, r"&&+", "&")
     u = F.regexp_replace(u, r"\?&", "?")
     u = F.regexp_replace(u, r"[?&]$", "")
-    auth = F.regexp_extract(u, r"^(https?://[^/?]+)", 1)
+    auth = F.regexp_extract(u, r"^((?i:https?)://[^/?]+)", 1)
     tail = u.substr(F.length(auth) + F.lit(1), F.length(u))
     u = F.concat(F.lower(auth), tail)
     return F.regexp_replace(u, r"/+$", "")

@@ -4940,3 +4940,63 @@ def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("responded"),
     )
     return auc_exact(unit, F.col("score"), F.col("responded"), F.col("user_id"))
+
+
+@register(
+    "q_attribution",
+    "window",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type IN ('click','view','signup')
+                  THEN event_type END AS touch_ev
+      FROM events
+    ),
+    carried AS (
+      SELECT event_type, value,
+             last_value(touch_ev IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch,
+             first_value(touch_ev IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch
+      FROM e
+    ),
+    conv AS (
+      SELECT COALESCE(last_touch, 'direct') AS touch, 'last' AS model,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM carried WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT COALESCE(first_touch, 'direct') AS touch, 'first' AS model,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM carried WHERE event_type = 'purchase'
+    )
+    SELECT model, touch, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(SUM(cents) AS BIGINT) AS attributed_cents
+    FROM conv GROUP BY model, touch
+    """,
+    notes="extension (r12, promised by the r11 operator docstring): last- "
+    "AND first-touch revenue attribution over the events stream — each "
+    "purchase credits its revenue to the most-recent (model='last') or "
+    "earliest (model='first') preceding click/view/signup of the same "
+    "user; conversions with no preceding touch stay visible in the "
+    "'direct' bucket. Both models are the SAME one-shuffle per-user "
+    "window (last/first ignorenulls over [unbounded, -1) on the (ts, "
+    "event_id) total order — the id tiebreak pins simultaneous events), "
+    "unioned with a model tag; output is <= 2*(|touch_types|+1) rows. "
+    "Revenue on the exact cents grid (floor(value*100) — identical IEEE "
+    "double mult in both engines). operators/timeseries."
+    "last_touch_attribution; planted-sequence pytest in "
+    "tests/test_timeseries.py",
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import last_touch_attribution
+
+    ev = table(spark, sf_dir, "events")
+    out = None
+    for model in ("last", "first"):
+        part = last_touch_attribution(ev, model=model).withColumn(
+            "model", F.lit(model)
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.select("model", "touch", "n_conversions", "attributed_cents")

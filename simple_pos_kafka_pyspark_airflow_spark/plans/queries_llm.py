@@ -4195,13 +4195,13 @@ def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH u AS (
       SELECT doc_id,
-        'https://' ||
+        CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://' ELSE 'https://' END ||
         CASE WHEN doc_id % 4 = 0 THEN upper(source || '.example.com')
              ELSE source || '.example.com' END ||
         '/item/' || CAST(doc_id % 37 AS VARCHAR) ||
         CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END ||
         CASE WHEN doc_id % 4 = 2
-               THEN '?utm_source=feed&id=' || CAST(doc_id % 37 AS VARCHAR)
+               THEN '?UTM_Source=feed&id=' || CAST(doc_id % 37 AS VARCHAR)
              WHEN doc_id % 4 = 3
                THEN '?id=' || CAST(doc_id % 37 AS VARCHAR) || '&utm_campaign=x'
              ELSE '' END ||
@@ -4214,7 +4214,7 @@ def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             regexp_replace(
               regexp_replace(
                 regexp_replace(raw_url, '#.*$', ''),
-                '([?&])(?:utm_[A-Za-z0-9_]+|ref|fbclid)=[^&]*', '\1', 'g'),
+                '([?&])(?i:utm_[A-Za-z0-9_]+|ref|fbclid)=[^&]*', '\1', 'g'),
               '&&+', '&', 'g'),
             '\?&', '?'),
           '[?&]$', '') AS t4
@@ -4222,8 +4222,8 @@ def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), c AS (
       SELECT doc_id, raw_url,
         regexp_replace(
-          lower(regexp_extract(t4, '^(https?://[^/?]+)', 1)) ||
-            substr(t4, length(regexp_extract(t4, '^(https?://[^/?]+)', 1)) + 1),
+          lower(regexp_extract(t4, '^((?i:https?)://[^/?]+)', 1)) ||
+            substr(t4, length(regexp_extract(t4, '^((?i:https?)://[^/?]+)', 1)) + 1),
           '/+$', '') AS canonical_url
       FROM t
     )
@@ -4252,12 +4252,12 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.col("doc_id") % 4
     host = F.concat(F.col("source"), F.lit(".example.com"))
     raw = F.concat(
-        F.lit("https://"),
+        F.when(v == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
         F.when(v == 0, F.upper(host)).otherwise(host),
         F.lit("/item/"),
         k,
         F.when(v == 1, F.lit("/")).otherwise(F.lit("")),
-        F.when(v == 2, F.concat(F.lit("?utm_source=feed&id="), k))
+        F.when(v == 2, F.concat(F.lit("?UTM_Source=feed&id="), k))
         .when(v == 3, F.concat(F.lit("?id="), k, F.lit("&utm_campaign=x")))
         .otherwise(F.lit("")),
         F.when(v == 3, F.lit("#frag")).otherwise(F.lit("")),

@@ -3337,6 +3337,14 @@ def test_canonical_url_edge_cases(spark):
         "https://a.com/": "https://a.com",
         # utm value containing no '=' boundary issues
         "http://B.com:8080/q?utm_x=a+b&k=v#z": "http://b.com:8080/q?k=v",
+        # uppercase scheme still matches the authority extract (r12,
+        # ADVICE): host lowers, path case preserved
+        "HTTP://HOST.COM/Path/X": "http://host.com/Path/X",
+        "HTTPS://A.com/p/": "https://a.com/p",
+        # uppercase tracking params strip too
+        "https://a.com/p?UTM_SOURCE=x&id=7": "https://a.com/p?id=7",
+        "https://a.com/p?a=1&Ref=z&b=2": "https://a.com/p?a=1&b=2",
+        "https://a.com/p?FBCLID=2": "https://a.com/p",
     }
     df = spark.createDataFrame([(u,) for u in cases], ["u"])
     got = {r["u"]: r["c"] for r in df.select("u", canonical_url(F.col("u")).alias("c")).collect()}
@@ -3384,8 +3392,9 @@ def test_canonical_url_is_idempotent(spark):
     paths = ["", "/", "/p", "/P/q/", "/a/b//"]
     queries = ["", "?id=1", "?utm_x=1", "?id=1&utm_y=2&b=3", "?ref=z", "?utm_a=1&utm_b=2"]
     frags = ["", "#f", "#utm_x=1"]
+    schemes = ["http", "https", "HTTP", "HTTPS", "Https"]
     urls = list({
-        f"http{'s' if rng.random() < 0.5 else ''}://{rng.choice(hosts)}"
+        f"{rng.choice(schemes)}://{rng.choice(hosts)}"
         f"{rng.choice(paths)}{rng.choice(queries)}{rng.choice(frags)}"
         for _ in range(120)
     })
