@@ -682,7 +682,7 @@ def stratified_split(
 #: than the redaction pass's digit-run pattern because a COUNT needs
 #: precision where a scrub wants recall. RE2-compatible (no lookarounds)
 #: so the same strings run as Java regex and DuckDB RE2.
-PII_EMAIL_RE = textops.REDACTION_PATTERNS[0][0]
+PII_EMAIL_RE = textops.EMAIL_RE
 PII_PHONE_RE = r"\b555-[0-9]{4}\b"
 PII_COUNT_PATTERNS: tuple[tuple[str, str], ...] = (
     (PII_EMAIL_RE, "<EMAIL>"),

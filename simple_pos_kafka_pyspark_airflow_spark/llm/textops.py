@@ -58,10 +58,16 @@ def bpe_ish_token_count(text: Column) -> Column:
 
 #: PII-shaped patterns, RE2-compatible (no lookarounds) so the identical
 #: pattern runs in DuckDB oracles. Deliberately simple: recall-oriented
-#: scrubbing for training corpora, not a compliance tool.
+#: scrubbing for training corpora, not a compliance tool. Named
+#: constants (r12, ADVICE): downstream audits (llm/filtering.pii_counts)
+#: share the EXACT scrub pattern by name — indexing REDACTION_PATTERNS
+#: by position made a reorder silently swap the email count for the
+#: phone regex while the certified oracle kept the old string.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_SCRUB_RE = r"[0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}"
 REDACTION_PATTERNS: tuple[tuple[str, str], ...] = (
-    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    (r"[0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}", "<PHONE>"),
+    (EMAIL_RE, "<EMAIL>"),
+    (PHONE_SCRUB_RE, "<PHONE>"),
 )
 
 

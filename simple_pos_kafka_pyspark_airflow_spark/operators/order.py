@@ -107,7 +107,17 @@ def distributed_total_rank(
 
     ``x`` must be integer-valued (exact comparisons; |x| < 2^62 so the
     DESC negation cannot overflow) and ``key`` a unique tiebreak (unique
-    per group when ``group_cols`` is set).
+    per group when ``group_cols`` is set). NULL ``x`` is ranked exactly
+    where the window forms put it (r12, ADVICE — the null-unsafe
+    join-back used to silently DROP such rows): Spark's default null
+    ordering is NULLS FIRST for ASC and NULLS LAST for DESC, so NULLs
+    map to the ∓2^62 sentinel the |x| < 2^62 contract leaves free (ties
+    among NULLs break on ``key`` like any tie); they contribute 0 to
+    the running sum and ``x_total`` (SQL SUM ignores NULLs) and count
+    toward ``rank``/``n_total`` (row_number/COUNT(*) don't). One
+    deliberate divergence: ``cum`` is 0 (not NULL) for rows before the
+    first non-null ``x`` — a total column beats replicating SQL's
+    empty-frame NULL (pinned in tests/test_rank_scale.py).
     Output: input columns + ``{prefix}rank`` (1-based long),
     ``{prefix}cum`` (running sum of x, long), ``{prefix}n_total``,
     ``{prefix}x_total``. With ``group_cols`` every stage partitions by
@@ -132,7 +142,12 @@ def distributed_total_rank(
             f"output names {sorted(clash)}; rename them or set prefix="
         )
     o = (-x).cast("long") if descending else x.cast("long")
-    d = df.withColumn("__o", o).withColumn("__x", x.cast("long"))
+    # NULLS FIRST (asc) / NULLS LAST (desc) — after the DESC negation
+    # both cases want the sentinel at the matching end of the __o axis
+    o = F.coalesce(o, F.lit((1 << 62) if descending else -(1 << 62)))
+    d = df.withColumn("__o", o).withColumn(
+        "__x", F.coalesce(x.cast("long"), F.lit(0))
+    )
     # collapse to the value lattice FIRST (one partial-aggregable fact
     # shuffle); bounds/buckets/totals then derive from the lattice, so
     # the fact is scanned exactly twice (here + the final join-back),

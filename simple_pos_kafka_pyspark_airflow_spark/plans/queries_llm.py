@@ -4364,15 +4364,20 @@ def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_text_classify",
     "llm",
-    oracle="""
+    oracle=r"""
     WITH w(word, weight) AS (VALUES
       ('table', 5), ('query', 4), ('join', 4), ('window', 3), ('agg', 3),
       ('stream', 3), ('spark', 2), ('merge', 2), ('sort', 2), ('group', 2),
       ('slow', -3), ('small', -2), ('a', -4), ('the', -1), ('of', -2)
     ),
     toks AS (
-      SELECT doc_id, source, unnest(list_filter(string_split(lower(text), ' '),
-                                                x -> x <> '')) AS word
+      -- \S+ extraction, not string_split(' '): the Spark side tokenizes
+      -- with regexp_extract_all(\S+), and the two only coincide on
+      -- single-space text — the oracle must not depend on that corpus
+      -- artifact (r12, ADVICE)
+      SELECT doc_id, source,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                x -> x <> '')) AS word
       FROM documents
     ),
     scored AS (

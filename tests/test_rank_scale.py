@@ -122,3 +122,37 @@ def test_grouped_mode_matches_per_group_window(spark):
     # grouped mode: NO single-partition exchange anywhere in the plan
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan
+
+
+@pytest.mark.parametrize("desc", [False, True], ids=["asc", "desc"])
+def test_null_x_ranked_like_window(spark, desc):
+    """NULL x rows rank exactly where the window forms put them (r12,
+    ADVICE — they used to DROP through the null-unsafe join-back):
+    Spark default null ordering, NULLS FIRST asc / NULLS LAST desc;
+    NULLs contribute 0 to cum/x_total, count in rank/n_total. One
+    pinned divergence: cum is 0 (not SQL's empty-frame NULL) for rows
+    before the first non-null x."""
+    rows = [(i, None if i % 5 == 0 else (i * 7919) % 23 - 11) for i in range(200)]
+    df = _frame(spark, rows)
+    order = [F.col("x").desc() if desc else F.col("x").asc(), F.col("key").asc()]
+    w = Window.orderBy(*order)
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    expect = {
+        r["key"]: (r["rn"], r["cs"])
+        for r in df.select(
+            "key",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.coalesce(F.sum("x").over(wr), F.lit(0)).cast("long").alias("cs"),
+        ).collect()
+    }
+    got = distributed_total_rank(
+        df, F.col("x"), F.col("key"), descending=desc, n_buckets=7
+    )
+    out = got.collect()
+    assert len(out) == len(rows)  # nothing dropped
+    for r in out:
+        assert (r["rank"], r["cum"]) == expect[r["key"]], r
+    one = got.select("n_total", "x_total").distinct().collect()
+    assert len(one) == 1
+    assert one[0]["n_total"] == len(rows)
+    assert one[0]["x_total"] == sum(x for _, x in rows if x is not None)
