@@ -257,6 +257,10 @@ HEADLINE = [
     "q_eval_calibration",
     # exact ROC AUC on the rank ladder (no global sort)
     "q_eval_auc",
+    # r12: last/first-touch attribution (one per-user window) and the
+    # web-crawl HTML extraction front door (scan-fused regex projection)
+    "q_attribution",
+    "q_text_extract_html",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

@@ -1113,3 +1113,138 @@ def retrieval_metrics_at_k(
             / F.nullif(F.col("n_rel").cast("double"), F.lit(0.0))
         ).alias("recall_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML / markup text extraction (r12) — the web-crawl front door
+# ---------------------------------------------------------------------------
+
+#: HTML entities the extractor decodes, applied IN ORDER after tag
+#: stripping. ``&amp;`` is deliberately LAST: decoding it first would
+#: double-decode ``&amp;lt;`` to ``<`` (one decode pass must yield
+#: ``&lt;`` — the literal text the author escaped). ``&nbsp;`` becomes a
+#: plain space BEFORE whitespace normalization so it collapses like any
+#: other run. Shared with the DuckDB oracle as a literal replace chain.
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+#: Block-level elements whose open/close tags delimit LINES for the
+#: boilerplate rule (jusText scores blocks; C4 scores lines — both need
+#: a segmentation that follows document structure, not source newlines).
+_BLOCK_TAGS = (
+    "p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|thead|tbody|section|article|"
+    "header|footer|nav|aside|blockquote|pre|form|hr"
+)
+
+
+def _decode_entities(t: Column) -> Column:
+    for entity, plain in HTML_ENTITIES:
+        t = F.replace(t, F.lit(entity), F.lit(plain))
+    return t
+
+
+def _visible(fragment: Column) -> Column:
+    """Visible text of an HTML fragment: strip every remaining tag, decode
+    entities, collapse whitespace. Entity decode runs AFTER the tag strip
+    so a decoded ``&lt;b&gt;`` stays literal text, never a tag."""
+    t = F.regexp_replace(fragment, r"(?s)<[^>]*>", " ")
+    t = _decode_entities(t)
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def _remove_nonvisible(html: Column) -> Column:
+    """Drop content that never renders: script/style/title bodies (title
+    is document METADATA — chrome, not body text) and comments. Dotall +
+    case-insensitive, lazy quantifiers so adjacent blocks don't merge."""
+    h = F.regexp_replace(html, r"(?is)<script[^>]*>.*?</script>", " ")
+    h = F.regexp_replace(h, r"(?is)<style[^>]*>.*?</style>", " ")
+    h = F.regexp_replace(h, r"(?is)<title[^>]*>.*?</title>", " ")
+    return F.regexp_replace(h, r"(?s)<!--.*?-->", " ")
+
+
+def strip_markup(html: Column) -> Column:
+    """Plain visible text of an HTML document — scripts, styles and
+    comments removed WITH their content (they never render), every tag
+    stripped, entities decoded, whitespace collapsed. No boilerplate
+    judgment: this is the conservative extraction (RefinedWeb's
+    "trafilatura-then-filter" step 1) for callers that run their own
+    line rules; ``extract_html_text`` adds the C4/jusText-shape rule.
+    Pure codegen regex — no UDF, embarrassingly parallel, and the exact
+    chain replays in DuckDB RE2 (q_text_extract_html)."""
+    h = _remove_nonvisible(html)
+    return _visible(h)
+
+
+def extract_html_text(
+    html: Column,
+    min_words: int = 3,
+    max_link_density: float = 0.5,
+) -> Column:
+    """Boilerplate-filtered visible text of an HTML document — the
+    missing first rung of the web-crawl pipeline (every dedup/quality
+    gate downstream assumes extraction already happened; C4 and
+    RefinedWeb both start here). Returns a struct
+    ``(text, n_lines, n_kept)``:
+
+      1. remove non-rendering content (``<script>``/``<style>`` with
+         bodies, comments — ``(?is)`` dotall+case-insensitive, lazy
+         quantifier so adjacent blocks don't merge);
+      2. segment into LINES at block-element boundaries (``<p>``,
+         ``<div>``, ``<br>``, headings, list items, table cells … —
+         structure-following segmentation, not source newlines);
+      3. per line, the two classic boilerplate signals: word count of
+         the visible text (C4 drops short fragments) and LINK DENSITY —
+         visible characters inside ``<a>`` anchors over all visible
+         characters (jusText's core rule; nav bars and footers are
+         link-dense, body prose is not). Keep when words ≥ ``min_words``
+         AND link_chars ≤ ``max_link_density``·total_chars — the
+         threshold compares as an exact integer cross-multiplication
+         (``Fraction`` of the float, same discipline as the dedup
+         thresholds) so engines can't disagree on the boundary;
+      4. join kept lines with ``\\n``, entities decoded, whitespace
+         collapsed per line.
+
+    ``n_lines`` counts NONEMPTY visible lines (segmentation artifacts
+    don't inflate the denominator); ``n_kept`` the survivors. Whole
+    chain is regexp + higher-order array functions (``transform`` /
+    ``filter`` / ``array_join``) — whole-stage codegen, zero UDF, zero
+    shuffle; an ``<a>`` spanning a block boundary counts per-fragment
+    (documented approximation — real extractors parse, this scores).
+    The same algebra replays in DuckDB (list_transform/list_filter) for
+    the q_text_extract_html oracle."""
+    from fractions import Fraction
+
+    frac = Fraction(str(max_link_density)).limit_denominator(10**9)
+    tn, td = frac.numerator, frac.denominator
+    h = _remove_nonvisible(html)
+    h = F.regexp_replace(h, r"(?i)</?(?:" + _BLOCK_TAGS + r")\b[^>]*>", "\n")
+    lines = F.split(h, "\n")
+
+    def line_struct(x: Column) -> Column:
+        vis = _visible(x)
+        anchor_vis = _visible(
+            F.array_join(
+                F.regexp_extract_all(x, F.lit(r"(?is)<a\b[^>]*>(.*?)</a>"), 1),
+                " ",
+            )
+        )
+        n_words = F.when(vis == "", F.lit(0)).otherwise(F.size(F.split(vis, " ")))
+        keep = (n_words >= F.lit(min_words)) & (
+            F.length(anchor_vis) * F.lit(td) <= F.length(vis) * F.lit(tn)
+        )
+        return F.struct(vis.alias("t"), keep.alias("k"))
+
+    scored = F.transform(lines, line_struct)
+    nonempty = F.filter(scored, lambda s: s["t"] != "")
+    kept = F.filter(nonempty, lambda s: s["k"])
+    return F.struct(
+        F.array_join(F.transform(kept, lambda s: s["t"]), "\n").alias("text"),
+        F.size(nonempty).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+    )

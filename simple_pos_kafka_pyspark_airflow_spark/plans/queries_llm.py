@@ -4425,3 +4425,143 @@ def q_text_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("score").cast("long").alias("max_score"),
         )
     )
+
+
+@register(
+    "q_text_extract_html",
+    "llm",
+    oracle=r"""
+    WITH raw AS (
+      SELECT doc_id,
+        '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>' ||
+        CASE WHEN doc_id % 4 = 0 THEN '<style>p { color: red; }</style>' ELSE '' END ||
+        CASE WHEN doc_id % 4 = 1
+             THEN '<script>var x = 1; if (x < 2) { track("' || source || '"); }</script>'
+             ELSE '' END ||
+        '</head><body><!-- build ' || CAST(doc_id AS VARCHAR) || ' -->' ||
+        '<div class="nav"><a href="/">Home</a> <a href="/about">About our team</a> <a href="/contact">Contact</a></div>' ||
+        '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' ||
+        '<p>' || text || '</p>' ||
+        CASE WHEN doc_id % 4 = 2
+             THEN '<p>Rate &amp; review &lt;today&gt;, share a <a href="/r">review link</a> with &quot;friends&quot;&nbsp;&#39;now&#39;.</p>'
+             ELSE '' END ||
+        CASE WHEN doc_id % 4 = 3
+             THEN '<ul><li>tiny</li><li>a longer informative list item survives here</li></ul>'
+             ELSE '' END ||
+        '<div class="footer"><a href="/p">Privacy</a> | <a href="/t">Terms</a></div>' ||
+        '</body></html>' AS html
+      FROM documents
+    ), s1 AS (
+      SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+            '(?is)<title[^>]*>.*?</title>', ' ', 'g'),
+          '(?s)<!--.*?-->', ' ', 'g') AS h
+      FROM raw
+    ), s2 AS (
+      SELECT doc_id,
+        str_split(regexp_replace(h,
+          '(?i)</?(?:p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|thead|tbody|section|article|header|footer|nav|aside|blockquote|pre|form|hr)\b[^>]*>',
+          chr(10), 'g'), chr(10)) AS lines
+      FROM s1
+    ), s3 AS (
+      SELECT doc_id,
+        list_transform(lines, x -> struct_pack(
+          t := trim(regexp_replace(
+                 replace(replace(replace(replace(replace(replace(
+                   regexp_replace(x, '(?s)<[^>]*>', ' ', 'g'),
+                   '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                   '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+                 '\s+', ' ', 'g')),
+          a := trim(regexp_replace(
+                 replace(replace(replace(replace(replace(replace(
+                   regexp_replace(COALESCE(array_to_string(
+                     regexp_extract_all(x, '(?is)<a\b[^>]*>(.*?)</a>', 1), ' '), ''),
+                     '(?s)<[^>]*>', ' ', 'g'),
+                   '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                   '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+                 '\s+', ' ', 'g'))
+        )) AS scored
+      FROM s2
+    ), s4 AS (
+      SELECT doc_id, list_filter(scored, s -> s['t'] <> '') AS nonempty
+      FROM s3
+    ), s5 AS (
+      SELECT doc_id, nonempty,
+        list_filter(nonempty, s ->
+          len(str_split(s['t'], ' ')) >= 3
+          AND length(s['a']) * 2 <= length(s['t']) * 1) AS kept
+      FROM s4
+    )
+    SELECT doc_id,
+      array_to_string(list_transform(kept, s -> s['t']), chr(10)) AS text,
+      CAST(len(nonempty) AS BIGINT) AS n_lines,
+      CAST(len(kept) AS BIGINT) AS n_kept
+    FROM s5
+    """,
+    notes="extension (r12, VERDICT item 3): HTML/markup text extraction — "
+    "the web-crawl front door the LLM ladder was missing (every dedup/"
+    "quality gate downstream assumes already-clean text; C4/RefinedWeb "
+    "both start here). The documents table carries no HTML, so the query "
+    "PLANTS a full page around each doc's text by doc_id arithmetic both "
+    "engines replay (the q_dedup_url discipline): title + per-variant "
+    "style/script blocks (content must vanish), a comment, a link-dense "
+    "nav and footer (link-density rule must drop), a 2-word heading "
+    "(min-words rule must drop), the body paragraph, an entity-laden "
+    "paragraph with an inline link (must decode ONCE and survive), and a "
+    "tiny-vs-long list item pair. Extraction is llm/textops."
+    "extract_html_text: pure regexp + higher-order array ops, zero UDF, "
+    "zero shuffle — a projection fused with the scan at 100 TB; the "
+    "returned text value-hashes per doc, the strongest certificate the "
+    "driver can check. Line rule: words >= 3 AND anchor_chars*2 <= "
+    "chars (exact integer cross-mult of max_link_density=0.5).",
+)
+def q_text_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    v = F.col("doc_id") % 4
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), i, F.lit("</title>"),
+        F.when(v == 0, F.lit("<style>p { color: red; }</style>")).otherwise(F.lit("")),
+        F.when(
+            v == 1,
+            F.concat(
+                F.lit('<script>var x = 1; if (x < 2) { track("'),
+                F.col("source"),
+                F.lit('"); }</script>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body><!-- build "), i, F.lit(" -->"),
+        F.lit(
+            '<div class="nav"><a href="/">Home</a> <a href="/about">About our team</a>'
+            ' <a href="/contact">Contact</a></div>'
+        ),
+        F.lit("<h1>Doc "), i, F.lit("</h1>"),
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.when(
+            v == 2,
+            F.lit(
+                "<p>Rate &amp; review &lt;today&gt;, share a "
+                '<a href="/r">review link</a> with &quot;friends&quot;&nbsp;'
+                "&#39;now&#39;.</p>"
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            v == 3,
+            F.lit("<ul><li>tiny</li><li>a longer informative list item survives here</li></ul>"),
+        ).otherwise(F.lit("")),
+        F.lit(
+            '<div class="footer"><a href="/p">Privacy</a> | <a href="/t">Terms</a>'
+            "</div></body></html>"
+        ),
+    )
+    e = textops.extract_html_text(html, min_words=3, max_link_density=0.5)
+    return d.select(
+        F.col("doc_id"),
+        e["text"].alias("text"),
+        e["n_lines"].alias("n_lines"),
+        e["n_kept"].alias("n_kept"),
+    )

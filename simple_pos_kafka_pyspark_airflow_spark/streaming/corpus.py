@@ -1137,11 +1137,17 @@ def ingest_corpus_batch(
     digest_index: IncrementalDigestIndex | None = None,
     bloom_gate: PersistentBloomGate | None = None,
     drift_monitor: CorpusDriftMonitor | None = None,
+    html_input: bool = False,
 ) -> DataFrame:
     """The whole corpus front door for one micro-batch, composed in the
     order the batch curation ladder uses (``llm.curation.curate_corpus``)
     but against PERSISTENT cross-batch state:
 
+    0. optional HTML extraction (``html_input=True``, r12): ``text_col``
+       is raw markup — ``llm.textops.extract_html_text`` replaces it
+       with boilerplate-filtered visible text ahead of EVERY gate, so
+       quality scores and dedup signatures never see script bodies or
+       nav chrome;
     1. quality gate + within-batch exact dedup (``corpus_ingest`` batch
        path — attaches ``quality``/``n_tokens``/``text_sha``);
     1a. optional drift monitoring (``CorpusDriftMonitor.check_batch``
@@ -1173,6 +1179,21 @@ def ingest_corpus_batch(
     dropped documents never pollute the boilerplate counts because
     ``clean_batch`` only sees survivors.
     """
+    if html_input:
+        # The web-crawl front door (r12): ``text_col`` carries raw
+        # HTML/markup — extract the boilerplate-filtered visible text
+        # BEFORE any gate sees it (quality scoring a <script> body or
+        # deduping on nav chrome certifies garbage). Scan-fused regex
+        # projection (llm.textops.extract_html_text), zero extra
+        # shuffle; everything downstream — gates, digests, minhash,
+        # span indexes — operates on the extracted text, exactly as if
+        # the corpus had arrived pre-extracted (pinned equal in
+        # tests/test_streaming.py).
+        from ..llm.textops import extract_html_text
+
+        docs = docs.withColumn(
+            text_col, extract_html_text(F.col(text_col))["text"]
+        )
     gated = corpus_ingest(
         docs, text_col=text_col, min_quality=min_quality, min_tokens=min_tokens
     )

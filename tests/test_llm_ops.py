@@ -3433,3 +3433,77 @@ def test_classify_quality_scores_and_gate(spark):
     assert got[5] == (2 + b, 1 if 2 + b >= 0 else 0)
     # repeated tokens weight each occurrence (it's a sum, not a set)
     assert got[5][0] == QUALITY_WEIGHTS["the"] * 3 + QUALITY_WEIGHTS["table"] + b
+
+
+def test_extract_html_text_edge_cases(spark):
+    """Planted extraction behaviors beyond the contract row: each case
+    isolates one rule of the C4/jusText-shape extractor."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm.textops import extract_html_text
+
+    cases = [
+        # (html, expected_text, n_lines, n_kept)
+        # script/style/title bodies vanish WITH content; comment too
+        ("<title>Meta Title Here</title><script>a<b</script>"
+         "<style>p{}</style><!-- c --><p>real body text here</p>",
+         "real body text here", 1, 1),
+        # nav dropped by link density, prose with inline link kept
+        ('<div><a href="/">Home</a> <a href="/a">About the site</a></div>'
+         '<p>prose with a <a href="/x">small link</a> inside it</p>',
+         "prose with a small link inside it", 2, 1),
+        # min-words: two-word heading dropped, 3-word line kept
+        ("<h1>Two words</h1><p>exactly three words</p>",
+         "exactly three words", 2, 1),
+        # entities decode ONCE (&amp;lt; -> &lt;, never <) after tag strip
+        ("<p>keep A &amp;lt; B &amp; C &lt;tag&gt; &quot;q&quot;&nbsp;&#39;s&#39;</p>",
+         "keep A &lt; B & C <tag> \"q\" 's'", 1, 1),
+        # uppercase/mixed-case tags segment and strip the same
+        ("<P>UPPER case block one</P><BR><p>lower case block two</p>",
+         "UPPER case block one\nlower case block two", 2, 2),
+        # multiline script body (dotall) and attribute-laden tags
+        ('<script type="text/javascript">\nvar a = 1;\n</script>'
+         '<p class="x" data-y="1">attrs do not leak words</p>',
+         "attrs do not leak words", 1, 1),
+        # empty / tags-only input
+        ("<div></div><p> </p>", "", 0, 0),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, *_ ) in enumerate(cases)], ["i", "html"]
+    )
+    e = extract_html_text(F.col("html"))
+    got = {
+        r["i"]: (r["t"], r["nl"], r["nk"])
+        for r in df.select(
+            "i", e["text"].alias("t"), e["n_lines"].alias("nl"), e["n_kept"].alias("nk")
+        ).collect()
+    }
+    for i, (_, text, nl, nk) in enumerate(cases):
+        assert got[i] == (text, nl, nk), (i, got[i], (text, nl, nk))
+
+
+def test_strip_markup_conservative(spark):
+    """strip_markup keeps everything visible (no line rule) — nav text
+    survives, script/style/title/comments still vanish."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm.textops import strip_markup
+
+    html = ('<title>T</title><script>x</script><style>y</style><!-- z -->'
+            '<div><a href="/">Home</a></div><p>body &amp; text</p>')
+    df = spark.createDataFrame([(html,)], ["h"])
+    out = df.select(strip_markup(F.col("h")).alias("s")).collect()[0]["s"]
+    assert out == "Home body & text", out
+
+
+def test_extract_html_link_density_boundary(spark):
+    """The link-density cut is an exact integer cross-multiplication:
+    anchor_chars * td <= chars * tn. At max_link_density=0.5 a line whose
+    anchor text is exactly half its visible chars is KEPT (<=); one char
+    more drops it."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm.textops import extract_html_text
+
+    # visible "aaaa bb cc" = 10 chars; anchor "aaaa" = 4 -> 8<=10 keep
+    keep = '<p><a href="/">aaaa</a> bb cc</p>'
+    # visible "aaaaaa bb c" = 11 chars; anchor "aaaaaa" = 6 -> 12>11 drop
+    drop = '<p><a href="/">aaaaaa</a> bb c</p>'
+    df = spark.createDataFrame([(0, keep), (1, drop)], ["i", "h"])
+    e = extract_html_text(F.col("h"), min_words=3, max_link_density=0.5)
+    got = {r["i"]: r["nk"] for r in df.select("i", e["n_kept"].alias("nk")).collect()}
+    assert got == {0: 1, 1: 0}, got

@@ -3401,3 +3401,56 @@ def test_pos_full_loop_ingest_state_cdc_tiers(spark, tmp_path):
         for k, v in want_customers.items()
     }
     assert got == want_tiers
+
+
+def test_ingest_corpus_batch_html_front_door(spark, tmp_path):
+    """html_input=True extracts visible text BEFORE any gate: landing an
+    HTML-wrapped corpus equals landing the pre-extracted text through a
+    twin index — same survivors, same landed text — and the quality gate
+    judges prose, never script bodies or nav chrome."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import (
+        IncrementalMinhashIndex,
+        ingest_corpus_batch,
+    )
+
+    prose = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+
+    def wrap(text):
+        return (
+            '<html><head><title>T</title><script>var junk = "spam spam '
+            'spam spam spam spam spam spam";</script></head><body>'
+            '<div><a href="/">Home</a> <a href="/a">About page link</a></div>'
+            f"<p>{text}</p><!-- note --></body></html>"
+        )
+
+    rows = [(1, prose), (2, "too short")]
+    html_b = spark.createDataFrame(
+        [(i, wrap(t)) for i, t in rows], "doc_id long, text string"
+    )
+    plain_b = spark.createDataFrame(rows, "doc_id long, text string")
+
+    mh_html = IncrementalMinhashIndex(
+        spark, str(tmp_path / "mh_html"), num_hashes=16, bands=8, jaccard_threshold=0.8
+    )
+    mh_plain = IncrementalMinhashIndex(
+        spark, str(tmp_path / "mh_plain"), num_hashes=16, bands=8, jaccard_threshold=0.8
+    )
+    landed_html = ingest_corpus_batch(
+        html_b, 0, mh_html, min_quality=0.0, min_tokens=3, html_input=True
+    )
+    landed_plain = ingest_corpus_batch(
+        plain_b, 0, mh_plain, min_quality=0.0, min_tokens=3
+    )
+    got_html = {r["doc_id"]: r["text"] for r in landed_html.collect()}
+    got_plain = {r["doc_id"]: r["text"] for r in landed_plain.collect()}
+    assert got_html == got_plain == {1: prose}
+
+    # a second HTML batch that near-dups doc 1 must be rejected off the
+    # index built from EXTRACTED text (chrome differences don't hide it)
+    b2 = spark.createDataFrame(
+        [(10, wrap(prose + " extratoken"))], "doc_id long, text string"
+    )
+    landed2 = ingest_corpus_batch(
+        b2, 1, mh_html, min_quality=0.0, min_tokens=3, html_input=True
+    )
+    assert landed2.count() == 0
