@@ -261,6 +261,8 @@ HEADLINE = [
     # web-crawl HTML extraction front door (scan-fused regex projection)
     "q_attribution",
     "q_text_extract_html",
+    # video frame-hash near-dup (fourth family on the hamming pipeline)
+    "q_multimodal_video",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

@@ -4565,3 +4565,42 @@ def q_text_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
         e["n_lines"].alias("n_lines"),
         e["n_kept"].alias("n_kept"),
     )
+
+
+@register(
+    "q_multimodal_video",
+    "llm",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS id_a,
+           CAST(doc_id + 1000000 AS BIGINT) AS id_b,
+           CAST(4 AS BIGINT) AS n_frames_matched,
+           CAST(0 AS INTEGER) AS max_hamming
+    FROM documents
+    """,
+    notes="extension (r12, VERDICT item 5): VIDEO near-dup — the last "
+    "multimodal kernel without an oracle row. documents → synthesized "
+    "VID0 frame containers (4 real 24-bit BMP frames per doc, frame i's "
+    "pixels the text bytes rolled by i — consecutive frames differ the "
+    "way real video frames do) → REAL container parse + evenly-spaced "
+    "frame sampling (llm/multimodal.sample_video_frames, the ffmpeg "
+    "swap-point) → per-frame aHash → the SHARED quarter-blocking + "
+    "exact-Hamming pipeline (fourth family on llm/dedup.hamming_pairs_64 "
+    "after text simhash, image aHash, audio fingerprint; frame_idx rides "
+    "inside a composite blocking id so only ALIGNED frames pair) → "
+    "video pairs matching >= 3 of 4 frames. Planted-pair form: the "
+    "asset table unioned with an id-shifted copy — byte-identical "
+    "videos match on ALL 4 frames at hamming 0, exactly one row per "
+    "doc, full value-hash oracle; perturbation locality (edit one "
+    "frame, still match on the rest) pinned by pytest "
+    "(llm/multimodal.near_dup_videos_framehash)",
+)
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    assets = multimodal.synthesize_video_assets(d, n_frames=4)
+    planted = assets.unionByName(
+        assets.withColumn("asset_id", F.col("asset_id") + F.lit(1_000_000))
+    )
+    pairs = multimodal.near_dup_videos_framehash(
+        planted, n_frames=4, max_hamming=3, min_frames_matched=3
+    )
+    return pairs.where(F.col("id_b") == F.col("id_a") + F.lit(1_000_000))

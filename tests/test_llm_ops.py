@@ -3507,3 +3507,76 @@ def test_extract_html_link_density_boundary(spark):
     e = extract_html_text(F.col("h"), min_words=3, max_link_density=0.5)
     got = {r["i"]: r["nk"] for r in df.select("i", e["n_kept"].alias("nk")).collect()}
     assert got == {0: 1, 1: 0}, got
+
+
+def test_video_container_roundtrip_and_corrupt(spark):
+    """VID0 encode/decode round-trips frame-exactly; malformed containers
+    raise ValueError (quarantine contract) and are SKIPPED by the
+    sampling UDF, never aborting the job."""
+    import pytest as _pytest
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm import multimodal as mm
+
+    frames = [b"frameA", b"", b"frame-C-longer"]
+    payload = mm.encode_video(frames)
+    assert mm.decode_video_frames(payload) == frames
+    for bad in (b"", b"VID0", b"NOPE" + payload[4:], payload[:-3]):
+        with _pytest.raises(ValueError):
+            mm.decode_video_frames(bad)
+    df = spark.createDataFrame(
+        [(1, payload), (2, b"garbage"), (3, None)],
+        "asset_id long, payload binary",
+    )
+    out = mm.sample_video_frames(df, n_frames=4).collect()
+    assert {r["asset_id"] for r in out} == {1}
+    assert sorted(r["frame_idx"] for r in out) == [0, 1, 2]
+    got = {r["frame_idx"]: bytes(r["frame"]) for r in out}
+    assert got == {0: b"frameA", 1: b"", 2: b"frame-C-longer"}
+
+
+def test_video_frame_sampling_even_spacing(spark):
+    """A longer video than the sample budget yields evenly-spaced frame
+    indexes (the ffmpeg fps-filter shape), first frame always included."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm import multimodal as mm
+
+    frames = [bytes([i]) * 4 for i in range(10)]
+    df = spark.createDataFrame(
+        [(7, mm.encode_video(frames))], "asset_id long, payload binary"
+    )
+    out = mm.sample_video_frames(df, n_frames=4).collect()
+    assert sorted(r["frame_idx"] for r in out) == [0, 2, 5, 7]
+
+
+def test_video_near_dup_perturbation_locality(spark):
+    """Edit ONE frame of a copied video: the pair still surfaces on the
+    remaining aligned frames (n_frames_matched == 3), and a completely
+    different video never pairs."""
+    from pyspark.sql import functions as F
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm import multimodal as mm
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame([(1, text_a)], ["doc_id", "text"])
+    assets = mm.synthesize_video_assets(docs, n_frames=4)
+    rows = {r["asset_id"]: bytes(r["payload"]) for r in assets.collect()}
+
+    # rebuild video 1 with frame 2 replaced by a very different frame;
+    # video 2 is structurally different imagery (checkerboard frames —
+    # aHash distance from text-byte rasters is large by construction;
+    # two TEXT videos can legitimately sit within hamming 3 because
+    # space positions dominate tiny ASCII rasters)
+    frames = mm.decode_video_frames(rows[1])
+    alt = mm.encode_bmp(4, 4, bytes(range(48)))
+    frames_edit = frames[:2] + [alt] + frames[3:]
+    edited = mm.encode_video(frames_edit)
+    checker = bytes(([0] * 24 + [255] * 24) * 4)
+    other = mm.encode_video([mm.encode_bmp(8, 8, checker) for _ in range(4)])
+    planted = spark.createDataFrame(
+        [(1, rows[1]), (2, other), (101, edited)],
+        "asset_id long, payload binary",
+    )
+    pairs = mm.near_dup_videos_framehash(
+        planted, n_frames=4, max_hamming=3, min_frames_matched=3
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["n_frames_matched"] for r in pairs}
+    assert got == {(1, 101): 3}, got
