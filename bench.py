@@ -263,6 +263,9 @@ HEADLINE = [
     "q_text_extract_html",
     # video frame-hash near-dup (fourth family on the hamming pipeline)
     "q_multimodal_video",
+    # markdown extraction + the composed extract->gate->dedup ladder
+    "q_text_extract_md",
+    "q_web_curation_e2e",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

@@ -1248,3 +1248,47 @@ def extract_html_text(
         F.size(nonempty).cast("long").alias("n_lines"),
         F.size(kept).cast("long").alias("n_kept"),
     )
+
+
+def strip_markdown(md: Column) -> Column:
+    """Plain prose from Markdown — the OTHER big markup family a crawl
+    corpus carries (READMEs, forums, docs sites; GitHub-sourced corpora
+    are mostly Markdown). Pure regexp_replace chain (codegen, no UDF,
+    replays in DuckDB RE2 for the q_text_extract_md oracle):
+
+      1. fenced code blocks dropped WITH content (``` ... ``` — code is
+         not prose; the C4 choice. Inline ``code`` KEEPS its text, only
+         the backticks go);
+      2. images become their alt text, links their anchor text
+         (``![alt](url)`` → alt, ``[text](url)`` → text — the
+         link-density signal lives in HTML land; Markdown links are
+         prose citations);
+      3. ATX headers lose their ``#`` markers, blockquotes their ``>``,
+         list items their leading ``-``/``*``/``+``/``1.`` markers,
+         horizontal rules vanish (line-anchored ``(?m)`` forms);
+      4. emphasis markers unwrap (** * __ _ pairs, innermost-safe
+         non-greedy), then whitespace collapses (newlines INCLUDED —
+         output is one prose string, the ``strip_markup`` contract).
+
+    Order matters and is pinned by test: code fences FIRST (their
+    content must not look like headers/lists), images BEFORE links
+    (``![a](u)`` contains ``[a](u)``)."""
+    t = F.regexp_replace(md, r"(?s)```.*?```", " ")
+    t = F.regexp_replace(t, r"`([^`]*)`", r"$1")
+    t = F.regexp_replace(t, r"!\[([^\]]*)\]\([^)]*\)", r"$1")
+    t = F.regexp_replace(t, r"\[([^\]]*)\]\([^)]*\)", r"$1")
+    t = F.regexp_replace(t, r"(?m)^[ \t]{0,3}#{1,6}[ \t]+", "")
+    t = F.regexp_replace(t, r"(?m)^[ \t]{0,3}>[ \t]?", "")
+    t = F.regexp_replace(t, r"(?m)^[ \t]{0,3}([-*+]|[0-9]+\.)[ \t]+", "")
+    # explicit alternation, not a backreference — RE2 (the oracle's
+    # engine) has no backrefs
+    t = F.regexp_replace(
+        t,
+        r"(?m)^[ \t]{0,3}(?:(?:-[ \t]*){3,}|(?:\*[ \t]*){3,}|(?:_[ \t]*){3,})$",
+        " ",
+    )
+    t = F.regexp_replace(t, r"\*\*([^*]+)\*\*", r"$1")
+    t = F.regexp_replace(t, r"\*([^*]+)\*", r"$1")
+    t = F.regexp_replace(t, r"__([^_]+)__", r"$1")
+    t = F.regexp_replace(t, r"\b_([^_]+)_\b", r"$1")
+    return F.trim(F.regexp_replace(t, r"\s+", " "))

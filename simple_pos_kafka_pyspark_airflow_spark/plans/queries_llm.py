@@ -4427,12 +4427,14 @@ def q_text_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_text_extract_html",
-    "llm",
-    oracle=r"""
+#: Shared HTML plant + extraction pipeline (DuckDB side): produces an
+#: ``extracted(doc_id, source, text, n_lines, n_kept)`` CTE both the
+#: q_text_extract_html row and the composed q_web_curation_e2e ladder
+#: build on — ONE definition, so the extraction algebra cannot drift
+#: between the unit row and the composition.
+_HTML_PIPE_SQL = r"""
     WITH raw AS (
-      SELECT doc_id,
+      SELECT doc_id, source,
         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>' ||
         CASE WHEN doc_id % 4 = 0 THEN '<style>p { color: red; }</style>' ELSE '' END ||
         CASE WHEN doc_id % 4 = 1
@@ -4452,7 +4454,7 @@ def q_text_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         '</body></html>' AS html
       FROM documents
     ), s1 AS (
-      SELECT doc_id,
+      SELECT doc_id, source,
         regexp_replace(
           regexp_replace(
             regexp_replace(
@@ -4462,13 +4464,13 @@ def q_text_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
           '(?s)<!--.*?-->', ' ', 'g') AS h
       FROM raw
     ), s2 AS (
-      SELECT doc_id,
+      SELECT doc_id, source,
         str_split(regexp_replace(h,
           '(?i)</?(?:p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|thead|tbody|section|article|header|footer|nav|aside|blockquote|pre|form|hr)\b[^>]*>',
           chr(10), 'g'), chr(10)) AS lines
       FROM s1
     ), s3 AS (
-      SELECT doc_id,
+      SELECT doc_id, source,
         list_transform(lines, x -> struct_pack(
           t := trim(regexp_replace(
                  replace(replace(replace(replace(replace(replace(
@@ -4487,43 +4489,32 @@ def q_text_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )) AS scored
       FROM s2
     ), s4 AS (
-      SELECT doc_id, list_filter(scored, s -> s['t'] <> '') AS nonempty
+      SELECT doc_id, source, list_filter(scored, s -> s['t'] <> '') AS nonempty
       FROM s3
     ), s5 AS (
-      SELECT doc_id, nonempty,
+      SELECT doc_id, source, nonempty,
         list_filter(nonempty, s ->
           len(str_split(s['t'], ' ')) >= 3
           AND length(s['a']) * 2 <= length(s['t']) * 1) AS kept
       FROM s4
+    ), extracted AS (
+      SELECT doc_id, source,
+        array_to_string(list_transform(kept, s -> s['t']), chr(10)) AS text,
+        CAST(len(nonempty) AS BIGINT) AS n_lines,
+        CAST(len(kept) AS BIGINT) AS n_kept
+      FROM s5
     )
-    SELECT doc_id,
-      array_to_string(list_transform(kept, s -> s['t']), chr(10)) AS text,
-      CAST(len(nonempty) AS BIGINT) AS n_lines,
-      CAST(len(kept) AS BIGINT) AS n_kept
-    FROM s5
-    """,
-    notes="extension (r12, VERDICT item 3): HTML/markup text extraction — "
-    "the web-crawl front door the LLM ladder was missing (every dedup/"
-    "quality gate downstream assumes already-clean text; C4/RefinedWeb "
-    "both start here). The documents table carries no HTML, so the query "
-    "PLANTS a full page around each doc's text by doc_id arithmetic both "
-    "engines replay (the q_dedup_url discipline): title + per-variant "
-    "style/script blocks (content must vanish), a comment, a link-dense "
-    "nav and footer (link-density rule must drop), a 2-word heading "
-    "(min-words rule must drop), the body paragraph, an entity-laden "
-    "paragraph with an inline link (must decode ONCE and survive), and a "
-    "tiny-vs-long list item pair. Extraction is llm/textops."
-    "extract_html_text: pure regexp + higher-order array ops, zero UDF, "
-    "zero shuffle — a projection fused with the scan at 100 TB; the "
-    "returned text value-hashes per doc, the strongest certificate the "
-    "driver can check. Line rule: words >= 3 AND anchor_chars*2 <= "
-    "chars (exact integer cross-mult of max_link_density=0.5).",
-)
-def q_text_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+"""
+
+
+def _planted_html(d: DataFrame) -> "F.Column":
+    """Spark twin of ``_HTML_PIPE_SQL``'s raw CTE: the full HTML page
+    planted around each document's text by doc_id arithmetic — shared by
+    q_text_extract_html and q_web_curation_e2e (one definition, no
+    drift)."""
     i = F.col("doc_id").cast("string")
     v = F.col("doc_id") % 4
-    html = F.concat(
+    return F.concat(
         F.lit("<html><head><title>Doc "), i, F.lit("</title>"),
         F.when(v == 0, F.lit("<style>p { color: red; }</style>")).otherwise(F.lit("")),
         F.when(
@@ -4558,12 +4549,108 @@ def q_text_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
             "</div></body></html>"
         ),
     )
-    e = textops.extract_html_text(html, min_words=3, max_link_density=0.5)
+
+
+@register(
+    "q_text_extract_html",
+    "llm",
+    oracle=_HTML_PIPE_SQL
+    + "SELECT doc_id, text, n_lines, n_kept FROM extracted",
+    notes="extension (r12, VERDICT item 3): HTML/markup text extraction — "
+    "the web-crawl front door the LLM ladder was missing (every dedup/"
+    "quality gate downstream assumes already-clean text; C4/RefinedWeb "
+    "both start here). The documents table carries no HTML, so the query "
+    "PLANTS a full page around each doc's text by doc_id arithmetic both "
+    "engines replay (the q_dedup_url discipline): title + per-variant "
+    "style/script blocks (content must vanish), a comment, a link-dense "
+    "nav and footer (link-density rule must drop), a 2-word heading "
+    "(min-words rule must drop), the body paragraph, an entity-laden "
+    "paragraph with an inline link (must decode ONCE and survive), and a "
+    "tiny-vs-long list item pair. Extraction is llm/textops."
+    "extract_html_text: pure regexp + higher-order array ops, zero UDF, "
+    "zero shuffle — a projection fused with the scan at 100 TB; the "
+    "returned text value-hashes per doc, the strongest certificate the "
+    "driver can check. Line rule: words >= 3 AND anchor_chars*2 <= "
+    "chars (exact integer cross-mult of max_link_density=0.5). The "
+    "plant + extraction SQL is ONE shared definition with the composed "
+    "q_web_curation_e2e ladder.",
+)
+def q_text_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    e = textops.extract_html_text(_planted_html(d), min_words=3, max_link_density=0.5)
     return d.select(
         F.col("doc_id"),
         e["text"].alias("text"),
         e["n_lines"].alias("n_lines"),
         e["n_kept"].alias("n_kept"),
+    )
+
+
+@register(
+    "q_web_curation_e2e",
+    "llm",
+    oracle=_HTML_PIPE_SQL
+    + r""",
+    w(word, weight) AS (VALUES
+      ('table', 5), ('query', 4), ('join', 4), ('window', 3), ('agg', 3),
+      ('stream', 3), ('spark', 2), ('merge', 2), ('sort', 2), ('group', 2),
+      ('slow', -3), ('small', -2), ('a', -4), ('the', -1), ('of', -2)
+    ),
+    toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                x -> x <> '')) AS word
+      FROM extracted
+    ),
+    wscored AS (
+      SELECT t.doc_id, CAST(SUM(w.weight) AS BIGINT) AS s
+      FROM toks t JOIN w ON t.word = w.word
+      GROUP BY t.doc_id
+    ),
+    gated AS (
+      SELECT e.source, e.text, COALESCE(s.s, 0) - 2 AS score
+      FROM extracted e LEFT JOIN wscored s ON e.doc_id = s.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(COUNT(DISTINCT CASE WHEN score >= 0 THEN text END) AS BIGINT)
+             AS n_unique_pass,
+           CAST(SUM(CASE WHEN score >= 0 THEN score END) AS BIGINT) AS sum_pass_score
+    FROM gated GROUP BY source
+    """,
+    notes="extension (r12): the COMPOSED web front door as one "
+    "value-verified query — raw HTML (planted, the shared "
+    "_HTML_PIPE_SQL definition) -> extract_html_text -> "
+    "classify_quality linear gate ON THE EXTRACTED TEXT -> exact-text "
+    "dedup among the passers — i.e. the q_curation_e2e discipline "
+    "applied to the new extraction rung: what lands after extraction "
+    "feeds the gate, what passes the gate dedups, per-source summary. "
+    "Certifies the INTERACTION (gate tokenization over newline-joined "
+    "extracted lines, dedup over extraction output equality), not just "
+    "each stage alone. Plan: scan-fused extraction projection, "
+    "broadcast weight join over the vocabulary-filtered token frame, "
+    "two partial-aggregable shuffles; nothing corpus-sized in Python.",
+)
+def q_web_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    e = textops.extract_html_text(_planted_html(d), min_words=3, max_link_density=0.5)
+    extracted = d.select("doc_id", "source", e["text"].alias("xt"))
+    gated = filtering.classify_quality(
+        extracted, text_col="xt", id_col="doc_id", threshold=0
+    )
+    joined = extracted.join(gated.select("doc_id", "score"), "doc_id")
+    return joined.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("score") >= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pass"),
+        F.countDistinct(F.when(F.col("score") >= 0, F.col("xt")))
+        .cast("long")
+        .alias("n_unique_pass"),
+        F.sum(F.when(F.col("score") >= 0, F.col("score")))
+        .cast("long")
+        .alias("sum_pass_score"),
     )
 
 
@@ -4604,3 +4691,92 @@ def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
         planted, n_frames=4, max_hamming=3, min_frames_matched=3
     )
     return pairs.where(F.col("id_b") == F.col("id_a") + F.lit(1_000_000))
+
+
+@register(
+    "q_text_extract_md",
+    "llm",
+    oracle=r"""
+    WITH raw AS (
+      SELECT doc_id,
+        '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        chr(10) ||
+        '> A quoted remark to keep' || chr(10) ||
+        '- alpha item one' || chr(10) ||
+        '2. beta item two' || chr(10) ||
+        'See **' || source || '** notes and [project site](https://ex.com/p/'
+          || CAST(doc_id AS VARCHAR) || ') for more.' || chr(10) ||
+        '```' || chr(10) ||
+        'secret_code(' || CAST(doc_id AS VARCHAR) || ')' || chr(10) ||
+        '```' || chr(10) ||
+        '---' || chr(10) ||
+        'Body: *' || text || '* and `kept_code` tail ![diagram alt text](/d/'
+          || CAST(doc_id AS VARCHAR) || '.png) end.' AS md
+      FROM documents
+    )
+    SELECT doc_id,
+      trim(regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(
+                            regexp_replace(
+                              regexp_replace(md, '(?s)```.*?```', ' ', 'g'),
+                            '`([^`]*)`', '\1', 'g'),
+                          '!\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+                        '\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+                      '(?m)^[ \t]{0,3}#{1,6}[ \t]+', '', 'g'),
+                    '(?m)^[ \t]{0,3}>[ \t]?', '', 'g'),
+                  '(?m)^[ \t]{0,3}([-*+]|[0-9]+\.)[ \t]+', '', 'g'),
+                '(?m)^[ \t]{0,3}(?:(?:-[ \t]*){3,}|(?:\*[ \t]*){3,}|(?:_[ \t]*){3,})$', ' ', 'g'),
+              '\*\*([^*]+)\*\*', '\1', 'g'),
+            '\*([^*]+)\*', '\1', 'g'),
+          '__([^_]+)__', '\1', 'g'),
+        '\b_([^_]+)_\b', '\1', 'g'),
+      '\s+', ' ', 'g')) AS text
+    FROM raw
+    """,
+    notes="extension (r12): MARKDOWN extraction — the sibling of "
+    "q_text_extract_html for the other big crawl markup family "
+    "(READMEs, forums, GitHub-sourced corpora). A full markdown "
+    "document is planted around each doc's text by doc_id arithmetic "
+    "(header, blockquote, bullet + numbered list items, bold + link "
+    "prose, a fenced code block that must vanish WITH content, a "
+    "horizontal rule, an emphasis-wrapped body, inline code that KEEPS "
+    "its text, an image reduced to its alt text) and llm/textops."
+    "strip_markdown must reduce it to one prose string — value-hashed "
+    "per doc. Pure regexp_replace chain, RE2-compatible (explicit "
+    "alternation instead of backreferences for the hr rule), codegen, "
+    "zero shuffle — a scan-fused projection at 100 TB. Order pinned: "
+    "fences first, images before links; edge-case pytest",
+)
+def q_text_extract_md(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    nl = F.lit("\n")
+    md = F.concat(
+        F.lit("# Doc "), i, nl,
+        nl,
+        F.lit("> A quoted remark to keep"), nl,
+        F.lit("- alpha item one"), nl,
+        F.lit("2. beta item two"), nl,
+        F.lit("See **"), F.col("source"),
+        F.lit("** notes and [project site](https://ex.com/p/"), i,
+        F.lit(") for more."), nl,
+        F.lit("```"), nl,
+        F.lit("secret_code("), i, F.lit(")"), nl,
+        F.lit("```"), nl,
+        F.lit("---"), nl,
+        F.lit("Body: *"), F.col("text"),
+        F.lit("* and `kept_code` tail ![diagram alt text](/d/"), i,
+        F.lit(".png) end."),
+    )
+    return d.select(
+        F.col("doc_id"), textops.strip_markdown(md).alias("text")
+    )

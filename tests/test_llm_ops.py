@@ -3580,3 +3580,31 @@ def test_video_near_dup_perturbation_locality(spark):
     ).collect()
     got = {(r["id_a"], r["id_b"]): r["n_frames_matched"] for r in pairs}
     assert got == {(1, 101): 3}, got
+
+
+def test_strip_markdown_edge_cases(spark):
+    """Each markdown rule in isolation plus the order-sensitive pair
+    (fences first, images before links)."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm.textops import strip_markdown
+
+    cases = {
+        "# Header One\nbody text": "Header One body text",
+        "### Deep header\nmore": "Deep header more",
+        "> quoted line\nplain": "quoted line plain",
+        "- item a\n* item b\n+ item c\n12. item d": "item a item b item c item d",
+        "before\n```\ncode = 1 # not a header\n- not a list\n```\nafter": "before after",
+        "inline `kept_code` stays": "inline kept_code stays",
+        "a [link text](http://x/y?z=1) b": "a link text b",
+        "an ![alt words](/img.png) c": "an alt words c",
+        "**bold** and *ital* and __dunder__ and _under_": "bold and ital and dunder and under",
+        "up\n---\ndown": "up down",
+        "up\n* * *\ndown": "up down",
+        "  \n\nspaced   out\t\ttext\n": "spaced out text",
+    }
+    df = spark.createDataFrame([(i, m) for i, m in enumerate(cases)], ["i", "md"])
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", strip_markdown(F.col("md")).alias("t")).collect()
+    }
+    for i, (md, want) in enumerate(cases.items()):
+        assert got[i] == want, (md, got[i], want)
