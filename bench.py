@@ -266,6 +266,8 @@ HEADLINE = [
     # markdown extraction + the composed extract->gate->dedup ladder
     "q_text_extract_md",
     "q_web_curation_e2e",
+    # equal-split multi-touch attribution (exact micro-cent grid)
+    "q_attribution_linear",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

@@ -618,3 +618,95 @@ def last_touch_attribution(
         F.count("*").cast("long").alias("n_conversions"),
         F.sum("__cents").cast("long").alias("attributed_cents"),
     )
+
+
+def linear_touch_attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view", "signup"),
+) -> DataFrame:
+    """LINEAR (equal-split multi-touch) revenue attribution — the r12
+    completion of ``last_touch_attribution``'s model family: every
+    conversion splits its revenue EQUALLY over all preceding touches of
+    the same user, so a channel's credit is proportional to its share
+    of the touch history, not just its position.
+
+    Exactness: credit is computed on the integer MICRO-CENTS grid —
+    per conversion and touch type, ``(cents · 10⁶ · n_type) div n_all``
+    (integral division of exact int64s; all operands positive, so Spark
+    ``div`` ≡ DuckDB ``//`` and the driver hash-compares). A float
+    ``value/n`` would make the aggregate order-dependent across
+    engines. Bound: cents ≤ ~10⁴, ×10⁶ ×touch-count ≤ 10³ → ≤ 10¹³,
+    far under 2⁶³.
+
+    Plan: |touch_types| conditional COUNT windows over the SAME
+    [unbounded, -1) per-user frame the last/first models use — one hash
+    exchange on the user key, no joins, no touch-row explosion (the
+    naive per-(conversion, touch) pair join is quadratic per user; the
+    per-TYPE split only needs the preceding counts). Conversions with
+    no preceding touch keep their full revenue in ``'direct'``.
+
+    Output: ``(touch, n_conversions, attributed_microcents)`` —
+    ``n_conversions`` counts conversions that credited the touch type
+    (every conversion for 'direct' rows appears exactly once there).
+
+    Reference parity: none (the reference has no attribution); SURVEY
+    §2.11 extension."""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cnts = {
+        t: F.count(F.when(F.col(type_col) == t, True)).over(w) for t in touch_types
+    }
+    conv = events.withColumns(
+        {f"__c_{t}": c for t, c in cnts.items()}
+    ).where(F.col(type_col) == conversion_type)
+    n_all = None
+    for t in touch_types:
+        n_all = F.col(f"__c_{t}") if n_all is None else n_all + F.col(f"__c_{t}")
+    micro = F.floor(F.col(value_col) * 100).cast("long") * F.lit(1_000_000)
+    def idiv(a, b):
+        # exact integral division of positive int64s without leaving the
+        # Column algebra: a - a%b is an exact multiple of b, and the
+        # double division of exact integers ≤ 2^53 is exact — a bare
+        # a/b could round UP across an integer boundary and disagree
+        # with the oracle's `//` by one microcent
+        return ((a - a % b) / b).cast("long")
+
+    legs = [
+        F.struct(
+            F.lit(t).alias("touch"),
+            F.when(
+                n_all > 0, idiv(micro * F.col(f"__c_{t}"), n_all)
+            ).alias("credit"),
+            (F.col(f"__c_{t}") > 0).alias("touched"),
+        )
+        for t in touch_types
+    ]
+    legs.append(
+        F.struct(
+            F.lit("direct").alias("touch"),
+            F.when(n_all == 0, micro).alias("credit"),
+            (n_all == 0).alias("touched"),
+        )
+    )
+    melted = conv.select(F.explode(F.array(*legs)).alias("leg")).select(
+        F.col("leg.touch").alias("touch"),
+        F.col("leg.credit").alias("credit"),
+        F.col("leg.touched").alias("touched"),
+    )
+    return (
+        melted.where(F.col("touched"))
+        .groupBy("touch")
+        .agg(
+            F.count("*").cast("long").alias("n_conversions"),
+            F.sum("credit").cast("long").alias("attributed_microcents"),
+        )
+    )

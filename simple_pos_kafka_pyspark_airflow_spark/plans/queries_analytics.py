@@ -5000,3 +5000,66 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out.select("model", "touch", "n_conversions", "attributed_cents")
+
+
+@register(
+    "q_attribution_linear",
+    "window",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(value * 100) AS BIGINT) * 1000000 AS micro,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END) OVER w AS c_click,
+             COUNT(CASE WHEN event_type = 'view' THEN 1 END) OVER w AS c_view,
+             COUNT(CASE WHEN event_type = 'signup' THEN 1 END) OVER w AS c_signup
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), conv AS (
+      SELECT *, c_click + c_view + c_signup AS n_all
+      FROM e WHERE event_type = 'purchase'
+    ), legs AS (
+      SELECT 'click' AS touch,
+             CASE WHEN n_all > 0 THEN (micro * c_click) // n_all END AS credit,
+             c_click > 0 AS touched
+      FROM conv
+      UNION ALL
+      SELECT 'view',
+             CASE WHEN n_all > 0 THEN (micro * c_view) // n_all END,
+             c_view > 0
+      FROM conv
+      UNION ALL
+      SELECT 'signup',
+             CASE WHEN n_all > 0 THEN (micro * c_signup) // n_all END,
+             c_signup > 0
+      FROM conv
+      UNION ALL
+      SELECT 'direct',
+             CASE WHEN n_all = 0 THEN micro END,
+             n_all = 0
+      FROM conv
+    )
+    SELECT touch,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(SUM(credit) AS BIGINT) AS attributed_microcents
+    FROM legs WHERE touched GROUP BY touch
+    """,
+    notes="extension (r12): LINEAR (equal-split multi-touch) attribution "
+    "— completes the model family beside q_attribution's last/first: "
+    "every purchase splits its revenue equally over ALL preceding "
+    "touches of the user, credit per channel proportional to its share "
+    "of the touch history. Exact integer MICRO-CENTS grid: per "
+    "(conversion, type), (cents*10^6*n_type) div n_all — integral "
+    "division of positive int64s (Spark computes it as (a - a%b)/b: "
+    "the exact-multiple double division; a bare a/b could round up "
+    "across an integer boundary and disagree with the oracle's // by "
+    "one microcent). Plan: |touch_types| conditional COUNT windows "
+    "over ONE per-user frame — one hash exchange, NO per-(conversion, "
+    "touch) pair join (that shape is quadratic per user); 'direct' "
+    "keeps unattributed revenue visible. operators/timeseries."
+    "linear_touch_attribution; hand-sequence pytest",
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import linear_touch_attribution
+
+    return linear_touch_attribution(table(spark, sf_dir, "events"))

@@ -980,3 +980,38 @@ def test_first_touch_attribution(spark):
     }
     assert last == {"click": 1000}
     assert first == {"signup": 1000}
+
+
+def test_linear_touch_attribution_hand_sequence(spark):
+    """Equal-split multi-touch on the exact micro-cent grid: credits are
+    (cents*1e6*n_type) div n_all per conversion; no preceding touch ->
+    full revenue in 'direct'; a type with zero preceding count never
+    appears in that conversion's legs."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators.timeseries import (
+        linear_touch_attribution,
+    )
+
+    rows = [
+        # user 1: click, view, click, then two purchases
+        (1, "2024-01-01 00:00:00", 1, "click", 0.0),
+        (2, "2024-01-01 00:01:00", 1, "view", 0.0),
+        (3, "2024-01-01 00:02:00", 1, "click", 0.0),
+        (4, "2024-01-01 00:03:00", 1, "purchase", 2.0),
+        (5, "2024-01-01 00:04:00", 1, "purchase", 1.0),
+        # user 2: unattributed purchase
+        (6, "2024-01-01 00:00:30", 2, "purchase", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["touch"]: (r["n_conversions"], r["attributed_microcents"])
+        for r in linear_touch_attribution(df).collect()
+    }
+    # purchase 4: micro=2e8, c_click=2, c_view=1, n=3
+    # purchase 5: micro=1e8, same counts (purchases are not touches)
+    assert got == {
+        "click": (2, 200_000_000 * 2 // 3 + 100_000_000 * 2 // 3),
+        "view": (2, 200_000_000 // 3 + 100_000_000 // 3),
+        "direct": (1, 100_000_000),
+    }, got
