@@ -1015,3 +1015,29 @@ def test_linear_touch_attribution_hand_sequence(spark):
         "view": (2, 200_000_000 // 3 + 100_000_000 // 3),
         "direct": (1, 100_000_000),
     }, got
+
+
+def test_html_extraction_is_map_only(spark, sf_dir):
+    """The markup front doors are scan-fused projections — any Exchange
+    means the extraction accidentally aggregated (the zero-shuffle
+    claim in docs/SCALE.md). q_text_extract_html/md plans: scan +
+    project only."""
+    for q in ("q_text_extract_html", "q_text_extract_md"):
+        plan = explain_str(build(spark, sf_dir, q))
+        assert "Exchange" not in plan, (q, plan)
+
+
+def test_attribution_single_user_exchange(spark, sf_dir):
+    """Every attribution model (last/first window-carry, linear's
+    conditional-count windows) pays exactly ONE fact-sized hash exchange
+    on the user key; the final tiny groupBy may add its own pair. No
+    join, no sort beyond the per-user window sort."""
+    for q in ("q_attribution_linear",):
+        plan = explain_str(build(spark, sf_dir, q))
+        assert _node_count(plan, "Exchange") <= 2, (q, plan)
+        assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, q
+    # q_attribution unions the two models: two window branches over the
+    # same fact, each one user exchange + the tiny agg exchange
+    plan = explain_str(build(spark, sf_dir, "q_attribution"))
+    assert _node_count(plan, "Exchange") <= 4, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
