@@ -268,6 +268,8 @@ HEADLINE = [
     "q_web_curation_e2e",
     # equal-split multi-touch attribution (exact micro-cent grid)
     "q_attribution_linear",
+    # the WARC crawl ingest edge (per-file Python DataSource partitions)
+    "q_scan_warc",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

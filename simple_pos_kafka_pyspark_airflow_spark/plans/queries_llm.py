@@ -4432,8 +4432,10 @@ def q_text_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: q_text_extract_html row and the composed q_web_curation_e2e ladder
 #: build on — ONE definition, so the extraction algebra cannot drift
 #: between the unit row and the composition.
-_HTML_PIPE_SQL = r"""
-    WITH raw AS (
+#: The plant alone (doc_id, source, html) — reused verbatim by the
+#: q_scan_warc fixture oracle, which verifies WARC record/byte exactness
+#: against the same synthesized pages.
+_HTML_PLANT_SQL = r"""
       SELECT doc_id, source,
         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>' ||
         CASE WHEN doc_id % 4 = 0 THEN '<style>p { color: red; }</style>' ELSE '' END ||
@@ -4453,6 +4455,11 @@ _HTML_PIPE_SQL = r"""
         '<div class="footer"><a href="/p">Privacy</a> | <a href="/t">Terms</a></div>' ||
         '</body></html>' AS html
       FROM documents
+"""
+
+_HTML_PIPE_SQL = r"""
+    WITH raw AS (
+""" + _HTML_PLANT_SQL + r"""
     ), s1 AS (
       SELECT doc_id, source,
         regexp_replace(
@@ -4779,4 +4786,86 @@ def q_text_extract_md(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         F.col("doc_id"), textops.strip_markdown(md).alias("text")
+    )
+
+
+@register(
+    "q_scan_warc",
+    "scan",
+    oracle=r"""
+    WITH raw AS (
+    """ + _HTML_PLANT_SQL + r"""
+    ), rec AS (
+      SELECT source || '.warc' AS warc_file,
+             'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+               AS target_uri,
+             CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS http_status,
+             octet_length(encode(html)) AS n_bytes
+      FROM raw
+    )
+    SELECT warc_file,
+           CAST(COUNT(*) AS BIGINT) AS n_responses,
+           CAST(SUM(CASE WHEN http_status = 200 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ok,
+           CAST(SUM(n_bytes) AS BIGINT) AS payload_bytes,
+           CAST(COUNT(DISTINCT target_uri) AS BIGINT) AS n_uris
+    FROM rec GROUP BY warc_file
+    """,
+    notes="extension (r12): the WARC ingest edge — the FIRST hop of the "
+    "web-crawl story (CommonCrawl delivers WARC; downstream of this "
+    "source the repo's pipeline is complete: canonical_url dedup -> "
+    "extract_html_text -> gates -> dedup ladder). Fixture: one .warc "
+    "file per source (written once per sf_dir, executor-side via "
+    "write_warc_files_distributed — never a driver collect), each a "
+    "warcinfo record + one HTTP response record per document whose "
+    "body is the SHARED planted HTML page (_HTML_PLANT_SQL / "
+    "_planted_html — one definition with the extraction rows) and "
+    "whose status is 200, or 404 when doc_id%7=0. The scan "
+    "(sources/warcsource.py: Spark 4 Python DataSource, one "
+    "InputPartition per file, Content-Length-delimited record walk — "
+    "never a regex over payload bytes) must recover record counts, "
+    "status split, DISTINCT URIs, and the EXACT per-payload byte "
+    "lengths the oracle recomputes as octet_length of the same "
+    "synthesized page — byte-exact delivery, not just file stats. "
+    "Parser/writer round-trip + truncation errors pinned in "
+    "tests/test_sources.py",
+)
+def q_scan_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from ..sources import warcsource
+    from .queries_joins import _workdir
+
+    path = _workdir("warc", _os.path.basename(sf_dir.rstrip("/")))
+    marker = _os.path.join(path, "_complete")
+    if not _os.path.exists(marker):
+        d = table(spark, sf_dir, "documents")
+        rows = d.select(
+            F.col("source").alias("file_key"),
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
+            ).alias("target_uri"),
+            F.lit("2026-01-01T00:00:00Z").alias("warc_date"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(404))
+            .otherwise(F.lit(200))
+            .cast("int")
+            .alias("http_status"),
+            F.lit("text/html").alias("content_type"),
+            F.encode(_planted_html(d), "UTF-8").alias("body"),
+            F.col("doc_id").alias("seq"),
+        )
+        warcsource.write_warc_files_distributed(rows, path)
+        with open(marker, "w") as f:
+            f.write("ok")
+    warcsource.register_warc_source(spark)
+    df = spark.read.format("warc").option("path", path).load()
+    resp = df.where(F.col("warc_type") == "response")
+    return resp.groupBy("warc_file").agg(
+        F.count("*").cast("long").alias("n_responses"),
+        F.sum(F.when(F.col("http_status") == 200, 1).otherwise(0))
+        .cast("long")
+        .alias("n_ok"),
+        F.sum(F.length("payload")).cast("long").alias("payload_bytes"),
+        F.countDistinct("target_uri").cast("long").alias("n_uris"),
     )

@@ -948,3 +948,51 @@ def test_codec_audit_measures_real_tradeoffs(spark, tmp_path):
     n = docs.count()
     for codec in by:
         assert spark.read.parquet(str(tmp_path / "codecs" / codec)).count() == n
+
+
+def test_warc_roundtrip_and_errors(spark, tmp_path):
+    """WARC writer/parser twins: byte-exact body recovery (binary bodies
+    included), HTTP status/content-type extraction, non-HTTP records
+    delivered opaque, and ValueError on truncation/bad version."""
+    import pytest as _pytest
+
+    from simple_pos_kafka_pyspark_airflow_spark.sources import warcsource as w
+
+    body_bin = bytes(range(256)) + b"\r\n\r\nnot a delimiter inside body"
+    recs = (
+        w.build_warc_record("warcinfo", None, "2026-01-01T00:00:00Z", b"software: x\r\n")
+        + w.build_warc_record(
+            "response", "https://a/1", "2026-01-01T00:00:00Z", b"<html>hi</html>",
+            http_status=200, content_type="text/html",
+        )
+        + w.build_warc_record(
+            "response", "https://a/2", "2026-01-01T00:00:00Z", body_bin,
+            http_status=404, content_type="application/octet-stream",
+        )
+    )
+    parsed = list(w.parse_warc(recs))
+    assert [f["warc-type"] for f, _ in parsed] == ["warcinfo", "response", "response"]
+    status, ctype, body = w._parse_http_response(parsed[2][1])
+    assert (status, ctype, body) == (404, "application/octet-stream", body_bin)
+
+    with _pytest.raises(ValueError):
+        list(w.parse_warc(recs[: len(recs) - 40]))  # truncated block
+    with _pytest.raises(ValueError):
+        list(w.parse_warc(b"NOTWARC/1.0\r\nContent-Length: 0\r\n\r\n"))
+    with _pytest.raises(ValueError):
+        list(w.parse_warc(b"WARC/1.0\r\nWARC-Type: x\r\n\r\n"))  # no length
+
+    # through the DataSource: per-file partitions, response typing
+    p = tmp_path / "warcs"
+    p.mkdir()
+    (p / "one.warc").write_bytes(recs)
+    w.register_warc_source(spark)
+    rows = (
+        spark.read.format("warc").option("path", str(p)).load().collect()
+    )
+    by_uri = {r["target_uri"]: r for r in rows}
+    assert len(rows) == 3
+    assert by_uri[None]["warc_type"] == "warcinfo" and by_uri[None]["http_status"] is None
+    assert by_uri["https://a/1"]["http_status"] == 200
+    assert bytes(by_uri["https://a/2"]["payload"]) == body_bin
+    assert all(r["warc_file"] == "one.warc" for r in rows)
