@@ -444,6 +444,11 @@ def main() -> None:
         # driver-scale record (bit us in r9: an sf0.01 smoke clobbered
         # r09.json) — off-scale runs land in a suffixed sibling instead
         suffix = "" if abs(payload.get("sf", 0.1) - 0.1) < 1e-9 else f"_sf{payload['sf']}"
+        # a --all sweep is single-run coarse timing — it must never
+        # clobber the round's min-of-3 headline record (bit us in r12:
+        # the sweep overwrote r12.json; restored from git)
+        if run_all:
+            suffix = "_all" + suffix
         out = os.path.join(bench_dir, f"r{int(rnd):02d}{suffix}.json")
         # Per-query SCALING SLOPES (r11, VERDICT item 5): when this is the
         # driver-scale (sf0.1) record and the same round has an sf0.01
