@@ -571,13 +571,14 @@ def last_touch_attribution(
     touch_types: tuple[str, ...] = ("click", "view", "signup"),
     model: str = "last",
 ) -> DataFrame:
-    """Last-touch revenue attribution (r11, registered as a contract
-    query next round): every conversion event credits its revenue to the
+    """Last-touch revenue attribution (r11; contract row q_attribution
+    since r12): every conversion event credits its revenue to the
     MOST RECENT preceding touch event of the same user (``model='last'``,
     the standard marketing-attribution baseline) or the EARLIEST one
     (``model='first'`` — same plan, ``first(ignorenulls)`` over the same
-    frame); multi-touch splits are a transform of the same carried
-    column.
+    frame); the equal-split multi-touch model is
+    ``linear_touch_attribution`` (r12 — conditional-count windows over
+    the same frame).
 
     Plan: ONE per-user window ordered by the (ts, id) total order (the
     id tiebreak makes simultaneous events deterministic) carrying
