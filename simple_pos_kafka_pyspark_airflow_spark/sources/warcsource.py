@@ -237,3 +237,44 @@ def write_warc_files_distributed(df, out_dir: str) -> None:
         .sortWithinPartitions("file_key", "seq")
         .foreachPartition(write_partition)
     )
+
+
+def warc_records_from_binary(files) -> "DataFrame":
+    """WARC records from a ``binaryFile``-shaped frame (``path``,
+    ``content``) — the STREAMING twin of the batch DataSource:
+    ``spark.readStream.format("binaryFile")`` delivers each arriving
+    ``.warc`` file exactly once, and this Arrow-batched ``mapInPandas``
+    expands files into ``WARC_SCHEMA`` record rows executor-side, so
+    record parsing inherits the file stream's exactly-once accounting.
+    One Python hop per file batch (the multimodal slow-path discipline);
+    a malformed file raises (ingest-edge truncation is a bad FILE — see
+    module header), matching the batch reader's contract."""
+    import pandas as pd
+
+    cols = [
+        "warc_file", "warc_type", "target_uri", "warc_date",
+        "http_status", "content_type", "payload",
+    ]
+
+    def batches(it):
+        for pdf in it:
+            out: dict[str, list] = {k: [] for k in cols}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                fname = os.path.basename(path)
+                for fields, block in parse_warc(bytes(content)):
+                    wtype = fields.get("warc-type", "")
+                    rec_ct = fields.get("content-type", "")
+                    if wtype == "response" and rec_ct.startswith("application/http"):
+                        status, ctype, body = _parse_http_response(block)
+                    else:
+                        status, ctype, body = None, rec_ct or None, block
+                    out["warc_file"].append(fname)
+                    out["warc_type"].append(wtype)
+                    out["target_uri"].append(fields.get("warc-target-uri"))
+                    out["warc_date"].append(fields.get("warc-date"))
+                    out["http_status"].append(status)
+                    out["content_type"].append(ctype)
+                    out["payload"].append(body)
+            yield pd.DataFrame(out)
+
+    return files.select("path", "content").mapInPandas(batches, schema=WARC_SCHEMA)

@@ -3454,3 +3454,97 @@ def test_ingest_corpus_batch_html_front_door(spark, tmp_path):
         b2, 1, mh_html, min_quality=0.0, min_tokens=3, html_input=True
     )
     assert landed2.count() == 0
+
+
+def test_crawl_full_loop_warc_stream_extract_ingest(spark, tmp_path):
+    """The COMPLETE crawl front door as one stream: .warc files arrive →
+    binaryFile stream (exactly-once per file) → warc_records_from_binary
+    expands records executor-side → 200/text-html responses become docs →
+    ingest_corpus_batch(html_input=True) extracts visible text and runs
+    the persistent gates — a later batch's near-duplicate PAGE (same
+    prose, different chrome) must be rejected off the index built from
+    batch 1's EXTRACTED text."""
+    from pyspark.sql import functions as F
+
+    from simple_pos_kafka_pyspark_airflow_spark.sources import warcsource as w
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import (
+        IncrementalMinhashIndex,
+        ingest_corpus_batch,
+    )
+
+    prose = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+
+    def page(text, chrome):
+        return (
+            f"<html><head><title>T</title><script>var x{chrome} = 1;</script>"
+            f'</head><body><div><a href="/">Home</a> <a href="/{chrome}">Nav '
+            f"entry {chrome}</a></div><p>{text}</p></body></html>"
+        ).encode()
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    date = "2026-01-01T00:00:00Z"
+    (src / "b1.warc").write_bytes(
+        w.build_warc_record("warcinfo", None, date, b"software: t\r\n")
+        + w.build_warc_record("response", "https://a/1", date, page(prose, "one"),
+                              http_status=200, content_type="text/html")
+        + w.build_warc_record("response", "https://a/2", date, b"gone",
+                              http_status=404, content_type="text/html")
+    )
+    (src / "b2.warc").write_bytes(
+        # same prose re-crawled under different chrome + a fresh doc
+        w.build_warc_record("response", "https://b/1", date,
+                            page(prose + " extratoken", "two"),
+                            http_status=200, content_type="text/html")
+        + w.build_warc_record("response", "https://b/2", date,
+                              page("one two three four five six seven", "two"),
+                              http_status=200, content_type="text/html")
+    )
+
+    mh = IncrementalMinhashIndex(
+        spark, str(tmp_path / "mh"), num_hashes=16, bands=8, jaccard_threshold=0.8
+    )
+    out_dir = str(tmp_path / "landed")
+
+    def handle(batch, bid):
+        recs = w.warc_records_from_binary(batch)
+        docs = (
+            recs.where(
+                (F.col("warc_type") == "response")
+                & (F.col("http_status") == 200)
+                & F.col("content_type").startswith("text/html")
+            )
+            .select(
+                F.xxhash64("target_uri").alias("doc_id"),
+                F.decode("payload", "UTF-8").alias("text"),
+                F.col("target_uri"),
+            )
+        )
+        landed = ingest_corpus_batch(
+            docs, bid, mh, min_quality=0.0, min_tokens=3, html_input=True
+        )
+        landed.write.mode("append").parquet(out_dir)
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(120)
+
+    landed = {r["target_uri"]: r["text"] for r in spark.read.parquet(out_dir).collect()}
+    # 404 never became a doc; whichever crawl of the prose page arrived
+    # FIRST landed and the other was rejected off the persistent index
+    # (binaryFile stream order between same-mtime files is not
+    # contractual — the dedup outcome is); chrome never reached the
+    # corpus in either case
+    dup_crawls = {"https://a/1", "https://b/1"}
+    assert len(dup_crawls & set(landed)) == 1, landed
+    assert set(landed) - dup_crawls == {"https://b/2"}, landed
+    kept_dup = (dup_crawls & set(landed)).pop()
+    assert landed[kept_dup].startswith(prose)
+    assert all("Nav entry" not in t and "<" not in t for t in landed.values())
