@@ -270,6 +270,8 @@ HEADLINE = [
     "q_attribution_linear",
     # the WARC crawl ingest edge (per-file Python DataSource partitions)
     "q_scan_warc",
+    # cross-page common-line boilerplate (line-keyed distinct-doc count)
+    "q_text_boilerplate_lines",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

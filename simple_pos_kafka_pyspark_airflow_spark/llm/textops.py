@@ -1292,3 +1292,64 @@ def strip_markdown(md: Column) -> Column:
     t = F.regexp_replace(t, r"__([^_]+)__", r"$1")
     t = F.regexp_replace(t, r"\b_([^_]+)_\b", r"$1")
     return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def strip_common_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Cross-page COMMON-LINE boilerplate removal — the deduplication-
+    based rule C4 and RefinedWeb apply after extraction: a line that
+    appears verbatim in ≥ ``min_docs`` documents of the same group
+    (domain/dump) is chrome — cookie banners, copyright footers,
+    subscribe prompts — not content, however prose-like a single
+    instance looks. This is the corpus-statistical complement of
+    ``extract_html_text``'s per-page link-density rule (which cannot see
+    that a clean-looking sentence repeats on every page of the site).
+
+    Plan: line posexplode → per-(group, line) distinct-doc count (one
+    partial-aggregable shuffle keyed by the line — the hot keys ARE the
+    boilerplate, bounded by Spark's two-phase distinct agg) → count join
+    back (a second shuffle on the same key) → per-doc rebuild via
+    array_sort(collect_list(struct(pos, line))) so kept lines return in
+    ORIGINAL order. Fully-stripped docs keep their row with empty text
+    (silently dropping them would hide the most boilerplate-heavy
+    pages). Group-local counting matters at 100 TB: a global count
+    would strip legitimate cross-domain idioms, and the group key keeps
+    the count shuffle partition-pruned per domain.
+
+    Output: ``(id_col, group_col, text_col cleaned, n_dropped)``."""
+    lines = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    )
+    freq = lines.groupBy(group_col, "__line").agg(
+        F.countDistinct(id_col).alias("__nd")
+    )
+    kept = lines.join(freq, [group_col, "__line"]).where(F.col("__nd") < min_docs)
+    reb = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("__t"),
+        F.count("*").cast("long").alias("__nk"),
+    )
+    n_lines = F.size(F.split(F.col(text_col), "\n")).cast("long")
+    return (
+        docs.join(reb, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.coalesce(F.col("__t"), F.lit("")).alias(text_col),
+            (n_lines - F.coalesce(F.col("__nk"), F.lit(0))).cast("long").alias(
+                "n_dropped"
+            ),
+        )
+    )

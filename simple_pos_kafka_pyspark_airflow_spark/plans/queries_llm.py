@@ -4869,3 +4869,72 @@ def q_scan_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("payload")).cast("long").alias("payload_bytes"),
         F.countDistinct("target_uri").cast("long").alias("n_uris"),
     )
+
+
+@register(
+    "q_text_boilerplate_lines",
+    "llm",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, source,
+        text || chr(10) ||
+        'copyright (c) ' || source || ' media group' || chr(10) ||
+        CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter today'
+             ELSE 'ref ' || CAST(doc_id AS VARCHAR) END AS t
+      FROM documents
+    ), x AS (
+      SELECT doc_id, source,
+             unnest(str_split(t, chr(10))) AS line,
+             generate_subscripts(str_split(t, chr(10)), 1) AS pos
+      FROM d
+    ), freq AS (
+      SELECT source, line, COUNT(DISTINCT doc_id) AS nd
+      FROM x GROUP BY source, line
+    ), kept AS (
+      SELECT x.doc_id, x.pos, x.line
+      FROM x JOIN freq ON x.source = freq.source AND x.line = freq.line
+      WHERE freq.nd < 3
+    ), reb AS (
+      SELECT doc_id,
+             array_to_string(list(line ORDER BY pos), chr(10)) AS text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.source,
+           COALESCE(reb.text, '') AS text,
+           CAST(len(str_split(d.t, chr(10))) - COALESCE(reb.n_kept, 0) AS BIGINT)
+             AS n_dropped
+    FROM d LEFT JOIN reb ON d.doc_id = reb.doc_id
+    """,
+    notes="extension (r12): cross-page COMMON-LINE boilerplate removal — "
+    "the C4/RefinedWeb deduplication rule the per-page extractor cannot "
+    "express (a clean-looking sentence that repeats on every page of a "
+    "domain is chrome; only corpus statistics see it). Planted layout: "
+    "each doc gains a per-source copyright footer (in EVERY doc of the "
+    "source -> stripped), and doc_id%3=0 docs share a subscribe prompt "
+    "(tens of docs per source -> stripped) while the rest carry a "
+    "unique 'ref N' line (kept); the body line is the doc's own text. "
+    "Group-local distinct-doc counting, count join-back, ORDER-"
+    "preserving per-doc rebuild (array_sort over (pos, line) structs); "
+    "fully-stripped docs stay as empty rows. Cleaned text value-hashed "
+    "per doc. llm/textops.strip_common_lines; ordering/empty-doc "
+    "pytest",
+)
+def q_text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    planted = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"), nl,
+            F.lit("copyright (c) "), F.col("source"), F.lit(" media group"), nl,
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("subscribe to our newsletter today"),
+            ).otherwise(F.concat(F.lit("ref "), F.col("doc_id").cast("string"))),
+        ).alias("text"),
+    )
+    return textops.strip_common_lines(
+        planted, text_col="text", id_col="doc_id", group_col="source", min_docs=3
+    )

@@ -113,6 +113,31 @@ def parse_warc(data: bytes) -> Iterator[tuple[dict, bytes]]:
         pos = body_start + clen
 
 
+def maybe_gunzip_warc(data: bytes, fname: str) -> bytes:
+    """Transparent ``.warc.gz`` support (r12): CommonCrawl ships WARC as
+    a CONCATENATION of per-record gzip members (so HTTP range reads can
+    fetch one record). Python's gzip module decompresses concatenated
+    members in one pass, which reconstitutes exactly the plain WARC byte
+    stream ``parse_warc`` walks. Triggered by extension OR magic (a
+    mis-named plain file passes through; a gzip-magic file always
+    inflates)."""
+    if data[:2] == b"\x1f\x8b" or fname.endswith(".gz"):
+        if data[:2] != b"\x1f\x8b":
+            raise ValueError(f"{fname}: .gz extension without gzip magic")
+        import gzip
+        import io
+
+        out = []
+        with gzip.GzipFile(fileobj=io.BytesIO(data)) as gz:
+            while True:
+                chunk = gz.read(1 << 20)
+                if not chunk:
+                    break
+                out.append(chunk)
+        return b"".join(out)
+    return data
+
+
 def _parse_http_response(block: bytes) -> tuple[int | None, str | None, bytes]:
     """(status, content_type, body) of an HTTP response block; a block
     that doesn't parse as HTTP comes back as (None, None, block) — the
@@ -153,13 +178,14 @@ class _WarcReader(DataSourceReader):
         return [
             _WarcPartition(os.path.join(self._dir, f))
             for f in sorted(os.listdir(self._dir))
-            if f.endswith(".warc")
+            if f.endswith((".warc", ".warc.gz"))
         ]
 
     def read(self, partition: _WarcPartition) -> Iterator[tuple]:
         fname = os.path.basename(partition.path)
         with open(partition.path, "rb") as f:
             data = f.read()
+        data = maybe_gunzip_warc(data, fname)
         for fields, block in parse_warc(data):
             wtype = fields.get("warc-type", "")
             uri = fields.get("warc-target-uri")
@@ -261,7 +287,8 @@ def warc_records_from_binary(files) -> "DataFrame":
             out: dict[str, list] = {k: [] for k in cols}
             for path, content in zip(pdf["path"], pdf["content"]):
                 fname = os.path.basename(path)
-                for fields, block in parse_warc(bytes(content)):
+                data = maybe_gunzip_warc(bytes(content), fname)
+                for fields, block in parse_warc(data):
                     wtype = fields.get("warc-type", "")
                     rec_ct = fields.get("content-type", "")
                     if wtype == "response" and rec_ct.startswith("application/http"):

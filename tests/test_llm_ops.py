@@ -3608,3 +3608,35 @@ def test_strip_markdown_edge_cases(spark):
     }
     for i, (md, want) in enumerate(cases.items()):
         assert got[i] == want, (md, got[i], want)
+
+
+def test_strip_common_lines_order_and_empty(spark):
+    """Kept lines return in ORIGINAL order; a fully-boilerplate doc
+    stays as an empty row; counting is distinct-doc (a line repeated
+    inside ONE doc doesn't strip), group-local (same line in another
+    group survives)."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm.textops import strip_common_lines
+
+    footer = "copyright acme inc"
+    rows = [
+        (1, "a", f"zeta body one\n{footer}\nalpha tail one"),
+        (2, "a", f"body two\n{footer}"),
+        (3, "a", f"{footer}\nbody three"),
+        (4, "a", footer),  # fully boilerplate
+        # repeated INSIDE one doc only -> distinct-doc count is 1+2=3? no:
+        # docs 5 carries it twice, doc 1..none -> nd=1 -> kept
+        (5, "a", "echo\necho"),
+        # same footer under ANOTHER group, only 1 doc -> kept
+        (6, "b", f"other body\n{footer}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_dropped"])
+        for r in strip_common_lines(df, min_docs=3).collect()
+    }
+    assert got[1] == ("zeta body one\nalpha tail one", 1)  # order preserved
+    assert got[2] == ("body two", 1)
+    assert got[3] == ("body three", 1)
+    assert got[4] == ("", 1)
+    assert got[5] == ("echo\necho", 0)
+    assert got[6] == (f"other body\n{footer}", 0)

@@ -996,3 +996,34 @@ def test_warc_roundtrip_and_errors(spark, tmp_path):
     assert by_uri["https://a/1"]["http_status"] == 200
     assert bytes(by_uri["https://a/2"]["payload"]) == body_bin
     assert all(r["warc_file"] == "one.warc" for r in rows)
+
+
+def test_warc_gz_member_per_record(spark, tmp_path):
+    """CommonCrawl layout: a .warc.gz is a CONCATENATION of per-record
+    gzip members — the reader must inflate all members and recover the
+    identical record stream; a .gz name without gzip magic errors."""
+    import gzip
+
+    import pytest as _pytest
+
+    from simple_pos_kafka_pyspark_airflow_spark.sources import warcsource as w
+
+    date = "2026-01-01T00:00:00Z"
+    r1 = w.build_warc_record("warcinfo", None, date, b"software: t\r\n")
+    r2 = w.build_warc_record("response", "https://a/1", date, b"<html>x</html>",
+                             http_status=200, content_type="text/html")
+    gz = gzip.compress(r1) + gzip.compress(r2)  # two members
+    assert w.maybe_gunzip_warc(gz, "f.warc.gz") == r1 + r2
+    with _pytest.raises(ValueError):
+        w.maybe_gunzip_warc(b"plain", "f.warc.gz")
+
+    p = tmp_path / "gzwarc"
+    p.mkdir()
+    (p / "one.warc.gz").write_bytes(gz)
+    w.register_warc_source(spark)
+    rows = spark.read.format("warc").option("path", str(p)).load().collect()
+    assert len(rows) == 2
+    by_type = {r["warc_type"]: r for r in rows}
+    assert by_type["response"]["http_status"] == 200
+    assert bytes(by_type["response"]["payload"]) == b"<html>x</html>"
+    assert by_type["response"]["warc_file"] == "one.warc.gz"
