@@ -272,6 +272,8 @@ HEADLINE = [
     "q_scan_warc",
     # cross-page common-line boilerplate (line-keyed distinct-doc count)
     "q_text_boilerplate_lines",
+    # the physical crawl loop (WARC fixture -> parse -> extract -> stats)
+    "q_crawl_e2e",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

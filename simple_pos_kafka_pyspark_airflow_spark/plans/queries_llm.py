@@ -4789,6 +4789,45 @@ def q_text_extract_md(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _warc_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """The shared WARC fixture: one .warc per source, a warcinfo header +
+    one HTTP response per document whose body is the planted HTML page
+    (_planted_html) and whose status is 404 for doc_id%7=0 else 200.
+    Written ONCE per sf_dir (marker-gated), executor-side. Used by
+    q_scan_warc (record/byte exactness) and q_crawl_e2e (composition
+    across the disk boundary) — one definition, no drift. Returns the
+    directory and leaves the warc source registered."""
+    import os as _os
+
+    from ..sources import warcsource
+    from .queries_joins import _workdir
+
+    path = _workdir("warc", _os.path.basename(sf_dir.rstrip("/")))
+    marker = _os.path.join(path, "_complete")
+    if not _os.path.exists(marker):
+        d = table(spark, sf_dir, "documents")
+        rows = d.select(
+            F.col("source").alias("file_key"),
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
+            ).alias("target_uri"),
+            F.lit("2026-01-01T00:00:00Z").alias("warc_date"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(404))
+            .otherwise(F.lit(200))
+            .cast("int")
+            .alias("http_status"),
+            F.lit("text/html").alias("content_type"),
+            F.encode(_planted_html(d), "UTF-8").alias("body"),
+            F.col("doc_id").alias("seq"),
+        )
+        warcsource.write_warc_files_distributed(rows, path)
+        with open(marker, "w") as f:
+            f.write("ok")
+    warcsource.register_warc_source(spark)
+    return path
+
+
 @register(
     "q_scan_warc",
     "scan",
@@ -4831,34 +4870,7 @@ def q_text_extract_md(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tests/test_sources.py",
 )
 def q_scan_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os as _os
-
-    from ..sources import warcsource
-    from .queries_joins import _workdir
-
-    path = _workdir("warc", _os.path.basename(sf_dir.rstrip("/")))
-    marker = _os.path.join(path, "_complete")
-    if not _os.path.exists(marker):
-        d = table(spark, sf_dir, "documents")
-        rows = d.select(
-            F.col("source").alias("file_key"),
-            F.concat(
-                F.lit("https://"), F.col("source"),
-                F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
-            ).alias("target_uri"),
-            F.lit("2026-01-01T00:00:00Z").alias("warc_date"),
-            F.when(F.col("doc_id") % 7 == 0, F.lit(404))
-            .otherwise(F.lit(200))
-            .cast("int")
-            .alias("http_status"),
-            F.lit("text/html").alias("content_type"),
-            F.encode(_planted_html(d), "UTF-8").alias("body"),
-            F.col("doc_id").alias("seq"),
-        )
-        warcsource.write_warc_files_distributed(rows, path)
-        with open(marker, "w") as f:
-            f.write("ok")
-    warcsource.register_warc_source(spark)
+    path = _warc_fixture(spark, sf_dir)
     df = spark.read.format("warc").option("path", path).load()
     resp = df.where(F.col("warc_type") == "response")
     return resp.groupBy("warc_file").agg(
@@ -4937,4 +4949,61 @@ def q_text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return textops.strip_common_lines(
         planted, text_col="text", id_col="doc_id", group_col="source", min_docs=3
+    )
+
+
+@register(
+    "q_crawl_e2e",
+    "llm",
+    oracle=_HTML_PIPE_SQL
+    + r"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_lines) AS BIGINT) AS sum_lines,
+           CAST(SUM(n_kept) AS BIGINT) AS sum_kept,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+    FROM extracted WHERE doc_id % 7 <> 0 GROUP BY source
+    """,
+    notes="extension (r12): the PHYSICAL crawl loop as one oracle row — "
+    "bytes on disk through the whole front door: the q_scan_warc "
+    "fixture files (real WARC records whose HTTP bodies are the shared "
+    "planted HTML) are read back via the warc DataSource, 200-status "
+    "text/html responses decode to pages, extract_html_text reduces "
+    "them to prose, and the per-source line/kept/char totals must equal "
+    "the SAME numbers the oracle computes purely in SQL from the plant "
+    "algebra (filtered to the non-404 docs, doc_id%7<>0). q_scan_warc "
+    "certifies record/byte exactness and q_text_extract_html the "
+    "extraction algebra; this row certifies their COMPOSITION across "
+    "the disk boundary — a serialization bug in the fixture writer, a "
+    "parse drift, or an encode/decode mismatch all break the hash. "
+    "Shares the fixture dir (written once per sf_dir) and the "
+    "_HTML_PLANT_SQL definition",
+)
+def q_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _warc_fixture(spark, sf_dir)
+    pages = (
+        spark.read.format("warc")
+        .option("path", path)
+        .load()
+        .where((F.col("warc_type") == "response") & (F.col("http_status") == 200))
+        .select(
+            F.regexp_replace("warc_file", r"\.warc$", "").alias("source"),
+            F.decode("payload", "UTF-8").alias("html"),
+        )
+    )
+    e = textops.extract_html_text(F.col("html"), min_words=3, max_link_density=0.5)
+    return (
+        pages.select(
+            "source",
+            e["text"].alias("xt"),
+            e["n_lines"].alias("nl"),
+            e["n_kept"].alias("nk"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nl").cast("long").alias("sum_lines"),
+            F.sum("nk").cast("long").alias("sum_kept"),
+            F.sum(F.length("xt")).cast("long").alias("sum_chars"),
+        )
     )
