@@ -1321,6 +1321,11 @@ def strip_common_lines(
     would strip legitimate cross-domain idioms, and the group key keeps
     the count shuffle partition-pruned per domain.
 
+    Streaming note: this is the BATCH form (counts within the frame it
+    is given); the cross-micro-batch equivalent is the persistent span
+    index (``streaming.corpus.IncrementalSpanIndex``), which carries
+    boilerplate counts across batches at token-span granularity.
+
     Output: ``(id_col, group_col, text_col cleaned, n_dropped)``."""
     lines = docs.select(
         F.col(id_col),
