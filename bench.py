@@ -274,6 +274,8 @@ HEADLINE = [
     "q_text_boilerplate_lines",
     # the physical crawl loop (WARC fixture -> parse -> extract -> stats)
     "q_crawl_e2e",
+    # U-shaped (position-based) attribution completes the model family
+    "q_attribution_ushape",
 ]
 
 #: Sub-second queries are where host noise dominates (measured 8×

@@ -711,3 +711,101 @@ def linear_touch_attribution(
             F.sum("credit").cast("long").alias("attributed_microcents"),
         )
     )
+
+
+def position_touch_attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view", "signup"),
+) -> DataFrame:
+    """POSITION-BASED (U-shaped, 40/20/40) attribution — the fourth and
+    last standard model (after last/first/linear): the FIRST touch gets
+    40% of a conversion's revenue, the LAST 40%, and the middle touches
+    split the remaining 20% equally. Standard degenerate conventions:
+    one touch takes 100%, two touches split 50/50, none stays 'direct'.
+
+    Exactness (the ``linear_touch_attribution`` discipline): per
+    conversion and type, each share is an integral division on the
+    micro-cents grid — ``(micro·2) div 5`` per end slot, ``(micro·m_t)
+    div (5·(n−2))`` for the middle pool (m_t = middle touches of type t
+    = count_t − [first=t] − [last=t]) — via the exact-multiple
+    ``(a − a%b)/b`` form, so Spark and the DuckDB ``//`` oracle agree
+    to the microcent. Sub-microcent floor remainders are dropped, never
+    redistributed (documented, matches the linear model).
+
+    Plan: the SAME single per-user frame as every other model — two
+    carried values (first/last ignorenulls) + |touch_types| conditional
+    counts; one hash exchange, no joins. Output: ``(touch,
+    n_conversions, attributed_microcents)``; ``n_conversions`` counts
+    conversions where the type appears anywhere in the history."""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col(type_col).isin(*touch_types), F.col(type_col))
+    first_t = F.first(touch, ignorenulls=True).over(w)
+    last_t = F.last(touch, ignorenulls=True).over(w)
+    cnts = {
+        t: F.count(F.when(F.col(type_col) == t, True)).over(w) for t in touch_types
+    }
+    conv = (
+        events.withColumn("__ft", first_t)
+        .withColumn("__lt", last_t)
+        .withColumns({f"__c_{t}": c for t, c in cnts.items()})
+        .where(F.col(type_col) == conversion_type)
+    )
+    n_all = None
+    for t in touch_types:
+        n_all = F.col(f"__c_{t}") if n_all is None else n_all + F.col(f"__c_{t}")
+    micro = F.floor(F.col(value_col) * 100).cast("long") * F.lit(1_000_000)
+
+    def idiv(a, b):
+        return ((a - a % b) / b).cast("long")
+
+    legs = []
+    for t in touch_types:
+        is_f = (F.col("__ft") == t).cast("long")
+        is_l = (F.col("__lt") == t).cast("long")
+        m_t = F.col(f"__c_{t}") - is_f - is_l
+        credit = (
+            F.when(n_all == 1, micro * is_f)
+            .when(n_all == 2, idiv(micro, F.lit(2)) * (is_f + is_l))
+            .when(
+                n_all >= 3,
+                idiv(micro * F.lit(2), F.lit(5)) * (is_f + is_l)
+                + idiv(micro * m_t, F.lit(5) * (n_all - 2)),
+            )
+        )
+        legs.append(
+            F.struct(
+                F.lit(t).alias("touch"),
+                credit.alias("credit"),
+                (F.col(f"__c_{t}") > 0).alias("touched"),
+            )
+        )
+    legs.append(
+        F.struct(
+            F.lit("direct").alias("touch"),
+            F.when(n_all == 0, micro).alias("credit"),
+            (n_all == 0).alias("touched"),
+        )
+    )
+    melted = conv.select(F.explode(F.array(*legs)).alias("leg")).select(
+        F.col("leg.touch").alias("touch"),
+        F.col("leg.credit").alias("credit"),
+        F.col("leg.touched").alias("touched"),
+    )
+    return (
+        melted.where(F.col("touched"))
+        .groupBy("touch")
+        .agg(
+            F.count("*").cast("long").alias("n_conversions"),
+            F.sum("credit").cast("long").alias("attributed_microcents"),
+        )
+    )

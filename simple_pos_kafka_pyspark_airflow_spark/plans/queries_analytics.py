@@ -5063,3 +5063,66 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.timeseries import linear_touch_attribution
 
     return linear_touch_attribution(table(spark, sf_dir, "events"))
+
+
+def _ushape_leg_sql(t: str) -> str:
+    f = f"CAST(ft = '{t}' AS BIGINT)"
+    l = f"CAST(lt = '{t}' AS BIGINT)"
+    return f"""
+      SELECT '{t}' AS touch,
+             CASE WHEN n = 1 THEN micro * {f}
+                  WHEN n = 2 THEN (micro // 2) * ({f} + {l})
+                  WHEN n >= 3 THEN ((micro * 2) // 5) * ({f} + {l})
+                       + ((micro * (c_{t} - {f} - {l})) // (5 * (n - 2)))
+             END AS credit,
+             c_{t} > 0 AS touched
+      FROM conv"""
+
+
+@register(
+    "q_attribution_ushape",
+    "window",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(value * 100) AS BIGINT) * 1000000 AS micro,
+             first_value(touch_ev IGNORE NULLS) OVER w AS ft,
+             last_value(touch_ev IGNORE NULLS) OVER w AS lt,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END) OVER w AS c_click,
+             COUNT(CASE WHEN event_type = 'view' THEN 1 END) OVER w AS c_view,
+             COUNT(CASE WHEN event_type = 'signup' THEN 1 END) OVER w AS c_signup
+      FROM (SELECT *, CASE WHEN event_type IN ('click','view','signup')
+                           THEN event_type END AS touch_ev FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), conv AS (
+      SELECT *, c_click + c_view + c_signup AS n
+      FROM e WHERE event_type = 'purchase'
+    ), legs AS (
+    """
+    + "\n      UNION ALL".join(_ushape_leg_sql(t) for t in ("click", "view", "signup"))
+    + """
+      UNION ALL
+      SELECT 'direct', CASE WHEN n = 0 THEN micro END, n = 0 FROM conv
+    )
+    SELECT touch,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(SUM(credit) AS BIGINT) AS attributed_microcents
+    FROM legs WHERE touched GROUP BY touch
+    """,
+    notes="extension (r12): POSITION-BASED (U-shaped, 40/20/40) "
+    "attribution — completes the four standard models (q_attribution "
+    "last/first, q_attribution_linear equal-split): first touch 40%, "
+    "last 40%, middles split 20%; one touch takes all, two split 50/50, "
+    "none stays 'direct'. Same exact micro-cent integral-division "
+    "discipline ((a-a%b)/b == DuckDB //, all operands positive) and the "
+    "SAME single per-user window frame — two carried first/last values "
+    "+ three conditional counts, one hash exchange, no joins. The type "
+    "legs of the oracle are GENERATED from one template "
+    "(_ushape_leg_sql) so the three branches cannot drift. operators/"
+    "timeseries.position_touch_attribution; hand-sequence pytest",
+)
+def q_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import position_touch_attribution
+
+    return position_touch_attribution(table(spark, sf_dir, "events"))

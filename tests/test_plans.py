@@ -1041,3 +1041,47 @@ def test_attribution_single_user_exchange(spark, sf_dir):
     plan = explain_str(build(spark, sf_dir, "q_attribution"))
     assert _node_count(plan, "Exchange") <= 4, plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_position_touch_attribution_hand_sequence(spark):
+    """U-shape conventions: 1 touch -> 100%, 2 -> 50/50, >=3 -> 40% ends
+    + 20% split over middles (per-type middle share on the exact
+    micro-cent grid); no touches -> direct."""
+    from simple_pos_kafka_pyspark_airflow_spark.operators.timeseries import (
+        position_touch_attribution,
+    )
+
+    rows = [
+        # user 1: click, view, view, signup -> purchase $1.00
+        (1, "2024-01-01 00:00:00", 1, "click", 0.0),
+        (2, "2024-01-01 00:01:00", 1, "view", 0.0),
+        (3, "2024-01-01 00:02:00", 1, "view", 0.0),
+        (4, "2024-01-01 00:03:00", 1, "signup", 0.0),
+        (5, "2024-01-01 00:04:00", 1, "purchase", 1.0),
+        # user 2: two touches -> 50/50
+        (6, "2024-01-01 00:00:00", 2, "view", 0.0),
+        (7, "2024-01-01 00:01:00", 2, "click", 0.0),
+        (8, "2024-01-01 00:02:00", 2, "purchase", 1.0),
+        # user 3: single touch -> 100%
+        (9, "2024-01-01 00:00:00", 3, "signup", 0.0),
+        (10, "2024-01-01 00:01:00", 3, "purchase", 2.0),
+        # user 4: unattributed
+        (11, "2024-01-01 00:00:00", 4, "purchase", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["touch"]: (r["n_conversions"], r["attributed_microcents"])
+        for r in position_touch_attribution(df).collect()
+    }
+    m = 100_000_000  # $1.00 in microcents
+    # user 1 (n=4): ends click/signup 40% each; middles: two views split 20%
+    # user 2 (n=2): view (first) 50%, click (last) 50%
+    # user 3 (n=1): signup 100% of $2.00
+    assert got == {
+        "click": (2, (m * 2) // 5 + m // 2),
+        "view": (2, (m * 2) // (5 * 2) + m // 2),
+        "signup": (2, (m * 2) // 5 + 2 * m),
+        "direct": (1, m),
+    }, got
