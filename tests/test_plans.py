@@ -1032,7 +1032,7 @@ def test_attribution_single_user_exchange(spark, sf_dir):
     conditional-count windows) pays exactly ONE fact-sized hash exchange
     on the user key; the final tiny groupBy may add its own pair. No
     join, no sort beyond the per-user window sort."""
-    for q in ("q_attribution_linear",):
+    for q in ("q_attribution_linear", "q_attribution_ushape"):
         plan = explain_str(build(spark, sf_dir, q))
         assert _node_count(plan, "Exchange") <= 2, (q, plan)
         assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, q
