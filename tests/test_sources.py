@@ -1027,3 +1027,136 @@ def test_warc_gz_member_per_record(spark, tmp_path):
     assert by_type["response"]["http_status"] == 200
     assert bytes(by_type["response"]["payload"]) == b"<html>x</html>"
     assert by_type["response"]["warc_file"] == "one.warc.gz"
+
+
+class _LazyRecordStream:
+    """A read-only binary stream that SYNTHESIZES its WARC bytes one
+    record at a time — lets the peak-memory tests drive a multi-hundred-
+    megabyte file through the parser without that file ever existing
+    anywhere (disk or memory). Only the current record is resident."""
+
+    def __init__(self, make_record, n_records: int):
+        self._make, self._n = make_record, n_records
+        self._i, self._cur, self._off = 0, b"", 0
+
+    def read(self, n: int = -1) -> bytes:
+        if self._off >= len(self._cur):
+            if self._i >= self._n:
+                return b""
+            self._cur = self._make(self._i)
+            self._off = 0
+            self._i += 1
+        if n is None or n < 0:
+            n = len(self._cur) - self._off
+        out = self._cur[self._off : self._off + n]
+        self._off += len(out)
+        return out
+
+
+def test_warc_stream_peak_memory_is_o_record_not_o_file():
+    """The r13 memory contract (VERDICT item 1): parsing a ~200 MB plain
+    WARC stream of 1 MB records must peak at O(max record) Python memory
+    — NOT O(file), which is what the r12 whole-file read did (~10 GB/task
+    at CommonCrawl sizes). The bound here is 32 MB: one record (1 MB) +
+    one I/O chunk + bytearray growth slack, two orders of magnitude under
+    the stream size."""
+    import tracemalloc
+
+    from simple_pos_kafka_pyspark_airflow_spark.sources import warcsource as w
+
+    body_size, n_records = 1 << 20, 200  # ~200 MB total
+
+    def make(i: int) -> bytes:
+        prefix = b"rec%06d|" % i
+        body = prefix + b"\xab" * (body_size - len(prefix))
+        return w.build_warc_record(
+            "response", f"https://ex.com/{i}", "2026-01-01T00:00:00Z", body,
+            http_status=200, content_type="text/plain",
+        )
+
+    stream = _LazyRecordStream(make, n_records)
+    tracemalloc.start()
+    tracemalloc.reset_peak()
+    seen = 0
+    for fields, block in w.open_warc_record_stream(stream, "big.warc"):
+        status, _, body = w._parse_http_response(block)
+        assert status == 200 and len(body) == body_size
+        assert body.startswith(b"rec%06d|" % seen)
+        seen += 1
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert seen == n_records
+    assert peak < 32 << 20, f"peak {peak >> 20} MB is not O(record)"
+
+
+def test_warc_gz_stream_peak_memory_bounded():
+    """Same contract through the gzip leg: concatenated per-record gzip
+    members (the CommonCrawl layout) are inflated INCREMENTALLY — the
+    decompressed stream (~100 MB here) is never resident, only the
+    current record. Members are synthesized lazily so neither form of
+    the file exists in full."""
+    import gzip
+    import tracemalloc
+
+    from simple_pos_kafka_pyspark_airflow_spark.sources import warcsource as w
+
+    body_size, n_records = 1 << 20, 100
+
+    def make(i: int) -> bytes:
+        prefix = b"gz%06d|" % i
+        body = prefix + b"z" * (body_size - len(prefix))
+        return gzip.compress(
+            w.build_warc_record(
+                "response", f"https://ex.com/{i}", "2026-01-01T00:00:00Z", body,
+                http_status=200, content_type="text/plain",
+            )
+        )
+
+    stream = _LazyRecordStream(make, n_records)
+    tracemalloc.start()
+    tracemalloc.reset_peak()
+    seen = 0
+    for fields, block in w.open_warc_record_stream(stream, "big.warc.gz"):
+        status, _, body = w._parse_http_response(block)
+        assert status == 200 and len(body) == body_size
+        seen += 1
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert seen == n_records
+    assert peak < 32 << 20, f"peak {peak >> 20} MB is not O(record)"
+
+
+def test_warc_source_scheme_prefixed_path(spark, tmp_path):
+    """Remote-FS discovery (VERDICT item 5): a scheme-prefixed URI
+    resolves through pyarrow.fs in BOTH planning (partition listing) and
+    executor reads, and yields exactly the rows the bare-path form does.
+    file:// stands in for s3://-class URIs (same resolver code path)."""
+    from simple_pos_kafka_pyspark_airflow_spark.sources import warcsource as w
+
+    date = "2026-01-01T00:00:00Z"
+    p = tmp_path / "schemed"
+    p.mkdir()
+    (p / "a.warc").write_bytes(
+        w.build_warc_record("warcinfo", None, date, b"software: t\r\n")
+        + w.build_warc_record("response", "https://s/1", date, b"<p>one</p>",
+                              http_status=200, content_type="text/html")
+    )
+    (p / "b.warc").write_bytes(
+        w.build_warc_record("response", "https://s/2", date, b"<p>two</p>",
+                            http_status=404, content_type="text/html")
+    )
+    (p / "ignored.txt").write_bytes(b"not a warc")
+    w.register_warc_source(spark)
+    plain = spark.read.format("warc").option("path", str(p)).load()
+    schemed = spark.read.format("warc").option("path", f"file://{p}").load()
+    rows_plain = sorted(
+        (r["warc_file"], r["target_uri"] or "", r["http_status"] or 0)
+        for r in plain.collect()
+    )
+    rows_schemed = sorted(
+        (r["warc_file"], r["target_uri"] or "", r["http_status"] or 0)
+        for r in schemed.collect()
+    )
+    assert rows_plain == rows_schemed
+    assert len(rows_plain) == 3
+    assert {f for f, _, _ in rows_plain} == {"a.warc", "b.warc"}
