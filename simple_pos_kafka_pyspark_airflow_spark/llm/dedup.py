@@ -278,7 +278,7 @@ def group_overlap_minhash(
     text_col: str = "text",
     n_shingle: int = 3,
     num_hashes: int = 64,
-    eager_cache: bool = True,
+    eager_cache: bool = False,
 ) -> DataFrame:
     """Pairwise corpus-overlap estimate between GROUPS (sources, domains,
     snapshots): MinHash of each group's union-of-shingles set, compared
@@ -319,16 +319,21 @@ def group_overlap_minhash(
     sigs = _min_signature_by(rows, "_grp", num_hashes).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    # Eager fill (r12, bench adjudication): computing the corpus scan +
-    # k-wide min-agg in its OWN job before the pair compare keeps the
-    # cache-fill out of the join stages — when both crossJoin sides race
-    # to materialize the same uncached partitions, tasks block on the
-    # BlockManager's compute-or-wait lock and a loaded host amplifies the
-    # stall superlinearly (the r11 driver sweep priced this family 2-4×
-    # over the same-code committed record). count() does the identical
-    # work the first consumer would; total work is unchanged, variance
-    # shrinks. eager_cache=False restores a fully lazy plan for callers
-    # composing without executing.
+    # Eager fill (r12, bench adjudication; opt-IN since r13): computing
+    # the corpus scan + k-wide min-agg in its OWN job before the pair
+    # compare keeps the cache-fill out of the join stages — when both
+    # crossJoin sides race to materialize the same uncached partitions,
+    # tasks block on the BlockManager's compute-or-wait lock and a loaded
+    # host amplifies the stall superlinearly (the r11 driver sweep priced
+    # this family 2-4× over the same-code committed record). count() does
+    # the identical work the first consumer would; total work is
+    # unchanged, variance shrinks. Default False (r13, ADVICE): running a
+    # Spark job at plan-CONSTRUCTION time breaks laziness for composing
+    # callers; the bench/contract call sites opt in because they execute
+    # immediately. Either way the persisted blocks live until the caller
+    # (who owns cleanup per the module cache contract) unpersists or
+    # clears the cache — repeated calls accumulate MEMORY_AND_DISK blocks
+    # otherwise (the bench clears per query).
     if eager_cache:
         sigs.count()
     a = sigs.select(F.col("_id").alias("group_a"), F.col("_sig").alias("_sa"))
@@ -614,7 +619,10 @@ def simhash_df(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def hamming_pairs_64(
-    sig_df: DataFrame, max_hamming: int = 3, max_block: int = 10_000
+    sig_df: DataFrame,
+    max_hamming: int = 3,
+    max_block: int = 10_000,
+    on_oversize: str = "drop",
 ) -> DataFrame:
     """Near-dup pairs over ANY 64-bit signature column: block on the 4
     16-bit quarters (pigeonhole: ≤3 differing bits ⇒ at least one
@@ -633,7 +641,16 @@ def hamming_pairs_64(
     pairs whose ONLY shared quarters sit in dropped blocks are missed —
     but a block that hot is boilerplate, not near-duplication evidence.
     Never binds at contract scale (largest testdata block ≈ tens of
-    rows); pass ``None`` for the uncapped form."""
+    rows); pass ``None`` for the uncapped form.
+
+    ``on_oversize`` (r13, ADVICE): ``"drop"`` applies the cap silently
+    (the default — boilerplate blocks are expected at corpus scale);
+    ``"error"`` raises in-plan when any block exceeds the cap, for
+    callers whose downstream contract ASSUMES completeness (e.g. a
+    planted-pair oracle that expects exactly one row per item — a
+    silently dropped block would read as a false mismatch)."""
+    if on_oversize not in ("drop", "error"):
+        raise ValueError(f"on_oversize must be 'drop' or 'error', got {on_oversize!r}")
     quarters = sig_df.select(
         "_id",
         "_sim",
@@ -650,9 +667,20 @@ def hamming_pairs_64(
         ).alias("blk"),
     )
     if max_block is not None:
-        ok_blocks = (
-            quarters.groupBy("blk").count().where(F.col("count") <= max_block).drop("count")
-        )
+        counts = quarters.groupBy("blk").count()
+        if on_oversize == "error":
+            alarm = F.coalesce(
+                F.assert_true(
+                    F.col("count") <= max_block,
+                    F.concat(
+                        F.lit(f"hamming quarter-block exceeds max_block={max_block}: size="),
+                        F.col("count").cast("string"),
+                    ),
+                ).cast("long"),
+                F.col("count"),
+            )
+            counts = counts.withColumn("count", alarm)
+        ok_blocks = counts.where(F.col("count") <= max_block).drop("count")
         quarters = quarters.join(ok_blocks, "blk")
     a = quarters.select(F.col("_id").alias("id_a"), F.col("_sim").alias("sim_a"), "blk")
     b = quarters.select(F.col("_id").alias("id_b"), F.col("_sim").alias("sim_b"), F.col("blk").alias("blk_b"))
@@ -1375,7 +1403,7 @@ def jaccard_pairs_prefix(
     n: int = 3,
     threshold: float = 0.5,
     max_posting_docs: int = 10_000,
-    eager_cache: bool = True,
+    eager_cache: bool = False,
 ) -> DataFrame:
     """ALL pairs with exact shingle-set Jaccard ≥ ``threshold`` via
     prefix filtering (the SSJoin/PPJoin candidate scheme) — the lossless
@@ -1426,7 +1454,9 @@ def jaccard_pairs_prefix(
     # amplifies that stall (the r11 driver sweep: 8.2s flat vs 2.2s
     # committed at calibration drift only 1.29). Filling the cache in a
     # dedicated job first does the same work once, sequenced; see
-    # group_overlap_minhash for the full argument.
+    # group_overlap_minhash for the full argument (incl. why the default
+    # is False since r13: no Spark job at plan-construction time for
+    # composing callers; execute-now call sites opt in).
     if eager_cache:
         sets_df.count()
     postings = sets_df.select("_id", "_sz", F.explode("_sh").alias("_h"))

@@ -714,6 +714,7 @@ def near_dup_videos_framehash(
     max_hamming: int = 3,
     min_frames_matched: int = 3,
     max_block: int | None = 10_000,
+    on_oversize: str = "drop",
 ) -> DataFrame:
     """Video near-dup pairs: sample frames from the VID0 containers, aHash
     each frame (the image kernel — fourth family on the shared hamming
@@ -731,21 +732,48 @@ def near_dup_videos_framehash(
     the final groupBy is on candidate pairs only. Returns
     (id_a, id_b, n_frames_matched, max_hamming)."""
     from pyspark import StorageLevel
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
     from . import dedup as dedup_ops
 
     if n_frames > 16:
         raise ValueError("n_frames > 16 breaks the composite frame id")
+    # id preconditions enforced, not assumed (r13, ADVICE): the composite
+    # blocking id is asset_id*16 + frame_idx on int64, so the id column
+    # must be integral (a string/double id would silently truncate or
+    # collide) and every value must sit in [0, 2^59) (2^59 * 16 is the
+    # int64 edge). Type checked at plan construction; the value bound is
+    # an in-plan assert coalesced INTO the composite id so it cannot be
+    # pruned and fails loudly on the first violating row.
+    id_type = assets.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"near_dup_videos_framehash needs an integral id column; "
+            f"{id_col!r} is {id_type.simpleString()}"
+        )
     frames = sample_video_frames(assets.withColumnRenamed(id_col, "asset_id"), n_frames)
     # composite id: asset*16 + frame_idx (frame_idx < 16 enforced above)
+    aid = F.col("asset_id").cast("long")
+    in_range = (aid >= 0) & (aid < F.lit(1 << 59))
+    fid = F.coalesce(
+        F.assert_true(
+            in_range,
+            F.concat(
+                F.lit("asset_id outside [0, 2^59) breaks the composite "
+                      "frame id: "),
+                aid.cast("string"),
+            ),
+        ).cast("long"),
+        aid * 16 + F.col("frame_idx"),
+    )
     sig = image_ahash_df(
-        frames.select(
-            (F.col("asset_id") * 16 + F.col("frame_idx")).alias("fid"), "frame"
-        ),
+        frames.select(fid.alias("fid"), "frame"),
         payload_col="frame",
         id_col="fid",
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = dedup_ops.hamming_pairs_64(sig, max_hamming, max_block=max_block)
+    pairs = dedup_ops.hamming_pairs_64(
+        sig, max_hamming, max_block=max_block, on_oversize=on_oversize
+    )
     aligned = pairs.where(
         (F.col("id_a") % 16 == F.col("id_b") % 16)
         & (F.floor(F.col("id_a") / 16) != F.floor(F.col("id_b") / 16))

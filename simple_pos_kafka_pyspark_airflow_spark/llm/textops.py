@@ -1346,7 +1346,12 @@ def strip_common_lines(
         ).alias("__t"),
         F.count("*").cast("long").alias("__nk"),
     )
-    n_lines = F.size(F.split(F.col(text_col), "\n")).cast("long")
+    # NULL text consistency (r13, ADVICE): split(NULL) drops the doc from
+    # the line frame, so its cleaned text coalesces to '' — the count must
+    # agree: a NULL-text doc comes back as ('', 0), never ('', NULL).
+    n_lines = F.when(
+        F.col(text_col).isNull(), F.lit(0)
+    ).otherwise(F.size(F.split(F.col(text_col), "\n"))).cast("long")
     return (
         docs.join(reb, id_col, "left")
         .select(

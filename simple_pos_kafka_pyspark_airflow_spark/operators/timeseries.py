@@ -560,6 +560,36 @@ def backtest_naive_forecasts(
     )
 
 
+def _microcents_checked(value_col: str, max_factor: Column) -> Column:
+    """Conversion value on the exact integer MICRO-CENTS grid, with the
+    grid's preconditions ENFORCED in the value path (r13, ADVICE): the
+    ``(a - a%b)/b`` integral division the attribution models use is
+    exact only for non-negative operands whose product stays under 2^53
+    — a negative conversion value (refund/chargeback row) or an
+    out-of-bound product would silently diverge from the oracle's ``//``
+    by a microcent instead of failing. ``assert_true`` raises loudly on
+    violation; being coalesced INTO the micro-cents column, it can never
+    be pruned away. ``max_factor`` is the largest multiplier later
+    applied to the micro value before a division (the preceding-touch
+    count for these models); the bound compare runs in double so it
+    cannot itself overflow int64. NULL values pass through as NULL
+    (no conversion value -> no credit), matching both engines."""
+    raw = F.col(value_col)
+    micro = F.floor(raw * 100).cast("long") * F.lit(1_000_000)
+    in_bound = (
+        micro.cast("double") * F.greatest(max_factor, F.lit(1)).cast("double")
+    ) < F.lit(float(2**53))
+    ok = raw.isNull() | ((raw >= 0) & in_bound)
+    msg = F.concat(
+        F.lit(
+            "attribution micro-cent grid violated (negative conversion "
+            "value or credit product >= 2^53): value="
+        ),
+        raw.cast("string"),
+    )
+    return F.coalesce(F.assert_true(ok, msg).cast("long"), micro)
+
+
 def last_touch_attribution(
     events: DataFrame,
     user_col: str = "user_id",
@@ -672,7 +702,8 @@ def linear_touch_attribution(
     n_all = None
     for t in touch_types:
         n_all = F.col(f"__c_{t}") if n_all is None else n_all + F.col(f"__c_{t}")
-    micro = F.floor(F.col(value_col) * 100).cast("long") * F.lit(1_000_000)
+    micro = _microcents_checked(value_col, n_all)
+
     def idiv(a, b):
         # exact integral division of positive int64s without leaving the
         # Column algebra: a - a%b is an exact multiple of b, and the
@@ -763,7 +794,7 @@ def position_touch_attribution(
     n_all = None
     for t in touch_types:
         n_all = F.col(f"__c_{t}") if n_all is None else n_all + F.col(f"__c_{t}")
-    micro = F.floor(F.col(value_col) * 100).cast("long") * F.lit(1_000_000)
+    micro = _microcents_checked(value_col, n_all)
 
     def idiv(a, b):
         return ((a - a % b) / b).cast("long")

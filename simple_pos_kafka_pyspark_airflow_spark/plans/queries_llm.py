@@ -2036,7 +2036,9 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
         .agg(F.count("*").alias("_ni"))
     )
-    est = dedup.group_overlap_minhash(d, "source", "text", num_hashes=128).select(
+    est = dedup.group_overlap_minhash(
+        d, "source", "text", num_hashes=128, eager_cache=True
+    ).select(
         F.col("group_a").alias("source_a"),
         F.col("group_b").alias("source_b"),
         "est_jaccard",
@@ -2083,7 +2085,9 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    est = dedup.group_overlap_minhash(d, "source", "text", num_hashes=128)
+    est = dedup.group_overlap_minhash(
+        d, "source", "text", num_hashes=128, eager_cache=True
+    )
     return est.select(
         F.col("group_a").alias("source_a"),
         F.col("group_b").alias("source_b"),
@@ -2759,7 +2763,9 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs_prefix(d, "text", "doc_id", n=3, threshold=0.5)
+    return dedup.jaccard_pairs_prefix(
+        d, "text", "doc_id", n=3, threshold=0.5, eager_cache=True
+    )
 
 
 @register(
@@ -4690,12 +4696,31 @@ def q_web_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    assets = multimodal.synthesize_video_assets(d, n_frames=4)
+    # the +1_000_000 plant shift assumes doc_id < 1e6 (a real id at or
+    # past the shift would collide with a planted id and corrupt the
+    # exactly-one-row-per-doc oracle) — enforced in-plan (r13, ADVICE)
+    # by an assert coalesced into the id, never prunable; and the
+    # blocking cap is escalated from silent drop to loud error, because
+    # THIS caller's oracle assumes candidate completeness.
+    guarded_id = F.coalesce(
+        F.assert_true(
+            F.col("asset_id") < F.lit(1_000_000),
+            F.concat(
+                F.lit("doc_id >= 1e6 collides with the planted-pair shift: "),
+                F.col("asset_id").cast("string"),
+            ),
+        ).cast("long"),
+        F.col("asset_id"),
+    )
+    assets = multimodal.synthesize_video_assets(d, n_frames=4).withColumn(
+        "asset_id", guarded_id
+    )
     planted = assets.unionByName(
         assets.withColumn("asset_id", F.col("asset_id") + F.lit(1_000_000))
     )
     pairs = multimodal.near_dup_videos_framehash(
-        planted, n_frames=4, max_hamming=3, min_frames_matched=3
+        planted, n_frames=4, max_hamming=3, min_frames_matched=3,
+        on_oversize="error",
     )
     return pairs.where(F.col("id_b") == F.col("id_a") + F.lit(1_000_000))
 

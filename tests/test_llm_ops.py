@@ -3640,3 +3640,84 @@ def test_strip_common_lines_order_and_empty(spark):
     assert got[4] == ("", 1)
     assert got[5] == ("echo\necho", 0)
     assert got[6] == (f"other body\n{footer}", 0)
+
+    # NULL text (r13, ADVICE): comes back as ('', 0) — the defaulted
+    # text and the count must agree, never ('', NULL)
+    rows_null = rows + [(7, "a", None)]
+    df_null = spark.createDataFrame(rows_null, "doc_id long, source string, text string")
+    got_null = {
+        r["doc_id"]: (r["text"], r["n_dropped"])
+        for r in strip_common_lines(df_null, min_docs=3).collect()
+    }
+    assert got_null[7] == ("", 0)
+    assert got_null[1] == got[1]  # everything else unchanged
+
+
+def test_prefix_and_overlap_plans_are_lazy_by_default(spark):
+    """eager_cache defaults to False (r13, ADVICE): constructing the
+    jaccard_pairs_prefix / group_overlap_minhash plans must run NO Spark
+    job — composing callers keep full laziness. Pinned with a poisoned
+    column that raises on any execution: construction succeeds, the
+    first action detonates. The bench/contract call sites opt in with
+    eager_cache=True (they execute immediately)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm import dedup
+
+    @F.pandas_udf("string")
+    def boom(x):
+        raise RuntimeError("plan was executed at construction time")
+
+    docs = spark.range(3).select(
+        F.col("id").alias("doc_id"),
+        F.lit("src").alias("source"),
+        boom(F.col("id")).alias("text"),
+    )
+    pairs = dedup.jaccard_pairs_prefix(docs, "text", "doc_id")  # no job
+    overlap = dedup.group_overlap_minhash(docs, "source", "text")  # no job
+    with _pytest.raises(Exception):
+        pairs.count()
+    with _pytest.raises(Exception):
+        overlap.count()
+    spark.catalog.clearCache()
+
+
+def test_video_framehash_id_preconditions_enforced(spark):
+    """The composite blocking id's assumptions fail LOUDLY (r13, ADVICE):
+    a non-integral id column raises at plan construction; an id outside
+    [0, 2^59) raises in-plan on execution; and on_oversize='error'
+    escalates a capped quarter-block from silent drop to a raise — the
+    mode the planted-pair oracle runs under."""
+    import pytest as _pytest
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm import dedup, multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma")], ["doc_id", "text"]
+    )
+    assets = multimodal.synthesize_video_assets(docs, n_frames=2)
+
+    with _pytest.raises(ValueError, match="integral id column"):
+        multimodal.near_dup_videos_framehash(
+            assets.withColumn("asset_id", F.col("asset_id").cast("string")),
+            n_frames=2,
+        )
+
+    with _pytest.raises(Exception, match="2\\^59"):
+        multimodal.near_dup_videos_framehash(
+            assets.withColumn("asset_id", F.col("asset_id") + F.lit(1 << 60)),
+            n_frames=2, min_frames_matched=1,
+        ).collect()
+    spark.catalog.clearCache()
+
+    # oversize block: 64 identical signatures under a cap of 8
+    sigs = spark.range(64).select(
+        F.col("id").alias("_id"), F.lit(0).cast("long").alias("_sim")
+    )
+    with _pytest.raises(Exception, match="max_block"):
+        dedup.hamming_pairs_64(sigs, max_block=8, on_oversize="error").collect()
+    # default mode still drops silently (corpus-scale contract unchanged)
+    assert dedup.hamming_pairs_64(sigs, max_block=8).count() == 0
+    with _pytest.raises(ValueError, match="on_oversize"):
+        dedup.hamming_pairs_64(sigs, on_oversize="explode")

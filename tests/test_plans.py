@@ -1085,3 +1085,45 @@ def test_position_touch_attribution_hand_sequence(spark):
         "signup": (2, (m * 2) // 5 + 2 * m),
         "direct": (1, m),
     }, got
+
+
+def test_attribution_microcent_grid_violations_fail_loudly(spark):
+    """The micro-cent grid's preconditions are ENFORCED, not just
+    documented (r13, ADVICE): a negative conversion value (refund /
+    chargeback row) raises USER_RAISED_EXCEPTION instead of silently
+    producing engine-divergent 40/20/40 or equal splits; NULL values
+    still pass through as NULL credit. Both division-based models."""
+    import pytest as _pytest
+
+    from simple_pos_kafka_pyspark_airflow_spark.operators.timeseries import (
+        linear_touch_attribution,
+        position_touch_attribution,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "click", 0.0),
+        (2, "2024-01-01 00:01:00", 1, "view", 0.0),
+        (3, "2024-01-01 00:02:00", 1, "purchase", -5.0),  # refund row
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    for model in (linear_touch_attribution, position_touch_attribution):
+        with _pytest.raises(Exception, match="micro-cent grid violated"):
+            model(df).collect()
+
+    # NULL conversion value: row keeps its legs, credit NULL (sum skips)
+    rows_null = [
+        (1, "2024-01-01 00:00:00", 1, "click", 0.0),
+        (2, "2024-01-01 00:02:00", 1, "purchase", None),
+        (3, "2024-01-01 00:03:00", 1, "purchase", 3.0),
+    ]
+    df_null = spark.createDataFrame(
+        rows_null,
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["touch"]: (r["n_conversions"], r["attributed_microcents"])
+        for r in linear_touch_attribution(df_null).collect()
+    }
+    assert got == {"click": (2, 300_000_000)}, got
