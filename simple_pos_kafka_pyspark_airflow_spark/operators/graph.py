@@ -26,7 +26,7 @@ sums to ~1, so the grid never overflows at any graph size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Contribution snap grid (see module docstring).
@@ -196,6 +196,34 @@ def triangle_counts_oriented(und: DataFrame) -> DataFrame:
     tri = wedges.join(und, (wedges["_x"] == und["u"]) & (wedges["_y"] == und["v"]))
     corners = tri.select(F.explode(F.array("_s", "_x", "_y")).alias("node"))
     return corners.groupBy("node").agg(F.count("*").cast("long").alias("n_triangles"))
+
+
+def top_weight_edges(
+    edges: DataFrame,
+    k: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Sparsify a weighted directed edge list to each source's top-``k``
+    destinations by ``(weight DESC, dst ASC)`` — the standard kNN-graph
+    construction that keeps downstream neighborhood analytics (common
+    neighbors, triangles) meaningful on graphs that are otherwise
+    near-complete (every nation trades with every nation; only the TOP
+    partners carry signal). Degree ≤ k by construction, so wedge volume
+    is bounded k²·|nodes| at any scale. One per-source window (hash
+    exchange on src). Determinism: rank by the weight with the dst key
+    as total-order tiebreak — use an exact integer weight (counts, cents)
+    so Spark and a SQL oracle rank identically; a float SUM's ordering
+    is summation-order-dependent. Returns ``(src, dst)``."""
+    w = Window.partitionBy(src_col).orderBy(
+        F.col(weight_col).desc(), F.col(dst_col)
+    )
+    return (
+        edges.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .select(src_col, dst_col)
+    )
 
 
 def common_neighbor_scores(und: DataFrame, k: int = 20) -> DataFrame:

@@ -4177,15 +4177,24 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg",
     oracle="""
     WITH de AS (
-      SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2
+    ),
+    top3 AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rk
+        FROM de
+      ) WHERE rk <= 3
     ),
     und AS (
-      SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
-      FROM de WHERE LEAST(src, dst) < GREATEST(src, dst)
+      SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM top3
     ),
     nbrs AS (
       SELECT u AS m, v AS n FROM und UNION ALL SELECT v AS m, u AS n FROM und
@@ -4211,14 +4220,18 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     notes="extension: link prediction by COMMON-NEIGHBOR count "
     "(Liben-Nowell/Kleinberg 2003; operators/graph."
-    "common_neighbor_scores) over the nation trade graph — top "
-    "non-adjacent nation pairs by shared trading partners, with the "
-    "preferential-attachment score (deg·deg) as the exact-int tiebreak "
-    "companion. One neighbor self-join on the midpoint (wedge volume "
-    "Σ deg(m)², the triangle-counter quantity — cap or orient hubs on "
-    "power-law graphs), one anti-join to drop existing edges, broadcast "
+    "common_neighbor_scores) over the TOP-PARTNER nation trade graph — "
+    "each nation keeps its 3 biggest partners by exact lineitem count "
+    "(operators/graph.top_weight_edges, the kNN-graph construction; "
+    "the raw trade graph is COMPLETE at every SF, so r1-r12's unsparsified "
+    "form returned zero non-adjacent pairs — vacuously green, never "
+    "certifiable). Top non-adjacent nation pairs by shared top partners, "
+    "preferential-attachment (deg·deg) exact-int tiebreak. One per-src "
+    "window + one neighbor self-join on the midpoint (wedge volume "
+    "bounded k²·|nodes| by construction), one anti-join, broadcast "
     "degree joins, (common, pa, a, b) total-ordered top-k. No floats "
-    "anywhere",
+    "anywhere (count weights — a float SUM's rank order is "
+    "summation-order-dependent across engines)",
 )
 def q_graph_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph
@@ -4231,10 +4244,13 @@ def q_graph_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .join(s, li["l_suppkey"] == s["s_suppkey"])
-        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
-        .distinct()
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").cast("long").alias("w"))
     )
-    und = graph.undirected_edges(de)
+    und = graph.undirected_edges(graph.top_weight_edges(de, k=3))
     return graph.common_neighbor_scores(und, k=20)
 
 
