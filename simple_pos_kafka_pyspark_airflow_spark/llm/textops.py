@@ -1322,9 +1322,12 @@ def strip_common_lines(
     the count shuffle partition-pruned per domain.
 
     Streaming note: this is the BATCH form (counts within the frame it
-    is given); the cross-micro-batch equivalent is the persistent span
-    index (``streaming.corpus.IncrementalSpanIndex``), which carries
-    boilerplate counts across batches at token-span granularity.
+    is given); the cross-micro-batch twin is the persistent LINE index
+    (``streaming.corpus.IncrementalLineIndex``, r13) — same group-local
+    line counting carried across batches with the span-index replay
+    discipline, so a footer planted one-copy-per-micro-batch is excised
+    at ingest (pinned row-identical to this operator on the one-batch
+    case in tests/test_streaming.py).
 
     Output: ``(id_col, group_col, text_col cleaned, n_dropped)``."""
     lines = docs.select(

@@ -583,6 +583,157 @@ class IncrementalSpanIndex:
         overwrite_atomic(collapsed, self.path)
 
 
+class IncrementalLineIndex:
+    """Cross-page COMMON-LINE boilerplate removal at ingest,
+    incrementally: a persistent (group, line-digest → distinct-doc
+    count) index accumulated per micro-batch, so a line that repeats
+    across ≥ ``min_docs`` documents of the same group (domain/dump) —
+    cookie banners, copyright footers, subscribe prompts — is excised
+    as soon as its CORPUS-LIFETIME count crosses the threshold. The
+    streaming twin of ``llm.textops.strip_common_lines`` (which counts
+    within the frame it is given and cannot see a footer planted across
+    micro-batches); r13, VERDICT item 4. Same replay discipline as
+    ``IncrementalSpanIndex``: index rows carry the ``foreachBatch``
+    batch id, the history probe skips rows tagged with the CURRENT
+    batch id and collapses ``(group, digest, batch)`` duplicates, so a
+    replayed batch sees exactly the history its first run saw.
+
+    Per batch (``clean_batch(docs, batch_id)``):
+
+    1. line posexplode (identical segmentation to the batch operator),
+       digested to a fixed-width ``xxhash64`` keyed WITH the group —
+       group-local counting, same rationale as the batch form (a global
+       count would strip legitimate cross-domain idioms, and the group
+       key keeps the count shuffle partition-pruned per domain);
+    2. combined count per (group, digest) = this batch's distinct-doc
+       count + the landed history; lines at ``>= min_docs`` are chrome;
+    3. chrome digests broadcast back against the batch's line rows;
+       surviving lines rebuild each document in ORIGINAL order;
+    4. the batch's per-(group, digest) counts append keyed by batch id.
+
+    Forward-looking semantics (the span index's documented contract): a
+    line crossing the threshold at batch N is removed from batch N
+    onward; copies already landed stay until a compaction-era batch
+    rewrite re-runs the batch operator over the corpus. NULL-text docs
+    come back as ``('', 0)`` — the batch operator's r13 contract.
+
+    Scale: the index shuffles (group, 8-byte digest) rows with map-side
+    partial aggregation; the hot keys ARE the boilerplate, bounded by
+    the two-phase distinct agg exactly as in the batch plan.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        group_col: str = "source",
+        min_docs: int = 3,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.text_col = text_col
+        self.id_col = id_col
+        self.group_col = group_col
+        self.min_docs = min_docs
+
+    def _landed(self) -> DataFrame | None:
+        return _read_landed_index(self.spark, self.path)
+
+    def clean_batch(self, docs: DataFrame, batch_id: int) -> DataFrame:
+        """Return ``(id_col, group_col, text_clean, n_dropped)`` with
+        corpus-lifetime common lines excised, and record the batch's
+        line counts in the index."""
+        from pyspark import StorageLevel
+
+        lines = (
+            docs.select(
+                F.col(self.id_col),
+                F.col(self.group_col).alias("_grp"),
+                F.posexplode(F.split(F.col(self.text_col), "\n")).alias(
+                    "_pos", "_line"
+                ),
+            )
+            .withColumn("_dig", F.xxhash64("_line"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        batch_counts = lines.groupBy("_grp", "_dig").agg(
+            F.count_distinct(F.col(self.id_col)).alias("_n")
+        )
+        landed = self._landed()
+        if landed is not None:
+            # self-batch exclusion + replay collapse: see the class
+            # docstring / IncrementalSpanIndex for the full argument
+            history = (
+                landed.where(F.col("_batch") != F.lit(batch_id))
+                .dropDuplicates(["_grp", "_dig", "_batch"])
+                .groupBy("_grp", "_dig")
+                .agg(F.sum("_n").alias("_n"))
+            )
+            combined = (
+                batch_counts.unionByName(history)
+                .groupBy("_grp", "_dig")
+                .agg(F.sum("_n").alias("_n"))
+            )
+        else:
+            combined = batch_counts
+        chrome = combined.where(F.col("_n") >= self.min_docs).select("_grp", "_dig")
+
+        flagged = lines.join(
+            F.broadcast(chrome.withColumn("_b", F.lit(True))), ["_grp", "_dig"], "left"
+        )
+        is_chrome = F.coalesce(F.col("_b"), F.lit(False))
+        cleaned = flagged.groupBy(self.id_col).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~is_chrome, F.struct(F.col("_pos"), F.col("_line")))
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("text_clean"),
+            F.sum(is_chrome.cast("long")).cast("long").alias("n_dropped"),
+        )
+        out = (
+            docs.select(self.id_col, self.group_col)
+            .join(cleaned, self.id_col, "left")
+            .select(
+                self.id_col,
+                self.group_col,
+                F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+                F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        batch_counts.withColumn("_batch", F.lit(batch_id).cast("long")).write.mode(
+            "append"
+        ).parquet(self.path)
+        lines.unpersist()
+        return out
+
+    def compact(self) -> None:
+        """Collapse replayed rows and pre-aggregate counts per (group,
+        digest) under the sentinel batch ``-1`` (atomic snapshot swap).
+        Run only at a quiesced point — same contract as
+        ``IncrementalSpanIndex.compact``."""
+        from ..sources.io import overwrite_atomic
+
+        landed = self._landed()
+        if landed is None:
+            return
+        collapsed = (
+            landed.dropDuplicates(["_grp", "_dig", "_batch"])
+            .groupBy("_grp", "_dig")
+            .agg(F.sum("_n").alias("_n"))
+            .withColumn("_batch", F.lit(-1).cast("long"))
+        )
+        overwrite_atomic(collapsed, self.path)
+
+
 class IncrementalSubstringIndex:
     """Exact-substring (ExactSubstr, Lee et al. 2021) dedup at ingest,
     incrementally: a persistent (anchor-gram digest → occurrence count)
@@ -1138,6 +1289,7 @@ def ingest_corpus_batch(
     bloom_gate: PersistentBloomGate | None = None,
     drift_monitor: CorpusDriftMonitor | None = None,
     html_input: bool = False,
+    line_index: "IncrementalLineIndex | None" = None,
 ) -> DataFrame:
     """The whole corpus front door for one micro-batch, composed in the
     order the batch curation ladder uses (``llm.curation.curate_corpus``)
@@ -1218,14 +1370,33 @@ def ingest_corpus_batch(
     if digest_index is not None:
         gated = digest_index.dedup_batch(gated)
     kept = minhash_index.dedup_batch(gated)
-    if span_index is None:
-        return kept
-    cleaned = span_index.clean_batch(kept, batch_id)
-    return (
-        kept.drop(text_col)
-        .join(cleaned.select(id_col, "text_clean", "n_dropped"), id_col)
-        .withColumnRenamed("text_clean", text_col)
-    )
+    if span_index is not None:
+        cleaned = span_index.clean_batch(kept, batch_id)
+        kept = (
+            kept.drop(text_col)
+            .join(cleaned.select(id_col, "text_clean", "n_dropped"), id_col)
+            .withColumnRenamed("text_clean", text_col)
+        )
+    if line_index is not None:
+        # cross-batch common-LINE chrome excision (r13) — runs after the
+        # span index (spans judge the body; lines catch verbatim per-line
+        # chrome like footers) on whatever text the ladder has produced;
+        # its drop count lands under its own name so the span index's
+        # n_dropped survives when both gates run
+        lcleaned = line_index.clean_batch(kept, batch_id)
+        kept = (
+            kept.drop(text_col)
+            .join(
+                lcleaned.select(
+                    id_col,
+                    "text_clean",
+                    F.col("n_dropped").alias("n_lines_dropped"),
+                ),
+                id_col,
+            )
+            .withColumnRenamed("text_clean", text_col)
+        )
+    return kept
 
 
 class TokenizerFertilityMonitor:

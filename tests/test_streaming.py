@@ -3548,3 +3548,164 @@ def test_crawl_full_loop_warc_stream_extract_ingest(spark, tmp_path):
     kept_dup = (dup_crawls & set(landed)).pop()
     assert landed[kept_dup].startswith(prose)
     assert all("Nav entry" not in t and "<" not in t for t in landed.values())
+
+
+def test_incremental_line_index_cross_batch_footer_and_batch_twin(spark, tmp_path):
+    """r13 (VERDICT item 4): the streaming twin of strip_common_lines.
+    (a) One-batch form on a fresh index is row-identical to the batch
+    operator, including the NULL-text ('', 0) contract and group-local
+    counting. (b) A footer planted ACROSS micro-batches — invisible to
+    the batch operator per batch — is excised as soon as its corpus-
+    lifetime count reaches min_docs, forward-looking."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm.textops import strip_common_lines
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import IncrementalLineIndex
+
+    footer = "copyright acme inc"
+    rows = [
+        (1, "a", f"zeta body one\n{footer}\nalpha tail one"),
+        (2, "a", f"body two\n{footer}"),
+        (3, "a", f"{footer}\nbody three"),
+        (4, "a", footer),
+        (5, "a", "echo\necho"),
+        (6, "b", f"other body\n{footer}"),  # other group: survives
+        (7, "a", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    batch_out = {
+        r["doc_id"]: (r["text"], r["n_dropped"])
+        for r in strip_common_lines(df, min_docs=3).collect()
+    }
+    idx = IncrementalLineIndex(spark, str(tmp_path / "li_twin"), min_docs=3)
+    stream_out = {
+        r["doc_id"]: (r["text_clean"], r["n_dropped"])
+        for r in idx.clean_batch(df, batch_id=0).collect()
+    }
+    assert stream_out == batch_out
+    assert stream_out[7] == ("", 0)
+
+    # (b) cross-batch: one footer copy per micro-batch, threshold 3
+    idx2 = IncrementalLineIndex(spark, str(tmp_path / "li_cross"), min_docs=3)
+    outs = {}
+    for bid, (i, body) in enumerate(
+        [(11, "first body here"), (12, "second body here"), (13, "third body here")]
+    ):
+        b = spark.createDataFrame(
+            [(i, "a", f"{body}\n{footer}")], "doc_id long, source string, text string"
+        )
+        outs[i] = idx2.clean_batch(b, batch_id=bid).collect()[0]
+    # batches 0 and 1: lifetime count 1 then 2 — footer survives
+    assert outs[11]["text_clean"] == f"first body here\n{footer}"
+    assert outs[12]["n_dropped"] == 0
+    # batch 2 crosses min_docs=3: excised from batch 2's doc onward
+    assert outs[13]["text_clean"] == "third body here"
+    assert outs[13]["n_dropped"] == 1
+
+
+def test_incremental_line_index_replay_and_compaction_stability(spark, tmp_path):
+    """Replaying a batch (same batch_id, crash-recovery path) appends
+    duplicate index rows but the (group, digest, batch) collapse plus
+    self-batch exclusion keep decisions identical; compaction collapses
+    to one row per (group, digest) and preserves decisions."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import IncrementalLineIndex
+
+    footer = "subscribe to our newsletter"
+    path = str(tmp_path / "li_replay")
+    idx = IncrementalLineIndex(spark, path, min_docs=2)
+    b0 = spark.createDataFrame(
+        [(1, "a", f"body one\n{footer}"), (2, "a", f"body two\n{footer}")],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_dropped"])
+        for r in idx.clean_batch(b0, batch_id=0).collect()
+    }
+    # within-batch: 2 distinct docs carry the footer -> excised at once
+    assert out[1] == ("body one", 1) and out[2] == ("body two", 1)
+
+    out_replay = {
+        r["doc_id"]: (r["text_clean"], r["n_dropped"])
+        for r in idx.clean_batch(b0, batch_id=0).collect()
+    }
+    assert out_replay == out
+
+    # a singleton line in a later batch must NOT be excised by phantom
+    # double-counts from the replayed rows
+    b1 = spark.createDataFrame(
+        [(3, "a", "body one\nfresh unique line")],
+        "doc_id long, source string, text string",
+    )
+    out1 = idx.clean_batch(b1, batch_id=1).collect()[0]
+    # 'body one' was landed once (doc 1) + here (doc 3) -> 2 >= min_docs
+    assert out1["text_clean"] == "fresh unique line" and out1["n_dropped"] == 1
+
+    idx.compact()
+    landed = spark.read.parquet(path)
+    assert landed.groupBy("_grp", "_dig").count().where("count > 1").count() == 0
+    b2 = spark.createDataFrame(
+        [(4, "a", f"post compact body\n{footer}")],
+        "doc_id long, source string, text string",
+    )
+    out2 = idx.clean_batch(b2, batch_id=2).collect()[0]
+    assert out2["text_clean"] == "post compact body" and out2["n_dropped"] == 1
+
+
+def test_ingest_corpus_batch_line_index_under_streaming_drain(spark, tmp_path):
+    """The composed front door with the line index under a real
+    AvailableNow drain: a footer planted one-copy-per-micro-batch is
+    excised the moment its corpus-lifetime count reaches min_docs —
+    exactly what the batch operator cannot catch at ingest."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import (
+        IncrementalLineIndex,
+        IncrementalMinhashIndex,
+        ingest_corpus_batch,
+    )
+
+    footer = "all rights reserved by acme"
+    src = tmp_path / "docs"
+    src.mkdir()
+    bodies = [
+        "alpha beta gamma delta epsilon zeta eta",
+        "one two three four five six seven",
+        "red orange yellow green blue indigo violet",
+    ]
+    for i, body in enumerate(bodies):
+        spark.createDataFrame(
+            [(100 + i, "a", f"{body}\n{footer}")],
+            "doc_id long, source string, text string",
+        ).coalesce(1).write.parquet(str(src / f"f{i}"))
+
+    mh = IncrementalMinhashIndex(
+        spark, str(tmp_path / "mh"), num_hashes=16, bands=8, jaccard_threshold=0.8
+    )
+    li = IncrementalLineIndex(spark, str(tmp_path / "li"), min_docs=3)
+    sink = str(tmp_path / "landed")
+    schema = "doc_id long, source string, text string"
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, bid: ingest_corpus_batch(
+                batch, bid, mh, min_quality=0.0, min_tokens=3, line_index=li
+            )
+            .write.mode("append")
+            .parquet(sink)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    landed = spark.read.parquet(sink).collect()
+    assert len(landed) == 3  # distinct bodies — nothing near-dup rejected
+    with_footer = [r for r in landed if footer in r["text"]]
+    without = [r for r in landed if footer not in r["text"]]
+    # forward-looking: the first two batches keep the footer (lifetime
+    # count 1 and 2), the third crosses min_docs=3 and lands cleaned
+    assert len(with_footer) == 2 and len(without) == 1
+    assert without[0]["n_lines_dropped"] == 1
+    assert all(r["n_lines_dropped"] == 0 for r in with_footer)
