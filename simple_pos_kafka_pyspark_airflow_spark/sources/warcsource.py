@@ -323,30 +323,30 @@ class _WarcReader(DataSourceReader):
         if not path:
             raise ValueError("warc source requires option 'path'")
         self._dir = path
-        self._scheme = path.split("://", 1)[0] + "://" if "://" in path else ""
 
     def partitions(self) -> Sequence[InputPartition]:
         from pyarrow import fs as pafs
 
         filesystem, base = _filesystem_for(self._dir)
         infos = filesystem.get_file_info(pafs.FileSelector(base, recursive=False))
-        names = sorted(
-            info.path
-            for info in infos
+        # partitions carry FS-NATIVE paths; read() re-resolves the
+        # filesystem from the original option, so authority components
+        # (hdfs://namenode:8020/...) survive — a scheme+path reassembly
+        # would drop them
+        return [
+            _WarcPartition(info.path)
+            for info in sorted(infos, key=lambda i: i.path)
             if info.type == pafs.FileType.File
             and info.path.endswith((".warc", ".warc.gz"))
-        )
-        # re-prefix the scheme so executors re-resolve the SAME filesystem
-        # (pyarrow fs paths are scheme-less; s3 paths are bucket/key)
-        return [_WarcPartition(f"{self._scheme}{p}") for p in names]
+        ]
 
     def read(self, partition: _WarcPartition) -> Iterator[tuple]:
         fname = os.path.basename(partition.path)
-        filesystem, p = _filesystem_for(partition.path)
+        filesystem, _ = _filesystem_for(self._dir)
         # compression=None: pyarrow otherwise auto-inflates by extension,
         # and its codec layer is not contract-tested on CommonCrawl's
         # CONCATENATED gzip members — the member walk stays ours.
-        with filesystem.open_input_stream(p, compression=None) as raw:
+        with filesystem.open_input_stream(partition.path, compression=None) as raw:
             for fields, block in open_warc_record_stream(raw, fname):
                 yield _record_row(fname, fields, block)
 
