@@ -1317,7 +1317,11 @@ def ingest_corpus_batch(
     3. optional corpus-lifetime boilerplate-span excision
        (``IncrementalSpanIndex.clean_batch`` — the surviving documents'
        ``text`` is REPLACED by the cleaned form, and the batch's span
-       counts land in the index).
+       counts land in the index);
+    4. optional corpus-lifetime common-LINE excision (r13,
+       ``IncrementalLineIndex.clean_batch`` via ``line_index=`` — runs
+       after the span gate on whatever text the ladder produced; its
+       drop count lands as ``n_lines_dropped``).
 
     Returns the landed form of the batch: the rows to append to the
     corpus store. Slots directly into ``foreachBatch``:
