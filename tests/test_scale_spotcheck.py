@@ -510,3 +510,57 @@ def test_rank_operator_large_n_spotcheck(spark):
             assert (r["rank"], r["cum"]) == expect[r["key"]], r
     finally:
         got.unpersist()
+
+
+@pytest.mark.scale
+def test_warc_stream_reader_at_sf01_matches_bytes_parse(spark):
+    """The r13 streaming WARC reader at sf0.1: every record the
+    DataSource yields over the 10×-scale fixture must byte-match an
+    independent in-memory parse of the same files (parse_warc over
+    f.read() — the r12 code path, kept as the bytes façade), and the
+    row count must be documents + one warcinfo per source file. Pins
+    the offset-cursor buffer management (compaction-on-fill, header
+    straddling a chunk edge) against a second implementation at a scale
+    where thousands of records flow through one partition buffer."""
+    import os
+
+    from simple_pos_kafka_pyspark_airflow_spark.plans.queries_llm import _warc_fixture
+    from simple_pos_kafka_pyspark_airflow_spark.sources import warcsource as w
+
+    path = _warc_fixture(spark, SF01)
+    rows = (
+        spark.read.format("warc")
+        .option("path", path)
+        .load()
+        .select("warc_file", "warc_type", "target_uri", "http_status", "payload")
+        .collect()
+    )
+    streamed = sorted(
+        (r["warc_file"], r["warc_type"], r["target_uri"] or "",
+         r["http_status"] or 0, bytes(r["payload"]))
+        for r in rows
+    )
+    direct = []
+    for fname in sorted(os.listdir(path)):
+        if not fname.endswith((".warc", ".warc.gz")):
+            continue
+        with open(os.path.join(path, fname), "rb") as f:
+            data = w.maybe_gunzip_warc(f.read(), fname)
+        for fields, block in w.parse_warc(data):
+            wtype = fields.get("warc-type", "")
+            if wtype == "response" and fields.get("content-type", "").startswith(
+                "application/http"
+            ):
+                status, _, body = w._parse_http_response(block)
+            else:
+                status, body = None, block
+            direct.append(
+                (fname, wtype, fields.get("warc-target-uri") or "",
+                 status or 0, body)
+            )
+    assert streamed == sorted(direct)
+    n_docs = spark.read.parquet(f"{SF01}/documents.parquet").count()
+    n_files = sum(
+        1 for f in os.listdir(path) if f.endswith((".warc", ".warc.gz"))
+    )
+    assert len(streamed) == n_docs + n_files  # one warcinfo per file
