@@ -419,6 +419,40 @@ class IncrementalDigestIndex:
         overwrite_atomic(landed.dropDuplicates(["_dig", self.id_col]), self.path)
 
 
+class IncrementalUrlIndex(IncrementalDigestIndex):
+    """Corpus-lifetime CANONICAL-URL dedup at ingest (r13) — the recrawl
+    gate the web-crawl front door was missing: CommonCrawl-class
+    pipelines dedup by canonical URL BEFORE any content hashing (it is
+    ~free and removes the bulk of re-crawl duplicates without touching
+    text), and the batch ladder has exactly that step
+    (``llm.dedup.canonical_url`` → q_dedup_url / q_web_curation_e2e) —
+    but ``IncrementalDigestIndex`` keys on TEXT, so a page re-crawled
+    with a rotated ad block or a new timestamp sailed past the exact
+    gate and had to be caught by the (much costlier) minhash tier.
+
+    This is the digest index with the key swapped to
+    ``sha2(canonical_url(url_col))`` — everything else (within-batch
+    min-id keep, landed anti-join, replay tolerance via same-id probe
+    exclusion, sentinel-free compaction, FileSystem-API discovery)
+    inherits unchanged. ~40 bytes per landed URL; uniformly-distributed
+    join key by construction. Slots in FRONT of the text gates in
+    ``ingest_corpus_batch`` (``url_index=``): a rejected re-crawl never
+    pays extraction, quality scoring, or signature costs.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        url_col: str = "url",
+        id_col: str = "doc_id",
+    ) -> None:
+        super().__init__(spark, path, text_col=url_col, id_col=id_col)
+
+    def _digest(self) -> F.Column:
+        return F.sha2(dedup_ops.canonical_url(F.col(self.text_col)), 256)
+
+
 class IncrementalSpanIndex:
     """Boilerplate-span removal at ingest, incrementally: a persistent
     (span-digest → distinct-doc count) index accumulated per micro-batch,
@@ -1290,11 +1324,17 @@ def ingest_corpus_batch(
     drift_monitor: CorpusDriftMonitor | None = None,
     html_input: bool = False,
     line_index: "IncrementalLineIndex | None" = None,
+    url_index: "IncrementalUrlIndex | None" = None,
 ) -> DataFrame:
     """The whole corpus front door for one micro-batch, composed in the
     order the batch curation ladder uses (``llm.curation.curate_corpus``)
     but against PERSISTENT cross-batch state:
 
+    -1. optional corpus-lifetime canonical-URL dedup (``url_index=``,
+       r13): the recrawl gate, FIRST because it needs only the URL
+       column — a rejected re-crawl never pays extraction, quality
+       scoring, or signature costs (the order CommonCrawl-class
+       pipelines use);
     0. optional HTML extraction (``html_input=True``, r12): ``text_col``
        is raw markup — ``llm.textops.extract_html_text`` replaces it
        with boilerplate-filtered visible text ahead of EVERY gate, so
@@ -1335,6 +1375,12 @@ def ingest_corpus_batch(
     dropped documents never pollute the boilerplate counts because
     ``clean_batch`` only sees survivors.
     """
+    if url_index is not None:
+        # corpus-lifetime canonical-URL dedup FIRST (r13): the recrawl
+        # gate runs before extraction and every text gate — it needs only
+        # the URL column, so a rejected re-crawl pays nothing downstream
+        # (the order every CommonCrawl-class pipeline uses)
+        docs = url_index.dedup_batch(docs)
     if html_input:
         # The web-crawl front door (r12): ``text_col`` carries raw
         # HTML/markup — extract the boilerplate-filtered visible text

@@ -3709,3 +3709,88 @@ def test_ingest_corpus_batch_line_index_under_streaming_drain(spark, tmp_path):
     assert len(with_footer) == 2 and len(without) == 1
     assert without[0]["n_lines_dropped"] == 1
     assert all(r["n_lines_dropped"] == 0 for r in with_footer)
+
+
+def test_incremental_url_index_cross_batch_recrawl_gate(spark, tmp_path):
+    """r13: corpus-lifetime canonical-URL dedup at ingest. A page
+    re-crawled in a later batch — same canonical URL, different tracking
+    params AND different text (rotated ads) — is rejected by the URL
+    gate alone; a genuinely new URL with identical text passes (this
+    index keys on the URL, not the content). Replaying a batch must not
+    reject its own rows against their landed copies."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import IncrementalUrlIndex
+
+    idx = IncrementalUrlIndex(spark, str(tmp_path / "urlidx"))
+    b0 = spark.createDataFrame(
+        [
+            (1, "https://Site.example.com/a?utm_source=feed&q=1", "body v1"),
+            # within-batch canonical dup (fragment + tracking differ): min id kept
+            (2, "https://site.example.com/a?q=1#frag", "body v1 again"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    out0 = sorted(r["doc_id"] for r in idx.dedup_batch(b0).collect())
+    assert out0 == [1]
+
+    # replay (crash between append and checkpoint commit): same decisions
+    out_replay = sorted(r["doc_id"] for r in idx.dedup_batch(b0).collect())
+    assert out_replay == [1]
+
+    b1 = spark.createDataFrame(
+        [
+            # re-crawl of the landed page: new tracking param, new text
+            (10, "https://site.example.com/a?q=1&fbclid=xyz", "body v2 rotated ad"),
+            # new URL, byte-identical text to doc 1: URL gate passes it
+            (11, "https://site.example.com/b?utm_source=z", "body v1"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    out1 = sorted(r["doc_id"] for r in idx.dedup_batch(b1).collect())
+    assert out1 == [11]
+
+    idx.compact()
+    landed = spark.read.parquet(str(tmp_path / "urlidx"))
+    assert landed.count() == landed.dropDuplicates(["_dig", "doc_id"]).count()
+    # post-compaction the gate still holds
+    b2 = spark.createDataFrame(
+        [(20, "HTTPS://SITE.example.com/b/", "anything")],
+        "doc_id long, url string, text string",
+    )
+    # trailing-slash/caps/scheme-case variants of landed /b are rejected
+    assert idx.dedup_batch(b2).count() == 0
+
+
+def test_ingest_corpus_batch_url_gate_runs_first(spark, tmp_path):
+    """The composed front door with url_index=: a cross-batch re-crawl
+    (same canonical URL, perturbed text that the exact text digest would
+    NOT catch) is rejected before any text gate, while a new page with
+    near-identical chrome still lands."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import (
+        IncrementalMinhashIndex,
+        IncrementalUrlIndex,
+        ingest_corpus_batch,
+    )
+
+    mh = IncrementalMinhashIndex(
+        spark, str(tmp_path / "mh"), num_hashes=16, bands=8, jaccard_threshold=0.95
+    )
+    ui = IncrementalUrlIndex(spark, str(tmp_path / "ui"))
+    b0 = spark.createDataFrame(
+        [(1, "https://ex.com/page?utm_campaign=a", "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, url string, text string",
+    )
+    out0 = ingest_corpus_batch(b0, 0, mh, min_quality=0.0, min_tokens=3, url_index=ui)
+    assert [r["doc_id"] for r in out0.collect()] == [1]
+
+    b1 = spark.createDataFrame(
+        [
+            # re-crawl: canonical URL matches batch 0, one word changed —
+            # the URL gate must reject it (a text digest would not)
+            (2, "https://ex.com/page", "alpha beta gamma delta epsilon TWEAK"),
+            # different URL, sufficiently different text: lands
+            (3, "https://ex.com/other", "one two three four five six seven"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    out1 = ingest_corpus_batch(b1, 1, mh, min_quality=0.0, min_tokens=3, url_index=ui)
+    assert [r["doc_id"] for r in out1.collect()] == [3]
