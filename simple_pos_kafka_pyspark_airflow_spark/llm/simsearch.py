@@ -795,6 +795,30 @@ def embed_diversity_onepass(
     )
 
 
+def pair_cosine_udf():
+    """Arrow-batched rowwise cosine for (vec_a, vec_b) PAIR rows —
+    normalize + einsum per Arrow batch. The JVM ``zip_with``/``aggregate``
+    fold is an interpreted HOF, and pairwise workloads are quadratic in
+    group size — measured 9.5s vs 2s on 10k vectors/16 cells at d=64
+    (r8 bench). Same discipline as ``ivf_assign``: per-pair×per-dim work
+    belongs in one BLAS call, not a per-element lambda. Shared by
+    ``semdedup_prune`` (batch) and ``IncrementalIvfIndex.dedup_batch``
+    (the ingest twin, r13)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _pair_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if va.empty:
+            return pd.Series([], dtype="float64")
+        ma = np.stack(va.to_numpy()).astype("float64")
+        mb = np.stack(vb.to_numpy()).astype("float64")
+        ma /= np.maximum(np.linalg.norm(ma, axis=1, keepdims=True), 1e-12)
+        mb /= np.maximum(np.linalg.norm(mb, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+    return _pair_cos
+
+
 def semdedup_prune(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -857,23 +881,7 @@ def semdedup_prune(
         F.col("_id").alias("_id_b"),
         F.col("_v").alias("_v_b"),
     )
-    # pair cosine via an Arrow-batched rowwise dot (normalize + einsum per
-    # batch): the JVM zip_with/aggregate fold is an interpreted HOF, and
-    # within-cell pair counts are quadratic in cell size — measured 9.5s
-    # vs 2s on 10k vectors/16 cells at d=64 (r8 bench). Same discipline
-    # as ivf_assign: per-pair×per-dim work is exactly what belongs in one
-    # BLAS call, not a per-element lambda.
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def _pair_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
-        if va.empty:
-            return pd.Series([], dtype="float64")
-        ma = np.stack(va.to_numpy()).astype("float64")
-        mb = np.stack(vb.to_numpy()).astype("float64")
-        ma /= np.maximum(np.linalg.norm(ma, axis=1, keepdims=True), 1e-12)
-        mb /= np.maximum(np.linalg.norm(mb, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.einsum("ij,ij->i", ma, mb))
+    _pair_cos = pair_cosine_udf()
 
     dropped = (
         a.join(b, (a["_cell"] == b["_cell_b"]) & (a["_id_a"] < b["_id_b"]))

@@ -252,6 +252,132 @@ class IncrementalIvfIndex:
             )
         assigned.write.mode("append").partitionBy("cell").parquet(self.path)
 
+    def dedup_batch(
+        self,
+        df: DataFrame,
+        threshold: float = 0.95,
+        max_cell: int | None = 50_000,
+    ) -> DataFrame:
+        """Corpus-lifetime SEMANTIC dedup at ingest (r13) — the streaming
+        twin of ``llm.simsearch.semdedup_prune``, completing the ingest
+        ladder's dedup tiers (exact digest → canonical URL → lexical
+        minhash → THIS): a batch vector whose cosine to any LANDED vector
+        (or to a lower-id vector of the same batch) reaches ``threshold``
+        is rejected; survivors are ingested. Catches the paraphrase /
+        template / re-encode duplicates no lexical tier can see.
+
+        Shape: the batch assigns to the SAME cells the index stores
+        (``ivf_assign`` with this index's quantizer and ``n_assign``
+        replication — the recall lever), so the landed comparison is a
+        cell-equi-join against a partition-pruned slice of the index;
+        never batch × corpus. Within-batch pairs use the within-cell
+        self-join (lower id kept). ``max_cell`` drops cells hotter than
+        the cap from BOTH pair searches — their vectors are all kept
+        (conservative; the ``semdedup_prune``/minhash cap discipline).
+
+        Layouts: float cells compare exact cosines; int8 cells compare
+        against the dequantized form (per-element error ≤ scale/2 — the
+        same semantics probes already have). PQ indexes refuse: ADC
+        scores are rank-only, not cosines, and the index holds no
+        vectors to rescore against.
+
+        Crash/replay: a replayed batch finds its own survivors landed
+        under the SAME ids — the landed probe ignores same-id matches,
+        so decisions repeat exactly; the duplicate appended rows collapse
+        in ``compact()``. Empty batch (idle trigger) is a no-op."""
+        if self.store_pq:
+            raise ValueError(
+                "dedup_batch needs cosines; a PQ index stores rank-only ADC "
+                "codes and no vectors to rescore against — use the float or "
+                "int8 layout for the ingest-dedup tier"
+            )
+        if df.isEmpty():
+            return df
+        from pyspark import StorageLevel
+
+        cents = self._centroids()
+        if cents is None:
+            cents = self.fit(df)
+        assigned = (
+            simsearch.ivf_assign(
+                df.select(self.id_col, self.vec_col),
+                cents,
+                self.vec_col,
+                out_col="cell",
+                n_assign=self.n_assign,
+            )
+            .select(
+                F.col(self.id_col).alias("_id"),
+                F.col(self.vec_col).alias("_v"),
+                "cell",
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        pair_cos = simsearch.pair_cosine_udf()
+
+        pool = assigned
+        if max_cell is not None:
+            ok = (
+                assigned.groupBy("cell")
+                .count()
+                .where(F.col("count") <= max_cell)
+                .drop("count")
+            )
+            pool = assigned.join(ok, "cell")
+        a = pool.select("cell", F.col("_id").alias("_id_a"), F.col("_v").alias("_v_a"))
+        b = pool.select(
+            F.col("cell").alias("_cell_b"),
+            F.col("_id").alias("_id_b"),
+            F.col("_v").alias("_v_b"),
+        )
+        dropped_within = (
+            a.join(b, (a["cell"] == b["_cell_b"]) & (a["_id_a"] < b["_id_b"]))
+            .where(pair_cos(F.col("_v_a"), F.col("_v_b")) >= threshold)
+            .select(F.col("_id_b").alias("_rej"))
+        )
+
+        rejected = dropped_within
+        if fs_dir_has_data(self.spark, self.path):
+            idx = self.spark.read.parquet(self.path)
+            if "q_codes" in idx.columns:
+                landed_vec = simsearch.dequantize_embedding(
+                    F.col("q_codes"), F.col("q_scale")
+                )
+            else:
+                landed_vec = F.col(self.vec_col)
+            landed = idx.select(
+                "cell",
+                F.col(self.id_col).alias("_lid"),
+                landed_vec.alias("_lv"),
+            )
+            if max_cell is not None:
+                lok = (
+                    landed.groupBy("cell")
+                    .count()
+                    .where(F.col("count") <= max_cell)
+                    .drop("count")
+                )
+                landed = landed.join(lok, "cell")
+            dropped_landed = (
+                assigned.join(landed, "cell")
+                .where(F.col("_id") != F.col("_lid"))  # replay: never self
+                .where(pair_cos(F.col("_v"), F.col("_lv")) >= threshold)
+                .select(F.col("_id").alias("_rej"))
+            )
+            rejected = rejected.unionByName(dropped_landed)
+
+        kept = (
+            df.join(
+                rejected.distinct(),
+                F.col(self.id_col) == F.col("_rej"),
+                "left_anti",
+            )
+            .localCheckpoint(eager=True)
+        )
+        assigned.unpersist()
+        self.ingest_batch(kept)
+        return kept
+
     def occupancy_drift(self, df: DataFrame, eps: float = 1e-4) -> DataFrame:
         """PSI between the LANDED index's cell-occupancy distribution and
         a batch's assignments — the embedding-side ingest alarm

@@ -3794,3 +3794,91 @@ def test_ingest_corpus_batch_url_gate_runs_first(spark, tmp_path):
     )
     out1 = ingest_corpus_batch(b1, 1, mh, min_quality=0.0, min_tokens=3, url_index=ui)
     assert [r["doc_id"] for r in out1.collect()] == [3]
+
+
+def _unit(i, d=8, eps=0.0, j=None):
+    v = [0.0] * d
+    v[i] = 1.0
+    if j is not None:
+        v[j] = eps
+    n = sum(x * x for x in v) ** 0.5
+    return [x / n for x in v]
+
+
+def test_ivf_dedup_batch_one_batch_matches_semdedup_prune(spark, tmp_path):
+    """r13: the ingest-time semantic dedup tier. On a single batch with a
+    fresh index the keep/drop set must equal the batch operator's
+    (llm.simsearch.semdedup_prune) — same quantizer (ivf_centroids on
+    the same frame), same threshold, same within-cell lower-id-kept
+    rule. Also pins within-batch rejection and that survivors LAND."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm import simsearch
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.ann import IncrementalIvfIndex
+
+    rows = []
+    # three tight clusters of 3 (two near-dups per cluster) + 3 loners
+    for g in range(3):
+        rows.append((g * 10 + 1, _unit(g)))
+        rows.append((g * 10 + 2, _unit(g, eps=0.02, j=(g + 3))))  # cos ~0.9998
+        rows.append((g * 10 + 3, _unit(g, eps=0.03, j=(g + 4))))
+    for k in range(3):
+        rows.append((100 + k, _unit(5 + k)))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    want_kept = sorted(
+        r["vec_id"]
+        for r in simsearch.semdedup_prune(
+            df, n_cells=4, threshold=0.95, max_cell=1000
+        ).collect()
+        if r["kept"] == 1
+    )
+    idx = IncrementalIvfIndex(spark, str(tmp_path / "ivf"), n_cells=4)
+    got_kept = sorted(
+        r["vec_id"] for r in idx.dedup_batch(df, threshold=0.95, max_cell=1000).collect()
+    )
+    assert got_kept == want_kept
+    landed = sorted(
+        r["vec_id"] for r in spark.read.parquet(str(tmp_path / "ivf")).collect()
+    )
+    assert landed == want_kept  # survivors (and only they) were ingested
+
+
+def test_ivf_dedup_batch_cross_batch_replay_and_int8(spark, tmp_path):
+    """Cross-batch semantic rejection against the LANDED index, replay
+    stability via same-id exclusion, and the int8 tier scoring through
+    the dequantized form — plus the PQ refusal (ADC is not a cosine)."""
+    import pytest as _pytest
+
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.ann import IncrementalIvfIndex
+
+    for quantized in (False, True):
+        path = str(tmp_path / f"ivf_q{int(quantized)}")
+        idx = IncrementalIvfIndex(
+            spark, path, n_cells=2, store_quantized=quantized
+        )
+        b0 = spark.createDataFrame(
+            [(1, _unit(0)), (2, _unit(1))], "vec_id long, embedding array<double>"
+        )
+        assert sorted(
+            r["vec_id"] for r in idx.dedup_batch(b0, threshold=0.95).collect()
+        ) == [1, 2]
+
+        b1 = spark.createDataFrame(
+            [
+                (10, _unit(0, eps=0.02, j=4)),  # paraphrase of landed 1
+                (11, _unit(2)),                 # genuinely new direction
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        out1 = sorted(r["vec_id"] for r in idx.dedup_batch(b1, threshold=0.95).collect())
+        assert out1 == [11], (quantized, out1)
+
+        # replay of b1: its own landed copy (same id) must not reject it
+        out_replay = sorted(
+            r["vec_id"] for r in idx.dedup_batch(b1, threshold=0.95).collect()
+        )
+        assert out_replay == [11], (quantized, out_replay)
+
+    pq = IncrementalIvfIndex(spark, str(tmp_path / "ivf_pq"), store_pq=True)
+    b = spark.createDataFrame([(1, _unit(0))], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="ADC"):
+        pq.dedup_batch(b)
