@@ -1325,6 +1325,8 @@ def ingest_corpus_batch(
     html_input: bool = False,
     line_index: "IncrementalLineIndex | None" = None,
     url_index: "IncrementalUrlIndex | None" = None,
+    ann_index=None,
+    ann_threshold: float = 0.95,
 ) -> DataFrame:
     """The whole corpus front door for one micro-batch, composed in the
     order the batch curation ladder uses (``llm.curation.curate_corpus``)
@@ -1354,6 +1356,12 @@ def ingest_corpus_batch(
     2. near-dup rejection vs everything already landed plus within-batch
        clusters (``IncrementalMinhashIndex.dedup_batch`` — also appends
        the survivors' index rows);
+    2b. optional corpus-lifetime SEMANTIC dedup (``ann_index=`` with a
+       ``streaming.ann.IncrementalIvfIndex``, r13): embedding-cosine
+       rejection vs the landed ANN store, last of the dedup tiers so
+       the costliest comparison only prices documents every lexical
+       tier already passed — requires the batch to carry the index's
+       vector column;
     3. optional corpus-lifetime boilerplate-span excision
        (``IncrementalSpanIndex.clean_batch`` — the surviving documents'
        ``text`` is REPLACED by the cleaned form, and the batch's span
@@ -1420,6 +1428,14 @@ def ingest_corpus_batch(
     if digest_index is not None:
         gated = digest_index.dedup_batch(gated)
     kept = minhash_index.dedup_batch(gated)
+    if ann_index is not None:
+        # semantic tier LAST of the dedup ladder (r13, the batch
+        # curation order): the costliest comparison only prices documents
+        # every lexical tier already passed. Requires the batch to carry
+        # the ann_index's vec_col (the post-encoder pipeline shape);
+        # dedup_batch also ingests the survivors' vectors, so the ANN
+        # store and the corpus store stay row-aligned.
+        kept = ann_index.dedup_batch(kept, threshold=ann_threshold)
     if span_index is not None:
         cleaned = span_index.clean_batch(kept, batch_id)
         kept = (

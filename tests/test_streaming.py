@@ -3882,3 +3882,51 @@ def test_ivf_dedup_batch_cross_batch_replay_and_int8(spark, tmp_path):
     b = spark.createDataFrame([(1, _unit(0))], "vec_id long, embedding array<double>")
     with _pytest.raises(ValueError, match="ADC"):
         pq.dedup_batch(b)
+
+
+def test_ingest_corpus_batch_semantic_tier(spark, tmp_path):
+    """The composed front door with ann_index=: a cross-batch PARAPHRASE
+    (different text — every lexical tier passes it — but near-identical
+    embedding) is rejected by the semantic tier, and the ANN store stays
+    row-aligned with the landed corpus rows."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.ann import IncrementalIvfIndex
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import (
+        IncrementalMinhashIndex,
+        ingest_corpus_batch,
+    )
+
+    mh = IncrementalMinhashIndex(
+        spark, str(tmp_path / "mh"), num_hashes=16, bands=8, jaccard_threshold=0.9
+    )
+    ann = IncrementalIvfIndex(
+        spark, str(tmp_path / "ann"), n_cells=2, id_col="doc_id"
+    )
+    b0 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", _unit(0)),
+            (2, "one two three four five six", _unit(1)),
+        ],
+        "doc_id long, text string, embedding array<double>",
+    )
+    out0 = ingest_corpus_batch(
+        b0, 0, mh, min_quality=0.0, min_tokens=3, ann_index=ann
+    )
+    assert sorted(r["doc_id"] for r in out0.collect()) == [1, 2]
+
+    b1 = spark.createDataFrame(
+        [
+            # paraphrase of doc 1: zero lexical overlap, cosine ~0.9998
+            (10, "wholly different wording same meaning here", _unit(0, eps=0.02, j=4)),
+            # genuinely new doc in a new direction
+            (11, "fresh content pointing elsewhere entirely", _unit(2)),
+        ],
+        "doc_id long, text string, embedding array<double>",
+    )
+    out1 = ingest_corpus_batch(
+        b1, 1, mh, min_quality=0.0, min_tokens=3, ann_index=ann
+    )
+    assert sorted(r["doc_id"] for r in out1.collect()) == [11]
+    ann_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "ann")).collect()
+    )
+    assert ann_ids == [1, 2, 11]  # ANN store aligned with landed corpus
