@@ -564,3 +564,112 @@ def test_warc_stream_reader_at_sf01_matches_bytes_parse(spark):
         1 for f in os.listdir(path) if f.endswith((".warc", ".warc.gz"))
     )
     assert len(streamed) == n_docs + n_files  # one warcinfo per file
+
+
+@pytest.mark.scale
+def test_ingest_ladder_all_tiers_at_sf01(spark, tmp_path):
+    """The COMPOSED ingest front door with every persistent tier active
+    (URL -> digest -> minhash -> semantic -> span -> line), driven with
+    real sf0.1 documents + embeddings in three micro-batches, then a
+    fourth batch of plants that each target exactly one tier:
+
+    - an exact text copy of a confirmed-landed batch-0 doc (new id, new
+      URL, unrelated embedding)      -> rejected by the digest tier;
+    - a recrawl of a landed URL (tracking params + fragment added,
+      different text AND embedding)  -> rejected by the URL tier;
+    - a paraphrase (byte-new text, unique URL, the landed doc's
+      embedding verbatim)            -> rejected by the semantic tier;
+    - a control (unique text, unique URL, a negated organic embedding —
+      cosine <= 0.51 to every corpus vector) -> lands.
+
+    This is the only place the tiers run TOGETHER over corpus-shaped
+    data; the per-tier tests pin semantics on toy frames."""
+    from pyspark.sql import functions as F
+
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.ann import IncrementalIvfIndex
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import (
+        IncrementalDigestIndex,
+        IncrementalLineIndex,
+        IncrementalMinhashIndex,
+        IncrementalSpanIndex,
+        IncrementalUrlIndex,
+        ingest_corpus_batch,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF01}/documents.parquet")
+        .join(
+            spark.read.parquet(f"{SF01}/embeddings.parquet").select(
+                F.col("vec_id").alias("doc_id"), "embedding"
+            ),
+            "doc_id",
+        )
+        .withColumn(
+            "url",
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+                F.col("doc_id").cast("string"), F.lit("?utm_source=feed"),
+            ),
+        )
+        .select("doc_id", "source", "url", "text", "embedding")
+    )
+
+    mh = IncrementalMinhashIndex(spark, str(tmp_path / "mh"))
+    ui = IncrementalUrlIndex(spark, str(tmp_path / "ui"))
+    di = IncrementalDigestIndex(spark, str(tmp_path / "di"))
+    ann = IncrementalIvfIndex(spark, str(tmp_path / "ann"), id_col="doc_id")
+    sp = IncrementalSpanIndex(spark, str(tmp_path / "sp"))
+    li = IncrementalLineIndex(spark, str(tmp_path / "li"))
+
+    def run(batch, bid):
+        return ingest_corpus_batch(
+            batch, bid, mh,
+            span_index=sp, min_quality=0.0, min_tokens=1,
+            digest_index=di, url_index=ui, line_index=li,
+            ann_index=ann, ann_threshold=0.9,
+        )
+
+    landed_ids: set[int] = set()
+    for bid in range(3):
+        out = run(docs.where(F.col("doc_id") % 3 == bid), bid)
+        ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+        assert ids  # every batch lands something
+        landed_ids |= ids
+
+    # pick confirmed-landed batch-0 originals to target the plants at
+    b0_landed = sorted(i for i in landed_ids if i % 3 == 0)
+    orig_a, orig_b, orig_c, orig_d = b0_landed[:4]
+    by_id = {
+        r["doc_id"]: r
+        for r in docs.where(
+            F.col("doc_id").isin([orig_a, orig_b, orig_c, orig_d])
+        ).collect()
+    }
+    neg = lambda v: [-float(x) for x in v]
+    plants = [
+        # (id, url, text, embedding)
+        (900_001, "https://planted.example.com/exactdup",
+         by_id[orig_a]["text"], neg(by_id[orig_b]["embedding"])),
+        (900_002, by_id[orig_b]["url"].replace("utm_source=feed", "fbclid=z") + "#f",
+         "completely new recrawl body text here", neg(by_id[orig_c]["embedding"])),
+        (900_003, "https://planted.example.com/paraphrase",
+         "byte new paraphrase wording nothing shared lexically",
+         [float(x) for x in by_id[orig_c]["embedding"]]),
+        (900_004, "https://planted.example.com/control",
+         "unique control document text landing cleanly", neg(by_id[orig_d]["embedding"])),
+    ]
+    pb = spark.createDataFrame(
+        [(i, "planted", u, t, e) for i, u, t, e in plants],
+        "doc_id long, source string, url string, text string, embedding array<float>",
+    )
+    out3 = {r["doc_id"] for r in run(pb, 3).select("doc_id").collect()}
+    assert 900_001 not in out3  # digest tier caught the exact copy
+    assert 900_002 not in out3  # URL tier caught the recrawl
+    assert 900_003 not in out3  # semantic tier caught the paraphrase
+    assert 900_004 in out3      # control landed
+
+    # index/corpus alignment: the ANN store holds exactly the landed ids
+    ann_ids = {
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "ann")).collect()
+    }
+    assert ann_ids == landed_ids | {900_004}
