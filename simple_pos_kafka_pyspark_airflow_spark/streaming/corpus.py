@@ -1327,6 +1327,7 @@ def ingest_corpus_batch(
     url_index: "IncrementalUrlIndex | None" = None,
     ann_index=None,
     ann_threshold: float = 0.95,
+    fertility_monitor: "TokenizerFertilityMonitor | None" = None,
 ) -> DataFrame:
     """The whole corpus front door for one micro-batch, composed in the
     order the batch curation ladder uses (``llm.curation.curate_corpus``)
@@ -1349,6 +1350,11 @@ def ingest_corpus_batch(
        reference and the trailing-batches distinct sketch, computed on
        the gated batch and appended to ``<monitor.path>/reports`` —
        an audit trail, never a mutation of the landed rows;
+    1a'. optional tokenizer-fertility monitoring (``fertility_monitor=``
+       with a frozen ``TokenizerFertilityMonitor``, r13): tokens-per-word
+       of the gated batch under the frozen merge table vs the frozen
+       reference, per group, appended to ``<monitor.path>/reports`` —
+       the tokenizer-side twin of 1a at the same tap point;
     1b. optional corpus-lifetime exact dedup
        (``IncrementalDigestIndex.dedup_batch`` when ``digest_index`` is
        given) — the cheap digest equi-join rejects byte-identical landed
@@ -1418,6 +1424,16 @@ def ingest_corpus_batch(
             "_batch", F.lit(int(batch_id)).cast("long")
         )
         report.write.mode("append").parquet(f"{drift_monitor.path}/reports")
+    if fertility_monitor is not None:
+        # the tokenizer-side drift gate (same tap point and audit-trail
+        # discipline as drift_monitor): fertility of the gated batch
+        # under the FROZEN merge table vs the frozen reference, one
+        # report row per group, appended beside the monitor's state —
+        # never a mutation of the landed rows
+        frep = fertility_monitor.check_batch(gated).withColumn(
+            "_batch", F.lit(int(batch_id)).cast("long")
+        )
+        frep.write.mode("append").parquet(f"{fertility_monitor.path}/reports")
     if bloom_gate is not None:
         # decontamination ahead of every index: a contaminated document
         # must never land index rows (the batch ladder decontaminates

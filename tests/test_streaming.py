@@ -3930,3 +3930,54 @@ def test_ingest_corpus_batch_semantic_tier(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(str(tmp_path / "ann")).collect()
     )
     assert ann_ids == [1, 2, 11]  # ANN store aligned with landed corpus
+
+
+def test_ingest_corpus_batch_fertility_monitor_tap(spark, tmp_path):
+    """The composed front door with fertility_monitor= (r13): each batch
+    appends a per-group fertility report beside the monitor's state —
+    an in-distribution batch records drifted=0, a vowel-rotated batch
+    (frozen merges stop applying) records drifted=1 — and the landed
+    rows themselves are untouched by the monitor."""
+    from simple_pos_kafka_pyspark_airflow_spark.llm import tokenize as tk
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import (
+        IncrementalMinhashIndex,
+        TokenizerFertilityMonitor,
+        ingest_corpus_batch,
+    )
+
+    ref = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    mon = TokenizerFertilityMonitor(spark, str(tmp_path / "fert"))
+    mh = IncrementalMinhashIndex(spark, str(tmp_path / "mh"))
+
+    # freeze on the calm batch itself: a 40-doc subset's per-group
+    # fertility organically deviates >10% from the full-corpus reference
+    # (small-sample mix), which is real drift by the gate's definition —
+    # the no-flag case needs reference-distribution data
+    calm_batch = ref.limit(40)
+    mon.freeze(calm_batch, tk.FROZEN_MERGES)
+    out0 = ingest_corpus_batch(
+        calm_batch, 0, mh, min_quality=0.0, min_tokens=1, fertility_monitor=mon
+    )
+    n0 = out0.count()
+    assert n0 > 0
+
+    drifted_batch = (
+        ref.where(~F.col("doc_id").isin([r["doc_id"] for r in calm_batch.collect()]))
+        .limit(40)
+        .withColumn("text", F.translate("text", "aeiou", "xyzwv"))
+    )
+    ingest_corpus_batch(
+        drifted_batch, 1, mh, min_quality=0.0, min_tokens=1, fertility_monitor=mon
+    ).count()
+
+    reports = spark.read.parquet(str(tmp_path / "fert" / "reports"))
+    by_batch = {
+        r["_batch"]: r["n"]
+        for r in reports.groupBy("_batch")
+        .agg(F.sum(F.col("drifted")).alias("n"))
+        .collect()
+    }
+    assert by_batch[0] == 0          # in-distribution: no group flags
+    assert by_batch[1] > 0           # rotated batch: flags
