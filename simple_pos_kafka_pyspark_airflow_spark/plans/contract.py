@@ -207,12 +207,36 @@ def sync_certifications(reg: dict[str, ContractQuery] | None = None) -> int:
     return changed
 
 
+#: Stale-code decertification: ``{query name: last round whose cert is
+#: void}``.  The oracle-sha mechanism only catches ORACLE edits; when the
+#: operator CODE behind a certified query changes (guard insertions, a
+#: source rewrite) the ledger's green row no longer describes the current
+#: code.  Listing the query here with the round its code changed voids any
+#: certification recorded at or before that round, rotating it to the head
+#: of the driver window; the next driver green (a later round) re-certifies
+#: it through the normal sync path and the entry becomes inert.
+#:
+#: r13 entries: guard edits (q_multimodal_video id-collision assert,
+#: q_attribution_* micro-cent grid assert, q_text_boilerplate_lines NULL
+#: text fix) and the streamed-WARC source rewrite under q_scan_warc /
+#: q_crawl_e2e — all certified r12, code changed r13.
+_STALE_CODE_RECERT: dict[str, int] = {
+    "q_multimodal_video": 13,
+    "q_attribution_linear": 13,
+    "q_attribution_ushape": 13,
+    "q_text_boilerplate_lines": 13,
+    "q_scan_warc": 13,
+    "q_crawl_e2e": 13,
+}
+
+
 def certification_state(reg: dict[str, ContractQuery] | None = None) -> dict[str, int]:
     """name -> round of the standing certification, for queries whose
     ledger sha still matches the current oracle text.  An oracle rewrite
     (sha mismatch) voids the certification — the query re-enters the
     driver window and only a NEW green row (via ``sync_certifications``)
-    re-certifies it."""
+    re-certifies it.  ``_STALE_CODE_RECERT`` voids certs whose operator
+    code changed after the recorded round the same way."""
     reg = reg if reg is not None else load_registry()
     ledger = _load_cert_file()
     out: dict[str, int] = {}
@@ -220,8 +244,11 @@ def certification_state(reg: dict[str, ContractQuery] | None = None) -> dict[str
         cq = reg.get(name)
         if cq is None or not isinstance(entry, dict):
             continue
+        rnd = int(entry.get("round", 0))
+        if rnd <= _STALE_CODE_RECERT.get(name, 0):
+            continue
         if entry.get("sha") == _oracle_sha(cq.oracle):
-            out[name] = int(entry.get("round", 0))
+            out[name] = rnd
     return out
 
 

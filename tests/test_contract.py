@@ -180,6 +180,54 @@ def test_sync_certifies_new_round_greens(tmp_path, monkeypatch):
     assert contract.sync_certifications(REGISTRY) == 0
 
 
+def test_stale_code_recert_voids_old_certs_only(tmp_path, monkeypatch):
+    """``_STALE_CODE_RECERT`` voids a certification recorded at or before
+    the listed round (the operator CODE changed after the driver's green
+    row, which the oracle-sha mechanism can't see) but must leave a NEWER
+    certification standing — that's what makes the entry self-clearing
+    once the next driver round re-verifies the query."""
+    import json
+
+    from simple_pos_kafka_pyspark_airflow_spark.plans import contract
+
+    sha = contract._oracle_sha(REGISTRY["q_agg_sum"].oracle)
+    p = tmp_path / "certified_oracles.json"
+    p.write_text(
+        json.dumps(
+            {
+                "synced_through": 14,
+                "queries": {
+                    "q_agg_sum": {"round": 13, "sha": sha},
+                },
+            }
+        )
+    )
+    monkeypatch.setattr(contract, "_CERT_FILE", str(p))
+    monkeypatch.setattr(contract, "_STALE_CODE_RECERT", {"q_agg_sum": 13})
+    assert "q_agg_sum" not in contract.certification_state(REGISTRY)
+    # driver re-verifies in a later round -> the entry becomes inert
+    p.write_text(
+        json.dumps(
+            {
+                "synced_through": 14,
+                "queries": {"q_agg_sum": {"round": 14, "sha": sha}},
+            }
+        )
+    )
+    assert contract.certification_state(REGISTRY).get("q_agg_sum") == 14
+
+
+def test_r14_recert_window_covers_edited_code_queries():
+    """Round-14 window contract (VERDICT r13 task 1): the six queries whose
+    operators changed in r13 after their r12 certifications must occupy the
+    head of the driver window, followed by the oldest (r8) cohort."""
+    from simple_pos_kafka_pyspark_airflow_spark.plans import contract
+
+    window = list(contract.driver_ordered_registry())[:50]
+    for name in contract._STALE_CODE_RECERT:
+        assert name in window, f"{name} edited in r13 but outside the window"
+
+
 def test_ledger_shas_match_current_oracles():
     """Every standing ledger entry's sha must match the current oracle
     text.  A red run here means an oracle was rewritten without
