@@ -579,15 +579,38 @@ def _microcents_checked(value_col: str, max_factor: Column) -> Column:
     in_bound = (
         micro.cast("double") * F.greatest(max_factor, F.lit(1)).cast("double")
     ) < F.lit(float(2**53))
-    ok = raw.isNull() | ((raw >= 0) & in_bound)
-    msg = F.concat(
+    # Two separate assertions so the failure names its cause (r14,
+    # ADVICE): a negative value is usually a REFUND/CHARGEBACK row — a
+    # normal occurrence in conversion data that the caller must handle
+    # upstream, not a grid-arithmetic bug — so its message says exactly
+    # that and how to proceed.  Both stay coalesced into the value column
+    # (never prunable); assert_true returns NULL when its condition holds.
+    neg_msg = F.concat(
         F.lit(
-            "attribution micro-cent grid violated (negative conversion "
-            "value or credit product >= 2^53): value="
+            "attribution input has a NEGATIVE conversion value (a "
+            "refund/chargeback row): value="
+        ),
+        raw.cast("string"),
+        F.lit(
+            ". The micro-cent credit grid models non-negative revenue "
+            "only - pre-filter refund rows (value >= 0) or net them out "
+            "per conversion before attribution."
+        ),
+    )
+    bound_msg = F.concat(
+        F.lit(
+            "attribution micro-cent grid violated: credit product >= "
+            "2^53 for value="
         ),
         raw.cast("string"),
     )
-    return F.coalesce(F.assert_true(ok, msg).cast("long"), micro)
+    ok_sign = raw.isNull() | (raw >= 0)
+    ok_bound = raw.isNull() | ~ok_sign | in_bound
+    return F.coalesce(
+        F.assert_true(ok_sign, neg_msg).cast("long"),
+        F.assert_true(ok_bound, bound_msg).cast("long"),
+        micro,
+    )
 
 
 def last_touch_attribution(

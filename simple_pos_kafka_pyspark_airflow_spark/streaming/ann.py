@@ -358,8 +358,13 @@ class IncrementalIvfIndex:
                     .drop("count")
                 )
                 landed = landed.join(lok, "cell")
+            # batch side uses the CAPPED pool (r14, ADVICE): the
+            # docstring's contract is that max_cell exempts over-cap
+            # cells from BOTH pair searches — joining the uncapped
+            # `assigned` here priced a hot batch cell against landed
+            # rows while the within-batch search had already skipped it
             dropped_landed = (
-                assigned.join(landed, "cell")
+                pool.join(landed, "cell")
                 .where(F.col("_id") != F.col("_lid"))  # replay: never self
                 .where(pair_cos(F.col("_v"), F.col("_lv")) >= threshold)
                 .select(F.col("_id").alias("_rej"))

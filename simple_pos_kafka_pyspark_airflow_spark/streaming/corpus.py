@@ -391,9 +391,47 @@ class IncrementalDigestIndex:
         """Return the batch rows that are NOT byte-identical (or
         canonical-identical) to landed or earlier-in-batch documents, and
         append the survivors' (digest, id) rows to the index."""
+        return self._dedup(docs, record=True)
+
+    def filter_batch(self, docs: DataFrame) -> DataFrame:
+        """READ-ONLY form of ``dedup_batch``: identical keep decisions
+        (within-batch min-id keep + landed anti-join) but NO index
+        append.  Pair with ``record_batch`` to defer landing until the
+        batch has cleared downstream gates (r14, ADVICE): landing a
+        URL's digest for a document a later tier rejects would block
+        that URL's recrawls forever even though nothing ever reached
+        the corpus."""
+        return self._dedup(docs, record=False)
+
+    def record_batch(self, docs: DataFrame) -> None:
+        """Append (digest, id) index rows for documents that survived
+        the FULL ladder — the deferred-landing half of ``filter_batch``.
+        NULL-keyed rows are skipped (they were never dedup candidates).
+        Replay-safe like ``dedup_batch``'s append: duplicated rows
+        collapse in ``compact()`` and cannot change decisions (the
+        landed probe ignores same-id matches).  An all-rejected batch
+        writes nothing at all — not even empty part files — so "no doc
+        ever claimed this URL" stays observable as an absent index."""
+        rows = docs.select(F.col(self.id_col), self._digest().alias("_dig")).where(
+            F.col("_dig").isNotNull()
+        )
+        if rows.isEmpty():
+            return
+        rows.write.mode("append").parquet(self.path)
+
+    def _dedup(self, docs: DataFrame, record: bool) -> DataFrame:
+        # NULL digest = no dedup key (NULL text, or at the URL tier a
+        # record with no target URI — a NORMAL input for WARC front
+        # doors).  Such rows must pass through untouched rather than
+        # silently vanish (r14, ADVICE): an equi-join never matches a
+        # NULL key, so routing them through the keep/anti joins dropped
+        # every one of them.  They are excluded from the index append —
+        # a NULL key can never reject anything.
         hashed = docs.withColumn("_dig", self._digest())
-        keep_ids = hashed.groupBy("_dig").agg(F.min(self.id_col).alias(self.id_col))
-        kept = hashed.join(keep_ids, [self.id_col, "_dig"], "semi")
+        keyless = hashed.where(F.col("_dig").isNull())
+        keyed = hashed.where(F.col("_dig").isNotNull())
+        keep_ids = keyed.groupBy("_dig").agg(F.min(self.id_col).alias(self.id_col))
+        kept = keyed.join(keep_ids, [self.id_col, "_dig"], "semi")
         landed = self._landed()
         if landed is not None:
             dup_ids = (
@@ -404,8 +442,11 @@ class IncrementalDigestIndex:
                 .distinct()
             )
             kept = kept.join(dup_ids, self.id_col, "left_anti")
-        kept = kept.localCheckpoint(eager=True)
-        kept.select(self.id_col, "_dig").write.mode("append").parquet(self.path)
+        kept = kept.unionByName(keyless).localCheckpoint(eager=True)
+        if record:
+            kept.select(self.id_col, "_dig").where(
+                F.col("_dig").isNotNull()
+            ).write.mode("append").parquet(self.path)
         return kept.drop("_dig")
 
     def compact(self) -> None:
@@ -641,8 +682,10 @@ class IncrementalLineIndex:
        key keeps the count shuffle partition-pruned per domain);
     2. combined count per (group, digest) = this batch's distinct-doc
        count + the landed history; lines at ``>= min_docs`` are chrome;
-    3. chrome digests broadcast back against the batch's line rows;
-       surviving lines rebuild each document in ORIGINAL order;
+    3. chrome digests join back against the batch's line rows (no
+       forced broadcast — the chrome set is corpus-lifetime and
+       unbounded; AQE broadcasts while it is small); surviving lines
+       rebuild each document in ORIGINAL order;
     4. the batch's per-(group, digest) counts append keyed by batch id.
 
     Forward-looking semantics (the span index's documented contract): a
@@ -714,8 +757,14 @@ class IncrementalLineIndex:
             combined = batch_counts
         chrome = combined.where(F.col("_n") >= self.min_docs).select("_grp", "_dig")
 
+        # no broadcast hint (r14, ADVICE): the chrome set is CORPUS-
+        # LIFETIME and unbounded (every ≥min_docs line per group — huge
+        # for real web corpora), so forcing it driver-side would blow the
+        # broadcast limit exactly when the index matters most.  AQE picks
+        # broadcast on its own while the set is small — the batch twin
+        # strip_common_lines uses the same plain join.
         flagged = lines.join(
-            F.broadcast(chrome.withColumn("_b", F.lit(True))), ["_grp", "_dig"], "left"
+            chrome.withColumn("_b", F.lit(True)), ["_grp", "_dig"], "left"
         )
         is_chrome = F.coalesce(F.col("_b"), F.lit(False))
         cleaned = flagged.groupBy(self.id_col).agg(
@@ -806,6 +855,12 @@ class IncrementalSubstringIndex:
     linear, no hot-key cap needed. Index rows accumulate one row per
     DISTINCT batch gram; ``compact()`` folds them to one row per
     distinct digest under the sentinel batch −1.
+
+    Composable from the front door (r14): ``ingest_corpus_batch(...,
+    substring_index=)`` runs this tier LAST of the excisions — see the
+    order note there (its excision token-normalizes the text, and its
+    per-position index rows should only price text the cheaper tiers
+    passed).
     """
 
     def __init__(
@@ -1328,6 +1383,7 @@ def ingest_corpus_batch(
     ann_index=None,
     ann_threshold: float = 0.95,
     fertility_monitor: "TokenizerFertilityMonitor | None" = None,
+    substring_index: "IncrementalSubstringIndex | None" = None,
 ) -> DataFrame:
     """The whole corpus front door for one micro-batch, composed in the
     order the batch curation ladder uses (``llm.curation.curate_corpus``)
@@ -1337,7 +1393,10 @@ def ingest_corpus_batch(
        r13): the recrawl gate, FIRST because it needs only the URL
        column — a rejected re-crawl never pays extraction, quality
        scoring, or signature costs (the order CommonCrawl-class
-       pipelines use);
+       pipelines use).  The probe is READ-ONLY (r14): URL index rows
+       land in step 5, only for full-ladder survivors, so a document
+       rejected downstream never blocks its URL's future recrawls;
+       NULL/missing URLs pass through ungated (no key, no claim);
     0. optional HTML extraction (``html_input=True``, r12): ``text_col``
        is raw markup — ``llm.textops.extract_html_text`` replaces it
        with boilerplate-filtered visible text ahead of EVERY gate, so
@@ -1375,7 +1434,21 @@ def ingest_corpus_batch(
     4. optional corpus-lifetime common-LINE excision (r13,
        ``IncrementalLineIndex.clean_batch`` via ``line_index=`` — runs
        after the span gate on whatever text the ladder produced; its
-       drop count lands as ``n_lines_dropped``).
+       drop count lands as ``n_lines_dropped``);
+    4b. optional corpus-lifetime EXACT-SUBSTRING excision (r14,
+       ``IncrementalSubstringIndex.clean_batch`` via
+       ``substring_index=``): the Lee-2021 any-offset tier — ≥L-token
+       spans shared with anything already landed are excised; its drop
+       count lands as ``n_substr_removed``.  LAST of the excision
+       tiers, for two reasons: (a) its excision rebuilds text from the
+       token stream (single-space joined), so any tier that reads raw
+       line/whitespace structure — the line gate above — must run
+       before it; (b) it is the costliest excision (one index row per
+       token position), so it should price only text the cheaper
+       excisions already passed;
+    5. deferred URL landing (r14): the survivors' (canonical-URL
+       digest, id) rows append to ``url_index`` — the write half of
+       step -1's read-only probe.
 
     Returns the landed form of the batch: the rows to append to the
     corpus store. Slots directly into ``foreachBatch``:
@@ -1393,8 +1466,14 @@ def ingest_corpus_batch(
         # corpus-lifetime canonical-URL dedup FIRST (r13): the recrawl
         # gate runs before extraction and every text gate — it needs only
         # the URL column, so a rejected re-crawl pays nothing downstream
-        # (the order every CommonCrawl-class pipeline uses)
-        docs = url_index.dedup_batch(docs)
+        # (the order every CommonCrawl-class pipeline uses).  READ-ONLY
+        # here (r14, ADVICE): the URL rows land at the END, only for
+        # documents that survived the whole ladder — landing them now
+        # would permanently block recrawls of URLs whose document a
+        # downstream tier rejected, even though nothing ever reached the
+        # corpus (the digest/minhash tiers don't have this hazard: their
+        # survivors are content-equivalent to something landed).
+        docs = url_index.filter_batch(docs)
     if html_input:
         # The web-crawl front door (r12): ``text_col`` carries raw
         # HTML/markup — extract the boilerplate-filtered visible text
@@ -1478,6 +1557,29 @@ def ingest_corpus_batch(
             )
             .withColumnRenamed("text_clean", text_col)
         )
+    if substring_index is not None:
+        # exact-substring excision LAST of the excision tiers (r14):
+        # its output is token-normalized (single-space joined), so the
+        # structure-reading line gate must have already run, and its
+        # per-token-position index rows should only price text the
+        # cheaper excisions passed — see the docstring order note
+        scleaned = substring_index.clean_batch(kept, batch_id)
+        kept = (
+            kept.drop(text_col)
+            .join(
+                scleaned.select(
+                    id_col,
+                    "text_clean",
+                    F.col("n_removed").alias("n_substr_removed"),
+                ),
+                id_col,
+            )
+            .withColumnRenamed("text_clean", text_col)
+        )
+    if url_index is not None:
+        # deferred URL landing (r14): only full-ladder survivors claim
+        # their canonical URL — see the read-only probe at the top
+        url_index.record_batch(kept)
     return kept
 
 

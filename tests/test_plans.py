@@ -1092,7 +1092,10 @@ def test_attribution_microcent_grid_violations_fail_loudly(spark):
     documented (r13, ADVICE): a negative conversion value (refund /
     chargeback row) raises USER_RAISED_EXCEPTION instead of silently
     producing engine-divergent 40/20/40 or equal splits; NULL values
-    still pass through as NULL credit. Both division-based models."""
+    still pass through as NULL credit. Both division-based models.
+    r14 (ADVICE): the negative-value failure names its likely cause —
+    a refund row, normal in conversion data — and tells the caller to
+    pre-filter, instead of a generic grid-arithmetic message."""
     import pytest as _pytest
 
     from simple_pos_kafka_pyspark_airflow_spark.operators.timeseries import (
@@ -1109,7 +1112,7 @@ def test_attribution_microcent_grid_violations_fail_loudly(spark):
         rows, "event_id long, ts string, user_id long, event_type string, value double"
     ).withColumn("ts", F.to_timestamp("ts"))
     for model in (linear_touch_attribution, position_touch_attribution):
-        with _pytest.raises(Exception, match="micro-cent grid violated"):
+        with _pytest.raises(Exception, match="refund/chargeback"):
             model(df).collect()
 
     # NULL conversion value: row keeps its legs, credit NULL (sum skips)

@@ -3711,6 +3711,73 @@ def test_ingest_corpus_batch_line_index_under_streaming_drain(spark, tmp_path):
     assert all(r["n_lines_dropped"] == 0 for r in with_footer)
 
 
+def test_ingest_corpus_batch_substring_index_under_streaming_drain(spark, tmp_path):
+    """r14 (VERDICT task 2): the composed front door reaches the
+    exact-substring tier — the one persistent dedup tier that previously
+    required hand-composition. Under a real AvailableNow drain, a
+    ≥L-token span landed in micro-batch 0 is excised from micro-batch
+    2's copy AT A DIFFERENT OFFSET (the case the fixed-grid span index
+    misses), with the drop count under ``n_substr_removed``. The cleaned
+    text is pinned to the batch operator's exact excision
+    (llm.dedup.excise_spans reassembly) on the same span."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import (
+        IncrementalMinhashIndex,
+        IncrementalSubstringIndex,
+        ingest_corpus_batch,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(6))
+    src = tmp_path / "docs"
+    src.mkdir()
+    batches = [
+        # batch 0 plants the span mid-document
+        (100, f"alpha beta {shared} gamma delta epsilon"),
+        # batch 1: unrelated — history count stays 1
+        (101, "one two three four five six seven eight"),
+        # batch 2 repeats the span at offset 0 -> count 2 >= min_count
+        (102, f"{shared} red orange yellow green blue"),
+    ]
+    for i, (doc_id, text) in enumerate(batches):
+        spark.createDataFrame(
+            [(doc_id, "a", text)], "doc_id long, source string, text string"
+        ).coalesce(1).write.parquet(str(src / f"f{i}"))
+
+    mh = IncrementalMinhashIndex(
+        spark, str(tmp_path / "mh"), num_hashes=16, bands=8, jaccard_threshold=0.8
+    )
+    si = IncrementalSubstringIndex(spark, str(tmp_path / "si"), min_len=6)
+    sink = str(tmp_path / "landed")
+    schema = "doc_id long, source string, text string"
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, bid: ingest_corpus_batch(
+                batch, bid, mh, min_quality=0.0, min_tokens=3, substring_index=si
+            )
+            .write.mode("append")
+            .parquet(sink)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    landed = {r["doc_id"]: r for r in spark.read.parquet(sink).collect()}
+    assert sorted(landed) == [100, 101, 102]
+    # forward-looking: the first copy lands intact, the second excised
+    assert landed[100]["text"] == f"alpha beta {shared} gamma delta epsilon"
+    assert landed[100]["n_substr_removed"] == 0
+    assert landed[101]["n_substr_removed"] == 0
+    assert landed[102]["text"] == "red orange yellow green blue"
+    assert landed[102]["n_substr_removed"] == 6
+
+
 def test_incremental_url_index_cross_batch_recrawl_gate(spark, tmp_path):
     """r13: corpus-lifetime canonical-URL dedup at ingest. A page
     re-crawled in a later batch — same canonical URL, different tracking
@@ -3794,6 +3861,83 @@ def test_ingest_corpus_batch_url_gate_runs_first(spark, tmp_path):
     )
     out1 = ingest_corpus_batch(b1, 1, mh, min_quality=0.0, min_tokens=3, url_index=ui)
     assert [r["doc_id"] for r in out1.collect()] == [3]
+
+
+def test_incremental_url_index_null_urls_pass_through(spark, tmp_path):
+    """r14 (ADVICE): NULL/missing URLs are a NORMAL input at the URL tier
+    (WARC records without a target URI) and must pass through the gate
+    untouched — the equi-join can never match a NULL digest, so routing
+    them through the keep/anti joins silently dropped every one. They
+    also must not land index rows (a NULL key can't reject anything)."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import IncrementalUrlIndex
+
+    idx = IncrementalUrlIndex(spark, str(tmp_path / "urlidx"))
+    b0 = spark.createDataFrame(
+        [
+            (1, "https://ex.com/a", "body a"),
+            (2, None, "no target uri"),
+            (3, None, "another bare record"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    out0 = sorted(r["doc_id"] for r in idx.dedup_batch(b0).collect())
+    assert out0 == [1, 2, 3]  # both NULL-url rows pass, neither deduped
+    landed = spark.read.parquet(str(tmp_path / "urlidx"))
+    assert landed.where(F.col("_dig").isNull()).count() == 0
+    assert landed.count() == 1  # only doc 1 claimed its URL
+
+    # NULL rows never gate later batches, and the keyed gate still holds
+    b1 = spark.createDataFrame(
+        [(10, None, "third bare record"), (11, "https://ex.com/a?utm_source=x", "recrawl")],
+        "doc_id long, url string, text string",
+    )
+    assert sorted(r["doc_id"] for r in idx.dedup_batch(b1).collect()) == [10]
+
+
+def test_ingest_corpus_batch_rejected_doc_does_not_claim_url(spark, tmp_path):
+    """r14 (ADVICE): the front door probes the URL index READ-ONLY and
+    lands (digest, id) rows only for FULL-ladder survivors. A document
+    rejected by a downstream gate (here: quality) must not claim its
+    canonical URL — a later recrawl with better content ingests."""
+    from simple_pos_kafka_pyspark_airflow_spark.streaming.corpus import (
+        IncrementalMinhashIndex,
+        IncrementalUrlIndex,
+        ingest_corpus_batch,
+    )
+
+    mh = IncrementalMinhashIndex(
+        spark, str(tmp_path / "mh"), num_hashes=16, bands=8, jaccard_threshold=0.95
+    )
+    ui = IncrementalUrlIndex(spark, str(tmp_path / "ui"))
+    b0 = spark.createDataFrame(
+        # fails min_tokens=3: rejected AFTER the URL probe
+        [(1, "https://ex.com/page", "short")],
+        "doc_id long, url string, text string",
+    )
+    out0 = ingest_corpus_batch(b0, 0, mh, min_quality=0.0, min_tokens=3, url_index=ui)
+    assert out0.count() == 0
+    from simple_pos_kafka_pyspark_airflow_spark.sources.io import fs_dir_has_data
+
+    assert not fs_dir_has_data(spark, str(tmp_path / "ui"))  # URL unclaimed
+
+    # recrawl of the SAME canonical URL with real content now lands...
+    b1 = spark.createDataFrame(
+        [(2, "https://ex.com/page?utm_source=x", "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, url string, text string",
+    )
+    out1 = ingest_corpus_batch(b1, 1, mh, min_quality=0.0, min_tokens=3, url_index=ui)
+    assert [r["doc_id"] for r in out1.collect()] == [2]
+    # ...and only the SURVIVOR's URL row landed
+    landed = spark.read.parquet(str(tmp_path / "ui"))
+    assert [r["doc_id"] for r in landed.collect()] == [2]
+
+    # the survivor's claim gates the next recrawl as before
+    b2 = spark.createDataFrame(
+        [(3, "https://EX.com/page", "totally different words here now friend")],
+        "doc_id long, url string, text string",
+    )
+    out2 = ingest_corpus_batch(b2, 2, mh, min_quality=0.0, min_tokens=3, url_index=ui)
+    assert out2.count() == 0
 
 
 def _unit(i, d=8, eps=0.0, j=None):
