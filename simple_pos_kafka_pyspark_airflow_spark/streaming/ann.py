@@ -670,6 +670,133 @@ class IncrementalIvfIndex:
 
     # -- maintenance -------------------------------------------------------
 
+    def rebuild(self, vectors: DataFrame | None = None) -> None:
+        """Remediate a fired ``occupancy_drift`` alarm (r14, VERDICT
+        task 4) — the tested path from alarm to fix: re-fit the coarse
+        quantizer and MIGRATE every index row to its new cell, so cell
+        occupancy (and with it probe recall) reflects where the vectors
+        actually live again.  An un-actionable alarm is a pager, not a
+        pipeline; this is the action.
+
+        Two modes:
+
+        - ``vectors=None`` — corpus-CONTENT drift (the ingest mixture
+          moved; the encoder did not): the quantizer re-fits from the
+          LANDED vectors and landed rows re-assign in place.  The float
+          tier re-assigns exactly; the int8 tier re-assigns from the
+          dequantized form (per-element error ≤ scale/2 — the same
+          semantics probes already score with) and each row KEEPS its
+          original (scale, codes), so migration loses no precision.
+          A PQ index REFUSES loudly: it stores rank-only codes and no
+          vectors to re-assign from — rebuild it with ``vectors=``.
+        - ``vectors=`` an (id, vec) frame — ENCODER swap: the corpus
+          re-embedded under the new encoder.  The quantizer, the index
+          rows, and (PQ tier) the codebooks are rebuilt wholesale from
+          these exact vectors in the index's STORED layout — same ids,
+          new geometry.  This is the only rebuild mode a PQ index
+          supports, and the int8 tier re-encodes fresh codes here.
+
+        Atomicity: the new index is staged completely first
+        (``compact()``'s tombstone discipline — a crash during staging
+        leaves the live index untouched), then the index, the centroid
+        table, and (PQ) the codebooks swap in sequence.  A crash
+        BETWEEN swaps leaves a new layout under the old quantizer (or
+        vice versa): probes stay well-formed (scores are real cosines,
+        ids dedup) but cell pruning degrades until ``rebuild`` is
+        re-run — it is idempotent, re-deriving everything from landed
+        rows (or ``vectors``), so re-running converges."""
+        if not fs_dir_has_data(self.spark, self.path):
+            raise ValueError(
+                f"rebuild needs a non-empty index at {self.path}: nothing to migrate"
+            )
+        idx = self.spark.read.parquet(self.path)
+        stored_pq = "pq_code" in idx.columns
+        stored_int8 = "q_codes" in idx.columns
+        rows = idx.drop("cell").dropDuplicates([self.id_col])
+        if vectors is None:
+            if stored_pq:
+                raise ValueError(
+                    "a PQ index stores rank-only codes and no vectors to "
+                    "re-assign from — pass vectors= (the exact corpus, "
+                    "re-embedded if the encoder moved) to rebuild it"
+                )
+            if stored_int8:
+                src = rows.select(
+                    F.col(self.id_col),
+                    simsearch.dequantize_embedding(
+                        F.col("q_codes"), F.col("q_scale")
+                    ).alias(self.vec_col),
+                )
+            else:
+                src = rows.select(self.id_col, self.vec_col)
+        else:
+            src = vectors.select(self.id_col, self.vec_col)
+        cents = simsearch.ivf_centroids(
+            src, self.n_cells, self.vec_col, self.id_col
+        )
+        if not cents:
+            raise ValueError("rebuild found zero vectors to re-fit the quantizer from")
+        assigned = simsearch.ivf_assign(
+            src, cents, self.vec_col, out_col="cell", n_assign=self.n_assign
+        )
+        cbs = None
+        if vectors is None:
+            if stored_int8:
+                # migrate: new cell, original (scale, codes) — no
+                # quantize→dequantize round trip touches the payload
+                new_rows = rows.select(self.id_col, "q_scale", "q_codes").join(
+                    assigned.select(self.id_col, "cell"), self.id_col
+                )
+            else:
+                new_rows = assigned
+        else:
+            if stored_int8:
+                new_rows = simsearch.quantize_embeddings_arrow(
+                    assigned, self.vec_col
+                ).select(self.id_col, "cell", "q_scale", "q_codes")
+            elif stored_pq:
+                cbs = simsearch.pq_train(
+                    src, m=self.pq_m, ks=self.pq_ks,
+                    vec_col=self.vec_col, id_col=self.id_col,
+                )
+                new_rows = simsearch.pq_encode(
+                    assigned, cbs, vec_col=self.vec_col
+                ).select(self.id_col, "cell", "pq_code")
+            else:
+                new_rows = assigned
+        staging = staging_sibling(self.path)
+        try:
+            new_rows.write.mode("overwrite").partitionBy("cell").parquet(staging)
+        except Exception:
+            from ..sources.io import _fs_for
+
+            fs, p = _fs_for(self.spark, staging)
+            if fs.exists(p):
+                fs.delete(p, True)
+            raise
+        fs_recover_tombstone(self.spark, self.path)
+        fs_swap_in(self.spark, staging, self.path)
+        cdf = self.spark.createDataFrame(
+            [
+                (int(c), int(p), float(v))
+                for c, row in enumerate(cents)
+                for p, v in enumerate(row)
+            ],
+            "cell INT, pos INT, value DOUBLE",
+        )
+        overwrite_atomic(cdf.coalesce(1), self.centroid_path)
+        if cbs is not None:
+            cb_df = self.spark.createDataFrame(
+                [
+                    (int(s), int(c), int(p), float(v))
+                    for s, book in enumerate(cbs)
+                    for c, word in enumerate(book)
+                    for p, v in enumerate(word)
+                ],
+                "s INT, c INT, pos INT, value DOUBLE",
+            )
+            overwrite_atomic(cb_df.coalesce(1), self.pq_path)
+
     def compact(self) -> None:
         """Rewrite the index with replay-duplicated rows collapsed per
         (id, cell), keeping the partitioned layout, under the atomic

@@ -1701,6 +1701,39 @@ class TokenizerFertilityMonitor:
             drifted.cast("int").alias("drifted"),
         )
 
+    def remediate(
+        self,
+        word_index: "IncrementalWordCountIndex",
+        reference: DataFrame,
+        n_merges: int = 50,
+        min_count: int = 2,
+    ) -> list[tuple[str, str]]:
+        """The alarm→fix runbook (r14, VERDICT task 3) — what to DO when
+        ``check_batch`` reports ``drifted=1``: retrain the BPE merge
+        table from the LANDED word counts
+        (``IncrementalWordCountIndex.train`` — no corpus rescan; word
+        counts are sufficient statistics for BPE, pinned equal to
+        direct corpus training by test) and REFREEZE this monitor with
+        the new merges against ``reference`` — the corpus slice the
+        retrained tokenizer should now fit, typically the recent landed
+        batches whose arrival fired the alarm (the word index already
+        holds their counts if it taps the same ingest).  After this,
+        the batches that flagged read back in band: the merges apply to
+        the shifted vocabulary again, and the reference fertility
+        describes the shifted distribution.
+
+        Run at a quiesced point (stream stopped, or between triggers):
+        ``freeze`` overwrites the merge table and the reference stats
+        as two separate per-table commits, so a check racing the
+        refreeze could mix old merges with new stats.  An un-actionable
+        alarm is a pager, not a pipeline — this is the action.
+
+        Returns the new merge table, which is also the production
+        tokenizer release to ship alongside the refrozen monitor."""
+        merges = word_index.train(n_merges=n_merges, min_count=min_count)
+        self.freeze(reference, merges)
+        return merges
+
 
 class IncrementalQidIndex:
     """Corpus-lifetime k-ANONYMITY class counts at ingest — the
