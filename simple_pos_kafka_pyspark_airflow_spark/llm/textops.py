@@ -850,6 +850,10 @@ def tf_cosine_topk(
             .agg(F.count("*").cast("long").alias("_tf"))
         )
 
+    # NOT persisted: the norm and dot consumers read byte-identical
+    # exchange subtrees of each postings table, which ReuseExchange
+    # already dedupes at runtime — an explicit persist measured as a
+    # wash at best (r14 A/B) while adding token-level cache churn.
     cp = postings(corpus, id_col, "_cid")
     qp = postings(queries, q_id_col, "_qid")
     if max_df is not None:

@@ -49,11 +49,22 @@ def pagerank(
     exactly by the contract oracle. Returns ``(node, rank)`` unrounded;
     callers round for display/hashing.
     """
+    from ..cacheutil import persistent_rdd_ids, release_caches
+
+    spark = edges.sparkSession
+    pre = persistent_rdd_ids(spark)
+    # Materialize the projected edge list ONCE: nodes, out-weights, the
+    # normalized edges AND every power iteration all consume it, and
+    # without the checkpoint each consumer replans the full upstream
+    # projection (for the contract query, the 4-table fact join — r14:
+    # ~7 redundant subtree executions in the before-plan). The edge list
+    # is (nodes + edges)-sized by contract, not fact-sized.
     e = edges.select(
         F.col(src_col).alias("_src"),
         F.col(dst_col).alias("_dst"),
         F.col(weight_col).cast("long").alias("_w"),
-    )
+    ).localCheckpoint(eager=True)
+    e_ids = persistent_rdd_ids(spark) - pre
     nodes = (
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))
@@ -71,6 +82,7 @@ def pagerank(
     ranks = nodes.join(F.broadcast(n_nodes)).select(
         "node", (F.lit(1.0) / F.col("_nn")).alias("rank")
     )
+    rank_ids: set[int] = set()
     for _ in range(iters):
         contribs = (
             en.join(ranks, en["_src"] == ranks["node"])
@@ -83,6 +95,7 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("_c").alias("_s"))
         )
+        pre_round = persistent_rdd_ids(spark)
         ranks = (
             nodes.join(contribs, "node", "left")
             .join(F.broadcast(n_nodes))
@@ -96,6 +109,15 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        # the new checkpoint is materialized — the previous iteration's
+        # blocks will never be read again (dedup_clusters discipline)
+        release_caches(spark, rank_ids)
+        rank_ids = persistent_rdd_ids(spark) - pre_round
+    if iters > 0:
+        # the returned frame is itself checkpointed; the edge blocks are
+        # done (checkpoint lineage cannot recompute, so only release when
+        # the result no longer reads them)
+        release_caches(spark, e_ids)
     return ranks
 
 

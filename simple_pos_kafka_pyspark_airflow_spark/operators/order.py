@@ -183,7 +183,12 @@ def distributed_total_rank(
     # collapse to the value lattice FIRST (one partial-aggregable fact
     # shuffle); bounds/buckets/totals then derive from the lattice, so
     # the fact is scanned exactly twice (here + the final join-back),
-    # not three times
+    # not three times. The lattice is NOT persisted: its three consumers
+    # read byte-identical exchange subtrees, which Spark's ReuseExchange
+    # already dedupes at runtime — an explicit persist was measured
+    # consistently SLOWER (r14 A/B: q_seg_rfm 3.2→5.0s, q_eval_auc
+    # 2.1→2.9s) because the InMemoryRelation blocks that reuse and the
+    # three broadcast jobs race to fill the cache.
     lat0 = d.groupBy(*g, "__o").agg(
         F.count("*").cast("long").alias("__n"), F.sum("__x").alias("__sx")
     )

@@ -2052,7 +2052,12 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(c["c_nationkey"].alias("src"), s["s_nationkey"].alias("dst"))
         .distinct()
     )
-    return graph.triangle_counts(graph.undirected_edges(edges))
+    # materialize the undirected edge set once: triangle enumeration
+    # consumes it three times (two wedge sides + the closing join), and
+    # each copy otherwise replans the 4-table fact join (r14 before-plan:
+    # 88 scans). Nation-graph-sized blocks; bench/oracle clear per query.
+    und = graph.undirected_edges(edges).localCheckpoint(eager=True)
+    return graph.triangle_counts(und)
 
 
 @register(
@@ -2343,7 +2348,11 @@ def q_graph_triangles_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(c["c_nationkey"].alias("src"), s["s_nationkey"].alias("dst"))
         .distinct()
     )
-    return graph.triangle_counts_oriented(graph.undirected_edges(edges))
+    # same materialization as q_graph_triangles: the oriented counter
+    # consumes the undirected edge set five times (degree agg ×2, the
+    # orientation join, the closing join) — checkpoint it once
+    und = graph.undirected_edges(edges).localCheckpoint(eager=True)
+    return graph.triangle_counts_oriented(und)
 
 
 @register(
@@ -4250,7 +4259,13 @@ def q_graph_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("w"))
     )
-    und = graph.undirected_edges(graph.top_weight_edges(de, k=3))
+    # materialize the kNN graph once: common_neighbor_scores consumes it
+    # four times (wedge sides via nbrs, the anti-join, the degree table)
+    # and each copy otherwise replans the 4-table trade join + top-k
+    # window (r14 before-plan: 72 scans). ≤ k·|nations| edges.
+    und = graph.undirected_edges(graph.top_weight_edges(de, k=3)).localCheckpoint(
+        eager=True
+    )
     return graph.common_neighbor_scores(und, k=20)
 
 
@@ -4366,9 +4381,19 @@ def q_eval_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "responded",
         ntile_from_rank(F.col("rank"), F.col("n_total"), 10).alias("decile"),
     )
-    d = ranked.groupBy("decile").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("responded").cast("long").alias("responders"),
+    # the 10-row decile table feeds BOTH the totals broadcast and the
+    # cumulative window — persist it so the whole rank pipeline above
+    # runs once, not once per consumer (r14 before-plan: the lattice
+    # subtree appeared twice downstream of the rank join-back)
+    from pyspark.storagelevel import StorageLevel
+
+    d = (
+        ranked.groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("responded").cast("long").alias("responders"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     t = d.agg(
         F.sum("n").cast("long").alias("tot_n"), F.sum("responders").cast("long").alias("tot_r")
