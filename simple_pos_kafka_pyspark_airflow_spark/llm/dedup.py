@@ -1195,10 +1195,16 @@ def dedup_clusters(
 
     spark = pairs.sparkSession
     pre = persistent_rdd_ids(spark)
-    both = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d")).unionAll(
-        pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d"))
-    )
-    edges = both.localCheckpoint(eager=True)
+    # Checkpoint the directed pair list ONCE and mirror it from the
+    # materialized blocks. Checkpointing the union itself would execute
+    # the upstream pair subtree (for LSH pairs, the whole corpus scan +
+    # candidate + verify pipeline) TWICE in one job — once per union
+    # branch (r14: the q_dedup_clusters before-plan carried the full
+    # LSH pipeline in both branches).
+    p0 = pairs.select(
+        F.col("id_a").alias("s"), F.col("id_b").alias("d")
+    ).localCheckpoint(eager=True)
+    edges = p0.unionAll(p0.select(F.col("d").alias("s"), F.col("s").alias("d")))
     edge_ids = persistent_rdd_ids(spark) - pre
     if edges.isEmpty():
         # no pairs at all — the COMMON case for a streaming micro-batch
@@ -1460,6 +1466,13 @@ def jaccard_pairs_prefix(
     if eager_cache:
         sets_df.count()
     postings = sets_df.select("_id", "_sz", F.explode("_sh").alias("_h"))
+    # dfreq stays the groupBy+join-back form, NOT a count window over _h
+    # (r14 A/B): locally the two are noise-equal (the tiny dfreq table
+    # broadcasts, so the join costs no postings exchange at all), and at
+    # scale the aggregate is the SKEW-SAFE form — partial map-side agg
+    # collapses stopword-gram hot keys and AQE can split a skewed join
+    # partition, while WindowExec must hold a hot gram's entire posting
+    # list in one task before the cap can prune it.
     dfreq = postings.groupBy("_h").agg(F.count("*").cast("long").alias("_df"))
     w = Window.partitionBy("_id").orderBy("_df", "_h")
     # exact rational threshold so ⌈t·m⌉ is true integer arithmetic
@@ -1790,6 +1803,9 @@ def fuzzy_join_editdist(
     ga = grams(la.where(F.col("_na") >= lmin), "_ta", "_la", 0)
     gb = grams(rb.where(F.col("_nb") >= lmin), "_tb", "_rb", 1)
     allg = ga.unionByName(gb)
+    # dfreq stays groupBy+join-back, not a count window (r14 A/B: noise-
+    # equal locally, and the aggregate+join form is skew-splittable at
+    # scale — see jaccard_pairs_prefix for the full argument)
     dfreq = allg.groupBy("_g").agg(F.count("*").cast("long").alias("_df"))
     from pyspark.sql import Window
 
@@ -1872,20 +1888,32 @@ def fuzzy_join_jaccard(
     lp = ls.select(F.lit(0).alias("_side"), "_id", "_sz", F.explode("_sh").alias("_h"))
     rp = rs.select(F.lit(1).alias("_side"), "_id", "_sz", F.explode("_sh").alias("_h"))
     allp = lp.unionByName(rp)
-    # COMMON rarity order: dfreq over BOTH sides' postings
-    dfreq = allp.groupBy("_h").agg(F.count("*").cast("long").alias("_df"))
+    # COMMON rarity order: document frequency over BOTH sides' postings,
+    # attached as one window count (single exchange on _h) instead of the
+    # groupBy+join-back's aggregate exchange + join re-exchange. Unlike
+    # the self-join twins (where the A/B was a wash), here the join-back
+    # recomputed the two-sided union subtree per consumer and measured
+    # 1.6× slower (r14 interleaved A/B: 6.6s vs 10.7s min-of-4 at sf0.1).
+    # Tradeoff accepted: a stopword-shingle hot key's postings land in
+    # one window task (count windows are not AQE-splittable) — a pure
+    # count that streams, unlike the candidate join, which stays behind
+    # the max_posting_docs cap.
     frac = Fraction(str(threshold)).limit_denominator(10**9)
     tn, td = frac.numerator, frac.denominator
     ceil_tm = -F.floor((F.col("_sz") * F.lit(-tn)) / F.lit(td))
     w = Window.partitionBy("_side", "_id").orderBy("_df", "_h")
     prefix = (
-        allp.join(dfreq, "_h")
+        allp.withColumn(
+            "_df", F.count("*").over(Window.partitionBy("_h")).cast("long")
+        )
         .withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= F.col("_sz") - ceil_tm + 1)
         .select("_side", "_h", "_id", "_sz")
     )
-    hot = prefix.groupBy("_side", "_h").agg(F.count("*").cast("long").alias("_pc"))
-    pruned = prefix.join(hot, ["_side", "_h"]).where(F.col("_pc") <= max_posting_docs)
+    # per-side posting cap: same window-count form
+    pruned = prefix.withColumn(
+        "_pc", F.count("*").over(Window.partitionBy("_side", "_h")).cast("long")
+    ).where(F.col("_pc") <= max_posting_docs)
     a = pruned.where(F.col("_side") == 0).select(
         "_h", F.col("_id").alias("_la"), F.col("_sz").alias("_sza")
     )
