@@ -2657,7 +2657,16 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    return dedup.near_dup_pairs_editdist(d, "text", "doc_id", max_dist=8, band_width=64)
+    # band_width=16 (r14): pure candidate-generation lever, result-
+    # identical for ANY width > max_dist (blocking stays lossless; the
+    # oracle's own 64-band scheme is independently lossless, so the
+    # value-compare is unaffected — certified strict at all three SFs).
+    # Narrower bands cut the band self-join's pre-|Δlen| pair
+    # evaluations ~4× and, at scale, keep each band further under the
+    # max_block hot-band cap. Interleaved A/B in BOTH run orders:
+    # 2.37 vs 2.06 s and 2.57 vs 2.40 s min (64 vs 16), 16 ahead in
+    # 8 of 9 non-warmup rounds; 255 result rows either way.
+    return dedup.near_dup_pairs_editdist(d, "text", "doc_id", max_dist=8, band_width=16)
 
 
 @register(
@@ -3694,8 +3703,17 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s").substr(1, 5), F.lit("x"), F.col("s").substr(7, 24)
         ).alias("s"),
     )
+    # q=5 (r14): candidate-volume lever, result-identical for ANY q (the
+    # two-sided prefix theorem is q-generic and the verify is exact; all
+    # probe strings are 30 chars ≥ lmin = q·(d+1) = 15, so the regime
+    # split doesn't move either). This corpus's 3-char grams are so
+    # common that rarity ordering still met in 3.38M candidate pairs;
+    # 5-grams cut that to 756k (4.5×) — interleaved A/B
+    # min-of-5: 3.69 s (q=3) vs 2.01 s (q=5), q=5 better in all 5
+    # rounds, result rows identical (5512) for q ∈ {3,4,5,6,7}.
     return fuzzy_join_editdist(
-        l, r, "s", "s", l_id="doc_id", r_id="rid", max_dist=2, max_posting_docs=None
+        l, r, "s", "s", l_id="doc_id", r_id="rid", max_dist=2, q=5,
+        max_posting_docs=None,
     ).select(F.col("doc_id").alias("l_id"), F.col("rid").alias("r_id"), "dist")
 
 

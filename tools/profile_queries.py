@@ -66,6 +66,28 @@ def main() -> None:
                 sams.append(round(time.perf_counter() - t0, 3))
             spark.catalog.clearCache()
             print(f"{name}: min={min(sams):.3f} runs={sams}")
+    elif mode == "split":
+        # build() vs execute split (guide §1): how much of a query's
+        # bench time is driver-side plan construction (incl. any eager
+        # work build() does) vs the timed noop-sink execution.
+        runs = int(sys.argv[2])
+        names = sys.argv[3:]
+        for name in names:
+            builds, execs = [], []
+            for _ in range(runs):
+                spark.sparkContext.setJobDescription(f"profile:{name}")
+                t0 = time.perf_counter()
+                df = registry[name].build(spark, sf_dir)
+                t1 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                t2 = time.perf_counter()
+                builds.append(round(t1 - t0, 3))
+                execs.append(round(t2 - t1, 3))
+            spark.catalog.clearCache()
+            print(
+                f"{name}: build_min={min(builds):.3f} exec_min={min(execs):.3f} "
+                f"builds={builds} execs={execs}"
+            )
     else:
         raise SystemExit(f"unknown mode {mode!r}")
 
