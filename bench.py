@@ -4,8 +4,12 @@
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 
     {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {"q1": min_sec, ...}, "runs": {"q1": [sec, ...], ...},
-     "sf": ...}
+     "queries": {"q1": min_sec, ...}, "failed": [...],
+     "calibration": {...}, "sf": ...}
+
+(Per-run samples and per-window calibration probes are persisted to the
+committed ``docs/bench/r{N}.json`` sidecar only — r15: the printed line
+must fit the driver's tail capture whole, see the `slim` note in main().)
 
 Each query is timed end-to-end (plan + execute + collect-to-count) the way
 the driver's consumer would see it, ``$SPARK_GRAFT_BENCH_RUNS`` times
@@ -502,7 +506,17 @@ def main() -> None:
         "stall_reruns": stall_reruns,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(payload))
+    # The PRINTED line must stay small enough for the driver's tail capture
+    # to hold it whole (r14 PERF lost its round-over-round table because
+    # r13's line — bloated by per-query `runs` + `calibration_windows` for
+    # 149 queries — was truncated past parseability). The contract fields
+    # (metric/value/unit/queries/failed/calibration/sf) all stay in the
+    # line; the bulky per-run history moves to the sidecar file below,
+    # which keeps EVERY field including `runs` and `calibration_windows`.
+    # Timing methodology is untouched — this changes serialization only.
+    slim = {k: v for k, v in payload.items()
+            if k not in ("runs", "calibration_windows")}
+    print(json.dumps(slim))
     # The driver keeps only a ~2,000-char tail of this output, so most
     # per-query history is unreadable after the fact (VERDICT r7 item 6).
     # Persist the COMPLETE result to a committed per-round file as well:

@@ -37,7 +37,60 @@ from __future__ import annotations
 
 import contextlib
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+#: Session conf key selecting how ``materialize`` cuts lineage.
+MATERIALIZE_MODE_KEY = "spark.graft.materialize"
+#: Optional conf key naming the reliable-checkpoint directory (applied to
+#: the SparkContext on first reliable materialize if none is set yet).
+CHECKPOINT_DIR_KEY = "spark.graft.checkpoint.dir"
+
+
+def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialize an intermediate frame and truncate its lineage — the
+    single switch point for the engine's eager checkpoint sites
+    (pagerank's edge list and per-iteration ranks, ``dedup_clusters``'s
+    pair list and label rounds, the curation ladder's hubs, the graph
+    queries' undirected edge sets).
+
+    Default (``spark.graft.materialize`` unset or ``"local"``):
+    ``localCheckpoint`` — blocks live on executors with NO lineage, so
+    they are fast but not fault-tolerant: on a real cluster, losing one
+    executor mid-iteration kills the job instead of recomputing. That is
+    the right local/bench trade and the measured-fastest form at test
+    scale.
+
+    Cluster profile (``spark.conf.set("spark.graft.materialize",
+    "reliable")``): routes to reliable ``checkpoint()`` — blocks are
+    written to the checkpoint directory (set it via
+    ``sc.setCheckpointDir`` or the ``spark.graft.checkpoint.dir`` conf),
+    so an executor loss recomputes from storage instead of failing the
+    job. At 100 TB the pagerank edge list is (nodes+edges)-sized — not
+    small — and a multi-hour iterative job must survive executor churn;
+    see docs/SCALE.md "Materialization fault tolerance". Reliable
+    checkpoints are files, not persisted RDDs: ``release_caches`` /
+    ``scoped_caches`` see nothing to free (cleanup = checkpoint-dir
+    lifecycle), which is the correct ownership shape on a cluster.
+    """
+    spark = df.sparkSession
+    mode = spark.conf.get(MATERIALIZE_MODE_KEY, "local")
+    if mode == "reliable":
+        sc = spark.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            ckdir = spark.conf.get(CHECKPOINT_DIR_KEY, None)
+            if not ckdir:
+                raise ValueError(
+                    "spark.graft.materialize=reliable needs a checkpoint "
+                    "directory: call sc.setCheckpointDir(...) or set "
+                    f"{CHECKPOINT_DIR_KEY}"
+                )
+            sc.setCheckpointDir(ckdir)
+        return df.checkpoint(eager=eager)
+    if mode != "local":
+        raise ValueError(
+            f"unknown {MATERIALIZE_MODE_KEY}={mode!r} (use 'local' or 'reliable')"
+        )
+    return df.localCheckpoint(eager=eager)
 
 
 def persistent_rdd_ids(spark: SparkSession) -> set[int]:

@@ -21,31 +21,42 @@ pipelines) and it matters:
 
 Each stage's plan is the one its operator documents (see docs/SCALE.md);
 composing them adds no new shuffles beyond the stages' own. The report
-is a tiny driver-side list of (stage, rows). With ``counts=True`` each
-reported stage is eagerly ``localCheckpoint``-ed before its count, so
-the run costs O(stages) materializations — a naive count-per-stage on
-one lineage would recompute every upstream stage per count, O(stages²)
-scans of the corpus — and the count actions can never observe a
-recomputation-divergent stage. With ``counts=False`` the audit counts
-and the raw-input checkpoint are skipped, but the MULTI-CONSUMER hubs
-(``gated``, ``exact``, ``split``) still materialize exactly once: the
-final action is one job whose concurrent stages all probe those frames,
-so leaving them lazy (or merely persist()-ed — blocks don't exist until
-the racing stages have each already computed them) duplicates whole-
-stage compute; r9/r10 measured the fully-lazy form SLOWER than the
-audited form. Single-consumer stages (``near``, ``capped``, the final
-anti-join) stay lazy. The near-dup component stage
-(``dedup.dedup_clusters``) is inherently iterative and runs its
-label-propagation rounds eagerly at build time on either path.
+is a tiny driver-side list of (stage, rows). On BOTH paths the
+MULTI-CONSUMER hubs (``gated``, ``exact``, ``split``) materialize
+exactly once (``cacheutil.materialize`` — localCheckpoint locally,
+reliable checkpoint under the cluster profile): the final action is one
+job whose concurrent stages all probe those frames, so leaving them
+lazy (or merely persist()-ed — blocks don't exist until the racing
+stages have each already computed them) duplicates whole-stage compute;
+r9/r10 measured the fully-lazy form SLOWER. Single-consumer stages
+(``near``, ``capped``, the final anti-join) stay lazy.
+
+With ``counts=True`` the per-stage row counts come from
+``DataFrame.observe`` (``CollectMetrics``) nodes attached directly
+below the hub materialization boundaries, so every count is computed
+DURING a pass the lazy pipeline already pays — zero extra count jobs,
+zero extra materializations except the final output (whose eager
+materialization delivers the ``decontaminated`` count before the
+report returns). Exactness: each observed subtree sits under exactly
+one eager materialization and above only checkpointed inputs, so its
+CollectMetrics fires exactly once — placement is load-bearing; a node
+with two live consumers in one job could double-fire. (r14 and before,
+counts=True instead localCheckpoint+count-ed all SEVEN stages
+including the raw input — 13 actions vs the observed form's 4; the
+r15 bench prices the audit at ≈ the e2e twin + one materialization.)
+The near-dup component stage (``dedup.dedup_clusters``) is inherently
+iterative and runs its label-propagation rounds eagerly at build time
+on either path.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+from ..cacheutil import materialize
 from . import dedup as dedup_ops
 from . import filtering
 
@@ -104,35 +115,40 @@ def curate_corpus(
     no stage rewrites text, so provenance is the id.
     """
     report: list[tuple[str, int]] = []
+    observations: list[tuple[str, Observation]] = []
 
-    def note(stage: str, df: DataFrame) -> DataFrame:
-        if counts:
-            df = df.localCheckpoint(eager=True)
-            report.append((stage, df.count()))
-        return df
+    def watch(stage: str, df: DataFrame) -> DataFrame:
+        """Attach an exact row-count observation (CollectMetrics) for the
+        audited report. Free on the pass that materializes the nearest
+        downstream hub; each watched node must execute exactly once
+        there (see the module docstring's placement argument)."""
+        if not counts:
+            return df
+        obs = Observation(f"curation_{stage}")
+        observations.append((stage, obs))
+        return df.observe(obs, F.count(F.lit(1)).alias("rows"))
 
     def hub(df: DataFrame) -> DataFrame:
-        """Materialize a MULTI-CONSUMER stage boundary exactly once on the
-        counts=False path (note() already checkpointed it on the audited
-        path). A persist() is NOT enough here: the final action is one
-        job whose concurrent stages (e.g. the decontamination join's two
-        gram sides plus the anti-join's left) all probe the hub before
-        any block exists, so each racing stage recomputes the full
-        upstream chain — measured r9/r10 as the lazy form benching SLOWER
-        than the audited form (8.9 vs 7.7s at sf0.1). The checkpoint also
-        truncates lineage, keeping Catalyst's per-action analysis of the
-        composed ladder bounded. At cluster scale the same boundary is a
-        reliable ``checkpoint()``/table write — a frame with >1 consumer
-        must materialize exactly once either way."""
-        if not counts:
-            df = df.localCheckpoint(eager=True)
-        return df
+        """Materialize a MULTI-CONSUMER stage boundary exactly once, on
+        BOTH paths. A persist() is NOT enough here: the final action is
+        one job whose concurrent stages (e.g. the decontamination join's
+        two gram sides plus the anti-join's left) all probe the hub
+        before any block exists, so each racing stage recomputes the
+        full upstream chain — measured r9/r10 as the lazy form benching
+        SLOWER than the then-audited form (8.9 vs 7.7s at sf0.1). The
+        checkpoint also truncates lineage, keeping Catalyst's per-action
+        analysis of the composed ladder bounded, and fires any pending
+        observations below it. At cluster scale the same boundary is a
+        reliable ``checkpoint()``/table write (cacheutil.materialize's
+        cluster profile) — a frame with >1 consumer must materialize
+        exactly once either way."""
+        return materialize(df)
 
     t, i = cfg.text_col, cfg.id_col
-    docs = note("raw", docs)
+    docs = watch("raw", docs)
 
     # 1. quality gate — one projection pass, bits dropped after the verdict
-    gated = note(
+    gated = watch(
         "quality_gate",
         filtering.apply_corpus_filter(
             docs,
@@ -146,18 +162,19 @@ def curate_corpus(
     )
 
     # gated feeds TWO consumers (the exact-dup group build and the semi
-    # join's left side) — a multi-consumer hub: materialize once
+    # join's left side) — a multi-consumer hub: materialize once (this
+    # pass delivers the raw + quality_gate counts)
     gated = hub(gated)
 
     # 2. exact dedup — keep each byte-identical group's min id
     exact_keep = dedup_ops.exact_dup_groups(gated, t, i).select(
         F.col("keep_id").alias(i)
     )
-    exact = note("exact_dedup", gated.join(exact_keep, i, "semi"))
+    exact = watch("exact_dedup", gated.join(exact_keep, i, "semi"))
 
     # exact survivors feed three consumers (the minhash doc table, the
     # near-dedup anti-join's left side, and through it every later
-    # stage) — hub
+    # stage) — hub (delivers the exact_dedup count)
     exact = hub(exact)
 
     # 3. near-dup — LSH pairs → connected components → keep the min-id
@@ -169,10 +186,10 @@ def curate_corpus(
     drops = (
         dedup_ops.dedup_clusters(pairs, id_col=i).where(~F.col("keep")).select(i)
     )
-    near = note("near_dedup", exact.join(drops, i, "left_anti"))
+    near = watch("near_dedup", exact.join(drops, i, "left_anti"))
 
     # 4. per-domain cap — deterministic md5-rank sample within each source
-    capped = note(
+    capped = watch(
         "domain_cap",
         filtering.cap_per_group(near, cfg.source_col, cfg.per_source_cap, i),
     )
@@ -180,7 +197,9 @@ def curate_corpus(
     # 5. split assignment — no data movement
     split = capped.withColumn("split", split_col(i, cfg))
     # split feeds the decontamination join twice (train∪val side, test
-    # side) and the final anti-join — hub
+    # side) and the final anti-join — hub (near → capped → split is one
+    # single-consumer chain, so this pass delivers the near_dedup +
+    # domain_cap counts)
     split = hub(split)
 
     # 6. decontamination — drop train/val docs sharing any exact n-gram
@@ -189,10 +208,18 @@ def curate_corpus(
     leaks = dedup_ops.exact_ngram_collisions(
         split.where(F.col("split") != "test"), held_out, t, i, n=cfg.leak_ngram
     ).select(i)
-    out = note(
+    out = watch(
         "decontaminated",
         split.join(leaks, i, "left_anti"),
     )
+    if counts:
+        # the ONE materialization the audit pays beyond the lazy twin:
+        # the caller's action would fire the decontaminated count too,
+        # but the report must be populated before this function returns.
+        out = materialize(out)
+        report.extend(
+            (stage, int(obs.get["rows"])) for stage, obs in observations
+        )
     if return_frames:
         frames = {
             "gated": gated, "exact": exact, "near": near,

@@ -1191,7 +1191,7 @@ def dedup_clusters(
     (the caller frees those with ``cacheutil.scoped_caches`` around its
     consuming action).
     """
-    from ..cacheutil import persistent_rdd_ids, release_caches
+    from ..cacheutil import materialize, persistent_rdd_ids, release_caches
 
     spark = pairs.sparkSession
     pre = persistent_rdd_ids(spark)
@@ -1201,9 +1201,9 @@ def dedup_clusters(
     # candidate + verify pipeline) TWICE in one job — once per union
     # branch (r14: the q_dedup_clusters before-plan carried the full
     # LSH pipeline in both branches).
-    p0 = pairs.select(
-        F.col("id_a").alias("s"), F.col("id_b").alias("d")
-    ).localCheckpoint(eager=True)
+    p0 = materialize(
+        pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+    )
     edges = p0.unionAll(p0.select(F.col("d").alias("s"), F.col("s").alias("d")))
     edge_ids = persistent_rdd_ids(spark) - pre
     if edges.isEmpty():
@@ -1273,11 +1273,10 @@ def dedup_clusters(
                 "keep", (F.col(id_col) == F.col("cluster_id")).cast("boolean")
             )
     pre_labels = persistent_rdd_ids(spark)
-    labels = (
+    labels = materialize(
         edges.select(F.col("s").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     label_ids = persistent_rdd_ids(spark) - pre_labels
     for _ in range(max_iter):
@@ -1286,11 +1285,10 @@ def dedup_clusters(
             .select(F.col("s").alias("id"), "label")
         )
         pre_round = persistent_rdd_ids(spark)
-        new_labels = (
+        new_labels = materialize(
             labels.unionByName(neighbor)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
         new_ids = persistent_rdd_ids(spark) - pre_round
         changed = (
@@ -1888,32 +1886,42 @@ def fuzzy_join_jaccard(
     lp = ls.select(F.lit(0).alias("_side"), "_id", "_sz", F.explode("_sh").alias("_h"))
     rp = rs.select(F.lit(1).alias("_side"), "_id", "_sz", F.explode("_sh").alias("_h"))
     allp = lp.unionByName(rp)
-    # COMMON rarity order: document frequency over BOTH sides' postings,
-    # attached as one window count (single exchange on _h) instead of the
-    # groupBy+join-back's aggregate exchange + join re-exchange. Unlike
-    # the self-join twins (where the A/B was a wash), here the join-back
-    # recomputed the two-sided union subtree per consumer and measured
-    # 1.6× slower (r14 interleaved A/B: 6.6s vs 10.7s min-of-4 at sf0.1).
-    # Tradeoff accepted: a stopword-shingle hot key's postings land in
-    # one window task (count windows are not AQE-splittable) — a pure
-    # count that streams, unlike the candidate join, which stays behind
-    # the max_posting_docs cap.
+    # COMMON rarity order: document frequency over BOTH sides' postings.
+    # r14 attached it as a count window over _h — one full-postings
+    # exchange whose hot keys are NOT splittable (AQE can split a skewed
+    # join partition but never a window partition), i.e. a stopword
+    # shingle owning 30% of postings lands in ONE task (r14 VERDICT
+    # what's-wrong #1). r15 form: dfreq as a partial-aggregable
+    # groupBy("_h").count() — map-side combine collapses hot keys before
+    # its (tiny, distinct-shingles-sized) exchange — joined back with an
+    # explicit BROADCAST, so the postings themselves are never exchanged
+    # by _h at all. That keeps r14's real win (the union subtree is
+    # computed once per pass over the PERSISTED ls/rs, never re-planned)
+    # and drops the skew exposure AND one full-postings exchange: the
+    # only remaining postings shuffle is the row_number window on
+    # (_side, _id), whose partition size is one document's shingle set.
+    # At a scale where distinct shingles outgrow the broadcast cap,
+    # remove the hint and AQE's skew-join split covers the join-back —
+    # the form the self-join twins keep (jaccard_pairs_prefix).
     frac = Fraction(str(threshold)).limit_denominator(10**9)
     tn, td = frac.numerator, frac.denominator
     ceil_tm = -F.floor((F.col("_sz") * F.lit(-tn)) / F.lit(td))
     w = Window.partitionBy("_side", "_id").orderBy("_df", "_h")
+    dfreq = allp.groupBy("_h").agg(F.count("*").cast("long").alias("_df"))
     prefix = (
-        allp.withColumn(
-            "_df", F.count("*").over(Window.partitionBy("_h")).cast("long")
-        )
+        allp.join(F.broadcast(dfreq), "_h")
         .withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= F.col("_sz") - ceil_tm + 1)
         .select("_side", "_h", "_id", "_sz")
     )
-    # per-side posting cap: same window-count form
-    pruned = prefix.withColumn(
-        "_pc", F.count("*").over(Window.partitionBy("_side", "_h")).cast("long")
-    ).where(F.col("_pc") <= max_posting_docs)
+    # per-side posting cap: same partial-agg + broadcast join-back form
+    # (prefix's exchange on (_side,_id) is byte-identical for both
+    # consumers — AQE stage reuse executes it once, r14's load-bearing
+    # discovery)
+    pc = prefix.groupBy("_side", "_h").agg(F.count("*").cast("long").alias("_pc"))
+    pruned = prefix.join(F.broadcast(pc), ["_side", "_h"]).where(
+        F.col("_pc") <= max_posting_docs
+    )
     a = pruned.where(F.col("_side") == 0).select(
         "_h", F.col("_id").alias("_la"), F.col("_sz").alias("_sza")
     )

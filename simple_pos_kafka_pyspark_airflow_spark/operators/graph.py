@@ -49,7 +49,7 @@ def pagerank(
     exactly by the contract oracle. Returns ``(node, rank)`` unrounded;
     callers round for display/hashing.
     """
-    from ..cacheutil import persistent_rdd_ids, release_caches
+    from ..cacheutil import materialize, persistent_rdd_ids, release_caches
 
     spark = edges.sparkSession
     pre = persistent_rdd_ids(spark)
@@ -58,12 +58,17 @@ def pagerank(
     # without the checkpoint each consumer replans the full upstream
     # projection (for the contract query, the 4-table fact join — r14:
     # ~7 redundant subtree executions in the before-plan). The edge list
-    # is (nodes + edges)-sized by contract, not fact-sized.
-    e = edges.select(
-        F.col(src_col).alias("_src"),
-        F.col(dst_col).alias("_dst"),
-        F.col(weight_col).cast("long").alias("_w"),
-    ).localCheckpoint(eager=True)
+    # is (nodes + edges)-sized by contract, not fact-sized — which at
+    # 100 TB is still big enough that losing its executor-local blocks
+    # mid-iteration must not kill the job: cacheutil.materialize routes
+    # to a reliable checkpoint under the cluster profile (r15).
+    e = materialize(
+        edges.select(
+            F.col(src_col).alias("_src"),
+            F.col(dst_col).alias("_dst"),
+            F.col(weight_col).cast("long").alias("_w"),
+        )
+    )
     e_ids = persistent_rdd_ids(spark) - pre
     nodes = (
         e.select(F.col("_src").alias("node"))
@@ -96,7 +101,7 @@ def pagerank(
             .agg(F.sum("_c").alias("_s"))
         )
         pre_round = persistent_rdd_ids(spark)
-        ranks = (
+        ranks = materialize(
             nodes.join(contribs, "node", "left")
             .join(F.broadcast(n_nodes))
             .select(
@@ -107,7 +112,6 @@ def pagerank(
                     * (F.coalesce(F.col("_s"), F.lit(0)).cast("double") / F.lit(GRID))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
         # the new checkpoint is materialized — the previous iteration's
         # blocks will never be read again (dedup_clusters discipline)

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .. import cacheutil
 from ..catalog import table
 from ..operators import joins as join_ops
 from .contract import register
@@ -2056,7 +2057,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumes it three times (two wedge sides + the closing join), and
     # each copy otherwise replans the 4-table fact join (r14 before-plan:
     # 88 scans). Nation-graph-sized blocks; bench/oracle clear per query.
-    und = graph.undirected_edges(edges).localCheckpoint(eager=True)
+    und = cacheutil.materialize(graph.undirected_edges(edges))
     return graph.triangle_counts(und)
 
 
@@ -2351,7 +2352,7 @@ def q_graph_triangles_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same materialization as q_graph_triangles: the oriented counter
     # consumes the undirected edge set five times (degree agg ×2, the
     # orientation join, the closing join) — checkpoint it once
-    und = graph.undirected_edges(edges).localCheckpoint(eager=True)
+    und = cacheutil.materialize(graph.undirected_edges(edges))
     return graph.triangle_counts_oriented(und)
 
 
@@ -4263,9 +4264,7 @@ def q_graph_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     # four times (wedge sides via nbrs, the anti-join, the degree table)
     # and each copy otherwise replans the 4-table trade join + top-k
     # window (r14 before-plan: 72 scans). ≤ k·|nations| edges.
-    und = graph.undirected_edges(graph.top_weight_edges(de, k=3)).localCheckpoint(
-        eager=True
-    )
+    und = cacheutil.materialize(graph.undirected_edges(graph.top_weight_edges(de, k=3)))
     return graph.common_neighbor_scores(und, k=20)
 
 
@@ -4484,7 +4483,7 @@ def q_seg_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # total order), and group_cols partitions every stage by dimension,
     # so the whole RFM scoring is one bounded set of fact-sized shuffles
     # with no single-partition stage anywhere
-    cust = cust.localCheckpoint(eager=True)
+    cust = cacheutil.materialize(cust)
     melt = cust.select(
         "o_custkey",
         F.explode(

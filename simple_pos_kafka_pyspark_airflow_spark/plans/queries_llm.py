@@ -2658,7 +2658,10 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     # band_width=16 (r14): pure candidate-generation lever, result-
-    # identical for ANY width > max_dist (blocking stays lossless; the
+    # identical for ANY width > max_dist MODULO the max_block hot-band
+    # cap (no band trips the cap at the certified SFs; under the cap,
+    # different widths could drop different hot bands — narrowing to 16
+    # only ever REDUCES cap hits, so this change itself is safe; the
     # oracle's own 64-band scheme is independently lossless, so the
     # value-compare is unaffected — certified strict at all three SFs).
     # Narrower bands cut the band self-join's pre-|Δlen| pair
@@ -3704,9 +3707,11 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
     )
     # q=5 (r14): candidate-volume lever, result-identical for ANY q (the
-    # two-sided prefix theorem is q-generic and the verify is exact; all
-    # probe strings are 30 chars ≥ lmin = q·(d+1) = 15, so the regime
-    # split doesn't move either). This corpus's 3-char grams are so
+    # two-sided prefix theorem is q-generic and the verify is exact;
+    # losslessness rests on the short-path/gram-path union being complete
+    # for any q — substr(…,1,30) probes are ≤30 chars and docs under
+    # lmin+d = 17 chars route to the exhaustive short-band path, r15
+    # ADVICE wording fix). This corpus's 3-char grams are so
     # common that rarity ordering still met in 3.38M candidate pairs;
     # 5-grams cut that to 756k (4.5×) — interleaved A/B
     # min-of-5: 3.69 s (q=3) vs 2.01 s (q=5), q=5 better in all 5

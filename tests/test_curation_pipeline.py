@@ -72,6 +72,66 @@ def test_curation_pipeline_invariants(spark, sf_dir):
     out.unpersist()
 
 
+def test_curation_observed_report_is_exact(spark, sf_dir):
+    """r15: counts=True derives the report from CollectMetrics observations
+    fired inside the hub materializations (no per-stage checkpoint+count
+    jobs). Pin EXACTNESS: every reported count must equal an independent
+    plain recomputation of that stage, and the audited output must match
+    the counts=False twin row-for-row. Guards the two observe failure
+    modes — a filter pushed below an observe node (undercount) and a
+    double-fired observed subtree (overcount)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cfg = curation.CurationConfig(
+        allowed_langs=("en", "de", "fr", "es", "zh", "und"),
+        min_tokens=3,
+        per_source_cap=40,
+    )
+    out, report = curation.curate_corpus(docs, cfg, counts=True)
+
+    t, i = cfg.text_col, cfg.id_col
+    from simple_pos_kafka_pyspark_airflow_spark.llm import filtering
+
+    gated = (
+        filtering.apply_corpus_filter(
+            docs, t, min_tokens=cfg.min_tokens, max_tokens=cfg.max_tokens,
+            allowed_langs=cfg.allowed_langs,
+        )
+        .where("keep")
+        .select(*docs.columns)
+    )
+    ek = dedup.exact_dup_groups(gated, t, i).select(F.col("keep_id").alias(i))
+    exact = gated.join(ek, i, "semi")
+    pairs = dedup.near_dup_pairs_minhash(
+        exact, t, i, n_shingle=cfg.n_shingle,
+        jaccard_threshold=cfg.jaccard_threshold,
+    )
+    drops = dedup.dedup_clusters(pairs, id_col=i).where(~F.col("keep")).select(i)
+    near = exact.join(drops, i, "left_anti")
+    capped = filtering.cap_per_group(near, cfg.source_col, cfg.per_source_cap, i)
+    split = capped.withColumn("split", curation.split_col(i, cfg))
+    leaks = dedup.exact_ngram_collisions(
+        split.where(F.col("split") != "test"),
+        split.where(F.col("split") == "test"),
+        t, i, n=cfg.leak_ngram,
+    ).select(i)
+    final = split.join(leaks, i, "left_anti")
+    expect = [
+        ("raw", docs.count()),
+        ("quality_gate", gated.count()),
+        ("exact_dedup", exact.count()),
+        ("near_dedup", near.count()),
+        ("domain_cap", capped.count()),
+        ("decontaminated", final.count()),
+    ]
+    assert report == expect
+
+    lazy_out, _ = curation.curate_corpus(docs, cfg, counts=False)
+    cols = ["doc_id", "source", "split"]
+    a = sorted(tuple(r) for r in out.select(*cols).collect())
+    b = sorted(tuple(r) for r in lazy_out.select(*cols).collect())
+    assert a == b
+
+
 def test_curation_counts_off_returns_empty_report(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out, report = curation.curate_corpus(

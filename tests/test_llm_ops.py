@@ -2407,6 +2407,70 @@ def test_dedup_clusters_frees_superseded_rounds(spark):
     assert persistent_rdd_ids(spark) - before == set()
 
 
+def test_materialize_reliable_mode_needs_a_dir(spark):
+    """Without a checkpoint dir the reliable mode must fail LOUDLY at the
+    materialize site, not deep inside Spark."""
+    import pytest as _pytest
+
+    from simple_pos_kafka_pyspark_airflow_spark.cacheutil import (
+        MATERIALIZE_MODE_KEY,
+        materialize,
+    )
+
+    if not spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+        _pytest.skip("session already has a checkpoint dir")
+    spark.conf.set(MATERIALIZE_MODE_KEY, "reliable")
+    try:
+        with _pytest.raises(ValueError, match="checkpoint"):
+            materialize(spark.range(3))
+    finally:
+        spark.conf.unset(MATERIALIZE_MODE_KEY)
+
+
+def test_materialize_reliable_mode_matches_local(spark, tmp_path):
+    """r15 cluster-profile switch: ``spark.graft.materialize=reliable``
+    must route the engine's checkpoint sites to reliable ``checkpoint()``
+    (fault-tolerant files in the checkpoint dir) and produce results
+    IDENTICAL to the default localCheckpoint path — exercised through
+    the two iterative consumers the switch exists for (pagerank,
+    dedup_clusters' distributed loop)."""
+    from simple_pos_kafka_pyspark_airflow_spark.cacheutil import (
+        CHECKPOINT_DIR_KEY,
+        MATERIALIZE_MODE_KEY,
+        materialize,
+    )
+    from simple_pos_kafka_pyspark_airflow_spark.llm.dedup import dedup_clusters
+    from simple_pos_kafka_pyspark_airflow_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2, 3), (2, 3, 1), (3, 1, 2), (1, 3, 1), (4, 1, 5)],
+        "src long, dst long, w long",
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    pr_local = sorted(map(tuple, pagerank(edges, iters=3).collect()))
+    cc_local = sorted(map(tuple, dedup_clusters(pairs, max_driver_edges=0).collect()))
+
+    spark.conf.set(MATERIALIZE_MODE_KEY, "reliable")
+    spark.conf.set(CHECKPOINT_DIR_KEY, str(tmp_path / "ck"))
+    try:
+        probe = materialize(spark.range(5))
+        # reliable checkpoints live in the checkpoint dir, not the block
+        # manager — prove the routing actually happened
+        import os
+
+        assert any(os.scandir(tmp_path / "ck")), "no reliable checkpoint files"
+        assert probe.count() == 5
+        pr_rel = sorted(map(tuple, pagerank(edges, iters=3).collect()))
+        cc_rel = sorted(map(tuple, dedup_clusters(pairs, max_driver_edges=0).collect()))
+    finally:
+        spark.conf.unset(MATERIALIZE_MODE_KEY)
+        spark.conf.unset(CHECKPOINT_DIR_KEY)
+    assert pr_rel == pr_local
+    assert cc_rel == cc_local
+
+
 def test_funnel_counts_order_matters(spark):
     """A user whose step-2 event precedes step 1 must NOT count for the
     prefix — the funnel is ordered, earliest-completion semantics."""
@@ -3147,6 +3211,56 @@ def test_fuzzy_join_jaccard_equals_quadratic(spark):
         )
         assert got == want(th), (th, got, want(th))
     assert len(want(0.5)) >= 3  # non-vacuous: twins + near-twin qualify
+
+
+def test_fuzzy_join_jaccard_hot_shingle_skew_safe(spark):
+    """r15 (VERDICT r14 what's-wrong #1): document frequency and the
+    posting cap must NOT be computed as count windows partitioned by the
+    shingle hash — a hot shingle (here in ~30% of docs per side) would
+    land its whole posting list in ONE window task, and AQE can split a
+    skewed join partition but never a window partition. Pin the fixed
+    shape: the only window in the plan is the per-document prefix rank
+    (partitioned by (_side, _id) — bounded by one doc's shingle count),
+    the tiny dfreq/cap aggregates come back via broadcast, and results
+    on the skewed fixture still equal brute force."""
+    import io
+    from contextlib import redirect_stdout
+
+    from simple_pos_kafka_pyspark_airflow_spark.llm.dedup import fuzzy_join_jaccard
+
+    # one stopword trigram ("the end now") planted in 30% of docs per side
+    hot = "the end now"
+    L = [(i, f"unique{i} alpha{i} beta{i} gamma{i} " + (hot if i % 10 < 3 else f"tail{i} x{i} y{i}"))
+         for i in range(40)]
+    R = [(100 + i, f"unique{i} alpha{i} beta{i} gamma{i} " + (hot if i % 10 < 3 else f"tail{i} x{i} y{i}"))
+         for i in range(40)]
+    left = spark.createDataFrame(L, "lid long, s string")
+    right = spark.createDataFrame(R, "rid long, t string")
+
+    out = fuzzy_join_jaccard(left, right, "s", "t", l_id="lid", r_id="rid",
+                             threshold=0.5)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "windowspecdefinition(_h#" not in plan, (
+        "posting-keyed count window reintroduced — hot-shingle skew"
+    )
+    assert "BroadcastExchange" in plan  # dfreq/cap join-backs broadcast
+
+    def shingles(text, n=3):
+        toks = text.lower().split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    want = sorted(
+        (lid, rid, round(len(shingles(s) & shingles(t)) / len(shingles(s) | shingles(t)), 9))
+        for lid, s in L for rid, t in R
+        if len(shingles(s) & shingles(t)) / len(shingles(s) | shingles(t)) >= 0.5
+    )
+    got = sorted((r["lid"], r["rid"], round(r["jaccard"], 9)) for r in out.collect())
+    assert got == want and len(want) >= 12  # every i↔100+i twin qualifies
 
 
 def test_bigram_logprob_order_awareness(spark):

@@ -6,6 +6,7 @@ via setJobDescription (guide §1.5).
 Usage:
     python tools/profile_queries.py plans  <out_dir> [names...]
     python tools/profile_queries.py time   <runs> [names...]
+    python tools/profile_queries.py split  <runs> [names...]
 
 ``plans`` writes <out_dir>/<name>.txt with the formatted physical plan
 (no execution). ``time`` runs each query <runs> times against the noop
