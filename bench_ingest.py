@@ -191,7 +191,7 @@ def main() -> None:
     }
     print(json.dumps(payload))
     here = os.path.dirname(os.path.abspath(__file__))
-    out = os.path.join(here, "docs", "bench", "ingest_r14.json")
+    out = os.path.join(here, "docs", "bench", "ingest_r15.json")
     try:
         with open(out, "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)

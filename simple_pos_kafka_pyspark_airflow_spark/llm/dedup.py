@@ -443,10 +443,36 @@ def near_dup_pairs_minhash(
     """
     from pyspark import StorageLevel
 
-    rows = num_hashes // bands
     doc_tbl = minhash_doc_table(df, text_col, id_col, n_shingle, num_hashes).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    return near_dup_pairs_from_doc_table(
+        doc_tbl,
+        num_hashes=num_hashes,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+        max_bucket=max_bucket,
+    )
+
+
+def near_dup_pairs_from_doc_table(
+    doc_tbl: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """``near_dup_pairs_minhash`` over a PREBUILT (and caller-persisted)
+    ``minhash_doc_table`` frame (``_id``, ``_sig``, ``_sh``) — the r15
+    ingest-fusion entry point: ``IncrementalMinhashIndex.dedup_batch``
+    computes the batch's signature table ONCE and derives both the
+    within-batch pair search and the landed-index rows from it, instead
+    of running the explode→64-agg signature stage twice per micro-batch
+    (once inside the pair finder, once in ``banded_index_rows``).
+    Signatures are a deterministic function of the text, so the derived
+    index rows are byte-identical to a recomputation. Cache ownership is
+    the caller's (this function never persists)."""
+    rows = num_hashes // bands
     sh_df = doc_tbl.select("_id", "_sh")
     sig_df = doc_tbl.select("_id", "_sig")
     banded = sig_df.select(

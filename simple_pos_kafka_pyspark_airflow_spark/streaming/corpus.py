@@ -105,6 +105,18 @@ def banded_index_rows(
     WITHOUT re-reading its text. Schema: (doc_id, band, bucket, sh)."""
     rows = num_hashes // bands
     doc_tbl = dedup_ops.minhash_doc_table(docs, text_col, id_col, n_shingle, num_hashes)
+    return banded_index_rows_from_table(doc_tbl, num_hashes, bands)
+
+
+def banded_index_rows_from_table(
+    doc_tbl: DataFrame, num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """``banded_index_rows`` over a prebuilt ``minhash_doc_table`` frame
+    (r15 ingest fusion — see ``dedup.near_dup_pairs_from_doc_table``):
+    the band explode + bucket hash are a cheap projection of the cached
+    signature table, so deriving index rows here instead of from text
+    skips a second explode→64-agg signature stage per micro-batch."""
+    rows = num_hashes // bands
     return doc_tbl.select(
         F.col("_id").alias("doc_id"),
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
@@ -274,20 +286,39 @@ class IncrementalMinhashIndex:
 
         jac_ok = F.col("jaccard") >= self.threshold
 
+        # ONE signature pass per batch (r15 fusion): the explode→64-agg
+        # minhash table is computed once over the batch text and persisted;
+        # the within-batch pair search AND the landed-index rows both
+        # derive from it (signatures are a deterministic function of the
+        # text, so filtering the cached table by surviving ids is
+        # byte-identical to re-signing the survivors — which is what this
+        # used to do, paying the signature stage twice per micro-batch).
+        doc_tbl = dedup_ops.minhash_doc_table(
+            docs, self.text_col, self.id_col, self.n_shingle, self.num_hashes
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
         # within-batch: connected components over the pair list; each
         # component keeps its min id (exact cluster-representative policy)
-        pairs = dedup_ops.near_dup_pairs_minhash(
-            docs, self.text_col, self.id_col,
-            n_shingle=self.n_shingle, num_hashes=self.num_hashes, bands=self.bands,
+        pairs = dedup_ops.near_dup_pairs_from_doc_table(
+            doc_tbl, num_hashes=self.num_hashes, bands=self.bands,
             jaccard_threshold=self.threshold,
         )
         components = dedup_ops.dedup_clusters(pairs, id_col=self.id_col)
         batch_drops = components.where(~F.col("keep")).select(self.id_col)
         kept = docs.join(batch_drops, self.id_col, "left_anti").localCheckpoint(eager=True)
 
-        idx = banded_index_rows(
-            kept, self.text_col, self.id_col, self.n_shingle, self.num_hashes, self.bands
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        idx = (
+            banded_index_rows_from_table(
+                doc_tbl.join(
+                    batch_drops.withColumnRenamed(self.id_col, "_id"),
+                    "_id",
+                    "left_anti",
+                ),
+                self.num_hashes,
+                self.bands,
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
 
         landed = self._landed()
         if landed is not None:
@@ -305,6 +336,7 @@ class IncrementalMinhashIndex:
             idx_out = idx
         idx_out.write.mode("append").parquet(self.path)
         idx.unpersist()
+        doc_tbl.unpersist()
         return kept
 
 
