@@ -12,6 +12,8 @@ mapInPandas-free projection pass fused with the scan.
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1222,26 +1224,12 @@ def extract_html_text(
     (documented approximation — real extractors parse, this scores).
     The same algebra replays in DuckDB (list_transform/list_filter) for
     the q_text_extract_html oracle."""
-    from fractions import Fraction
-
     frac = Fraction(str(max_link_density)).limit_denominator(10**9)
     tn, td = frac.numerator, frac.denominator
-    h = _remove_nonvisible(html)
-    h = F.regexp_replace(h, r"(?i)</?(?:" + _BLOCK_TAGS + r")\b[^>]*>", "\n")
-    lines = F.split(h, "\n")
+    lines = _html_lines(html)
 
     def line_struct(x: Column) -> Column:
-        vis = _visible(x)
-        anchor_vis = _visible(
-            F.array_join(
-                F.regexp_extract_all(x, F.lit(r"(?is)<a\b[^>]*>(.*?)</a>"), 1),
-                " ",
-            )
-        )
-        n_words = F.when(vis == "", F.lit(0)).otherwise(F.size(F.split(vis, " ")))
-        keep = (n_words >= F.lit(min_words)) & (
-            F.length(anchor_vis) * F.lit(td) <= F.length(vis) * F.lit(tn)
-        )
+        vis, keep = _html_line_scored(x, min_words, tn, td)
         return F.struct(vis.alias("t"), keep.alias("k"))
 
     scored = F.transform(lines, line_struct)
@@ -1251,6 +1239,102 @@ def extract_html_text(
         F.array_join(F.transform(kept, lambda s: s["t"]), "\n").alias("text"),
         F.size(nonempty).cast("long").alias("n_lines"),
         F.size(kept).cast("long").alias("n_kept"),
+    )
+
+
+def _html_lines(html: Column) -> Column:
+    """Stages 1-2 of the extraction: strip non-rendering content, then
+    segment into lines at block-element boundaries. ONE definition under
+    both the Column form (``extract_html_text``) and the row form
+    (``extract_html_text_rows``) so the algebra cannot drift."""
+    h = _remove_nonvisible(html)
+    h = F.regexp_replace(h, r"(?i)</?(?:" + _BLOCK_TAGS + r")\b[^>]*>", "\n")
+    return F.split(h, "\n")
+
+
+def _html_line_scored(
+    x: Column, min_words: int, tn: int, td: int
+) -> tuple[Column, Column]:
+    """Stage 3, per line: (visible text, keep?) — word count ≥ min_words
+    AND link density ≤ tn/td by exact integer cross-multiplication.
+    Shared by both extraction forms (see ``_html_lines``)."""
+    vis = _visible(x)
+    anchor_vis = _visible(
+        F.array_join(
+            F.regexp_extract_all(x, F.lit(r"(?is)<a\b[^>]*>(.*?)</a>"), 1),
+            " ",
+        )
+    )
+    n_words = F.when(vis == "", F.lit(0)).otherwise(F.size(F.split(vis, " ")))
+    keep = (n_words >= F.lit(min_words)) & (
+        F.length(anchor_vis) * F.lit(td) <= F.length(vis) * F.lit(tn)
+    )
+    return vis, keep
+
+
+def extract_html_text_rows(
+    df: DataFrame,
+    html: Column,
+    id_cols: list[str],
+    min_words: int = 3,
+    max_link_density: float = 0.5,
+) -> DataFrame:
+    """DataFrame form of ``extract_html_text`` — identical output
+    algebra (shared helpers, pinned bit-equal in tests), different
+    physical shape: lines are EXPLODED to rows, scored by plain
+    whole-stage-codegen expressions, and re-assembled with one doc-keyed
+    partial-aggregable groupBy.
+
+    Why it exists (r15, guide §4.1/verify-skill gotcha): higher-order
+    array functions (``transform``/``filter``) are CodegenFallback —
+    every per-line regex runs through interpreted expression dispatch,
+    element by element. The row form keeps the exact same regexes but
+    evaluates them inside generated code: interleaved A/B at sf0.1
+    measured 2.0 s → 0.70 s (2.9×) for the extraction projection, output
+    bit-identical across all 5000 docs. The price is one exchange of the
+    extracted line rows keyed by document — size-bounded (a page's
+    visible text), skew-free (group = one page), partial-aggregable —
+    where the Column form has none; use the Column form where a plan
+    must stay a pure projection (the streaming ingest front door keeps
+    it: its batch frame would otherwise be consumed twice or ship its
+    full row width through the line exchange).
+
+    ``html`` is a Column over ``df``; ``id_cols`` must uniquely key
+    ``df``'s rows (they become the group key; a caller without a natural
+    key synthesizes one with ``monotonically_increasing_id`` BEFORE
+    calling — fine in a single consumer chain, where the nondeterminism
+    never crosses plan branches; see q_crawl_e2e). Returns
+    ``id_cols + (text, n_lines, n_kept)``, one row per input row —
+    ``split`` always yields at least one line, so no row ever drops."""
+    if not id_cols:
+        raise ValueError("id_cols must uniquely key the rows")
+    frac = Fraction(str(max_link_density)).limit_denominator(10**9)
+    tn, td = frac.numerator, frac.denominator
+    keys = list(id_cols)
+    lines = df.select(
+        *keys,
+        F.posexplode(_html_lines(html)).alias("__pos", "__x"),
+    )
+    vis, keep = _html_line_scored(F.col("__x"), min_words, tn, td)
+    scored = lines.select(*keys, "__pos", vis.alias("__t"), keep.alias("__k"))
+    nonempty = F.col("__t") != ""
+    return scored.groupBy(*keys).agg(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(nonempty, F.struct("__pos", "__t", "__k"))
+                        )
+                    ),
+                    lambda s: s["__k"],
+                ),
+                lambda s: s["__t"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.sum(nonempty.cast("long")).cast("long").alias("n_lines"),
+        F.sum((nonempty & F.col("__k")).cast("long")).cast("long").alias("n_kept"),
     )
 
 

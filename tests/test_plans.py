@@ -1017,14 +1017,27 @@ def test_linear_touch_attribution_hand_sequence(spark):
     }, got
 
 
-def test_html_extraction_is_map_only(spark, sf_dir):
-    """The markup front doors are scan-fused projections — any Exchange
-    means the extraction accidentally aggregated (the zero-shuffle
-    claim in docs/SCALE.md). q_text_extract_html/md plans: scan +
-    project only."""
-    for q in ("q_text_extract_html", "q_text_extract_md"):
-        plan = explain_str(build(spark, sf_dir, q))
-        assert "Exchange" not in plan, (q, plan)
+def test_html_extraction_plan_shape(spark, sf_dir):
+    """Markup front-door plan pins. q_text_extract_md stays a scan-fused
+    projection (zero Exchange). q_text_extract_html runs the r15 ROW
+    form: per-line scoring in whole-stage codegen (no interpreted
+    higher-order transform/filter over the line array — the r15 2.9×
+    win) at the cost of exactly ONE doc-keyed exchange with partial
+    aggregation below it; no join anywhere."""
+    plan = explain_str(build(spark, sf_dir, "q_text_extract_md"))
+    assert "Exchange" not in plan, plan
+
+    plan = explain_str(build(spark, sf_dir, "q_text_extract_html"))
+    assert _node_count(plan, "Exchange") == 1, plan
+    assert "Join" not in plan, plan
+    # partial (map-side) aggregation below the exchange
+    assert "partial_" in plan or "Partial" in plan, plan
+    # the per-line regex scoring must not sit under interpreted HOFs:
+    # transform()/filter() lambdas would show as LambdaFunction over the
+    # scoring structs in the projection BELOW the aggregate. The only
+    # remaining lambda use is the final kept-lines join inside the
+    # aggregate expression itself.
+    assert "CodegenFallback" not in plan, plan
 
 
 def test_attribution_single_user_exchange(spark, sf_dir):
