@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from . import textops
-from .textops import LANG_MARKERS, predicted_lang_from_tokens, punct_ratio, tokens
+from .textops import LANG_MARKERS, predicted_lang_from_text, punct_ratio, tokens
 
 
 def repetition_ratio(text: Column) -> Column:
@@ -50,7 +50,11 @@ def filter_rules(
     n_tok = F.size(toks)
     return {
         "len_ok": (n_tok >= min_tokens) & (n_tok <= max_tokens),
-        "lang_ok": predicted_lang_from_tokens(toks).isin(*allowed_langs),
+        # r15: the codegen regex form — the interpreted HOF form
+        # (predicted_lang_from_tokens) was ~85% of the gate's per-row
+        # cost because the argmax chain re-evaluates each language's
+        # token filter when interpreted; see textops._marker_count
+        "lang_ok": predicted_lang_from_text(F.lower(text)).isin(*allowed_langs),
         "punct_ok": punct_ratio(text) <= max_punct_ratio,
         "rep_ok": _repetition_from_tokens(toks) <= max_repetition,
     }

@@ -99,12 +99,31 @@ def punct_ratio(text: Column) -> Column:
     return F.length(stripped) / F.greatest(F.length(text), F.lit(1))
 
 
+def _marker_count(lowered_text: Column, markers: tuple[str, ...]) -> Column:
+    """Occurrence count of tokens exactly equal to any marker word, as ONE
+    whole-stage-codegen ``regexp_count`` pass over the (already
+    lowercased) text — the r15 replacement for the interpreted
+    ``F.filter(toks, isin)`` higher-order form (CodegenFallback; measured
+    the dominating cost of the quality gate once the argmax chain
+    repeated it per language). Equivalence with the token form: tokens
+    are maximal ``\\S+`` runs, so a token equals a marker iff the marker
+    appears preceded by start-or-whitespace and followed by
+    whitespace-or-end; the leading ``(?:^|\\s)`` consumes at most the one
+    delimiter before the match and the trailing guard is a lookahead, so
+    adjacent marker tokens ("to a") each count. Markers are plain
+    lowercase words (test-pinned), so no regex escaping is needed.
+    Pinned equal to the HOF form on real + adversarial corpora in
+    tests/test_llm_ops.py."""
+    pat = r"(?:^|\s)(?:" + "|".join(markers) + r")(?=\s|$)"
+    return F.regexp_count(lowered_text, F.lit(pat))
+
+
 def stopword_ratio(text: Column, stopwords: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
     """Fraction of tokens that are function words — a classic quality
     signal (real prose ≈ 0.3-0.5; keyword spam ≈ 0)."""
-    toks = tokens(F.lower(text))
-    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
-    return hits / F.greatest(F.size(toks), F.lit(1))
+    low = F.lower(text)
+    hits = _marker_count(low, stopwords)
+    return hits / F.greatest(F.size(tokens(low)), F.lit(1))
 
 
 def quality_score(text: Column) -> Column:
@@ -127,13 +146,14 @@ def _marker_test(markers: tuple[str, ...]):
 
 def lang_scores(text: Column) -> Column:
     """Map of language → marker-hit count; argmax (ties → lexicographic
-    language code) is the predicted language."""
-    toks = tokens(F.lower(text))
+    language code) is the predicted language. Counts via the codegen
+    ``_marker_count`` regex (r15), one pass per language."""
+    low = F.lower(text)
     return F.map_from_arrays(
         F.array(*[F.lit(lang) for lang in sorted(LANG_MARKERS)]),
         F.array(
             *[
-                F.size(F.filter(toks, _marker_test(markers)))
+                _marker_count(low, markers)
                 for lang, markers in sorted(LANG_MARKERS.items())
             ]
         ),
@@ -144,20 +164,64 @@ def predicted_lang(text: Column) -> Column:
     """Argmax over per-language marker hits; ties break to the
     lexicographically-smallest code, zero hits → 'und'. A when-chain over a
     handful of languages constant-folds into one codegen expression."""
-    return predicted_lang_from_tokens(tokens(F.lower(text)))
+    return predicted_lang_from_text(F.lower(text))
+
+
+def _lang_argmax(scores: dict[str, Column]) -> Column:
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for c in reversed(sorted(scores)):  # reversed: smallest code outermost
+        expr = F.when(scores[c] == best, F.lit(c)).otherwise(expr)
+    return F.when(best <= 0, F.lit("und")).otherwise(expr)
+
+
+def predicted_lang_from_text(lowered_text: Column) -> Column:
+    """``predicted_lang`` over an already-lowercased text column — the
+    codegen single-evaluation form (r15): per-language occurrence counts
+    via ``_marker_count`` regex passes, argmax-ed by ONE ``array_max``
+    over (score, tie_rank, winner) structs so every count is evaluated
+    exactly once per row. The naive when-chain argmax re-evaluates each
+    score under its conditional branches (Spark's subexpression
+    elimination skips expressions inside when/if arms), which measured
+    ~4× the five raw regex passes; the interpreted HOF form
+    (``predicted_lang_from_tokens``) was worse still and dominated
+    ``apply_corpus_filter`` inside every curation query. Tie-break and
+    zero-hit semantics are encoded IN the structs: ``tie_rank`` makes
+    the lexicographically-smallest code win equal scores, and a sentinel
+    ``(0, +1, 'und')`` entry outranks every zero-score language (real
+    tie_ranks are ≤ 0) while losing to any positive score, so the
+    all-zero case needs no second look at the array. Pinned equal to
+    the HOF reference form on real + adversarial corpora."""
+    codes = sorted(LANG_MARKERS)
+    entries = [
+        F.struct(
+            _marker_count(lowered_text, LANG_MARKERS[c]).alias("s"),
+            F.lit(-i).alias("r"),
+            F.lit(c).alias("c"),
+        )
+        for i, c in enumerate(codes)
+    ]
+    sentinel = F.struct(
+        F.lit(0).cast("int").alias("s"), F.lit(1).alias("r"), F.lit("und").alias("c")
+    )
+    return F.array_max(F.array(*entries, sentinel))["c"]
 
 
 def predicted_lang_from_tokens(toks: Column) -> Column:
     """``predicted_lang`` over an already-materialized (lowercased) token
-    array — pass an attribute reference when several rules share the
-    tokens, so the tokenize isn't re-evaluated per rule."""
+    array — the ORIGINAL higher-order-function form, kept as the
+    reference implementation the codegen form is test-pinned against
+    (and for callers that only have the token array). Prefer
+    ``predicted_lang_from_text`` on hot paths: HOF lambdas are
+    CodegenFallback and this expression tree evaluates each language's
+    filter several times per row when interpreted."""
     codes = sorted(LANG_MARKERS)
-    scores = {c: F.size(F.filter(toks, _marker_test(LANG_MARKERS[c]))) for c in codes}
-    best = F.greatest(*scores.values())
-    expr = F.lit("und")
-    for c in reversed(codes):  # reversed: smallest code ends up outermost
-        expr = F.when(scores[c] == best, F.lit(c)).otherwise(expr)
-    return F.when(best <= 0, F.lit("und")).otherwise(expr)
+    return _lang_argmax(
+        {
+            c: F.size(F.filter(toks, _marker_test(LANG_MARKERS[c])))
+            for c in codes
+        }
+    )
 
 
 def sliding_grams(toks: Column, n: int) -> Column:

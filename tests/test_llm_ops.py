@@ -3213,6 +3213,53 @@ def test_fuzzy_join_jaccard_equals_quadratic(spark):
     assert len(want(0.5)) >= 3  # non-vacuous: twins + near-twin qualify
 
 
+def test_predicted_lang_codegen_equals_hof_reference(spark, sf_dir):
+    """r15: language id and marker counting moved from interpreted
+    higher-order F.filter scans to one codegen regexp_count pass per
+    language with a single-evaluation struct-array argmax. Pin the new
+    form bit-equal to the retained HOF reference
+    (predicted_lang_from_tokens) on the real corpus AND on adversarial
+    token boundaries (punctuation-glued markers, repeated single-char
+    markers sharing one delimiter, tabs/newlines, ties, the all-zero →
+    'und' sentinel), and stopword_ratio exactly unchanged."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = textops.tokens(F.lower(F.col("text")))
+    cmp = docs.select(
+        textops.predicted_lang_from_text(F.lower(F.col("text"))).alias("new"),
+        textops.predicted_lang_from_tokens(toks).alias("old"),
+    )
+    assert cmp.where(F.col("new") != F.col("old")).count() == 0
+
+    rows = [
+        (1, "the the the"), (2, "  the\tand\nof  "), (3, "the. and, of!"),
+        (4, ""), (5, "a"), (6, "to a"), (7, "a a a"), (8, "THE AND OF"),
+        (9, "der die das und nicht ist the"), (10, "xthe thex athea"),
+        (11, "de5 de5"), (12, "le la et the and of to a in is"),
+        (13, "is\n"), (14, "\tthe"), (15, "el la los que de es"),
+        (16, "und"), (17, "the  and   of"), (18, "a-the the-a"),
+        (19, "la la"), (20, "de de"), (21, "es es la la"),
+    ]
+    adv = spark.createDataFrame(rows, "doc_id long, text string")
+    c2 = adv.select(
+        "doc_id",
+        textops.predicted_lang_from_text(F.lower(F.col("text"))).alias("new"),
+        textops.predicted_lang_from_tokens(
+            textops.tokens(F.lower(F.col("text")))
+        ).alias("old"),
+    )
+    assert c2.where(F.col("new") != F.col("old")).count() == 0
+
+    old_ratio = F.size(
+        F.filter(toks, lambda t: t.isin(*textops.LANG_MARKERS["en"]))
+    ) / F.greatest(F.size(toks), F.lit(1))
+    delta = (
+        docs.select((textops.stopword_ratio(F.col("text")) - old_ratio).alias("d"))
+        .agg(F.max(F.abs("d")))
+        .first()[0]
+    )
+    assert delta == 0.0
+
+
 def test_fuzzy_join_jaccard_hot_shingle_skew_safe(spark):
     """r15 (VERDICT r14 what's-wrong #1): the cluster-profile dfreq mode
     (``spark.graft.jaccard.dfreq=agg``) must compute document frequency
